@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session configuration so Verify, Bench and the
+  * test suites run identical settings.
+  *
+  * Scale notes (targets a 1000-executor cluster even though we test on
+  * local[N]): AQE on (runtime coalescing + skew-join splitting), shuffle
+  * partitions sized to cores locally (the cluster deployment would size to
+  * 2-3× total cores), UTC session time so event-time logic is zone-explicit
+  * (the reference hard-codes +8, DateFormatUtil.java:22 — we parameterize).
+  */
+object GraftSession {
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // events.parquet carries TIMESTAMP(NANOS); read as long, normalized in
+    // Tables.events.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.compression.codec", "snappy")
+    .config("spark.ui.enabled", "false")
+
+  /** local[cores] session; cores defaults to SPARK_GRAFT_CPUS or 4. */
+  def local(appName: String, cores: Option[String] = None): SparkSession = {
+    val cpus = cores.getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val spark = configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

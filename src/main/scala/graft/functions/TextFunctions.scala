@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text kernel for the document-processing operators.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions._` (so it
+  * stays inside whole-stage codegen — no Scala UDFs in the hot path) and is
+  * deliberately re-expressible in ANSI SQL so the DuckDB oracle can verify
+  * each operator bit-for-bit.
+  *
+  * Tokenizer semantics are PINNED (the one semantic substitution noted in
+  * SURVEY.md §7.4 for the reference's IK analyzer,
+  * gmall-realtime-self/.../util/KeywordUtil.java:13-35): lowercase, split on
+  * runs of non-[a-z0-9], drop empties.
+  */
+object TextFunctions {
+
+  /** Pinned tokenizer: lowercase, split on non-alphanumeric runs, drop "". */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Distinct token set (order-free; use array_sort for deterministic output). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word-level n-gram shingles: ["a","b","c"] with n=2 -> ["a b","b c"]. */
+  def wordShingles(toks: Column, n: Int): Column =
+    filter(
+      transform(toks, (_, i) => array_join(slice(toks, i + 1, lit(n)), " ")),
+      (_, i) => i <= size(toks) - n)
+
+  /** One MinHash signature: min over the token set of md5(seed || ":" || tok).
+    * Hex-string min is total-ordered identically in Spark and DuckDB, so the
+    * signature is engine-portable without sharing a hash implementation.
+    */
+  def minhashSig(tokenSet: Column, seed: Int): Column =
+    array_min(transform(tokenSet, t => md5(concat(lit(s"$seed:"), t))))
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercased text. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.tables.Tables
+import graft.functions.TextFunctions
+
+/** Batch formulations of the reference's DWD/DWS pipelines (SURVEY.md §2),
+  * mapped onto the driver's `events`/`documents` tables per FIXTURES.md §8.
+  * Streaming twins live in graft.streaming.
+  */
+object ReferenceQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  /** Dws02 analog (SURVEY A1 + §2.6): 10-minute tumbling event-time window
+    * keyed by event_type — pv/uv/value sums with window bounds stamped as
+    * stt/edt strings (gmall Dws02TrafficVcChArIsNewPageViewWindow.java:160-203). */
+  val a1TrafficWindow: Q = Q(
+    "a1_traffic_window",
+    run = (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "10 minutes"), $"event_type")
+        .agg(
+          count(lit(1)).as("pv_ct"),
+          countDistinct($"user_id").as("uv_ct"),
+          sum($"value".cast(dec)).cast("double").as("sum_value"))
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("stt"),
+          date_format($"window.end", "yyyy-MM-dd HH:mm:ss").as("edt"),
+          $"event_type", $"pv_ct", $"uv_ct", $"sum_value")
+    },
+    oracle = Some("""
+      SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/600)*600 AS BIGINT)*1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+             strftime(make_timestamp((CAST(floor(epoch(ts)/600)*600 AS BIGINT)+600)*1000000), '%Y-%m-%d %H:%M:%S') AS edt,
+             event_type,
+             COUNT(*) AS pv_ct,
+             COUNT(DISTINCT user_id) AS uv_ct,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2, 3"""),
+    headline = true)
+
+  /** DwsTrafficKeywordPageViewWindow analog (SURVEY U1/U2/A3): tokenize,
+    * explode, count per keyword (LATERAL TABLE(splitfunc) -> explode). */
+  val u1KeywordCount: Q = Q(
+    "u1_keyword_count",
+    run = (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens($"text")).as("word"))
+        .groupBy($"word")
+        .agg(count(lit(1)).as("ct"))
+    },
+    oracle = Some("""
+      SELECT word, COUNT(*) AS ct
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '')) AS word
+            FROM documents) t
+      GROUP BY word"""))
+
+  val all: Seq[Q] = Seq(a1TrafficWindow, u1KeywordCount)
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run Verify's parquet dumps
+against the DuckDB oracle SQL and diff. Usage:
+    python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify values the way a hash-compare would canonicalize them
+    def canon(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+            try:
+                return str(list(v.tolist() if hasattr(v, "tolist") else v))
+            except Exception:
+                return str(v)
+        return str(v)
+    out = df.apply(lambda col: col.map(canon))
+    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"FAIL {name}: columns spark={sorted(got.columns)} oracle={sorted(exp.columns)}")
+            n_fail += 1
+            continue
+        g, e = normalize(got), normalize(exp)
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)}")
+            n_fail += 1
+            continue
+        if g.equals(e):
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+        else:
+            diff = (g != e).any(axis=1)
+            idx = diff[diff].index[:3]
+            print(f"FAIL {name}: {int(diff.sum())}/{len(g)} rows differ; first diffs:")
+            for i in idx:
+                print(f"  spark:  {g.loc[i].to_dict()}")
+                print(f"  oracle: {e.loc[i].to_dict()}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
