@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Config-driven record router — the Spark-first re-expression of the
+  * reference's broadcast-state DIM/DWD fan-out
+  * (DimApp.java:84-99, DIM_MyBroadcastFunction.java:61-231,
+  * DWD_MyBroadcastFunction.java:20-168):
+  *
+  *  - row filter  = inner join against the (broadcast) config table —
+  *    records whose source has no route are dropped (P8);
+  *  - column prune = `map_filter` of the payload map down to
+  *    `sink_columns` (P9);
+  *  - dynamic routing = a `sink_table` column on every output row, the
+  *    exact mechanism Spark's Kafka sink uses for per-record topics (K2).
+  *
+  * At scale the config side is tiny (a control table) so the join is a
+  * broadcast-hash join: the fact stream never shuffles. In streaming, the
+  * same function runs inside foreachBatch with the config re-read per
+  * micro-batch (= the reference's "config can change at runtime" semantics).
+  */
+object ConfigRouter {
+
+  /** A route rule: which source records, where they go, which columns stay. */
+  final case class TableProcess(sourceType: String, sinkTable: String, sinkColumns: String)
+
+  /** Default route table for the events stream (mirrors the gmall
+    * table_process rows; `click` has no route on purpose — config-driven drop). */
+  val defaultRoutes: Seq[TableProcess] = Seq(
+    TableProcess("purchase", "dwd_trade_order", "event_id,user_id,value"),
+    TableProcess("signup", "dwd_user_register", "event_id,user_id"),
+    TableProcess("view", "dwd_traffic_page", "event_id,user_id,props"),
+    TableProcess("error", "dwd_error_log", "event_id,props"))
+
+  def configDf(spark: SparkSession, routes: Seq[TableProcess]): DataFrame = {
+    import spark.implicits._
+    routes.toDF("source_type", "sink_table", "sink_columns")
+  }
+
+  /** Route `events`: returns one row per routed record with
+    * (sink_table, payload) where payload is the column-pruned MAP. */
+  def route(spark: SparkSession, events: DataFrame, routes: Seq[TableProcess] = defaultRoutes): DataFrame = {
+    val cfg = configDf(spark, routes)
+    val payload: Column = map(
+      events.columns.filter(_ != "event_type").flatMap(c =>
+        Seq(lit(c), col(c).cast("string"))).toIndexedSeq: _*)
+    events
+      .join(broadcast(cfg), events("event_type") === cfg("source_type"))
+      .withColumn("kept", split(col("sink_columns"), ","))
+      .select(
+        col("sink_table"),
+        map_filter(payload, (k, _) => array_contains(col("kept"), k)).as("payload"))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** DWS-layer stateful analytics, batch formulations (SURVEY §2.5 A2/A5-A8).
+  * Each has a streaming twin in graft.streaming built on
+  * flatMapGroupsWithState; the batch form here is the DuckDB-checkable
+  * oracle of record (SURVEY §7.1 "batch-first, stream-equal").
+  */
+object DwsQueries {
+
+  /** A2: global (non-keyed) tumbling window with per-category exact UV
+    * (Dws03TrafficPageViewWindow.java:153-177 home/good_detail UV). */
+  val a2GlobalWindow: Q = Q(
+    "a2_global_window",
+    run = (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "10 minutes"))
+        .agg(
+          countDistinct(when($"event_type" === "view", $"user_id")).as("view_uv"),
+          countDistinct(when($"event_type" === "click", $"user_id")).as("click_uv"),
+          count(lit(1)).as("pv"))
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("stt"),
+          date_format($"window.end", "yyyy-MM-dd HH:mm:ss").as("edt"),
+          $"view_uv", $"click_uv", $"pv")
+    },
+    oracle = Some("""
+      SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/600)*600 AS BIGINT)*1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+             strftime(make_timestamp((CAST(floor(epoch(ts)/600)*600 AS BIGINT)+600)*1000000), '%Y-%m-%d %H:%M:%S') AS edt,
+             COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS view_uv,
+             COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS click_uv,
+             COUNT(*) AS pv
+      FROM events GROUP BY 1, 2"""))
+
+  /** A5: exact daily UV — the keyed ValueState daily-dedup
+    * (Dws02...java:81-153), batch form: distinct per (user, day). */
+  val a5DailyUv: Q = Q(
+    "a5_daily_uv",
+    run = (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(date_format($"ts", "yyyy-MM-dd").as("dt"))
+        .agg(countDistinct($"user_id").as("uv_ct"), count(lit(1)).as("pv_ct"))
+    },
+    oracle = Some("""
+      SELECT strftime(ts, '%Y-%m-%d') AS dt,
+             COUNT(DISTINCT user_id) AS uv_ct, COUNT(*) AS pv_ct
+      FROM events GROUP BY 1"""))
+
+  /** A6: back-flow users — per-user activity-day gaps > 7 days
+    * (Dws04UserUserLoginWindow.java:82-125). */
+  val a6Backflow: Q = Q(
+    "a6_backflow",
+    run = (s, dir) => {
+      import s.implicits._
+      val byDay = Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("dt")).distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"dt")
+      byDay
+        .withColumn("prev_dt", lag($"dt", 1).over(w))
+        .withColumn("is_back", when(datediff($"dt", $"prev_dt") > 7, 1).otherwise(0))
+        .groupBy(date_format($"dt", "yyyy-MM-dd").as("dt"))
+        .agg(countDistinct($"user_id").as("uu_ct"),
+          sum($"is_back").cast("long").as("back_ct"))
+    },
+    oracle = Some("""
+      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events),
+           lagd AS (SELECT user_id, dt,
+                           lag(dt) OVER (PARTITION BY user_id ORDER BY dt) AS prev_dt
+                    FROM ud)
+      SELECT strftime(dt, '%Y-%m-%d') AS dt,
+             COUNT(DISTINCT user_id) AS uu_ct,
+             CAST(SUM(CASE WHEN dt - prev_dt > 7 THEN 1 ELSE 0 END) AS BIGINT) AS back_ct
+      FROM lagd GROUP BY 1"""))
+
+  /** A7: new/old visitor repair — per-user first-visit date fixes the
+    * is_new flag (BaseLogApp.java:76-106). */
+  val a7IsNewRepair: Q = Q(
+    "a7_is_new_repair",
+    run = (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("dt", to_date($"ts"))
+        .withColumn("first_dt", min($"dt").over(Window.partitionBy($"user_id")))
+        .withColumn("is_new", when($"dt" === $"first_dt", 1).otherwise(0))
+        .groupBy(date_format($"dt", "yyyy-MM-dd").as("dt"), $"is_new")
+        .agg(count(lit(1)).as("pv_ct"), countDistinct($"user_id").as("uv_ct"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS dt,
+                        MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_dt
+                 FROM events)
+      SELECT strftime(dt, '%Y-%m-%d') AS dt,
+             CASE WHEN dt = first_dt THEN 1 ELSE 0 END AS is_new,
+             COUNT(*) AS pv_ct, COUNT(DISTINCT user_id) AS uv_ct
+      FROM e GROUP BY 1, 2"""))
+
+  /** A8: first-row dedup by key (Dws09...java:98-145 keyed ValueState
+    * marker, TTL = out-of-orderness) — batch: row_number() = 1.
+    * Streaming twin: dropDuplicatesWithinWatermark. */
+  val a8DedupFirst: Q = Q(
+    "a8_dedup_first",
+    run = (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type",
+          $"event_id".as("first_event_id"),
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("first_ts"))
+    },
+    oracle = Some("""
+      SELECT user_id, event_type, event_id AS first_event_id,
+             strftime(date_trunc('microseconds', ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY date_trunc('microseconds', ts), event_id) AS rn
+            FROM events) t
+      WHERE rn = 1"""))
+
+  val all: Seq[Q] = Seq(a2GlobalWindow, a5DailyUv, a6Backflow, a7IsNewRepair, a8DedupFirst)
+}
