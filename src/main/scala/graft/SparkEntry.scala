@@ -8,7 +8,8 @@ object SparkEntry {
 
   /** Full catalog, assembled from the per-area query modules. */
   def catalog: Seq[Q] =
-    WarehouseQueries.all ++ ReferenceQueries.all ++ DwdQueries.all ++ DwsQueries.all
+    WarehouseQueries.all ++ ReferenceQueries.all ++ DwdQueries.all ++
+      DwsQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

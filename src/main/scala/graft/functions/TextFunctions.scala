@@ -42,4 +42,23 @@ object TextFunctions {
   /** Document fingerprint: md5 over whitespace-normalized lowercased text. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** 32-bit SimHash over a token set.
+    *
+    * Per token, bit b is extracted from hex digit b/4 of md5(token)
+    * (`conv(digit,16,10)` then shift/mask); the simhash bit is the sign of
+    * the +1/-1 vote sum across tokens. Built as one static expression tree
+    * (32 array folds) — a pure projection, no shuffle, no UDF — so it
+    * vectorizes per partition and is re-expressible in the DuckDB oracle.
+    */
+  def simhash32(tokenSet: Column): Column = {
+    val hashes = transform(tokenSet, t => md5(t))
+    (0 until 32).map { b =>
+      val voteSum = aggregate(hashes, lit(0), (acc, h) => {
+        val v = conv(substring(h, b / 4 + 1, 1), 16, 10).cast("int")
+        acc + (shiftright(v, 3 - b % 4).bitwiseAND(lit(1)) * 2 - 1)
+      })
+      when(voteSum >= 0, lit(1L << (31 - b))).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for large-scale document pipelines.
+  *
+  * Scale design: exact dedup is one hash-groupBy (map-side partial agg
+  * shrinks the shuffle to one row per fingerprint). Near-dup avoids the
+  * O(N²) pair space via MinHash+LSH banding — the only shuffle keys are
+  * (band, band_signature), so co-candidates land in the same partition and
+  * the expensive exact-Jaccard check runs only on the candidate pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-text fingerprint: one row per
+    * distinct fingerprint with its cardinality and the kept (min) doc id. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("ct"), min(col("doc_id")).as("keep_id"))
+
+  /** Per-doc distinct word-3-shingle sets (docs with <3 tokens cannot form
+    * a shingle and are dropped). */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        array_distinct(wordShingles(tokens(col("text")), 3)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * numSigs md5-based signatures, grouped into bands of `rowsPerBand`;
+    * docs agreeing on any full band become candidates; exact Jaccard over
+    * shingle sets filters to >= threshold. Returns (doc_a, doc_b, jaccard)
+    * with jaccard rounded to 4 decimals, doc_a < doc_b.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      numSigs: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val numBands = numSigs / rowsPerBand
+    val sh = shingleSets(docs)
+    val sigs = sh.select(
+      col("doc_id"), col("shingles"),
+      array((0 until numSigs).map(s => minhashSig(col("shingles"), s)): _*).as("sig"))
+    // band key = md5 of the band's concatenated signatures
+    val bands = sigs.select(
+      col("doc_id"),
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("b"),
+          md5(concat_ws("|",
+            (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*)).as("band_key"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.band_key").as("band_key"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_key") === col("y.band_key") && col("x.b") === col("y.b") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Per-doc 32-bit SimHash (near-dup docs differ in few bits). */
+  def simhashTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhash32(tokenSet(col("text"))).as("simhash"))
+}

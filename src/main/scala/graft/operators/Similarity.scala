@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force is the exact baseline: broadcast the (small) query set and
+  * scan the corpus once — O(N·Q) work, embarrassingly parallel, no shuffle
+  * until the per-query top-k (tiny after the rank filter). The scale path
+  * for huge corpora is LSH bucketing (`hyperplaneBuckets`): sign-bit
+  * sketches from fixed hyperplanes so only same-bucket vectors are compared.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * Similarities are rounded to 6 decimals and ranked on (rounded sim
+    * desc, vec_id) so results are reproducible across engines.
+    */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val v = vectors.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val q = queries.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
+    val ranked = v.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qe"), col("e")), 6).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+    ranked.select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+  }
+
+  /** LSH bucket id from `nPlanes` fixed pseudo-random hyperplanes.
+    *
+    * Plane p's component j is derived deterministically from md5(p:j)
+    * (uniform in [-0.5, 0.5)), so the sketch is reproducible without a
+    * fitted model. Vectors in the same bucket are near in angle with high
+    * probability; ANN = exact search within bucket.
+    */
+  def hyperplaneBuckets(vectors: DataFrame, dim: Int, nPlanes: Int = 8): DataFrame = {
+    val e = toDouble(col("embedding"))
+    val bucket = (0 until nPlanes).map { p =>
+      // plane ⋅ v > 0 ? bit p set : 0
+      val dotP = (0 until dim).map { j =>
+        val u = conv(substring(md5(lit(s"$p:$j")), 1, 8), 16, 10).cast("double") / lit(4294967296.0) - 0.5
+        element_at(e, j + 1) * u
+      }.reduce(_ + _)
+      when(dotP > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    vectors.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+  }
+
+  /** ANN top-k within LSH buckets: same contract as bruteForceTopK but only
+    * same-bucket pairs are scored — the candidate join shuffles on bucket id
+    * instead of materializing the full N×Q cross product. */
+  def lshTopK(vectors: DataFrame, queries: DataFrame, dim: Int, k: Int, nPlanes: Int = 8): DataFrame = {
+    val v = hyperplaneBuckets(vectors, dim, nPlanes)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"), col("bucket"))
+    val q = hyperplaneBuckets(queries, dim, nPlanes)
+      .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"), col("bucket"))
+    v.join(broadcast(q), "bucket")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qe"), col("e")), 6).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+  }
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.tables.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators over `documents`/`embeddings`:
+  * dedup (exact / MinHash+LSH / SimHash), ANN similarity search, and text
+  * analysis (language ID, quality, token stats). Spark implementations live
+  * in graft.operators; oracles re-express the same pinned arithmetic in
+  * DuckDB SQL (md5-based hashing so both engines agree bit-for-bit).
+  */
+object PipelineQueries {
+
+  private val TOKS =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Exact dedup by normalized-text fingerprint. */
+  val tDedupExact: Q = Q(
+    "t_dedup_exact",
+    run = (s, dir) => Dedup.exactGroups(Tables.documents(s, dir)),
+    oracle = Some("""
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             COUNT(*) AS ct, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY 1"""))
+
+  /** MinHash+LSH near-dup pairs (8 sigs, 4 bands × 2, Jaccard >= 0.8). */
+  val tDedupMinhash: Q = Q(
+    "t_dedup_minhash",
+    run = (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir)),
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, $TOKS AS toks FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
+        FROM toks WHERE len(toks) >= 3),
+      sigs AS (
+        SELECT doc_id, shingles,
+          [list_min([md5(CAST(s AS VARCHAR) || ':' || g) for g in shingles]) for s in range(0, 8)] AS sig
+        FROM sh),
+      bands AS (
+        SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) AS band_key
+        FROM sigs, range(0, 4) AS r(b)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_key = y.band_key AND x.b = y.b AND x.doc_id < y.doc_id),
+      jac AS (
+        SELECT c.doc_a, c.doc_b,
+          len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / len(list_distinct(sa.shingles || sb.shingles)) AS j
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM jac WHERE j >= 0.8"""),
+    headline = true)
+
+  /** 32-bit SimHash per document. */
+  val tSimhash: Q = Q(
+    "t_simhash",
+    run = (s, dir) => Dedup.simhashTable(Tables.documents(s, dir)),
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_distinct($TOKS) AS toks FROM documents),
+      tb AS (
+        SELECT doc_id, b.b,
+          (CAST(strpos('0123456789abcdef', substr(md5(t.tok), CAST(b.b//4 AS INT)+1, 1)) - 1 AS BIGINT)
+             // CAST(2**(3 - b.b%4) AS BIGINT)) % 2 AS bit
+        FROM toks, unnest(toks.toks) AS t(tok), range(0,32) AS b(b)),
+      bits AS (
+        SELECT doc_id, b, CASE WHEN SUM(2*bit - 1) >= 0 THEN 1 ELSE 0 END AS bit
+        FROM tb GROUP BY 1, 2)
+      SELECT doc_id, CAST(SUM(bit * (2**(31-b))) AS BIGINT) AS simhash
+      FROM bits GROUP BY 1"""),
+    headline = true)
+
+  /** Brute-force exact cosine top-10 for query vectors (vec_id < 5). */
+  val tAnnCosine: Q = Q(
+    "t_ann_cosine",
+    run = (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(emb("vec_id") < 5), 10)
+    },
+    oracle = Some("""
+      WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+      sims AS (
+        SELECT q.qid, v.vec_id,
+          list_sum([qe[i+1]*e[i+1] for i in range(0, 64)]) /
+            (sqrt(list_sum([qe[i+1]*qe[i+1] for i in range(0, 64)]))
+             * sqrt(list_sum([e[i+1]*e[i+1] for i in range(0, 64)]))) AS sim
+        FROM q, v WHERE q.qid <> v.vec_id),
+      ranked AS (
+        SELECT qid, vec_id, round(sim, 6) AS sim,
+          row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id) AS rk
+        FROM sims)
+      SELECT qid, vec_id, sim, rk FROM ranked WHERE rk <= 10"""),
+    headline = true)
+
+  /** Stopword-lexicon language ID. */
+  val tLangId: Q = Q(
+    "t_lang_id",
+    run = (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)),
+    oracle = Some(s"""
+      WITH t AS (SELECT doc_id, list_distinct($TOKS) AS toks FROM documents),
+      h AS (SELECT doc_id,
+              len(list_intersect(toks, ['der','die','das','und','ist','nicht'])) AS hde,
+              len(list_intersect(toks, ['the','a','of','and','to','is'])) AS hen,
+              len(list_intersect(toks, ['el','la','de','que','y','los'])) AS hes,
+              len(list_intersect(toks, ['le','la','les','et','de','un'])) AS hfr
+            FROM t)
+      SELECT doc_id,
+             CAST(hde AS BIGINT) AS hits_de, CAST(hen AS BIGINT) AS hits_en,
+             CAST(hes AS BIGINT) AS hits_es, CAST(hfr AS BIGINT) AS hits_fr,
+             CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
+                  WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de'
+                  WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
+                  WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM h"""))
+
+  /** Quality scoring: TTR, stopword rate, length saturation. */
+  val tQualityScore: Q = Q(
+    "t_quality_score",
+    run = (s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir)),
+    oracle = {
+      val stop = TextAnalysis.lexicons.flatMap(_._2).distinct.sorted
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      Some(s"""
+      WITH t AS (SELECT doc_id, length(text) AS n_chars, $TOKS AS toks FROM documents)
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS ttr,
+             round(len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE / len(toks), 4) AS stop_rate,
+             round(0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+                   + 0.3 * least(1.0, len(toks) / 100.0)
+                   + 0.3 * (1.0 - len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE / len(toks)), 4) AS quality
+      FROM t WHERE len(toks) > 0""")
+    })
+
+  /** Token statistics + BPE-ish subword estimate. */
+  val tTokenStats: Q = Q(
+    "t_token_stats",
+    run = (s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir)),
+    oracle = Some(s"""
+      WITH t AS (SELECT doc_id, length(text) AS n_chars, $TOKS AS toks FROM documents)
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+             CAST(COALESCE(list_sum([CAST(ceil(length(g)/4.0) AS BIGINT) for g in toks]), 0) AS BIGINT) AS n_subwords
+      FROM t"""),
+    headline = true)
+
+  val all: Seq[Q] = Seq(
+    tDedupExact, tDedupMinhash, tSimhash, tAnnCosine,
+    tLangId, tQualityScore, tTokenStats)
+}
