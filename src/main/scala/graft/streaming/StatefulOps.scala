@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the reference's keyed-state operators (SURVEY §2.5
+  * A5–A8), built on flatMapGroupsWithState. Each has a batch oracle in
+  * DwsQueries; the specs assert stream ≡ batch over the same input.
+  *
+  * State sizing at scale: state is one small record per key (user), hash
+  * partitioned by the groupByKey shuffle — the same topology as the
+  * reference's keyed ValueState (Dws02...java:81-153), with Spark's state
+  * store (HDFS/RocksDB) replacing Flink state backends.
+  */
+object StatefulOps {
+
+  case class UserEvent(user_id: Long, event_type: String, ts: Timestamp, event_id: Long)
+
+  case class DailyState(lastDate: String)
+
+  /** A5: exact daily-UV dedup — emit one row per (user, day) first visit.
+    * State = last-seen date per user (the reference's 1-day-TTL ValueState:
+    * state is overwritten on rollover, so it never grows past one date). */
+  def dailyFirstVisits(spark: SparkSession, events: DataFrame): Dataset[(Long, String)] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[DailyState]) => {
+          val seen = scala.collection.mutable.Set.empty[String]
+          state.getOption.foreach(s => seen += s.lastDate)
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+            val dt = e.ts.toLocalDateTime.toLocalDate.toString
+            if (seen.add(dt)) Some(user -> dt) else None
+          }
+          // keep only the max date: per-day dedup state like the reference's
+          // last-visit-date ValueState (dates arrive roughly ordered)
+          if (seen.nonEmpty) state.update(DailyState(seen.max))
+          out.iterator
+        })
+  }
+
+  case class VisitState(firstDate: String)
+
+  /** A7: new-visitor repair — emit each event with a corrected is_new flag
+    * (1 only on the user's true first date; BaseLogApp.java:76-106). */
+  def isNewRepair(spark: SparkSession, events: DataFrame): Dataset[(Long, Long, Int)] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[VisitState]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val first = state.getOption.map(_.firstDate)
+            .getOrElse(sorted.head.ts.toLocalDateTime.toLocalDate.toString)
+          state.update(VisitState(first))
+          sorted.iterator.map { e =>
+            val dt = e.ts.toLocalDateTime.toLocalDate.toString
+            (user, e.event_id, if (dt == first) 1 else 0)
+          }
+        })
+  }
+
+  case class LoginState(lastDate: String)
+
+  /** A6: back-flow detection — emit (user, date, isBack) per active day;
+    * isBack = gap since previous active day > 7 days (Dws04...java:82-125). */
+  def backflowDays(spark: SparkSession, events: DataFrame): Dataset[(Long, String, Int)] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[LoginState]) => {
+          val days = rows.map(_.ts.toLocalDateTime.toLocalDate).toSeq.distinct.sorted
+          var last = state.getOption.map(s => java.time.LocalDate.parse(s.lastDate))
+          val out = days.map { d =>
+            val isBack = last.exists(l => java.time.temporal.ChronoUnit.DAYS.between(l, d) > 7)
+            last = Some(d)
+            (user, d.toString, if (isBack) 1 else 0)
+          }
+          state.update(LoginState(last.get.toString))
+          out.iterator
+        })
+  }
+
+  /** A8: first-row dedup by key within the watermark window — the streaming
+    * form of Dws09's 5s-TTL ValueState marker. */
+  def dedupFirstWithinWatermark(events: DataFrame, delay: String = "5 seconds"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Structured-Streaming forms of the reference pipelines (SURVEY §2.9):
+  * watermarked tumbling windows, and foreachBatch sinks replacing the
+  * Kafka/ClickHouse/Phoenix writers (K1–K5).
+  */
+object StreamingPipelines {
+
+  /** Dws02 twin: 10-minute tumbling event-time window by event_type with a
+    * 2-second watermark (the reference's out-of-orderness bound,
+    * Dws02...java:157,173). Exact UV is computed upstream by
+    * StatefulOps.dailyFirstVisits — streaming append mode cannot
+    * countDistinct inside the window, same reason the reference splits
+    * UV-dedup from the window reduce. */
+  def trafficWindow(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 seconds")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("pv_ct"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("pv_ct"), col("sum_value"))
+
+  /** K4 analog: append each micro-batch to parquet (stands in for the
+    * ClickHouse JDBC batch sink — swap the body for df.write.jdbc). */
+  def parquetBatchSink(df: DataFrame, path: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+
+  /** K2 analog: dynamic per-record routing — one pass, fanned out by the
+    * `sink_table` column (partitioned write ≈ Kafka sink's per-row topic). */
+  def routedSink(df: DataFrame, basePath: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.persist()
+        try
+          batch.write.mode("append").partitionBy("sink_table").parquet(basePath)
+        finally { batch.unpersist(); () }
+      }
+}

@@ -30,13 +30,16 @@ object Tables {
     * set by GraftSession). Normalize to TimestampType (µs, truncating ns) so
     * every pipeline sees a plain event-time column.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEvents(load(s, d, "events"))
+
+  /** ns-long `ts` -> TimestampType (µs, truncating). Shared by the batch
+    * loader and streaming file sources (which must read the raw schema). */
+  def normalizeEvents(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
       case _        => raw
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+import graft.tables.Tables
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sf0001
+
+  /** Ground truth: brute-force all-pairs Jaccard over shingle sets. */
+  private lazy val bruteforcePairs: Set[(Long, Long)] = {
+    val sh = Dedup.shingleSets(Tables.documents(spark, dir))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("j", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("j") >= 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("exact dedup groups cover every document exactly once") {
+    val docs = Tables.documents(spark, dir)
+    val groups = Dedup.exactGroups(docs)
+    assert(groups.agg(sum("ct")).collect()(0).getLong(0) === docs.count())
+  }
+
+  test("minhash LSH finds all J>=0.8 pairs (recall vs brute force)") {
+    val lsh = Dedup.minhashLshPairs(Tables.documents(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with 4 bands x 2 rows, P(miss | J>=0.8) < 1% — the planted
+    // near-dups are J>=0.9 where P(miss) < 0.2%
+    assert(bruteforcePairs.nonEmpty, "testdata should contain near-dup pairs")
+    assert(lsh === bruteforcePairs,
+      s"missed=${bruteforcePairs -- lsh} extra=${lsh -- bruteforcePairs}")
+  }
+
+  test("simhash: near-dup pairs are close in Hamming distance") {
+    val sims = Dedup.simhashTable(Tables.documents(spark, dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dists = bruteforcePairs.toSeq.map { case (a, b) =>
+      java.lang.Long.bitCount(sims(a) ^ sims(b))
+    }
+    assert(dists.nonEmpty && dists.forall(_ <= 8),
+      s"near-dup simhash distances: $dists")
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.tables.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sf0001
+
+  test("brute-force top-k: k rows per query, rank-ordered by sim") {
+    val emb = Tables.embeddings(spark, dir)
+    val top = Similarity.bruteForceTopK(emb, emb.filter(emb("vec_id") < 3), 5).collect()
+    val byQ = top.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    for ((_, rows) <- byQ) {
+      assert(rows.length === 5)
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH buckets are deterministic and bounded") {
+    val emb = Tables.embeddings(spark, dir)
+    val b1 = Similarity.hyperplaneBuckets(emb, 64).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b2 = Similarity.hyperplaneBuckets(emb, 64).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(b1 === b2)
+    assert(b1.values.forall(b => b >= 0 && b < 256))
+  }
+
+  test("LSH top-k: same-bucket neighbors agree with brute force scores") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(emb("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(emb, q, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(emb, q, 64, 5).collect()
+    assert(lsh.nonEmpty)
+    // every ANN hit must carry the exact brute-force score when it appears
+    // in the brute-force top-50 (identical arithmetic)
+    for (r <- lsh) {
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(s => assert(s === r.getDouble(2)))
+    }
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{StatefulOps, StreamingPipelines}
+import graft.tables.Tables
+
+/** Stream ≡ batch: every stateful streaming operator must reproduce its
+  * batch formulation (SURVEY §7.1) when fed the same rows in event-time
+  * order across two micro-batches (cross-batch state exercised).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sf0001
+
+  import StatefulOps.UserEvent
+  case class TrafficEvent(user_id: Long, event_type: String, ts: Timestamp, value: Double, event_id: Long)
+
+  private lazy val eventRows: Seq[TrafficEvent] = {
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"), col("event_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => TrafficEvent(r.getLong(0), r.getString(1), r.getTimestamp(2), r.getDouble(3), r.getLong(4)))
+      .toSeq
+  }
+
+  /** Run a streaming pipeline over the events fed as two ordered batches. */
+  private def runTwoBatches(name: String)(pipeline: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TrafficEvent]
+    val q = pipeline(stream.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (h1, h2) = eventRows.splitAt(eventRows.size / 2)
+    stream.addData(h1); q.processAllAvailable()
+    stream.addData(h2); q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("dailyFirstVisits stream == batch distinct (user, day)") {
+    val got = runTwoBatches("s_daily") { df =>
+      StatefulOps.dailyFirstVisits(spark, df).toDF("user_id", "dt")
+    }.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = Tables.events(spark, dir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want)
+  }
+
+  test("isNewRepair stream: is_new=1 exactly on each user's first date") {
+    val got = runTwoBatches("s_isnew") { df =>
+      StatefulOps.isNewRepair(spark, df).toDF("user_id", "event_id", "is_new")
+    }
+    val gotNew = got.filter(col("is_new") === 1).count()
+    val want = Tables.events(spark, dir)
+      .withColumn("dt", to_date(col("ts")))
+      .withColumn("first_dt", min(col("dt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .filter(col("dt") === col("first_dt")).count()
+    assert(got.count() === eventRows.size.toLong)
+    assert(gotNew === want)
+  }
+
+  test("backflowDays stream == batch lag-gap formulation") {
+    val got = runTwoBatches("s_back") { df =>
+      StatefulOps.backflowDays(spark, df).toDF("user_id", "dt", "is_back")
+    }.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id")).orderBy(col("dt"))
+    val want = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("dt")).distinct()
+      .withColumn("prev", lag(col("dt"), 1).over(w))
+      .select(col("user_id"), date_format(col("dt"), "yyyy-MM-dd"),
+        when(datediff(col("dt"), col("prev")) > 7, 1).otherwise(0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === want)
+  }
+
+  test("trafficWindow stream matches batch except the still-open last window") {
+    val got = runTwoBatches("s_window")(StreamingPipelines.trafficWindow)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    val want = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("pv_ct"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss"),
+        col("event_type"), col("pv_ct"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got.subsetOf(want))
+    val missing = want -- got
+    val maxStt = want.map(_._1).max
+    assert(missing.forall(_._1 === maxStt), s"unexpected missing windows: ${missing.filter(_._1 != maxStt)}")
+  }
+
+  test("dedupFirstWithinWatermark keeps one row per (user, event_type)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TrafficEvent]
+    val q = StatefulOps.dedupFirstWithinWatermark(stream.toDF())
+      .writeStream.format("memory").queryName("s_dedup").outputMode("append").start()
+    val (h1, h2) = eventRows.splitAt(eventRows.size / 2)
+    stream.addData(h1); q.processAllAvailable()
+    stream.addData(h2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_dedup")
+    val wantKeys = Tables.events(spark, dir).select("user_id", "event_type").distinct().count()
+    // dedup holds strictly within the watermark window; keys recur across
+    // 30 days of event time, so re-emission after state expiry is correct —
+    // assert coverage plus within-window dedup (fewer rows than input)
+    assert(got.select("user_id", "event_type").distinct().count() === wantKeys)
+    assert(got.count() >= wantKeys && got.count() < eventRows.size)
+  }
+}
