@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata (the builder-prompt contract).
+  *
+  * The decode step is STUBBED — this environment has no codec libraries —
+  * with a deterministic md5-derived fake, clearly marked below. Everything
+  * around it is real Spark plumbing: binary column schema, per-partition
+  * batched iteration (mapPartitions ≈ mapInPandas batch shape), typed
+  * output Dataset, and partition-parallel execution. Swapping `decodeStub`
+  * for a real codec changes no signatures.
+  */
+object Multimodal {
+
+  case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int, format: String)
+
+  /** Attach an opaque binary `content` column. Here: UTF-8 bytes of the
+    * document text (the testdata has no true media column); in production
+    * this is the parquet/Delta binary column itself. */
+  def asBinary(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+
+  /** STUB decoder: fake width/height derived from the first md5 bytes of
+    * the content — deterministic so tests and oracles can pin it. */
+  private def decodeStub(bytes: Array[Byte]): (Int, Int, String) = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val w = 1 + (java.lang.Byte.toUnsignedInt(md(0)) % 64)
+    val h = 1 + (java.lang.Byte.toUnsignedInt(md(1)) % 64)
+    (w, h, "stub")
+  }
+
+  /** Per-partition batched metadata extraction over (doc_id, content).
+    * One decoder instance per partition (the expensive-init pattern real
+    * codecs need), rows streamed through it. */
+  def extractMeta(spark: SparkSession, binDf: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real build: open codec/context once per partition here
+        rows.map { case (id, bytes) =>
+          val (w, h, fmt) = decodeStub(bytes)
+          MediaMeta(id, bytes.length.toLong, w, h, fmt)
+        }
+      }
+  }
+}

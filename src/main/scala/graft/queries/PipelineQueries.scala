@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.tables.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over `documents`/`embeddings`:
   * dedup (exact / MinHash+LSH / SimHash), ANN similarity search, and text
@@ -150,7 +150,25 @@ object PipelineQueries {
       FROM t"""),
     headline = true)
 
+  /** Multimodal metadata extraction over a binary column (stubbed decode
+    * with pinned md5-derived fake dims — see Multimodal scaladoc). The
+    * oracle recomputes the stub arithmetic from the md5 hex. */
+  val tMultimodalMeta: Q = Q(
+    "t_multimodal_meta",
+    run = (s, dir) =>
+      Multimodal.extractMeta(s, Multimodal.asBinary(Tables.documents(s, dir))).toDF(),
+    oracle = Some("""
+      WITH h AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS m
+                 FROM documents)
+      SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+             CAST(1 + (16 * (strpos('0123456789abcdef', substr(m,1,1)) - 1)
+                       + (strpos('0123456789abcdef', substr(m,2,1)) - 1)) % 64 AS INT) AS width,
+             CAST(1 + (16 * (strpos('0123456789abcdef', substr(m,3,1)) - 1)
+                       + (strpos('0123456789abcdef', substr(m,4,1)) - 1)) % 64 AS INT) AS height,
+             'stub' AS format
+      FROM h"""))
+
   val all: Seq[Q] = Seq(
     tDedupExact, tDedupMinhash, tSimhash, tAnnCosine,
-    tLangId, tQualityScore, tTokenStats)
+    tLangId, tQualityScore, tTokenStats, tMultimodalMeta)
 }
