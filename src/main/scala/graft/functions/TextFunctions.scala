@@ -26,38 +26,49 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Word-level n-gram shingles: ["a","b","c"] with n=2 -> ["a b","b c"]. */
+  /** Word-level n-gram shingles: ["a","b","c"] with n=2 -> ["a b","b c"].
+    *
+    * IMPORTANT: pass a *bound column* (project the token array first), not
+    * the raw tokenizer expression — `toks` is referenced inside the lambda,
+    * and an unbound expression would be re-evaluated per element (O(n²)
+    * tokenizations per row; measured 15x slowdown on the documents table).
+    */
   def wordShingles(toks: Column, n: Int): Column =
     filter(
-      transform(toks, (_, i) => array_join(slice(toks, i + 1, lit(n)), " ")),
+      transform(toks, (_, i) => concat_ws(" ", (0 until n).map(k => get(toks, i + k)): _*)),
       (_, i) => i <= size(toks) - n)
 
-  /** One MinHash signature: min over the token set of md5(seed || ":" || tok).
-    * Hex-string min is total-ordered identically in Spark and DuckDB, so the
-    * signature is engine-portable without sharing a hash implementation.
-    */
+  /** 32-bit numeric hash of a string: first 8 hex digits of md5, engine-
+    * portable (DuckDB: `('0x'||substr(md5(x),1,8))::BIGINT`). */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** MinHash permutation `seed` over a precomputed hash32 array: universal
+    * hashing h_s(v) = ((2s+1)·v + 7919s + 1) mod p — ONE md5 per element
+    * total, 8 cheap integer permutations on top (vs 8 md5 passes). */
+  def minhashSigFromHashes(hashes: Column, seed: Int): Column =
+    array_min(transform(hashes,
+      v => (v * (2 * seed + 1) + (7919 * seed + 1)) % lit(4294967291L)))
+
+  /** One MinHash signature directly from a token set (column-expression
+    * form of minhashSigFromHashes). */
   def minhashSig(tokenSet: Column, seed: Int): Column =
-    array_min(transform(tokenSet, t => md5(concat(lit(s"$seed:"), t))))
+    minhashSigFromHashes(transform(tokenSet, hash32(_)), seed)
 
   /** Document fingerprint: md5 over whitespace-normalized lowercased text. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
-  /** 32-bit SimHash over a token set.
-    *
-    * Per token, bit b is extracted from hex digit b/4 of md5(token)
-    * (`conv(digit,16,10)` then shift/mask); the simhash bit is the sign of
-    * the +1/-1 vote sum across tokens. Built as one static expression tree
-    * (32 array folds) — a pure projection, no shuffle, no UDF — so it
-    * vectorizes per partition and is re-expressible in the DuckDB oracle.
+  /** 32-bit SimHash over a token set: bit b votes +1/-1 by bit b of each
+    * token's hash32; the simhash bit is the vote sum's sign. Pure
+    * column-expression form (32 array folds) — Dedup.simhashTable has the
+    * faster explode+groupBy formulation with identical semantics.
     */
   def simhash32(tokenSet: Column): Column = {
-    val hashes = transform(tokenSet, t => md5(t))
+    val hashes = transform(tokenSet, hash32(_))
     (0 until 32).map { b =>
-      val voteSum = aggregate(hashes, lit(0), (acc, h) => {
-        val v = conv(substring(h, b / 4 + 1, 1), 16, 10).cast("int")
-        acc + (shiftright(v, 3 - b % 4).bitwiseAND(lit(1)) * 2 - 1)
-      })
+      val voteSum = aggregate(hashes, lit(0L),
+        (acc, v) => acc + (shiftright(v, 31 - b).bitwiseAND(lit(1L)) * 2 - 1))
       when(voteSum >= 0, lit(1L << (31 - b))).otherwise(lit(0L))
     }.reduce(_ + _)
   }

@@ -22,13 +22,20 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("ct"), min(col("doc_id")).as("keep_id"))
 
-  /** Per-doc distinct word-3-shingle sets (docs with <3 tokens cannot form
-    * a shingle and are dropped). */
+  /** Per-doc distinct word-3-shingle sets plus their hash32 values (docs
+    * with <3 tokens cannot form a shingle and are dropped). The hashes ride
+    * along so MinHash does ONE md5 per shingle total. */
   def shingleSets(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"),
-        array_distinct(wordShingles(tokens(col("text")), 3)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), tokens(col("text")).as("toks")) // bind once
+      // "has >= 3 tokens" ≡ "has >= 1 shingle", but as a predicate on the
+      // bound token array it pushes down as ONE tokenizer call — filtering
+      // on size(shingles) instead would push the whole shingle lambda into
+      // the scan predicate with the tokenizer re-inlined per element
+      // (measured 20x slowdown).
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(wordShingles(col("toks"), 3)).as("shingles"))
+      .withColumn("hashes", transform(col("shingles"), hash32(_)))
 
   /** MinHash+LSH near-duplicate pairs.
     *
@@ -43,19 +50,23 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.8): DataFrame = {
     val numBands = numSigs / rowsPerBand
-    val sh = shingleSets(docs)
+    // persist: the shingle table feeds the signature path AND both sides of
+    // the Jaccard join; the band table feeds both sides of the self-join —
+    // without this Spark recomputes the tokenize+hash pipeline 4x.
+    val sh = shingleSets(docs).persist()
     val sigs = sh.select(
-      col("doc_id"), col("shingles"),
-      array((0 until numSigs).map(s => minhashSig(col("shingles"), s)): _*).as("sig"))
-    // band key = md5 of the band's concatenated signatures
+      col("doc_id"),
+      array((0 until numSigs).map(s =>
+        minhashSigFromHashes(col("hashes"), s)): _*).as("sig"))
     val bands = sigs.select(
       col("doc_id"),
       explode(array((0 until numBands).map { b =>
         struct(lit(b).as("b"),
-          md5(concat_ws("|",
-            (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*)).as("band_key"))
+          concat_ws("|",
+            (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*).as("band_key"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.band_key").as("band_key"))
+      .persist()
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band_key") === col("y.band_key") && col("x.b") === col("y.b") &&
@@ -72,7 +83,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Per-doc 32-bit SimHash (near-dup docs differ in few bits). */
-  def simhashTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhash32(tokenSet(col("text"))).as("simhash"))
+  /** Per-doc 32-bit SimHash (near-dup docs differ in few bits).
+    *
+    * Explode+groupBy formulation: one md5 per distinct token, 32 partial-
+    * aggregated vote sums — the shuffle carries one 32-int row per
+    * (doc, map-partition), not the token stream. Semantics identical to
+    * TextFunctions.simhash32 (asserted in DedupSpec). */
+  def simhashTable(docs: DataFrame): DataFrame = {
+    val votes = docs
+      .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
+      .select(col("doc_id"), hash32(col("tok")).as("v"))
+    val aggs = (0 until 32).map(b =>
+      sum(shiftright(col("v"), 31 - b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
+    val bitSums = votes.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    bitSums.select(col("doc_id"),
+      (0 until 32).map(b =>
+        when(col(s"s$b") >= 0, lit(1L << (31 - b))).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
 }

@@ -7,6 +7,10 @@ import graft.functions.TextFunctions._
 /** Text-analysis operators for training-data curation: language ID,
   * quality scoring, token statistics. All pure projections (no shuffle) —
   * at 100 TB these run at scan speed and feed filter decisions.
+  *
+  * Each operator projects the token array ONCE and computes everything off
+  * the bound column — repeated references to the raw tokenizer expression
+  * would re-tokenize per reference (see wordShingles scaladoc).
   */
 object TextAnalysis {
 
@@ -19,19 +23,23 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y", "los"),
     "fr" -> Seq("le", "la", "les", "et", "de", "un"))
 
+  private def withToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+      tokens(col("text")).as("toks"))
+
   private def hits(toks: Column, words: Seq[String]): Column =
     size(array_intersect(array_distinct(toks), array(words.map(lit): _*)))
 
   /** Predict language from stopword hits; ties broken alphabetically,
     * zero hits => 'und' (undetermined). Emits per-lexicon hit counts. */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val hitCols = lexicons.map { case (lang, words) => lang -> hits(toks, words) }
+    val t = withToks(docs)
+    val hitCols = lexicons.map { case (lang, words) => lang -> hits(col("toks"), words) }
     val mx = greatest(hitCols.map(_._2): _*)
     val pred = hitCols.foldLeft(when(mx === 0, "und"): Column) {
       case (acc, (lang, h)) => acc.when(h === mx, lang)
     }
-    docs.select(
+    t.select(
       (col("doc_id") +: hitCols.map { case (l, h) => h.cast("long").as(s"hits_$l") } :+
         pred.as("pred_lang")): _*)
   }
@@ -39,18 +47,17 @@ object TextAnalysis {
   /** Quality score: length saturation, type-token ratio, stopword rate —
     * the classic cheap pre-filter trio for web-scale corpora. */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
     val stopwords = lexicons.flatMap(_._2).distinct.sorted
-    val nTok = size(toks).cast("double")
-    val ttr = size(array_distinct(toks)).cast("double") / nTok
-    val stopRate = size(filter(toks, t => array_contains(array(stopwords.map(lit): _*), t))).cast("double") / nTok
+    val nTok = size(col("toks")).cast("double")
+    val ttr = size(array_distinct(col("toks"))).cast("double") / nTok
+    val stopRate = size(filter(col("toks"),
+      t => array_contains(array(stopwords.map(lit): _*), t))).cast("double") / nTok
     val lenSat = least(lit(1.0), nTok / lit(100.0))
-    docs
-      .filter(size(toks) > 0)
+    withToks(docs)
+      .filter(size(col("toks")) > 0)
       .select(
-        col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        size(toks).cast("long").as("n_tokens"),
+        col("doc_id"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
         round(ttr, 4).as("ttr"),
         round(stopRate, 4).as("stop_rate"),
         round(lit(0.4) * ttr + lit(0.3) * lenSat + lit(0.3) * (lit(1.0) - stopRate), 4).as("quality"))
@@ -58,13 +65,10 @@ object TextAnalysis {
 
   /** Token statistics incl. a BPE-ish subword estimate (ceil(len/4) pieces
     * per token — a deterministic stand-in for a real BPE vocab). */
-  def tokenStats(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_unique"),
-      aggregate(toks, lit(0L), (acc, t) => acc + ceil(length(t) / 4.0).cast("long")).as("n_subwords"))
-  }
+  def tokenStats(docs: DataFrame): DataFrame =
+    withToks(docs).select(
+      col("doc_id"), col("n_chars"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_unique"),
+      aggregate(col("toks"), lit(0L), (acc, t) => acc + ceil(length(t) / 4.0).cast("long")).as("n_subwords"))
 }

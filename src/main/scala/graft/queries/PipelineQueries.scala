@@ -33,12 +33,16 @@ object PipelineQueries {
       sh AS (
         SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
         FROM toks WHERE len(toks) >= 3),
-      sigs AS (
+      vh AS (
         SELECT doc_id, shingles,
-          [list_min([md5(CAST(s AS VARCHAR) || ':' || g) for g in shingles]) for s in range(0, 8)] AS sig
+          [CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) for g in shingles] AS v
         FROM sh),
+      sigs AS (
+        SELECT doc_id,
+          [list_min([((2*s+1)*x + 7919*s + 1) % 4294967291 for x in v]) for s in range(0, 8)] AS sig
+        FROM vh),
       bands AS (
-        SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) AS band_key
+        SELECT doc_id, b, CAST(sig[2*b+1] AS VARCHAR) || '|' || CAST(sig[2*b+2] AS VARCHAR) AS band_key
         FROM sigs, range(0, 4) AS r(b)),
       cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -63,8 +67,7 @@ object PipelineQueries {
         SELECT doc_id, list_distinct($TOKS) AS toks FROM documents),
       tb AS (
         SELECT doc_id, b.b,
-          (CAST(strpos('0123456789abcdef', substr(md5(t.tok), CAST(b.b//4 AS INT)+1, 1)) - 1 AS BIGINT)
-             // CAST(2**(3 - b.b%4) AS BIGINT)) % 2 AS bit
+          (CAST(('0x' || substr(md5(t.tok), 1, 8)) AS BIGINT) >> (31 - b.b)) & 1 AS bit
         FROM toks, unnest(toks.toks) AS t(tok), range(0,32) AS b(b)),
       bits AS (
         SELECT doc_id, b, CASE WHEN SUM(2*bit - 1) >= 0 THEN 1 ELSE 0 END AS bit

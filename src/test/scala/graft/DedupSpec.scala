@@ -38,6 +38,17 @@ class DedupSpec extends AnyFunSuite {
       s"missed=${bruteforcePairs -- lsh} extra=${lsh -- bruteforcePairs}")
   }
 
+  test("simhashTable (explode+groupBy) == simhash32 (column expression)") {
+    val docs = Tables.documents(spark, dir)
+    val viaTable = Dedup.simhashTable(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.simhash32(
+        graft.functions.TextFunctions.tokenSet(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaTable === viaExpr)
+  }
+
   test("simhash: near-dup pairs are close in Hamming distance") {
     val sims = Dedup.simhashTable(Tables.documents(spark, dir)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
