@@ -34,6 +34,7 @@ object GraftSession {
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftFunctions.register(spark)
     spark
   }
 }
