@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.local("graft-bench")
+    // bench contract is local[32] unless the driver overrides
+    val spark = GraftSession.local("graft-bench",
+      Some(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
     // Headline queries only, in declared order; a first untimed run of the
     // first query warms the parquet footer/codegen caches once.
     val qs = SparkEntry.headlines.map(n => n -> SparkEntry.queries(n))

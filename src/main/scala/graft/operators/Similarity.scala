@@ -26,11 +26,25 @@ object Similarity {
     val ranked = v.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        round(cosine(col("qe"), col("e")), 6).as("sim"))
+        round(graft.plans.VectorExpressions.cosineFused(col("qe"), col("e")), 6).as("sim"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rk") <= k)
     ranked.select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a,b), a<b, with cosine >=
+    * threshold. Exact O(N²) form with the fused cosine expression — the
+    * bucketed variant (lshTopK's join topology) is the huge-N path. */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val v = vectors.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"))
+    val b = v.select(col("vec_id").as("vec_b"), col("e").as("eb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", graft.plans.VectorExpressions.cosineFused(col("ea"), col("eb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
   }
 
   /** LSH bucket id from `nPlanes` fixed pseudo-random hyperplanes.
@@ -64,7 +78,7 @@ object Similarity {
     v.join(broadcast(q), "bucket")
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        round(cosine(col("qe"), col("e")), 6).as("sim"))
+        round(graft.plans.VectorExpressions.cosineFused(col("qe"), col("e")), 6).as("sim"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rk") <= k)

@@ -42,7 +42,10 @@ case class TokenizeGenerator(child: Expression)
 
 /** Session registration for the engine's SQL-surface functions. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tokenize", exprs => TokenizeGenerator(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_fused", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+  }
 }

@@ -99,6 +99,21 @@ object PipelineQueries {
       SELECT qid, vec_id, sim, rk FROM ranked WHERE rk <= 10"""),
     headline = true)
 
+  /** Embedding-cosine near-dup pairs (exact, cosine >= 0.45). */
+  val tDedupEmbedding: Q = Q(
+    "t_dedup_embedding",
+    run = (s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.45),
+    oracle = Some("""
+      WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          list_sum([a.e[i+1]*b.e[i+1] for i in range(0, 64)]) /
+            (sqrt(list_sum([a.e[i+1]*a.e[i+1] for i in range(0, 64)]))
+             * sqrt(list_sum([b.e[i+1]*b.e[i+1] for i in range(0, 64)]))) AS sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45"""))
+
   /** Stopword-lexicon language ID. */
   val tLangId: Q = Q(
     "t_lang_id",
@@ -172,6 +187,6 @@ object PipelineQueries {
       FROM h"""))
 
   val all: Seq[Q] = Seq(
-    tDedupExact, tDedupMinhash, tSimhash, tAnnCosine,
+    tDedupExact, tDedupMinhash, tSimhash, tAnnCosine, tDedupEmbedding,
     tLangId, tQualityScore, tTokenStats, tMultimodalMeta)
 }

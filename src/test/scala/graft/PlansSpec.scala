@@ -23,6 +23,23 @@ class PlansSpec extends AnyFunSuite {
     assert(viaGen === viaExplode)
   }
 
+  test("fused CosineSimilarity is bit-identical to the compositional form") {
+    val emb = Tables.embeddings(spark, dir)
+    val v = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("e"))
+    val q = v.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val joined = v.crossJoin(q).filter(col("qid") =!= col("vec_id"))
+    val fused = joined.select(
+      graft.plans.VectorExpressions.cosineFused(col("qe"), col("e")).as("s"))
+      .collect().map(_.getDouble(0))
+    val comp = joined.select(
+      graft.functions.VectorFunctions.cosine(col("qe"), col("e")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(fused.length === comp.length && fused.length > 0)
+    fused.zip(comp).foreach { case (f, c) => assert(f === c) }
+  }
+
   test("tokenize Generator handles null and empty input") {
     GraftFunctions.register(spark)
     import spark.implicits._
