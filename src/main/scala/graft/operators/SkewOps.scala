@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot-key aggregations and joins.
+  *
+  * AQE's skew-join splitting (on in GraftSession) handles join skew at
+  * runtime; `saltedAggregate` is the explicit two-phase pattern for
+  * aggregations whose key distribution is pathological (one key >> the
+  * rest): phase 1 aggregates on (key, salt) spreading a hot key over
+  * `buckets` partitions, phase 2 merges the partials. Correct for any
+  * algebraic aggregate (sum/count/min/max); asserted ≡ direct groupBy in
+  * SkewSpec.
+  */
+object SkewOps {
+
+  /** Aggregation spec: phase-1 partial expression and phase-2 merge. */
+  final case class Agg(partial: Column => Column, merge: Column => Column, name: String)
+
+  object Agg {
+    def sumOf(c: Column, name: String): Agg = Agg(_ => sum(c), sum(_), name)
+    def countAll(name: String): Agg = Agg(_ => count(lit(1)), sum(_), name)
+    def minOf(c: Column, name: String): Agg = Agg(_ => min(c), min(_), name)
+    def maxOf(c: Column, name: String): Agg = Agg(_ => max(c), max(_), name)
+  }
+
+  /** Two-phase salted aggregation over `keys`. */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], aggs: Seq[Agg], buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(aggs.head.partial(col(aggs.head.name)).as(s"p_${aggs.head.name}"),
+        aggs.tail.map(a => a.partial(col(a.name)).as(s"p_${a.name}")): _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head.merge(col(s"p_${aggs.head.name}")).as(aggs.head.name),
+        aggs.tail.map(a => a.merge(col(s"p_${a.name}")).as(a.name)): _*)
+  }
+}

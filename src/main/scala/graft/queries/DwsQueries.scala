@@ -11,6 +11,17 @@ import graft.tables.Tables
   */
 object DwsQueries {
 
+  /** Tiny in-memory dimension (the Dws09 dim-chain stand-in; would be a
+    * Delta/JDBC dim table in production — broadcast either way). */
+  object ConfigDim {
+    def eventTypeDim(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      Seq(
+        ("purchase", "trade"), ("signup", "user"), ("view", "traffic"),
+        ("click", "traffic"), ("error", "ops")).toDF("event_type", "category")
+    }
+  }
+
   /** A2: global (non-keyed) tumbling window with per-category exact UV
     * (Dws03TrafficPageViewWindow.java:153-177 home/good_detail UV). */
   val a2GlobalWindow: Q = Q(
@@ -123,5 +134,48 @@ object DwsQueries {
             FROM events) t
       WHERE rn = 1"""))
 
-  val all: Seq[Q] = Seq(a2GlobalWindow, a5DailyUv, a6Backflow, a7IsNewRepair, a8DedupFirst)
+  /** A8+J5+A4 composite — the Dws09TradeSkuOrderWindow end-to-end shape:
+    * first-row dedup by key, broadcast dim enrichment, 10-minute tumbling
+    * window, exact decimal sums (Dws09...java:98-223). */
+  val dws09Composite: Q = Q(
+    "dws09_dedup_enrich_window",
+    run = (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      val deduped = Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      val dim = ConfigDim.eventTypeDim(s)
+      deduped
+        .join(broadcast(dim), "event_type")
+        .groupBy(window($"ts", "10 minutes"), $"category")
+        .agg(count(lit(1)).as("ct"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("stt"),
+          date_format($"window.end", "yyyy-MM-dd HH:mm:ss").as("edt"),
+          $"category", $"ct", $"sum_value")
+    },
+    oracle = Some("""
+      WITH dedup AS (
+        SELECT * FROM (
+          SELECT user_id, event_type, ts, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY date_trunc('microseconds', ts), event_id) AS rn
+          FROM events) t WHERE rn = 1),
+      enriched AS (
+        SELECT d.*, c.category
+        FROM dedup d
+        JOIN (VALUES ('purchase','trade'), ('signup','user'), ('view','traffic'),
+                     ('click','traffic'), ('error','ops')) AS c(event_type, category)
+          ON d.event_type = c.event_type)
+      SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/600)*600 AS BIGINT)*1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+             strftime(make_timestamp((CAST(floor(epoch(ts)/600)*600 AS BIGINT)+600)*1000000), '%Y-%m-%d %H:%M:%S') AS edt,
+             category, COUNT(*) AS ct,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM enriched GROUP BY 1, 2, 3"""),
+    headline = true)
+
+  val all: Seq[Q] = Seq(
+    a2GlobalWindow, a5DailyUv, a6Backflow, a7IsNewRepair, a8DedupFirst, dws09Composite)
 }
