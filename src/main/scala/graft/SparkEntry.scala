@@ -9,7 +9,8 @@ object SparkEntry {
   /** Full catalog, assembled from the per-area query modules. */
   def catalog: Seq[Q] =
     WarehouseQueries.all ++ ReferenceQueries.all ++ DwdQueries.all ++
-      DwsQueries.all ++ PipelineQueries.all ++ CdcQueries.all ++ SqlQueries.all
+      DwsQueries.all ++ PipelineQueries.all ++ CdcQueries.all ++ SqlQueries.all ++
+      RelationalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

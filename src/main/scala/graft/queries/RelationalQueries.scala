@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.tables.Tables
+
+/** Relational breadth beyond the reference's declared surface — SURVEY
+  * §2.4/§2.7 notes these come free from Catalyst (semi/anti joins, set
+  * ops, rollup, analytic windows); they're part of "a user could switch",
+  * so each is exercised and oracle-checked.
+  */
+object RelationalQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  /** TPC-H Q6 shape: tight scan-side filters (date range + predicates),
+    * single agg — the predicate-pushdown showcase. */
+  val q6Revenue: Q = Q(
+    "q6_filtered_revenue",
+    run = (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1994-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1995-01-01").cast("timestamp") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+        .agg(sum(($"l_extendedprice".cast(dec) * $"l_discount".cast(dec)))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+    oracle = Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  /** Semi + anti joins: customers with orders (EXISTS) and without
+    * (NOT EXISTS), summarized per market segment. */
+  val jSemiAnti: Q = Q(
+    "j_semi_anti",
+    run = (s, dir) => {
+      import s.implicits._
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir)
+      val withOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("with_orders"))
+      val withoutOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("without_orders"))
+      withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+        .select($"c_mktsegment",
+          coalesce($"with_orders", lit(0L)).as("with_orders"),
+          coalesce($"without_orders", lit(0L)).as("without_orders"))
+    },
+    oracle = Some("""
+      WITH w AS (SELECT c_mktsegment, COUNT(*) AS with_orders FROM customer
+                 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1),
+           wo AS (SELECT c_mktsegment, COUNT(*) AS without_orders FROM customer
+                  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1)
+      SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+             COALESCE(with_orders, 0) AS with_orders,
+             COALESCE(without_orders, 0) AS without_orders
+      FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment"""))
+
+  /** Set operations: UNION / INTERSECT / EXCEPT over key sets. */
+  val setOps: Q = Q(
+    "set_ops",
+    run = (s, dir) => {
+      import s.implicits._
+      val buyers = Tables.orders(s, dir).select($"o_custkey".as("k")).distinct()
+      val highValue = Tables.orders(s, dir)
+        .filter($"o_totalprice" > 200000).select($"o_custkey".as("k")).distinct()
+      val all = Tables.customer(s, dir).select($"c_custkey".as("k"))
+      Seq(
+        ("union", all.union(buyers).distinct()),
+        ("intersect", buyers.intersect(highValue)),
+        ("except", all.except(buyers)))
+        .map { case (op, df) =>
+          df.agg(count(lit(1)).as("ct"), min($"k").as("min_k"))
+            .select(lit(op).as("op"), $"ct", $"min_k")
+        }
+        .reduce(_.unionByName(_))
+    },
+    oracle = Some("""
+      WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+           hv AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 200000),
+           allc AS (SELECT c_custkey AS k FROM customer)
+      SELECT 'union' AS op, COUNT(*) AS ct, MIN(k) AS min_k FROM (SELECT k FROM allc UNION SELECT k FROM buyers)
+      UNION ALL
+      SELECT 'intersect', COUNT(*), MIN(k) FROM (SELECT k FROM buyers INTERSECT SELECT k FROM hv)
+      UNION ALL
+      SELECT 'except', COUNT(*), MIN(k) FROM (SELECT k FROM allc EXCEPT SELECT k FROM buyers)"""))
+
+  /** Rollup (multi-level aggregation in one pass; grouping id exposed). */
+  val rollupRevenue: Q = Q(
+    "rollup_revenue",
+    run = (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("ct"),
+          sum($"o_totalprice".cast(dec)).cast("double").as("total"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"ct", $"total")
+    },
+    oracle = Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS ct,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""))
+
+  /** Analytic window functions: rank + running sum per partition
+    * (the batch-oracle machinery of §2.6, exposed as first-class). */
+  val windowAnalytics: Q = Q(
+    "window_analytics",
+    run = (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey").orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      Tables.lineitem(s, dir)
+        .filter($"l_suppkey" <= 3)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          row_number().over(w).as("rn"),
+          sum($"l_quantity".cast(dec)).over(w).cast("double").as("running_qty"),
+          lag($"l_orderkey", 1).over(w).as("prev_order"))
+    },
+    oracle = Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             row_number() OVER w AS rn,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_qty,
+             lag(l_orderkey, 1) OVER w AS prev_order
+      FROM lineitem WHERE l_suppkey <= 3
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)"""))
+
+  /** HLL sketch UV (approx_count_distinct) — sketch implementations
+    * differ across engines, so the driver records the weaker rows-only
+    * check (no oracle); ApproxSpec bounds the error vs exact. */
+  val approxUv: Q = Q(
+    "a5_approx_uv",
+    run = (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(date_format($"ts", "yyyy-MM-dd").as("dt"))
+        .agg(approx_count_distinct($"user_id", 0.02).as("approx_uv"))
+    },
+    oracle = None)
+
+  val all: Seq[Q] = Seq(q6Revenue, jSemiAnti, setOps, rollupRevenue, windowAnalytics, approxUv)
+}
