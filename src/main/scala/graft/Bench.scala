@@ -10,14 +10,14 @@ object Bench {
     // bench contract is local[32] unless the driver overrides
     val spark = GraftSession.local("graft-bench",
       Some(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
-    // Headline queries only, in declared order; a first untimed run of the
-    // first query warms the parquet footer/codegen caches once.
+    // Headline queries only, in declared order. noop sink forces the FULL
+    // pipeline (count() would let Catalyst prune projections); one untimed
+    // warmup pass over all queries amortizes parquet footers + codegen so
+    // the timed pass measures steady-state engine throughput.
     val qs = SparkEntry.headlines.map(n => n -> SparkEntry.queries(n))
-    // noop sink forces the FULL pipeline (count() would let Catalyst prune
-    // projections); one untimed warmup amortizes parquet footer/codegen.
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    qs.headOption.foreach { case (_, fn) =>
+    qs.foreach { case (_, fn) =>
       try exec(fn) catch { case _: Throwable => () }
     }
     val results = qs.map { case (name, fn) =>

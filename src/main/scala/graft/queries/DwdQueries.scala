@@ -156,7 +156,47 @@ object DwdQueries {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand"""))
 
+  /** P10 full shape (BaseLogApp.java:114-176): nested log events with a
+    * displays array — built in-query as JSON, parsed against the nested
+    * schema, exploded with page/event context stamped into each display
+    * row. The oracle recomputes the same rows directly, so the JSON
+    * roundtrip + explode must be a faithful identity. */
+  val p10LogPipeline: Q = Q(
+    "p10_log_pipeline",
+    run = (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val ev = Tables.events(s, dir)
+      // displays: pos_id 1..(user_id%3), item = event_id*10 + (pos_id-1)
+      val displays = filter(
+        transform(sequence(lit(1), lit(3)), i =>
+          struct(i.as("pos_id"), ($"event_id" * 10 + (i - 1)).as("item"))),
+        d => d.getField("pos_id") <= $"user_id" % 3)
+      val raw = ev.select(to_json(struct(
+        $"event_id",
+        struct($"event_type".as("page_id")).as("page"),
+        unix_millis($"ts").as("ts"),
+        displays.as("displays"))).as("value"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("page", StructType(Seq(StructField("page_id", StringType)))),
+        StructField("ts", LongType),
+        StructField("displays", ArrayType(StructType(Seq(
+          StructField("pos_id", IntegerType), StructField("item", LongType)))))))
+      raw.select(from_json($"value", schema).as("e"))
+        .select($"e.event_id", $"e.page.page_id".as("page_id"), explode($"e.displays").as("d"))
+        .select($"page_id", $"d.pos_id".as("pos_id"), $"d.item".as("item"))
+        .groupBy($"page_id", $"pos_id")
+        .agg(count(lit(1)).as("ct"), sum($"item").as("sum_item"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT event_id, event_type AS page_id, CAST(user_id % 3 AS INT) AS nd FROM events),
+      x AS (SELECT event_id, page_id, CAST(u.i + 1 AS INT) AS pos_id, event_id*10 + u.i AS item
+            FROM e, unnest(range(e.nd)) AS u(i))
+      SELECT page_id, pos_id, COUNT(*) AS ct, CAST(SUM(item) AS BIGINT) AS sum_item
+      FROM x GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     p1Quarantine, p4JsonProjection, x1Demux, j4ConfigRouter,
-    p12TimeFunctions, j2LeftJoin, j3LookupJoin)
+    p12TimeFunctions, j2LeftJoin, j3LookupJoin, p10LogPipeline)
 }
