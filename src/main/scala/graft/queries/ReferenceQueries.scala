@@ -61,5 +61,33 @@ object ReferenceQueries {
             FROM documents) t
       GROUP BY word"""))
 
-  val all: Seq[Q] = Seq(a1TrafficWindow, u1KeywordCount)
+  /** DwsTrafficKeywordPageViewWindow end-to-end (U1+A3 composite):
+    * events broadcast-joined to their document (deterministic doc_id
+    * assignment), text tokenized via the native Generator path semantics,
+    * exploded, counted per (day, word) — tokenize → window → count, the
+    * reference's keyword job shape. */
+  val dws01KeywordWindow: Q = Q(
+    "dws01_keyword_window",
+    run = (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).filter($"event_type" === "view")
+        .select($"event_id", $"ts", ($"event_id" % 500).as("doc_id"))
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      ev.join(broadcast(docs), "doc_id")
+        .select(date_format($"ts", "yyyy-MM-dd").as("dt"), explode($"toks").as("word"))
+        .groupBy($"dt", $"word")
+        .agg(count(lit(1)).as("ct"))
+    },
+    oracle = Some("""
+      WITH ev AS (SELECT event_id, ts, event_id % 500 AS doc_id FROM events
+                  WHERE event_type = 'view'),
+      toks AS (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+               FROM documents)
+      SELECT strftime(ev.ts, '%Y-%m-%d') AS dt, w.word AS word, COUNT(*) AS ct
+      FROM ev JOIN toks ON ev.doc_id = toks.doc_id, unnest(toks.toks) AS w(word)
+      GROUP BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(a1TrafficWindow, u1KeywordCount, dws01KeywordWindow)
 }

@@ -27,6 +27,20 @@ object StreamingPipelines {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("event_type"), col("pv_ct"), col("sum_value"))
 
+  /** J1 streaming form: watermarked stream-stream inner equi-join
+    * (DwdTradeOrderDetail.java:161-163's order_detail ⋈ order_info under
+    * Structured Streaming). Both sides carry event-time watermarks plus a
+    * time-range condition so state is bounded — Spark drops join state
+    * older than watermark + range, the same role as the blink planner's
+    * state TTL. */
+  def streamStreamJoin(
+      left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      condition: org.apache.spark.sql.Column,
+      delay: String = "2 seconds"): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay), condition)
+
   /** K4 analog: append each micro-batch to parquet (stands in for the
     * ClickHouse JDBC batch sink — swap the body for df.write.jdbc). */
   def parquetBatchSink(df: DataFrame, path: String): DataStreamWriter[Row] =

@@ -97,6 +97,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(missing.forall(_._1 === maxStt), s"unexpected missing windows: ${missing.filter(_._1 != maxStt)}")
   }
 
+  test("stream-stream inner join with watermarks == batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = eventRows.filter(_.event_type == "purchase")
+    val clicks = eventRows.filter(_.event_type == "click")
+    val ls = MemoryStream[TrafficEvent]
+    val rs = MemoryStream[TrafficEvent]
+    val left = ls.toDF().select(col("user_id"), col("ts"), col("event_id"))
+    val right = rs.toDF().select(col("user_id").as("r_user"),
+      col("ts").as("r_ts"), col("event_id").as("r_event"))
+    val cond = col("user_id") === col("r_user") &&
+      col("r_ts") >= col("ts") - expr("INTERVAL 10 minutes") &&
+      col("r_ts") <= col("ts") + expr("INTERVAL 10 minutes")
+    val q = graft.streaming.StreamingPipelines
+      .streamStreamJoin(left, "ts", right, "r_ts", cond)
+      .select(col("event_id"), col("r_event"))
+      .writeStream.format("memory").queryName("s_ssjoin").outputMode("append").start()
+    val (l1, l2) = purchases.splitAt(purchases.size / 2)
+    val (r1, r2) = clicks.splitAt(clicks.size / 2)
+    ls.addData(l1); rs.addData(r1); q.processAllAvailable()
+    ls.addData(l2); rs.addData(r2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_ssjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, dir)
+    val bl = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val br = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("r_event"))
+    val want = bl.join(br, cond).select(col("event_id"), col("r_event"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("dedupFirstWithinWatermark keeps one row per (user, event_type)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
