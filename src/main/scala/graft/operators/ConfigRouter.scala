@@ -38,6 +38,23 @@ object ConfigRouter {
     routes.toDF("source_type", "sink_table", "sink_columns")
   }
 
+  /** Materialize the route table from a Debezium changelog of TableProcess
+    * rows (FIXTURES.md §3; DIM_MyBroadcastFunction.java:104-109): per
+    * source_type the LATEST op wins (ts_ms order); `op = 'd'` (whose
+    * payload is in `before`) removes the route; c/u/r upsert from `after`.
+    */
+  def routesFromDebezium(changelog: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = changelog.withColumn("source_type",
+      when(col("op") === "d", col("before.source_type")).otherwise(col("after.source_type")))
+    val w = Window.partitionBy(col("source_type")).orderBy(col("ts_ms").desc)
+    keyed
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("op") =!= "d")
+      .select(col("source_type"), col("after.sink_table").as("sink_table"),
+        col("after.sink_columns").as("sink_columns"))
+  }
+
   /** Route `events`: returns one row per routed record with
     * (sink_table, payload) where payload is the column-pruned MAP. */
   def route(spark: SparkSession, events: DataFrame, routes: Seq[TableProcess] = defaultRoutes): DataFrame = {

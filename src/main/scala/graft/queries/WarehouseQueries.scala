@@ -108,5 +108,109 @@ object WarehouseQueries {
       GROUP BY r_name, n_name"""),
     headline = true)
 
-  val all: Seq[Q] = Seq(q1PricingSummary, q3TopOrders, q5NationRevenue)
+  /** TPC-H Q10-style: returned-item revenue per customer, top-20. */
+  val q10ReturnedRevenue: Q = Q(
+    "q10_returned_revenue",
+    run = (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).filter($"l_returnflag" === "R")
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val nat = Tables.nation(s, dir)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy($"c_custkey", $"c_name", $"n_name")
+        .agg(sum(($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec))))
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey".asc)
+        .limit(20)
+    },
+    oracle = Some("""
+      SELECT c_custkey, c_name, n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey ASC
+      LIMIT 20"""))
+
+  /** TPC-H Q12-style: conditional (CASE) aggregation by priority class. */
+  val q12PriorityShipping: Q = Q(
+    "q12_priority_shipping",
+    run = (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy($"l_linestatus")
+        .agg(
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_ct"),
+          sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_ct"))
+    },
+    oracle = Some("""
+      SELECT l_linestatus,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_ct,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_ct
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_linestatus"""))
+
+  /** TPC-H Q14-style: ratio of a filtered contribution to the total. */
+  val q14PromoShare: Q = Q(
+    "q14_promo_share",
+    run = (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val pt = Tables.part(s, dir)
+      li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+        .agg(
+          sum(when($"p_type".startsWith("PROMO"),
+            ($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec))))
+            .otherwise(lit(0).cast(dec))).cast("double").as("promo_revenue"),
+          sum(($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec))))
+            .cast("double").as("total_revenue"))
+        .select(
+          round($"promo_revenue" / $"total_revenue" * 100, 4).as("promo_pct"),
+          $"promo_revenue", $"total_revenue")
+    },
+    oracle = Some("""
+      WITH a AS (
+        SELECT
+          CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey)
+      SELECT round(promo_revenue / total_revenue * 100, 4) AS promo_pct,
+             promo_revenue, total_revenue
+      FROM a"""))
+
+  /** TPC-H Q18-style: large orders via HAVING on a grouped subquery. */
+  val q18LargeOrders: Q = Q(
+    "q18_large_orders",
+    run = (s, dir) => {
+      import s.implicits._
+      val big = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity".cast(dec)).as("qty"))
+        .filter($"qty" > 150)
+      val ord = Tables.orders(s, dir)
+      big.join(ord, $"l_orderkey" === ord("o_orderkey"))
+        .select($"o_orderkey", $"o_custkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+          $"qty".cast("double").as("total_qty"))
+    },
+    oracle = Some("""
+      SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             CAST(qty AS DOUBLE) AS total_qty
+      FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+            FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) b
+      JOIN orders ON l_orderkey = o_orderkey"""))
+
+  val all: Seq[Q] = Seq(
+    q1PricingSummary, q3TopOrders, q5NationRevenue,
+    q10ReturnedRevenue, q12PriorityShipping, q14PromoShare, q18LargeOrders)
 }

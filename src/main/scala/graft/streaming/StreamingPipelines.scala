@@ -51,6 +51,32 @@ object StreamingPipelines {
         batch.write.mode("append").parquet(path)
       }
 
+  /** K3/K5 streaming upsert: maintain latest-row-per-key in a parquet
+    * table via foreachBatch read→merge→swap (the Delta `MERGE INTO`
+    * stand-in; with Delta on the cluster the body becomes one MERGE).
+    * Write-to-temp-then-swap keeps the table readable mid-merge. */
+  def upsertSink(df: DataFrame, path: String, key: String, version: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val dir = new java.io.File(path)
+        val current =
+          if (dir.exists()) spark.read.parquet(path).unionByName(batch.toDF())
+          else batch.toDF()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(col(version).desc)
+        val merged = current
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        val tmp = path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        val p = new org.apache.hadoop.fs.Path(path)
+        if (fs.exists(p)) fs.delete(p, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+        ()
+      }
+
   /** K2 analog: dynamic per-record routing — one pass, fanned out by the
     * `sink_table` column (partitioned write ≈ Kafka sink's per-row topic). */
   def routedSink(df: DataFrame, basePath: String): DataStreamWriter[Row] =

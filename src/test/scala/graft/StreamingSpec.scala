@@ -97,6 +97,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(missing.forall(_._1 === maxStt), s"unexpected missing windows: ${missing.filter(_._1 != maxStt)}")
   }
 
+  test("streaming upsert sink keeps the latest row per key across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = "/tmp/graft_test_upsert"
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    val stream = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.StreamingPipelines
+      .upsertSink(stream.toDF().toDF("id", "payload", "version"), path, "id", "version")
+      .start()
+    stream.addData((1L, "a-v1", 1L), (2L, "b-v1", 1L)); q.processAllAvailable()
+    stream.addData((1L, "a-v2", 2L), (3L, "c-v1", 1L)); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1L, "a-v2", 2L), (2L, "b-v1", 1L), (3L, "c-v1", 1L)))
+  }
+
   test("stream-stream inner join with watermarks == batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
