@@ -80,7 +80,9 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      // unrounded: small-int ratios land on .xxxx5 round-tie boundaries
+      // where Spark (decimal-repr HALF_UP) and DuckDB (binary) disagree
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Per-doc 32-bit SimHash (near-dup docs differ in few bits).

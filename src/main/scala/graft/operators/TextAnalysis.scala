@@ -53,14 +53,18 @@ object TextAnalysis {
     val stopRate = size(filter(col("toks"),
       t => array_contains(array(stopwords.map(lit): _*), t))).cast("double") / nTok
     val lenSat = least(lit(1.0), nTok / lit(100.0))
+    // ratios stay UNROUNDED: both engines compute them bit-identically,
+    // while round() ties diverge (Spark rounds the shortest decimal repr
+    // via BigDecimal.valueOf, DuckDB rounds the binary double — found at
+    // sf0.1 where 16/5000 docs landed on .xxxx5 boundaries)
     withToks(docs)
       .filter(size(col("toks")) > 0)
       .select(
         col("doc_id"), col("n_chars"),
         size(col("toks")).cast("long").as("n_tokens"),
-        round(ttr, 4).as("ttr"),
-        round(stopRate, 4).as("stop_rate"),
-        round(lit(0.4) * ttr + lit(0.3) * lenSat + lit(0.3) * (lit(1.0) - stopRate), 4).as("quality"))
+        ttr.as("ttr"),
+        stopRate.as("stop_rate"),
+        (lit(0.4) * ttr + lit(0.3) * lenSat + lit(0.3) * (lit(1.0) - stopRate)).as("quality"))
   }
 
   /** Token statistics incl. a BPE-ish subword estimate (ceil(len/4) pieces

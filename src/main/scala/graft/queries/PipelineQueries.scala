@@ -55,7 +55,7 @@ object PipelineQueries {
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.doc_a
         JOIN sh sb ON sb.doc_id = c.doc_b)
-      SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM jac WHERE j >= 0.8"""),
+      SELECT doc_a, doc_b, j AS jaccard FROM jac WHERE j >= 0.8"""),
     headline = true)
 
   /** 32-bit SimHash per document. */
@@ -147,11 +147,11 @@ object PipelineQueries {
       WITH t AS (SELECT doc_id, length(text) AS n_chars, $TOKS AS toks FROM documents)
       SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
              CAST(len(toks) AS BIGINT) AS n_tokens,
-             round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS ttr,
-             round(len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE / len(toks), 4) AS stop_rate,
-             round(0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
-                   + 0.3 * least(1.0, len(toks) / 100.0)
-                   + 0.3 * (1.0 - len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE / len(toks)), 4) AS quality
+             len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+             len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE / len(toks) AS stop_rate,
+             0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+               + 0.3 * least(1.0, len(toks) / 100.0)
+               + 0.3 * (1.0 - len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE / len(toks)) AS quality
       FROM t WHERE len(toks) > 0""")
     })
 

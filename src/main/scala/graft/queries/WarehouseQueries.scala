@@ -173,7 +173,10 @@ object WarehouseQueries {
           sum(($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec))))
             .cast("double").as("total_revenue"))
         .select(
-          round($"promo_revenue" / $"total_revenue" * 100, 4).as("promo_pct"),
+          // unrounded: round() ties diverge between engines (see
+          // TextAnalysis.qualityScore comment); the raw division is
+          // bitwise identical
+          ($"promo_revenue" / $"total_revenue" * 100).as("promo_pct"),
           $"promo_revenue", $"total_revenue")
     },
     oracle = Some("""
@@ -184,7 +187,7 @@ object WarehouseQueries {
                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey)
-      SELECT round(promo_revenue / total_revenue * 100, 4) AS promo_pct,
+      SELECT promo_revenue / total_revenue * 100 AS promo_pct,
              promo_revenue, total_revenue
       FROM a"""))
 
