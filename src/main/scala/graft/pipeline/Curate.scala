@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.operators.{Dedup, TextAnalysis}
+import graft.tables.Tables
+
+/** End-to-end training-corpus curation — the operators composed into the
+  * pipeline they exist for:
+  *
+  *   ingest → exact dedup → MinHash near-dup removal → quality filter →
+  *   language filter → token accounting → curated corpus + stats.
+  *
+  * Every stage is one of the oracle-checked operators; the composition is
+  * all narrow transforms + the LSH candidate join, so it runs at scan
+  * speed on a corpus that doesn't fit one machine.
+  *
+  * Usage: Curate <sfDir> <outDir> [minQuality]
+  */
+object Curate {
+
+  final case class Stats(
+      input: Long, exactDups: Long, nearDups: Long,
+      lowQuality: Long, unknownLang: Long, kept: Long, keptTokens: Long)
+
+  def run(spark: SparkSession, sfDir: String, minQuality: Double = 0.55): (DataFrame, Stats) = {
+    val docs = Tables.documents(spark, sfDir).persist()
+    val input = docs.count()
+
+    // 1. exact dedup: keep the min doc_id of each fingerprint group
+    val keepExact = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
+    val afterExact = docs.join(keepExact, "doc_id")
+    val exactDups = input - afterExact.count()
+
+    // 2. near-dup removal: for each LSH pair drop the larger doc_id
+    val nearDupLosers = Dedup.minhashLshPairs(afterExact)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val afterNear = afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    val nearDups = input - exactDups - afterNear.count()
+
+    // 3. quality + language filters
+    val quality = TextAnalysis.qualityScore(afterNear)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+    val lang = TextAnalysis.langId(afterNear).select(col("doc_id"), col("pred_lang"))
+    val scored = afterNear.join(quality, "doc_id").join(lang, "doc_id")
+    val lowQuality = scored.filter(col("quality") < minQuality).count()
+    val unknownLang = scored
+      .filter(col("quality") >= minQuality && col("pred_lang") === "und").count()
+
+    val curated = scored
+      .filter(col("quality") >= minQuality && col("pred_lang") =!= "und")
+      .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"), col("n_tokens"))
+    val kept = curated.count()
+    val keptTokens = curated.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    (curated, Stats(input, exactDups, nearDups, lowQuality, unknownLang, kept, keptTokens))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val minQuality = if (args.length > 2) args(2).toDouble else 0.55
+    val spark = GraftSession.local("graft-curate")
+    val (curated, s) = run(spark, sfDir, minQuality)
+    curated.write.mode("overwrite").parquet(outDir)
+    println(s"""{"input":${s.input},"exact_dups":${s.exactDups},"near_dups":${s.nearDups},""" +
+      s""""low_quality":${s.lowQuality},"unknown_lang":${s.unknownLang},""" +
+      s""""kept":${s.kept},"kept_tokens":${s.keptTokens}}""")
+    spark.stop()
+  }
+}
