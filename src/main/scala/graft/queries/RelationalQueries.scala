@@ -147,5 +147,90 @@ object RelationalQueries {
     },
     oracle = None)
 
-  val all: Seq[Q] = Seq(q6Revenue, jSemiAnti, setOps, rollupRevenue, windowAnalytics, approxUv)
+  /** TPC-H Q4 shape: EXISTS with a correlated predicate + date-range scan. */
+  val q4OrderPriority: Q = Q(
+    "q4_order_priority",
+    run = (s, dir) => {
+      import s.implicits._
+      val ord = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir).filter($"l_quantity" > 45)
+      ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+    oracle = Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderpriority"""))
+
+  /** TPC-H Q2-style correlated scalar subquery: parts at their minimum
+    * retail price tier within each type. */
+  val q2MinCost: Q = Q(
+    "q2_min_cost_part",
+    run = (s, dir) => {
+      import s.implicits._
+      val pt = Tables.part(s, dir)
+      val minPerType = pt.groupBy($"p_type").agg(min($"p_retailprice").as("min_price"))
+      pt.join(minPerType, "p_type")
+        .filter($"p_retailprice" === $"min_price")
+        .select($"p_type", $"p_partkey", $"p_retailprice".cast(DecimalType(18, 2)).cast("double").as("price"))
+    },
+    oracle = Some("""
+      SELECT p_type, p_partkey, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      FROM part
+      WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_type = part.p_type)"""))
+
+  /** TPC-H Q16 shape: distinct counts with a NOT IN exclusion list. */
+  val q16SupplierCounts: Q = Q(
+    "q16_part_supplier_counts",
+    run = (s, dir) => {
+      import s.implicits._
+      val excluded = Tables.supplier(s, dir)
+        .filter($"s_acctbal" < 0).select($"s_suppkey")
+      val li = Tables.lineitem(s, dir)
+      val pt = Tables.part(s, dir)
+      li.join(excluded, li("l_suppkey") === excluded("s_suppkey"), "left_anti")
+        .join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+        .groupBy($"p_brand", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+    },
+    oracle = Some("""
+      SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_size"""))
+
+  /** TPC-H Q22 shape: above-average-balance customers with no URGENT
+    * orders (aggregate subquery + conditional anti join). */
+  val q22IdleRich: Q = Q(
+    "q22_idle_customers",
+    run = (s, dir) => {
+      import s.implicits._
+      val cust = Tables.customer(s, dir)
+      val avgBal = cust.filter($"c_acctbal" > 0)
+        .agg(avg($"c_acctbal").as("ab"))
+      val urgent = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+      cust.crossJoin(broadcast(avgBal))
+        .filter($"c_acctbal" > $"ab")
+        .join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum($"c_acctbal".cast(DecimalType(18, 2))).cast("double").as("totacctbal"))
+    },
+    oracle = Some("""
+      SELECT c_nationkey, COUNT(*) AS numcust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY c_nationkey"""))
+
+  val all: Seq[Q] = Seq(
+    q6Revenue, jSemiAnti, setOps, rollupRevenue, windowAnalytics, approxUv,
+    q4OrderPriority, q2MinCost, q16SupplierCounts, q22IdleRich)
 }
