@@ -22,26 +22,42 @@ object StatefulOps {
   case class DailyState(lastDate: String)
 
   /** A5: exact daily-UV dedup — emit one row per (user, day) first visit.
-    * State = last-seen date per user (the reference's 1-day-TTL ValueState:
-    * state is overwritten on rollover, so it never grows past one date). */
-  def dailyFirstVisits(spark: SparkSession, events: DataFrame): Dataset[(Long, String)] = {
+    * State = last-seen date per user.
+    *
+    * `stateTtl` mirrors the reference's 1-day StateTtlConfig
+    * (Dws02...java:97-101) via ProcessingTimeTimeout eviction. It is
+    * opt-in: Some("1 day") in production; None (NoTimeout) by default
+    * because MemoryStream + processAllAvailable hangs under
+    * ProcessingTimeTimeout in Spark 4.1 (timeout batches never settle),
+    * which would wedge bounded-replay tests. */
+  def dailyFirstVisits(spark: SparkSession, events: DataFrame,
+      stateTtl: Option[String] = None): Dataset[(Long, String)] = {
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .as[UserEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (user: Long, rows: Iterator[UserEvent], state: GroupState[DailyState]) => {
-          val seen = scala.collection.mutable.Set.empty[String]
-          state.getOption.foreach(s => seen += s.lastDate)
-          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
-            val dt = e.ts.toLocalDateTime.toLocalDate.toString
-            if (seen.add(dt)) Some(user -> dt) else None
+          if (!rows.hasNext && state.hasTimedOut) {
+            state.remove() // TTL eviction
+            Iterator.empty
+          } else {
+            val seen = scala.collection.mutable.Set.empty[String]
+            state.getOption.foreach(s => seen += s.lastDate)
+            val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+              val dt = e.ts.toLocalDateTime.toLocalDate.toString
+              if (seen.add(dt)) Some(user -> dt) else None
+            }
+            // keep only the max date: per-day dedup state like the
+            // reference's last-visit-date ValueState
+            if (seen.nonEmpty) state.update(DailyState(seen.max))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          // keep only the max date: per-day dedup state like the reference's
-          // last-visit-date ValueState (dates arrive roughly ordered)
-          if (seen.nonEmpty) state.update(DailyState(seen.max))
-          out.iterator
         })
   }
 
