@@ -230,7 +230,59 @@ object RelationalQueries {
                         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       GROUP BY c_nationkey"""))
 
+  /** Pivot: order counts per priority pivoted on status (wide-format
+    * reporting — compiles to conditional aggregation). */
+  val pivotStatus: Q = Q(
+    "pivot_status",
+    run = (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .pivot($"o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select($"o_orderpriority",
+          coalesce($"F", lit(0L)).as("f_ct"),
+          coalesce($"O", lit(0L)).as("o_ct"),
+          coalesce($"P", lit(0L)).as("p_ct"))
+    },
+    oracle = Some("""
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_ct,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_ct,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_ct
+      FROM orders GROUP BY o_orderpriority"""))
+
+  /** Moments from exact sums: mean and population variance derived from
+    * DECIMAL sum / sum-of-squares (deterministic across partition order —
+    * the float-safe way to do statistics at scale; stddev_pop's streaming
+    * accumulation would be partition-order dependent). */
+  val statsMoments: Q = Q(
+    "stats_moments",
+    run = (s, dir) => {
+      import s.implicits._
+      val d4 = DecimalType(28, 4)
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"l_quantity".cast(dec)).cast("double").as("s1"),
+          sum(($"l_quantity".cast(dec) * $"l_quantity".cast(dec)).cast(d4)).cast("double").as("s2"))
+        .select($"l_returnflag", $"n",
+          ($"s1" / $"n").as("mean"),
+          ($"s2" / $"n" - ($"s1" / $"n") * ($"s1" / $"n")).as("var_pop"))
+    },
+    oracle = Some("""
+      WITH a AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS s2
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, n, s1 / n AS mean,
+             s2 / n - (s1 / n) * (s1 / n) AS var_pop
+      FROM a"""))
+
   val all: Seq[Q] = Seq(
     q6Revenue, jSemiAnti, setOps, rollupRevenue, windowAnalytics, approxUv,
-    q4OrderPriority, q2MinCost, q16SupplierCounts, q22IdleRich)
+    q4OrderPriority, q2MinCost, q16SupplierCounts, q22IdleRich,
+    pivotStatus, statsMoments)
 }
