@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time AS-OF join — the operator Spark lacks natively (the guide's
+  * canonical custom-operator example; the reference's temporal join J3 is
+  * its processing-time cousin).
+  *
+  * For each left row, attach the LATEST right row of the same key with
+  * right_ts <= left_ts. Implemented as the classic single-shuffle
+  * union+window formulation rather than join+rank: tag both sides, union,
+  * sort per key by (ts, side), carry the last right payload forward with
+  * last_value(ignoreNulls) over rows-unbounded-preceding, keep left rows.
+  * One exchange on the key, zero row blowup — at 100 TB this is the only
+  * formulation that works (join+filter+rank materializes every
+  * left×earlier-right pair).
+  */
+object AsOfJoin {
+
+  /** @param left       left side; must contain `key` and `leftTs`
+    * @param right      right side; must contain `key` and `rightTs`
+    * @param key        equi-join key column name (same on both sides)
+    * @param payloadCol right column to attach (null when no right row yet)
+    */
+  def asOf(left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      key: String, payloadCol: String): DataFrame = {
+    val l = left.withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(right.schema(payloadCol).dataType))
+    val r = right.select(col(key), col(rightTs).as("__ts"), col(payloadCol).as("__p"))
+      .withColumn("__side", lit(0))
+    val unioned = l.select((col(key) +: left.columns.filter(_ != key).map(col).toSeq
+      :+ col("__ts") :+ col("__side") :+ col("__p")): _*)
+      .unionByName(r.select(col(key), col("__ts"), col("__side"), col("__p")), allowMissingColumns = true)
+    // right rows sort before left rows at equal ts => ties are inclusive
+    // (right_ts == left_ts matches), like DuckDB ASOF JOIN
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__ts", "__side", "__p")
+      .withColumnRenamed("__asof", s"asof_$payloadCol")
+  }
+}

@@ -176,6 +176,68 @@ object DwsQueries {
       FROM enriched GROUP BY 1, 2, 3"""),
     headline = true)
 
+  /** J7 (beyond the reference): event-time AS-OF join — for each purchase,
+    * the latest signup of that user at or before it. Spark has no native
+    * as-of join; AsOfJoin implements the single-shuffle union+window
+    * formulation; the oracle uses DuckDB's native ASOF LEFT JOIN. */
+  val j7AsofJoin: Q = Q(
+    "j7_asof_join",
+    run = (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts")
+      // dedupe right side per (user, ts) so ties are deterministic
+      val signups = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id", $"ts").agg(max($"event_id").as("signup_id"))
+      graft.operators.AsOfJoin.asOf(purchases, "ts", signups, "ts", "user_id", "signup_id")
+        .select($"user_id", $"event_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+          $"asof_signup_id")
+    },
+    oracle = Some("""
+      WITH p AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+                 FROM events WHERE event_type = 'purchase'),
+           s AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, MAX(event_id) AS signup_id
+                 FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+      SELECT p.user_id, p.event_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+             s.signup_id AS asof_signup_id
+      FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts"""))
+
+  /** A10 (beyond the reference): session windows — 30-minute-gap sessions
+    * per user (Spark session_window ≡ gaps-and-islands in the oracle). */
+  val a10SessionWindow: Q = Q(
+    "a10_session_window",
+    run = (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("stt"),
+          date_format($"session_window.end", "yyyy-MM-dd HH:mm:ss").as("edt"),
+          $"n_events")
+    },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events),
+      flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+             strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS edt,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid"""))
+
   val all: Seq[Q] = Seq(
-    a2GlobalWindow, a5DailyUv, a6Backflow, a7IsNewRepair, a8DedupFirst, dws09Composite)
+    a2GlobalWindow, a5DailyUv, a6Backflow, a7IsNewRepair, a8DedupFirst,
+    dws09Composite, j7AsofJoin, a10SessionWindow)
 }
