@@ -44,11 +44,18 @@ object Dedup {
     * shingle sets filters to >= threshold. Returns (doc_a, doc_b, jaccard)
     * with jaccard rounded to 4 decimals, doc_a < doc_b.
     */
+  /** @param maxBucket hot-bucket cap: band buckets holding more than this
+    *   many docs are dropped from candidate generation (a bucket of size B
+    *   yields B²/2 pairs — boilerplate/templated corpora create mega-
+    *   buckets that would quadratically blow up the verify stage). Capped
+    *   buckets are near-universal shingle-sets; their members still pair
+    *   through their OTHER, more selective bands. */
   def minhashLshPairs(
       docs: DataFrame,
       numSigs: Int = 8,
       rowsPerBand: Int = 2,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
     val numBands = numSigs / rowsPerBand
     // persist: the shingle table feeds the signature path AND both sides of
     // the Jaccard join; the band table feeds both sides of the self-join —
@@ -67,8 +74,15 @@ object Dedup {
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.band_key").as("band_key"))
       .persist()
-    val cand = bands.as("x")
-      .join(bands.as("y"),
+    // hot-bucket cap (windowed count avoids a second aggregation pass)
+    val capped = bands
+      .withColumn("__bs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("band_key"))))
+      .filter(col("__bs") <= maxBucket)
+      .drop("__bs")
+      .persist()
+    val cand = capped.as("x")
+      .join(capped.as("y"),
         col("x.band_key") === col("y.band_key") && col("x.b") === col("y.b") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -44,9 +44,13 @@ object PipelineQueries {
       bands AS (
         SELECT doc_id, b, CAST(sig[2*b+1] AS VARCHAR) || '|' || CAST(sig[2*b+2] AS VARCHAR) AS band_key
         FROM sigs, range(0, 4) AS r(b)),
+      capped AS (
+        SELECT doc_id, b, band_key FROM (
+          SELECT *, COUNT(*) OVER (PARTITION BY b, band_key) AS bs FROM bands) t
+        WHERE bs <= 1000),
       cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y
+        FROM capped x JOIN capped y
           ON x.band_key = y.band_key AND x.b = y.b AND x.doc_id < y.doc_id),
       jac AS (
         SELECT c.doc_a, c.doc_b,

@@ -281,8 +281,56 @@ object RelationalQueries {
              s2 / n - (s1 / n) * (s1 / n) AS var_pop
       FROM a"""))
 
+  /** Cube: all grouping-set combinations in one pass. */
+  val cubeRevenue: Q = Q(
+    "cube_revenue",
+    run = (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("ct"),
+          sum($"l_quantity".cast(dec)).cast("double").as("qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"),
+          $"ct", $"qty")
+    },
+    oracle = Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             COALESCE(l_linestatus, 'ALL') AS ls,
+             COUNT(*) AS ct,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+
+  /** TPC-H Q19 shape: OR-of-ANDs disjunctive predicate across the join —
+    * exercises complex predicate normalization/pushdown. */
+  val q19Disjunctive: Q = Q(
+    "q19_disjunctive_revenue",
+    run = (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val pt = Tables.part(s, dir)
+      li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+        .filter(
+          ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) && $"l_quantity".between(1, 20)) ||
+          ($"p_brand" === "Brand#2" && $"p_size".between(10, 30) && $"l_quantity".between(10, 30)) ||
+          ($"p_brand" === "Brand#3" && $"p_size".between(20, 50) && $"l_quantity".between(20, 40)))
+        .agg(
+          sum(($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+    oracle = Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_rows
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)"""))
+
   val all: Seq[Q] = Seq(
     q6Revenue, jSemiAnti, setOps, rollupRevenue, windowAnalytics, approxUv,
     q4OrderPriority, q2MinCost, q16SupplierCounts, q22IdleRich,
-    pivotStatus, statsMoments)
+    pivotStatus, statsMoments, cubeRevenue, q19Disjunctive)
 }

@@ -38,6 +38,17 @@ class DedupSpec extends AnyFunSuite {
       s"missed=${bruteforcePairs -- lsh} extra=${lsh -- bruteforcePairs}")
   }
 
+  test("hot-bucket cap suppresses mega-bucket candidate blowup") {
+    import spark.implicits._
+    // 40 docs sharing one boilerplate shingle-set: every band is one
+    // mega-bucket of 40
+    val boiler = (1L to 40L).map(i => (i, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(boiler, maxBucket = 1000)
+    assert(uncapped.count() === 40L * 39 / 2)
+    val capped = Dedup.minhashLshPairs(boiler, maxBucket = 10)
+    assert(capped.count() === 0)
+  }
+
   test("simhashTable (explode+groupBy) == simhash32 (column expression)") {
     val docs = Tables.documents(spark, dir)
     val viaTable = Dedup.simhashTable(docs).collect()
