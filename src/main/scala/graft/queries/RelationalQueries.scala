@@ -281,6 +281,41 @@ object RelationalQueries {
              s2 / n - (s1 / n) * (s1 / n) AS var_pop
       FROM a"""))
 
+  /** Pearson correlation from exact decimal co-moments (like
+    * stats_moments: partition-order deterministic, unlike corr()'s
+    * streaming accumulation). */
+  val statsCorr: Q = Q(
+    "stats_corr",
+    run = (s, dir) => {
+      import s.implicits._
+      val d4 = DecimalType(28, 4)
+      Tables.lineitem(s, dir)
+        .groupBy($"l_linestatus")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum($"l_quantity".cast(dec)).cast("double").as("sx"),
+          sum($"l_extendedprice".cast(dec)).cast("double").as("sy"),
+          sum(($"l_quantity".cast(dec) * $"l_quantity".cast(dec)).cast(d4)).cast("double").as("sxx"),
+          sum(($"l_extendedprice".cast(dec) * $"l_extendedprice".cast(dec)).cast(d4)).cast("double").as("syy"),
+          sum(($"l_quantity".cast(dec) * $"l_extendedprice".cast(dec)).cast(d4)).cast("double").as("sxy"))
+        .select($"l_linestatus",
+          (($"n" * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
+    },
+    oracle = Some("""
+      WITH a AS (
+        SELECT l_linestatus,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY 1)
+      SELECT l_linestatus,
+             (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+      FROM a"""))
+
   /** Cube: all grouping-set combinations in one pass. */
   val cubeRevenue: Q = Q(
     "cube_revenue",
@@ -332,5 +367,5 @@ object RelationalQueries {
   val all: Seq[Q] = Seq(
     q6Revenue, jSemiAnti, setOps, rollupRevenue, windowAnalytics, approxUv,
     q4OrderPriority, q2MinCost, q16SupplierCounts, q22IdleRich,
-    pivotStatus, statsMoments, cubeRevenue, q19Disjunctive)
+    pivotStatus, statsMoments, statsCorr, cubeRevenue, q19Disjunctive)
 }

@@ -97,6 +97,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(missing.forall(_._1 === maxStt), s"unexpected missing windows: ${missing.filter(_._1 != maxStt)}")
   }
 
+  test("watermark drops late data (2s out-of-orderness bound, §2.9)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TrafficEvent]
+    val q = StreamingPipelines.trafficWindow(stream.toDF())
+      .writeStream.format("memory").queryName("s_late").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:05")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-01 11:00:00")
+    val late = java.sql.Timestamp.valueOf("2024-06-01 10:00:07") // 1h late
+    stream.addData(TrafficEvent(1, "view", t0, 1.0, 1)); q.processAllAvailable()
+    stream.addData(TrafficEvent(1, "view", t1, 1.0, 2)); q.processAllAvailable() // watermark -> ~11:00
+    stream.addData(TrafficEvent(1, "view", late, 1.0, 3)); q.processAllAvailable() // below watermark
+    // one more on-time event so the 10:00 window has definitely been finalized
+    stream.addData(TrafficEvent(1, "view", java.sql.Timestamp.valueOf("2024-06-01 12:00:00"), 1.0, 4))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("s_late").collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    // the 10:00:00 window must contain ONLY the on-time event — the late
+    // arrival was dropped, exactly the reference's no-allowed-lateness
+    // behavior (SURVEY §2.9)
+    assert(rows("2024-06-01 10:00:00") === 1L)
+  }
+
   test("streaming upsert sink keeps the latest row per key across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
