@@ -22,6 +22,10 @@ object GraftSession {
     // Tables.events.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.compression.codec", "snappy")
+    // note: the test-SF parquets are single-row-group files, so scans are
+    // one task regardless of maxPartitionBytes (parquet splits only on
+    // row-group boundaries — measured no gain from smaller splits); the
+    // default 128 MB split is kept, which is also the cluster-scale choice.
     .config("spark.ui.enabled", "false")
 
   /** local[cores] session; cores defaults to SPARK_GRAFT_CPUS or 4. */

@@ -147,6 +147,22 @@ object RelationalQueries {
     },
     oracle = None)
 
+  /** Approximate percentiles (t-digest-style sketch; rows-only check like
+    * the HLL query — sketch internals differ across engines). */
+  val approxPercentiles: Q = Q(
+    "approx_percentiles",
+    run = (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(percentile_approx($"l_extendedprice", array(lit(0.5), lit(0.95)), lit(1000))
+          .as("p50_p95"))
+        .select($"l_returnflag",
+          element_at($"p50_p95", 1).as("p50"),
+          element_at($"p50_p95", 2).as("p95"))
+    },
+    oracle = None)
+
   /** TPC-H Q4 shape: EXISTS with a correlated predicate + date-range scan. */
   val q4OrderPriority: Q = Q(
     "q4_order_priority",
@@ -367,5 +383,6 @@ object RelationalQueries {
   val all: Seq[Q] = Seq(
     q6Revenue, jSemiAnti, setOps, rollupRevenue, windowAnalytics, approxUv,
     q4OrderPriority, q2MinCost, q16SupplierCounts, q22IdleRich,
-    pivotStatus, statsMoments, statsCorr, cubeRevenue, q19Disjunctive)
+    pivotStatus, statsMoments, statsCorr, cubeRevenue, q19Disjunctive,
+    approxPercentiles)
 }

@@ -97,6 +97,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(missing.forall(_._1 === maxStt), s"unexpected missing windows: ${missing.filter(_._1 != maxStt)}")
   }
 
+  test("streaming session windows match batch for watermark-closed sessions") {
+    val got = runTwoBatches("s_sess") { df =>
+      df.withWatermark("ts", "2 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+          col("n_events"))
+    }.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.subsetOf(want))
+    // only sessions still open at the final watermark may be missing
+    val missing = want -- got
+    val maxStt = want.map(_._2).max.take(13) // the last hour bucket
+    assert(missing.forall(_._2 >= maxStt), s"unexpectedly missing closed sessions: ${missing.take(3)}")
+  }
+
   test("watermark drops late data (2s out-of-orderness bound, §2.9)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
