@@ -17,6 +17,33 @@ import org.apache.spark.sql.types._
   */
 object Envelopes {
 
+  /** Full nested log-event schema (FIXTURES.md §1: common/page structs +
+    * displays/actions arrays + start/err markers + epoch-ms ts) — the
+    * input contract of the BaseLogApp-family pipelines. p10_log_pipeline
+    * exercises the build→parse→explode machinery on this shape. */
+  val logEventSchema: StructType = StructType(Seq(
+    StructField("common", StructType(Seq(
+      StructField("ar", StringType), StructField("ba", StringType),
+      StructField("ch", StringType), StructField("is_new", StringType),
+      StructField("md", StringType), StructField("mid", StringType),
+      StructField("os", StringType), StructField("uid", StringType),
+      StructField("vc", StringType)))),
+    StructField("page", StructType(Seq(
+      StructField("during_time", LongType), StructField("item", StringType),
+      StructField("item_type", StringType), StructField("last_page_id", StringType),
+      StructField("page_id", StringType)))),
+    StructField("displays", ArrayType(StructType(Seq(
+      StructField("display_type", StringType), StructField("item", StringType),
+      StructField("item_type", StringType), StructField("pos_id", IntegerType))))),
+    StructField("actions", ArrayType(StructType(Seq(
+      StructField("action_id", StringType), StructField("item", StringType),
+      StructField("item_type", StringType), StructField("ts", LongType))))),
+    StructField("start", StructType(Seq(
+      StructField("entry", StringType), StructField("loading_time", LongType)))),
+    StructField("err", StructType(Seq(
+      StructField("error_code", IntegerType), StructField("msg", StringType)))),
+    StructField("ts", LongType)))
+
   val maxwellSchema: StructType = StructType(Seq(
     StructField("database", StringType),
     StructField("table", StringType),
