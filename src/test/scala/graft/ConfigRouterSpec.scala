@@ -55,3 +55,45 @@ class ConfigRouterSpec extends AnyFunSuite {
 object ConfigRouterSpec {
   case class TP(source_type: String, sink_table: String, sink_columns: String)
 }
+
+/** J3/S5 freshness contract: the static/config side is re-read every
+  * micro-batch, so a config change between batches reroutes mid-stream
+  * (the lookup-join TTL semantics of MySqlUtil.java:20-21, with
+  * freshness = one micro-batch instead of 1h). */
+class ConfigFreshnessSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("config change between micro-batches reroutes the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.ConfigRouter
+    import graft.operators.ConfigRouter.TableProcess
+
+    val cfgPath = "/tmp/graft_test_cfg"
+    def writeCfg(routes: Seq[TableProcess]): Unit =
+      ConfigRouter.configDf(spark, routes).write.mode("overwrite").parquet(cfgPath)
+
+    writeCfg(Seq(TableProcess("purchase", "sink_v1", "event_id")))
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("event_id", "event_type")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // re-read config each batch — the freshness mechanism under test
+        val routes = spark.read.parquet(cfgPath).as[(String, String, String)]
+          .collect().map(r => TableProcess(r._1, r._2, r._3)).toSeq
+        val routed = ConfigRouter.route(spark, batch.toDF(), routes)
+        sink.synchronized {
+          sink ++= routed.groupBy("sink_table").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1))
+        }
+        ()
+      }.start()
+    stream.addData((1L, "purchase"), (2L, "purchase")); q.processAllAvailable()
+    writeCfg(Seq(TableProcess("purchase", "sink_v2", "event_id")))
+    stream.addData((3L, "purchase")); q.processAllAvailable()
+    q.stop()
+    assert(sink.toSet === Set("sink_v1" -> 2L, "sink_v2" -> 1L))
+  }
+}
