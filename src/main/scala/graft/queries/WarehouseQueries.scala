@@ -213,7 +213,105 @@ object WarehouseQueries {
             FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) b
       JOIN orders ON l_orderkey = o_orderkey"""))
 
+  /** Deterministic synthetic `partsupp` derived from lineitem — the driver's
+    * testdata has no partsupp table, so both engines derive the IDENTICAL
+    * table from the same pinned integer arithmetic over the join keys: one
+    * row per distinct (l_partkey, l_suppkey), availqty in [1,1000], supply
+    * cost carried as integer cents (exact in both engines; divided to
+    * currency only at the final DOUBLE projection). */
+  private def partsupp(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty", ($"ps_partkey" * 7 + $"ps_suppkey" * 3) % 1000 + 1)
+      .withColumn("ps_cost_cents", ($"ps_partkey" * 13 + $"ps_suppkey" * 5) % 10000 + 100)
+  }
+
+  private val partsuppSql = """
+      ps0 AS (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem),
+      partsupp AS (
+        SELECT ps_partkey, ps_suppkey,
+               (ps_partkey*7 + ps_suppkey*3) % 1000 + 1 AS ps_availqty,
+               (ps_partkey*13 + ps_suppkey*5) % 10000 + 100 AS ps_cost_cents
+        FROM ps0)"""
+
+  /** TPC-H Q11-style: important stock — per-part inventory value for one
+    * nation's suppliers, kept where above a fraction of the nation total.
+    * Value sums run in exact integer cents; the fraction threshold compare
+    * happens on exact-in-double magnitudes (integers < 2^53). */
+  val q11ImportantStock: Q = Q(
+    "q11_important_stock",
+    run = (s, dir) => {
+      import s.implicits._
+      val sup = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir).filter($"n_name" === "NATION_7")
+      // dims broadcast; the only shuffle is the partkey aggregation
+      val v = partsupp(s, dir)
+        .join(broadcast(sup), $"ps_suppkey" === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .groupBy($"ps_partkey")
+        .agg(sum($"ps_cost_cents" * $"ps_availqty").as("vc"))
+      val total = v.agg(sum($"vc").as("tot"))
+      v.crossJoin(broadcast(total))
+        .filter($"vc" > $"tot" * lit(0.0001))
+        .select($"ps_partkey", ($"vc".cast("double") / 100).as("value"))
+    },
+    oracle = Some(s"""
+      WITH $partsuppSql,
+      v AS (
+        SELECT ps_partkey, SUM(ps_cost_cents * ps_availqty) AS vc
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY 1)
+      SELECT ps_partkey, CAST(vc AS DOUBLE) / 100 AS value
+      FROM v WHERE CAST(vc AS DOUBLE) > (SELECT CAST(SUM(vc) AS DOUBLE) * 0.0001 FROM v)"""))
+
+  /** TPC-H Q20-style: suppliers whose synthetic stock of 'red' parts exceeds
+    * half of what they shipped in 1996 (semi-join reduction to a distinct
+    * supplier set, then dim enrichment). Quantity sums exact in DECIMAL. */
+  val q20ExcessStock: Q = Q(
+    "q20_excess_stock_suppliers",
+    run = (s, dir) => {
+      import s.implicits._
+      val shipped = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum($"l_quantity".cast(dec)).as("qty"))
+      val redParts = Tables.part(s, dir).filter($"p_name".startsWith("red"))
+      val cand = partsupp(s, dir)
+        .join(broadcast(redParts), $"ps_partkey" === $"p_partkey")
+        .join(shipped, $"ps_partkey" === $"l_partkey" && $"ps_suppkey" === $"l_suppkey")
+        .filter($"ps_availqty".cast(dec) > lit(0.5).cast(dec) * $"qty")
+        .select($"ps_suppkey").distinct()
+      cand
+        .join(broadcast(Tables.supplier(s, dir)), $"ps_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"n_name")
+    },
+    oracle = Some(s"""
+      WITH $partsuppSql,
+      shipped AS (
+        SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT ps_suppkey
+        FROM partsupp
+        JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'red%'
+        JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        WHERE CAST(ps_availqty AS DECIMAL(18,2)) > CAST(0.5 AS DECIMAL(18,2)) * qty)
+      SELECT s_suppkey, s_name, n_name
+      FROM cand JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey"""))
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, q3TopOrders, q5NationRevenue,
-    q10ReturnedRevenue, q12PriorityShipping, q14PromoShare, q18LargeOrders)
+    q10ReturnedRevenue, q11ImportantStock, q12PriorityShipping,
+    q14PromoShare, q18LargeOrders, q20ExcessStock)
 }
