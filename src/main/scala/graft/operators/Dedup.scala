@@ -49,13 +49,22 @@ object Dedup {
     *   yields B²/2 pairs — boilerplate/templated corpora create mega-
     *   buckets that would quadratically blow up the verify stage). Capped
     *   buckets are near-universal shingle-sets; their members still pair
-    *   through their OTHER, more selective bands. */
+    *   through their OTHER, more selective bands.
+    * @param saltChunk when > 0, hot buckets are NOT dropped: their members
+    *   are split into chunks of `saltChunk` docs and pairs are generated per
+    *   chunk-pair via a triangle join — the shuffle key becomes
+    *   (bucket, chunk_i, chunk_j), so one mega-bucket's B²/2 candidate pairs
+    *   spread over m(m+1)/2 tasks instead of landing on a single reducer.
+    *   Recall-lossless: every cross- and within-chunk pair is produced
+    *   exactly once (proven pair-identical to the uncapped join in
+    *   DedupSpec and against the uncapped DuckDB oracle). */
   def minhashLshPairs(
       docs: DataFrame,
       numSigs: Int = 8,
       rowsPerBand: Int = 2,
       threshold: Double = 0.8,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      saltChunk: Int = 0): DataFrame = {
     val numBands = numSigs / rowsPerBand
     // persist: the shingle table feeds the signature path AND both sides of
     // the Jaccard join; the band table feeds both sides of the self-join —
@@ -75,18 +84,34 @@ object Dedup {
       .select(col("doc_id"), col("band.b").as("b"), col("band.band_key").as("band_key"))
       .persist()
     // hot-bucket cap (windowed count avoids a second aggregation pass)
-    val capped = bands
-      .withColumn("__bs", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("band_key"))))
-      .filter(col("__bs") <= maxBucket)
-      .drop("__bs")
-      .persist()
-    val cand = capped.as("x")
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("band_key"))
+    val sized = bands.withColumn("__bs", count(lit(1)).over(bucketW))
+    val capped = sized.filter(col("__bs") <= maxBucket).drop("__bs").persist()
+    val candCold = capped.as("x")
       .join(capped.as("y"),
         col("x.band_key") === col("y.band_key") && col("x.b") === col("y.b") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val candAll = if (saltChunk > 0) {
+      // triangle join over hot buckets: chunk members by position, emit the
+      // left side to every chunk-pair (c, j>=c) and the right side to every
+      // (i<=c, c); joining on (bucket, i, j) reproduces every pair once
+      // while spreading a B-doc bucket over m(m+1)/2 shuffle keys.
+      val hot = sized.filter(col("__bs") > maxBucket)
+        .withColumn("__rn", row_number().over(bucketW.orderBy(col("doc_id"))))
+        .withColumn("__c", ((col("__rn") - 1) / saltChunk).cast("int"))
+        .withColumn("__m", ceil(col("__bs") / lit(saltChunk.toDouble)).cast("int"))
+        .persist()
+      val left = hot.select(col("doc_id").as("doc_a"), col("b"), col("band_key"),
+        col("__c").as("i"), explode(sequence(col("__c"), col("__m") - 1)).as("j"))
+      val right = hot.select(col("doc_id").as("doc_b"), col("b"), col("band_key"),
+        explode(sequence(lit(0), col("__c"))).as("i"), col("__c").as("j"))
+      candCold.union(
+        left.join(right, Seq("b", "band_key", "i", "j"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")))
+    } else candCold
+    val cand = candAll.distinct()
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     cand.join(a, "doc_a").join(b, "doc_b")

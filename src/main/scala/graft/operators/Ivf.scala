@@ -41,16 +41,87 @@ object Ivf {
       .select(col("vec_id"), col("e"), col("cid"))
   }
 
-  /** Train k centroids with `iters` Lloyd iterations. Returns (cid, ce). */
-  def train(vectors: DataFrame, k: Int, iters: Int = 2): DataFrame = {
-    val v = vectors.select(col("vec_id"), toDouble(col("embedding")).as("e"))
-    var centroids = centroidMeans(v.withColumn("cid", (col("vec_id") % k).cast("int")))
+  private def lloyd(v: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    var centroids = init
     var i = 0
     while (i < iters) {
       centroids = centroidMeans(assign(v, centroids)).persist()
       i += 1
     }
     centroids
+  }
+
+  /** Train k centroids with `iters` Lloyd iterations. Returns (cid, ce). */
+  def train(vectors: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    val v = vectors.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    lloyd(v, centroidMeans(v.withColumn("cid", (col("vec_id") % k).cast("int"))), iters)
+  }
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Scalable init + Lloyd: k-means||-style oversampling (Bahmani et al.,
+    * VLDB'12) made DETERMINISTIC by replacing the sampling RNG with
+    * xxhash64(vec_id, round) mapped to [0,1). Each round is ONE
+    * broadcast-assign pass (select points with prob ≈ 2k·d/cost, d = cosine
+    * distance to the nearest candidate) plus one scalar agg — unlike classic
+    * k-means++ which needs k sequential full scans. The oversampled
+    * candidate set (O(k·rounds) rows) is weighted by its attraction counts
+    * and reduced to k seeds on the driver via weighted farthest-point.
+    * At 100 TB: `rounds`+1 scans total, driver traffic is O(k·rounds·dim).
+    */
+  def trainScalable(vectors: DataFrame, k: Int, iters: Int = 2, rounds: Int = 3): DataFrame = {
+    val v = vectors.select(col("vec_id"), toDouble(col("embedding")).as("e")).persist()
+    val l = 2.0 * k
+    var cand = v.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    var r = 0
+    while (r < rounds) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("cid").asc)
+      val dists = v.crossJoin(broadcast(cand))
+        .withColumn("d", lit(1.0) - cosineFused(col("e"), col("ce")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("d")).persist()
+      val cost = dists.agg(sum(col("d"))).first().getDouble(0)
+      if (cost > 0) {
+        val sel = dists
+          .filter(pmod(xxhash64(col("vec_id"), lit(r)), lit(1000000L)) / 1000000.0 <
+            col("d") * (l / cost))
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        cand = cand.union(sel).dropDuplicates("cid").persist()
+      }
+      r += 1
+    }
+    // weight candidates by attraction counts, reduce to k on the driver
+    val weights = assign(v, cand).groupBy(col("cid")).agg(count(lit(1)).as("w"))
+    val pts = cand.join(weights, Seq("cid"), "left")
+      .select(col("cid"), col("ce"), coalesce(col("w"), lit(0L)).as("w"))
+      .collect()
+      .map(row => (row.getLong(0), row.getSeq[Double](1).toArray, row.getLong(2)))
+      .sortBy(_._1)
+    val n = pts.length
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    chosen += pts.indices.maxBy(i => (pts(i)._3, -pts(i)._1))
+    val dmin = Array.fill(n)(Double.MaxValue)
+    while (chosen.size < math.min(k, n)) {
+      val last = pts(chosen.last)._2
+      var i = 0
+      while (i < n) {
+        dmin(i) = math.min(dmin(i), 1.0 - cosine(pts(i)._2, last)); i += 1
+      }
+      chosen += pts.indices
+        .filterNot(chosen.contains)
+        .maxBy(i => (pts(i)._3 * dmin(i), -pts(i)._1))
+    }
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val init = chosen.zipWithIndex
+      .map { case (pi, ci) => (ci, pts(pi)._2.toSeq) }.toSeq
+      .toDF("cid", "ce")
+    lloyd(v, init, iters)
   }
 
   /** Index: every vector tagged with its cluster id. */

@@ -1,7 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.tables.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over `documents`/`embeddings`:
   * dedup (exact / MinHash+LSH / SimHash), ANN similarity search, and text
@@ -61,6 +62,44 @@ object PipelineQueries {
         JOIN sh sb ON sb.doc_id = c.doc_b)
       SELECT doc_a, doc_b, j AS jaccard FROM jac WHERE j >= 0.8"""),
     headline = true)
+
+  /** Salted hot-bucket LSH: maxBucket=2 forces every size-3+ band bucket
+    * through the triangle-join salt path (Dedup.minhashLshPairs saltChunk),
+    * and the oracle has NO bucket cap — hash-matching proves the salted
+    * rewrite is recall-lossless, not merely plausible. */
+  val tDedupMinhashSalted: Q = Q(
+    "t_dedup_minhash_salted",
+    run = (s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), maxBucket = 2, saltChunk = 1),
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, $TOKS AS toks FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
+        FROM toks WHERE len(toks) >= 3),
+      vh AS (
+        SELECT doc_id, shingles,
+          [CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) for g in shingles] AS v
+        FROM sh),
+      sigs AS (
+        SELECT doc_id,
+          [list_min([((2*s+1)*x + 7919*s + 1) % 4294967291 for x in v]) for s in range(0, 8)] AS sig
+        FROM vh),
+      bands AS (
+        SELECT doc_id, b, CAST(sig[2*b+1] AS VARCHAR) || '|' || CAST(sig[2*b+2] AS VARCHAR) AS band_key
+        FROM sigs, range(0, 4) AS r(b)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_key = y.band_key AND x.b = y.b AND x.doc_id < y.doc_id),
+      jac AS (
+        SELECT c.doc_a, c.doc_b,
+          len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / len(list_distinct(sa.shingles || sb.shingles)) AS j
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, j AS jaccard FROM jac WHERE j >= 0.8"""))
 
   /** 32-bit SimHash per document. */
   val tSimhash: Q = Q(
@@ -190,7 +229,32 @@ object PipelineQueries {
              'stub' AS format
       FROM h"""))
 
+  /** ANN scale-path self-check: IVF (deterministic k-means|| init, k=16,
+    * nprobe=4) top-10 recall against exact brute force. One output row
+    * (n_expected, n_hit, recall). Rows-only — a k-means pipeline is not
+    * reasonably SQL-expressible in DuckDB; IvfSpec bounds the recall. */
+  val tAnnIvfRecall: Q = Q(
+    "t_ann_ivf_recall",
+    run = (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 20)
+      val cents = Ivf.trainScalable(emb, 16)
+      val idx = Ivf.index(emb, cents)
+      val ivf = Ivf.topK(idx, cents, q, 10, nprobe = 4)
+        .select(col("qid"), col("vec_id")).withColumn("hit", lit(1))
+      Similarity.bruteForceTopK(emb, q, 10)
+        .select(col("qid"), col("vec_id"))
+        .join(ivf, Seq("qid", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_expected"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .select(col("n_expected"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_expected")).as("recall"))
+    },
+    oracle = None,
+    headline = true)
+
   val all: Seq[Q] = Seq(
-    tDedupExact, tDedupMinhash, tSimhash, tAnnCosine, tDedupEmbedding,
-    tLangId, tQualityScore, tTokenStats, tMultimodalMeta)
+    tDedupExact, tDedupMinhash, tDedupMinhashSalted, tSimhash, tAnnCosine,
+    tDedupEmbedding, tLangId, tQualityScore, tTokenStats, tMultimodalMeta,
+    tAnnIvfRecall)
 }

@@ -49,6 +49,16 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.count() === 0)
   }
 
+  test("salted triangle join over hot buckets is pair-identical to uncapped") {
+    val docs = Tables.documents(spark, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // maxBucket=1 sends EVERY multi-doc bucket through the salt path
+    val salted = pairs(Dedup.minhashLshPairs(docs, maxBucket = 1, saltChunk = 2))
+    val uncapped = pairs(Dedup.minhashLshPairs(docs, maxBucket = Int.MaxValue))
+    assert(salted === uncapped && salted.nonEmpty)
+  }
+
   test("simhashTable (explode+groupBy) == simhash32 (column expression)") {
     val docs = Tables.documents(spark, dir)
     val viaTable = Dedup.simhashTable(docs).collect()

@@ -18,6 +18,25 @@ class IvfSpec extends AnyFunSuite {
     assert(idx.select("cid").distinct().count() <= 8)
   }
 
+  test("scalable k-means|| init is deterministic and recall-competitive") {
+    val emb = Tables.embeddings(spark, dir)
+    def centroids() = Ivf.trainScalable(emb, 8).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val c1 = centroids()
+    assert(c1 === centroids())
+    assert(c1.size === 8)
+    val cents = Ivf.trainScalable(emb, 8)
+    val indexed = Ivf.index(emb, cents)
+    assert(indexed.count() === emb.count())
+    val q = emb.filter(emb("vec_id") < 10)
+    val ivf = Ivf.topK(indexed, cents, q, 10, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(emb, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("IVF top-k recall vs brute force is high with nprobe=4 of 8") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(emb("vec_id") < 10)
