@@ -2,9 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, CollectionGenerator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst table function: `tokenize(text)` -> one row per token.
@@ -17,27 +19,58 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics are PINNED to TextFunctions.tokens (lowercase, split on
   * non-[a-z0-9] runs, drop empties) — asserted equal in PlansSpec.
+  *
+  * Codegen: implemented as a `CollectionGenerator` over array<string> (the
+  * explode shape), so GenerateExec's `codeGenCollection` path applies and
+  * the Generate stays inside WholeStageCodegen instead of falling back to
+  * interpreted eval per row (`supportCodegen` is true now that the
+  * CodegenFallback mixin is gone; PlansSpec asserts the fused plan).
   */
 case class TokenizeGenerator(child: Expression)
-    extends UnaryExpression with Generator with CodegenFallback {
+    extends UnaryExpression with CollectionGenerator {
 
   override def elementSchema: StructType =
     StructType(Seq(StructField("word", StringType)))
 
+  override def inline: Boolean = false
+  override def position: Boolean = false
+  override def collectionType: DataType = ArrayType(StringType, containsNull = false)
+
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val v = child.eval(input)
-    if (v == null) Nil
-    else {
-      val s = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
-      s.split("[^a-z0-9]+").iterator
-        .filter(_.nonEmpty)
-        .map(t => InternalRow(UTF8String.fromString(t)))
-        .toSeq
-    }
+    val arr = TokenizeGenerator.tokenizeToArray(child.eval(input).asInstanceOf[UTF8String])
+    (0 until arr.numElements()).map(i => InternalRow(arr.getUTF8String(i)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val arrayData = classOf[ArrayData].getName
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |$arrayData ${ev.value} = graft.plans.TokenizeGenerator.tokenizeToArray(
+        |  ${if (child.nullable) s"${childGen.isNull} ? null : ${childGen.value}" else childGen.value.toString});
+        |""".stripMargin,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenizeGenerator =
     copy(child = newChild)
+}
+
+object TokenizeGenerator {
+  /** Shared kernel for the interpreted and generated paths; null text yields
+    * an empty array (→ zero rows, matching `explode` of an empty array). */
+  def tokenizeToArray(s: UTF8String): ArrayData = {
+    if (s == null) return new GenericArrayData(Array.empty[Any])
+    val parts = s.toString.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+")
+    val out = new scala.collection.mutable.ArrayBuffer[Any](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) out += UTF8String.fromString(parts(i))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** Session registration for the engine's SQL-surface functions. */

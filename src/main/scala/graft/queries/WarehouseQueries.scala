@@ -246,7 +246,7 @@ object WarehouseQueries {
     run = (s, dir) => {
       import s.implicits._
       val sup = Tables.supplier(s, dir)
-      val nat = Tables.nation(s, dir).filter($"n_name" === "NATION_7")
+      val nat = Tables.nation(s, dir).filter($"n_name" === "NATION_3")
       // dims broadcast; the only shuffle is the partkey aggregation
       val v = partsupp(s, dir)
         .join(broadcast(sup), $"ps_suppkey" === sup("s_suppkey"))
@@ -265,7 +265,7 @@ object WarehouseQueries {
         FROM partsupp
         JOIN supplier ON ps_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
-        WHERE n_name = 'NATION_7'
+        WHERE n_name = 'NATION_3'
         GROUP BY 1)
       SELECT ps_partkey, CAST(vc AS DOUBLE) / 100 AS value
       FROM v WHERE CAST(vc AS DOUBLE) > (SELECT CAST(SUM(vc) AS DOUBLE) * 0.0001 FROM v)"""))

@@ -40,6 +40,17 @@ class PlansSpec extends AnyFunSuite {
     fused.zip(comp).foreach { case (f, c) => assert(f === c) }
   }
 
+  test("tokenize Generator runs inside WholeStageCodegen (no fallback)") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("plans_docs_cg")
+    val df = spark.sql(
+      "SELECT word FROM plans_docs_cg LATERAL VIEW tokenize(text) t AS word")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Generate""".r.findFirstIn(plan).isDefined,
+      s"Generate not codegen'd:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("tokenize Generator handles null and empty input") {
     GraftFunctions.register(spark)
     import spark.implicits._
