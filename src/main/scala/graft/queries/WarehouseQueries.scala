@@ -310,8 +310,187 @@ object WarehouseQueries {
       FROM cand JOIN supplier ON ps_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey"""))
 
+  /** TPC-H Q7-style: shipping volume between two nations by year (two
+    * aliases of the same dim table with a disjunctive pair predicate). */
+  val q7VolumeShipping: Q = Q(
+    "q7_volume_shipping",
+    run = (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n1 = Tables.nation(s, dir).select($"n_nationkey".as("n1_key"), $"n_name".as("supp_nation"))
+      val n2 = Tables.nation(s, dir).select($"n_nationkey".as("n2_key"), $"n_name".as("cust_nation"))
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(n1), sup("s_nationkey") === $"n1_key")
+        .join(broadcast(n2), cust("c_nationkey") === $"n2_key")
+        .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_8") ||
+          ($"supp_nation" === "NATION_8" && $"cust_nation" === "NATION_3"))
+        .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").cast("long").as("l_year"))
+        .agg(sum(($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec))))
+          .cast("double").as("revenue"))
+    },
+    oracle = Some("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+         OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+      GROUP BY 1, 2, 3"""))
+
+  /** TPC-H Q8-style: one nation's market share of a region's revenue per
+    * year — conditional-sum ratio (division only at the final DOUBLE
+    * projection, numerators/denominators exact). */
+  val q8MarketShare: Q = Q(
+    "q8_market_share",
+    run = (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir).filter($"r_name" === "EUROPE")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(year($"l_shipdate").cast("long").as("l_year"))
+        .agg(
+          sum(when($"n_name" === "NATION_3",
+            $"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+            .otherwise(lit(0).cast(dec))).cast("double").as("nation_revenue"),
+          sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+            .cast("double").as("region_revenue"))
+        .select($"l_year", ($"nation_revenue" / $"region_revenue").as("mkt_share"),
+          $"nation_revenue", $"region_revenue")
+    },
+    oracle = Some("""
+      WITH a AS (
+        SELECT year(l_shipdate) AS l_year,
+               CAST(SUM(CASE WHEN n_name = 'NATION_3'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_revenue,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS region_revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY 1)
+      SELECT l_year, nation_revenue / region_revenue AS mkt_share,
+             nation_revenue, region_revenue
+      FROM a"""))
+
+  /** TPC-H Q9-style: product-line profit by nation and year. Profit runs in
+    * exact integer cents (100·revenue − cost_cents·qty, all DECIMAL) and
+    * divides to currency only in the final DOUBLE projection. */
+  val q9ProductProfit: Q = Q(
+    "q9_product_profit",
+    run = (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val pt = Tables.part(s, dir).filter($"p_name".contains("widget"))
+      val sup = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir)
+      li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+        .join(partsupp(s, dir),
+          li("l_partkey") === $"ps_partkey" && li("l_suppkey") === $"ps_suppkey")
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .groupBy($"n_name", year($"l_shipdate").cast("long").as("l_year"))
+        .agg(sum(
+          $"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)) * 100
+            - $"ps_cost_cents" * $"l_quantity".cast(dec))
+          .cast("double").as("profit_cents"))
+        .select($"n_name", $"l_year", ($"profit_cents" / 100).as("profit"))
+    },
+    oracle = Some(s"""
+      WITH $partsuppSql
+      SELECT n_name, year(l_shipdate) AS l_year,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * 100
+                      - ps_cost_cents * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / 100 AS profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY 1, 2"""))
+
+  /** TPC-H Q15-style: top supplier(s) by 1996 revenue — scalar-max subquery
+    * over a shared aggregate (exact DECIMAL equality, no float compare). */
+  val q15TopSupplier: Q = Q(
+    "q15_top_supplier",
+    run = (s, dir) => {
+      import s.implicits._
+      val rev = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+          .as("rev"))
+      val top = rev.agg(max($"rev").as("max_rev"))
+      rev.crossJoin(broadcast(top))
+        .filter($"rev" === $"max_rev")
+        .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"rev".cast("double").as("total_revenue"))
+    },
+    oracle = Some("""
+      WITH rev AS (
+        SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE rev = (SELECT MAX(rev) FROM rev)"""))
+
+  /** TPC-H Q17-style: revenue from small-quantity orders. The avg-quantity
+    * threshold `qty < 0.2·avg(qty)` is rewritten division-free as
+    * `5·qty·cnt < sum_qty` so both engines compare exact DECIMALs instead
+    * of engine-specific AVG scales. */
+  val q17SmallQuantity: Q = Q(
+    "q17_small_quantity",
+    run = (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val pt = Tables.part(s, dir).filter($"p_brand" === "Brand#1")
+      val stats = li.groupBy($"l_partkey".as("sp_partkey"))
+        .agg(sum($"l_quantity".cast(dec)).as("sum_qty"), count(lit(1)).as("cnt"))
+      li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+        .join(stats, li("l_partkey") === $"sp_partkey")
+        .filter($"l_quantity".cast(dec) * 5 * $"cnt" < $"sum_qty")
+        .agg(sum($"l_extendedprice".cast(dec)).cast("double").as("small_qty_revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    oracle = Some("""
+      WITH stats AS (
+        SELECT l_partkey AS sp_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1)
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+             COUNT(*) AS n_lines
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN stats ON l_partkey = sp_partkey
+      WHERE p_brand = 'Brand#1'
+        AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty"""))
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, q3TopOrders, q5NationRevenue,
+    q7VolumeShipping, q8MarketShare, q9ProductProfit,
     q10ReturnedRevenue, q11ImportantStock, q12PriorityShipping,
-    q14PromoShare, q18LargeOrders, q20ExcessStock)
+    q14PromoShare, q15TopSupplier, q17SmallQuantity, q18LargeOrders,
+    q20ExcessStock)
 }
