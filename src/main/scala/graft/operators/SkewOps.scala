@@ -25,6 +25,27 @@ object SkewOps {
     def maxOf(c: Column, name: String): Agg = Agg(_ => max(c), max(_), name)
   }
 
+  /** Salted inner equi-join for hot-key joins where the build side is too
+    * large to broadcast and a few probe keys dominate: the probe side gets
+    * a salt in [0, buckets), the build side is replicated `buckets`× via
+    * explode, and the join key becomes (key, salt) — a hot key's rows
+    * spread over `buckets` reducers instead of one straggler task. The
+    * salt value itself never affects the output (every build row exists
+    * under every salt), so the result is row-identical to the plain join
+    * (asserted in SkewSpec and hash-matched vs DuckDB in
+    * skew_salted_join). Cost = buckets× replication of the build side —
+    * size `buckets` to the observed skew, not the cluster. AQE's runtime
+    * skew splitting (on by default in GraftSession) is the first line of
+    * defense; this is the explicit rewrite for when a single key exceeds
+    * what one task can hold. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String, buckets: Int = 16): DataFrame = {
+    val saltedProbe = probe.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    saltedProbe.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Two-phase salted aggregation over `keys`. */
   def saltedAggregate(df: DataFrame, keys: Seq[String], aggs: Seq[Agg], buckets: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))

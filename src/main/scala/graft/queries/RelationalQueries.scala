@@ -380,9 +380,52 @@ object RelationalQueries {
          OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
          OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)"""))
 
+  /** Two-phase salted aggregation (SkewOps.saltedAggregate) — the oracle is
+    * the PLAIN group-by, so the hash match proves the salt rewrite is
+    * semantics-preserving, not merely plausible. */
+  val skewSaltedAgg: Q = Q(
+    "skew_salted_agg",
+    run = (s, dir) => {
+      import graft.operators.SkewOps
+      import graft.operators.SkewOps.Agg
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast(dec).as("qty"))
+      SkewOps.saltedAggregate(li, Seq("l_returnflag", "l_linestatus"),
+        Seq(Agg.sumOf(col("qty"), "qty"), Agg.countAll("ct")))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("qty").cast("double").as("sum_qty"), col("ct"))
+    },
+    oracle = Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS ct
+      FROM lineitem GROUP BY 1, 2"""))
+
+  /** Salted hot-key join (SkewOps.saltedJoin) — oracle is the plain join,
+    * proving the (key, salt) rewrite loses/duplicates no rows. */
+  val skewSaltedJoin: Q = Q(
+    "skew_salted_join",
+    run = (s, dir) => {
+      import graft.operators.SkewOps
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir).select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderpriority"))
+      SkewOps.saltedJoin(li, ord, "l_orderkey", buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast(dec)).cast("double").as("rev"),
+          count(lit(1)).as("ct"))
+    },
+    oracle = Some("""
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+             COUNT(*) AS ct
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     q6Revenue, jSemiAnti, setOps, rollupRevenue, windowAnalytics, approxUv,
     q4OrderPriority, q2MinCost, q16SupplierCounts, q22IdleRich,
     pivotStatus, statsMoments, statsCorr, cubeRevenue, q19Disjunctive,
-    approxPercentiles)
+    approxPercentiles, skewSaltedAgg, skewSaltedJoin)
 }
