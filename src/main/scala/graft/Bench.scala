@@ -14,6 +14,12 @@ object Bench {
     // pipeline (count() would let Catalyst prune projections); one untimed
     // warmup pass over all queries amortizes parquet footers + codegen so
     // the timed pass measures steady-state engine throughput.
+    // SPARK_GRAFT_CACHE=1 serves tables from the in-memory columnar cache.
+    // MEASURED SLOWER at sf0.1 (21s vs 11s total): InMemoryRelation
+    // materializes all columns and drops parquet pushdown/vectorization,
+    // while the OS page cache already absorbs the re-read I/O — so the
+    // default stays on direct vectorized parquet scans.
+    graft.tables.Tables.cacheEnabled = sys.env.contains("SPARK_GRAFT_CACHE")
     val qs = SparkEntry.headlines.map(n => n -> SparkEntry.queries(n))
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -158,6 +158,27 @@ object WarehouseQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY l_linestatus"""))
 
+  /** TPC-H Q13-style: customer order-count distribution (left join
+    * preserving zero-order customers, then a histogram over the counts). */
+  val q13OrderDistribution: Q = Q(
+    "q13_order_distribution",
+    run = (s, dir) => {
+      import s.implicits._
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir)
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+    },
+    oracle = Some("""
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1) t
+      GROUP BY 1"""))
+
   /** TPC-H Q14-style: ratio of a filtered contribution to the total. */
   val q14PromoShare: Q = Q(
     "q14_promo_share",
@@ -491,6 +512,6 @@ object WarehouseQueries {
     q1PricingSummary, q3TopOrders, q5NationRevenue,
     q7VolumeShipping, q8MarketShare, q9ProductProfit,
     q10ReturnedRevenue, q11ImportantStock, q12PriorityShipping,
-    q14PromoShare, q15TopSupplier, q17SmallQuantity, q18LargeOrders,
-    q20ExcessStock)
+    q13OrderDistribution, q14PromoShare, q15TopSupplier, q17SmallQuantity,
+    q18LargeOrders, q20ExcessStock)
 }

@@ -15,8 +15,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Opt-in table cache (Bench SPARK_GRAFT_CACHE=1). Measured SLOWER than
+    * direct parquet at sf0.1 (see Bench): InMemoryRelation loses pushdown +
+    * vectorized-scan advantages and the OS page cache already absorbs
+    * repeat I/O. Kept as a seam because on a real cluster with remote
+    * object storage the tradeoff reverses (network round-trips dominate,
+    * not decode). */
+  @volatile var cacheEnabled: Boolean = false
+  private val cached =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (cacheEnabled)
+      cached.getOrElseUpdate((sfDir, name), spark.read.parquet(s"$sfDir/$name.parquet").persist())
+    else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
