@@ -32,6 +32,46 @@ object Multimodal {
     (w, h, "stub")
   }
 
+  case class Frame(doc_id: Long, frame_idx: Int, pts_ms: Long, frame: Array[Byte])
+
+  /** "Video" frame sampling over an opaque binary column: one row per
+    * sampled frame — `frameSize` bytes at every `stride` offset, stamped
+    * with a fake 25fps presentation time. The flatMap (1→N rows) is the
+    * real contract a codec needs; the byte slice stands in for the decoded
+    * frame (STUB — no codecs in this environment). Oracle-checked by md5
+    * over each emitted frame (t_frame_sample). */
+  def frameSample(spark: SparkSession, binDf: DataFrame,
+      frameSize: Int = 256, stride: Int = 1024, fps: Int = 25): Dataset[Frame] = {
+    import spark.implicits._
+    val ptsStepMs = 1000L / fps
+    binDf.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = math.ceil(bytes.length / stride.toDouble).toInt
+        (0 until n).iterator.map { i =>
+          val off = i * stride
+          val len = math.min(frameSize, bytes.length - off)
+          Frame(id, i, i * ptsStepMs, java.util.Arrays.copyOfRange(bytes, off, off + len))
+        }
+      }
+  }
+
+  case class Resized(doc_id: Long, width: Int, height: Int, thumb: Array[Byte])
+
+  /** STUB resize: keep every `factor`-th byte (the 1-D analog of image
+    * downsampling) and scale the fake decoded dims; deterministic so the
+    * oracle can recompute the thumbnail md5 (t_resize). */
+  def resize(spark: SparkSession, binDf: DataFrame, factor: Int = 4): Dataset[Resized] = {
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, _) = decodeStub(bytes)
+          val thumb = Array.tabulate((bytes.length + factor - 1) / factor)(i => bytes(i * factor))
+          Resized(id, math.max(1, w / factor), math.max(1, h / factor), thumb)
+        }
+      }
+  }
+
   /** Per-partition batched metadata extraction over (doc_id, content).
     * One decoder instance per partition (the expensive-init pattern real
     * codecs need), rows streamed through it. */

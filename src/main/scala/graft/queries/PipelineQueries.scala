@@ -229,6 +229,58 @@ object PipelineQueries {
              'stub' AS format
       FROM h"""))
 
+  /** Frame sampling over the binary column: 64-byte "frames" every 128
+    * bytes (docs are 48–553 bytes, so up to 5 frames each) at fake 25fps.
+    * Oracle slices the VARCHAR (documents are pure ASCII at every SF) and
+    * md5s each frame. */
+  val tFrameSample: Q = Q(
+    "t_frame_sample",
+    run = (s, dir) => {
+      Multimodal.frameSample(s, Multimodal.asBinary(Tables.documents(s, dir)),
+        frameSize = 64, stride = 128).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("pts_ms"),
+          length(col("frame")).cast("long").as("n_bytes"),
+          md5(col("frame")).as("frame_md5"))
+    },
+    oracle = Some("""
+      WITH b AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+      ix AS (
+        SELECT doc_id, text, unnest(range(0, CAST(ceil(len / 128.0) AS BIGINT))) AS i
+        FROM b),
+      f AS (
+        SELECT doc_id, CAST(i AS INT) AS frame_idx, i * 40 AS pts_ms,
+               substring(text, CAST(i * 128 + 1 AS BIGINT), 64) AS fr
+        FROM ix)
+      SELECT doc_id, frame_idx, pts_ms,
+             CAST(octet_length(encode(fr)) AS BIGINT) AS n_bytes,
+             md5(fr) AS frame_md5
+      FROM f"""))
+
+  /** Stub resize: every-4th-byte thumbnail + scaled fake dims. */
+  val tResize: Q = Q(
+    "t_resize",
+    run = (s, dir) => {
+      Multimodal.resize(s, Multimodal.asBinary(Tables.documents(s, dir))).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          length(col("thumb")).cast("long").as("n_bytes"),
+          md5(col("thumb")).as("thumb_md5"))
+    },
+    oracle = Some("""
+      WITH h AS (SELECT doc_id, text, md5(text) AS m FROM documents),
+      t AS (
+        SELECT doc_id,
+          CAST(greatest(1, (1 + (16 * (strpos('0123456789abcdef', substr(m,1,1)) - 1)
+                + (strpos('0123456789abcdef', substr(m,2,1)) - 1)) % 64) // 4) AS INT) AS width,
+          CAST(greatest(1, (1 + (16 * (strpos('0123456789abcdef', substr(m,3,1)) - 1)
+                + (strpos('0123456789abcdef', substr(m,4,1)) - 1)) % 64) // 4) AS INT) AS height,
+          array_to_string([text[i+1] for i in range(0, CAST(length(text) AS BIGINT)) if i % 4 = 0], '') AS thumb
+        FROM h)
+      SELECT doc_id, width, height,
+             CAST(octet_length(encode(thumb)) AS BIGINT) AS n_bytes,
+             md5(thumb) AS thumb_md5
+      FROM t"""))
+
   /** ANN scale-path self-check: IVF (deterministic k-means|| init, k=16,
     * nprobe=4) top-10 recall against exact brute force. One output row
     * (n_expected, n_hit, recall). Rows-only — a k-means pipeline is not
@@ -256,5 +308,5 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     tDedupExact, tDedupMinhash, tDedupMinhashSalted, tSimhash, tAnnCosine,
     tDedupEmbedding, tLangId, tQualityScore, tTokenStats, tMultimodalMeta,
-    tAnnIvfRecall)
+    tFrameSample, tResize, tAnnIvfRecall)
 }
