@@ -44,6 +44,39 @@ object TextAnalysis {
         pred.as("pred_lang")): _*)
   }
 
+  /** Pinned char-trigram profiles (top trigrams with space-padded word
+    * boundaries — " th"/"he " are classic English signals). Tiny by
+    * design; production swaps in trained profiles, same operator shape. */
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("er ", "en ", "der", "ein", "sch", "ich", "nde", "die"),
+    "en" -> Seq(" th", "the", "he ", "ing", "and", " of", "ed ", "ion"),
+    "es" -> Seq(" de", "de ", "os ", "la ", "el ", "que", " es", "ado"),
+    "fr" -> Seq(" le", "le ", "es ", "ent", "que", "les", " un", "ais"))
+
+  /** Char-n-gram language ID: space-padded normalized text → distinct
+    * trigram set → per-language profile hits; ties broken alphabetically,
+    * zero hits => 'und'. The trigram array is bound in its own projection
+    * before any lambda references it (re-evaluation cliff — see scaladoc
+    * above). Pure map-side, like langId. */
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    val padded = docs.select(col("doc_id"),
+      concat(lit(" "), trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), lit(" ")).as("s"))
+    val bound = padded.select(col("doc_id"),
+      when(length(col("s")) < 3, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(sequence(lit(1), length(col("s")) - 2),
+          i => col("s").substr(i, lit(3))))).as("tris"))
+    val hitCols = trigramProfiles.map { case (lang, tris) =>
+      lang -> size(array_intersect(col("tris"), array(tris.map(lit): _*)))
+    }
+    val mx = greatest(hitCols.map(_._2): _*)
+    val pred = hitCols.foldLeft(when(mx === 0, "und"): Column) {
+      case (acc, (lang, h)) => acc.when(h === mx, lang)
+    }
+    bound.select(
+      (col("doc_id") +: hitCols.map { case (l, h) => h.cast("long").as(s"tri_$l") } :+
+        pred.as("pred_lang")): _*)
+  }
+
   /** Quality score: length saturation, type-token ratio, stopword rate —
     * the classic cheap pre-filter trio for web-scale corpora. */
   def qualityScore(docs: DataFrame): DataFrame = {

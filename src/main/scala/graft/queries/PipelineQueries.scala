@@ -179,6 +179,43 @@ object PipelineQueries {
                   ELSE 'fr' END AS pred_lang
       FROM h"""))
 
+  /** Char-trigram language ID (the n-gram heuristic variant of t_lang_id). */
+  val tLangIdNgram: Q = Q(
+    "t_lang_id_ngram",
+    run = (s, dir) => TextAnalysis.langIdNgram(Tables.documents(s, dir)),
+    oracle = {
+      val profiles = TextAnalysis.trigramProfiles.map { case (lang, tris) =>
+        lang -> tris.map(t => s"'$t'").mkString("[", ",", "]")
+      }.toMap
+      Some(s"""
+      WITH s AS (
+        SELECT doc_id,
+               ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' ' AS s
+        FROM documents),
+      t AS (
+        SELECT doc_id,
+               CASE WHEN length(s) < 3 THEN []::VARCHAR[]
+                    ELSE list_distinct([substring(s, i, 3) for i in range(1, CAST(length(s) AS BIGINT) - 1)])
+               END AS tris
+        FROM s),
+      h AS (
+        SELECT doc_id,
+               len(list_intersect(tris, ${profiles("de")})) AS hde,
+               len(list_intersect(tris, ${profiles("en")})) AS hen,
+               len(list_intersect(tris, ${profiles("es")})) AS hes,
+               len(list_intersect(tris, ${profiles("fr")})) AS hfr
+        FROM t)
+      SELECT doc_id,
+             CAST(hde AS BIGINT) AS tri_de, CAST(hen AS BIGINT) AS tri_en,
+             CAST(hes AS BIGINT) AS tri_es, CAST(hfr AS BIGINT) AS tri_fr,
+             CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
+                  WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de'
+                  WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
+                  WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM h""")
+    })
+
   /** Quality scoring: TTR, stopword rate, length saturation. */
   val tQualityScore: Q = Q(
     "t_quality_score",
@@ -307,6 +344,6 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     tDedupExact, tDedupMinhash, tDedupMinhashSalted, tSimhash, tAnnCosine,
-    tDedupEmbedding, tLangId, tQualityScore, tTokenStats, tMultimodalMeta,
-    tFrameSample, tResize, tAnnIvfRecall)
+    tDedupEmbedding, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
+    tMultimodalMeta, tFrameSample, tResize, tAnnIvfRecall)
 }
