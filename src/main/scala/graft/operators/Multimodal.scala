@@ -21,7 +21,7 @@ object Multimodal {
     * document text (the testdata has no true media column); in production
     * this is the parquet/Delta binary column itself. */
   def asBinary(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+    docs.select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("content"))
 
   /** STUB decoder: fake width/height derived from the first md5 bytes of
     * the content — deterministic so tests and oracles can pin it. */

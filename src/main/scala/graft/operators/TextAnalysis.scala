@@ -24,8 +24,9 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "de", "un"))
 
   private def withToks(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-      tokens(col("text")).as("toks"))
+    docs.select(col("doc_id"),
+      length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
+      tokens(coalesce(col("text"), lit(""))).as("toks"))
 
   private def hits(toks: Column, words: Seq[String]): Column =
     size(array_intersect(array_distinct(toks), array(words.map(lit): _*)))
@@ -60,7 +61,9 @@ object TextAnalysis {
     * above). Pure map-side, like langId. */
   def langIdNgram(docs: DataFrame): DataFrame = {
     val padded = docs.select(col("doc_id"),
-      concat(lit(" "), trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), lit(" ")).as("s"))
+      concat(lit(" "),
+        trim(regexp_replace(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+", " ")),
+        lit(" ")).as("s"))
     val bound = padded.select(col("doc_id"),
       when(length(col("s")) < 3, array().cast("array<string>"))
         .otherwise(array_distinct(transform(sequence(lit(1), length(col("s")) - 2),

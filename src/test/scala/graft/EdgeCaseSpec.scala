@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Degenerate-input robustness: operators must not throw on empty or
   * pathological inputs (at 100 TB, some partition somewhere WILL be
@@ -46,6 +46,20 @@ class EdgeCaseSpec extends AnyFunSuite {
     val stats = TextAnalysis.tokenStats(weirdDocs).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(stats(1L) === 0 && stats(4L) === 2)
+  }
+
+  test("multimodal and n-gram langid on degenerate/null docs") {
+    import spark.implicits._
+    val nullDocs = Seq((1L, null.asInstanceOf[String]), (2L, "hello world"))
+      .toDF("doc_id", "text")
+    assert(Multimodal.extractMeta(spark, Multimodal.asBinary(weirdDocs)).count() === 5)
+    // "" yields zero frames; the other four docs yield one frame each
+    assert(Multimodal.frameSample(spark, Multimodal.asBinary(weirdDocs)).count() === 4)
+    assert(Multimodal.resize(spark, Multimodal.asBinary(weirdDocs)).count() === 5)
+    assert(Multimodal.extractMeta(spark, Multimodal.asBinary(nullDocs)).count() === 2)
+    assert(TextAnalysis.langIdNgram(nullDocs).count() === 2)
+    assert(TextAnalysis.langIdNgram(weirdDocs).count() === 5)
+    assert(TextAnalysis.langId(nullDocs).count() === 2)
   }
 
   test("similarity on empty query set returns empty") {
