@@ -108,6 +108,31 @@ object StatefulOps {
         })
   }
 
+  case class SeenFp(seen: Boolean)
+
+  /** Streaming exact document dedup by content fingerprint — the streaming
+    * twin of Dedup.exactGroups: the FIRST document per fingerprint (min
+    * doc_id within the first micro-batch that carries it) is emitted, every
+    * later duplicate is dropped across micro-batches. State = one boolean
+    * marker per DISTINCT fingerprint (bounded by corpus cardinality, not
+    * stream length); at 100 TB this is the corpus-ingest dedup gate, hash
+    * partitioned by the groupByKey shuffle like every other keyed state. */
+  def dedupDocsByFingerprint(spark: SparkSession, docs: DataFrame): Dataset[(String, Long)] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (fp: String, rows: Iterator[(Long, String)], state: GroupState[SeenFp]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(SeenFp(true))
+            Iterator.single(fp -> rows.map(_._1).min)
+          }
+        })
+  }
+
   /** A8: first-row dedup by key within the watermark window — the streaming
     * form of Dws09's 5s-TTL ValueState marker. */
   def dedupFirstWithinWatermark(events: DataFrame, delay: String = "5 seconds"): DataFrame =

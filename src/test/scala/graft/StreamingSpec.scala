@@ -213,4 +213,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("user_id", "event_type").distinct().count() === wantKeys)
     assert(got.count() >= wantKeys && got.count() < eventRows.size)
   }
+
+  test("dedupDocsByFingerprint stream == Dedup.exactGroups keep set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StatefulOps.dedupDocsByFingerprint(spark, stream.toDF().toDF("doc_id", "text"))
+      .toDF("fp", "keep_id")
+      .writeStream.format("memory").queryName("s_docdedup").outputMode("append").start()
+    // doc_id-ordered batches => first batch carrying a fp holds its min id,
+    // so the stream's keep set must equal the batch operator's exactly
+    val (h1, h2) = docRows.splitAt(docRows.size / 2)
+    stream.addData(h1); q.processAllAvailable()
+    stream.addData(h2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_docdedup").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = graft.operators.Dedup.exactGroups(Tables.documents(spark, dir))
+      .select(col("fp"), col("keep_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === want && got.nonEmpty)
+  }
 }
