@@ -179,6 +179,36 @@ object PipelineQueries {
                   ELSE 'fr' END AS pred_lang
       FROM h"""))
 
+  /** Embedding post-processing: L2 norm, max-abs scale, and symmetric int8
+    * quantization (what a training pipeline ships). The quantized vector is
+    * compared by md5 over its int CSV (doubles never stringify in the
+    * compare; int rendering is engine-identical). */
+  val tQuantizeEmbeddings: Q = Q(
+    "t_quantize_embeddings",
+    run = (s, dir) => {
+      import graft.functions.VectorFunctions._
+      val bound = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", l2Norm(col("e")))
+        .withColumn("scale", maxAbs(col("e")))
+      bound.withColumn("q", quantizeInt8With(col("e"), col("scale")))
+        .select(col("vec_id"), col("nrm"), col("scale"),
+          md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"))
+    },
+    oracle = Some("""
+      WITH v AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      b AS (
+        SELECT vec_id, e,
+               sqrt(list_sum([x*x for x in e])) AS nrm,
+               list_max([abs(x) for x in e]) AS scale
+        FROM v),
+      q AS (
+        SELECT vec_id, nrm, scale,
+               [CAST(least(greatest(floor(x*127/scale + 0.5), -127), 127) AS INT) for x in e] AS qv
+        FROM b)
+      SELECT vec_id, nrm, scale, md5(array_to_string(qv, ',')) AS q_md5 FROM q"""))
+
   /** Char-trigram language ID (the n-gram heuristic variant of t_lang_id). */
   val tLangIdNgram: Q = Q(
     "t_lang_id_ngram",
@@ -347,5 +377,6 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     tDedupExact, tDedupMinhash, tDedupMinhashSalted, tSimhash, tAnnCosine,
     tDedupEmbedding, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
-    tMultimodalMeta, tFrameSample, tResize, tAnnIvfRecall)
+    tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
+    tAnnIvfRecall)
 }

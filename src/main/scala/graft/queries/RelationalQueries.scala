@@ -305,15 +305,22 @@ object RelationalQueries {
     run = (s, dir) => {
       import s.implicits._
       val d4 = DecimalType(28, 4)
+      // decimal -> STRING -> double: at sf0.1 the wide sums exceed double's
+      // 53-bit mantissa, and Spark/DuckDB round the direct decimal->double
+      // conversion differently by 1 ulp (double-rounding through the scale
+      // divide). Decimal->string is exact in both engines and
+      // string->double is correctly rounded in both — so the detour pins
+      // an identical IEEE value on both sides.
+      def d2s(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
       Tables.lineitem(s, dir)
         .groupBy($"l_linestatus")
         .agg(
           count(lit(1)).cast("double").as("n"),
-          sum($"l_quantity".cast(dec)).cast("double").as("sx"),
-          sum($"l_extendedprice".cast(dec)).cast("double").as("sy"),
-          sum(($"l_quantity".cast(dec) * $"l_quantity".cast(dec)).cast(d4)).cast("double").as("sxx"),
-          sum(($"l_extendedprice".cast(dec) * $"l_extendedprice".cast(dec)).cast(d4)).cast("double").as("syy"),
-          sum(($"l_quantity".cast(dec) * $"l_extendedprice".cast(dec)).cast(d4)).cast("double").as("sxy"))
+          d2s(sum($"l_quantity".cast(dec))).as("sx"),
+          d2s(sum($"l_extendedprice".cast(dec))).as("sy"),
+          d2s(sum(($"l_quantity".cast(dec) * $"l_quantity".cast(dec)).cast(d4))).as("sxx"),
+          d2s(sum(($"l_extendedprice".cast(dec) * $"l_extendedprice".cast(dec)).cast(d4))).as("syy"),
+          d2s(sum(($"l_quantity".cast(dec) * $"l_extendedprice".cast(dec)).cast(d4))).as("sxy"))
         .select($"l_linestatus",
           (($"n" * $"sxy" - $"sx" * $"sy") /
             (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
@@ -322,11 +329,11 @@ object RelationalQueries {
       WITH a AS (
         SELECT l_linestatus,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sxy
         FROM lineitem GROUP BY 1)
       SELECT l_linestatus,
              (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price

@@ -75,4 +75,22 @@ class FunctionsSpec extends AnyFunSuite {
       VectorFunctions.toDouble(col("a")), VectorFunctions.toDouble(col("b")))).collect()(0).getDouble(0)
     assert(sim === 0.0)
   }
+
+  test("l2-normalized vector has unit norm; quantization clamps and zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),          // norm 5, scale 4
+      (2L, Array(0.0f, 0.0f)))          // zero vector: normalize/quantize -> zeros
+      .toDF("vec_id", "e")
+      .select(col("vec_id"), VectorFunctions.toDouble(col("e")).as("e"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("e")))
+      .withColumn("scale", VectorFunctions.maxAbs(col("e")))
+    val rows = df.select(col("vec_id"),
+      VectorFunctions.l2Norm(VectorFunctions.l2NormalizeWith(col("e"), col("nrm"))).as("unit"),
+      VectorFunctions.quantizeInt8With(col("e"), col("scale")).as("q"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    assert(math.abs(rows(1L)._1 - 1.0) < 1e-12)
+    assert(rows(1L)._2 === Seq(95, 127)) // floor(3/4*127+.5)=95, max clamps to 127
+    assert(rows(2L)._1 === 0.0 && rows(2L)._2 === Seq(0, 0))
+  }
 }
