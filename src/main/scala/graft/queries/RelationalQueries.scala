@@ -387,6 +387,52 @@ object RelationalQueries {
          OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
          OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)"""))
 
+  /** Arbitrary GROUPING SETS (beyond the rollup/cube lattices): detail,
+    * one partial, and grand total in one pass. */
+  val groupingSets: Q = Q(
+    "grouping_sets_revenue",
+    run = (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("gs_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS ct
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+    },
+    oracle = Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS ct
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""))
+
+  /** Ordered-set aggregates: exact discrete percentiles (the element whose
+    * cume_dist first reaches p — identical SQL-standard semantics in Spark's
+    * percentile_disc and DuckDB's; element selection, no interpolation, so
+    * no float-arithmetic divergence). Exact quantiles need a per-group sort
+    * at scale — the one deliberately sort-based aggregate in the catalog
+    * (approx_percentiles is the sketch-based scale path). */
+  val statsQuantiles: Q = Q(
+    "stats_quantiles",
+    run = (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_qty"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_qty"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99_price"),
+          count(lit(1)).as("ct"))
+    },
+    oracle = Some("""
+      SELECT l_returnflag,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p50_qty,
+             CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p90_qty,
+             CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) AS p99_price,
+             COUNT(*) AS ct
+      FROM lineitem GROUP BY 1"""))
+
   /** Two-phase salted aggregation (SkewOps.saltedAggregate) — the oracle is
     * the PLAIN group-by, so the hash match proves the salt rewrite is
     * semantics-preserving, not merely plausible. */
@@ -434,5 +480,6 @@ object RelationalQueries {
     q6Revenue, jSemiAnti, setOps, rollupRevenue, windowAnalytics, approxUv,
     q4OrderPriority, q2MinCost, q16SupplierCounts, q22IdleRich,
     pivotStatus, statsMoments, statsCorr, cubeRevenue, q19Disjunctive,
-    approxPercentiles, skewSaltedAgg, skewSaltedJoin)
+    approxPercentiles, statsQuantiles, groupingSets, skewSaltedAgg,
+    skewSaltedJoin)
 }
