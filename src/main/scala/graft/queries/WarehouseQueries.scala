@@ -508,10 +508,54 @@ object WarehouseQueries {
       WHERE p_brand = 'Brand#1'
         AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty"""))
 
+  /** TPC-H Q21 SHAPE analog — suppliers who alone shipped late on
+    * multi-supplier orders. The original needs l_commitdate/l_receiptdate
+    * (absent from the testdata); "late" is re-pinned as shipped > 90 days
+    * after o_orderdate, which preserves the query's defining structure:
+    * a correlated EXISTS + NOT EXISTS pair that Catalyst decorrelates
+    * into semi/anti joins. */
+  val q21LateSupplier: Q = Q(
+    "q21_late_supplier",
+    run = (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("q21_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("q21_orders")
+      Tables.supplier(s, dir).createOrReplaceTempView("q21_supplier")
+      s.sql("""
+        SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        FROM q21_lineitem l1
+        JOIN q21_orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN q21_supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+            SELECT 1 FROM q21_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM q21_lineitem l3
+            JOIN q21_orders o3 ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s_suppkey, s_name""")
+    },
+    oracle = Some("""
+      SELECT s_suppkey, s_name, COUNT(*) AS numwait
+      FROM lineitem l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+      WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+      GROUP BY s_suppkey, s_name"""))
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, q3TopOrders, q5NationRevenue,
     q7VolumeShipping, q8MarketShare, q9ProductProfit,
     q10ReturnedRevenue, q11ImportantStock, q12PriorityShipping,
     q13OrderDistribution, q14PromoShare, q15TopSupplier, q17SmallQuantity,
-    q18LargeOrders, q20ExcessStock)
+    q18LargeOrders, q20ExcessStock, q21LateSupplier)
 }
