@@ -387,6 +387,39 @@ object RelationalQueries {
          OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
          OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)"""))
 
+  /** RANGE window frame (value-based, not row-based): per-supplier daily
+    * revenue plus the trailing-30-day revenue sum. The frame key is epoch
+    * days (numeric) so both engines evaluate the identical RANGE bound;
+    * revenue stays DECIMAL-exact inside the frame sum. */
+  val windowRangeFrame: Q = Q(
+    "window_range_frame",
+    run = (s, dir) => {
+      import s.implicits._
+      val daily = Tables.lineitem(s, dir)
+        .groupBy($"l_suppkey", to_date($"l_shipdate").as("ship_dt"))
+        .agg(sum($"l_extendedprice".cast(dec)).as("rev"))
+        .withColumn("epoch_day", datediff($"ship_dt", lit("1970-01-01").cast("date")).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_suppkey").orderBy($"epoch_day")
+        .rangeBetween(-30, 0)
+      daily.select($"l_suppkey",
+        date_format($"ship_dt", "yyyy-MM-dd").as("ship_dt"),
+        $"rev".cast("double").as("day_rev"),
+        sum($"rev").over(w).cast("double").as("rev_30d"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_dt,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem GROUP BY 1, 2)
+      SELECT l_suppkey, strftime(ship_dt, '%Y-%m-%d') AS ship_dt,
+             CAST(rev AS DOUBLE) AS day_rev,
+             CAST(SUM(rev) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY datediff('day', DATE '1970-01-01', ship_dt)
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d
+      FROM daily"""))
+
   /** Arbitrary GROUPING SETS (beyond the rollup/cube lattices): detail,
     * one partial, and grand total in one pass. */
   val groupingSets: Q = Q(
@@ -480,6 +513,6 @@ object RelationalQueries {
     q6Revenue, jSemiAnti, setOps, rollupRevenue, windowAnalytics, approxUv,
     q4OrderPriority, q2MinCost, q16SupplierCounts, q22IdleRich,
     pivotStatus, statsMoments, statsCorr, cubeRevenue, q19Disjunctive,
-    approxPercentiles, statsQuantiles, groupingSets, skewSaltedAgg,
-    skewSaltedJoin)
+    approxPercentiles, statsQuantiles, groupingSets, windowRangeFrame,
+    skewSaltedAgg, skewSaltedJoin)
 }
