@@ -39,8 +39,15 @@ object TextFunctions {
       (_, i) => i <= size(toks) - n)
 
   /** 32-bit numeric hash of a string: first 8 hex digits of md5, engine-
-    * portable (DuckDB: `('0x'||substr(md5(x),1,8))::BIGINT`). */
+    * portable (DuckDB: `('0x'||substr(md5(x),1,8))::BIGINT`). Backed by
+    * the fused native Md5Prefix32 expression (one digest, no hex-string
+    * round-trip; registered by GraftFunctions.register, which every
+    * GraftSession/SparkTestSession runs); `hash32Compositional` is the
+    * pure-functions form kept for the bit-equality proof in PlansSpec. */
   def hash32(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("md5_prefix32", c)
+
+  def hash32Compositional(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** MinHash permutation `seed` over a precomputed hash32 array: universal

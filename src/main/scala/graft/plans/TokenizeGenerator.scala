@@ -80,5 +80,7 @@ object GraftFunctions {
       "tokenize", exprs => TokenizeGenerator(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_fused", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_prefix32", exprs => Md5Prefix32(exprs.head), "scala_udf")
   }
 }

@@ -51,6 +51,17 @@ class PlansSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("fused md5-prefix hash == compositional conv(substring(md5)) chain") {
+    GraftFunctions.register(spark)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+    val pairs = toks.select(
+      TextFunctions.hash32(col("t")).as("fused"),
+      TextFunctions.hash32Compositional(col("t")).as("comp"))
+    assert(pairs.filter(col("fused") =!= col("comp")).count() === 0)
+    assert(pairs.count() > 0)
+  }
+
   test("tokenize Generator handles null and empty input") {
     GraftFunctions.register(spark)
     import spark.implicits._
