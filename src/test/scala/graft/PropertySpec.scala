@@ -36,6 +36,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("frame sampling reassembles the original bytes when stride == frame") {
+    import spark.implicits._
+    for (seed <- 1L to 5L) {
+      val batch = sample(Gen.listOfN(10, texts), seed)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val docs = batch.toDF("doc_id", "text")
+      val frames = graft.operators.Multimodal
+        .frameSample(spark, graft.operators.Multimodal.asBinary(docs),
+          frameSize = 7, stride = 7)
+        .collect().groupBy(_.doc_id)
+        .map { case (id, fs) =>
+          id -> fs.sortBy(_.frame_idx).flatMap(_.frame).toSeq
+        }
+      batch.foreach { case (id, t) =>
+        val want = t.getBytes("UTF-8").toSeq
+        assert(frames.getOrElse(id, Seq.empty) === want, s"seed=$seed doc=$id")
+      }
+    }
+  }
+
+  test("int8 quantization is bounded and sign-preserving on random vectors") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    for (seed <- 1L to 5L) {
+      val vecs = sample(Gen.listOfN(10,
+        Gen.listOfN(16, Gen.chooseNum(-1e6f, 1e6f))), seed)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      val rows = vecs.toDF("vec_id", "e")
+        .select(col("vec_id"), toDouble(col("e")).as("e"))
+        .withColumn("scale", maxAbs(col("e")))
+        .select(col("vec_id"), col("e"), quantizeInt8With(col("e"), col("scale")).as("q"))
+        .collect()
+        .map(r => (r.getSeq[Double](1), r.getSeq[Int](2)))
+      rows.foreach { case (e, q) =>
+        assert(e.length === q.length)
+        q.foreach(x => assert(x >= -127 && x <= 127, s"seed=$seed q=$x"))
+        e.zip(q).foreach { case (x, qx) =>
+          if (x > 0) assert(qx >= 0) else if (x < 0) assert(qx <= 0)
+        }
+      }
+    }
+  }
+
   test("simhash of identical token multisets is order-invariant") {
     import spark.implicits._
     for (seed <- 1L to 5L) {
