@@ -19,7 +19,7 @@ object Bench {
     // materializes all columns and drops parquet pushdown/vectorization,
     // while the OS page cache already absorbs the re-read I/O — so the
     // default stays on direct vectorized parquet scans.
-    graft.tables.Tables.cacheEnabled = sys.env.contains("SPARK_GRAFT_CACHE")
+    graft.tables.Tables.cacheEnabled = sys.env.get("SPARK_GRAFT_CACHE").contains("1")
     val qs = SparkEntry.headlines.map(n => n -> SparkEntry.queries(n))
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

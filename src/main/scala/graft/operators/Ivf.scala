@@ -45,7 +45,10 @@ object Ivf {
     var centroids = init
     var i = 0
     while (i < iters) {
-      centroids = centroidMeans(assign(v, centroids)).persist()
+      val next = centroidMeans(assign(v, centroids)).persist()
+      next.count() // materialize before releasing the previous iteration
+      if (i > 0) centroids.unpersist(blocking = false)
+      centroids = next
       i += 1
     }
     centroids
@@ -74,7 +77,12 @@ object Ivf {
     * At 100 TB: `rounds`+1 scans total, driver traffic is O(k·rounds·dim).
     */
   def trainScalable(vectors: DataFrame, k: Int, iters: Int = 2, rounds: Int = 3): DataFrame = {
+    // every frame persisted here is tracked and unpersisted on exit —
+    // Bench runs this twice (warmup + timed), and leaked InMemoryRelations
+    // would accumulate across calls
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val v = vectors.select(col("vec_id"), toDouble(col("embedding")).as("e")).persist()
+    persisted += v
     val l = 2.0 * k
     var cand = v.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
@@ -85,6 +93,7 @@ object Ivf {
         .withColumn("d", lit(1.0) - cosineFused(col("e"), col("ce")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("vec_id"), col("e"), col("d")).persist()
+      persisted += dists
       val cost = dists.agg(sum(col("d"))).first().getDouble(0)
       if (cost > 0) {
         val sel = dists
@@ -92,6 +101,7 @@ object Ivf {
             col("d") * (l / cost))
           .select(col("vec_id").as("cid"), col("e").as("ce"))
         cand = cand.union(sel).dropDuplicates("cid").persist()
+        persisted += cand
       }
       r += 1
     }
@@ -121,7 +131,10 @@ object Ivf {
     val init = chosen.zipWithIndex
       .map { case (pi, ci) => (ci, pts(pi)._2.toSeq) }.toSeq
       .toDF("cid", "ce")
-    lloyd(v, init, iters)
+    val result = lloyd(v, init, iters)
+    // final centroids are materialized inside lloyd; the intermediates can go
+    persisted.foreach(_.unpersist(blocking = false))
+    result
   }
 
   /** Index: every vector tagged with its cluster id. */

@@ -1,8 +1,9 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused 32-bit md5-prefix hash — native, codegen'd replacement for the
@@ -18,6 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class Md5Prefix32(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+
+  // fail at analysis, not with a ClassCastException inside a running job
+  // (ExpectsInputTypes is unavailable here — AbstractDataType is
+  // private[sql], the same seam issue noted in ROUND_NOTES)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix32 requires STRING input, got ${child.dataType.catalogString}")
 
   override protected def nullSafeEval(input: Any): Any =
     HashExpressions.md5Prefix32(input.asInstanceOf[UTF8String])

@@ -220,7 +220,7 @@ object PipelineQueries {
       Some(s"""
       WITH s AS (
         SELECT doc_id,
-               ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' ' AS s
+               ' ' || trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')) || ' ' AS s
         FROM documents),
       t AS (
         SELECT doc_id,
@@ -311,7 +311,9 @@ object PipelineQueries {
     },
     oracle = Some("""
       WITH b AS (
-        SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+        SELECT doc_id, coalesce(text, '') AS text,
+               octet_length(encode(coalesce(text, ''))) AS len
+        FROM documents),
       ix AS (
         SELECT doc_id, text, unnest(range(0, CAST(ceil(len / 128.0) AS BIGINT))) AS i
         FROM b),
@@ -334,7 +336,8 @@ object PipelineQueries {
           md5(col("thumb")).as("thumb_md5"))
     },
     oracle = Some("""
-      WITH h AS (SELECT doc_id, text, md5(text) AS m FROM documents),
+      WITH h AS (SELECT doc_id, coalesce(text, '') AS text, md5(coalesce(text, '')) AS m
+                 FROM documents),
       t AS (
         SELECT doc_id,
           CAST(greatest(1, (1 + (16 * (strpos('0123456789abcdef', substr(m,1,1)) - 1)

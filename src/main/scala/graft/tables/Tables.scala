@@ -22,12 +22,15 @@ object Tables {
     * object storage the tradeoff reverses (network round-trips dominate,
     * not decode). */
   @volatile var cacheEnabled: Boolean = false
+  // keyed by applicationId too: a cached DataFrame is bound to its session,
+  // and serving one from a stopped session would throw on first action
   private val cached =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (cacheEnabled)
-      cached.getOrElseUpdate((sfDir, name), spark.read.parquet(s"$sfDir/$name.parquet").persist())
+      cached.getOrElseUpdate((spark.sparkContext.applicationId, sfDir, name),
+        spark.read.parquet(s"$sfDir/$name.parquet").persist())
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

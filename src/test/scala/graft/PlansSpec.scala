@@ -62,6 +62,16 @@ class PlansSpec extends AnyFunSuite {
     assert(pairs.count() > 0)
   }
 
+  test("md5_prefix32 rejects non-string input at analysis time") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(1L, 2L).toDF("n").createOrReplaceTempView("plans_longs")
+    val e = intercept[Exception] {
+      spark.sql("SELECT md5_prefix32(n) FROM plans_longs").collect()
+    }
+    assert(e.getMessage.contains("STRING"), e.getMessage)
+  }
+
   test("tokenize Generator handles null and empty input") {
     GraftFunctions.register(spark)
     import spark.implicits._
