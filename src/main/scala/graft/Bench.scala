@@ -23,12 +23,18 @@ object Bench {
     val qs = SparkEntry.headlines.map(n => n -> SparkEntry.queries(n))
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    qs.foreach { case (_, fn) =>
-      try exec(fn) catch { case _: Throwable => () }
+    // failures must stay VISIBLE (stderr — stdout is the one JSON line):
+    // a silently-swallowed headline would record ~0s and read as a speedup
+    qs.foreach { case (name, fn) =>
+      try exec(fn) catch { case e: Throwable =>
+        System.err.println(s"[bench] WARMUP FAILED $name: $e")
+      }
     }
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try exec(fn) catch { case _: Throwable => () }
+      try exec(fn) catch { case e: Throwable =>
+        System.err.println(s"[bench] FAILED $name: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val perQuery = results.map { case (k, v) => "\"" + k + "\":" + v }

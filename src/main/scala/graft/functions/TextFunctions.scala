@@ -73,10 +73,14 @@ object TextFunctions {
     */
   def simhash32(tokenSet: Column): Column = {
     val hashes = transform(tokenSet, hash32(_))
-    (0 until 32).map { b =>
+    val sig = (0 until 32).map { b =>
       val voteSum = aggregate(hashes, lit(0L),
         (acc, v) => acc + (shiftright(v, 31 - b).bitwiseAND(lit(1L)) * 2 - 1))
       when(voteSum >= 0, lit(1L << (31 - b))).otherwise(lit(0L))
     }.reduce(_ + _)
+    // zero tokens => null, matching simhashTable (whose explode emits no
+    // row) — without the guard an empty set votes 0 on every bit and
+    // returns 0xFFFFFFFF, a bogus "signature" that near-matches nothing
+    when(size(tokenSet) === 0, lit(null).cast("long")).otherwise(sig)
   }
 }

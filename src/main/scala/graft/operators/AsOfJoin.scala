@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Event-time AS-OF join — the operator Spark lacks natively (the guide's
   * canonical custom-operator example; the reference's temporal join J3 is
@@ -27,10 +28,16 @@ object AsOfJoin {
   def asOf(left: DataFrame, leftTs: String,
       right: DataFrame, rightTs: String,
       key: String, payloadCol: String): DataFrame = {
+    // the payload rides inside a single-field struct: the struct is the
+    // "right row exists here" marker (non-null for every right row, null
+    // for left markers), so last(ignoreNulls) skips left rows WITHOUT
+    // also skipping right rows whose payload value is legitimately null
+    val pStruct = new StructType().add("v", right.schema(payloadCol).dataType)
     val l = left.withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumn("__p", lit(null).cast(right.schema(payloadCol).dataType))
-    val r = right.select(col(key), col(rightTs).as("__ts"), col(payloadCol).as("__p"))
+      .withColumn("__p", lit(null).cast(pStruct))
+    val r = right.select(col(key), col(rightTs).as("__ts"),
+        struct(col(payloadCol).as("v")).as("__p"))
       .withColumn("__side", lit(0))
     val unioned = l.select((col(key) +: left.columns.filter(_ != key).map(col).toSeq
       :+ col("__ts") :+ col("__side") :+ col("__p")): _*)
@@ -40,7 +47,7 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__side") === 1)
       .drop("__ts", "__side", "__p")
       .withColumnRenamed("__asof", s"asof_$payloadCol")

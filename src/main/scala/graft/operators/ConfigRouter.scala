@@ -47,7 +47,14 @@ object ConfigRouter {
     import org.apache.spark.sql.expressions.Window
     val keyed = changelog.withColumn("source_type",
       when(col("op") === "d", col("before.source_type")).otherwise(col("after.source_type")))
-    val w = Window.partitionBy(col("source_type")).orderBy(col("ts_ms").desc)
+    // deterministic tiebreak for ops sharing a ts_ms (common in CDC —
+    // ts_ms is millisecond-granular): deletes rank after upserts, then a
+    // stable payload hash totals the order. Without this, same-ms 'u'/'d'
+    // pairs resolve per-partition-arbitrarily and the route flaps.
+    val w = Window.partitionBy(col("source_type"))
+      .orderBy(col("ts_ms").desc,
+        when(col("op") === "d", 1).otherwise(0).asc, col("op").asc,
+        xxhash64(to_json(struct(col("before"), col("after")))).asc)
     keyed
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .filter(col("op") =!= "d")

@@ -24,8 +24,12 @@ object Curate {
       input: Long, exactDups: Long, nearDups: Long,
       lowQuality: Long, unknownLang: Long, kept: Long, keptTokens: Long)
 
-  def run(spark: SparkSession, sfDir: String, minQuality: Double = 0.55): (DataFrame, Stats) = {
-    val docs = Tables.documents(spark, sfDir).persist()
+  def run(spark: SparkSession, sfDir: String, minQuality: Double = 0.55): (DataFrame, Stats) =
+    runDocs(spark, Tables.documents(spark, sfDir), minQuality)
+
+  /** Same pipeline over an arbitrary (doc_id, text) frame. */
+  def runDocs(spark: SparkSession, documents: DataFrame, minQuality: Double = 0.55): (DataFrame, Stats) = {
+    val docs = documents.persist()
     val input = docs.count()
 
     // 1. exact dedup: keep the min doc_id of each fingerprint group
@@ -33,17 +37,26 @@ object Curate {
     val afterExact = docs.join(keepExact, "doc_id")
     val exactDups = input - afterExact.count()
 
-    // 2. near-dup removal: for each LSH pair drop the larger doc_id
+    // 2. near-dup removal: for each LSH pair drop the larger doc_id.
+    // afterNear is persisted — it feeds the quality/lang joins and five
+    // downstream counts; without the cache the LSH candidate join +
+    // exact-Jaccard verify (the most expensive stage) re-runs per action.
     val nearDupLosers = Dedup.minhashLshPairs(afterExact)
       .select(col("doc_b").as("doc_id")).distinct()
-    val afterNear = afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    val afterNear = afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti").persist()
     val nearDups = input - exactDups - afterNear.count()
 
-    // 3. quality + language filters
+    // 3. quality + language filters. LEFT join: zero-token docs have no
+    // quality row — coalesce them to quality 0 so they land in the
+    // lowQuality bucket instead of silently vanishing from the accounting
+    // (input = exactDups + nearDups + lowQuality + unknownLang + kept).
     val quality = TextAnalysis.qualityScore(afterNear)
       .select(col("doc_id"), col("quality"), col("n_tokens"))
     val lang = TextAnalysis.langId(afterNear).select(col("doc_id"), col("pred_lang"))
-    val scored = afterNear.join(quality, "doc_id").join(lang, "doc_id")
+    val scored = afterNear.join(quality, Seq("doc_id"), "left").join(lang, "doc_id")
+      .withColumn("quality", coalesce(col("quality"), lit(0.0)))
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .persist()
     val lowQuality = scored.filter(col("quality") < minQuality).count()
     val unknownLang = scored
       .filter(col("quality") >= minQuality && col("pred_lang") === "und").count()
@@ -53,7 +66,11 @@ object Curate {
       .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"), col("n_tokens"))
     val kept = curated.count()
     val keptTokens = curated.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
-    (curated, Stats(input, exactDups, nearDups, lowQuality, unknownLang, kept, keptTokens))
+    val stats = Stats(input, exactDups, nearDups, lowQuality, unknownLang, kept, keptTokens)
+    assert(stats.input == stats.exactDups + stats.nearDups + stats.lowQuality
+      + stats.unknownLang + stats.kept,
+      s"curation accounting does not balance: $stats")
+    (curated, stats)
   }
 
   def main(args: Array[String]): Unit = {

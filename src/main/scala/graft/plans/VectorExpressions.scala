@@ -36,7 +36,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    // zero vector -> 0.0, not NaN (0/0): a single NaN would poison any
+    // aggregate over similarities (e.g. k-means|| cost sums) and the
+    // driver-side Ivf.cosine already defines the zero case as 0
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -56,7 +60,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
           double $yi = $b.getDouble($i);
           $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        ${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
+          : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
       """
     })
 

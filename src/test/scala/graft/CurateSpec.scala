@@ -20,4 +20,18 @@ class CurateSpec extends AnyFunSuite {
     val (_, s2) = Curate.run(spark, dir)
     assert(s === s2)
   }
+
+  test("zero-token docs are accounted as lowQuality, not silently dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "!!!"), // tokenless: no quality row without the left join
+      (2L, "the quick brown fox jumps over the lazy dog and the cat and the bird today"),
+      (3L, "der hund und die katze sind nicht der fisch und das brot und der mann hier"))
+      .toDF("doc_id", "text")
+    val (curated, s) = Curate.runDocs(spark, docs, minQuality = 0.1)
+    assert(s.input === 3)
+    assert(s.input === s.exactDups + s.nearDups + s.lowQuality + s.unknownLang + s.kept)
+    assert(s.lowQuality >= 1) // the tokenless doc
+    assert(curated.filter($"doc_id" === 1L).count() === 0)
+  }
 }

@@ -62,6 +62,16 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TextAnalysis.langId(nullDocs).count() === 2)
   }
 
+  test("as-of join attaches a null right payload instead of a stale value") {
+    import spark.implicits._
+    val left = Seq((1L, 25L)).toDF("k", "lts")
+    val right = Seq((1L, 10L, Some(5.0)), (1L, 20L, None)).toDF("k", "rts", "p")
+    val got = graft.operators.AsOfJoin.asOf(left, "lts", right, "rts", "k", "p")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // the matched row is (k, ts=20, p=NULL) — not the older p=5.0
+    assert(got.toSeq === Seq((1L, None)))
+  }
+
   test("similarity on empty query set returns empty") {
     import spark.implicits._
     val emb = graft.tables.Tables.embeddings(spark, SparkTestSession.sf0001)

@@ -52,6 +52,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("dailyFirstVisits: late day older than the max is emitted exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[UserEvent]
+    val q = StatefulOps.dailyFirstVisits(spark, stream.toDF())
+      .toDF("user_id", "dt")
+      .writeStream.format("memory").queryName("s_daily_ooo").outputMode("append").start()
+    def ev(day: Int, id: Long) =
+      UserEvent(1L, "view", Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), id)
+    stream.addData(ev(5, 1)); q.processAllAvailable()      // Jan 5 first
+    stream.addData(ev(3, 2)); q.processAllAvailable()      // LATE Jan 3
+    stream.addData(ev(3, 3), ev(5, 4)); q.processAllAvailable() // repeats of both
+    q.stop()
+    val got = spark.table("s_daily_ooo").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.sorted === Seq((1L, "2024-01-03"), (1L, "2024-01-05")),
+      s"got $got")
+  }
+
   test("isNewRepair stream: is_new=1 exactly on each user's first date") {
     val got = runTwoBatches("s_isnew") { df =>
       StatefulOps.isNewRepair(spark, df).toDF("user_id", "event_id", "is_new")
