@@ -62,6 +62,58 @@ object ConfigRouter {
         col("after.sink_columns").as("sink_columns"))
   }
 
+  /** K6 — dynamic DDL: materialize the routed stream into per-route
+    * MANAGED tables, creating each on the fly
+    * (`CREATE TABLE IF NOT EXISTS`, every payload column STRING — the
+    * reference's all-varchar create-on-the-fly contract,
+    * DIM_MyBroadcastFunction.java:138-200) and then idempotently
+    * re-loading it (INSERT OVERWRITE semantics: re-running a batch never
+    * duplicates rows — the Spark-native analog of the reference's
+    * upsert-into-Phoenix idempotency).
+    *
+    * Returns one row per route read back FROM THE CATALOG
+    * (sink_table, n_rows, n_cols) — the observable proof that the tables
+    * exist with the declared schema. The per-route loop is control-plane
+    * work over the (tiny) config table; the data path is one routed scan
+    * per sink, all executor-side.
+    */
+  def materializeRoutes(
+      spark: SparkSession,
+      events: DataFrame,
+      routes: Seq[TableProcess] = defaultRoutes,
+      dbName: String = "graft_dwd"): DataFrame = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$dbName`")
+    val routed = route(spark, events, routes).persist()
+    try {
+      routes.foreach { tp =>
+        val cols = tp.sinkColumns.split(",").map(_.trim)
+        if (!spark.catalog.tableExists(s"$dbName.${tp.sinkTable}")) {
+          // the default (non-Hive) catalog is session-scoped while the
+          // warehouse directory persists: a location left by a previous
+          // session is an orphan the catalog no longer knows — clear it,
+          // or the managed-table create rejects the non-empty location
+          val loc = new java.net.URI(
+            spark.conf.get("spark.sql.warehouse.dir")).getPath +
+            s"/$dbName.db/${tp.sinkTable}"
+          val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+            spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(loc), true)
+        }
+        val colDefs = cols.map(c => s"`$c` STRING").mkString(", ")
+        spark.sql(
+          s"CREATE TABLE IF NOT EXISTS `$dbName`.`${tp.sinkTable}` ($colDefs) USING PARQUET")
+        routed.filter(col("sink_table") === tp.sinkTable)
+          .select(cols.map(c => element_at(col("payload"), c).as(c)).toIndexedSeq: _*)
+          .write.mode("overwrite").insertInto(s"$dbName.${tp.sinkTable}")
+      }
+    } finally { routed.unpersist(); () }
+    import spark.implicits._
+    routes.map { tp =>
+      val t = spark.table(s"$dbName.${tp.sinkTable}")
+      (tp.sinkTable, t.count(), t.columns.length.toLong)
+    }.toDF("sink_table", "n_rows", "n_cols")
+  }
+
   /** Route `events`: returns one row per routed record with
     * (sink_table, payload) where payload is the column-pruned MAP. */
   def route(spark: SparkSession, events: DataFrame, routes: Seq[TableProcess] = defaultRoutes): DataFrame = {

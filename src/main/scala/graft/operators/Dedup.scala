@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -13,6 +13,30 @@ import graft.functions.TextFunctions._
   * the expensive exact-Jaccard check runs only on the candidate pairs.
   */
 object Dedup {
+
+  // Persisted intermediates (shingle/band/candidate frames) are tracked per
+  // session so embedding callers can RELEASE them once the candidate join
+  // has materialized — a long-lived service calling minhashLshPairs per
+  // request would otherwise accumulate session-lifetime InMemoryRelations
+  // (LRU-evictable, but an unbounded cache-entry leak). Queries returned by
+  // the operator stay lazy, so release is the CALLER's move after its
+  // terminal action (Curate does this; Bench deliberately keeps them warm
+  // across timed passes).
+  private val tracked =
+    scala.collection.mutable.Map.empty[SparkSession, Vector[DataFrame]]
+
+  private def track(df: DataFrame): DataFrame = synchronized {
+    tracked(df.sparkSession) = tracked.getOrElse(df.sparkSession, Vector.empty) :+ df
+    df
+  }
+
+  /** Unpersist every frame this operator persisted on `spark`; returns how
+    * many were released. */
+  def releaseCaches(spark: SparkSession): Int = synchronized {
+    val frames = tracked.remove(spark).getOrElse(Vector.empty)
+    frames.foreach(_.unpersist(blocking = false))
+    frames.size
+  }
 
   /** Exact duplicate groups by normalized-text fingerprint: one row per
     * distinct fingerprint with its cardinality and the kept (min) doc id. */
@@ -69,7 +93,7 @@ object Dedup {
     // persist: the shingle table feeds the signature path AND both sides of
     // the Jaccard join; the band table feeds both sides of the self-join —
     // without this Spark recomputes the tokenize+hash pipeline 4x.
-    val sh = shingleSets(docs).persist()
+    val sh = track(shingleSets(docs).persist())
     val sigs = sh.select(
       col("doc_id"),
       array((0 until numSigs).map(s =>
@@ -83,10 +107,11 @@ object Dedup {
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.band_key").as("band_key"))
       .persist()
+    track(bands)
     // hot-bucket cap (windowed count avoids a second aggregation pass)
     val bucketW = org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("band_key"))
     val sized = bands.withColumn("__bs", count(lit(1)).over(bucketW))
-    val capped = sized.filter(col("__bs") <= maxBucket).drop("__bs").persist()
+    val capped = track(sized.filter(col("__bs") <= maxBucket).drop("__bs").persist())
     val candCold = capped.as("x")
       .join(capped.as("y"),
         col("x.band_key") === col("y.band_key") && col("x.b") === col("y.b") &&
@@ -102,6 +127,7 @@ object Dedup {
         .withColumn("__c", ((col("__rn") - 1) / saltChunk).cast("int"))
         .withColumn("__m", ceil(col("__bs") / lit(saltChunk.toDouble)).cast("int"))
         .persist()
+      track(hot)
       val left = hot.select(col("doc_id").as("doc_a"), col("b"), col("band_key"),
         col("__c").as("i"), explode(sequence(col("__c"), col("__m") - 1)).as("j"))
       val right = hot.select(col("doc_id").as("doc_b"), col("b"), col("band_key"),

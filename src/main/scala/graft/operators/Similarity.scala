@@ -52,9 +52,21 @@ object Similarity {
     * Plane p's component j is derived deterministically from md5(p:j)
     * (uniform in [-0.5, 0.5)), so the sketch is reproducible without a
     * fitted model. Vectors in the same bucket are near in angle with high
-    * probability; ANN = exact search within bucket.
+    * probability; ANN = exact search within bucket. The sketch is ONE fused
+    * native expression (plans.HyperplaneSketch) — the legacy composed form
+    * below is kept only as the identity oracle for PlansSpec.
     */
-  def hyperplaneBuckets(vectors: DataFrame, dim: Int, nPlanes: Int = 8): DataFrame = {
+  def hyperplaneBuckets(vectors: DataFrame, dim: Int, nPlanes: Int = 8): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"),
+      graft.plans.VectorExpressions
+        .hyperplaneSketch(toDouble(col("embedding")), dim, nPlanes).as("bucket"))
+
+  /** The pre-fusion dim×nPlanes expression-tree form of `hyperplaneBuckets`
+    * — bit-identical by construction (same md5-derived plane components,
+    * same ascending-j accumulation); PlansSpec asserts the equality. Not a
+    * production path: at production dims (512–1536) this tree is a
+    * constant-folding/codegen blowup. */
+  def hyperplaneBucketsComposed(vectors: DataFrame, dim: Int, nPlanes: Int = 8): DataFrame = {
     val e = toDouble(col("embedding"))
     val bucket = (0 until nPlanes).map { p =>
       // plane ⋅ v > 0 ? bit p set : 0
@@ -65,6 +77,50 @@ object Similarity {
       when(dotP > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     vectors.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+  }
+
+  /** Scale path for `cosineNearDupPairs`: banded hyperplane-LSH candidate
+    * generation + exact re-scoring — same output contract (all (a,b), a<b,
+    * cosine >= threshold), proven pair-identical to the exact O(N²) form
+    * against the same DuckDB oracle (t_dedup_embedding_bucketed).
+    *
+    * Topology: one fused sketch of nBands·rowsPerBand sign bits per vector,
+    * exploded to (band, band_bits) keys; the self-join shuffles on those
+    * keys (the only shuffle — no whole-corpus broadcast, no O(N²) task),
+    * candidates are distinct-ed and exact-scored. A pair at cosine s agrees
+    * on one band with prob (1 - acos(s)/π)^rowsPerBand; missing ALL bands at
+    * the defaults (r=2, b=24, s=0.45) is ~2e-6 per pair — and recall only
+    * rises with s. At production thresholds (>= 0.8) raise rowsPerBand to
+    * 4-8: buckets sharpen and the candidate set collapses toward the true
+    * pair set, which is what makes this the 100 TB path.
+    */
+  def cosineNearDupPairsBucketed(
+      vectors: DataFrame,
+      threshold: Double,
+      dim: Int,
+      rowsPerBand: Int = 2,
+      nBands: Int = 24): DataFrame = {
+    val v = vectors.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("sk", graft.plans.VectorExpressions
+        .hyperplaneSketch(col("e"), dim, rowsPerBand * nBands))
+    val mask = (1L << rowsPerBand) - 1
+    val banded = v.select(col("vec_id"), col("e"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("sk"), b * rowsPerBand).bitwiseAND(lit(mask)).as("bk"))): _*)).as("band"))
+      .select(col("vec_id"), col("e"), col("band.b").as("b"), col("band.bk").as("bk"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val a = vectors.select(col("vec_id").as("vec_a"), toDouble(col("embedding")).as("ea"))
+    val b = vectors.select(col("vec_id").as("vec_b"), toDouble(col("embedding")).as("eb"))
+    cand.join(a, "vec_a").join(b, "vec_b")
+      .withColumn("sim", graft.plans.VectorExpressions.cosineFused(col("ea"), col("eb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
   }
 
   /** ANN top-k within LSH buckets: same contract as bruteForceTopK but only

@@ -24,6 +24,20 @@ object Curate {
       input: Long, exactDups: Long, nearDups: Long,
       lowQuality: Long, unknownLang: Long, kept: Long, keptTokens: Long)
 
+  // the one cache that outlives runDocs (it backs the returned `curated`
+  // frame); released by releaseCaches once the caller's terminal action ran
+  private val tracked =
+    scala.collection.mutable.Map.empty[SparkSession, Vector[DataFrame]]
+
+  /** Release every cache a Curate run left on `spark` (its own surviving
+    * frame + anything Dedup still tracks); call after the terminal action
+    * on the returned frame. Returns how many frames were released. */
+  def releaseCaches(spark: SparkSession): Int = synchronized {
+    val frames = tracked.remove(spark).getOrElse(Vector.empty)
+    frames.foreach(_.unpersist(blocking = false))
+    frames.size + Dedup.releaseCaches(spark)
+  }
+
   def run(spark: SparkSession, sfDir: String, minQuality: Double = 0.55): (DataFrame, Stats) =
     runDocs(spark, Tables.documents(spark, sfDir), minQuality)
 
@@ -57,9 +71,20 @@ object Curate {
       .withColumn("quality", coalesce(col("quality"), lit(0.0)))
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
       .persist()
+    synchronized {
+      tracked(spark) = tracked.getOrElse(spark, Vector.empty) :+ scored
+    }
     val lowQuality = scored.filter(col("quality") < minQuality).count()
     val unknownLang = scored
       .filter(col("quality") >= minQuality && col("pred_lang") === "und").count()
+
+    // scored is persisted AND materialized by the two counts above, so the
+    // upstream caches — Dedup's shingle/band/candidate frames plus our
+    // docs/afterExact frames — are dead weight from here: release them
+    // (the returned `curated` frame reads only from scored).
+    Dedup.releaseCaches(spark)
+    docs.unpersist(blocking = false)
+    afterNear.unpersist(blocking = false)
 
     val curated = scored
       .filter(col("quality") >= minQuality && col("pred_lang") =!= "und")
@@ -80,6 +105,7 @@ object Curate {
     val spark = GraftSession.local("graft-curate")
     val (curated, s) = run(spark, sfDir, minQuality)
     curated.write.mode("overwrite").parquet(outDir)
+    releaseCaches(spark)
     println(s"""{"input":${s.input},"exact_dups":${s.exactDups},"near_dups":${s.nearDups},""" +
       s""""low_quality":${s.lowQuality},"unknown_lang":${s.unknownLang},""" +
       s""""kept":${s.kept},"kept_tokens":${s.keptTokens}}""")

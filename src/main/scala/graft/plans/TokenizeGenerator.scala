@@ -82,5 +82,11 @@ object GraftFunctions {
       "cosine_fused", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_prefix32", exprs => Md5Prefix32(exprs.head), "scala_udf")
+    // dim/nPlanes must be literals: they size the plane matrix embedded in
+    // the expression instance at plan time
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_sketch", exprs => HyperplaneSketch(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Fused cosine similarity over two `array<double>` columns — a native
   * Catalyst expression with whole-stage codegen.
@@ -69,9 +69,93 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused hyperplane sign-bit sketch over an `array<double>` column: bit p of
+  * the result is set iff plane p ⋅ v > 0. One native loop over a
+  * plane matrix held ONCE per expression instance (codegen references it via
+  * `addReferenceObj`), replacing the composed form's dim×nPlanes
+  * `conv(substring(md5(...)))` expression tree — at production embedding
+  * dims (512–1536 × 48 planes) that tree is a constant-folding/codegen
+  * blowup; this is a single O(dim·nPlanes) kernel.
+  *
+  * Plane components are derived EXACTLY as the composed form folds them
+  * (first 8 hex chars of md5("p:j") as uint32, scaled to [-0.5, 0.5)), and
+  * each dot product accumulates in ascending-j order — so bucket ids are
+  * bit-identical to the legacy expression tree (asserted in PlansSpec).
+  */
+case class HyperplaneSketch(child: Expression, dim: Int, nPlanes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    HyperplaneSketch.planeMatrix(dim, nPlanes)
+
+  private def sketch(v: ArrayData): Long = {
+    val n = math.min(dim, v.numElements())
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val u = planes(p)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += v.getDouble(j) * u(j); j += 1 }
+      if (dot > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override def nullSafeEval(a: Any): Any = sketch(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val u = ctx.freshName("u")
+      s"""
+        int $n = java.lang.Math.min($dim, $a.numElements());
+        ${ev.value} = 0L;
+        for (int $p = 0; $p < $nPlanes; $p++) {
+          double[] $u = $planesRef[$p];
+          double $dot = 0.0;
+          for (int $j = 0; $j < $n; $j++) { $dot += $a.getDouble($j) * $u[$j]; }
+          if ($dot > 0) ${ev.value} |= 1L << $p;
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSketch =
+    copy(child = newChild)
+}
+
+object HyperplaneSketch {
+  /** Deterministic pseudo-random plane matrix: component (p, j) =
+    * uint32(md5("p:j")[0:8]) / 2^32 - 0.5 — the exact value the composed
+    * `conv(substring(md5(lit("p:j")), 1, 8), 16, 10) / 2^32 - 0.5` chain
+    * constant-folds to (8 hex chars < 2^32 are exact in double; the divide
+    * by a power of two is exact). */
+  def planeMatrix(dim: Int, nPlanes: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, j) =>
+      val hex = md.digest(s"$p:$j".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+    }
+  }
+}
+
 object VectorExpressions {
   /** Column handle for the fused cosine (requires GraftFunctions.register
     * on the session, done by GraftSession.local). */
   def cosineFused(a: Column, b: Column): Column =
     call_function("cosine_fused", a, b)
+
+  /** Column handle for the fused hyperplane sketch; `dim`/`nPlanes` are
+    * plan-time constants (they size the embedded plane matrix). */
+  def hyperplaneSketch(v: Column, dim: Int, nPlanes: Int): Column =
+    call_function("hyperplane_sketch", v, lit(dim), lit(nPlanes))
 }

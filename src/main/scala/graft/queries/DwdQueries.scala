@@ -92,6 +92,24 @@ object DwdQueries {
         ON event_type = source_type
       GROUP BY sink_table"""))
 
+  /** K6: dynamic DDL — the router creates per-route managed tables on the
+    * fly (CREATE TABLE IF NOT EXISTS, all-STRING schema) and idempotently
+    * loads them; the query output is read back from the CATALOG, so the
+    * oracle match proves both the DDL and the loaded row counts
+    * (DIM_MyBroadcastFunction.java:138-200). */
+  val k6DynamicDdl: Q = Q(
+    "k6_dynamic_ddl",
+    run = (s, dir) =>
+      ConfigRouter.materializeRoutes(s, Tables.events(s, dir)),
+    oracle = Some("""
+      SELECT sink_table, COUNT(*) AS n_rows, CAST(n_cols AS BIGINT) AS n_cols
+      FROM events
+      JOIN (VALUES ('purchase','dwd_trade_order',3), ('signup','dwd_user_register',2),
+                   ('view','dwd_traffic_page',3), ('error','dwd_error_log',2))
+           AS c(source_type, sink_table, n_cols)
+        ON event_type = source_type
+      GROUP BY sink_table, n_cols"""))
+
   /** P12/P13: date/time scalar kernel (DateFormatUtil.java:14-39) —
     * month bucketing, epoch seconds, day strings. */
   val p12TimeFunctions: Q = Q(
@@ -197,6 +215,6 @@ object DwdQueries {
       FROM x GROUP BY 1, 2"""))
 
   val all: Seq[Q] = Seq(
-    p1Quarantine, p4JsonProjection, x1Demux, j4ConfigRouter,
+    p1Quarantine, p4JsonProjection, x1Demux, j4ConfigRouter, k6DynamicDdl,
     p12TimeFunctions, j2LeftJoin, j3LookupJoin, p10LogPipeline)
 }

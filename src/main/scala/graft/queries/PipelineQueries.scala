@@ -157,6 +157,24 @@ object PipelineQueries {
         FROM v a JOIN v b ON a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45"""))
 
+  /** Scale path for t_dedup_embedding: banded hyperplane-LSH candidates +
+    * exact re-score. Same oracle as the exact O(N²) form — the hash match
+    * proves the bucketed generator is pair-identical on this corpus (the
+    * analytic all-bands-miss probability at these params is ~2e-6/pair). */
+  val tDedupEmbeddingBucketed: Q = Q(
+    "t_dedup_embedding_bucketed",
+    run = (s, dir) =>
+      Similarity.cosineNearDupPairsBucketed(Tables.embeddings(s, dir), 0.45, dim = 64),
+    oracle = Some("""
+      WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          list_sum([a.e[i+1]*b.e[i+1] for i in range(0, 64)]) /
+            (sqrt(list_sum([a.e[i+1]*a.e[i+1] for i in range(0, 64)]))
+             * sqrt(list_sum([b.e[i+1]*b.e[i+1] for i in range(0, 64)]))) AS sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45"""))
+
   /** Stopword-lexicon language ID. */
   val tLangId: Q = Q(
     "t_lang_id",
@@ -352,11 +370,14 @@ object PipelineQueries {
       FROM t"""))
 
   /** ANN scale-path self-check: IVF (deterministic k-means|| init, k=16,
-    * nprobe=6) top-10 recall against exact brute force. One output row
-    * (n_expected, n_hit, recall) — measured 0.685 on near-random synthetic
-    * vectors (random-probe baseline 6/16 = 0.375). Rows-only — a k-means
-    * pipeline is not reasonably SQL-expressible in DuckDB; IvfSpec bounds
-    * the recall. rounds=2/iters=1 measured as the best time×recall point. */
+    * nprobe=10) top-10 recall against exact brute force, SELF-VALIDATING:
+    * `ok` = recall >= 0.8 and the oracle reproduces n_expected (the exact
+    * brute-force top-10 count) + TRUE, so the hash match IS the recall
+    * gate. The k-means pipeline itself is not SQL-expressible — the gated
+    * bound is the contract. Parameter sweep (round 3, both sf0.01/sf0.1):
+    * iters=1/rounds=2/nprobe=10 → recall 0.895/0.845, the best time×recall
+    * point (nprobe=8 hovers at the 0.8 line; nprobe=6 was round 1's 0.685).
+    * IvfSpec holds the measured bound. */
   val tAnnIvfRecall: Q = Q(
     "t_ann_ivf_recall",
     run = (s, dir) => {
@@ -364,22 +385,34 @@ object PipelineQueries {
       val q = emb.filter(col("vec_id") < 20)
       val cents = Ivf.trainScalable(emb, 16, iters = 1, rounds = 2)
       val idx = Ivf.index(emb, cents)
-      val ivf = Ivf.topK(idx, cents, q, 10, nprobe = 6)
+      val ivf = Ivf.topK(idx, cents, q, 10, nprobe = 10)
         .select(col("qid"), col("vec_id")).withColumn("hit", lit(1))
       Similarity.bruteForceTopK(emb, q, 10)
         .select(col("qid"), col("vec_id"))
         .join(ivf, Seq("qid", "vec_id"), "left")
         .agg(count(lit(1)).as("n_expected"),
           sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-        .select(col("n_expected"), col("n_hit"),
-          (col("n_hit").cast("double") / col("n_expected")).as("recall"))
+        .select(col("n_expected"),
+          (col("n_hit").cast("double") / col("n_expected") >= 0.8).as("ok"))
     },
-    oracle = None,
+    oracle = Some("""
+      WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 20),
+      sims AS (
+        SELECT q.qid, v.vec_id,
+          list_sum([qe[i+1]*e[i+1] for i in range(0, 64)]) /
+            (sqrt(list_sum([qe[i+1]*qe[i+1] for i in range(0, 64)]))
+             * sqrt(list_sum([e[i+1]*e[i+1] for i in range(0, 64)]))) AS sim
+        FROM q, v WHERE q.qid <> v.vec_id),
+      ranked AS (
+        SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id) AS rk
+        FROM sims)
+      SELECT COUNT(*) AS n_expected, TRUE AS ok FROM ranked WHERE rk <= 10"""),
     headline = true)
 
   val all: Seq[Q] = Seq(
     tDedupExact, tDedupMinhash, tDedupMinhashSalted, tSimhash, tAnnCosine,
-    tDedupEmbedding, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
-    tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
-    tAnnIvfRecall)
+    tDedupEmbedding, tDedupEmbeddingBucketed, tLangId, tLangIdNgram,
+    tQualityScore, tTokenStats, tMultimodalMeta, tFrameSample, tResize,
+    tQuantizeEmbeddings, tAnnIvfRecall)
 }

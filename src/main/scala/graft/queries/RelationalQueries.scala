@@ -134,21 +134,36 @@ object RelationalQueries {
       FROM lineitem WHERE l_suppkey <= 3
       WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)"""))
 
-  /** HLL sketch UV (approx_count_distinct) — sketch implementations
-    * differ across engines, so the driver records the weaker rows-only
-    * check (no oracle); ApproxSpec bounds the error vs exact. */
+  /** HLL sketch UV (approx_count_distinct). Sketch values differ across
+    * engines, so the sketch itself cannot be oracle-hashed — instead the
+    * query is SELF-VALIDATING: it computes the exact UV alongside and emits
+    * `ok` = relative error within 10% (5× the requested rsd 0.02). The
+    * oracle reproduces the exact columns and asserts `ok` is literally TRUE,
+    * so the hash match IS the error-bound gate (ApproxSpec holds the
+    * tighter measured bound). At scale only the HLL branch would run; the
+    * exact branch is the verification harness. */
   val approxUv: Q = Q(
     "a5_approx_uv",
     run = (s, dir) => {
       import s.implicits._
       Tables.events(s, dir)
         .groupBy(date_format($"ts", "yyyy-MM-dd").as("dt"))
-        .agg(approx_count_distinct($"user_id", 0.02).as("approx_uv"))
+        .agg(approx_count_distinct($"user_id", 0.02).as("approx_uv"),
+          countDistinct($"user_id").as("exact_uv"))
+        .select($"dt", $"exact_uv",
+          (abs($"approx_uv" - $"exact_uv").cast("double") / $"exact_uv" <= 0.10).as("ok"))
     },
-    oracle = None)
+    oracle = Some("""
+      SELECT strftime(ts, '%Y-%m-%d') AS dt,
+             COUNT(DISTINCT user_id) AS exact_uv,
+             TRUE AS ok
+      FROM events GROUP BY 1"""))
 
-  /** Approximate percentiles (t-digest-style sketch; rows-only check like
-    * the HLL query — sketch internals differ across engines). */
+  /** Approximate percentiles (Greenwald-Khanna sketch). Self-validating on
+    * the same pattern as a5_approx_uv: exact percentile_disc alongside the
+    * sketch, `ok` = both approximations within 2% relative error; the
+    * oracle emits the exact columns + TRUE so the hash match gates the
+    * bound. */
   val approxPercentiles: Q = Q(
     "approx_percentiles",
     run = (s, dir) => {
@@ -156,12 +171,19 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .groupBy($"l_returnflag")
         .agg(percentile_approx($"l_extendedprice", array(lit(0.5), lit(0.95)), lit(1000))
-          .as("p50_p95"))
-        .select($"l_returnflag",
-          element_at($"p50_p95", 1).as("p50"),
-          element_at($"p50_p95", 2).as("p95"))
+          .as("p50_p95"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50_exact"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95_exact"))
+        .select($"l_returnflag", $"p50_exact", $"p95_exact",
+          (abs(element_at($"p50_p95", 1) - $"p50_exact") / $"p50_exact" <= 0.02 &&
+            abs(element_at($"p50_p95", 2) - $"p95_exact") / $"p95_exact" <= 0.02).as("ok"))
     },
-    oracle = None)
+    oracle = Some("""
+      SELECT l_returnflag,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_exact,
+             percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95_exact,
+             TRUE AS ok
+      FROM lineitem GROUP BY 1"""))
 
   /** TPC-H Q4 shape: EXISTS with a correlated predicate + date-range scan. */
   val q4OrderPriority: Q = Q(

@@ -41,6 +41,23 @@ object StreamingPipelines {
     left.withWatermark(leftTs, delay)
       .join(right.withWatermark(rightTs, delay), condition)
 
+  /** J2 streaming form: watermark-range stream-stream LEFT OUTER join —
+    * the reference's retraction-based streaming left join
+    * (DwdTradeOrderDetail.java:164-167 emits +I/-D pairs as matches
+    * arrive). Spark's model needs no retraction: a left row is held in
+    * state and emitted null-extended ONLY once the watermark proves no
+    * match can still arrive, so downstream sees exactly one final row per
+    * outcome. Materialization composes with `upsertSink` (K3 latest-row
+    * compaction) for the reference's MERGE-into-sink topology; the
+    * stream≡batch equivalence is proven in StreamingSpec. */
+  def streamStreamLeftJoin(
+      left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      condition: org.apache.spark.sql.Column,
+      delay: String = "2 seconds"): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay), condition, "left_outer")
+
   /** K4 analog: append each micro-batch to parquet (stands in for the
     * ClickHouse JDBC batch sink — swap the body for df.write.jdbc). */
   def parquetBatchSink(df: DataFrame, path: String): DataStreamWriter[Row] =

@@ -96,4 +96,26 @@ class ConfigFreshnessSpec extends org.scalatest.funsuite.AnyFunSuite {
     q.stop()
     assert(sink.toSet === Set("sink_v1" -> 2L, "sink_v2" -> 1L))
   }
+
+  test("K6 dynamic DDL: creates managed tables, idempotent on re-run") {
+    import graft.operators.ConfigRouter
+    import graft.tables.Tables
+    val events = Tables.events(spark, SparkTestSession.sf0001)
+    val db = "graft_k6_spec"
+    val s1 = ConfigRouter.materializeRoutes(spark, events, dbName = db)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // tables really exist in the catalog with the declared all-STRING schema
+    assert(spark.catalog.tableExists(s"$db.dwd_trade_order"))
+    assert(spark.table(s"$db.dwd_trade_order").schema.fields
+      .forall(_.dataType === org.apache.spark.sql.types.StringType))
+    // re-run: CREATE TABLE IF NOT EXISTS + INSERT OVERWRITE → same counts
+    val s2 = ConfigRouter.materializeRoutes(spark, events, dbName = db)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s1 === s2 && s1.nonEmpty)
+    // counts match the routed fan-out
+    val want = ConfigRouter.route(spark, events)
+      .groupBy("sink_table").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1.map(t => t._1 -> t._2).toMap === want)
+  }
 }

@@ -21,6 +21,21 @@ class CurateSpec extends AnyFunSuite {
     assert(s === s2)
   }
 
+  test("releaseCaches drops every frame a Curate run persisted") {
+    val (curated, _) = Curate.run(spark, dir)
+    curated.count() // the caller's terminal action
+    // a run releases Dedup's shingle/band/capped frames inside runDocs and
+    // leaves only the frame backing `curated` (plus any earlier tests')
+    assert(Curate.releaseCaches(spark) >= 1)
+    // idempotent and empty afterwards: nothing left tracked on the session
+    assert(Curate.releaseCaches(spark) === 0)
+    assert(Dedup.releaseCaches(spark) === 0)
+    // and a direct operator call tracks its own frames until released
+    Dedup.minhashLshPairs(Tables.documents(spark, dir)).count()
+    assert(Dedup.releaseCaches(spark) >= 3)
+    assert(Dedup.releaseCaches(spark) === 0)
+  }
+
   test("zero-token docs are accounted as lowQuality, not silently dropped") {
     import spark.implicits._
     val docs = Seq(

@@ -62,6 +62,21 @@ class PlansSpec extends AnyFunSuite {
     assert(pairs.count() > 0)
   }
 
+  test("fused HyperplaneSketch == composed dim×nPlanes expression tree") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val fused = graft.operators.Similarity.hyperplaneBuckets(emb, 64, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val composed = graft.operators.Similarity.hyperplaneBucketsComposed(emb, 64, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fused.nonEmpty && fused === composed)
+    // and the fused sketch is a SINGLE projected expression, not a tree of
+    // dim×nPlanes md5 chains — the plan prints one hyperplanesketch call
+    val plan = graft.operators.Similarity.hyperplaneBuckets(emb, 64, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("md5"), s"composed md5 chain leaked into plan:\n$plan")
+  }
+
   test("md5_prefix32 rejects non-string input at analysis time") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -28,6 +28,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1.values.forall(b => b >= 0 && b < 256))
   }
 
+  test("bucketed near-dup pairs == exact O(N²) pairs (recall-complete here)") {
+    val emb = Tables.embeddings(spark, dir)
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = toSet(Similarity.cosineNearDupPairs(emb, 0.45))
+    val bucketed = toSet(Similarity.cosineNearDupPairsBucketed(emb, 0.45, dim = 64))
+    assert(exact.nonEmpty && bucketed === exact)
+  }
+
   test("LSH top-k: same-bucket neighbors agree with brute force scores") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(emb("vec_id") < 3)

@@ -214,6 +214,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty && got === want)
   }
 
+  test("stream-stream LEFT OUTER join with watermarks == batch left join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = eventRows.filter(_.event_type == "purchase")
+    val clicks = eventRows.filter(_.event_type == "click")
+    val ls = MemoryStream[TrafficEvent]
+    val rs = MemoryStream[TrafficEvent]
+    val left = ls.toDF().select(col("user_id"), col("ts"), col("event_id"))
+    val right = rs.toDF().select(col("user_id").as("r_user"),
+      col("ts").as("r_ts"), col("event_id").as("r_event"))
+    val cond = col("user_id") === col("r_user") &&
+      col("r_ts") >= col("ts") - expr("INTERVAL 10 minutes") &&
+      col("r_ts") <= col("ts") + expr("INTERVAL 10 minutes")
+    val q = graft.streaming.StreamingPipelines
+      .streamStreamLeftJoin(left, "ts", right, "r_ts", cond)
+      .select(col("event_id"), col("r_event"))
+      .writeStream.format("memory").queryName("s_ssljoin").outputMode("append").start()
+    val (l1, l2) = purchases.splitAt(purchases.size / 2)
+    val (r1, r2) = clicks.splitAt(clicks.size / 2)
+    ls.addData(l1); rs.addData(r1); q.processAllAvailable()
+    ls.addData(l2); rs.addData(r2); q.processAllAvailable()
+    // sentinel rows far past all data push both watermarks beyond every
+    // join window, forcing the null-extended (no-match) rows to emit —
+    // without this, unmatched left state near the end stays open and the
+    // comparison would only be a subset check
+    val flushTs = new Timestamp(eventRows.map(_.ts.getTime).max + 3600L * 1000)
+    ls.addData(TrafficEvent(-1L, "purchase", flushTs, 0.0, -1L))
+    rs.addData(TrafficEvent(-2L, "click", flushTs, 0.0, -2L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_ssljoin").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .filter(_._1 != -1L).toSet
+    val ev = Tables.events(spark, dir)
+    val bl = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val br = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("r_event"))
+    val want = bl.join(br, cond, "left_outer").select(col("event_id"), col("r_event"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(want.exists(_._2.isEmpty), "batch oracle has no null-extended rows — test is vacuous")
+    assert(got === want)
+  }
+
   test("dedupFirstWithinWatermark keeps one row per (user, event_type)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
