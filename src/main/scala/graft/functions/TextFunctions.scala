@@ -66,6 +66,21 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Winnowing window-min step (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS local fingerprinting algorithm): over a *bound* column of k-gram
+    * hashes IN POSITION ORDER, slide a window of `w` consecutive hashes and
+    * keep each window's MINIMUM; result is the distinct sorted fingerprint
+    * set. Any shared run of >= w+k-1 tokens between two documents is
+    * guaranteed to share a fingerprint, at expected density 2/(w+1).
+    *
+    * `hashes` MUST be a bound attribute (project it first — same rule as
+    * wordShingles: an unbound expression would re-run the whole
+    * tokenize+hash pipeline per window). */
+  def winnowFromHashes(hashes: Column, w: Int): Column =
+    array_sort(array_distinct(filter(
+      transform(hashes, (_, i) => array_min(slice(hashes, i + 1, lit(w)))),
+      (_, i) => i <= size(hashes) - w)))
+
   /** 32-bit SimHash over a token set: bit b votes +1/-1 by bit b of each
     * token's hash32; the simhash bit is the vote sum's sign. Pure
     * column-expression form (32 array folds) — Dedup.simhashTable has the

@@ -150,6 +150,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03):
+    * ordered k-token-shingle rolling hashes → sliding window of `w` → keep
+    * each window's min → distinct sorted fingerprint set per doc. All
+    * map-side (tokenize + hash + window-min are narrow column expressions),
+    * so the table costs one scan; docs shorter than w+k-1 tokens have no
+    * full window and are dropped, like shingleSets' <k rule. */
+  def winnowTable(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k + w - 1) // >= w windows needs >= w+k-1 tokens
+      .select(col("doc_id"), wordShingles(col("toks"), k).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), hash32(_)).as("h"))
+      .select(col("doc_id"), winnowFromHashes(col("h"), w).as("fps"))
+
+  /** Near-dup candidate pairs from shared winnowing fingerprints: explode
+    * each doc's fingerprint set and equi-join on the fingerprint value —
+    * the shuffle key is the fingerprint, so co-candidates co-locate and
+    * the pair space is Σ(bucket²), never O(N²). Pairs sharing >= minShared
+    * fingerprints survive (the MOSS ranking signal). `maxBucket` drops
+    * ubiquitous fingerprints (boilerplate — same role as minhash's
+    * hot-bucket cap). */
+  def winnowPairs(
+      docs: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val fps = winnowTable(docs, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val capped = fps.withColumn("__bs", count(lit(1)).over(bucketW))
+      .filter(col("__bs") <= maxBucket).drop("__bs")
+    capped.as("x")
+      .join(capped.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-doc 32-bit SimHash (near-dup docs differ in few bits).
     *
     * Explode+groupBy formulation: one md5 per distinct token, 32 partial-

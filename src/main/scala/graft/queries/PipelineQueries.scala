@@ -175,6 +175,52 @@ object PipelineQueries {
         FROM v a JOIN v b ON a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45"""))
 
+  /** Winnowing fingerprints (MOSS, SIGMOD'03): per-doc distinct window-min
+    * rolling-hash set, k=3-token shingles, window w=4. Arrays compare via
+    * md5 over the CSV rendering (longs stringify identically across
+    * engines; doubles would not — t_quantize_embeddings pattern). */
+  val tWinnowFingerprint: Q = Q(
+    "t_winnow_fingerprint",
+    run = (s, dir) => {
+      val t = Dedup.winnowTable(Tables.documents(s, dir))
+      t.select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fps"),
+        md5(concat_ws(",", transform(col("fps"), _.cast("string")))).as("fps_md5"))
+    },
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      sh AS (SELECT doc_id, [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS sh
+             FROM toks WHERE len(toks) >= 6),
+      h AS (SELECT doc_id, [CAST(('0x'||substr(md5(g),1,8)) AS BIGINT) for g in sh] AS h FROM sh),
+      wins AS (SELECT doc_id,
+                 list_sort(list_distinct([list_min(h[i:i+3]) for i in range(1, len(h)-2)])) AS fps
+               FROM h)
+      SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+             md5(array_to_string(fps, ',')) AS fps_md5
+      FROM wins"""))
+
+  /** Near-dup candidates from shared winnowing fingerprints: fingerprint
+    * equi-join (shuffle key = fingerprint, Σ bucket² pair space), >= 2
+    * shared fps to survive. */
+  val tWinnowPairs: Q = Q(
+    "t_winnow_pairs",
+    run = (s, dir) => Dedup.winnowPairs(Tables.documents(s, dir)),
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      sh AS (SELECT doc_id, [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS sh
+             FROM toks WHERE len(toks) >= 6),
+      h AS (SELECT doc_id, [CAST(('0x'||substr(md5(g),1,8)) AS BIGINT) for g in sh] AS h FROM sh),
+      wins AS (SELECT doc_id,
+                 list_sort(list_distinct([list_min(h[i:i+3]) for i in range(1, len(h)-2)])) AS fps
+               FROM h),
+      ex AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+      capped AS (SELECT doc_id, fp FROM (
+          SELECT *, COUNT(*) OVER (PARTITION BY fp) AS bs FROM ex) t
+        WHERE bs <= 1000)
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
+
   /** Stopword-lexicon language ID. */
   val tLangId: Q = Q(
     "t_lang_id",
@@ -412,7 +458,8 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     tDedupExact, tDedupMinhash, tDedupMinhashSalted, tSimhash, tAnnCosine,
-    tDedupEmbedding, tDedupEmbeddingBucketed, tLangId, tLangIdNgram,
-    tQualityScore, tTokenStats, tMultimodalMeta, tFrameSample, tResize,
-    tQuantizeEmbeddings, tAnnIvfRecall)
+    tDedupEmbedding, tDedupEmbeddingBucketed, tWinnowFingerprint,
+    tWinnowPairs, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
+    tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
+    tAnnIvfRecall)
 }

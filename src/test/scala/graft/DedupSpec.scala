@@ -59,6 +59,25 @@ class DedupSpec extends AnyFunSuite {
     assert(salted === uncapped && salted.nonEmpty)
   }
 
+  test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
+    import spark.implicits._
+    // k=3, w=4: any shared run of >= 6 tokens must yield a common window-min
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"unrelated prefix one two three $shared"),
+      (2L, s"$shared completely different suffix here now"),
+      (3L, "nothing in common with the others at all today"))
+      .toDF("doc_id", "text")
+    val fps = graft.operators.Dedup.winnowTable(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    // and the pair generator surfaces exactly the (1,2) candidate
+    val pairs = graft.operators.Dedup.winnowPairs(docs, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhashTable (explode+groupBy) == simhash32 (column expression)") {
     val docs = Tables.documents(spark, dir)
     val viaTable = Dedup.simhashTable(docs).collect()
