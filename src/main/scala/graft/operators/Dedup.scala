@@ -180,8 +180,11 @@ object Dedup {
     val fps = winnowTable(docs, k, w)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
     val bucketW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val capped = fps.withColumn("__bs", count(lit(1)).over(bucketW))
-      .filter(col("__bs") <= maxBucket).drop("__bs")
+    // persisted (tracked): both self-join sides read it — without the cache
+    // the tokenize+hash+window-min pipeline and the bucket-count window run
+    // twice (same rule as minhashLshPairs' band table)
+    val capped = track(fps.withColumn("__bs", count(lit(1)).over(bucketW))
+      .filter(col("__bs") <= maxBucket).drop("__bs").persist())
     capped.as("x")
       .join(capped.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))

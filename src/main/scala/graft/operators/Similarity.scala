@@ -140,4 +140,29 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
   }
+
+  /** Multi-probe LSH top-k (Lv et al., VLDB'07): each query probes its own
+    * bucket PLUS the `nPlanes` buckets at Hamming distance 1 (one sign bit
+    * flipped — the buckets a borderline vector most likely fell into).
+    * Candidates stay disjoint (a vector lives in exactly one bucket), so
+    * recall rises with zero dedup cost; the probe fan-out multiplies only
+    * the broadcast QUERY side, never the corpus. Same output contract as
+    * lshTopK. */
+  def lshTopKMultiProbe(vectors: DataFrame, queries: DataFrame, dim: Int,
+      k: Int, nPlanes: Int = 8): DataFrame = {
+    val v = hyperplaneBuckets(vectors, dim, nPlanes)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"), col("bucket"))
+    val probeSet = array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))): _*)
+    val q = hyperplaneBuckets(queries, dim, nPlanes)
+      .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"),
+        explode(transform(probeSet, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    v.join(broadcast(q), "bucket")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.plans.VectorExpressions.cosineFused(col("qe"), col("e")), 6).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+  }
 }

@@ -94,6 +94,50 @@ object StreamingPipelines {
         ()
       }
 
+  /** Incremental corpus dedup for continuous ingestion: a parquet
+    * fingerprint REGISTRY (doc_id, fp — winnowing window-min hashes)
+    * accumulates every seen document's fingerprints; each micro-batch
+    * drops documents sharing >= minShared fingerprints with any earlier
+    * document (registry join, per prior-doc counts) or with an
+    * earlier-id document in the same batch (Dedup.winnowPairs), appends
+    * survivors to `outPath`, and registers the WHOLE batch's fingerprints
+    * (dropped docs too — a later near-dup of a dropped doc must still be
+    * dropped, which is what makes the stream ≡ the batch drop-doc_b
+    * formulation; StreamingSpec proves it on an id-ordered feed). At
+    * scale the registry join shuffles on fp, exactly like winnowPairs'
+    * candidate join; the registry is the only state and it grows with
+    * distinct fingerprints, not with events. */
+  def winnowDedupSink(docs: DataFrame, registryPath: String, outPath: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().persist()
+        val fps = graft.operators.Dedup.winnowTable(b, k, w)
+          .select(col("doc_id"), explode(col("fps")).as("fp")).persist()
+        val droppedByRegistry =
+          if (new java.io.File(registryPath).exists()) {
+            val reg = spark.read.parquet(registryPath)
+              .select(col("doc_id").as("old_doc"), col("fp"))
+            fps.join(reg, "fp")
+              .groupBy(col("doc_id"), col("old_doc"))
+              .agg(count(lit(1)).as("n"))
+              .filter(col("n") >= minShared)
+              .select(col("doc_id")).distinct()
+          } else fps.select(col("doc_id")).limit(0)
+        val droppedInBatch = graft.operators.Dedup.winnowPairs(b, k, w, minShared)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val kept = b.join(
+          droppedByRegistry.union(droppedInBatch).distinct(),
+          Seq("doc_id"), "left_anti")
+        kept.write.mode("append").parquet(outPath)
+        fps.write.mode("append").parquet(registryPath)
+        fps.unpersist(); b.unpersist()
+        graft.operators.Dedup.releaseCaches(spark)
+        ()
+      }
+
   /** K2 analog: dynamic per-record routing — one pass, fanned out by the
     * `sink_table` column (partitioned write ≈ Kafka sink's per-row topic). */
   def routedSink(df: DataFrame, basePath: String): DataStreamWriter[Row] =

@@ -37,6 +37,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.nonEmpty && bucketed === exact)
   }
 
+  test("multi-probe LSH recall >= single-probe recall (and candidates superset)") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(emb("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = hits(Similarity.lshTopK(emb, q, 64, 10, nPlanes = 4))
+    val multi = hits(Similarity.lshTopKMultiProbe(emb, q, 64, 10, nPlanes = 4))
+    // flipping one bit only ADDS probed buckets, so the multi-probe top-k
+    // pool is a superset and recall cannot drop (measured 3-5x higher on
+    // the synthetic corpus: 0.575 vs 0.175 at sf0.01, SCALE.md)
+    assert((multi & exact).size >= (single & exact).size)
+    assert(multi.size >= single.size)
+  }
+
   test("LSH top-k: same-bucket neighbors agree with brute force scores") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(emb("vec_id") < 3)

@@ -278,6 +278,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() >= wantKeys && got.count() < eventRows.size)
   }
 
+  test("incremental winnow-dedup sink == batch drop-doc_b formulation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_winnow_reg"
+    val outPath = "/tmp/graft_test_winnow_out"
+    for (p <- Seq(regPath, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val docRows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingPipelines
+      .winnowDedupSink(stream.toDF().toDF("doc_id", "text"), regPath, outPath)
+      .start()
+    val (h1, h2) = docRows.splitAt(docRows.size / 2)
+    stream.addData(h1); q.processAllAvailable()
+    stream.addData(h2); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outPath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch formulation: drop the larger-id side of every >=2-shared-fp pair
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val losers = graft.operators.Dedup.winnowPairs(docs)
+      .select(col("doc_b")).distinct().collect().map(_.getLong(0)).toSet
+    val want = docRows.map(_._1).toSet -- losers
+    assert(losers.nonEmpty, "no near-dup pairs at sf0.001 — test is vacuous")
+    assert(got === want)
+  }
+
   test("dedupDocsByFingerprint stream == Dedup.exactGroups keep set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
