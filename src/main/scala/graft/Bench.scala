@@ -35,7 +35,8 @@ object Bench {
     // at most one of a query's n samples and the median discards them;
     // round 1's official q5 12.5s vs ~1.5s steady-state was exactly such an
     // n=1 outlier).
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val nRuns = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt).getOrElse(3))
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to nRuns) qs.foreach { case (name, fn) =>

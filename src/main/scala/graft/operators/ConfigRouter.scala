@@ -87,24 +87,35 @@ object ConfigRouter {
     try {
       routes.foreach { tp =>
         val cols = tp.sinkColumns.split(",").map(_.trim)
-        if (!spark.catalog.tableExists(s"$dbName.${tp.sinkTable}")) {
+        val qualified = s"$dbName.${tp.sinkTable}"
+        // a route's sink_columns can change between runs; insertInto is
+        // POSITIONAL, so writing the new projection into a stale-schema
+        // table would silently land values under wrong columns. The
+        // reference's contract is all-varchar create-on-the-fly and the
+        // load below is a full overwrite anyway — drop + recreate is the
+        // loss-free schema migration.
+        if (spark.catalog.tableExists(qualified) &&
+            spark.table(qualified).columns.toSeq != cols.toSeq)
+          spark.sql(s"DROP TABLE `$dbName`.`${tp.sinkTable}`")
+        if (!spark.catalog.tableExists(qualified)) {
           // the default (non-Hive) catalog is session-scoped while the
           // warehouse directory persists: a location left by a previous
           // session is an orphan the catalog no longer knows — clear it,
-          // or the managed-table create rejects the non-empty location
-          val loc = new java.net.URI(
-            spark.conf.get("spark.sql.warehouse.dir")).getPath +
-            s"/$dbName.db/${tp.sinkTable}"
-          val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-            spark.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(loc), true)
+          // or the managed-table create rejects the non-empty location.
+          // Resolve the filesystem FROM the warehouse URI (the warehouse
+          // can be hdfs/s3a at cluster scale, not the driver's local disk).
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"),
+            s"$dbName.db/${tp.sinkTable}")
+          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(loc, true)
         }
         val colDefs = cols.map(c => s"`$c` STRING").mkString(", ")
         spark.sql(
           s"CREATE TABLE IF NOT EXISTS `$dbName`.`${tp.sinkTable}` ($colDefs) USING PARQUET")
         routed.filter(col("sink_table") === tp.sinkTable)
           .select(cols.map(c => element_at(col("payload"), c).as(c)).toIndexedSeq: _*)
-          .write.mode("overwrite").insertInto(s"$dbName.${tp.sinkTable}")
+          .write.mode("overwrite").insertInto(qualified)
       }
     } finally { routed.unpersist(); () }
     import spark.implicits._

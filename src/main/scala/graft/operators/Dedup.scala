@@ -31,11 +31,29 @@ object Dedup {
   }
 
   /** Unpersist every frame this operator persisted on `spark`; returns how
-    * many were released. */
+    * many were released. Session-global — embedded callers that may share
+    * the session with other work should scope with trackMark/releaseSince
+    * instead, so they never drop a concurrent caller's caches. */
   def releaseCaches(spark: SparkSession): Int = synchronized {
     val frames = tracked.remove(spark).getOrElse(Vector.empty)
     frames.foreach(_.unpersist(blocking = false))
     frames.size
+  }
+
+  /** Position marker into the session's tracked-frame list; frames tracked
+    * AFTER the mark belong to the caller's own operator invocations. */
+  def trackMark(spark: SparkSession): Int = synchronized {
+    tracked.getOrElse(spark, Vector.empty).size
+  }
+
+  /** Release only the frames tracked after `mark` — the caller's own — and
+    * leave earlier (possibly someone else's) caches alone. */
+  def releaseSince(spark: SparkSession, mark: Int): Int = synchronized {
+    val frames = tracked.getOrElse(spark, Vector.empty)
+    val (keep, drop) = frames.splitAt(math.max(0, mark))
+    drop.foreach(_.unpersist(blocking = false))
+    if (keep.isEmpty) tracked.remove(spark) else tracked(spark) = keep
+    drop.size
   }
 
   /** Exact duplicate groups by normalized-text fingerprint: one row per
@@ -160,9 +178,17 @@ object Dedup {
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k + w - 1) // >= w windows needs >= w+k-1 tokens
+      // one derived hop per projection with intermediates kept in scope
+      // (withColumn) — the shingleSets binding discipline. NOTE: a
+      // downstream explode(fps) still re-inlines this whole chain into the
+      // Generate and re-evaluates it per output row (measured 254s for 10k
+      // rows at sf0.001, thread-dump-confirmed tokenizer re-evaluation) —
+      // every consumer that explodes MUST materialize this frame first
+      // (winnowPairs/winnowDedupSink persist it; DedupSpec pins the shape).
       .select(col("doc_id"), wordShingles(col("toks"), k).as("sh"))
-      .select(col("doc_id"), transform(col("sh"), hash32(_)).as("h"))
-      .select(col("doc_id"), winnowFromHashes(col("h"), w).as("fps"))
+      .withColumn("h", transform(col("sh"), hash32(_)))
+      .withColumn("fps", winnowFromHashes(col("h"), w))
+      .select(col("doc_id"), col("fps"))
 
   /** Near-dup candidate pairs from shared winnowing fingerprints: explode
     * each doc's fingerprint set and equi-join on the fingerprint value —
@@ -177,12 +203,17 @@ object Dedup {
       w: Int = 4,
       minShared: Int = 2,
       maxBucket: Int = 1000): DataFrame = {
-    val fps = winnowTable(docs, k, w)
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    // winnowTable MUST be persisted before the explode: Generate re-inlines
+    // an unmaterialized fps expression and re-evaluates the whole
+    // tokenize+hash+window-min chain per exploded row (measured 254s vs
+    // ~4s at sf0.001). The cache boundary (InMemoryRelation) is the hard
+    // barrier no optimizer pass can cross.
+    val wt = track(winnowTable(docs, k, w).persist())
+    val fps = wt.select(col("doc_id"), explode(col("fps")).as("fp"))
     val bucketW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    // persisted (tracked): both self-join sides read it — without the cache
-    // the tokenize+hash+window-min pipeline and the bucket-count window run
-    // twice (same rule as minhashLshPairs' band table)
+    // also persisted: both self-join sides read the capped table — without
+    // this the explode + bucket-count window run twice (same rule as
+    // minhashLshPairs' band table)
     val capped = track(fps.withColumn("__bs", count(lit(1)).over(bucketW))
       .filter(col("__bs") <= maxBucket).drop("__bs").persist())
     capped.as("x")

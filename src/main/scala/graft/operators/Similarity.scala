@@ -126,20 +126,8 @@ object Similarity {
   /** ANN top-k within LSH buckets: same contract as bruteForceTopK but only
     * same-bucket pairs are scored — the candidate join shuffles on bucket id
     * instead of materializing the full N×Q cross product. */
-  def lshTopK(vectors: DataFrame, queries: DataFrame, dim: Int, k: Int, nPlanes: Int = 8): DataFrame = {
-    val v = hyperplaneBuckets(vectors, dim, nPlanes)
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"), col("bucket"))
-    val q = hyperplaneBuckets(queries, dim, nPlanes)
-      .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"), col("bucket"))
-    v.join(broadcast(q), "bucket")
-      .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"),
-        round(graft.plans.VectorExpressions.cosineFused(col("qe"), col("e")), 6).as("sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
-  }
+  def lshTopK(vectors: DataFrame, queries: DataFrame, dim: Int, k: Int, nPlanes: Int = 8): DataFrame =
+    lshProbedTopK(vectors, queries, dim, k, nPlanes, probeMasks = Seq(0L))
 
   /** Multi-probe LSH top-k (Lv et al., VLDB'07): each query probes its own
     * bucket PLUS the `nPlanes` buckets at Hamming distance 1 (one sign bit
@@ -149,10 +137,19 @@ object Similarity {
     * the broadcast QUERY side, never the corpus. Same output contract as
     * lshTopK. */
   def lshTopKMultiProbe(vectors: DataFrame, queries: DataFrame, dim: Int,
-      k: Int, nPlanes: Int = 8): DataFrame = {
+      k: Int, nPlanes: Int = 8): DataFrame =
+    lshProbedTopK(vectors, queries, dim, k, nPlanes,
+      probeMasks = 0L +: (0 until nPlanes).map(p => 1L << p))
+
+  /** Shared LSH probe topology: corpus bucketed once; each query explodes
+    * to bucket XOR mask per probe mask, joins on bucket, exact-scores and
+    * ranks. lshTopK = mask {0}; multi-probe adds the Hamming-1 masks —
+    * ONE body so the score/rank/tie-break contract cannot diverge. */
+  private def lshProbedTopK(vectors: DataFrame, queries: DataFrame, dim: Int,
+      k: Int, nPlanes: Int, probeMasks: Seq[Long]): DataFrame = {
     val v = hyperplaneBuckets(vectors, dim, nPlanes)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"), col("bucket"))
-    val probeSet = array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))): _*)
+    val probeSet = array(probeMasks.map(lit): _*)
     val q = hyperplaneBuckets(queries, dim, nPlanes)
       .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"),
         explode(transform(probeSet, m => col("bucket").bitwiseXOR(m))).as("bucket"))

@@ -43,6 +43,7 @@ object Curate {
 
   /** Same pipeline over an arbitrary (doc_id, text) frame. */
   def runDocs(spark: SparkSession, documents: DataFrame, minQuality: Double = 0.55): (DataFrame, Stats) = {
+    val dedupMark = Dedup.trackMark(spark)
     val docs = documents.persist()
     val input = docs.count()
 
@@ -79,10 +80,12 @@ object Curate {
       .filter(col("quality") >= minQuality && col("pred_lang") === "und").count()
 
     // scored is persisted AND materialized by the two counts above, so the
-    // upstream caches — Dedup's shingle/band/candidate frames plus our
-    // docs/afterExact frames — are dead weight from here: release them
-    // (the returned `curated` frame reads only from scored).
-    Dedup.releaseCaches(spark)
+    // upstream caches — THIS run's Dedup shingle/band/candidate frames plus
+    // our docs/afterNear frames — are dead weight from here: release them
+    // scoped (releaseSince), so a concurrent Dedup caller on the same
+    // session keeps its own caches. The returned `curated` reads only from
+    // scored.
+    Dedup.releaseSince(spark, dedupMark)
     docs.unpersist(blocking = false)
     afterNear.unpersist(blocking = false)
 

@@ -87,6 +87,18 @@ case class HyperplaneSketch(child: Expression, dim: Int, nPlanes: Int)
 
   override def dataType: DataType = LongType
 
+  // fail at analysis, not with garbage buckets at runtime: getDouble on an
+  // array<float>'s 4-byte slots would silently read misaligned bytes
+  // (same seam as Md5Prefix32 — ExpectsInputTypes is private[sql])
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_sketch requires ARRAY<DOUBLE> input, got ${other.catalogString}")
+    }
+
   @transient private lazy val planes: Array[Array[Double]] =
     HyperplaneSketch.planeMatrix(dim, nPlanes)
 

@@ -95,46 +95,76 @@ object StreamingPipelines {
       }
 
   /** Incremental corpus dedup for continuous ingestion: a parquet
-    * fingerprint REGISTRY (doc_id, fp — winnowing window-min hashes)
-    * accumulates every seen document's fingerprints; each micro-batch
-    * drops documents sharing >= minShared fingerprints with any earlier
-    * document (registry join, per prior-doc counts) or with an
-    * earlier-id document in the same batch (Dedup.winnowPairs), appends
-    * survivors to `outPath`, and registers the WHOLE batch's fingerprints
-    * (dropped docs too — a later near-dup of a dropped doc must still be
-    * dropped, which is what makes the stream ≡ the batch drop-doc_b
-    * formulation; StreamingSpec proves it on an id-ordered feed). At
-    * scale the registry join shuffles on fp, exactly like winnowPairs'
-    * candidate join; the registry is the only state and it grows with
-    * distinct fingerprints, not with events. */
+    * fingerprint REGISTRY (doc_id, fp — winnowing window-min hashes,
+    * partitioned by batch id) accumulates every seen document's
+    * fingerprints; each micro-batch drops documents sharing >= minShared
+    * fingerprints with any earlier document (registry join, per-prior-doc
+    * counts) or with an earlier-id document in the same batch
+    * (Dedup.winnowPairs), writes survivors to `outPath`, and registers the
+    * WHOLE batch's fingerprints (dropped docs too — a later near-dup of a
+    * dropped doc must still be dropped, which is what makes the stream ≡
+    * the batch drop-doc_b formulation; StreamingSpec proves it on an
+    * id-ordered feed).
+    *
+    * Exactly-once under foreachBatch's at-least-once contract: both writes
+    * overwrite a `batch=<id>` partition directory (idempotent on retry),
+    * and the registry read EXCLUDES the current batch id — a half-written
+    * previous attempt can neither self-match nor duplicate.
+    *
+    * Fingerprints that are ubiquitous in the REGISTRY (> maxBucket prior
+    * docs — boilerplate) are excluded from matching, mirroring
+    * winnowPairs' in-batch hot-bucket cap; the batch-vs-stream equivalence
+    * is exact while every fingerprint stays under the cap (the spec's
+    * regime), and both formulations degrade the same way past it.
+    *
+    * At scale the registry join shuffles on fp, exactly like winnowPairs'
+    * candidate join; registry state grows with distinct fingerprints, not
+    * events. */
   def winnowDedupSink(docs: DataFrame, registryPath: String, outPath: String,
-      k: Int = 3, w: Int = 4, minShared: Int = 2): DataStreamWriter[Row] =
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxBucket: Int = 1000): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        val dedupMark = graft.operators.Dedup.trackMark(spark)
         val b = batch.toDF().persist()
-        val fps = graft.operators.Dedup.winnowTable(b, k, w)
-          .select(col("doc_id"), explode(col("fps")).as("fp")).persist()
+        // materialize the fingerprint table BEFORE exploding — Generate
+        // over the raw winnow chain re-evaluates it per output row
+        // (see Dedup.winnowPairs)
+        val bw = graft.operators.Dedup.winnowTable(b, k, w).persist()
+        val fps = bw.select(col("doc_id"), explode(col("fps")).as("fp")).persist()
+        val regDir = new org.apache.hadoop.fs.Path(registryPath)
+        val regExists = regDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(regDir)
         val droppedByRegistry =
-          if (new java.io.File(registryPath).exists()) {
+          if (regExists) {
             val reg = spark.read.parquet(registryPath)
-              .select(col("doc_id").as("old_doc"), col("fp"))
-            fps.join(reg, "fp")
+              .filter(col("batch") =!= batchId) // retry: ignore own failed attempt
+              .select(col("doc_id").as("old_doc"), col("fp")).persist()
+            val hotFps = reg.groupBy(col("fp"))
+              .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucket)
+              .select(col("fp"))
+            val d = fps.join(reg, "fp")
+              .join(hotFps, Seq("fp"), "left_anti")
               .groupBy(col("doc_id"), col("old_doc"))
               .agg(count(lit(1)).as("n"))
               .filter(col("n") >= minShared)
               .select(col("doc_id")).distinct()
+            val out = d.persist(); out.count(); reg.unpersist(blocking = false)
+            out
           } else fps.select(col("doc_id")).limit(0)
-        val droppedInBatch = graft.operators.Dedup.winnowPairs(b, k, w, minShared)
+        val droppedInBatch = graft.operators.Dedup
+          .winnowPairs(b, k, w, minShared, maxBucket)
           .select(col("doc_b").as("doc_id")).distinct()
         val kept = b.join(
           droppedByRegistry.union(droppedInBatch).distinct(),
           Seq("doc_id"), "left_anti")
-        kept.write.mode("append").parquet(outPath)
-        fps.write.mode("append").parquet(registryPath)
-        fps.unpersist(); b.unpersist()
-        graft.operators.Dedup.releaseCaches(spark)
+        kept.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        fps.write.mode("overwrite").parquet(s"$registryPath/batch=$batchId")
+        droppedByRegistry.unpersist(blocking = false)
+        fps.unpersist(); bw.unpersist(); b.unpersist()
+        graft.operators.Dedup.releaseSince(spark, dedupMark)
         ()
       }
 

@@ -117,5 +117,17 @@ class ConfigFreshnessSpec extends org.scalatest.funsuite.AnyFunSuite {
       .groupBy("sink_table").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(s1.map(t => t._1 -> t._2).toMap === want)
+    // route schema change: the table is recreated with the new columns and
+    // values land under the RIGHT names (insertInto is positional — a
+    // stale schema would silently transpose columns)
+    import graft.operators.ConfigRouter.TableProcess
+    val changed = Seq(TableProcess("purchase", "dwd_trade_order", "event_id,props"))
+    ConfigRouter.materializeRoutes(spark, events, changed, dbName = db)
+    val t = spark.table(s"$db.dwd_trade_order")
+    assert(t.columns.toSeq === Seq("event_id", "props"))
+    val wantProps = events.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select(org.apache.spark.sql.functions.col("props").cast("string"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(t.select("props").collect().map(_.getString(0)).sorted.toSeq === wantProps)
   }
 }

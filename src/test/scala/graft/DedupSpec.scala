@@ -78,6 +78,17 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("winnowPairs explodes from a materialized fingerprint table (perf pin)") {
+    // Generate over the raw winnow chain re-evaluates tokenize+hash+window
+    // per output row (measured 254s vs ~4s at sf0.001) — the cache boundary
+    // below the explode is load-bearing; this pins the plan shape.
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val plan = graft.operators.Dedup.winnowPairs(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), s"no cache boundary in:\n$plan")
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("simhashTable (explode+groupBy) == simhash32 (column expression)") {
     val docs = Tables.documents(spark, dir)
     val viaTable = Dedup.simhashTable(docs).collect()

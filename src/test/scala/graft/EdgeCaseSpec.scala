@@ -77,5 +77,39 @@ class EdgeCaseSpec extends AnyFunSuite {
     val emb = graft.tables.Tables.embeddings(spark, SparkTestSession.sf0001)
     val emptyQ = emb.filter(col("vec_id") < 0)
     assert(Similarity.bruteForceTopK(emb, emptyQ, 5).count() === 0)
+    assert(Similarity.lshTopKMultiProbe(emb, emptyQ, 64, 5).count() === 0)
+  }
+
+  test("winnowing on degenerate docs: short docs drop, empty corpus is empty") {
+    // < k+w-1 = 6 tokens -> no full window -> no fingerprint row
+    assert(Dedup.winnowTable(weirdDocs).count() === 0)
+    assert(Dedup.winnowPairs(weirdDocs).count() === 0)
+    assert(Dedup.winnowTable(emptyDocs).count() === 0)
+    assert(Dedup.winnowPairs(emptyDocs).count() === 0)
+    Dedup.releaseCaches(spark)
+  }
+
+  test("bucketed embedding pairs on empty/singleton input return empty") {
+    import spark.implicits._
+    val emb = graft.tables.Tables.embeddings(spark, SparkTestSession.sf0001)
+    val empty = emb.filter(col("vec_id") < 0)
+    assert(Similarity.cosineNearDupPairsBucketed(empty, 0.45, 64).count() === 0)
+    val one = emb.filter(col("vec_id") === 0)
+    assert(Similarity.cosineNearDupPairsBucketed(one, 0.45, 64).count() === 0)
+  }
+
+  test("K6 route with a source type absent from events creates an empty table") {
+    import graft.operators.ConfigRouter
+    import graft.operators.ConfigRouter.TableProcess
+    val events = graft.tables.Tables.events(spark, SparkTestSession.sf0001)
+    val routes = Seq(
+      TableProcess("purchase", "edge_trade", "event_id,user_id"),
+      TableProcess("no_such_type", "edge_ghost", "event_id"))
+    val summary = ConfigRouter
+      .materializeRoutes(spark, events, routes, dbName = "graft_k6_edge")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary("edge_ghost") === 0L) // DDL ran; no rows routed
+    assert(summary("edge_trade") > 0L)
+    assert(spark.catalog.tableExists("graft_k6_edge.edge_ghost"))
   }
 }

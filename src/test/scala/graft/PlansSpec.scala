@@ -77,6 +77,18 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("md5"), s"composed md5 chain leaked into plan:\n$plan")
   }
 
+  test("hyperplane_sketch rejects non-double-array input at analysis time") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    emb.createOrReplaceTempView("plans_emb")
+    // raw array<float> must be rejected — getDouble over 4-byte slots would
+    // silently produce garbage buckets
+    val e = intercept[Exception] {
+      spark.sql("SELECT hyperplane_sketch(embedding, 64, 8) FROM plans_emb").collect()
+    }
+    assert(e.getMessage.contains("ARRAY<DOUBLE>"), e.getMessage)
+  }
+
   test("md5_prefix32 rejects non-string input at analysis time") {
     GraftFunctions.register(spark)
     import spark.implicits._
