@@ -456,10 +456,107 @@ object PipelineQueries {
       SELECT COUNT(*) AS n_expected, TRUE AS ok FROM ranked WHERE rk <= 10"""),
     headline = true)
 
+  /** End-to-end curation pipeline, oracle-checked as ONE query: the DuckDB
+    * side recomposes every stage (exact-fingerprint dedup → MinHash+LSH
+    * near-dup removal → quality/language filters → accounting) from the
+    * same per-stage oracle SQL that already hash-matches each operator, so
+    * this match proves the COMPOSITION (join shapes, left-join coalesce
+    * semantics, drop-doc_b policy, accounting identity) — not just the
+    * stages. One output row of seven counters. */
+  val tCurateStats: Q = Q(
+    "t_curate_stats",
+    run = (s, dir) => {
+      import s.implicits._
+      val (_, st) = graft.pipeline.Curate.run(s, dir)
+      graft.pipeline.Curate.releaseCaches(s)
+      Seq((st.input, st.exactDups, st.nearDups, st.lowQuality, st.unknownLang,
+        st.kept, st.keptTokens))
+        .toDF("input", "exact_dups", "near_dups", "low_quality",
+          "unknown_lang", "kept", "kept_tokens")
+    },
+    oracle = {
+      val stop = TextAnalysis.lexicons.flatMap(_._2).distinct.sorted
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      val lex = TextAnalysis.lexicons.map { case (lang, words) =>
+        lang -> words.map(w => s"'$w'").mkString("[", ",", "]")
+      }.toMap
+      Some(s"""
+      WITH fp AS (
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents),
+      keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+      ae AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+      toks AS (SELECT doc_id, $TOKS AS toks FROM ae),
+      shg AS (
+        SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
+        FROM toks WHERE len(toks) >= 3),
+      vh AS (
+        SELECT doc_id, shingles,
+          [CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) for g in shingles] AS v
+        FROM shg),
+      sigs AS (
+        SELECT doc_id,
+          [list_min([((2*s+1)*x + 7919*s + 1) % 4294967291 for x in v]) for s in range(0, 8)] AS sig
+        FROM vh),
+      bands AS (
+        SELECT doc_id, b, CAST(sig[2*b+1] AS VARCHAR) || '|' || CAST(sig[2*b+2] AS VARCHAR) AS band_key
+        FROM sigs, range(0, 4) AS r(b)),
+      capped AS (
+        SELECT doc_id, b, band_key FROM (
+          SELECT *, COUNT(*) OVER (PARTITION BY b, band_key) AS bs FROM bands) t
+        WHERE bs <= 1000),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM capped x JOIN capped y
+          ON x.band_key = y.band_key AND x.b = y.b AND x.doc_id < y.doc_id),
+      losers AS (
+        SELECT DISTINCT c.doc_b AS doc_id
+        FROM cand c
+        JOIN vh sa ON sa.doc_id = c.doc_a
+        JOIN vh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / len(list_distinct(sa.shingles || sb.shingles)) >= 0.8),
+      an AS (SELECT t.doc_id, t.toks FROM toks t
+             WHERE t.doc_id NOT IN (SELECT doc_id FROM losers)),
+      q AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+            + 0.3 * least(1.0, len(toks) / 100.0)
+            + 0.3 * (1.0 - len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE / len(toks)) AS quality
+        FROM an WHERE len(toks) > 0),
+      lang AS (
+        SELECT doc_id,
+          CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
+               WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de'
+               WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
+               WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM (
+          SELECT doc_id,
+            len(list_intersect(list_distinct(toks), ${lex("de")})) AS hde,
+            len(list_intersect(list_distinct(toks), ${lex("en")})) AS hen,
+            len(list_intersect(list_distinct(toks), ${lex("es")})) AS hes,
+            len(list_intersect(list_distinct(toks), ${lex("fr")})) AS hfr
+          FROM an)),
+      scored AS (
+        SELECT an.doc_id, COALESCE(q.quality, 0.0) AS quality,
+               COALESCE(q.n_tokens, 0) AS n_tokens, lang.pred_lang
+        FROM an LEFT JOIN q USING (doc_id) JOIN lang USING (doc_id))
+      SELECT
+        (SELECT COUNT(*) FROM documents) AS input,
+        (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM ae) AS exact_dups,
+        (SELECT COUNT(*) FROM losers) AS near_dups,
+        (SELECT COUNT(*) FROM scored WHERE quality < 0.55) AS low_quality,
+        (SELECT COUNT(*) FROM scored WHERE quality >= 0.55 AND pred_lang = 'und') AS unknown_lang,
+        (SELECT COUNT(*) FROM scored WHERE quality >= 0.55 AND pred_lang <> 'und') AS kept,
+        (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM scored
+         WHERE quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens""")
+    })
+
   val all: Seq[Q] = Seq(
     tDedupExact, tDedupMinhash, tDedupMinhashSalted, tSimhash, tAnnCosine,
     tDedupEmbedding, tDedupEmbeddingBucketed, tWinnowFingerprint,
     tWinnowPairs, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
-    tAnnIvfRecall)
+    tAnnIvfRecall, tCurateStats)
 }
