@@ -224,6 +224,46 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Connected components over a near-dup pair table: every document is
+    * labeled with the MIN doc_id of its component (the canonical keeper),
+    * so transitive near-dups (a~b, b~c, a!~c) collapse into ONE cluster —
+    * the correct corpus-dedup policy where the pairwise drop-doc_b rule
+    * would over- or under-drop.
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds (near-dup clusters are near-cliques —
+    * 1-2 rounds in practice). Each round is ONE shuffle keyed by node id
+    * (partial-aggregated min), the canonical scalable CC formulation; the
+    * loop materializes and releases per round like Ivf.lloyd. Only
+    * documents that appear in some pair are returned (singletons are their
+    * own cluster trivially). */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = track(pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist())
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
+    labels.count()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(edges("src").as("n_id")).agg(min(col("label")).as("nbr"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.doc_id") === col("n_id"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.label"), coalesce(col("nbr"), col("l.label"))).as("label"))
+        .persist()
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    track(labels)
+    labels.select(col("doc_id"), col("label").as("cluster"))
+  }
+
   /** Per-doc 32-bit SimHash (near-dup docs differ in few bits).
     *
     * Explode+groupBy formulation: one md5 per distinct token, 32 partial-

@@ -157,6 +157,56 @@ object PipelineQueries {
         FROM v a JOIN v b ON a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45"""))
 
+  /** Transitive duplicate clusters: connected components over the MinHash
+    * near-dup pairs (min-label propagation — Dedup.duplicateClusters); the
+    * DuckDB oracle computes the same components with a recursive CTE, so
+    * the hash match proves the iterative distributed algorithm reaches the
+    * exact closure. */
+  val tDedupClusters: Q = Q(
+    "t_dedup_clusters",
+    run = (s, dir) =>
+      Dedup.duplicateClusters(Dedup.minhashLshPairs(Tables.documents(s, dir))),
+    oracle = Some(s"""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, $TOKS AS toks FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
+        FROM toks WHERE len(toks) >= 3),
+      vh AS (
+        SELECT doc_id, shingles,
+          [CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) for g in shingles] AS v
+        FROM sh),
+      sigs AS (
+        SELECT doc_id,
+          [list_min([((2*s+1)*x + 7919*s + 1) % 4294967291 for x in v]) for s in range(0, 8)] AS sig
+        FROM vh),
+      bands AS (
+        SELECT doc_id, b, CAST(sig[2*b+1] AS VARCHAR) || '|' || CAST(sig[2*b+2] AS VARCHAR) AS band_key
+        FROM sigs, range(0, 4) AS r(b)),
+      capped AS (
+        SELECT doc_id, b, band_key FROM (
+          SELECT *, COUNT(*) OVER (PARTITION BY b, band_key) AS bs FROM bands) t
+        WHERE bs <= 1000),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM capped x JOIN capped y
+          ON x.band_key = y.band_key AND x.b = y.b AND x.doc_id < y.doc_id),
+      pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN vh sa ON sa.doc_id = c.doc_a
+        JOIN vh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / len(list_distinct(sa.shingles || sb.shingles)) >= 0.8),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(doc_id, root) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id)
+      SELECT doc_id, MIN(root) AS cluster FROM reach GROUP BY doc_id"""))
+
   /** Scale path for t_dedup_embedding: banded hyperplane-LSH candidates +
     * exact re-score. Same oracle as the exact O(N²) form — the hash match
     * proves the bucketed generator is pair-identical on this corpus (the
@@ -554,7 +604,8 @@ object PipelineQueries {
     })
 
   val all: Seq[Q] = Seq(
-    tDedupExact, tDedupMinhash, tDedupMinhashSalted, tSimhash, tAnnCosine,
+    tDedupExact, tDedupMinhash, tDedupMinhashSalted, tDedupClusters,
+    tSimhash, tAnnCosine,
     tDedupEmbedding, tDedupEmbeddingBucketed, tWinnowFingerprint,
     tWinnowPairs, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,

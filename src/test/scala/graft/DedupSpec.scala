@@ -89,6 +89,18 @@ class DedupSpec extends AnyFunSuite {
     graft.operators.Dedup.releaseCaches(spark)
   }
 
+  test("duplicateClusters: transitive chain collapses to one min-labeled cluster") {
+    import spark.implicits._
+    // a~b, b~c, c~d but a!~c etc. — a path graph; components must close
+    // transitively to min label 1, plus a separate pair (10, 11)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("simhashTable (explode+groupBy) == simhash32 (column expression)") {
     val docs = Tables.documents(spark, dir)
     val viaTable = Dedup.simhashTable(docs).collect()
