@@ -243,9 +243,15 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist())
+    // localCheckpoint per round TRUNCATES LINEAGE, not just caches: the
+    // round-r plan would otherwise embed both the (r-1) plan and the edge
+    // plan on both sides of the change-count self-join — ~2^r copies of
+    // the (large) pair-generation subtree, and AQE's per-update
+    // explainString OOMs on the stringified tree long before the data is
+    // big (observed at 3 docs). With the truncation every round's plan is
+    // O(|edge plan|), constant across rounds.
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).persist()
-    labels.count()
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
@@ -254,13 +260,11 @@ object Dedup {
         .join(nbrMin, col("l.doc_id") === col("n_id"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.label"), coalesce(col("nbr"), col("l.label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.as("n").join(labels.as("o"), "doc_id")
         .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      labels = next // previous round's checkpoint blocks are GC-reclaimed
     }
-    track(labels)
     labels.select(col("doc_id"), col("label").as("cluster"))
   }
 

@@ -38,11 +38,22 @@ object Curate {
     frames.size + Dedup.releaseCaches(spark)
   }
 
-  def run(spark: SparkSession, sfDir: String, minQuality: Double = 0.55): (DataFrame, Stats) =
-    runDocs(spark, Tables.documents(spark, sfDir), minQuality)
+  def run(spark: SparkSession, sfDir: String, minQuality: Double = 0.55,
+      clusterDedup: Boolean = false): (DataFrame, Stats) =
+    runDocs(spark, Tables.documents(spark, sfDir), minQuality, clusterDedup)
 
-  /** Same pipeline over an arbitrary (doc_id, text) frame. */
-  def runDocs(spark: SparkSession, documents: DataFrame, minQuality: Double = 0.55): (DataFrame, Stats) = {
+  /** Same pipeline over an arbitrary (doc_id, text) frame.
+    *
+    * @param clusterDedup near-dup policy. false (default) = pairwise
+    *   drop-doc_b (every larger-id side of a pair is removed — may keep
+    *   two docs that are transitively near through a third). true =
+    *   connected-component clustering (Dedup.duplicateClusters): exactly
+    *   ONE keeper (the min doc_id) survives per transitive near-dup
+    *   cluster — the policy a production corpus dedup wants. Both are
+    *   oracle-checked end-to-end (t_curate_stats /
+    *   t_curate_stats_clustered). */
+  def runDocs(spark: SparkSession, documents: DataFrame, minQuality: Double = 0.55,
+      clusterDedup: Boolean = false): (DataFrame, Stats) = {
     val dedupMark = Dedup.trackMark(spark)
     val docs = documents.persist()
     val input = docs.count()
@@ -52,12 +63,16 @@ object Curate {
     val afterExact = docs.join(keepExact, "doc_id")
     val exactDups = input - afterExact.count()
 
-    // 2. near-dup removal: for each LSH pair drop the larger doc_id.
-    // afterNear is persisted — it feeds the quality/lang joins and five
-    // downstream counts; without the cache the LSH candidate join +
-    // exact-Jaccard verify (the most expensive stage) re-runs per action.
-    val nearDupLosers = Dedup.minhashLshPairs(afterExact)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // 2. near-dup removal (policy per `clusterDedup`). afterNear is
+    // persisted — it feeds the quality/lang joins and five downstream
+    // counts; without the cache the LSH candidate join + exact-Jaccard
+    // verify (the most expensive stage) re-runs per action.
+    val pairs = Dedup.minhashLshPairs(afterExact)
+    val nearDupLosers =
+      if (clusterDedup)
+        Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
+      else pairs.select(col("doc_b").as("doc_id")).distinct()
     val afterNear = afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti").persist()
     val nearDups = input - exactDups - afterNear.count()
 
@@ -93,7 +108,10 @@ object Curate {
       .filter(col("quality") >= minQuality && col("pred_lang") =!= "und")
       .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"), col("n_tokens"))
     val kept = curated.count()
-    val keptTokens = curated.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    // coalesce: SUM over an empty kept set is NULL (an over-aggressive
+    // filter emptying the corpus must yield kept_tokens = 0, not a crash)
+    val keptTokens = curated
+      .agg(coalesce(sum(col("n_tokens")), lit(0L))).collect()(0).getLong(0)
     val stats = Stats(input, exactDups, nearDups, lowQuality, unknownLang, kept, keptTokens)
     assert(stats.input == stats.exactDups + stats.nearDups + stats.lowQuality
       + stats.unknownLang + stats.kept,

@@ -513,25 +513,27 @@ object PipelineQueries {
     * this match proves the COMPOSITION (join shapes, left-join coalesce
     * semantics, drop-doc_b policy, accounting identity) — not just the
     * stages. One output row of seven counters. */
-  val tCurateStats: Q = Q(
-    "t_curate_stats",
-    run = (s, dir) => {
-      import s.implicits._
-      val (_, st) = graft.pipeline.Curate.run(s, dir)
-      graft.pipeline.Curate.releaseCaches(s)
-      Seq((st.input, st.exactDups, st.nearDups, st.lowQuality, st.unknownLang,
-        st.kept, st.keptTokens))
-        .toDF("input", "exact_dups", "near_dups", "low_quality",
-          "unknown_lang", "kept", "kept_tokens")
-    },
-    oracle = {
-      val stop = TextAnalysis.lexicons.flatMap(_._2).distinct.sorted
-        .map(w => s"'$w'").mkString("[", ",", "]")
-      val lex = TextAnalysis.lexicons.map { case (lang, words) =>
-        lang -> words.map(w => s"'$w'").mkString("[", ",", "]")
-      }.toMap
-      Some(s"""
-      WITH fp AS (
+  private def curateStatsRun(clusterDedup: Boolean)(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val (_, st) = graft.pipeline.Curate.run(s, dir, clusterDedup = clusterDedup)
+    graft.pipeline.Curate.releaseCaches(s)
+    Seq((st.input, st.exactDups, st.nearDups, st.lowQuality, st.unknownLang,
+      st.kept, st.keptTokens))
+      .toDF("input", "exact_dups", "near_dups", "low_quality",
+        "unknown_lang", "kept", "kept_tokens")
+  }
+
+  /** Full-pipeline oracle SQL; `losersCte` selects the near-dup removal
+    * policy (pairwise drop-doc_b vs connected-component non-keepers). */
+  private def curateStatsOracle(losersCte: String): String = {
+    val stop = TextAnalysis.lexicons.flatMap(_._2).distinct.sorted
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    val lex = TextAnalysis.lexicons.map { case (lang, words) =>
+      lang -> words.map(w => s"'$w'").mkString("[", ",", "]")
+    }.toMap
+    s"""
+      WITH RECURSIVE fp AS (
         SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
         FROM documents),
       keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
@@ -559,13 +561,14 @@ object PipelineQueries {
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM capped x JOIN capped y
           ON x.band_key = y.band_key AND x.b = y.b AND x.doc_id < y.doc_id),
-      losers AS (
-        SELECT DISTINCT c.doc_b AS doc_id
+      pairs AS (
+        SELECT c.doc_a, c.doc_b
         FROM cand c
         JOIN vh sa ON sa.doc_id = c.doc_a
         JOIN vh sb ON sb.doc_id = c.doc_b
         WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
             / len(list_distinct(sa.shingles || sb.shingles)) >= 0.8),
+      $losersCte,
       an AS (SELECT t.doc_id, t.toks FROM toks t
              WHERE t.doc_id NOT IN (SELECT doc_id FROM losers)),
       q AS (
@@ -600,8 +603,34 @@ object PipelineQueries {
         (SELECT COUNT(*) FROM scored WHERE quality >= 0.55 AND pred_lang = 'und') AS unknown_lang,
         (SELECT COUNT(*) FROM scored WHERE quality >= 0.55 AND pred_lang <> 'und') AS kept,
         (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM scored
-         WHERE quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens""")
-    })
+         WHERE quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens"""
+  }
+
+  val tCurateStats: Q = Q(
+    "t_curate_stats",
+    run = curateStatsRun(clusterDedup = false),
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""")))
+
+  /** Same composed pipeline under the transitively-correct near-dup
+    * policy: connected-component clustering keeps exactly one doc (the
+    * min id) per cluster; the oracle's recursive-CTE closure elects the
+    * same keepers. */
+  val tCurateStatsClustered: Q = Q(
+    "t_curate_stats_clustered",
+    run = curateStatsRun(clusterDedup = true),
+    oracle = Some(curateStatsOracle(
+      """edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(doc_id, root) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id),
+      losers AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, MIN(root) AS cluster FROM reach GROUP BY doc_id)
+        WHERE cluster <> doc_id)""")))
 
   val all: Seq[Q] = Seq(
     tDedupExact, tDedupMinhash, tDedupMinhashSalted, tDedupClusters,
@@ -609,5 +638,5 @@ object PipelineQueries {
     tDedupEmbedding, tDedupEmbeddingBucketed, tWinnowFingerprint,
     tWinnowPairs, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
-    tAnnIvfRecall, tCurateStats)
+    tAnnIvfRecall, tCurateStats, tCurateStatsClustered)
 }

@@ -21,6 +21,28 @@ class CurateSpec extends AnyFunSuite {
     assert(s === s2)
   }
 
+  test("cluster dedup policy drops transitive near-dups that pairwise keeps") {
+    import spark.implicits._
+    // token sequence w1..w42; doc9 = all, doc3 = first 37 tokens, doc5 =
+    // last 37 — J(3,9)=J(5,9)=35/40=0.875 >= 0.8 but J(3,5)=30/40=0.75.
+    // Pairwise drop-doc_b removes only 9; clustering keeps one doc (3) of
+    // the {3,5,9} component.
+    val words = (1 to 42).map(i => s"w$i")
+    val docs = Seq(
+      (3L, words.take(37).mkString(" ")),
+      (5L, words.drop(5).mkString(" ")),
+      (9L, words.mkString(" ")))
+      .toDF("doc_id", "text")
+    val (_, pairwise) = Curate.runDocs(spark, docs, minQuality = 0.0)
+    val (_, clustered) = Curate.runDocs(spark, docs, minQuality = 0.0, clusterDedup = true)
+    assert(pairwise.nearDups === 1, s"pairwise: $pairwise")   // only doc 9
+    assert(clustered.nearDups === 2, s"clustered: $clustered") // docs 5 and 9
+    assert(pairwise.input === pairwise.nearDups + pairwise.lowQuality
+      + pairwise.unknownLang + pairwise.kept + pairwise.exactDups)
+    assert(clustered.input === clustered.nearDups + clustered.lowQuality
+      + clustered.unknownLang + clustered.kept + clustered.exactDups)
+  }
+
   test("releaseCaches drops every frame a Curate run persisted") {
     val (curated, _) = Curate.run(spark, dir)
     curated.count() // the caller's terminal action
