@@ -116,6 +116,10 @@ object ConfigRouter {
         routed.filter(col("sink_table") === tp.sinkTable)
           .select(cols.map(c => element_at(col("payload"), c).as(c)).toIndexedSeq: _*)
           .write.mode("overwrite").insertInto(qualified)
+        // the session caches the table's file listing; after the overwrite
+        // replaced the files a stale listing fails the read-back (and any
+        // later batch) with FILE_NOT_EXIST
+        spark.catalog.refreshTable(qualified)
       }
     } finally { routed.unpersist(); () }
     import spark.implicits._

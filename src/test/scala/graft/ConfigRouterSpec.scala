@@ -97,6 +97,44 @@ class ConfigFreshnessSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(sink.toSet === Set("sink_v1" -> 2L, "sink_v2" -> 1L))
   }
 
+  test("K6 streaming: per-batch DDL tracks a config change (new route => new table)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.ConfigRouter
+    import graft.operators.ConfigRouter.TableProcess
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val db = "graft_k6_stream"
+    val cfgPath = "/tmp/graft_test_k6cfg"
+    def writeCfg(routes: Seq[TableProcess]): Unit =
+      ConfigRouter.configDf(spark, routes).write.mode("overwrite").parquet(cfgPath)
+    writeCfg(Seq(TableProcess("purchase", "k6s_trade", "event_id,user_id")))
+    val stream = MemoryStream[(Long, Long, String)]
+    val q = stream.toDF().toDF("event_id", "user_id", "event_type")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the reference's runtime-config semantics: re-read config AND run
+        // the DDL path per micro-batch — a route added mid-stream
+        // materializes its table on the next batch
+        val routes = spark.read.parquet(cfgPath).as[(String, String, String)]
+          .collect().map(r => TableProcess(r._1, r._2, r._3)).toSeq
+        ConfigRouter.materializeRoutes(spark, batch.toDF(), routes, dbName = db)
+        ()
+      }.start()
+    stream.addData((1L, 10L, "purchase"), (2L, 11L, "signup")); q.processAllAvailable()
+    assert(spark.catalog.tableExists(s"$db.k6s_trade"))
+    assert(!spark.catalog.tableExists(s"$db.k6s_signup"))
+    // config change at runtime: add a route for signup
+    writeCfg(Seq(
+      TableProcess("purchase", "k6s_trade", "event_id,user_id"),
+      TableProcess("signup", "k6s_signup", "event_id")))
+    stream.addData((3L, 12L, "purchase"), (4L, 13L, "signup")); q.processAllAvailable()
+    q.stop()
+    assert(spark.catalog.tableExists(s"$db.k6s_signup"))
+    // INSERT OVERWRITE per batch => tables hold the LAST batch's routing
+    assert(spark.table(s"$db.k6s_signup").collect().map(_.getString(0)).toSeq === Seq("4"))
+    assert(spark.table(s"$db.k6s_trade").collect().map(_.getString(0)).toSeq === Seq("3"))
+  }
+
   test("K6 dynamic DDL: creates managed tables, idempotent on re-run") {
     import graft.operators.ConfigRouter
     import graft.tables.Tables
