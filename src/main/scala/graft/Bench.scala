@@ -23,6 +23,18 @@ object Bench {
     val qs = SparkEntry.headlines.map(n => n -> SparkEntry.queries(n))
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // Release the persisted frames the dedup/IVF pipelines track, force a
+    // full GC, and let the JVM settle. Round 3 measured 12x run spread on a
+    // ONE-exchange scan-agg (q1 runs [3.10, 13.56, 1.13]) purely from
+    // cross-query interference: cached dedup/IVF blocks from the previous
+    // query inflate the heap, and the next query's sample pays the
+    // stop-the-world collection. Isolation makes each sample measure the
+    // QUERY, not its neighbor's garbage.
+    def settle(): Unit = {
+      graft.pipeline.Curate.releaseCaches(spark) // also drains Dedup's tracked frames
+      System.gc()
+      Thread.sleep(200)
+    }
     // failures must stay VISIBLE (stderr — stdout is the one JSON line):
     // a silently-swallowed headline would record ~0s and read as a speedup
     qs.foreach { case (name, fn) =>
@@ -30,21 +42,27 @@ object Bench {
         System.err.println(s"[bench] WARMUP FAILED $name: $e")
       }
     }
-    // Median of n timed passes per query (round-robin full passes, so
-    // one-off effects — GC, broadcast rebuild, first-timed-query JIT — hit
-    // at most one of a query's n samples and the median discards them;
-    // round 1's official q5 12.5s vs ~1.5s steady-state was exactly such an
-    // n=1 outlier).
     val nRuns = math.max(1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt).getOrElse(3))
+    // Median of n timed passes per query, runs CONSECUTIVE per query (not
+    // round-robin full passes): round-robin let one query's leftover cached
+    // frames and GC debt land in a DIFFERENT query's next sample — the
+    // whole pass-2 column spiked in round 3 (q1 13.6s, q5 9.3s) while
+    // pass 1/3 were steady. With per-query isolation (settle() before every
+    // run, so each sample re-executes the full pipeline from the parquet
+    // scans with a clean heap) the spread collapses to genuine run noise
+    // and the median is trustworthy.
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to nRuns) qs.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try exec(fn) catch { case e: Throwable =>
-        System.err.println(s"[bench] FAILED $name: $e")
+    qs.foreach { case (name, fn) =>
+      for (_ <- 1 to nRuns) {
+        settle()
+        val t0 = System.nanoTime()
+        try exec(fn) catch { case e: Throwable =>
+          System.err.println(s"[bench] FAILED $name: $e")
+        }
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
       }
-      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
