@@ -100,6 +100,10 @@ object Similarity {
       dim: Int,
       rowsPerBand: Int = 2,
       nBands: Int = 24): DataFrame = {
+    // all bands' sign bits pack into ONE long sketch; past 64 the shift
+    // wraps (mod-64) and bands silently alias onto each other's bits
+    require(rowsPerBand * nBands <= 64,
+      s"rowsPerBand*nBands must be <= 64 sketch bits, got ${rowsPerBand * nBands}")
     val v = vectors.select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("sk", graft.plans.VectorExpressions
         .hyperplaneSketch(col("e"), dim, rowsPerBand * nBands))

@@ -85,6 +85,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 case class HyperplaneSketch(child: Expression, dim: Int, nPlanes: Int)
     extends UnaryExpression {
 
+  // Java's long shift is mod 64: `1L << 64` silently aliases plane 64 onto
+  // bit 0, producing colliding buckets and degraded recall with no error in
+  // either eval path — fail construction instead.
+  require(nPlanes >= 1 && nPlanes <= 64,
+    s"hyperplane_sketch supports 1..64 planes (one long of sign bits), got $nPlanes")
+
   override def dataType: DataType = LongType
 
   // fail at analysis, not with garbage buckets at runtime: getDouble on an

@@ -225,6 +225,32 @@ object PipelineQueries {
         FROM v a JOIN v b ON a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45"""))
 
+  /** Sharp-banded variant of the bucketed scale path: rowsPerBand=4,
+    * nBands=16 — 64 sketch bits, the full long — at threshold 0.5. SCALE.md
+    * claims the banding sharpens as the threshold rises; this entry proves
+    * the sharp operating point pair-identical to the exact O(N²) oracle on
+    * REAL pairs. 0.5 (not 0.8) because the synthetic corpus' max pair
+    * similarity is 0.60 — an 0.8 entry would match vacuously on zero rows.
+    * The md5-derived planes are FIXED, so pair identity per corpus is
+    * deterministic, verified at sf0.001/0.01/0.1 (1 and 14 true pairs, 0
+    * missed, 0 spurious); the analytic random-plane all-bands-miss at the
+    * 0.51 boundary pair is ~2.6%, which is why this is measured, not
+    * assumed. */
+  val tDedupEmbeddingBucketedHi: Q = Q(
+    "t_dedup_embedding_bucketed_hi",
+    run = (s, dir) =>
+      Similarity.cosineNearDupPairsBucketed(Tables.embeddings(s, dir), 0.5,
+        dim = 64, rowsPerBand = 4, nBands = 16),
+    oracle = Some("""
+      WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          list_sum([a.e[i+1]*b.e[i+1] for i in range(0, 64)]) /
+            (sqrt(list_sum([a.e[i+1]*a.e[i+1] for i in range(0, 64)]))
+             * sqrt(list_sum([b.e[i+1]*b.e[i+1] for i in range(0, 64)]))) AS sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.5"""))
+
   /** Winnowing fingerprints (MOSS, SIGMOD'03): per-doc distinct window-min
     * rolling-hash set, k=3-token shingles, window w=4. Arrays compare via
     * md5 over the CSV rendering (longs stringify identically across
@@ -466,13 +492,19 @@ object PipelineQueries {
       FROM t"""))
 
   /** ANN scale-path self-check: IVF (deterministic k-means|| init, k=16,
-    * nprobe=10) top-10 recall against exact brute force, SELF-VALIDATING:
-    * `ok` = recall >= 0.8 and the oracle reproduces n_expected (the exact
+    * nprobe=12) top-10 recall against exact brute force, SELF-VALIDATING:
+    * `ok` = recall >= 0.85 and the oracle reproduces n_expected (the exact
     * brute-force top-10 count) + TRUE, so the hash match IS the recall
     * gate. The k-means pipeline itself is not SQL-expressible — the gated
-    * bound is the contract. Parameter sweep (round 3, both sf0.01/sf0.1):
-    * iters=1/rounds=2/nprobe=10 → recall 0.895/0.845, the best time×recall
-    * point (nprobe=8 hovers at the 0.8 line; nprobe=6 was round 1's 0.685).
+    * bound is the contract.
+    *
+    * Recall here is limited ONLY by probe coverage: Ivf.topK already
+    * exact-scores every vector in the probed lists (no quantized first
+    * pass), so there is nothing lossy before the final rank to re-rank —
+    * the lever is nprobe, not a rescore stage. Round-4 sweep
+    * (iters × rounds × nprobe at sf0.01/sf0.1): nprobe=12 → 0.945/0.910
+    * at unchanged wall time (probe scoring is not the bottleneck at these
+    * corpus sizes); nprobe=10 hovered at 0.895/0.845, under an 0.85 gate.
     * IvfSpec holds the measured bound. */
   val tAnnIvfRecall: Q = Q(
     "t_ann_ivf_recall",
@@ -481,7 +513,7 @@ object PipelineQueries {
       val q = emb.filter(col("vec_id") < 20)
       val cents = Ivf.trainScalable(emb, 16, iters = 1, rounds = 2)
       val idx = Ivf.index(emb, cents)
-      val ivf = Ivf.topK(idx, cents, q, 10, nprobe = 10)
+      val ivf = Ivf.topK(idx, cents, q, 10, nprobe = 12)
         .select(col("qid"), col("vec_id")).withColumn("hit", lit(1))
       Similarity.bruteForceTopK(emb, q, 10)
         .select(col("qid"), col("vec_id"))
@@ -489,7 +521,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_expected"),
           sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
         .select(col("n_expected"),
-          (col("n_hit").cast("double") / col("n_expected") >= 0.8).as("ok"))
+          (col("n_hit").cast("double") / col("n_expected") >= 0.85).as("ok"))
     },
     oracle = Some("""
       WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
@@ -635,7 +667,8 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     tDedupExact, tDedupMinhash, tDedupMinhashSalted, tDedupClusters,
     tSimhash, tAnnCosine,
-    tDedupEmbedding, tDedupEmbeddingBucketed, tWinnowFingerprint,
+    tDedupEmbedding, tDedupEmbeddingBucketed, tDedupEmbeddingBucketedHi,
+    tWinnowFingerprint,
     tWinnowPairs, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tCurateStats, tCurateStatsClustered)

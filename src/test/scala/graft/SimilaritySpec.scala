@@ -37,6 +37,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.nonEmpty && bucketed === exact)
   }
 
+  test("sharp banding (rowsPerBand=4, 64 sketch bits) stays pair-identical") {
+    val emb = Tables.embeddings(spark, dir)
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = toSet(Similarity.cosineNearDupPairs(emb, 0.5))
+    val sharp = toSet(Similarity.cosineNearDupPairsBucketed(
+      emb, 0.5, dim = 64, rowsPerBand = 4, nBands = 16))
+    assert(sharp === exact)
+  }
+
+  test("sketch-width guards reject > 64 bits instead of silently aliasing") {
+    val emb = Tables.embeddings(spark, dir)
+    // Java's long shift is mod 64 — 65 planes would alias plane 64 onto
+    // bit 0 and produce colliding buckets with no error
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairsBucketed(emb, 0.5, dim = 64,
+        rowsPerBand = 4, nBands = 24)
+    }
+    intercept[Exception] {
+      Similarity.hyperplaneBuckets(emb, 64, nPlanes = 65).collect()
+    }
+  }
+
   test("multi-probe LSH recall >= single-probe recall (and candidates superset)") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(emb("vec_id") < 10)
