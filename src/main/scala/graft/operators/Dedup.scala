@@ -20,38 +20,56 @@ object Dedup {
   // request would otherwise accumulate session-lifetime InMemoryRelations
   // (LRU-evictable, but an unbounded cache-entry leak). Queries returned by
   // the operator stay lazy, so release is the CALLER's move after its
-  // terminal action (Curate does this; Bench deliberately keeps them warm
-  // across timed passes).
+  // terminal action (Curate does this; Bench releases between timed runs).
+  //
+  // Frames are attributed to the caller's SCOPE (an opaque token from
+  // trackMark, held in a per-thread stack), so interleaved callers on one
+  // session release only their OWN frames — a position-based mark would
+  // drop every frame tracked after it, including a concurrent caller's.
+  // WeakHashMap: a session that dies without releaseCaches must not pin
+  // itself (or its frames) through this registry forever.
   private val tracked =
-    scala.collection.mutable.Map.empty[SparkSession, Vector[DataFrame]]
+    scala.collection.mutable.WeakHashMap.empty[SparkSession, Vector[(Long, DataFrame)]]
+  private val nextScope = new java.util.concurrent.atomic.AtomicLong(1)
+  private val openScopes: ThreadLocal[List[Long]] =
+    ThreadLocal.withInitial(() => Nil)
 
   private def track(df: DataFrame): DataFrame = synchronized {
-    tracked(df.sparkSession) = tracked.getOrElse(df.sparkSession, Vector.empty) :+ df
+    val scope = openScopes.get().headOption.getOrElse(0L)
+    tracked(df.sparkSession) =
+      tracked.getOrElse(df.sparkSession, Vector.empty) :+ (scope -> df)
     df
   }
 
-  /** Unpersist every frame this operator persisted on `spark`; returns how
-    * many were released. Session-global — embedded callers that may share
-    * the session with other work should scope with trackMark/releaseSince
+  /** Unpersist every frame this operator persisted on `spark` (all scopes);
+    * returns how many were released. Embedded callers that may share the
+    * session with other work should scope with trackMark/releaseSince
     * instead, so they never drop a concurrent caller's caches. */
   def releaseCaches(spark: SparkSession): Int = synchronized {
     val frames = tracked.remove(spark).getOrElse(Vector.empty)
-    frames.foreach(_.unpersist(blocking = false))
+    frames.foreach(_._2.unpersist(blocking = false))
     frames.size
   }
 
-  /** Position marker into the session's tracked-frame list; frames tracked
-    * AFTER the mark belong to the caller's own operator invocations. */
-  def trackMark(spark: SparkSession): Int = synchronized {
-    tracked.getOrElse(spark, Vector.empty).size
+  /** Open a caller-private tracking scope on the current THREAD: frames the
+    * operators persist between this call and the matching releaseSince are
+    * attributed to the returned token. Frames tracked outside any scope
+    * (scope 0 — e.g. Bench's direct operator calls) are released only by
+    * the session-global releaseCaches. */
+  def trackMark(spark: SparkSession): Long = {
+    val id = nextScope.getAndIncrement()
+    openScopes.set(id :: openScopes.get())
+    id
   }
 
-  /** Release only the frames tracked after `mark` — the caller's own — and
-    * leave earlier (possibly someone else's) caches alone. */
-  def releaseSince(spark: SparkSession, mark: Int): Int = synchronized {
+  /** Release only the frames attributed to scope `mark` — the caller's own
+    * — and close the scope; a concurrent caller's frames (other scopes,
+    * other threads) are untouched. */
+  def releaseSince(spark: SparkSession, mark: Long): Int = synchronized {
+    openScopes.set(openScopes.get().filterNot(_ == mark))
     val frames = tracked.getOrElse(spark, Vector.empty)
-    val (keep, drop) = frames.splitAt(math.max(0, mark))
-    drop.foreach(_.unpersist(blocking = false))
+    val (drop, keep) = frames.partition(_._1 == mark)
+    drop.foreach(_._2.unpersist(blocking = false))
     if (keep.isEmpty) tracked.remove(spark) else tracked(spark) = keep
     drop.size
   }
@@ -256,14 +274,18 @@ object Dedup {
     while (changed > 0) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(edges("src").as("n_id")).agg(min(col("label")).as("nbr"))
+      // the round's ONE action: the convergence count rides on the frame
+      // as a flag column, and the agg both materializes the (lazy) local
+      // checkpoint and returns the count — the previous two-action form
+      // (eager checkpoint, then a self-join count) doubled round latency
       val next = labels.as("l")
         .join(nbrMin, col("l.doc_id") === col("n_id"), "left")
         .select(col("l.doc_id").as("doc_id"),
-          least(col("l.label"), coalesce(col("nbr"), col("l.label"))).as("label"))
-        .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next // previous round's checkpoint blocks are GC-reclaimed
+          least(col("l.label"), coalesce(col("nbr"), col("l.label"))).as("label"),
+          (coalesce(col("nbr"), col("l.label")) < col("l.label")).cast("long").as("__chg"))
+        .localCheckpoint(false)
+      changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).first().getLong(0)
+      labels = next.select(col("doc_id"), col("label")) // prior round's blocks GC-reclaim
     }
     labels.select(col("doc_id"), col("label").as("cluster"))
   }

@@ -99,7 +99,8 @@ object Similarity {
       threshold: Double,
       dim: Int,
       rowsPerBand: Int = 2,
-      nBands: Int = 24): DataFrame = {
+      nBands: Int = 24,
+      probeHamming1: Boolean = false): DataFrame = {
     // all bands' sign bits pack into ONE long sketch; past 64 the shift
     // wraps (mod-64) and bands silently alias onto each other's bits
     require(rowsPerBand * nBands <= 64,
@@ -113,7 +114,21 @@ object Similarity {
         struct(lit(b).as("b"),
           shiftright(col("sk"), b * rowsPerBand).bitwiseAND(lit(mask)).as("bk"))): _*)).as("band"))
       .select(col("vec_id"), col("e"), col("band.b").as("b"), col("band.bk").as("bk"))
-    val cand = banded.as("x")
+    // Hamming-1 band probing (multi-probe LSH, Lv et al. VLDB'07, applied
+    // to the self-join): sharp bands (rowsPerBand 4+) shrink candidate
+    // sets but push the all-bands-miss probability for boundary pairs
+    // into the percent range (measured: 2/89 pairs missed at sf0.1,
+    // r=4 b=16 s=0.46). Probing each band's key plus its rowsPerBand
+    // one-bit flips on ONE side of the join recovers any pair within
+    // Hamming distance 1 of agreeing — miss drops to ~1e-6 — at a
+    // (1+rowsPerBand)× fan-out of the probe side only. The a<b ordering
+    // means probing only x still covers every pair.
+    val probeSide =
+      if (!probeHamming1) banded
+      else banded.withColumn("pm",
+          explode(array((lit(0L) +: (0 until rowsPerBand).map(i => lit(1L << i))): _*)))
+        .withColumn("bk", col("bk").bitwiseXOR(col("pm"))).drop("pm")
+    val cand = probeSide.as("x")
       .join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
           col("x.vec_id") < col("y.vec_id"))

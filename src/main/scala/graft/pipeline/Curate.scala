@@ -25,9 +25,11 @@ object Curate {
       lowQuality: Long, unknownLang: Long, kept: Long, keptTokens: Long)
 
   // the one cache that outlives runDocs (it backs the returned `curated`
-  // frame); released by releaseCaches once the caller's terminal action ran
+  // frame); released by releaseCaches once the caller's terminal action ran.
+  // WeakHashMap for the same reason as Dedup.tracked: a session that dies
+  // unreleased must not be pinned by this registry.
   private val tracked =
-    scala.collection.mutable.Map.empty[SparkSession, Vector[DataFrame]]
+    scala.collection.mutable.WeakHashMap.empty[SparkSession, Vector[DataFrame]]
 
   /** Release every cache a Curate run left on `spark` (its own surviving
     * frame + anything Dedup still tracks); call after the terminal action
@@ -56,63 +58,92 @@ object Curate {
       clusterDedup: Boolean = false): (DataFrame, Stats) = {
     val dedupMark = Dedup.trackMark(spark)
     val docs = documents.persist()
-    val input = docs.count()
+    // a mid-pipeline failure must still close the scope and drop this
+    // run's caches (releaseSince after the happy-path release is a no-op)
+    try runLabeled(spark, docs, minQuality, clusterDedup, dedupMark)
+    catch {
+      case t: Throwable =>
+        Dedup.releaseSince(spark, dedupMark)
+        docs.unpersist(blocking = false)
+        throw t
+    }
+  }
 
+  private def runLabeled(spark: SparkSession, docs: DataFrame, minQuality: Double,
+      clusterDedup: Boolean, dedupMark: Long): (DataFrame, Stats) = {
     // 1. exact dedup: keep the min doc_id of each fingerprint group
     val keepExact = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
     val afterExact = docs.join(keepExact, "doc_id")
-    val exactDups = input - afterExact.count()
 
-    // 2. near-dup removal (policy per `clusterDedup`). afterNear is
-    // persisted — it feeds the quality/lang joins and five downstream
-    // counts; without the cache the LSH candidate join + exact-Jaccard
-    // verify (the most expensive stage) re-runs per action.
+    // 2. near-dup losers among the exact survivors (policy per
+    // `clusterDedup`); the pair table MUST come from afterExact — running
+    // LSH on the raw corpus would pair exact dups with their keepers.
     val pairs = Dedup.minhashLshPairs(afterExact)
     val nearDupLosers =
       if (clusterDedup)
         Dedup.duplicateClusters(pairs)
           .filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
       else pairs.select(col("doc_b").as("doc_id")).distinct()
-    val afterNear = afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti").persist()
-    val nearDups = input - exactDups - afterNear.count()
 
-    // 3. quality + language filters. LEFT join: zero-token docs have no
-    // quality row — coalesce them to quality 0 so they land in the
-    // lowQuality bucket instead of silently vanishing from the accounting
-    // (input = exactDups + nearDups + lowQuality + unknownLang + kept).
-    val quality = TextAnalysis.qualityScore(afterNear)
+    // 3. quality + language are per-row functions, so they are computed
+    // over the full cached corpus (map-side, one scan) — a dropped doc's
+    // row is simply never consulted because the drop_reason precedence
+    // below catches it first. LEFT join: zero-token docs have no quality
+    // row — coalesce them to quality 0 so they land in the lowQuality
+    // bucket instead of silently vanishing from the accounting.
+    val quality = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("quality"), col("n_tokens"))
-    val lang = TextAnalysis.langId(afterNear).select(col("doc_id"), col("pred_lang"))
-    val scored = afterNear.join(quality, Seq("doc_id"), "left").join(lang, "doc_id")
+    val lang = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
+
+    // ONE labeled frame over the whole input: every document carries the
+    // reason it left the pipeline (or 'kept'), so the ENTIRE accounting —
+    // all five counters plus the kept-token sum — is one groupBy, one
+    // driver action, one pass over the scored corpus. The previous
+    // formulation ran six sequential driver actions (count x5 + agg) over
+    // the same cached frames; at 100 TB that is six passes where one does.
+    val labeled = docs.select(col("doc_id"), col("text"))
+      .join(keepExact.withColumn("__keeper", lit(1)), Seq("doc_id"), "left")
+      .join(nearDupLosers.withColumn("__loser", lit(1)), Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"), "left")
+      .join(lang, Seq("doc_id"), "left")
       .withColumn("quality", coalesce(col("quality"), lit(0.0)))
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("drop_reason",
+        when(col("__keeper").isNull, lit("exact_dup"))
+          .when(col("__loser").isNotNull, lit("near_dup"))
+          .when(col("quality") < minQuality, lit("low_quality"))
+          .when(col("pred_lang") === "und", lit("unknown_lang"))
+          .otherwise(lit("kept")))
+      .drop("__keeper", "__loser")
       .persist()
     synchronized {
-      tracked(spark) = tracked.getOrElse(spark, Vector.empty) :+ scored
+      tracked(spark) = tracked.getOrElse(spark, Vector.empty) :+ labeled
     }
-    val lowQuality = scored.filter(col("quality") < minQuality).count()
-    val unknownLang = scored
-      .filter(col("quality") >= minQuality && col("pred_lang") === "und").count()
+    val counters = labeled.groupBy(col("drop_reason"))
+      .agg(count(lit(1)).as("n"),
+        // coalesce: SUM over an empty kept bucket is NULL (an
+        // over-aggressive filter emptying the corpus must yield
+        // kept_tokens = 0, not a crash)
+        coalesce(sum(when(col("drop_reason") === "kept", col("n_tokens"))), lit(0L)).as("toks"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def n(reason: String): Long = counters.get(reason).map(_._1).getOrElse(0L)
 
-    // scored is persisted AND materialized by the two counts above, so the
+    // labeled is persisted AND materialized by the one action above, so the
     // upstream caches — THIS run's Dedup shingle/band/candidate frames plus
-    // our docs/afterNear frames — are dead weight from here: release them
-    // scoped (releaseSince), so a concurrent Dedup caller on the same
-    // session keeps its own caches. The returned `curated` reads only from
-    // scored.
+    // our docs frame — are dead weight from here: release them scoped
+    // (releaseSince), so a concurrent Dedup caller on the same session
+    // keeps its own caches. The returned `curated` reads only from labeled.
     Dedup.releaseSince(spark, dedupMark)
     docs.unpersist(blocking = false)
-    afterNear.unpersist(blocking = false)
 
-    val curated = scored
-      .filter(col("quality") >= minQuality && col("pred_lang") =!= "und")
+    val curated = labeled.filter(col("drop_reason") === "kept")
       .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"), col("n_tokens"))
-    val kept = curated.count()
-    // coalesce: SUM over an empty kept set is NULL (an over-aggressive
-    // filter emptying the corpus must yield kept_tokens = 0, not a crash)
-    val keptTokens = curated
-      .agg(coalesce(sum(col("n_tokens")), lit(0L))).collect()(0).getLong(0)
-    val stats = Stats(input, exactDups, nearDups, lowQuality, unknownLang, kept, keptTokens)
+    val stats = Stats(counters.values.map(_._1).sum, n("exact_dup"), n("near_dup"),
+      n("low_quality"), n("unknown_lang"), n("kept"),
+      counters.get("kept").map(_._2).getOrElse(0L))
+    // structural now (the labels partition the input), but kept as the
+    // tripwire for a precedence or join-cardinality regression
     assert(stats.input == stats.exactDups + stats.nearDups + stats.lowQuality
       + stats.unknownLang + stats.kept,
       s"curation accounting does not balance: $stats")

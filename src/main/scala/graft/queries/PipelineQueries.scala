@@ -226,21 +226,23 @@ object PipelineQueries {
       SELECT vec_a, vec_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45"""))
 
   /** Sharp-banded variant of the bucketed scale path: rowsPerBand=4,
-    * nBands=16 — 64 sketch bits, the full long — at threshold 0.5. SCALE.md
+    * nBands=16 — 64 sketch bits, the full long — at threshold 0.46. SCALE.md
     * claims the banding sharpens as the threshold rises; this entry proves
     * the sharp operating point pair-identical to the exact O(N²) oracle on
-    * REAL pairs. 0.5 (not 0.8) because the synthetic corpus' max pair
-    * similarity is 0.60 — an 0.8 entry would match vacuously on zero rows.
-    * The md5-derived planes are FIXED, so pair identity per corpus is
-    * deterministic, verified at sf0.001/0.01/0.1 (1 and 14 true pairs, 0
-    * missed, 0 spurious); the analytic random-plane all-bands-miss at the
-    * 0.51 boundary pair is ~2.6%, which is why this is measured, not
-    * assumed. */
+    * REAL pairs at every SF. 0.46 (not 0.8) because the synthetic corpus'
+    * max pair similarity is 0.479/0.513/0.601 at sf0.001/0.01/0.1 — a
+    * higher entry would match vacuously on zero rows at the smaller SFs
+    * (threshold 0.46 yields 4/7/89 true pairs respectively). The
+    * md5-derived planes are FIXED, so pair identity per corpus is
+    * deterministic and measured (0 missed, 0 spurious at all three SFs);
+    * the analytic random-plane all-bands-miss at the 0.46 boundary is
+    * ~4% per pair bare (2/89 pairs dropped at sf0.1, measured), which is
+    * why the sharp point runs with Hamming-1 band probing (miss ~1e-6). */
   val tDedupEmbeddingBucketedHi: Q = Q(
     "t_dedup_embedding_bucketed_hi",
     run = (s, dir) =>
-      Similarity.cosineNearDupPairsBucketed(Tables.embeddings(s, dir), 0.5,
-        dim = 64, rowsPerBand = 4, nBands = 16),
+      Similarity.cosineNearDupPairsBucketed(Tables.embeddings(s, dir), 0.46,
+        dim = 64, rowsPerBand = 4, nBands = 16, probeHamming1 = true),
     oracle = Some("""
       WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
       p AS (
@@ -249,7 +251,7 @@ object PipelineQueries {
             (sqrt(list_sum([a.e[i+1]*a.e[i+1] for i in range(0, 64)]))
              * sqrt(list_sum([b.e[i+1]*b.e[i+1] for i in range(0, 64)]))) AS sim
         FROM v a JOIN v b ON a.vec_id < b.vec_id)
-      SELECT vec_a, vec_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.5"""))
+      SELECT vec_a, vec_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.46"""))
 
   /** Winnowing fingerprints (MOSS, SIGMOD'03): per-doc distinct window-min
     * rolling-hash set, k=3-token shingles, window w=4. Arrays compare via

@@ -43,6 +43,38 @@ class CurateSpec extends AnyFunSuite {
       + clustered.unknownLang + clustered.kept + clustered.exactDups)
   }
 
+  test("accounting stats run in a single driver action") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and the cat and the bird today"),
+      (2L, "the quick brown fox jumps over the lazy dog and the cat and the bird today"),
+      (3L, "der hund und die katze sind nicht der fisch und das brot und der mann hier"))
+      .toDF("doc_id", "text")
+    @volatile var actions = 0
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions += 1
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val (_, s) = Curate.runDocs(spark, docs, minQuality = 0.1)
+      assert(s.input === 3 && s.exactDups === 1)
+      // the listener bus is async — wait for the dispatch to drain
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1
+      while (System.currentTimeMillis() < deadline && actions != last) {
+        last = actions; Thread.sleep(300)
+      }
+      // one labeled-frame groupBy collect — NOT the old six-action form
+      // (count x5 + agg); <= 2 leaves room for an incidental action, the
+      // regression tripwire is the six
+      assert(actions <= 2, s"stats took $actions driver actions")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("releaseCaches drops every frame a Curate run persisted") {
     val (curated, _) = Curate.run(spark, dir)
     curated.count() // the caller's terminal action

@@ -41,10 +41,29 @@ class SimilaritySpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, dir)
     def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val exact = toSet(Similarity.cosineNearDupPairs(emb, 0.5))
+    // 0.46 sits just under the corpus' sf0.001 max pair similarity
+    // (0.479), so the identity is proven on REAL pairs, not vacuously
+    val exact = toSet(Similarity.cosineNearDupPairs(emb, 0.46))
     val sharp = toSet(Similarity.cosineNearDupPairsBucketed(
-      emb, 0.5, dim = 64, rowsPerBand = 4, nBands = 16))
-    assert(sharp === exact)
+      emb, 0.46, dim = 64, rowsPerBand = 4, nBands = 16, probeHamming1 = true))
+    assert(exact.nonEmpty && sharp === exact)
+    // probing only ever ADDS candidates pre-rescore — the bare form is a
+    // subset of the probed one (it missed 2/89 true pairs at sf0.1)
+    val bare = toSet(Similarity.cosineNearDupPairsBucketed(
+      emb, 0.46, dim = 64, rowsPerBand = 4, nBands = 16))
+    assert(bare.subsetOf(sharp))
+    // the boundary pairs differ per corpus — prove the identity on the
+    // next SF up too (sf0.01: 7 true pairs; exact is 5000² ≈ 12.5M
+    // cosines, still unit-test cheap). sf0.1 is checked by the driver's
+    // DuckDB oracle (t_dedup_embedding_bucketed_hi).
+    val dir01 = "/root/testdata/sf0.01"
+    if (new java.io.File(dir01 + "/embeddings.parquet").exists()) {
+      val emb01 = Tables.embeddings(spark, dir01)
+      val exact01 = toSet(Similarity.cosineNearDupPairs(emb01, 0.46))
+      val sharp01 = toSet(Similarity.cosineNearDupPairsBucketed(
+        emb01, 0.46, dim = 64, rowsPerBand = 4, nBands = 16, probeHamming1 = true))
+      assert(exact01.nonEmpty && sharp01 === exact01)
+    }
   }
 
   test("sketch-width guards reject > 64 bits instead of silently aliasing") {
