@@ -110,6 +110,35 @@ object DwdQueries {
         ON event_type = source_type
       GROUP BY sink_table, n_cols"""))
 
+  /** K5/K6: dynamic-DDL UPSERT load — the reference's DIM-layer Phoenix
+    * contract (DIM_SinkFunction.java:28-92): rows accumulate across
+    * loads and a later row replaces the stored row with the same pk.
+    * Two loads: (1) every purchase with user_id shifted +1000 (stale dim
+    * rows), (2) the TRUE rows for even event_ids only. The final table
+    * must hold the true row where load 2 covered the pk and the stale
+    * load-1 row everywhere else — exactly what snapshot overwrite
+    * (materializeRoutes) would get wrong, since it would drop all odd
+    * event_ids. */
+  val k6UpsertRoutes: Q = Q(
+    "k6_upsert_routes",
+    run = (s, dir) => {
+      val db = "graft_dim_oracle"
+      // self-contained: reset catalog state so re-runs start empty (the
+      // create-time sentinel lets a NEW session reclaim the old location)
+      s.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+      val ev = Tables.events(s, dir)
+      ConfigRouter.upsertRoutes(s, ev.withColumn("user_id", col("user_id") + 1000), dbName = db)
+      ConfigRouter.upsertRoutes(s, ev.filter(col("event_id") % 2 === 0), dbName = db)
+      s.table(s"$db.dwd_trade_order")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"))
+    },
+    oracle = Some("""
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0 THEN user_id
+                  ELSE user_id + 1000 END AS user_id
+      FROM events WHERE event_type = 'purchase'"""))
+
   /** P12/P13: date/time scalar kernel (DateFormatUtil.java:14-39) —
     * month bucketing, epoch seconds, day strings. */
   val p12TimeFunctions: Q = Q(
@@ -216,5 +245,6 @@ object DwdQueries {
 
   val all: Seq[Q] = Seq(
     p1Quarantine, p4JsonProjection, x1Demux, j4ConfigRouter, k6DynamicDdl,
+    k6UpsertRoutes,
     p12TimeFunctions, j2LeftJoin, j3LookupJoin, p10LogPipeline)
 }

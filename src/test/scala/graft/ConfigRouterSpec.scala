@@ -50,6 +50,81 @@ class ConfigRouterSpec extends AnyFunSuite {
       Seq(TableProcess("click", "dwd_click", "event_id")))
     assert(routed.select("sink_table").distinct().collect().map(_.getString(0)).toSet === Set("dwd_click"))
   }
+
+  test("upsertRoutes accumulates across loads, latest row per pk wins") {
+    import spark.implicits._
+    val db = "graft_upsert_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val routes = Seq(TableProcess("purchase", "dim_trade", "event_id,user_id"))
+    def load(rows: (Long, Long)*): Unit = {
+      ConfigRouter.upsertRoutes(spark,
+        rows.toSeq.toDF("event_id", "user_id").withColumn("event_type", lit("purchase")),
+        routes, dbName = db)
+      ()
+    }
+    load(1L -> 10L, 2L -> 20L)
+    load(2L -> 21L, 3L -> 30L) // pk 2 replaced, pk 1 RETAINED, pk 3 added
+    val got = spark.table(s"$db.dim_trade").collect()
+      .map(r => r.getString(0).toLong -> r.getString(1).toLong).toMap
+    assert(got === Map(1L -> 10L, 2L -> 21L, 3L -> 30L))
+    // a snapshot load of the same second batch would have dropped pk 1 —
+    // the distinction the DIM contract (Phoenix upsert) requires
+  }
+
+  test("upsertRoutes in foreachBatch: dim state accumulates across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val db = "graft_upsert_stream"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val routes = Seq(TableProcess("purchase", "dim_trade", "event_id,user_id"))
+    val stream = MemoryStream[(Long, Long, String)]
+    val q = stream.toDF().toDF("event_id", "user_id", "event_type")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ConfigRouter.upsertRoutes(spark, batch.toDF(), routes, dbName = db)
+        ()
+      }.start()
+    stream.addData((1L, 10L, "purchase"), (2L, 20L, "purchase")); q.processAllAvailable()
+    stream.addData((2L, 21L, "purchase"), (3L, 30L, "purchase")); q.processAllAvailable()
+    q.stop()
+    val got = spark.table(s"$db.dim_trade").collect()
+      .map(r => r.getString(0).toLong -> r.getString(1).toLong).toMap
+    assert(got === Map(1L -> 10L, 2L -> 21L, 3L -> 30L))
+  }
+
+  test("orphan reclamation requires the create-time sentinel (foreign data is safe)") {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val fs = new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val db = "graft_orphan_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    fs.delete(new org.apache.hadoop.fs.Path(warehouse, s"$db.db"), true)
+    spark.sql(s"CREATE DATABASE `$db`")
+    def junk(table: String): org.apache.hadoop.fs.Path = {
+      val f = new org.apache.hadoop.fs.Path(warehouse, s"$db.db/$table/foreign.txt")
+      val out = fs.create(f); out.writeBytes("not ours"); out.close(); f
+    }
+    import spark.implicits._
+    val events = Seq((1L, "purchase")).toDF("event_id", "event_type")
+
+    // location occupied + sentinel present (a previous graft session's
+    // orphan): reclaimed, create succeeds
+    val marked = junk("dim_marked")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(warehouse, s"$db.db/.graft_created/dim_marked"))
+    ConfigRouter.materializeRoutes(spark, events,
+      Seq(TableProcess("purchase", "dim_marked", "event_id")), dbName = db)
+    assert(!fs.exists(marked) && spark.catalog.tableExists(s"$db.dim_marked"))
+
+    // location occupied, NO sentinel (another tenant's data): the create
+    // fails loudly and the foreign file is untouched
+    val foreign = junk("dim_foreign")
+    intercept[Exception] {
+      ConfigRouter.materializeRoutes(spark, events,
+        Seq(TableProcess("purchase", "dim_foreign", "event_id")), dbName = db)
+    }
+    assert(fs.exists(foreign))
+  }
 }
 
 object ConfigRouterSpec {
