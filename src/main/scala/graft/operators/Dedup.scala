@@ -174,12 +174,19 @@ object Dedup {
           .select(col("doc_a"), col("doc_b")))
     } else candCold
     val cand = candAll.distinct()
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    // verify over the 32-bit shingle HASHES, not the shingle strings: the
+    // candidate join ships both docs' arrays per pair (the Σ bucket²
+    // stage), and 4-byte ints cut that shuffle ~5× and make the set ops
+    // integer compares. Engine parity holds because the oracle derives
+    // the same md5-prefix hashes (`v`) from the same distinct shingles —
+    // a (≈2e-6/pair) hash collision shrinks BOTH sides' intersect
+    // identically, so results stay hash-identical vs DuckDB.
+    val a = sh.select(col("doc_id").as("doc_a"), col("hashes").as("h_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("hashes").as("h_b"))
     cand.join(a, "doc_a").join(b, "doc_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+          size(array_union(col("h_a"), col("h_b"))))
       .filter(col("jaccard") >= threshold)
       // unrounded: small-int ratios land on .xxxx5 round-tie boundaries
       // where Spark (decimal-repr HALF_UP) and DuckDB (binary) disagree
@@ -289,6 +296,19 @@ object Dedup {
     }
     labels.select(col("doc_id"), col("label").as("cluster"))
   }
+
+  /** Fold NEW near-dup pairs into an existing cluster labeling without the
+    * original pair set: stored labels are star edges (doc → cluster root),
+    * and connected components over (stars ∪ new pairs) equal components
+    * over the full original edge set — the standard incremental-CC
+    * compaction. A new pair that bridges two old clusters relabels BOTH
+    * to the min root. State carried between folds is one row per
+    * clustered doc (self-rooted rows are self-edges, so singleton
+    * clusters survive a fold they don't participate in). */
+  def mergeClusters(labels: DataFrame, newPairs: DataFrame): DataFrame =
+    duplicateClusters(
+      labels.select(col("doc_id").as("doc_a"), col("cluster").as("doc_b"))
+        .unionByName(newPairs.select(col("doc_a"), col("doc_b"))))
 
   /** Per-doc 32-bit SimHash (near-dup docs differ in few bits).
     *

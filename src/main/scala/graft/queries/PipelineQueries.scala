@@ -55,11 +55,11 @@ object PipelineQueries {
           ON x.band_key = y.band_key AND x.b = y.b AND x.doc_id < y.doc_id),
       jac AS (
         SELECT c.doc_a, c.doc_b,
-          len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-            / len(list_distinct(sa.shingles || sb.shingles)) AS j
+          len(list_intersect(sa.v, sb.v))::DOUBLE
+            / len(list_distinct(sa.v || sb.v)) AS j
         FROM cand c
-        JOIN sh sa ON sa.doc_id = c.doc_a
-        JOIN sh sb ON sb.doc_id = c.doc_b)
+        JOIN vh sa ON sa.doc_id = c.doc_a
+        JOIN vh sb ON sb.doc_id = c.doc_b)
       SELECT doc_a, doc_b, j AS jaccard FROM jac WHERE j >= 0.8"""),
     headline = true)
 
@@ -94,11 +94,11 @@ object PipelineQueries {
           ON x.band_key = y.band_key AND x.b = y.b AND x.doc_id < y.doc_id),
       jac AS (
         SELECT c.doc_a, c.doc_b,
-          len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-            / len(list_distinct(sa.shingles || sb.shingles)) AS j
+          len(list_intersect(sa.v, sb.v))::DOUBLE
+            / len(list_distinct(sa.v || sb.v)) AS j
         FROM cand c
-        JOIN sh sa ON sa.doc_id = c.doc_a
-        JOIN sh sb ON sb.doc_id = c.doc_b)
+        JOIN vh sa ON sa.doc_id = c.doc_a
+        JOIN vh sb ON sb.doc_id = c.doc_b)
       SELECT doc_a, doc_b, j AS jaccard FROM jac WHERE j >= 0.8"""))
 
   /** 32-bit SimHash per document. */
@@ -166,7 +166,34 @@ object PipelineQueries {
     "t_dedup_clusters",
     run = (s, dir) =>
       Dedup.duplicateClusters(Dedup.minhashLshPairs(Tables.documents(s, dir))),
-    oracle = Some(s"""
+    oracle = Some(clustersClosureSql))
+
+  /** Incremental-fold twin of t_dedup_clusters: cluster half the corpus
+    * (even doc_ids), then fold in the remaining pairs with
+    * Dedup.mergeClusters — stored star edges ∪ new pairs. The SAME
+    * closure oracle must match, proving a fold over compacted state
+    * (one row per clustered doc) reaches the identical components as
+    * clustering all pairs at once — including pairs that BRIDGE two
+    * phase-1 clusters through an odd doc. This is the batch-checkable
+    * core of winnowClusterSink's per-micro-batch maintenance (pair
+    * splitting is corpus-independent here: banding is per-doc and no
+    * bucket nears the hot cap at these SFs, so phase-1 pairs equal the
+    * even-even subset of the full pair table). */
+  val tDedupClustersIncremental: Q = Q(
+    "t_dedup_clusters_incremental",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs).persist()
+      val evenOnly = pairs.filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
+      val rest = pairs.filter(col("doc_a") % 2 =!= 0 || col("doc_b") % 2 =!= 0)
+      val merged = Dedup.mergeClusters(Dedup.duplicateClusters(evenOnly), rest)
+        .localCheckpoint(true) // terminal action ran inside; safe to drop the pair cache
+      pairs.unpersist(blocking = false)
+      merged
+    },
+    oracle = Some(clustersClosureSql))
+
+  private lazy val clustersClosureSql: String = s"""
       WITH RECURSIVE toks AS (
         SELECT doc_id, $TOKS AS toks FROM documents),
       sh AS (
@@ -196,8 +223,8 @@ object PipelineQueries {
         FROM cand c
         JOIN vh sa ON sa.doc_id = c.doc_a
         JOIN vh sb ON sb.doc_id = c.doc_b
-        WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-            / len(list_distinct(sa.shingles || sb.shingles)) >= 0.8),
+        WHERE len(list_intersect(sa.v, sb.v))::DOUBLE
+            / len(list_distinct(sa.v || sb.v)) >= 0.8),
       edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION SELECT doc_b, doc_a FROM pairs),
@@ -205,7 +232,7 @@ object PipelineQueries {
         SELECT src, src FROM edges
         UNION
         SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id)
-      SELECT doc_id, MIN(root) AS cluster FROM reach GROUP BY doc_id"""))
+      SELECT doc_id, MIN(root) AS cluster FROM reach GROUP BY doc_id"""
 
   /** Scale path for t_dedup_embedding: banded hyperplane-LSH candidates +
     * exact re-score. Same oracle as the exact O(N²) form — the hash match
@@ -600,8 +627,8 @@ object PipelineQueries {
         FROM cand c
         JOIN vh sa ON sa.doc_id = c.doc_a
         JOIN vh sb ON sb.doc_id = c.doc_b
-        WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-            / len(list_distinct(sa.shingles || sb.shingles)) >= 0.8),
+        WHERE len(list_intersect(sa.v, sb.v))::DOUBLE
+            / len(list_distinct(sa.v || sb.v)) >= 0.8),
       $losersCte,
       an AS (SELECT t.doc_id, t.toks FROM toks t
              WHERE t.doc_id NOT IN (SELECT doc_id FROM losers)),
@@ -668,6 +695,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     tDedupExact, tDedupMinhash, tDedupMinhashSalted, tDedupClusters,
+    tDedupClustersIncremental,
     tSimhash, tAnnCosine,
     tDedupEmbedding, tDedupEmbeddingBucketed, tDedupEmbeddingBucketedHi,
     tWinnowFingerprint,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 
@@ -167,6 +167,104 @@ object StreamingPipelines {
         graft.operators.Dedup.releaseSince(spark, dedupMark)
         ()
       }
+
+  /** Incremental transitive dup-clustering for continuous ingestion: the
+    * cluster-keeper policy (Dedup.duplicateClusters) maintained across
+    * micro-batches. Reuses winnowDedupSink's fingerprint registry for
+    * candidate generation — each batch contributes its in-batch pairs
+    * (Dedup.winnowPairs) plus registry-vs-batch pairs (shared-fingerprint
+    * counts, same minShared/hot-fp cap) — and folds them into a LABELS
+    * SNAPSHOT via Dedup.mergeClusters, so a batch that bridges two old
+    * clusters relabels both. After batch n the snapshot equals
+    * duplicateClusters(winnowPairs(all docs so far)) — StreamingSpec
+    * proves the equivalence (cap regime, as winnowDedupSink).
+    *
+    * Exactly-once under foreachBatch's at-least-once contract: both the
+    * registry write and the labels snapshot land in `batch=<id>`
+    * directories (overwrite — idempotent on retry), the registry read
+    * excludes the current batch id, and the labels read takes the newest
+    * snapshot BELOW the current batch id — a half-written previous
+    * attempt is invisible to its own retry.
+    *
+    * At scale: the registry join shuffles on fp; each fold's CC runs over
+    * one row per clustered doc + this batch's pairs, not the historical
+    * pair set. Snapshots accumulate one directory per batch — compact by
+    * deleting dirs older than the newest (each snapshot is complete). */
+  def winnowClusterSink(docs: DataFrame, registryPath: String, labelsPath: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxBucket: Int = 1000): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val dedupMark = graft.operators.Dedup.trackMark(spark)
+        val b = batch.toDF().persist()
+        // materialize before exploding — see Dedup.winnowPairs
+        val bw = graft.operators.Dedup.winnowTable(b, k, w).persist()
+        val fps = bw.select(col("doc_id"), explode(col("fps")).as("fp")).persist()
+        val fsOf = (p: String) => new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val crossPairs =
+          if (fsOf(registryPath).exists(new org.apache.hadoop.fs.Path(registryPath))) {
+            val reg = spark.read.parquet(registryPath)
+              .filter(col("batch") =!= batchId) // retry: ignore own failed attempt
+              .select(col("doc_id").as("old_doc"), col("fp")).persist()
+            val hotFps = reg.groupBy(col("fp"))
+              .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucket)
+              .select(col("fp"))
+            val p = fps.join(reg, "fp")
+              .join(hotFps, Seq("fp"), "left_anti")
+              .groupBy(col("doc_id"), col("old_doc"))
+              .agg(count(lit(1)).as("n"))
+              .filter(col("n") >= minShared)
+              .select(col("old_doc").as("doc_a"), col("doc_id").as("doc_b"))
+            val out = p.persist(); out.count(); reg.unpersist(blocking = false)
+            out
+          } else fps.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")).limit(0)
+        val newPairs = graft.operators.Dedup.winnowPairs(b, k, w, minShared, maxBucket)
+          .select(col("doc_a"), col("doc_b"))
+          .unionByName(crossPairs)
+        // newest complete snapshot BELOW this batch id (retry-safe)
+        val prior = {
+          val base = new org.apache.hadoop.fs.Path(labelsPath)
+          val fs = fsOf(labelsPath)
+          if (!fs.exists(base)) None
+          else fs.listStatus(base).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+            .filter(_ < batchId).sorted.lastOption
+            .map(id => spark.read.parquet(s"$labelsPath/batch=$id"))
+        }
+        val labels = prior match {
+          case Some(old) => graft.operators.Dedup.mergeClusters(old, newPairs)
+          case None      => graft.operators.Dedup.duplicateClusters(newPairs)
+        }
+        labels.write.mode("overwrite").parquet(s"$labelsPath/batch=$batchId")
+        fps.write.mode("overwrite").parquet(s"$registryPath/batch=$batchId")
+        crossPairs.unpersist(blocking = false)
+        fps.unpersist(); bw.unpersist(); b.unpersist()
+        graft.operators.Dedup.releaseSince(spark, dedupMark)
+        ()
+      }
+
+  /** The newest cluster-labels snapshot winnowClusterSink has written
+    * (each snapshot is complete, so only the max batch dir matters);
+    * empty (doc_id, cluster) frame if none exists yet. */
+  def currentClusters(spark: SparkSession, labelsPath: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(labelsPath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newest =
+      if (!fs.exists(base)) None
+      else fs.listStatus(base).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+        .sorted.lastOption
+    newest match {
+      case Some(id) => spark.read.parquet(s"$labelsPath/batch=$id")
+      case None =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("doc_id", LongType), StructField("cluster", LongType))))
+    }
+  }
 
   /** K2 analog: dynamic per-record routing — one pass, fanned out by the
     * `sink_table` column (partitioned write ≈ Kafka sink's per-row topic). */

@@ -101,6 +101,19 @@ class DedupSpec extends AnyFunSuite {
     graft.operators.Dedup.releaseCaches(spark)
   }
 
+  test("mergeClusters: a new pair bridges two stored clusters; bystanders survive") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
+      .toDF("doc_id", "cluster")
+    val newPairs = Seq((2L, 11L)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.mergeClusters(labels, newPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // clusters {1,2} and {10,11} merge to root 1; singleton 20 (a
+    // self-edge in the star encoding) is untouched by the fold
+    assert(got === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 20L -> 20L))
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("simhashTable (explode+groupBy) == simhash32 (column expression)") {
     val docs = Tables.documents(spark, dir)
     val viaTable = Dedup.simhashTable(docs).collect()

@@ -307,6 +307,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("incremental winnow-cluster sink == batch duplicateClusters labeling") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_cluster_reg"
+    val labelsPath = "/tmp/graft_test_cluster_labels"
+    for (p <- Seq(regPath, labelsPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val docRows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingPipelines
+      .winnowClusterSink(stream.toDF().toDF("doc_id", "text"), regPath, labelsPath)
+      .start()
+    // three batches so the THIRD fold runs against an already-merged
+    // snapshot (merge-of-merge, the incremental-CC compaction step)
+    val third = docRows.size / 3
+    stream.addData(docRows.take(third)); q.processAllAvailable()
+    stream.addData(docRows.slice(third, 2 * third)); q.processAllAvailable()
+    stream.addData(docRows.drop(2 * third)); q.processAllAvailable()
+    q.stop()
+    val got = graft.streaming.StreamingPipelines.currentClusters(spark, labelsPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val want = graft.operators.Dedup
+      .duplicateClusters(graft.operators.Dedup.winnowPairs(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "no winnow clusters at sf0.001 — test is vacuous")
+    assert(got === want)
+    // the equivalence is only meaningful if some cluster SPANS batches
+    // (otherwise each fold was independent and merge was never exercised)
+    val batchOf = docRows.map(_._1).zipWithIndex
+      .map { case (id, i) => id -> (if (i < third) 0 else if (i < 2 * third) 1 else 2) }.toMap
+    val spanning = got.groupBy(_._2).values
+      .exists(c => c.map(p => batchOf(p._1)).size > 1)
+    assert(spanning, "no cluster spans micro-batches — merge path untested")
+  }
+
   test("dedupDocsByFingerprint stream == Dedup.exactGroups keep set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

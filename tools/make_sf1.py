@@ -18,10 +18,18 @@ os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 
 def emit(name, sql):
+    # Row groups sized so every table's scan splits ~32 ways: a row group
+    # is parquet's minimum split unit, and a fixed 1M-row cap left the
+    # 50k-row documents / 20k-row embeddings / 1M-row events tables as
+    # SINGLE row groups — serializing every tokenize/hash-heavy scan onto
+    # one core and misreporting the engine's scale-up. A real 100 TB
+    # corpus is thousands of files; >= 32 splits per table is the honest
+    # local analog.
+    n = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+    rg = max(1000, n // 32)
     con.execute(
-        f"COPY ({sql}) TO '{DST}/{name}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 1000000)")
-    n = con.execute(f"SELECT count(*) FROM read_parquet('{DST}/{name}.parquet')").fetchone()[0]
-    print(f"{name}: {n} rows", flush=True)
+        f"COPY ({sql}) TO '{DST}/{name}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})")
+    print(f"{name}: {n} rows, row_group_size {rg}", flush=True)
 
 def src(name):
     return f"read_parquet('{SRC}/{name}.parquet')"
