@@ -111,4 +111,76 @@ object TextAnalysis {
       size(col("toks")).cast("long").as("n_tokens"),
       size(array_distinct(col("toks"))).cast("long").as("n_unique"),
       aggregate(col("toks"), lit(0L), (acc, t) => acc + ceil(length(t) / 4.0).cast("long")).as("n_subwords"))
+
+  /** Repetition scoring (the Gopher/MassiveText repetition filters,
+    * Rae et al. 2021 §A.1.1, re-expressed as column math): duplicate
+    * 2-gram / 3-gram fractions (1 − distinct/total) and the most-frequent-
+    * token fraction. Highly repetitive docs (boilerplate, keyword stuffing,
+    * degenerate generations) score high and get filtered. Pure map-side
+    * like the rest of this file: the max-run count rides on ONE
+    * array_sort + fold per row, no shuffle, no per-distinct-token rescan. */
+  def repetitionScore(docs: DataFrame): DataFrame = {
+    def dupFrac(g: Column): Column =
+      when(size(g) > 0,
+        lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
+        .otherwise(lit(0.0))
+    // bind the n-gram arrays in their own projection before the ratio
+    // lambdas reference them (re-evaluation cliff — see file scaladoc)
+    val bound = withToks(docs).filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        wordShingles(col("toks"), 2).as("g2"),
+        wordShingles(col("toks"), 3).as("g3"),
+        array_sort(col("toks")).as("sorted"))
+    // longest run of equal adjacent tokens in the sorted array = max
+    // per-token count; tokens are non-empty so "" is a safe sentinel
+    val maxCount = aggregate(col("sorted"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    bound.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      dupFrac(col("g2")).as("dup_2gram_frac"),
+      dupFrac(col("g3")).as("dup_3gram_frac"),
+      (maxCount.cast("double") / size(col("toks")).cast("double")).as("top_token_frac"))
+  }
+
+  /** Benchmark decontamination: per corpus doc, how many of its distinct
+    * n-token shingles appear in the BENCHMARK table (eval sets the
+    * training corpus must not leak). The contract every serious pipeline
+    * runs before training; a doc with n_shared > 0 is contaminated and
+    * gets dropped (left_anti on this table).
+    *
+    * Shape at 100 TB: both sides explode to (gram) rows and the join
+    * shuffles on the gram string — never a per-doc cross product; the
+    * benchmark side is distinct-ed first (eval suites are tiny next to
+    * the corpus, so AQE turns this into a broadcast join in practice).
+    * Both array frames are persisted BEFORE their explode — Generate
+    * re-inlines higher-order projection chains (see Dedup.winnowPairs). */
+  def contaminationTable(docs: DataFrame, benchmark: DataFrame, n: Int = 4): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), array_distinct(wordShingles(col("toks"), n)).as("g"))
+    val dg = grams(docs).persist()
+    val bg = grams(benchmark).persist()
+    try {
+      val corpusGrams = dg.select(col("doc_id"), explode(col("g")).as("gram"))
+      val benchGrams = bg.select(explode(col("g")).as("gram")).distinct()
+      // eager: the output (contaminated doc_id + count) is tiny next to
+      // the corpus, and materializing it here lets the operator release
+      // its own gram caches instead of leaking them to the caller
+      corpusGrams.join(benchGrams, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .localCheckpoint(true)
+    } finally {
+      dg.unpersist(blocking = false)
+      bg.unpersist(blocking = false)
+      ()
+    }
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
-import graft.operators.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Ivf, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over `documents`/`embeddings`:
   * dedup (exact / MinHash+LSH / SimHash), ANN similarity search, and text
@@ -693,6 +693,85 @@ object PipelineQueries {
           SELECT doc_id, MIN(root) AS cluster FROM reach GROUP BY doc_id)
         WHERE cluster <> doc_id)""")))
 
+  /** Gopher-style repetition filters: duplicate 2/3-gram fractions plus
+    * most-frequent-token fraction, all unrounded IEEE ratios (rounding-tie
+    * invariant). The oracle recomputes the max token count naively
+    * (per-distinct-token rescan) while Spark uses one sorted-run fold —
+    * the match proves the fold. */
+  val tRepetitionScore: Q = Q(
+    "t_repetition_score",
+    run = (s, dir) => TextAnalysis.repetitionScore(Tables.documents(s, dir)),
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      t AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
+      g AS (SELECT doc_id, toks,
+          [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] AS g2,
+          [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS g3
+        FROM t)
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CASE WHEN len(g2) > 0
+             THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) ELSE 0.0 END AS dup_2gram_frac,
+        CASE WHEN len(g3) > 0
+             THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) ELSE 0.0 END AS dup_3gram_frac,
+        list_max([len(list_filter(toks, x -> x = tk)) for tk in list_distinct(toks)])::DOUBLE
+          / len(toks) AS top_token_frac
+      FROM g"""))
+
+  /** Benchmark decontamination: 4-gram overlap counts of every corpus doc
+    * against a benchmark slice (doc_id % 23 = 0 stands in for an eval
+    * set; benchmark docs self-match by construction, so the entry is
+    * non-vacuous at every SF). Downstream drop = left_anti on this
+    * table. */
+  val tDecontaminate: Q = Q(
+    "t_decontaminate",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.contaminationTable(docs, docs.filter(col("doc_id") % 23 === 0), n = 4)
+    },
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      g AS (SELECT doc_id,
+          list_distinct([array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]) AS g
+        FROM toks WHERE len(toks) >= 4),
+      cg AS (SELECT doc_id, unnest(g) AS gram FROM g),
+      bg AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % 23 = 0)
+      SELECT cg.doc_id, COUNT(*) AS n_shared_grams
+      FROM cg JOIN bg USING (gram) GROUP BY 1"""))
+
+  /** Deterministic train/val/test assignment: md5-bucket per doc_id, so
+    * the oracle reproduces the exact carve — the reproducibility-across-
+    * engines property Spark's own randomSplit cannot give. */
+  val tSplitAssign: Q = Q(
+    "t_split_assign",
+    run = (s, dir) => Sampling.assignSplits(
+      Tables.documents(s, dir).select(col("doc_id")), col("doc_id"),
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))),
+    oracle = Some("""
+      SELECT doc_id,
+        CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+        FROM documents)"""))
+
+  /** Per-language deterministic downsampling (corpus re-mixing): en kept
+    * at 50%, de at 25%, everything else untouched; the stratum seeds the
+    * hash so strata sample independently. */
+  val tStratifiedSample: Q = Q(
+    "t_stratified_sample",
+    run = (s, dir) => Sampling.stratifiedSample(
+      Tables.documents(s, dir), col("doc_id"), col("lang"),
+      Seq(("en", 0.5), ("de", 0.25)), defaultRate = 1.0)
+      .select(col("doc_id"), col("lang")),
+    oracle = Some("""
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+          CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 10000 AS b,
+          CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 10000 END AS thr
+        FROM documents)
+      WHERE b < thr"""))
+
   val all: Seq[Q] = Seq(
     tDedupExact, tDedupMinhash, tDedupMinhashSalted, tDedupClusters,
     tDedupClustersIncremental,
@@ -701,5 +780,6 @@ object PipelineQueries {
     tWinnowFingerprint,
     tWinnowPairs, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
-    tAnnIvfRecall, tCurateStats, tCurateStatsClustered)
+    tAnnIvfRecall, tCurateStats, tCurateStatsClustered,
+    tRepetitionScore, tDecontaminate, tSplitAssign, tStratifiedSample)
 }

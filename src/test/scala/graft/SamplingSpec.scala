@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Sampling, TextAnalysis}
+import graft.tables.Tables
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sf0001
+
+  test("assignSplits: exhaustive, disjoint, near-declared fractions, growth-stable") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val got = Sampling.assignSplits(docs, col("doc_id"), splits)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(got.values.sum === n) // every row assigned exactly one split
+    assert(got("train") > n * 6 / 10 && got("val") > 0 && got("test") > 0)
+    // growth stability: assignments on a PREFIX of the corpus are the
+    // restriction of the full assignment (adding docs reassigns nobody)
+    val full = Sampling.assignSplits(docs, col("doc_id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val half = Sampling.assignSplits(docs.filter(col("doc_id") < 250), col("doc_id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.forall { case (id, s) => full(id) == s })
+  }
+
+  test("assignSplits rejects weights that do not sum to 1") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, col("doc_id"), Seq(("a", 0.5), ("b", 0.2)))
+    }
+  }
+
+  test("sampleByHash: deterministic, near-rate, seed-independent selections") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    def ids(seed: String) = Sampling.sampleByHash(docs, col("doc_id"), 0.3, seed)
+      .collect().map(_.getLong(0)).toSet
+    val a = ids("s1"); val b = ids("s1"); val c = ids("s2")
+    assert(a === b) // rerun-identical
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.2 && a.size < n * 0.4)
+    assert(c !== a) // different seed => different (not nested) selection
+  }
+
+  test("stratifiedSample: per-stratum rates hold and other strata untouched") {
+    val docs = Tables.documents(spark, dir)
+    val kept = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Seq(("en", 0.5), ("de", 0.0)), defaultRate = 1.0)
+    val byLang = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("de")) // rate 0 => stratum dropped entirely
+    assert(byLang("en") > totals("en") * 3 / 10 && byLang("en") < totals("en") * 7 / 10)
+    for (l <- Seq("fr", "es", "zh")) assert(byLang(l) === totals(l)) // untouched
+  }
+
+  test("repetitionScore: top_token_frac fold == naive max count; repetitive doc scores high") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam eggs"),
+      (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    // doc 1: 5 tokens, 'spam' x4 -> top_token_frac 0.8; bigrams
+    // [spam spam]x3 + [spam eggs] -> dup frac 1 - 2/4 = 0.5
+    assert(got(1L)._1 === 5L && got(1L)._2 === 0.5 && got(1L)._3 === 0.8)
+    // doc 2: 9 tokens, 'the' x2 -> 2/9
+    assert(math.abs(got(2L)._3 - 2.0 / 9.0) < 1e-12)
+  }
+
+  test("contaminationTable: flags exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),       // benchmark member
+      (2L, "zzz alpha beta gamma delta yyy"),       // contains benchmark 4-gram
+      (3L, "alpha beta delta gamma epsilon zeta"),  // same tokens, no shared 4-gram
+      (4L, "one two three four five")).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 1)
+    val got = TextAnalysis.contaminationTable(docs, bench, n = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 self-matches on both of its 4-grams; doc 2 shares exactly one
+    assert(got === Map(1L -> 2L, 2L -> 1L))
+  }
+}
