@@ -22,6 +22,7 @@ object Curate {
 
   final case class Stats(
       input: Long, exactDups: Long, nearDups: Long,
+      contaminated: Long, repetitive: Long,
       lowQuality: Long, unknownLang: Long, kept: Long, keptTokens: Long)
 
   // the one cache that outlives runDocs (it backs the returned `curated`
@@ -53,14 +54,24 @@ object Curate {
     *   ONE keeper (the min doc_id) survives per transitive near-dup
     *   cluster — the policy a production corpus dedup wants. Both are
     *   oracle-checked end-to-end (t_curate_stats /
-    *   t_curate_stats_clustered). */
+    *   t_curate_stats_clustered).
+    * @param benchmark when set, docs sharing any `contaminationN`-token
+    *   shingle with this table are dropped as `contaminated`
+    *   (TextAnalysis.contaminationTable — the pre-training eval-leak
+    *   gate). Off by default.
+    * @param maxDup3Frac docs whose duplicate-3-gram fraction
+    *   (TextAnalysis.repetitionScore) exceeds this are dropped as
+    *   `repetitive` (the Gopher repetition filter). 1.0 disables (the
+    *   fraction is strictly < 1). Off by default. */
   def runDocs(spark: SparkSession, documents: DataFrame, minQuality: Double = 0.55,
-      clusterDedup: Boolean = false): (DataFrame, Stats) = {
+      clusterDedup: Boolean = false, benchmark: Option[DataFrame] = None,
+      contaminationN: Int = 4, maxDup3Frac: Double = 1.0): (DataFrame, Stats) = {
     val dedupMark = Dedup.trackMark(spark)
     val docs = documents.persist()
     // a mid-pipeline failure must still close the scope and drop this
     // run's caches (releaseSince after the happy-path release is a no-op)
-    try runLabeled(spark, docs, minQuality, clusterDedup, dedupMark)
+    try runLabeled(spark, docs, minQuality, clusterDedup, benchmark,
+      contaminationN, maxDup3Frac, dedupMark)
     catch {
       case t: Throwable =>
         Dedup.releaseSince(spark, dedupMark)
@@ -70,7 +81,8 @@ object Curate {
   }
 
   private def runLabeled(spark: SparkSession, docs: DataFrame, minQuality: Double,
-      clusterDedup: Boolean, dedupMark: Long): (DataFrame, Stats) = {
+      clusterDedup: Boolean, benchmark: Option[DataFrame], contaminationN: Int,
+      maxDup3Frac: Double, dedupMark: Long): (DataFrame, Stats) = {
     // 1. exact dedup: keep the min doc_id of each fingerprint group
     val keepExact = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
     val afterExact = docs.join(keepExact, "doc_id")
@@ -95,26 +107,50 @@ object Curate {
       .select(col("doc_id"), col("quality"), col("n_tokens"))
     val lang = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
 
+    // optional per-doc gates, computed over the full corpus like
+    // quality/lang (precedence below decides who they actually drop)
+    val contaminated = benchmark.map(b =>
+      TextAnalysis.contaminationTable(docs, b, contaminationN)
+        .select(col("doc_id")).withColumn("__contam", lit(1)))
+    val repetition =
+      if (maxDup3Frac < 1.0)
+        Some(TextAnalysis.repetitionScore(docs)
+          .select(col("doc_id"), col("dup_3gram_frac")))
+      else None
+
     // ONE labeled frame over the whole input: every document carries the
     // reason it left the pipeline (or 'kept'), so the ENTIRE accounting —
-    // all five counters plus the kept-token sum — is one groupBy, one
+    // every counter plus the kept-token sum — is one groupBy, one
     // driver action, one pass over the scored corpus. The previous
     // formulation ran six sequential driver actions (count x5 + agg) over
     // the same cached frames; at 100 TB that is six passes where one does.
-    val labeled = docs.select(col("doc_id"), col("text"))
+    val joined = docs.select(col("doc_id"), col("text"))
       .join(keepExact.withColumn("__keeper", lit(1)), Seq("doc_id"), "left")
       .join(nearDupLosers.withColumn("__loser", lit(1)), Seq("doc_id"), "left")
       .join(quality, Seq("doc_id"), "left")
       .join(lang, Seq("doc_id"), "left")
+    val withGates = Seq(
+      contaminated.map(c => (df: DataFrame) => df.join(c, Seq("doc_id"), "left")),
+      repetition.map(r => (df: DataFrame) => df.join(r, Seq("doc_id"), "left")
+        .withColumn("dup_3gram_frac", coalesce(col("dup_3gram_frac"), lit(0.0))))
+    ).flatten.foldLeft(joined)((df, f) => f(df))
+    val contamGate =
+      if (contaminated.isDefined) col("__contam").isNotNull else lit(false)
+    val repGate =
+      if (repetition.isDefined) col("dup_3gram_frac") > maxDup3Frac else lit(false)
+    val labeled = withGates
       .withColumn("quality", coalesce(col("quality"), lit(0.0)))
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
       .withColumn("drop_reason",
         when(col("__keeper").isNull, lit("exact_dup"))
           .when(col("__loser").isNotNull, lit("near_dup"))
+          .when(contamGate, lit("contaminated"))
+          .when(repGate, lit("repetitive"))
           .when(col("quality") < minQuality, lit("low_quality"))
           .when(col("pred_lang") === "und", lit("unknown_lang"))
           .otherwise(lit("kept")))
-      .drop("__keeper", "__loser")
+      .drop((Seq("__keeper", "__loser") ++ contaminated.map(_ => "__contam")
+        ++ repetition.map(_ => "dup_3gram_frac")): _*)
       .persist()
     synchronized {
       tracked(spark) = tracked.getOrElse(spark, Vector.empty) :+ labeled
@@ -140,12 +176,13 @@ object Curate {
     val curated = labeled.filter(col("drop_reason") === "kept")
       .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"), col("n_tokens"))
     val stats = Stats(counters.values.map(_._1).sum, n("exact_dup"), n("near_dup"),
+      n("contaminated"), n("repetitive"),
       n("low_quality"), n("unknown_lang"), n("kept"),
       counters.get("kept").map(_._2).getOrElse(0L))
     // structural now (the labels partition the input), but kept as the
     // tripwire for a precedence or join-cardinality regression
-    assert(stats.input == stats.exactDups + stats.nearDups + stats.lowQuality
-      + stats.unknownLang + stats.kept,
+    assert(stats.input == stats.exactDups + stats.nearDups + stats.contaminated
+      + stats.repetitive + stats.lowQuality + stats.unknownLang + stats.kept,
       s"curation accounting does not balance: $stats")
     (curated, stats)
   }
@@ -159,6 +196,7 @@ object Curate {
     curated.write.mode("overwrite").parquet(outDir)
     releaseCaches(spark)
     println(s"""{"input":${s.input},"exact_dups":${s.exactDups},"near_dups":${s.nearDups},""" +
+      s""""contaminated":${s.contaminated},"repetitive":${s.repetitive},""" +
       s""""low_quality":${s.lowQuality},"unknown_lang":${s.unknownLang},""" +
       s""""kept":${s.kept},"kept_tokens":${s.keptTokens}}""")
     spark.stop()

@@ -586,8 +586,13 @@ object PipelineQueries {
   }
 
   /** Full-pipeline oracle SQL; `losersCte` selects the near-dup removal
-    * policy (pairwise drop-doc_b vs connected-component non-keepers). */
-  private def curateStatsOracle(losersCte: String): String = {
+    * policy (pairwise drop-doc_b vs connected-component non-keepers).
+    * With `full = true` the decontamination (4-gram overlap vs the
+    * doc_id % 23 benchmark slice) and repetition (dup-3-gram frac > 0.02)
+    * gates are recomposed too, in the same precedence order as
+    * Curate.runLabeled: dedup → contaminated → repetitive → quality →
+    * language. */
+  private def curateStatsOracle(losersCte: String, full: Boolean = false): String = {
     val stop = TextAnalysis.lexicons.flatMap(_._2).distinct.sorted
       .map(w => s"'$w'").mkString("[", ",", "]")
     val lex = TextAnalysis.lexicons.map { case (lang, words) =>
@@ -652,19 +657,49 @@ object PipelineQueries {
             len(list_intersect(list_distinct(toks), ${lex("es")})) AS hes,
             len(list_intersect(list_distinct(toks), ${lex("fr")})) AS hfr
           FROM an)),
+      ${if (full) s"""
+      ftoks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      cg4 AS (SELECT doc_id,
+          list_distinct([array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]) AS g
+        FROM ftoks WHERE len(toks) >= 4),
+      bgrams AS (SELECT DISTINCT unnest(g) AS gram FROM cg4 WHERE doc_id % 23 = 0),
+      contam AS (SELECT DISTINCT c.doc_id
+        FROM (SELECT doc_id, unnest(g) AS gram FROM cg4) c JOIN bgrams USING (gram)),
+      rep AS (SELECT doc_id,
+          CASE WHEN len(toks) >= 3
+               THEN 1.0 - len(list_distinct([array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, len(toks)-1)]))::DOUBLE / (len(toks) - 2)
+               ELSE 0.0 END AS dup3
+        FROM ftoks WHERE len(toks) > 0),""" else ""}
       scored AS (
         SELECT an.doc_id, COALESCE(q.quality, 0.0) AS quality,
                COALESCE(q.n_tokens, 0) AS n_tokens, lang.pred_lang
-        FROM an LEFT JOIN q USING (doc_id) JOIN lang USING (doc_id))
+               ${if (full) """,
+               an.doc_id IN (SELECT doc_id FROM contam) AS is_contam,
+               COALESCE(rep.dup3, 0.0) > 0.02 AS is_rep""" else ""}
+        FROM an LEFT JOIN q USING (doc_id) JOIN lang USING (doc_id)
+             ${if (full) "LEFT JOIN rep USING (doc_id)" else ""})
       SELECT
         (SELECT COUNT(*) FROM documents) AS input,
         (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM ae) AS exact_dups,
         (SELECT COUNT(*) FROM losers) AS near_dups,
+        ${if (full) """
+        (SELECT COUNT(*) FROM scored WHERE is_contam) AS contaminated,
+        (SELECT COUNT(*) FROM scored WHERE NOT is_contam AND is_rep) AS repetitive,
+        (SELECT COUNT(*) FROM scored
+         WHERE NOT is_contam AND NOT is_rep AND quality < 0.55) AS low_quality,
+        (SELECT COUNT(*) FROM scored WHERE NOT is_contam AND NOT is_rep
+           AND quality >= 0.55 AND pred_lang = 'und') AS unknown_lang,
+        (SELECT COUNT(*) FROM scored WHERE NOT is_contam AND NOT is_rep
+           AND quality >= 0.55 AND pred_lang <> 'und') AS kept,
+        (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM scored
+         WHERE NOT is_contam AND NOT is_rep
+           AND quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens""" else """
         (SELECT COUNT(*) FROM scored WHERE quality < 0.55) AS low_quality,
         (SELECT COUNT(*) FROM scored WHERE quality >= 0.55 AND pred_lang = 'und') AS unknown_lang,
         (SELECT COUNT(*) FROM scored WHERE quality >= 0.55 AND pred_lang <> 'und') AS kept,
         (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM scored
-         WHERE quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens"""
+         WHERE quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens"""}"""
   }
 
   val tCurateStats: Q = Q(
@@ -672,6 +707,29 @@ object PipelineQueries {
     run = curateStatsRun(clusterDedup = false),
     oracle = Some(curateStatsOracle(
       """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""")))
+
+  /** The composed pipeline with EVERY gate on: dedup → decontamination
+    * (4-gram overlap vs the doc_id % 23 benchmark slice) → repetition
+    * (dup-3-gram frac > 0.02) → quality → language. The oracle recomposes
+    * all six stages and the precedence order in one SQL statement — a
+    * counter lands in the FIRST gate that catches the doc, exactly as
+    * Curate's drop_reason does. */
+  val tCurateStatsFull: Q = Q(
+    "t_curate_stats_full",
+    run = (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val (_, st) = graft.pipeline.Curate.runDocs(s, docs,
+        benchmark = Some(docs.filter(col("doc_id") % 23 === 0)),
+        contaminationN = 4, maxDup3Frac = 0.02)
+      graft.pipeline.Curate.releaseCaches(s)
+      Seq((st.input, st.exactDups, st.nearDups, st.contaminated, st.repetitive,
+        st.lowQuality, st.unknownLang, st.kept, st.keptTokens))
+        .toDF("input", "exact_dups", "near_dups", "contaminated", "repetitive",
+          "low_quality", "unknown_lang", "kept", "kept_tokens")
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""", full = true)))
 
   /** Same composed pipeline under the transitively-correct near-dup
     * policy: connected-component clustering keeps exactly one doc (the
@@ -780,6 +838,6 @@ object PipelineQueries {
     tWinnowFingerprint,
     tWinnowPairs, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
-    tAnnIvfRecall, tCurateStats, tCurateStatsClustered,
+    tAnnIvfRecall, tCurateStats, tCurateStatsClustered, tCurateStatsFull,
     tRepetitionScore, tDecontaminate, tSplitAssign, tStratifiedSample)
 }

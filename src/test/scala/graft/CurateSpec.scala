@@ -43,6 +43,38 @@ class CurateSpec extends AnyFunSuite {
       + clustered.unknownLang + clustered.kept + clustered.exactDups)
   }
 
+  test("contamination + repetition gates: precedence order and conservation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique one two three four five six seven"), // benchmark
+      (2L, "zzz alpha beta gamma delta spam spam spam spam spam spam spam"),   // contam AND repetitive
+      (3L, "spam spam spam spam spam spam spam spam spam spam eggs ham"),      // repetitive only
+      (4L, "the quick brown fox jumps over the lazy dog today and here"))      // clean
+      .toDF("doc_id", "text")
+    val (_, st) = Curate.runDocs(spark, docs, minQuality = 0.0,
+      benchmark = Some(docs.filter(col("doc_id") === 1)), maxDup3Frac = 0.2)
+    // doc 1 self-contaminates; doc 2 is both contaminated and repetitive
+    // but the contamination gate comes FIRST; doc 3 only repetitive
+    assert(st.contaminated === 2 && st.repetitive === 1, s"stats: $st")
+    assert(st.input === st.exactDups + st.nearDups + st.contaminated
+      + st.repetitive + st.lowQuality + st.unknownLang + st.kept)
+  }
+
+  test("full pipeline on the corpus: conservation, contaminated slice nonempty, deterministic") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    def runFull() = Curate.runDocs(spark, docs,
+      benchmark = Some(docs.filter(col("doc_id") % 23 === 0)),
+      contaminationN = 4, maxDup3Frac = 0.02)._2
+    val st = runFull()
+    assert(st.contaminated > 0) // benchmark members self-match
+    assert(st.input === st.exactDups + st.nearDups + st.contaminated
+      + st.repetitive + st.lowQuality + st.unknownLang + st.kept)
+    assert(st === runFull())
+    Curate.releaseCaches(spark)
+  }
+
   test("accounting stats run in a single driver action") {
     import spark.implicits._
     val docs = Seq(
