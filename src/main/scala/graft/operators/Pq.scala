@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) — the memory-bound ANN representation:
+  * each l2-normalized vector is split into `m` contiguous sub-blocks and
+  * every block is replaced by the id of its nearest sub-centroid, so a
+  * dim-D float vector compresses to m small codes (here one byte each).
+  * Queries score compressed vectors with an ADC (asymmetric distance
+  * computation) lookup table — dot(query_block, sub_centroid) summed over
+  * blocks — then the top candidates are re-ranked exactly.
+  *
+  * Everything is DataFrame-native and deterministic (init = vec_id % ksub
+  * per block, no RNG), like Ivf:
+  *  - train: per-block k-means — assign via broadcast codebook join +
+  *    argmin window, means via posexplode + partial-aggregated groupBy;
+  *  - encode: one broadcast-join pass → (vec_id, m codes);
+  *  - search: LUT is queries × codebook (tiny, broadcast); scoring joins
+  *    the exploded codes to the LUT and partial-aggregates the per-block
+  *    contributions — the shuffle carries one row per (query, vector),
+  *    never the raw embeddings. Exact re-rank touches only rerank·k
+  *    candidates per query.
+  *
+  * At 100 TB: codes are m bytes/vector (64x smaller than float32 dim-64),
+  * the codebook is m·ksub·(dim/m) doubles (broadcast), and the only wide
+  * shuffle is the partial-aggregated ADC sum. Pair with Ivf to prune the
+  * candidate set before ADC (classic IVF-PQ).
+  */
+object Pq {
+
+  /** Per-block sub-vector rows: (vec_id, b, sub) with `sub` = the b-th
+    * `dim/m`-length slice of the l2-normalized embedding. */
+  private def blocks(vectors: DataFrame, dim: Int, m: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m blocks")
+    val sub = dim / m
+    // norm bound in its own projection before the normalize lambda
+    // references it (fold-in-lambda re-evaluation cliff)
+    val v = vectors.select(col("vec_id"), toDouble(col("embedding")).as("e0"))
+      .withColumn("nrm", l2Norm(col("e0")))
+      .select(col("vec_id"), l2NormalizeWith(col("e0"), col("nrm")).as("e"))
+    v.select(col("vec_id"),
+      explode(array((0 until m).map(b =>
+        struct(lit(b).as("b"), slice(col("e"), b * sub + 1, sub).as("sub"))): _*)).as("blk"))
+      .select(col("vec_id"), col("blk.b").as("b"), col("blk.sub").as("sub"))
+  }
+
+  /** Nearest sub-centroid per (vector, block) by dot product (vectors are
+    * l2-normalized, so summed block dots == cosine). */
+  private def assign(blk: DataFrame, codebook: DataFrame): DataFrame = {
+    val scored = blk.join(broadcast(codebook), "b")
+      .withColumn("dot", aggregate(zip_with(col("sub"), col("ce"), _ * _),
+        lit(0.0), _ + _))
+    val w = Window.partitionBy(col("vec_id"), col("b"))
+      .orderBy(col("dot").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("b"), col("sub"), col("cid"), col("dot"))
+  }
+
+  /** Column-wise mean per (block, code) — the Lloyd update. */
+  private def means(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("b"), col("cid"), posexplode(col("sub")).as(Seq("dim", "x")))
+      .groupBy(col("b"), col("cid"), col("dim"))
+      .agg(avg(col("x")).as("mu"))
+      .groupBy(col("b"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("dm"))
+      .select(col("b"), col("cid"), transform(col("dm"), s => s.getField("mu")).as("ce"))
+
+  /** Train the per-block codebooks: (b, cid, ce). Deterministic init —
+    * sub-centroid j of block b = mean of blocks with vec_id % ksub == j. */
+  def train(vectors: DataFrame, dim: Int, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val blk = blocks(vectors, dim, m).persist()
+    try {
+      var codebook = means(blk.withColumn("cid", (col("vec_id") % ksub).cast("int")))
+        .persist()
+      codebook.count()
+      var i = 0
+      while (i < iters) {
+        val next = means(assign(blk, codebook)).persist()
+        next.count()
+        codebook.unpersist(blocking = false)
+        codebook = next
+        i += 1
+      }
+      codebook
+    } finally { blk.unpersist(blocking = false); () }
+  }
+
+  /** Encode every vector to its m codes: (vec_id, codes) with
+    * codes[b] = nearest sub-centroid id of block b. */
+  def encode(vectors: DataFrame, codebook: DataFrame, dim: Int, m: Int = 8): DataFrame =
+    assign(blocks(vectors, dim, m), codebook)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("b"), col("cid")))).as("bc"))
+      .select(col("vec_id"), transform(col("bc"), s => s.getField("cid")).as("codes"))
+
+  /** ADC top-k with exact re-rank: score codes against the per-query
+    * lookup table, take `rerank`·k ADC candidates, re-score those exactly
+    * (true cosine on the raw embeddings), return the top k.
+    * Output contract matches Similarity.bruteForceTopK (qid, vec_id, sim,
+    * rk) so recall is directly comparable. */
+  def topK(codes: DataFrame, codebook: DataFrame, vectors: DataFrame,
+      queries: DataFrame, dim: Int, k: Int, m: Int = 8, rerank: Int = 4): DataFrame = {
+    val sub = dim / m
+    val q = queries.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("q0"))
+      .withColumn("nrm", l2Norm(col("q0")))
+      .select(col("qid"), l2NormalizeWith(col("q0"), col("nrm")).as("qe"))
+    // LUT: (qid, b, cid, contrib) — queries × codebook, tiny, broadcast
+    val lut = q.select(col("qid"),
+      explode(array((0 until m).map(b =>
+        struct(lit(b).as("b"), slice(col("qe"), b * sub + 1, sub).as("qsub"))): _*)).as("blk"))
+      .select(col("qid"), col("blk.b").as("b"), col("blk.qsub").as("qsub"))
+      .join(codebook, "b")
+      .withColumn("contrib", aggregate(zip_with(col("qsub"), col("ce"), _ * _),
+        lit(0.0), _ + _))
+      .select(col("qid"), col("b"), col("cid"), col("contrib"))
+    // ADC: explode codes once, join the broadcast LUT, partial-agg the sum
+    val adc = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("b", "cid")))
+      .join(broadcast(lut), Seq("b", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("contrib")).as("adc"))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
+    val cand = adc.withColumn("crk", row_number().over(wa))
+      .filter(col("crk") <= k * rerank)
+      .select(col("qid"), col("vec_id"))
+    // exact re-rank of the short candidate list
+    val ve = vectors.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    cand.join(ve, "vec_id")
+      .join(q.select(col("qid"), col("qe")), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(graft.plans.VectorExpressions.cosineFused(col("qe"), col("e")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+  }
+}
