@@ -193,6 +193,71 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard similarity self-join via prefix filtering
+    * (Bayardo et al. WWW'07 All-Pairs; Vernica et al. SIGMOD'10 for the
+    * MapReduce formulation) — the exact counterpart to minhashLshPairs:
+    * same (doc_a, doc_b, jaccard >= threshold) contract, but candidate
+    * generation is recall-LOSSLESS, no signature approximation.
+    *
+    * Order every doc's distinct gram-hash set by ascending global document
+    * frequency (rarest first); a pair with J >= t must share a gram within
+    * each side's first |s| − ⌈t·|s|⌉ + 1 grams, so only PREFIX grams are
+    * exploded into the inverted index. The shuffle keys are (rare) prefix
+    * grams — pair space Σ(prefix-df²), never O(N²) — plus a length filter
+    * (t·|A| ≤ |B| ≤ |A|/t) on the candidate join. Prefix length uses
+    * floor(t·sz) (≥ the tight bound, immune to binary-rounding of t·sz),
+    * so losslessness never hinges on a floating-point ceil; DedupSpec
+    * proves pair-identity against the brute-force all-pairs form.
+    *
+    * At 100 TB: the df table is one gram-keyed partial agg; frequency
+    * ordering makes hot (boilerplate) grams land at array TAILS, outside
+    * every prefix, so the inverted index self-skews toward singleton
+    * buckets — the property that makes prefix filtering the standard
+    * exact set-similarity join at scale. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val sets = track(docs
+      .select(col("doc_id"), tokens(col("text")).as("toks")) // bind once
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), array_distinct(wordShingles(col("toks"), n)).as("shingles"))
+      .select(col("doc_id"), array_distinct(transform(col("shingles"), hash32(_))).as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .persist())
+    val grams = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // rarest-first total order (df, h); struct sort gives it directly — no
+    // global rank window (which would single-partition the whole corpus)
+    val ordered = grams.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
+    val pref = track(ordered.join(sets.select(col("doc_id"), col("sz")), "doc_id")
+      .select(col("doc_id"), col("sz"),
+        slice(transform(col("ord"), o => o.getField("h")), lit(1),
+          (col("sz") - floor(lit(threshold) * col("sz")) + 1).cast("int")).as("pref"))
+      .persist()) // feeds both sides of the self-join
+    val pe = pref.select(col("doc_id"), col("sz"), explode(col("pref")).as("h"))
+    val cand = pe.as("x")
+      .join(pe.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.sz") >= lit(threshold) * col("y.sz") &&
+          col("y.sz") >= lit(threshold) * col("x.sz"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verify on the distinct 32-bit gram hashes — same engine-parity
+    // contract as minhashLshPairs (the oracle derives identical md5-prefix
+    // hashes, so a rare collision shrinks both sides' intersect alike)
+    val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("h_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("h_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+          size(array_union(col("h_a"), col("h_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03):
     * ordered k-token-shingle rolling hashes → sliding window of `w` → keep
     * each window's min → distinct sorted fingerprint set per doc. All

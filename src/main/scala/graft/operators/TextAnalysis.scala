@@ -183,4 +183,45 @@ object TextAnalysis {
       ()
     }
   }
+
+  /** Bloom-filter decontamination — the 100 TB path next to
+    * contaminationTable's join: the benchmark's distinct n-grams are folded
+    * into ONE Bloom filter (driver-built via df.stat.bloomFilter, MB-sized
+    * for even very large eval suites), broadcast once, and every corpus doc
+    * is scored MAP-SIDE — the corpus never explodes and never shuffles, so
+    * the operator runs at scan speed regardless of corpus size.
+    *
+    * Guarantees: no false negatives (every truly-shared gram is counted, so
+    * `n_bf_grams >= true n_shared_grams` per doc and a contaminated doc is
+    * always flagged); false-positive rate per probed gram is `fpp`. The
+    * catalog entry gates both properties against the exact join in-query.
+    *
+    * The per-doc probe is a Scala UDF over the (bound) gram array — a
+    * deliberate exception to the no-UDF rule: a Bloom probe against a
+    * broadcast sketch has no public Catalyst expression (Spark's own
+    * BloomFilterMightContain is internal to runtime join filtering), and
+    * one array-scanning call per ROW stays off the per-element hot path. */
+  def contaminationBloom(
+      docs: DataFrame, benchmark: DataFrame, n: Int = 4,
+      fpp: Double = 1e-6): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), array_distinct(wordShingles(col("toks"), n)).as("g"))
+    val bg = grams(benchmark).select(explode(col("g")).as("gram")).distinct().persist()
+    try {
+      val nGrams = bg.count()
+      val bf = bg.stat.bloomFilter("gram", math.max(nGrams, 1L), fpp)
+      val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+      val bfHits = udf((arr: scala.collection.Seq[String]) =>
+        arr.count(g => bfB.value.mightContainString(g)).toLong)
+      grams(docs).select(
+        col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        bfHits(col("g")).as("n_bf_grams"))
+    } finally {
+      bg.unpersist(blocking = false)
+      ()
+    }
+  }
 }

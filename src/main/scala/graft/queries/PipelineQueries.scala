@@ -101,6 +101,37 @@ object PipelineQueries {
         JOIN vh sb ON sb.doc_id = c.doc_b)
       SELECT doc_a, doc_b, j AS jaccard FROM jac WHERE j >= 0.8"""))
 
+  /** EXACT n-gram Jaccard self-join (prefix filtering, no MinHash
+    * approximation): the oracle's candidate set is every pair sharing ANY
+    * gram — so the hash match proves the prefix filter is recall-lossless,
+    * not merely plausible. Threshold 0.7 (vs minhash's 0.8) keeps the
+    * prefix length > 1 and the entry non-redundant with t_dedup_minhash. */
+  val tDedupJaccard: Q = Q(
+    "t_dedup_jaccard",
+    run = (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.7),
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, $TOKS AS toks FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
+        FROM toks WHERE len(toks) >= 3),
+      vh AS (
+        SELECT doc_id,
+          list_distinct([CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) for g in shingles]) AS hs
+        FROM sh),
+      cg AS (SELECT doc_id, unnest(hs) AS h FROM vh),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cg a JOIN cg b ON a.h = b.h AND a.doc_id < b.doc_id),
+      jac AS (
+        SELECT c.doc_a, c.doc_b,
+          len(list_intersect(sa.hs, sb.hs))::DOUBLE
+            / len(list_distinct(sa.hs || sb.hs)) AS j
+        FROM cand c
+        JOIN vh sa ON sa.doc_id = c.doc_a
+        JOIN vh sb ON sb.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, j AS jaccard FROM jac WHERE j >= 0.7"""))
+
   /** 32-bit SimHash per document. */
   val tSimhash: Q = Q(
     "t_simhash",
@@ -836,6 +867,42 @@ object PipelineQueries {
       SELECT cg.doc_id, COUNT(*) AS n_shared_grams
       FROM cg JOIN bg USING (gram) GROUP BY 1"""))
 
+  /** Bloom-filter decontamination, self-gated against the exact join: the
+    * `ok` column asserts (a) NO false negatives — every doc the exact join
+    * flags has n_bf_grams >= its true shared-gram count (the Bloom
+    * guarantee), and (b) false-positive docs stay under 2% of the corpus
+    * (fpp=1e-6 per gram puts the expectation near zero; the margin keeps
+    * the gate stable across SFs, per the self-validating-bounds rule).
+    * DuckDB reproduces n_docs / n_contaminated exactly and ok=TRUE. */
+  val tDecontaminateBloom: Q = Q(
+    "t_decontaminate_bloom",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 23 === 0)
+      val bloom = TextAnalysis.contaminationBloom(docs, bench, n = 4)
+      val exact = TextAnalysis.contaminationTable(docs, bench, n = 4)
+      bloom.join(exact, Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("n_shared_grams")).as("n_contaminated"),
+          ((sum(when(col("n_shared_grams").isNotNull &&
+                col("n_bf_grams") < col("n_shared_grams"), 1L).otherwise(0L)) === 0L) &&
+            (sum(when(col("n_shared_grams").isNull && col("n_bf_grams") > 0L, 1L)
+              .otherwise(0L)) <= greatest(lit(1L), ceil(count(lit(1)) * lit(0.02)))))
+            .as("ok"))
+    },
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      g AS (SELECT doc_id,
+          list_distinct([array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]) AS g
+        FROM toks WHERE len(toks) >= 4),
+      cg AS (SELECT doc_id, unnest(g) AS gram FROM g),
+      bg AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % 23 = 0),
+      ex AS (SELECT cg.doc_id FROM cg JOIN bg USING (gram) GROUP BY 1)
+      SELECT (SELECT COUNT(*) FROM g) AS n_docs,
+             (SELECT COUNT(*) FROM ex) AS n_contaminated,
+             TRUE AS ok"""))
+
   /** Deterministic train/val/test assignment: md5-bucket per doc_id, so
     * the oracle reproduces the exact carve — the reproducibility-across-
     * engines property Spark's own randomSplit cannot give. */
@@ -870,7 +937,7 @@ object PipelineQueries {
       WHERE b < thr"""))
 
   val all: Seq[Q] = Seq(
-    tDedupExact, tDedupMinhash, tDedupMinhashSalted, tDedupClusters,
+    tDedupExact, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupClusters,
     tDedupClustersIncremental,
     tSimhash, tAnnCosine,
     tDedupEmbedding, tDedupEmbeddingBucketed, tDedupEmbeddingBucketedHi,
@@ -878,5 +945,6 @@ object PipelineQueries {
     tWinnowPairs, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tCurateStats, tCurateStatsClustered, tCurateStatsFull,
-    tRepetitionScore, tDecontaminate, tSplitAssign, tStratifiedSample)
+    tRepetitionScore, tDecontaminate, tDecontaminateBloom, tSplitAssign,
+    tStratifiedSample)
 }

@@ -114,6 +114,46 @@ class DedupSpec extends AnyFunSuite {
     graft.operators.Dedup.releaseCaches(spark)
   }
 
+  /** Brute-force all-pairs Jaccard over hash sets at an arbitrary threshold
+    * (ngramJaccardPairs ground truth — same distinct-hash contract). */
+  private def bruteJaccard(docs: org.apache.spark.sql.DataFrame, t: Double): Set[(Long, Long)] = {
+    val sh = Dedup.shingleSets(docs)
+    val a = sh.select(col("doc_id").as("doc_a"), col("hashes").as("h_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("hashes").as("h_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("j", size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+        size(array_union(col("h_a"), col("h_b"))))
+      .filter(col("j") >= t)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("ngramJaccardPairs (prefix filtering) is pair-identical to brute force") {
+    val docs = Tables.documents(spark, dir)
+    val brute = bruteJaccard(docs, 0.7)
+    val got = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "testdata should contain J>=0.7 pairs")
+    assert(got === brute, s"missed=${brute -- got} extra=${got -- brute}")
+    Dedup.releaseCaches(spark)
+  }
+
+  test("ngramJaccardPairs stays exact on a boilerplate-heavy (worst-skew) corpus") {
+    import spark.implicits._
+    // 30 identical docs (one mega-frequency gram set) + a near-dup + an
+    // unrelated doc: frequency-ordered prefixes must still surface every
+    // qualifying pair, including all C(30,2) identical ones
+    val docs = ((1L to 30L).map(i => (i, "alpha beta gamma delta epsilon zeta")) ++ Seq(
+      (100L, "alpha beta gamma delta epsilon eta"),
+      (101L, "totally different words over here now")))
+      .toSeq.toDF("doc_id", "text")
+    val brute = bruteJaccard(docs, 0.5)
+    val got = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute && got.size >= 30 * 29 / 2)
+    Dedup.releaseCaches(spark)
+  }
+
   test("simhashTable (explode+groupBy) == simhash32 (column expression)") {
     val docs = Tables.documents(spark, dir)
     val viaTable = Dedup.simhashTable(docs).collect()

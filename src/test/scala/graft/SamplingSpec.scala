@@ -84,4 +84,21 @@ class SamplingSpec extends AnyFunSuite {
     // doc 1 self-matches on both of its 4-grams; doc 2 shares exactly one
     assert(got === Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("contaminationBloom: no false negatives vs the exact join; FPs bounded") {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    val exact = TextAnalysis.contaminationTable(docs, bench, n = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = TextAnalysis.contaminationBloom(docs, bench, n = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact.nonEmpty) // benchmark self-matches, so never vacuous
+    // Bloom guarantee: every truly-shared gram is counted
+    for ((id, nShared) <- exact)
+      assert(bloom(id)._2 >= nShared, s"doc $id: bf=${bloom(id)._2} < exact=$nShared")
+    // docs the exact join does NOT flag: bf hits are pure false positives,
+    // which at fpp=1e-6 should be (near-)zero corpus-wide
+    val fpDocs = bloom.count { case (id, (_, hits)) => hits > 0 && !exact.contains(id) }
+    assert(fpDocs <= math.max(1, bloom.size / 50), s"$fpDocs FP docs of ${bloom.size}")
+  }
 }
