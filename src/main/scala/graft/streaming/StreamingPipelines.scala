@@ -266,6 +266,23 @@ object StreamingPipelines {
     }
   }
 
+  /** Kept-document view under the transitive cluster-keeper policy, derived
+    * from the labels snapshot winnowClusterSink maintains: each cluster's
+    * keeper is its label (the min doc_id — exactly Curate's clusterDedup
+    * rule), every other clustered doc is dropped, unclustered docs pass
+    * through. Retroactively correct by construction: when a later batch
+    * bridges two clusters the snapshot relabels both, so this view
+    * contracts to exactly what the batch pipeline
+    * (duplicateClusters ∘ winnowPairs) would keep over the corpus-so-far —
+    * StreamingSpec asserts the equivalence. At scale this is one
+    * left_anti shuffle on doc_id against a labels table with one row per
+    * CLUSTERED doc (tiny next to the corpus; broadcastable in practice). */
+  def keeperView(docs: DataFrame, labelsPath: String): DataFrame = {
+    val losers = currentClusters(docs.sparkSession, labelsPath)
+      .filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** K2 analog: dynamic per-record routing — one pass, fanned out by the
     * `sink_table` column (partitioned write ≈ Kafka sink's per-row topic). */
   def routedSink(df: DataFrame, basePath: String): DataStreamWriter[Row] =

@@ -343,6 +343,13 @@ class StreamingSpec extends AnyFunSuite {
     val spanning = got.groupBy(_._2).values
       .exists(c => c.map(p => batchOf(p._1)).size > 1)
     assert(spanning, "no cluster spans micro-batches — merge path untested")
+    // keeper election off the same snapshot == the batch cluster-keeper
+    // policy (Curate clusterDedup: drop every clustered doc except its
+    // cluster's min-id label) over the full corpus
+    val kept = graft.streaming.StreamingPipelines.keeperView(docs, labelsPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val wantKept = docRows.map(_._1).toSet -- want.filter(p => p._1 != p._2).map(_._1)
+    assert(kept === wantKept && kept.size < docRows.size)
   }
 
   test("dedupDocsByFingerprint stream == Dedup.exactGroups keep set") {
