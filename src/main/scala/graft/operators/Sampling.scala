@@ -65,4 +65,39 @@ object Sampling {
     val b = bucket(concat(stratum.cast("string"), lit(":"), key.cast("string")))
     df.filter(b < round(rate * Buckets).cast("long"))
   }
+
+  /** Deterministic sequence packing for training: documents are bucketed
+    * into `shards` by doc_id hash, laid out in doc_id order within each
+    * shard as one contiguous token stream, and assigned to the pack where
+    * their FIRST token lands (pack i covers stream offsets
+    * [i·budget, (i+1)·budget)). This is contiguous offset-chunking, not
+    * bin packing: a pack can overflow by at most one straddling document —
+    * the standard concat-then-cut layout training loaders use, where the
+    * loader's final cut (not the distributed layout) enforces exact
+    * sequence lengths.
+    *
+    * Scale: the only wide op is the per-shard running token sum — a window
+    * PARTITIONED BY shard (parallelism = `shards`; size it to ~cores at
+    * the target scale). Deterministic like the rest of this file: hash
+    * sharding + doc_id order, no RNG, no partition-order dependence —
+    * re-running over a grown corpus only ever APPENDS to a shard's stream,
+    * so earlier packs are byte-stable. */
+  def packSequences(docs: DataFrame, budget: Long, shards: Int = 64): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val n = size(graft.functions.TextFunctions.tokens(coalesce(col("text"), lit("")))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col("doc_id"), n.as("n_tokens"),
+        pmod(hash32(col("doc_id").cast("string")), lit(shards.toLong)).as("shard"))
+      // start offset = running sum minus own length; floor over DOUBLE is
+      // IEEE-exact for token counts < 2^52 and matches DuckDB bit-for-bit
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")).cast("double") / budget)
+          .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pack_id"), col("n_tokens"))
+  }
 }

