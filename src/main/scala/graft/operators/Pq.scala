@@ -99,19 +99,16 @@ object Pq {
       .agg(array_sort(collect_list(struct(col("b"), col("cid")))).as("bc"))
       .select(col("vec_id"), transform(col("bc"), s => s.getField("cid")).as("codes"))
 
-  /** ADC top-k with exact re-rank: score codes against the per-query
-    * lookup table, take `rerank`·k ADC candidates, re-score those exactly
-    * (true cosine on the raw embeddings), return the top k.
-    * Output contract matches Similarity.bruteForceTopK (qid, vec_id, sim,
-    * rk) so recall is directly comparable. */
-  def topK(codes: DataFrame, codebook: DataFrame, vectors: DataFrame,
-      queries: DataFrame, dim: Int, k: Int, m: Int = 8, rerank: Int = 4): DataFrame = {
-    val sub = dim / m
-    val q = queries.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("q0"))
+  /** l2-normalized query frame (qid, qe). */
+  private def normQueries(queries: DataFrame): DataFrame =
+    queries.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("q0"))
       .withColumn("nrm", l2Norm(col("q0")))
       .select(col("qid"), l2NormalizeWith(col("q0"), col("nrm")).as("qe"))
-    // LUT: (qid, b, cid, contrib) — queries × codebook, tiny, broadcast
-    val lut = q.select(col("qid"),
+
+  /** ADC lookup table (qid, b, cid, contrib) — queries × codebook, tiny. */
+  private def lutFor(q: DataFrame, codebook: DataFrame, dim: Int, m: Int): DataFrame = {
+    val sub = dim / m
+    q.select(col("qid"),
       explode(array((0 until m).map(b =>
         struct(lit(b).as("b"), slice(col("qe"), b * sub + 1, sub).as("qsub"))): _*)).as("blk"))
       .select(col("qid"), col("blk.b").as("b"), col("blk.qsub").as("qsub"))
@@ -119,18 +116,17 @@ object Pq {
       .withColumn("contrib", aggregate(zip_with(col("qsub"), col("ce"), _ * _),
         lit(0.0), _ + _))
       .select(col("qid"), col("b"), col("cid"), col("contrib"))
-    // ADC: explode codes once, join the broadcast LUT, partial-agg the sum
-    val adc = codes
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("b", "cid")))
-      .join(broadcast(lut), Seq("b", "cid"))
-      .filter(col("qid") =!= col("vec_id"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("contrib")).as("adc"))
+  }
+
+  /** Keep each query's ADC top rerank·k, re-score those exactly (true
+    * cosine on the raw embeddings), return the top k — the
+    * Similarity.bruteForceTopK output contract (qid, vec_id, sim, rk). */
+  private def rerankExact(adc: DataFrame, q: DataFrame, vectors: DataFrame,
+      k: Int, rerank: Int): DataFrame = {
     val wa = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
     val cand = adc.withColumn("crk", row_number().over(wa))
       .filter(col("crk") <= k * rerank)
       .select(col("qid"), col("vec_id"))
-    // exact re-rank of the short candidate list
     val ve = vectors.select(col("vec_id"), toDouble(col("embedding")).as("e"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     cand.join(ve, "vec_id")
@@ -139,5 +135,60 @@ object Pq {
         round(graft.plans.VectorExpressions.cosineFused(col("qe"), col("e")), 6).as("sim"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+  }
+
+  /** ADC top-k with exact re-rank: score codes against the per-query
+    * lookup table, take `rerank`·k ADC candidates, re-score those exactly
+    * (true cosine on the raw embeddings), return the top k.
+    * Output contract matches Similarity.bruteForceTopK (qid, vec_id, sim,
+    * rk) so recall is directly comparable. */
+  def topK(codes: DataFrame, codebook: DataFrame, vectors: DataFrame,
+      queries: DataFrame, dim: Int, k: Int, m: Int = 8, rerank: Int = 4): DataFrame = {
+    val q = normQueries(queries)
+    val lut = lutFor(q, codebook, dim, m)
+    // ADC: explode codes once, join the broadcast LUT, partial-agg the sum
+    val adc = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("b", "cid")))
+      .join(broadcast(lut), Seq("b", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("contrib")).as("adc"))
+    rerankExact(adc, q, vectors, k, rerank)
+  }
+
+  /** IVF-PQ (the composition the FAISS stack standardized): probe the
+    * `nprobe` nearest coarse centroids per query, ADC-score ONLY the
+    * probed inverted lists' codes, exact-re-rank the ADC top rerank·k.
+    * `indexed`/`centroids` are Ivf.index / Ivf.train* output; `codes`/
+    * `codebook` are encode/train output over the same corpus.
+    *
+    * At 100 TB this stacks both prunings: the coarse probe cuts the
+    * scored set from N to the probed lists (≈ nprobe/k_coarse of the
+    * corpus), and within those lists the scored representation is m bytes
+    * per vector (codes ⋈ broadcast LUT — raw embeddings are read only for
+    * the rerank·k finalists). The only corpus-sized shuffle keys on
+    * vec_id (codes ⋈ probed-candidate pairs). */
+  def ivfPqTopK(indexed: DataFrame, centroids: DataFrame, codes: DataFrame,
+      codebook: DataFrame, vectors: DataFrame, queries: DataFrame,
+      dim: Int, k: Int, nprobe: Int, m: Int = 8, rerank: Int = 4): DataFrame = {
+    val q = normQueries(queries)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", graft.plans.VectorExpressions.cosineFused(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cid"))
+    // candidate (query, vector) pairs = the probed lists' members; the
+    // coarse cid is dropped here so the LUT's sub-centroid cid below
+    // cannot collide with it
+    val pairs = probes.join(indexed.select(col("vec_id"), col("cid")), "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"))
+    val lut = lutFor(q, codebook, dim, m)
+    val adc = pairs.join(codes, "vec_id")
+      .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("b", "cid")))
+      .join(broadcast(lut), Seq("qid", "b", "cid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("contrib")).as("adc"))
+    rerankExact(adc, q, vectors, k, rerank)
   }
 }

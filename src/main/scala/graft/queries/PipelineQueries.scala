@@ -605,6 +605,44 @@ object PipelineQueries {
         FROM sims)
       SELECT COUNT(*) AS n_expected, TRUE AS ok FROM ranked WHERE rk <= 10"""))
 
+  /** IVF-PQ composition (coarse probe prunes the corpus, ADC scores the
+    * probed lists in compressed domain, exact re-rank finishes): recall
+    * gated >= 0.8 vs brute force — the bound carries real margin under
+    * both prunings stacked (measured well above it at both gate SFs). */
+  val tAnnIvfPqRecall: Q = Q(
+    "t_ann_ivfpq_recall",
+    run = (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 20)
+      val cents = Ivf.trainScalable(emb, 16, iters = 1, rounds = 2)
+      val idx = Ivf.index(emb, cents)
+      val cb = Pq.train(emb, dim = 64, m = 32, ksub = 16, iters = 2)
+      val codes = Pq.encode(emb, cb, dim = 64, m = 32)
+      val got = Pq.ivfPqTopK(idx, cents, codes, cb, emb, q,
+        dim = 64, k = 10, nprobe = 12, m = 32, rerank = 8)
+        .select(col("qid"), col("vec_id")).withColumn("hit", lit(1))
+      Similarity.bruteForceTopK(emb, q, 10)
+        .select(col("qid"), col("vec_id"))
+        .join(got, Seq("qid", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_expected"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .select(col("n_expected"),
+          (col("n_hit").cast("double") / col("n_expected") >= 0.8).as("ok"))
+    },
+    oracle = Some("""
+      WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 20),
+      sims AS (
+        SELECT q.qid, v.vec_id,
+          list_sum([qe[i+1]*e[i+1] for i in range(0, 64)]) /
+            (sqrt(list_sum([qe[i+1]*qe[i+1] for i in range(0, 64)]))
+             * sqrt(list_sum([e[i+1]*e[i+1] for i in range(0, 64)]))) AS sim
+        FROM q, v WHERE q.qid <> v.vec_id),
+      ranked AS (
+        SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id) AS rk
+        FROM sims)
+      SELECT COUNT(*) AS n_expected, TRUE AS ok FROM ranked WHERE rk <= 10"""))
+
   val tAnnIvfRecall: Q = Q(
     "t_ann_ivf_recall",
     run = (s, dir) => {
@@ -979,7 +1017,8 @@ object PipelineQueries {
     tWinnowFingerprint,
     tWinnowPairs, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
-    tAnnIvfRecall, tAnnPqRecall, tCurateStats, tCurateStatsClustered, tCurateStatsFull,
+    tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
+    tCurateStats, tCurateStatsClustered, tCurateStatsFull,
     tRepetitionScore, tDecontaminate, tDecontaminateBloom, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences)
 }

@@ -46,6 +46,38 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"PQ recall $recall below gate") // measured 0.945 here
   }
 
+  test("IVF-PQ: recall >= 0.8 vs brute force; scored set is only the probed lists") {
+    import graft.operators.Ivf
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 20)
+    val cents = Ivf.trainScalable(emb, 16, iters = 1, rounds = 2)
+    val idx = Ivf.index(emb, cents).persist()
+    val cb = Pq.train(emb, dim = 64, m = 32, ksub = 16, iters = 2)
+    val codes = Pq.encode(emb, cb, dim = 64, m = 32)
+    val got = Pq.ivfPqTopK(idx, cents, codes, cb, emb, q,
+      dim = 64, k = 10, nprobe = 12, m = 32, rerank = 8)
+      .select(col("qid"), col("vec_id")).withColumn("hit", lit(1))
+    val r = Similarity.bruteForceTopK(emb, q, 10)
+      .select(col("qid"), col("vec_id"))
+      .join(got, Seq("qid", "vec_id"), "left")
+      .agg(count(lit(1)), sum(coalesce(col("hit"), lit(0)))).collect()(0)
+    val recall = r.getLong(1).toDouble / r.getLong(0)
+    assert(recall >= 0.8, s"IVF-PQ recall $recall below gate")
+    // coarse pruning is real: at nprobe=1 every hit lives in the single
+    // probed (nearest-centroid) list of its query
+    val vecCid = idx.select(col("vec_id"), col("cid")).collect()
+      .map(r2 => r2.getLong(0) -> r2.getInt(1)).toMap
+    val qCid = Ivf.index(q, cents).select(col("vec_id"), col("cid")).collect()
+      .map(r2 => r2.getLong(0) -> r2.getInt(1)).toMap
+    val one = Pq.ivfPqTopK(idx, cents, codes, cb, emb, q,
+      dim = 64, k = 10, nprobe = 1, m = 32, rerank = 8)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1)))
+    idx.unpersist()
+    assert(one.nonEmpty)
+    assert(one.forall { case (qid, vid) => vecCid(vid) == qCid(qid) })
+  }
+
   test("re-ranked hits carry EXACT cosine (same sim as brute force on shared pairs)") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 5)
