@@ -34,7 +34,10 @@ object Dedup {
   private val openScopes: ThreadLocal[List[Long]] =
     ThreadLocal.withInitial(() => Nil)
 
-  private def track(df: DataFrame): DataFrame = synchronized {
+  // package-private: sibling operators (TextAnalysis.tfIdfTopTerms) persist
+  // shared intermediates through the same registry, so one releaseCaches/
+  // releaseSince contract covers every operator-held frame on the session
+  private[operators] def track(df: DataFrame): DataFrame = synchronized {
     val scope = openScopes.get().headOption.getOrElse(0L)
     tracked(df.sparkSession) =
       tracked.getOrElse(df.sparkSession, Vector.empty) :+ (scope -> df)

@@ -200,7 +200,11 @@ object TextAnalysis {
   def tfIdfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     val terms = docs
       .select(col("doc_id"), explode(tokens(coalesce(col("text"), lit("")))).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // persisted (session registry, Dedup.releaseCaches contract): tf feeds
+    // BOTH the score side and the df aggregation — unpersisted, the whole
+    // tokenize+explode+groupBy pipeline runs twice
+    val tf = Dedup.track(
+      terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).persist())
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
