@@ -378,6 +378,52 @@ object Dedup {
       labels.select(col("doc_id").as("doc_a"), col("cluster").as("doc_b"))
         .unionByName(newPairs.select(col("doc_a"), col("doc_b"))))
 
+  /** Corpus-wide repeated-span removal (the C4/MassiveText sub-document
+    * dedup stage, Raffel et al. 2020 §2.2 re-expressed positionally):
+    * every document is segmented into consecutive `k`-token spans, spans
+    * occurring more than `maxOcc` times ACROSS THE CORPUS (boilerplate,
+    * license headers, navigation chrome) are deleted from every document
+    * carrying them, and each document's text is rebuilt from its surviving
+    * spans in position order. Returns one row per input document:
+    * (doc_id, text, n_spans, n_kept) — a fully-boilerplate doc comes back
+    * with empty text and n_kept = 0, so downstream length/quality gates
+    * drop it, same as the reference pipelines.
+    *
+    * Scale: span counting is one span-keyed partial agg; the removal join
+    * is LEFT ANTI against only the BANNED spans (repeated ones — tiny next
+    * to the corpus, broadcastable); reassembly shuffles once on doc_id.
+    * The span-array frame is persisted before its explode (Generate
+    * re-inline cliff — see winnowPairs). */
+  def dedupSpans(docs: DataFrame, k: Int = 8, maxOcc: Int = 1): DataFrame = {
+    require(k > 0, s"span length must be positive, got $k")
+    val toked = track(docs
+      .select(col("doc_id"), tokens(col("text")).as("toks")) // bind once
+      .select(col("doc_id"),
+        when(size(col("toks")) > 0,
+          transform(
+            sequence(lit(0), ceil(size(col("toks")).cast("double") / k).cast("int") - 1),
+            i => struct(i.as("pos"),
+              concat_ws(" ", slice(col("toks"), i * k + 1, lit(k))).as("span"))))
+          .otherwise(array().cast("array<struct<pos:int,span:string>>")).as("spans"))
+      .persist())
+    val spans = toked.select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.span").as("span"))
+    val banned = spans.groupBy(col("span")).agg(count(lit(1)).as("ct"))
+      .filter(col("ct") > maxOcc).select(col("span"))
+    val kept = spans.join(banned, Seq("span"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("span")))).as("ps"),
+        count(lit(1)).as("n_kept"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("ps"), s => s.getField("span"))).as("rebuilt"),
+        col("n_kept"))
+    toked.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rebuilt"), lit("")).as("text"),
+        col("n_spans"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Per-doc 32-bit SimHash (near-dup docs differ in few bits).
     *
     * Explode+groupBy formulation: one md5 per distinct token, 32 partial-

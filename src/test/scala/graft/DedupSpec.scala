@@ -154,6 +154,26 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseCaches(spark)
   }
 
+  test("dedupSpans: corpus-repeated spans deleted everywhere, order preserved, empties kept") {
+    import spark.implicits._
+    val boiler = "one two three four" // shared 4-token span, chunk-aligned in both carriers
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, "solo text with unique words here now"), // 7 toks -> 2 spans, both unique
+      (4L, boiler), // only the banned span -> rebuilt empty
+      (5L, "")) // zero tokens -> zero spans
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dedupSpans(docs, k = 4, maxOcc = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("alpha beta gamma delta", 2L, 1L)))
+    assert(got(2L) === (("epsilon zeta eta theta", 2L, 1L)))
+    assert(got(3L) === (("solo text with unique words here now", 2L, 2L)))
+    assert(got(4L) === (("", 1L, 0L)))
+    assert(got(5L) === (("", 0L, 0L)))
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("simhashTable (explode+groupBy) == simhash32 (column expression)") {
     val docs = Tables.documents(spark, dir)
     val viaTable = Dedup.simhashTable(docs).collect()
