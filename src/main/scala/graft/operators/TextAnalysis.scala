@@ -242,14 +242,24 @@ object TextAnalysis {
     val bg = grams(benchmark).select(explode(col("g")).as("gram")).distinct().persist()
     try {
       val nGrams = bg.count()
-      val bf = bg.stat.bloomFilter("gram", math.max(nGrams, 1L), fpp)
-      val bfB = docs.sparkSession.sparkContext.broadcast(bf)
-      val bfHits = udf((arr: scala.collection.Seq[String]) =>
-        arr.count(g => bfB.value.mightContainString(g)).toLong)
-      grams(docs).select(
-        col("doc_id"),
-        size(col("g")).cast("long").as("n_grams"),
-        bfHits(col("g")).as("n_bf_grams"))
+      // empty benchmark: nothing can be contaminated — and Spark's
+      // stat.bloomFilter NPEs on an empty frame (null aggregate buffer),
+      // so short-circuit instead of building a filter of nothing
+      if (nGrams == 0)
+        grams(docs).select(
+          col("doc_id"),
+          size(col("g")).cast("long").as("n_grams"),
+          lit(0L).as("n_bf_grams"))
+      else {
+        val bf = bg.stat.bloomFilter("gram", nGrams, fpp)
+        val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+        val bfHits = udf((arr: scala.collection.Seq[String]) =>
+          arr.count(g => bfB.value.mightContainString(g)).toLong)
+        grams(docs).select(
+          col("doc_id"),
+          size(col("g")).cast("long").as("n_grams"),
+          bfHits(col("g")).as("n_bf_grams"))
+      }
     } finally {
       bg.unpersist(blocking = false)
       ()

@@ -26,6 +26,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.exactGroups(emptyDocs).count() === 0)
     assert(Dedup.minhashLshPairs(emptyDocs).count() === 0)
     assert(Dedup.simhashTable(emptyDocs).count() === 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs).count() === 0)
+    assert(Dedup.dedupSpans(emptyDocs).count() === 0)
+    Dedup.releaseCaches(spark)
+  }
+
+  test("round-4 operators survive degenerate docs (too-short, empty, symbols)") {
+    // every weird doc is < 3 tokens except doc 5 — jaccard drops them,
+    // spans keeps a row per doc, packing packs them all
+    assert(Dedup.ngramJaccardPairs(weirdDocs, n = 3, threshold = 0.5).count() === 0)
+    val spans = Dedup.dedupSpans(weirdDocs, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(spans.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(spans(1L) === "" && spans(3L) === "" && spans(5L) === "one two three four")
+    val packed = graft.operators.Sampling.packSequences(weirdDocs, budget = 2, shards = 2)
+    assert(packed.count() === 5)
+    assert(TextAnalysis.tfIdfTopTerms(weirdDocs, k = 3).count() > 0)
+    Dedup.releaseCaches(spark)
+  }
+
+  test("contaminationBloom: empty benchmark flags nothing; empty corpus returns empty") {
+    val none = TextAnalysis.contaminationBloom(weirdDocs, emptyDocs, n = 2)
+    assert(none.collect().forall(_.getLong(2) === 0L)) // n_bf_grams all zero
+    assert(TextAnalysis.contaminationBloom(emptyDocs, weirdDocs, n = 2).count() === 0)
   }
 
   test("dedup operators on degenerate docs: short/empty texts drop cleanly") {
