@@ -240,12 +240,23 @@ object Dedup {
         slice(transform(col("ord"), o => o.getField("h")), lit(1),
           (col("sz") - floor(lit(threshold) * col("sz")) + 1).cast("int")).as("pref"))
       .persist()) // feeds both sides of the self-join
-    val pe = pref.select(col("doc_id"), col("sz"), explode(col("pref")).as("h"))
+    val pe = pref.select(col("doc_id"), col("sz"),
+      posexplode(col("pref")).as(Seq("i", "h")))
+    // positional filter (PPJoin, Xiao et al. WWW'08): a co-occurrence at
+    // 0-based prefix positions (i, j) caps the possible overlap at
+    // 1 + min(szA−i−1, szB−j−1) — require it to reach the Jaccard overlap
+    // bound t/(1+t)·(szA+szB). Necessary-condition prune, so recall stays
+    // lossless (a true pair always survives via its FIRST shared prefix
+    // gram, where the cap is largest); on low-diversity corpora where
+    // every gram is common this is the filter that keeps the candidate
+    // set (and the array-shipping verify join behind it) from exploding.
     val cand = pe.as("x")
       .join(pe.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
           col("x.sz") >= lit(threshold) * col("y.sz") &&
-          col("y.sz") >= lit(threshold) * col("x.sz"))
+          col("y.sz") >= lit(threshold) * col("x.sz") &&
+          (lit(1) + least(col("x.sz") - col("x.i") - 1, col("y.sz") - col("y.i") - 1)) >=
+            lit(threshold / (1 + threshold)) * (col("x.sz") + col("y.sz")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // verify on the distinct 32-bit gram hashes — same engine-parity
