@@ -405,9 +405,15 @@ object Dedup {
     * to the corpus, broadcastable); reassembly shuffles once on doc_id.
     * The span-array frame is persisted before its explode (Generate
     * re-inline cliff — see winnowPairs). */
-  def dedupSpans(docs: DataFrame, k: Int = 8, maxOcc: Int = 1): DataFrame = {
+  /** Per-doc positional span arrays (doc_id, spans: array<(pos, span)>);
+    * the shared construction behind dedupSpans and the streaming span
+    * registry (StreamingPipelines.spanDedupSink) — both forms MUST
+    * segment identically or stream ≢ batch. Zero-token docs keep an
+    * empty array (the sequence() guard is load-bearing: Spark infers a
+    * DESCENDING step for sequence(0, -1), yielding [0, -1]). */
+  private[graft] def spanTable(docs: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"span length must be positive, got $k")
-    val toked = track(docs
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks")) // bind once
       .select(col("doc_id"),
         when(size(col("toks")) > 0,
@@ -416,9 +422,11 @@ object Dedup {
             i => struct(i.as("pos"),
               concat_ws(" ", slice(col("toks"), i * k + 1, lit(k))).as("span"))))
           .otherwise(array().cast("array<struct<pos:int,span:string>>")).as("spans"))
-      .persist())
-    val spans = toked.select(col("doc_id"), explode(col("spans")).as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.span").as("span"))
+  }
+
+  /** Shared finish: ban corpus-repeated spans, rebuild texts positionally.
+    * `meta` = (doc_id, n_spans); `spans` = (doc_id, pos, span) rows. */
+  private[graft] def finishSpans(meta: DataFrame, spans: DataFrame, maxOcc: Int): DataFrame = {
     val banned = spans.groupBy(col("span")).agg(count(lit(1)).as("ct"))
       .filter(col("ct") > maxOcc).select(col("span"))
     val kept = spans.join(banned, Seq("span"), "left_anti")
@@ -428,11 +436,19 @@ object Dedup {
       .select(col("doc_id"),
         concat_ws(" ", transform(col("ps"), s => s.getField("span"))).as("rebuilt"),
         col("n_kept"))
-    toked.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
-      .join(kept, Seq("doc_id"), "left")
+    meta.join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("rebuilt"), lit("")).as("text"),
         col("n_spans"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  def dedupSpans(docs: DataFrame, k: Int = 8, maxOcc: Int = 1): DataFrame = {
+    val toked = track(spanTable(docs, k).persist())
+    val spans = toked.select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.span").as("span"))
+    finishSpans(
+      toked.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans")),
+      spans, maxOcc)
   }
 
   /** Per-doc 32-bit SimHash (near-dup docs differ in few bits).

@@ -266,6 +266,48 @@ object StreamingPipelines {
     }
   }
 
+  /** Incremental sub-document (span) dedup for continuous ingestion: each
+    * micro-batch appends its documents' positional span rows and per-doc
+    * span counts to a parquet REGISTRY (both under `batch=<id>` dirs —
+    * overwrite, so foreachBatch retries are idempotent; no cross-batch
+    * read happens inside the sink at all). The registry IS the tokenized
+    * corpus in span form, so `currentSpanDedup` below can rebuild every
+    * document seen so far against the GLOBAL span counts without
+    * re-tokenizing anything — and the view is retroactive by
+    * construction: a span whose corpus-wide count crosses `maxOcc` in
+    * batch N disappears from batch-1 documents too, exactly like the
+    * batch operator run over the full corpus (StreamingSpec proves
+    * stream ≡ batch across 3 batches). */
+  def spanDedupSink(docs: DataFrame, spanPath: String, k: Int = 8): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val b = batch.toDF().persist()
+        // materialize before exploding — Generate re-inlines the span
+        // construction chain otherwise (see Dedup.winnowPairs)
+        val st = graft.operators.Dedup.spanTable(b, k).persist()
+        st.select(col("doc_id"), explode(col("spans")).as("s"))
+          .select(col("doc_id"), col("s.pos").as("pos"), col("s.span").as("span"))
+          .write.mode("overwrite").parquet(s"$spanPath/spans/batch=$batchId")
+        st.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
+          .write.mode("overwrite").parquet(s"$spanPath/meta/batch=$batchId")
+        st.unpersist(); b.unpersist()
+        ()
+      }
+
+  /** The retroactive span-dedup snapshot over everything spanDedupSink has
+    * registered: same output contract as Dedup.dedupSpans over the
+    * corpus-so-far (one row per seen doc). At scale this reads span rows
+    * (not raw text), bans by one span-keyed agg, and rebuilds with one
+    * doc-keyed shuffle — re-tokenization never happens twice. */
+  def currentSpanDedup(spark: SparkSession, spanPath: String, maxOcc: Int = 1): DataFrame = {
+    val spans = spark.read.parquet(s"$spanPath/spans")
+      .select(col("doc_id"), col("pos"), col("span"))
+    val meta = spark.read.parquet(s"$spanPath/meta")
+      .select(col("doc_id"), col("n_spans"))
+    graft.operators.Dedup.finishSpans(meta, spans, maxOcc)
+  }
+
   /** Kept-document view under the transitive cluster-keeper policy, derived
     * from the labels snapshot winnowClusterSink maintains: each cluster's
     * keeper is its label (the min doc_id — exactly Curate's clusterDedup

@@ -352,6 +352,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept === wantKept && kept.size < docRows.size)
   }
 
+  test("incremental span registry: currentSpanDedup == batch dedupSpans (retroactive)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val spanPath = "/tmp/graft_test_span_reg"
+    new scala.reflect.io.Directory(new java.io.File(spanPath)).deleteRecursively()
+    val docRows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingPipelines
+      .spanDedupSink(stream.toDF().toDF("doc_id", "text"), spanPath, k = 8)
+      .start()
+    val third = docRows.size / 3
+    stream.addData(docRows.take(third)); q.processAllAvailable()
+    // mid-stream snapshot must equal the batch operator on the prefix
+    val midGot = graft.streaming.StreamingPipelines.currentSpanDedup(spark, spanPath)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val midDocs = docRows.take(third).toDF("doc_id", "text")
+    val midWant = graft.operators.Dedup.dedupSpans(midDocs, k = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(midGot === midWant)
+    stream.addData(docRows.slice(third, 2 * third)); q.processAllAvailable()
+    stream.addData(docRows.drop(2 * third)); q.processAllAvailable()
+    q.stop()
+    val got = graft.streaming.StreamingPipelines.currentSpanDedup(spark, spanPath)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = graft.operators.Dedup
+      .dedupSpans(Tables.documents(spark, dir).select(col("doc_id"), col("text")), k = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+    // retroactivity exercised: some doc from the FIRST batch lost a span
+    // only once later batches pushed its count over maxOcc
+    val midKept = midGot.map(r => r._1 -> r._4).toMap
+    val finalKept = got.map(r => r._1 -> r._4).toMap
+    assert(midKept.exists { case (id, n) => finalKept(id) < n },
+      "no first-batch doc was retroactively trimmed — registry semantics untested")
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("dedupDocsByFingerprint stream == Dedup.exactGroups keep set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
