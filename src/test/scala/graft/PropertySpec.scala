@@ -79,6 +79,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ngramJaccardPairs == brute force on random low-diversity corpora") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // small vocabulary => dense gram sharing, the adversarial regime for
+    // prefix+positional filtering; thresholds include the 1.0 edge
+    val doc: Gen[String] = Gen.chooseNum(3, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a1", "b2", "c3", "d4", "e5", "f6")).map(_.mkString(" ")))
+    for ((seed, t) <- Seq((1L, 0.5), (2L, 0.7), (3L, 1.0))) {
+      val docs = sample(Gen.listOfN(25, doc), seed)
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+      val sh = Dedup.shingleSets(docs)
+      val brute = sh.select(col("doc_id").as("doc_a"), col("hashes").as("h_a"))
+        .crossJoin(sh.select(col("doc_id").as("doc_b"), col("hashes").as("h_b")))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("j", size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+          size(array_union(col("h_a"), col("h_b"))))
+        .filter(col("j") >= t).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Dedup.ngramJaccardPairs(docs, n = 3, threshold = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === brute, s"seed=$seed t=$t missed=${brute -- got} extra=${got -- brute}")
+    }
+    Dedup.releaseCaches(spark)
+  }
+
+  test("packSequences: window packing equals a sequential fold on random corpora") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      val docs = sample(Gen.listOfN(40, texts), seed)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.operators.Sampling.packSequences(docs, budget = 7, shards = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      for ((_, rows) <- got.groupBy(_._2)) {
+        var off = 0L
+        for ((_, _, pack, n) <- rows.sortBy(_._1)) {
+          assert(pack === off / 7, s"seed=$seed")
+          off += n
+        }
+      }
+      assert(got.length === 40)
+    }
+  }
+
   test("simhash of identical token multisets is order-invariant") {
     import spark.implicits._
     for (seed <- 1L to 5L) {
