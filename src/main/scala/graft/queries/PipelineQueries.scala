@@ -723,7 +723,8 @@ object PipelineQueries {
     * gates are recomposed too, in the same precedence order as
     * Curate.runLabeled: dedup → contaminated → repetitive → quality →
     * language. */
-  private def curateStatsOracle(losersCte: String, full: Boolean = false): String = {
+  private def curateStatsOracle(losersCte: String, full: Boolean = false,
+      finalSelect: Option[String] = None): String = {
     val stop = TextAnalysis.lexicons.flatMap(_._2).distinct.sorted
       .map(w => s"'$w'").mkString("[", ",", "]")
     val lex = TextAnalysis.lexicons.map { case (lang, words) =>
@@ -810,11 +811,11 @@ object PipelineQueries {
                COALESCE(rep.dup3, 0.0) > 0.02 AS is_rep""" else ""}
         FROM an LEFT JOIN q USING (doc_id) JOIN lang USING (doc_id)
              ${if (full) "LEFT JOIN rep USING (doc_id)" else ""})
-      SELECT
-        (SELECT COUNT(*) FROM documents) AS input,
-        (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM ae) AS exact_dups,
-        (SELECT COUNT(*) FROM losers) AS near_dups,
-        ${if (full) """
+      """ + finalSelect.getOrElse(defaultStatsSelect(full))
+  }
+
+  private def defaultStatsSelect(full: Boolean): String = {
+    val fullCols = """
         (SELECT COUNT(*) FROM scored WHERE is_contam) AS contaminated,
         (SELECT COUNT(*) FROM scored WHERE NOT is_contam AND is_rep) AS repetitive,
         (SELECT COUNT(*) FROM scored
@@ -825,12 +826,19 @@ object PipelineQueries {
            AND quality >= 0.55 AND pred_lang <> 'und') AS kept,
         (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM scored
          WHERE NOT is_contam AND NOT is_rep
-           AND quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens""" else """
+           AND quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens"""
+    val baseCols = """
         (SELECT COUNT(*) FROM scored WHERE quality < 0.55) AS low_quality,
         (SELECT COUNT(*) FROM scored WHERE quality >= 0.55 AND pred_lang = 'und') AS unknown_lang,
         (SELECT COUNT(*) FROM scored WHERE quality >= 0.55 AND pred_lang <> 'und') AS kept,
         (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM scored
-         WHERE quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens"""}"""
+         WHERE quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens"""
+    s"""
+      SELECT
+        (SELECT COUNT(*) FROM documents) AS input,
+        (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM ae) AS exact_dups,
+        (SELECT COUNT(*) FROM losers) AS near_dups,
+        ${if (full) fullCols else baseCols}"""
   }
 
   val tCurateStats: Q = Q(
@@ -881,6 +889,47 @@ object PipelineQueries {
         SELECT doc_id FROM (
           SELECT doc_id, MIN(root) AS cluster FROM reach GROUP BY doc_id)
         WHERE cluster <> doc_id)""")))
+
+  /** Curate → pack composition: the default curation pipeline's KEPT set
+    * fed straight into deterministic sequence packing, summarized per
+    * shard. The oracle recomposes curation's full CTE chain and then the
+    * pack window over the kept docs — proving the curated corpus hands
+    * off to the training-layout stage with byte-stable assignments. */
+  val tCuratePacked: Q = Q(
+    "t_curate_packed",
+    run = (s, dir) => {
+      import s.implicits._
+      val (curated, _) = graft.pipeline.Curate.run(s, dir)
+      val packed = Sampling.packSequences(
+        curated.select(col("doc_id"), col("text")), budget = 512, shards = 8)
+      val rows = packed.groupBy(col("shard"))
+        .agg(countDistinct(col("pack_id")).as("n_packs"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      graft.pipeline.Curate.releaseCaches(s)
+      rows.toDF("shard", "n_packs", "n_docs", "sum_tokens")
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
+      finalSelect = Some("""
+      , keptd AS (
+        SELECT doc_id, n_tokens FROM scored
+        WHERE quality >= 0.55 AND pred_lang <> 'und'),
+      shd AS (
+        SELECT doc_id, n_tokens,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard
+        FROM keptd),
+      packed AS (
+        SELECT doc_id, shard,
+          CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::DOUBLE
+            / 512) AS BIGINT) AS pack_id,
+          n_tokens
+        FROM shd)
+      SELECT shard, COUNT(DISTINCT pack_id) AS n_packs, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM packed GROUP BY shard"""))))
 
   /** Gopher-style repetition filters: duplicate 2/3-gram fractions plus
     * most-frequent-token fraction, all unrounded IEEE ratios (rounding-tie
@@ -1041,7 +1090,7 @@ object PipelineQueries {
     tWinnowPairs, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
-    tCurateStats, tCurateStatsClustered, tCurateStatsFull,
+    tCurateStats, tCurateStatsClustered, tCurateStatsFull, tCuratePacked,
     tRepetitionScore, tDecontaminate, tDecontaminateBloom, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences)
 }
