@@ -250,13 +250,19 @@ object Dedup {
     // gram, where the cap is largest); on low-diversity corpora where
     // every gram is common this is the filter that keeps the candidate
     // set (and the array-shipping verify join behind it) from exploding.
+    // The 1e-9 slack keeps the prune CONSERVATIVE under IEEE rounding:
+    // fl(t/(1+t)) can round UP (t=0.8 → ...004), and an integer cap that
+    // EQUALS the real bound (a pair at exactly J = t) would then fail a
+    // >= against the rounded-up product and be silently dropped — the
+    // double's true error is ~1e-17, so the slack admits only candidates
+    // within 1e-9 relative of the bound (they go on to exact verify).
     val cand = pe.as("x")
       .join(pe.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
-          col("x.sz") >= lit(threshold) * col("y.sz") &&
-          col("y.sz") >= lit(threshold) * col("x.sz") &&
+          col("x.sz") >= lit(threshold) * col("y.sz") - lit(1e-9) * col("y.sz") &&
+          col("y.sz") >= lit(threshold) * col("x.sz") - lit(1e-9) * col("x.sz") &&
           (lit(1) + least(col("x.sz") - col("x.i") - 1, col("y.sz") - col("y.i") - 1)) >=
-            lit(threshold / (1 + threshold)) * (col("x.sz") + col("y.sz")))
+            lit(threshold / (1 + threshold) - 1e-9) * (col("x.sz") + col("y.sz")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // verify on the distinct 32-bit gram hashes — same engine-parity

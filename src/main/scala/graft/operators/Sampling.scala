@@ -79,9 +79,12 @@ object Sampling {
     * Scale: the only wide op is the per-shard running token sum — a window
     * PARTITIONED BY shard (parallelism = `shards`; size it to ~cores at
     * the target scale). Deterministic like the rest of this file: hash
-    * sharding + doc_id order, no RNG, no partition-order dependence —
-    * re-running over a grown corpus only ever APPENDS to a shard's stream,
-    * so earlier packs are byte-stable. */
+    * sharding + doc_id order, no RNG, no partition-order dependence.
+    * Under APPEND-ONLY ingestion (every new doc_id above all existing
+    * ones, the normal monotonic-id regime) growth only extends each
+    * shard's stream, so earlier packs are byte-stable; a backfilled doc
+    * with an out-of-order id inserts mid-stream and reassigns the packs
+    * behind it in that shard — re-cut downstream packs after backfills. */
   def packSequences(docs: DataFrame, budget: Long, shards: Int = 64): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shards > 0, s"shards must be positive, got $shards")

@@ -141,9 +141,13 @@ object PipelineQueries {
     run = (s, dir) => Dedup.dedupSpans(Tables.documents(s, dir), k = 8, maxOcc = 1),
     oracle = Some(s"""
       WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
-      sp AS (
-        SELECT doc_id, i AS pos, array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS span
-        FROM toks, range(0, 1000) AS r(i) WHERE i*8 < len(toks)),
+      spx AS (
+        SELECT doc_id,
+          unnest([{'pos': i - 1,
+                   'span': array_to_string(toks[((i-1)*8+1):((i-1)*8+8)], ' ')}
+                  for i in range(1, CAST(ceil(len(toks) / 8.0) AS BIGINT) + 1)]) AS s
+        FROM toks),
+      sp AS (SELECT doc_id, s.pos AS pos, s.span AS span FROM spx),
       banned AS (SELECT span FROM sp GROUP BY span HAVING COUNT(*) > 1),
       kept AS (
         SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS rebuilt,

@@ -154,6 +154,23 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseCaches(spark)
   }
 
+  test("ngramJaccardPairs keeps a pair at EXACTLY J = threshold when t/(1+t) rounds up") {
+    import spark.implicits._
+    // A's 28 tokens ⊂ B's 35 → J = 28/35 = 0.8 exactly. fl(0.8/1.8) and
+    // fl(0.8)·35 both round UP, so without the 1e-9 slack the length and
+    // positional filters each drop this true pair (found in review; the
+    // other spec thresholds 0.5/0.7/1.0 all round down and cannot fire it)
+    val shared = (1 to 28).map(i => f"s$i%02d")
+    val unique = (1 to 7).map(i => s"u$i")
+    val docs = Seq(
+      (1L, shared.mkString(" ")),
+      (2L, (shared ++ unique).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, n = 1, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 0.8)))
+    Dedup.releaseCaches(spark)
+  }
+
   test("dedupSpans: corpus-repeated spans deleted everywhere, order preserved, empties kept") {
     import spark.implicits._
     val boiler = "one two three four" // shared 4-token span, chunk-aligned in both carriers

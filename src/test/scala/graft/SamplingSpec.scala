@@ -127,6 +127,7 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq === Seq("alpha", "shared"))
     // doc 2: 'beta' (df=1) outranks 'shared' (df=3) and 'words' (df=2)
     assert(got.filter(_._1 == 2L).sortBy(_._3).map(_._2).head === "beta")
+    graft.operators.Dedup.releaseCaches(spark) // tfIdfTopTerms persists tf
   }
 
   test("contaminationBloom: no false negatives vs the exact join; FPs bounded") {
