@@ -9,7 +9,9 @@ import graft.functions.VectorFunctions._
   * Neighbor Search", TPAMI 2011) — the memory-bound ANN representation:
   * each l2-normalized vector is split into `m` contiguous sub-blocks and
   * every block is replaced by the id of its nearest sub-centroid, so a
-  * dim-D float vector compresses to m small codes (here one byte each).
+  * dim-D float vector compresses to m small codes (ints < ksub in the
+  * schema; parquet's dictionary/bit-pack encodings store them in ~log2
+  * ksub bits at rest, which is where the 16× size reduction lands).
   * Queries score compressed vectors with an ADC (asymmetric distance
   * computation) lookup table — dot(query_block, sub_centroid) summed over
   * blocks — then the top candidates are re-ranked exactly.
