@@ -26,18 +26,28 @@ object Dedup {
   // trackMark, held in a per-thread stack), so interleaved callers on one
   // session release only their OWN frames — a position-based mark would
   // drop every frame tracked after it, including a concurrent caller's.
-  // WeakHashMap: a session that dies without releaseCaches must not pin
-  // itself (or its frames) through this registry forever.
+  // Entries hold STRONG refs (a weak map cannot work here: a Dataset
+  // strongly references its own SparkSession, so weak keys never collect,
+  // and weak values let a frame vanish before release and skip its
+  // unpersist). Instead, every registry mutation purges entries whose
+  // SparkContext has STOPPED — dead sessions' caches died with their
+  // executors, so dropping their entries closes the stranded-session leak
+  // without weakening the live-session release contract.
   private val tracked =
-    scala.collection.mutable.WeakHashMap.empty[SparkSession, Vector[(Long, DataFrame)]]
+    scala.collection.mutable.Map.empty[SparkSession, Vector[(Long, DataFrame)]]
+
+  private def purgeStopped(): Unit =
+    tracked.filterInPlace((s, _) => !s.sparkContext.isStopped)
   private val nextScope = new java.util.concurrent.atomic.AtomicLong(1)
   private val openScopes: ThreadLocal[List[Long]] =
     ThreadLocal.withInitial(() => Nil)
 
-  // package-private: sibling operators (TextAnalysis.tfIdfTopTerms) persist
-  // shared intermediates through the same registry, so one releaseCaches/
-  // releaseSince contract covers every operator-held frame on the session
-  private[operators] def track(df: DataFrame): DataFrame = synchronized {
+  // project-private: sibling operators (TextAnalysis.tfIdfTopTerms) and the
+  // streaming sinks persist shared intermediates through the same registry,
+  // so one releaseCaches/releaseSince contract covers every operator-held
+  // frame on the session
+  private[graft] def track(df: DataFrame): DataFrame = synchronized {
+    purgeStopped()
     val scope = openScopes.get().headOption.getOrElse(0L)
     tracked(df.sparkSession) =
       tracked.getOrElse(df.sparkSession, Vector.empty) :+ (scope -> df)
@@ -49,6 +59,7 @@ object Dedup {
     * session with other work should scope with trackMark/releaseSince
     * instead, so they never drop a concurrent caller's caches. */
   def releaseCaches(spark: SparkSession): Int = synchronized {
+    purgeStopped()
     val frames = tracked.remove(spark).getOrElse(Vector.empty)
     frames.foreach(_._2.unpersist(blocking = false))
     frames.size
@@ -69,6 +80,7 @@ object Dedup {
     * — and close the scope; a concurrent caller's frames (other scopes,
     * other threads) are untouched. */
   def releaseSince(spark: SparkSession, mark: Long): Int = synchronized {
+    purgeStopped()
     openScopes.set(openScopes.get().filterNot(_ == mark))
     val frames = tracked.getOrElse(spark, Vector.empty)
     val (drop, keep) = frames.partition(_._1 == mark)
@@ -318,7 +330,16 @@ object Dedup {
     // tokenize+hash+window-min chain per exploded row (measured 254s vs
     // ~4s at sf0.001). The cache boundary (InMemoryRelation) is the hard
     // barrier no optimizer pass can cross.
-    val wt = track(winnowTable(docs, k, w).persist())
+    winnowPairsFromTable(track(winnowTable(docs, k, w).persist()), minShared, maxBucket)
+  }
+
+  /** winnowPairs over an ALREADY-MATERIALIZED winnow table (doc_id, fps)
+    * — the streaming sinks persist the table once per micro-batch for the
+    * registry write and reuse it here instead of paying the
+    * tokenize+hash+window-min scan twice. `wt` must be persisted (see
+    * winnowPairs' Generate note). */
+  private[graft] def winnowPairsFromTable(
+      wt: DataFrame, minShared: Int, maxBucket: Int): DataFrame = {
     val fps = wt.select(col("doc_id"), explode(col("fps")).as("fp"))
     val bucketW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     // also persisted: both self-join sides read the capped table — without

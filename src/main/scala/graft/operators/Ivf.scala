@@ -51,7 +51,9 @@ object Ivf {
       centroids = next
       i += 1
     }
-    centroids
+    // final centroids stay persisted for the caller; register them so the
+    // session-wide release contract (Dedup.releaseCaches) covers them
+    if (iters > 0) Dedup.track(centroids) else centroids
   }
 
   /** Train k centroids with `iters` Lloyd iterations. Returns (cid, ce). */

@@ -89,7 +89,10 @@ object Pq {
         codebook = next
         i += 1
       }
-      codebook
+      // the returned codebook stays persisted for the caller; registering
+      // it lets Dedup.releaseCaches/releaseSince drain it (Bench's settle
+      // isolation and Verify both rely on the registry being exhaustive)
+      Dedup.track(codebook)
     } finally { blk.unpersist(blocking = false); () }
   }
 
@@ -122,19 +125,25 @@ object Pq {
 
   /** Keep each query's ADC top rerank·k, re-score those exactly (true
     * cosine on the raw embeddings), return the top k — the
-    * Similarity.bruteForceTopK output contract (qid, vec_id, sim, rk). */
-  private def rerankExact(adc: DataFrame, q: DataFrame, vectors: DataFrame,
+    * Similarity.bruteForceTopK output contract (qid, vec_id, sim, rk).
+    * The re-rank deliberately uses the RAW query embedding, exactly like
+    * bruteForceTopK: cosine is scale-invariant, but scoring against the
+    * pre-normalized form would differ by ~1 ulp and could flip a HALF_UP
+    * round-6 tie — the rounding-tie divergence class the repo treats as a
+    * bug (see Dedup's unrounded-jaccard note). */
+  private def rerankExact(adc: DataFrame, queries: DataFrame, vectors: DataFrame,
       k: Int, rerank: Int): DataFrame = {
     val wa = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
     val cand = adc.withColumn("crk", row_number().over(wa))
       .filter(col("crk") <= k * rerank)
       .select(col("qid"), col("vec_id"))
     val ve = vectors.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val qr = queries.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qraw"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     cand.join(ve, "vec_id")
-      .join(q.select(col("qid"), col("qe")), "qid")
+      .join(qr, "qid")
       .select(col("qid"), col("vec_id"),
-        round(graft.plans.VectorExpressions.cosineFused(col("qe"), col("e")), 6).as("sim"))
+        round(graft.plans.VectorExpressions.cosineFused(col("qraw"), col("e")), 6).as("sim"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
   }
@@ -155,7 +164,7 @@ object Pq {
       .filter(col("qid") =!= col("vec_id"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("contrib")).as("adc"))
-    rerankExact(adc, q, vectors, k, rerank)
+    rerankExact(adc, queries, vectors, k, rerank)
   }
 
   /** IVF-PQ (the composition the FAISS stack standardized): probe the
@@ -191,6 +200,6 @@ object Pq {
       .join(broadcast(lut), Seq("qid", "b", "cid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("contrib")).as("adc"))
-    rerankExact(adc, q, vectors, k, rerank)
+    rerankExact(adc, queries, vectors, k, rerank)
   }
 }

@@ -19,9 +19,16 @@ object Sampling {
 
   private val Buckets = 10000L
 
+  /** NULL-safe key string: a NULL key (or stratum) hashes as the empty
+    * string instead of poisoning the whole hash to NULL — without this a
+    * NULL-keyed row silently fails every `bucket < threshold` filter and
+    * vanishes from samples/strata, contradicting the documented rates
+    * (and in assignSplits would fall through to the last split). */
+  private def keyStr(c: Column): Column = coalesce(c.cast("string"), lit(""))
+
   /** Uniform hash bucket in [0, 10000): md5-prefix of the key string,
     * engine-portable (DuckDB: `('0x'||substr(md5(k),1,8))::BIGINT % 10000`). */
-  private def bucket(key: Column): Column = pmod(hash32(key.cast("string")), lit(Buckets))
+  private def bucket(key: Column): Column = pmod(hash32(keyStr(key)), lit(Buckets))
 
   /** Assign every row to a named split by hash bucket: `splits` are
     * (name, weight) with weights summing to 1.0; a row lands in the split
@@ -45,7 +52,7 @@ object Sampling {
     * independent samples of the same corpus don't select nested subsets. */
   def sampleByHash(df: DataFrame, key: Column, rate: Double, seed: String = ""): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    df.filter(bucket(concat(lit(seed), lit(":"), key.cast("string")))
+    df.filter(bucket(concat(lit(seed), lit(":"), keyStr(key)))
       < math.round(rate * Buckets))
   }
 
@@ -62,7 +69,9 @@ object Sampling {
       case (acc, (s, r)) =>
         Some(acc.fold(when(stratum === s, r))(_.when(stratum === s, r)))
     }.fold(lit(defaultRate))(_.otherwise(defaultRate))
-    val b = bucket(concat(stratum.cast("string"), lit(":"), key.cast("string")))
+    // NULL stratum already falls to defaultRate via the when-chain; the
+    // hash must stay NULL-safe too or the row is dropped regardless of rate
+    val b = bucket(concat(keyStr(stratum), lit(":"), keyStr(key)))
     df.filter(b < round(rate * Buckets).cast("long"))
   }
 

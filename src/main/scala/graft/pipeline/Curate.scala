@@ -27,15 +27,17 @@ object Curate {
 
   // the one cache that outlives runDocs (it backs the returned `curated`
   // frame); released by releaseCaches once the caller's terminal action ran.
-  // WeakHashMap for the same reason as Dedup.tracked: a session that dies
-  // unreleased must not be pinned by this registry.
+  // Strong refs + stopped-session purge, same design (and reasons) as
+  // Dedup.tracked: weak keys can't collect (a Dataset references its own
+  // session) and weak values would skip live unpersists.
   private val tracked =
-    scala.collection.mutable.WeakHashMap.empty[SparkSession, Vector[DataFrame]]
+    scala.collection.mutable.Map.empty[SparkSession, Vector[DataFrame]]
 
   /** Release every cache a Curate run left on `spark` (its own surviving
     * frame + anything Dedup still tracks); call after the terminal action
     * on the returned frame. Returns how many frames were released. */
   def releaseCaches(spark: SparkSession): Int = synchronized {
+    tracked.filterInPlace((s, _) => !s.sparkContext.isStopped)
     val frames = tracked.remove(spark).getOrElse(Vector.empty)
     frames.foreach(_.unpersist(blocking = false))
     frames.size + Dedup.releaseCaches(spark)
@@ -153,6 +155,7 @@ object Curate {
         ++ repetition.map(_ => "dup_3gram_frac")): _*)
       .persist()
     synchronized {
+      tracked.filterInPlace((s, _) => !s.sparkContext.isStopped)
       tracked(spark) = tracked.getOrElse(spark, Vector.empty) :+ labeled
     }
     val counters = labeled.groupBy(col("drop_reason"))

@@ -120,6 +120,50 @@ object StreamingPipelines {
     * At scale the registry join shuffles on fp, exactly like winnowPairs'
     * candidate join; registry state grows with distinct fingerprints, not
     * events. */
+  /** batch=<id> subdirs of `path` whose parquet commit FINISHED (the
+    * _SUCCESS marker exists), ascending. A crashed write's partial dir
+    * must never be served as a complete registry slice or snapshot. */
+  private def completedBatches(spark: SparkSession, path: String): Seq[Long] = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("batch=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.getName.stripPrefix("batch=").toLong).sorted
+  }
+
+  /** Cross-batch shared-fingerprint pairs for the winnow sinks: this
+    * batch's exploded fingerprints vs the registry (earlier COMPLETED
+    * batches only; own id excluded for retry safety), >= minShared shared
+    * fingerprints per (old, new) doc pair, registry-ubiquitous fps
+    * (> maxBucket prior docs — boilerplate) excluded. Returns
+    * (old_doc, doc_id); persisted+materialized (registered in the caller's
+    * Dedup scope) with the registry cache released before returning. */
+  private def registryPairs(fps: DataFrame, registryPath: String, batchId: Long,
+      minShared: Int, maxBucket: Int): DataFrame = {
+    val spark = fps.sparkSession
+    val ids = completedBatches(spark, registryPath).filter(_ != batchId)
+    if (ids.isEmpty) fps.select(col("doc_id").as("old_doc"), col("doc_id")).limit(0)
+    else {
+      val reg = spark.read.parquet(ids.map(id => s"$registryPath/batch=$id"): _*)
+        .select(col("doc_id").as("old_doc"), col("fp")).persist()
+      val hotFps = reg.groupBy(col("fp"))
+        .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucket)
+        .select(col("fp"))
+      val p = fps.join(reg, "fp")
+        .join(hotFps, Seq("fp"), "left_anti")
+        .groupBy(col("doc_id"), col("old_doc"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minShared)
+        .select(col("old_doc"), col("doc_id"))
+      val out = graft.operators.Dedup.track(p.persist())
+      out.count()
+      reg.unpersist(blocking = false)
+      out
+    }
+  }
+
   def winnowDedupSink(docs: DataFrame, registryPath: String, outPath: String,
       k: Int = 3, w: Int = 4, minShared: Int = 2,
       maxBucket: Int = 1000): DataStreamWriter[Row] =
@@ -131,41 +175,30 @@ object StreamingPipelines {
         val b = batch.toDF().persist()
         // materialize the fingerprint table BEFORE exploding — Generate
         // over the raw winnow chain re-evaluates it per output row
-        // (see Dedup.winnowPairs)
+        // (see Dedup.winnowPairs); the same materialized table feeds the
+        // registry write AND the in-batch pair generation (one scan)
         val bw = graft.operators.Dedup.winnowTable(b, k, w).persist()
         val fps = bw.select(col("doc_id"), explode(col("fps")).as("fp")).persist()
-        val regDir = new org.apache.hadoop.fs.Path(registryPath)
-        val regExists = regDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(regDir)
-        val droppedByRegistry =
-          if (regExists) {
-            val reg = spark.read.parquet(registryPath)
-              .filter(col("batch") =!= batchId) // retry: ignore own failed attempt
-              .select(col("doc_id").as("old_doc"), col("fp")).persist()
-            val hotFps = reg.groupBy(col("fp"))
-              .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucket)
-              .select(col("fp"))
-            val d = fps.join(reg, "fp")
-              .join(hotFps, Seq("fp"), "left_anti")
-              .groupBy(col("doc_id"), col("old_doc"))
-              .agg(count(lit(1)).as("n"))
-              .filter(col("n") >= minShared)
+        // a failed batch must still drop its caches and close its Dedup
+        // scope — under the at-least-once retry contract a leak here
+        // accumulates one set of InMemoryRelations per retried failure
+        try {
+          val droppedByRegistry =
+            registryPairs(fps, registryPath, batchId, minShared, maxBucket)
               .select(col("doc_id")).distinct()
-            val out = d.persist(); out.count(); reg.unpersist(blocking = false)
-            out
-          } else fps.select(col("doc_id")).limit(0)
-        val droppedInBatch = graft.operators.Dedup
-          .winnowPairs(b, k, w, minShared, maxBucket)
-          .select(col("doc_b").as("doc_id")).distinct()
-        val kept = b.join(
-          droppedByRegistry.union(droppedInBatch).distinct(),
-          Seq("doc_id"), "left_anti")
-        kept.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        fps.write.mode("overwrite").parquet(s"$registryPath/batch=$batchId")
-        droppedByRegistry.unpersist(blocking = false)
-        fps.unpersist(); bw.unpersist(); b.unpersist()
-        graft.operators.Dedup.releaseSince(spark, dedupMark)
-        ()
+          val droppedInBatch = graft.operators.Dedup
+            .winnowPairsFromTable(bw, minShared, maxBucket)
+            .select(col("doc_b").as("doc_id")).distinct()
+          val kept = b.join(
+            droppedByRegistry.union(droppedInBatch).distinct(),
+            Seq("doc_id"), "left_anti")
+          kept.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          fps.write.mode("overwrite").parquet(s"$registryPath/batch=$batchId")
+        } finally {
+          fps.unpersist(); bw.unpersist(); b.unpersist()
+          graft.operators.Dedup.releaseSince(spark, dedupMark)
+          ()
+        }
       }
 
   /** Incremental transitive dup-clustering for continuous ingestion: the
@@ -199,72 +232,51 @@ object StreamingPipelines {
         val spark = batch.sparkSession
         val dedupMark = graft.operators.Dedup.trackMark(spark)
         val b = batch.toDF().persist()
-        // materialize before exploding — see Dedup.winnowPairs
+        // materialize before exploding — see Dedup.winnowPairs; the same
+        // table feeds the registry write AND in-batch pairs (one scan)
         val bw = graft.operators.Dedup.winnowTable(b, k, w).persist()
         val fps = bw.select(col("doc_id"), explode(col("fps")).as("fp")).persist()
-        val fsOf = (p: String) => new org.apache.hadoop.fs.Path(p)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val crossPairs =
-          if (fsOf(registryPath).exists(new org.apache.hadoop.fs.Path(registryPath))) {
-            val reg = spark.read.parquet(registryPath)
-              .filter(col("batch") =!= batchId) // retry: ignore own failed attempt
-              .select(col("doc_id").as("old_doc"), col("fp")).persist()
-            val hotFps = reg.groupBy(col("fp"))
-              .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucket)
-              .select(col("fp"))
-            val p = fps.join(reg, "fp")
-              .join(hotFps, Seq("fp"), "left_anti")
-              .groupBy(col("doc_id"), col("old_doc"))
-              .agg(count(lit(1)).as("n"))
-              .filter(col("n") >= minShared)
+        // failure must still drop caches + close the Dedup scope (see
+        // winnowDedupSink)
+        try {
+          val crossPairs =
+            registryPairs(fps, registryPath, batchId, minShared, maxBucket)
               .select(col("old_doc").as("doc_a"), col("doc_id").as("doc_b"))
-            val out = p.persist(); out.count(); reg.unpersist(blocking = false)
-            out
-          } else fps.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")).limit(0)
-        val newPairs = graft.operators.Dedup.winnowPairs(b, k, w, minShared, maxBucket)
-          .select(col("doc_a"), col("doc_b"))
-          .unionByName(crossPairs)
-        // newest complete snapshot BELOW this batch id (retry-safe)
-        val prior = {
-          val base = new org.apache.hadoop.fs.Path(labelsPath)
-          val fs = fsOf(labelsPath)
-          if (!fs.exists(base)) None
-          else fs.listStatus(base).toSeq.map(_.getPath.getName)
-            .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-            .filter(_ < batchId).sorted.lastOption
-            .map(id => spark.read.parquet(s"$labelsPath/batch=$id"))
+          val newPairs = graft.operators.Dedup
+            .winnowPairsFromTable(bw, minShared, maxBucket)
+            .select(col("doc_a"), col("doc_b"))
+            .unionByName(crossPairs)
+          // newest COMPLETE snapshot below this batch id (retry-safe: a
+          // half-written previous attempt has no _SUCCESS and own-id dirs
+          // are excluded by the < filter)
+          val prior = completedBatches(spark, labelsPath).filter(_ < batchId)
+            .lastOption.map(id => spark.read.parquet(s"$labelsPath/batch=$id"))
+          val labels = prior match {
+            case Some(old) => graft.operators.Dedup.mergeClusters(old, newPairs)
+            case None      => graft.operators.Dedup.duplicateClusters(newPairs)
+          }
+          labels.write.mode("overwrite").parquet(s"$labelsPath/batch=$batchId")
+          fps.write.mode("overwrite").parquet(s"$registryPath/batch=$batchId")
+        } finally {
+          fps.unpersist(); bw.unpersist(); b.unpersist()
+          graft.operators.Dedup.releaseSince(spark, dedupMark)
+          ()
         }
-        val labels = prior match {
-          case Some(old) => graft.operators.Dedup.mergeClusters(old, newPairs)
-          case None      => graft.operators.Dedup.duplicateClusters(newPairs)
-        }
-        labels.write.mode("overwrite").parquet(s"$labelsPath/batch=$batchId")
-        fps.write.mode("overwrite").parquet(s"$registryPath/batch=$batchId")
-        crossPairs.unpersist(blocking = false)
-        fps.unpersist(); bw.unpersist(); b.unpersist()
-        graft.operators.Dedup.releaseSince(spark, dedupMark)
-        ()
       }
 
-  /** The newest cluster-labels snapshot winnowClusterSink has written
-    * (each snapshot is complete, so only the max batch dir matters);
-    * empty (doc_id, cluster) frame if none exists yet. */
-  def currentClusters(spark: SparkSession, labelsPath: String): DataFrame = {
-    val base = new org.apache.hadoop.fs.Path(labelsPath)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val newest =
-      if (!fs.exists(base)) None
-      else fs.listStatus(base).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-        .sorted.lastOption
-    newest match {
+  /** The newest COMMITTED cluster-labels snapshot winnowClusterSink has
+    * written (each finished snapshot is complete; a crashed write's
+    * partial dir carries no _SUCCESS and is skipped — it would otherwise
+    * be served as a labeling silently missing cluster members); empty
+    * (doc_id, cluster) frame if none exists yet. */
+  def currentClusters(spark: SparkSession, labelsPath: String): DataFrame =
+    completedBatches(spark, labelsPath).lastOption match {
       case Some(id) => spark.read.parquet(s"$labelsPath/batch=$id")
       case None =>
         import org.apache.spark.sql.types._
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           StructType(Seq(StructField("doc_id", LongType), StructField("cluster", LongType))))
     }
-  }
 
   /** Incremental sub-document (span) dedup for continuous ingestion: each
     * micro-batch appends its documents' positional span rows and per-doc
@@ -286,26 +298,41 @@ object StreamingPipelines {
         // materialize before exploding — Generate re-inlines the span
         // construction chain otherwise (see Dedup.winnowPairs)
         val st = graft.operators.Dedup.spanTable(b, k).persist()
-        st.select(col("doc_id"), explode(col("spans")).as("s"))
-          .select(col("doc_id"), col("s.pos").as("pos"), col("s.span").as("span"))
-          .write.mode("overwrite").parquet(s"$spanPath/spans/batch=$batchId")
-        st.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
-          .write.mode("overwrite").parquet(s"$spanPath/meta/batch=$batchId")
-        st.unpersist(); b.unpersist()
-        ()
+        try {
+          st.select(col("doc_id"), explode(col("spans")).as("s"))
+            .select(col("doc_id"), col("s.pos").as("pos"), col("s.span").as("span"))
+            .write.mode("overwrite").parquet(s"$spanPath/spans/batch=$batchId")
+          st.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
+            .write.mode("overwrite").parquet(s"$spanPath/meta/batch=$batchId")
+        } finally {
+          st.unpersist(); b.unpersist()
+          ()
+        }
       }
 
   /** The retroactive span-dedup snapshot over everything spanDedupSink has
     * registered: same output contract as Dedup.dedupSpans over the
-    * corpus-so-far (one row per seen doc). At scale this reads span rows
-    * (not raw text), bans by one span-keyed agg, and rebuilds with one
-    * doc-keyed shuffle — re-tokenization never happens twice. */
+    * corpus-so-far (one row per seen doc). Only batches with BOTH tables
+    * committed (_SUCCESS) are served — the sink writes spans before meta,
+    * so a crash between the two cannot surface a half-registered batch.
+    * At scale this reads span rows (not raw text), bans by one span-keyed
+    * agg, and rebuilds with one doc-keyed shuffle — re-tokenization never
+    * happens twice. */
   def currentSpanDedup(spark: SparkSession, spanPath: String, maxOcc: Int = 1): DataFrame = {
-    val spans = spark.read.parquet(s"$spanPath/spans")
-      .select(col("doc_id"), col("pos"), col("span"))
-    val meta = spark.read.parquet(s"$spanPath/meta")
-      .select(col("doc_id"), col("n_spans"))
-    graft.operators.Dedup.finishSpans(meta, spans, maxOcc)
+    val metaIds = completedBatches(spark, s"$spanPath/meta").toSet
+    val ids = completedBatches(spark, s"$spanPath/spans").filter(metaIds)
+    if (ids.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("n_spans", LongType), StructField("n_kept", LongType))))
+    } else {
+      val spans = spark.read.parquet(ids.map(id => s"$spanPath/spans/batch=$id"): _*)
+        .select(col("doc_id"), col("pos"), col("span"))
+      val meta = spark.read.parquet(ids.map(id => s"$spanPath/meta/batch=$id"): _*)
+        .select(col("doc_id"), col("n_spans"))
+      graft.operators.Dedup.finishSpans(meta, spans, maxOcc)
+    }
   }
 
   /** Kept-document view under the transitive cluster-keeper policy, derived
