@@ -57,6 +57,24 @@ class SamplingSpec extends AnyFunSuite {
     for (l <- Seq("fr", "es", "zh")) assert(byLang(l) === totals(l)) // untouched
   }
 
+  test("NULL keys and strata are retained, not silently dropped") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("en")), (2L, None), (3L, Some("de")))
+      .toDF("doc_id", "lang")
+    // NULL stratum must fall to defaultRate (kept at 1.0), not vanish
+    val kept = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Seq(("de", 0.0)), defaultRate = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+    // NULL keys hash deterministically instead of failing every filter
+    val nullKeys = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("doc_id", "k")
+    assert(Sampling.sampleByHash(nullKeys, col("k"), 1.0).count() === 2)
+    val splits = Sampling.assignSplits(nullKeys, col("k"), Seq(("a", 0.5), ("b", 0.5)))
+      .select("split").distinct().collect().map(_.getString(0))
+    assert(splits.length === 1) // same (empty-string) bucket for both
+  }
+
   test("repetitionScore: top_token_frac fold == naive max count; repetitive doc scores high") {
     import spark.implicits._
     val docs = Seq(
