@@ -4,23 +4,36 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
-import graft.plans.VectorExpressions.cosineFused
+import graft.plans.VectorExpressions.{cosineFused, nearestCentroid}
 
 /** IVF (inverted-file) ANN index built with deterministic k-means.
   *
   * Everything is DataFrame-native so it scales like any other aggregation:
   *  - init: centroid j = mean of vectors with vec_id % k == j (deterministic,
   *    no RNG — reproducible across runs/cluster sizes);
-  *  - Lloyd iterations: assign via broadcast centroid cross-join + argmin,
-  *    recompute means via explode(posexplode)+groupBy (partial-aggregated);
+  *  - Lloyd iterations: assign is MAP-SIDE — centroids are k×dim doubles
+  *    (driver-tiny), so the nearest-centroid argmax is one fused projection
+  *    (plans.NearestCentroid), ZERO exchanges; recompute means via
+  *    posexplode+groupBy (partial-aggregated);
   *  - search: probe the nprobe nearest centroids, exact-score only those
   *    inverted lists.
   *
-  * At 100 TB the assign step is a broadcast join (centroids are k×dim
-  * doubles — tiny) and the mean recompute is one shuffle keyed by
-  * (cluster, dim) — no O(N²) anywhere.
+  * At 100 TB the assign step reads the corpus once at scan speed (the
+  * earlier crossJoin + `row_number over partitionBy(vec_id)` form shuffled
+  * all N×k scored rows per Lloyd round) and the mean recompute is one
+  * shuffle keyed by (cluster, dim) — no O(N²) anywhere.
   */
 object Ivf {
+
+  /** Driver-side centroid collect for the map-side assign: (cid, ce) rows →
+    * parallel id/vector seqs sorted by cid ascending (the tie-break order).
+    * Centroid frames here are k or O(k·rounds) rows — always tiny. */
+  private def collectCentroids(centroids: DataFrame): (Seq[Long], Seq[Seq[Double]]) = {
+    val rows = centroids.select(col("cid").cast("long"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1)
+    (rows.map(_._1).toVector, rows.map(_._2).toVector)
+  }
 
   /** Column-wise mean of `e` arrays per cluster id column `cid`. */
   private def centroidMeans(assigned: DataFrame): DataFrame =
@@ -32,13 +45,15 @@ object Ivf {
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("cid"), transform(col("dm"), s => s.getField("m")).as("ce"))
 
-  /** Assign each vector to its nearest centroid by cosine. */
+  /** Assign each vector to its nearest centroid by cosine — one map-side
+    * projection over the embedded centroid set, no exchange (ties →
+    * smallest cid, identical to the former window form). */
   private def assign(v: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = v.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosineFused(col("e"), col("ce")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("cid"))
+    val (ids, cents) = collectCentroids(centroids)
+    val cidType = centroids.schema("cid").dataType
+    v.withColumn("__nc", nearestCentroid(col("e"), ids, cents))
+      .select(col("vec_id"), col("e"),
+        col("__nc").getField("cid").cast(cidType).as("cid"))
   }
 
   private def lloyd(v: DataFrame, init: DataFrame, iters: Int): DataFrame = {
@@ -90,11 +105,13 @@ object Ivf {
       .select(col("vec_id").as("cid"), col("e").as("ce"))
     var r = 0
     while (r < rounds) {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("cid").asc)
-      val dists = v.crossJoin(broadcast(cand))
-        .withColumn("d", lit(1.0) - cosineFused(col("e"), col("ce")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("e"), col("d")).persist()
+      // nearest-candidate distance is the same map-side argmax (min d =
+      // max sim; d = 1 - sim is monotone) — the former window form
+      // exchanged N×|cand| rows per round here too
+      val (cids, ces) = collectCentroids(cand)
+      val dists = v.withColumn("__nc", nearestCentroid(col("e"), cids, ces))
+        .select(col("vec_id"), col("e"),
+          (lit(1.0) - col("__nc").getField("sim")).as("d")).persist()
       persisted += dists
       val cost = dists.agg(sum(col("d"))).first().getDouble(0)
       if (cost > 0) {

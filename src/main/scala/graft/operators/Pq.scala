@@ -50,16 +50,35 @@ object Pq {
       .select(col("vec_id"), col("blk.b").as("b"), col("blk.sub").as("sub"))
   }
 
+  /** Driver-side codebook collect for the map-side assign: (b, cid, ce)
+    * rows → per-block id/centroid seqs indexed [b][code], codes sorted by
+    * cid ascending (the tie-break order). The codebook is m·ksub rows —
+    * always tiny. */
+  private def collectCodebook(codebook: DataFrame): (Seq[Seq[Long]], Seq[Seq[Seq[Double]]]) = {
+    val rows = codebook
+      .select(col("b").cast("int"), col("cid").cast("long"), col("ce")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toVector))
+    val byBlock = rows.groupBy(_._1)
+    val m = byBlock.keys.max + 1
+    require(byBlock.keySet == (0 until m).toSet,
+      s"codebook blocks must be contiguous 0..${m - 1}, got ${byBlock.keySet.toSeq.sorted}")
+    val sorted = Vector.tabulate(m)(b => byBlock(b).sortBy(_._2))
+    (sorted.map(_.map(_._2).toVector), sorted.map(_.map(_._3).toVector))
+  }
+
   /** Nearest sub-centroid per (vector, block) by dot product (vectors are
-    * l2-normalized, so summed block dots == cosine). */
+    * l2-normalized, so summed block dots == cosine) — one map-side
+    * projection over the embedded per-block codebook, no exchange (the
+    * former broadcast-join + `row_number over partitionBy(vec_id, b)`
+    * form shuffled all N×m×ksub scored rows per Lloyd round). */
   private def assign(blk: DataFrame, codebook: DataFrame): DataFrame = {
-    val scored = blk.join(broadcast(codebook), "b")
-      .withColumn("dot", aggregate(zip_with(col("sub"), col("ce"), _ * _),
-        lit(0.0), _ + _))
-    val w = Window.partitionBy(col("vec_id"), col("b"))
-      .orderBy(col("dot").desc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("b"), col("sub"), col("cid"), col("dot"))
+    val (ids, cents) = collectCodebook(codebook)
+    val cidType = codebook.schema("cid").dataType
+    blk.withColumn("__nc",
+        graft.plans.VectorExpressions.nearestSubCentroid(col("sub"), col("b"), ids, cents))
+      .select(col("vec_id"), col("b"), col("sub"),
+        col("__nc").getField("cid").cast(cidType).as("cid"),
+        col("__nc").getField("dot").as("dot"))
   }
 
   /** Column-wise mean per (block, code) — the Lloyd update. */

@@ -75,6 +75,26 @@ object TokenizeGenerator {
 
 /** Session registration for the engine's SQL-surface functions. */
 object GraftFunctions {
+  // centroid-set args arrive as foldable array literals (typedLit) and are
+  // unpacked at plan time into the expression's embedded matrices
+  private def litLongs(e: Expression): Seq[Long] =
+    e.eval().asInstanceOf[ArrayData].toLongArray().toSeq
+  private def litDoubles2(e: Expression): Seq[Seq[Double]] = {
+    val ad = e.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map(i => ad.getArray(i).toDoubleArray().toSeq)
+  }
+  private def litLongs2(e: Expression): Seq[Seq[Long]] = {
+    val ad = e.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map(i => ad.getArray(i).toLongArray().toSeq)
+  }
+  private def litDoubles3(e: Expression): Seq[Seq[Seq[Double]]] = {
+    val ad = e.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map { i =>
+      val inner = ad.getArray(i)
+      (0 until inner.numElements()).map(j => inner.getArray(j).toDoubleArray().toSeq)
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tokenize", exprs => TokenizeGenerator(exprs.head), "scala_udf")
@@ -88,5 +108,11 @@ object GraftFunctions {
       "hyperplane_sketch", exprs => HyperplaneSketch(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_centroid", exprs => NearestCentroid(exprs.head,
+        litLongs(exprs(1)), litDoubles2(exprs(2))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_sub_centroid", exprs => NearestSubCentroid(exprs(0), exprs(1),
+        litLongs2(exprs(2)), litDoubles3(exprs(3))), "scala_udf")
   }
 }

@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.functions.{call_function, lit, typedLit}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Fused cosine similarity over two `array<double>` columns — a native
   * Catalyst expression with whole-stage codegen.
@@ -166,6 +166,203 @@ object HyperplaneSketch {
   }
 }
 
+/** Map-side nearest-centroid by cosine over a DRIVER-EMBEDDED centroid set:
+  * returns struct(cid BIGINT, sim DOUBLE) for the argmax-cosine centroid of
+  * the input `array<double>` vector, ties broken by ascending cid.
+  *
+  * This is the zero-exchange replacement for the crossJoin +
+  * `row_number() over partitionBy(vec_id)` argmin in k-means assignment:
+  * the window form forces an Exchange of all N×k scored rows per Lloyd
+  * round, while centroids are only k×dim doubles — driver-tiny — so the
+  * argmin belongs in ONE projection. Per-pair cosine accumulates dot/norms
+  * in ascending index order, exactly like CosineSimilarity (zero-vector →
+  * 0.0), so the selected centroid is bit-identical to the window form's
+  * `orderBy(sim desc, cid asc)` winner; a NaN sim (NaN input component)
+  * wins like Spark's descending sort treats NaN as greatest.
+  *
+  * `cids`/`cents` are Seq (not Array) so case-class equality — and with it
+  * expression canonicalization/subexpression elimination — stays
+  * structural.
+  */
+case class NearestCentroid(child: Expression, cids: Seq[Long], cents: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  require(cids.nonEmpty && cids.length == cents.length,
+    s"nearest_centroid needs a non-empty centroid set (got ${cids.length} ids, ${cents.length} centroids)")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid requires ARRAY<DOUBLE> input, got ${other.catalogString}")
+    }
+
+  @transient private lazy val ids: Array[Long] = cids.toArray
+  @transient private lazy val matrix: Array[Array[Double]] = cents.map(_.toArray).toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    var bestCid = 0L
+    var best = 0.0
+    var c = 0
+    while (c < matrix.length) {
+      val u = matrix(c)
+      val n = math.min(v.numElements(), u.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var j = 0
+      while (j < n) {
+        val x = v.getDouble(j); val y = u(j)
+        dot += x * y; nx += x * x; ny += y * y
+        j += 1
+      }
+      val sim = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+      if (c == 0 || (sim.isNaN && !best.isNaN) || sim > best) { best = sim; bestCid = ids(c) }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bestCid, best))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matrixRef = ctx.addReferenceObj("centroids", matrix, "double[][]")
+    val idsRef = ctx.addReferenceObj("cids", ids, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val u = ctx.freshName("u")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val sim = ctx.freshName("sim")
+      val best = ctx.freshName("best")
+      val bestCid = ctx.freshName("bestCid")
+      s"""
+        long $bestCid = 0L; double $best = 0.0;
+        for (int $c = 0; $c < $matrixRef.length; $c++) {
+          double[] $u = $matrixRef[$c];
+          int $n = java.lang.Math.min($a.numElements(), $u.length);
+          double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+          for (int $j = 0; $j < $n; $j++) {
+            double $x = $a.getDouble($j); double $y = $u[$j];
+            $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
+          }
+          double $sim = ($nx == 0.0 || $ny == 0.0) ? 0.0
+            : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+          if ($c == 0 || (Double.isNaN($sim) && !Double.isNaN($best)) || $sim > $best) {
+            $best = $sim; $bestCid = $idsRef[$c];
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[]{ java.lang.Long.valueOf($bestCid), java.lang.Double.valueOf($best) });
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** Per-BLOCK nearest sub-centroid by dot product for product quantization:
+  * `left` is the block's sub-vector (`array<double>`), `right` the block id,
+  * and the embedded codebook is indexed [block][code] — returns
+  * struct(cid BIGINT, dot DOUBLE) for the argmax-dot sub-centroid of that
+  * block, ties by ascending cid. Same zero-exchange motivation and
+  * bit-exactness contract as NearestCentroid (the dot accumulates in
+  * ascending index order, matching the `aggregate(zip_with(...))` fold it
+  * replaces; NaN-greatest tie rule matches the window form's descending
+  * sort).
+  */
+case class NearestSubCentroid(left: Expression, right: Expression,
+    cids: Seq[Seq[Long]], cents: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression {
+
+  require(cids.nonEmpty && cids.length == cents.length &&
+    cids.indices.forall(b => cids(b).nonEmpty && cids(b).length == cents(b).length),
+    "nearest_sub_centroid needs a non-empty codebook with matching ids per block")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("dot", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(DoubleType, _), IntegerType | LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_sub_centroid requires (ARRAY<DOUBLE>, INT/BIGINT), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  @transient private lazy val ids: Array[Array[Long]] = cids.map(_.toArray).toArray
+  @transient private lazy val matrix: Array[Array[Array[Double]]] =
+    cents.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val blk = b match { case i: Int => i; case l: Long => l.toInt }
+    val cb = matrix(blk)
+    val bi = ids(blk)
+    var bestCid = 0L
+    var best = 0.0
+    var c = 0
+    while (c < cb.length) {
+      val u = cb(c)
+      val n = math.min(v.numElements(), u.length)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += v.getDouble(j) * u(j); j += 1 }
+      if (c == 0 || (dot.isNaN && !best.isNaN) || dot > best) { best = dot; bestCid = bi(c) }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bestCid, best))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matrixRef = ctx.addReferenceObj("codebook", matrix, "double[][][]")
+    val idsRef = ctx.addReferenceObj("codebookIds", ids, "long[][]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val blk = ctx.freshName("blk")
+      val cb = ctx.freshName("cb")
+      val bi = ctx.freshName("bi")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val u = ctx.freshName("u")
+      val dot = ctx.freshName("dot")
+      val best = ctx.freshName("best")
+      val bestCid = ctx.freshName("bestCid")
+      s"""
+        int $blk = (int) $b;
+        double[][] $cb = $matrixRef[$blk];
+        long[] $bi = $idsRef[$blk];
+        long $bestCid = 0L; double $best = 0.0;
+        for (int $c = 0; $c < $cb.length; $c++) {
+          double[] $u = $cb[$c];
+          int $n = java.lang.Math.min($a.numElements(), $u.length);
+          double $dot = 0.0;
+          for (int $j = 0; $j < $n; $j++) { $dot += $a.getDouble($j) * $u[$j]; }
+          if ($c == 0 || (Double.isNaN($dot) && !Double.isNaN($best)) || $dot > $best) {
+            $best = $dot; $bestCid = $bi[$c];
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[]{ java.lang.Long.valueOf($bestCid), java.lang.Double.valueOf($best) });
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NearestSubCentroid =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column handle for the fused cosine (requires GraftFunctions.register
     * on the session, done by GraftSession.local). */
@@ -176,4 +373,17 @@ object VectorExpressions {
     * plan-time constants (they size the embedded plane matrix). */
   def hyperplaneSketch(v: Column, dim: Int, nPlanes: Int): Column =
     call_function("hyperplane_sketch", v, lit(dim), lit(nPlanes))
+
+  /** Column handle for the map-side nearest-centroid argmax: the centroid
+    * set rides into the plan as foldable literals (driver-tiny — k×dim
+    * doubles), so the assign stage of k-means is ONE projection, zero
+    * exchanges. Output is struct(cid BIGINT, sim DOUBLE). */
+  def nearestCentroid(v: Column, cids: Seq[Long], cents: Seq[Seq[Double]]): Column =
+    call_function("nearest_centroid", v, typedLit(cids), typedLit(cents))
+
+  /** Column handle for the per-block PQ sub-centroid argmax (codebook
+    * indexed [block][code]); output struct(cid BIGINT, dot DOUBLE). */
+  def nearestSubCentroid(sub: Column, blockId: Column,
+      cids: Seq[Seq[Long]], cents: Seq[Seq[Seq[Double]]]): Column =
+    call_function("nearest_sub_centroid", sub, blockId, typedLit(cids), typedLit(cents))
 }

@@ -99,6 +99,77 @@ class PlansSpec extends AnyFunSuite {
     assert(e.getMessage.contains("STRING"), e.getMessage)
   }
 
+  test("map-side NearestCentroid == crossJoin + window argmin, assign plan exchange-free") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val v = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("e"))
+    val centFrame = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("e").as("ce"))
+    val cents = centFrame.collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Double](1).toVector)).sortBy(_._1)
+    // fused map-side argmax
+    val fused = v.withColumn("nc", graft.plans.VectorExpressions.nearestCentroid(
+        col("e"), cents.map(_._1).toSeq, cents.map(_._2).toSeq))
+      .select(col("vec_id"), col("nc").getField("cid").as("cid"),
+        col("nc").getField("sim").as("sim"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // reference: the window formulation it replaced
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid").asc)
+    val viaWindow = v.crossJoin(broadcast(centFrame))
+      .withColumn("sim", graft.plans.VectorExpressions.cosineFused(col("e"), col("ce")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cid").toLong, r.getAs[Double]("sim")))).toMap
+    assert(fused.nonEmpty && fused === viaWindow) // bit-identical cid AND sim
+    // and the production assign stage (Ivf.index) plans with ZERO exchanges
+    val plan = graft.operators.Ivf.index(emb, graft.operators.Ivf.train(emb, 8))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assign stage shuffles:\n$plan")
+    graft.operators.Dedup.releaseCaches(spark) // train's tracked centroid cache
+  }
+
+  test("map-side NearestSubCentroid == broadcast-join + window per-block argmax") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val v = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("e"))
+    // 4 blocks of 16 dims; codebook = blocks of the first 5 vectors
+    val blk = v.select(col("vec_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"), slice(col("e"), b * 16 + 1, 16).as("sub"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.b").as("b"), col("s.sub").as("sub"))
+    val cbFrame = blk.filter(col("vec_id") < 5)
+      .select(col("b"), col("vec_id").cast("int").as("cid"), col("sub").as("ce"))
+    val cb = cbFrame.collect().map(r => (r.getInt(0), r.getInt(1).toLong, r.getSeq[Double](2).toVector))
+    val ids = Vector.tabulate(4)(b => cb.filter(_._1 == b).sortBy(_._2).map(_._2).toVector)
+    val ces = Vector.tabulate(4)(b => cb.filter(_._1 == b).sortBy(_._2).map(_._3).toVector)
+    val fused = blk.withColumn("nc",
+        graft.plans.VectorExpressions.nearestSubCentroid(col("sub"), col("b"), ids, ces))
+      .select(col("vec_id"), col("b"), col("nc").getField("cid").as("cid"),
+        col("nc").getField("dot").as("dot"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("b")).orderBy(col("dot").desc, col("cid").asc)
+    val viaWindow = blk.join(broadcast(cbFrame), "b")
+      .withColumn("dot", aggregate(zip_with(col("sub"), col("ce"), _ * _), lit(0.0), _ + _))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("b")) ->
+        ((r.getAs[Int]("cid").toLong, r.getAs[Double]("dot")))).toMap
+    assert(fused.nonEmpty && fused === viaWindow)
+  }
+
+  test("nearest_centroid rejects non-double-array input at analysis time") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val e = intercept[Exception] {
+      emb.select(graft.plans.VectorExpressions.nearestCentroid(
+        col("embedding"), Seq(0L), Seq(Seq(1.0, 2.0)))).collect()
+    }
+    assert(e.getMessage.contains("ARRAY<DOUBLE>"), e.getMessage)
+  }
+
   test("tokenize Generator handles null and empty input") {
     GraftFunctions.register(spark)
     import spark.implicits._
