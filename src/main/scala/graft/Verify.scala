@@ -21,6 +21,11 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drain the registry-tracked persists the query's operators left
+      // behind (ngramJaccardPairs, tfIdfTopTerms, Pq/Ivf training, …):
+      // ~40 queries in ONE session would otherwise accumulate
+      // InMemoryRelations — same isolation Bench.settle() applies
+      graft.pipeline.Curate.releaseCaches(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -19,16 +19,24 @@ object Sampling {
 
   private val Buckets = 10000L
 
-  /** NULL-safe key string: a NULL key (or stratum) hashes as the empty
-    * string instead of poisoning the whole hash to NULL — without this a
-    * NULL-keyed row silently fails every `bucket < threshold` filter and
-    * vanishes from samples/strata, contradicting the documented rates
-    * (and in assignSplits would fall through to the last split). */
-  private def keyStr(c: Column): Column = coalesce(c.cast("string"), lit(""))
+  /** NULL-safe key string with a collision-free sentinel: a non-NULL key
+    * hashes as `"v:" + value`, a NULL key (or stratum) as `"null:"` — so a
+    * NULL key neither poisons the whole hash to NULL (a NULL-keyed row
+    * would silently fail every `bucket < threshold` filter and vanish from
+    * samples/strata; in assignSplits it would fall through to the last
+    * split) nor shares a bucket stream with a real empty-string key (the
+    * `v:` prefix makes the two domains disjoint, so their sampling
+    * decisions stay independent). DuckDB-portable form of the full hash
+    * input: `coalesce('v:' || CAST(k AS VARCHAR), 'null:')`. */
+  private def keyStr(c: Column): Column =
+    coalesce(concat(lit("v:"), c.cast("string")), lit("null:"))
 
-  /** Uniform hash bucket in [0, 10000): md5-prefix of the key string,
-    * engine-portable (DuckDB: `('0x'||substr(md5(k),1,8))::BIGINT % 10000`). */
-  private def bucket(key: Column): Column = pmod(hash32(keyStr(key)), lit(Buckets))
+  /** Uniform hash bucket in [0, 10000): md5-prefix of the (already
+    * sentineled, non-null) key string, engine-portable (DuckDB:
+    * `('0x'||substr(md5(k),1,8))::BIGINT % 10000` over the same sentineled
+    * input). Callers pass `keyStr(...)`-built strings — `bucket` itself
+    * must not re-sentinel or composite keys would double-prefix. */
+  private def bucket(key: Column): Column = pmod(hash32(key), lit(Buckets))
 
   /** Assign every row to a named split by hash bucket: `splits` are
     * (name, weight) with weights summing to 1.0; a row lands in the split
@@ -37,7 +45,7 @@ object Sampling {
   def assignSplits(df: DataFrame, key: Column, splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1.0, got ${splits.map(_._2).sum}")
-    val b = bucket(key)
+    val b = bucket(keyStr(key))
     val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
       .map(f => math.round(f * Buckets))
     val expr = splits.zip(bounds).foldLeft(Option.empty[Column]) {
@@ -71,6 +79,7 @@ object Sampling {
     }.fold(lit(defaultRate))(_.otherwise(defaultRate))
     // NULL stratum already falls to defaultRate via the when-chain; the
     // hash must stay NULL-safe too or the row is dropped regardless of rate
+    // (DuckDB: md5('v:' || stratum || ':v:' || CAST(k AS VARCHAR)))
     val b = bucket(concat(keyStr(stratum), lit(":"), keyStr(key)))
     df.filter(b < round(rate * Buckets).cast("long"))
   }
@@ -110,6 +119,66 @@ object Sampling {
       .withColumn("pack_id",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")).cast("double") / budget)
           .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pack_id"), col("n_tokens"))
+  }
+
+  /** packSequences with a DISTRIBUTED prefix sum — identical assignments
+    * (SamplingSpec asserts row-for-row equality with the window form), but
+    * parallelism is no longer capped at `shards`: the single-window form
+    * funnels a shard's whole token stream through one task, which is fine
+    * at shards ≈ cores but serializes a 100 TB corpus a user packs into
+    * few shards.
+    *
+    * Two passes over range-partitioned data (the classic scan-then-offset
+    * prefix-sum):
+    *  1. range-partition by (shard, doc_id) into `partitions` splits and
+    *     materialize (localCheckpoint — the partition ids BOTH passes key
+    *     on must come from one frozen layout; a lazy recompute could
+    *     re-sample different range boundaries and silently corrupt the
+    *     offsets), then collect per-(partition, shard) token sums —
+    *     O(partitions + shards) rows, driver-tiny;
+    *  2. per-shard cumulative offsets of earlier partitions broadcast-join
+    *     back, and the running sum completes WITHIN each
+    *     (partition, shard) slice — a window whose groups number
+    *     ≥ partitions, so every core works regardless of `shards`.
+    *
+    * offset(pid, shard) + slice-running-sum = the shard's global running
+    * sum (longs, associative), so pack ids are bit-identical to the
+    * single-window form. */
+  def packSequencesScalable(docs: DataFrame, budget: Long, shards: Int = 64,
+      partitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val spark = docs.sparkSession
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val n = size(graft.functions.TextFunctions.tokens(coalesce(col("text"), lit("")))).cast("long")
+    val arranged = docs
+      .select(col("doc_id"), n.as("n_tokens"),
+        pmod(hash32(col("doc_id").cast("string")), lit(shards.toLong)).as("shard"))
+      .repartitionByRange(parts, col("shard"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val sums = arranged.groupBy(col("pid"), col("shard"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // per shard: pid-ascending exclusive prefix sums (offset of each slice)
+    val offsets = sums.groupBy(_._2).toSeq.flatMap { case (shard, slices) =>
+      val byPid = slices.sortBy(_._1)
+      byPid.map(_._1).zip(byPid.scanLeft(0L)(_ + _._3))
+        .map { case (pid, off) => (pid, shard, off) }
+    }
+    import spark.implicits._
+    val offFrame = offsets.toSeq.toDF("pid", "shard", "off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    arranged
+      .join(broadcast(offFrame), Seq("pid", "shard"))
+      .withColumn("pack_id",
+        floor((col("off") + sum(col("n_tokens")).over(w) - col("n_tokens")).cast("double")
+          / budget).cast("long"))
       .select(col("doc_id"), col("shard"), col("pack_id"), col("n_tokens"))
   }
 }

@@ -234,35 +234,64 @@ object TextAnalysis {
     * one array-scanning call per ROW stays off the per-element hot path. */
   def contaminationBloom(
       docs: DataFrame, benchmark: DataFrame, n: Int = 4,
-      fpp: Double = 1e-6): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), array_distinct(wordShingles(col("toks"), n)).as("g"))
-    val bg = grams(benchmark).select(explode(col("g")).as("gram")).distinct().persist()
+      fpp: Double = 1e-6): DataFrame =
+    bloomScore(docs, benchmarkBloom(benchmark, n, fpp), n)
+
+  /** Build the benchmark's n-gram Bloom filter ONCE (driver-held, MB-sized
+    * for even very large eval suites; None for an empty benchmark — Spark's
+    * stat.bloomFilter NPEs on an empty frame, so the no-grams case is an
+    * explicit no-filter). Split from the scoring so a STREAMING caller can
+    * build the filter once at query start and score every micro-batch
+    * against it (decontaminationSink). */
+  def benchmarkBloom(benchmark: DataFrame, n: Int = 4,
+      fpp: Double = 1e-6): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val bg = contaminationGrams(benchmark, n)
+      .select(explode(col("g")).as("gram")).distinct().persist()
     try {
       val nGrams = bg.count()
-      // empty benchmark: nothing can be contaminated — and Spark's
-      // stat.bloomFilter NPEs on an empty frame (null aggregate buffer),
-      // so short-circuit instead of building a filter of nothing
-      if (nGrams == 0)
-        grams(docs).select(
-          col("doc_id"),
-          size(col("g")).cast("long").as("n_grams"),
-          lit(0L).as("n_bf_grams"))
-      else {
-        val bf = bg.stat.bloomFilter("gram", nGrams, fpp)
-        val bfB = docs.sparkSession.sparkContext.broadcast(bf)
-        val bfHits = udf((arr: scala.collection.Seq[String]) =>
-          arr.count(g => bfB.value.mightContainString(g)).toLong)
-        grams(docs).select(
-          col("doc_id"),
-          size(col("g")).cast("long").as("n_grams"),
-          bfHits(col("g")).as("n_bf_grams"))
-      }
+      if (nGrams == 0) None else Some(bg.stat.bloomFilter("gram", nGrams, fpp))
     } finally {
       bg.unpersist(blocking = false)
       ()
     }
   }
+
+  /** Map-side contamination scoring against a prebuilt benchmark filter:
+    * (doc_id, n_grams, n_bf_grams) at scan speed — the corpus never
+    * explodes and never shuffles. Works identically on batch and
+    * micro-batch frames (the filter rides in the UDF closure and is
+    * torrent-broadcast once per executor). */
+  def bloomScore(docs: DataFrame,
+      bf: Option[org.apache.spark.util.sketch.BloomFilter], n: Int = 4): DataFrame =
+    bf match {
+      case None =>
+        contaminationGrams(docs, n).select(
+          col("doc_id"),
+          size(col("g")).cast("long").as("n_grams"),
+          lit(0L).as("n_bf_grams"))
+      case Some(filter) =>
+        bloomScoreBroadcast(docs, docs.sparkSession.sparkContext.broadcast(filter), n)
+    }
+
+  /** bloomScore against an ALREADY-broadcast filter — the streaming form:
+    * decontaminationSink broadcasts the benchmark filter once at query
+    * start and every micro-batch reuses the same broadcast instead of
+    * re-shipping MBs of filter per trigger. */
+  def bloomScoreBroadcast(docs: DataFrame,
+      bfB: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      n: Int = 4): DataFrame = {
+    val bfHits = udf((arr: scala.collection.Seq[String]) =>
+      arr.count(g => bfB.value.mightContainString(g)).toLong)
+    contaminationGrams(docs, n).select(
+      col("doc_id"),
+      size(col("g")).cast("long").as("n_grams"),
+      bfHits(col("g")).as("n_bf_grams"))
+  }
+
+  /** Distinct n-gram arrays per doc (the shared shape of every
+    * decontamination path); docs shorter than n tokens have no gram. */
+  private def contaminationGrams(df: DataFrame, n: Int): DataFrame = df
+    .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+    .filter(size(col("toks")) >= n)
+    .select(col("doc_id"), array_distinct(wordShingles(col("toks"), n)).as("g"))
 }

@@ -20,6 +20,23 @@ import graft.tables.Tables
   */
 object Curate {
 
+  /** Near-dup removal policy for step 2 of the pipeline. */
+  sealed trait NearDupPolicy
+  object NearDupPolicy {
+    /** MinHash+LSH candidate pairs, drop the larger-id side of every pair
+      * (may keep two docs that are transitively near through a third). */
+    case object PairwiseDrop extends NearDupPolicy
+    /** MinHash+LSH pairs closed into connected components; exactly ONE
+      * keeper (the min doc_id) survives per transitive cluster. */
+    case object ClusterKeeper extends NearDupPolicy
+    /** Exact n-gram Jaccard join (Dedup.ngramJaccardPairs — prefix +
+      * positional filtering, recall-LOSSLESS), drop-doc_b pairwise. The
+      * policy for contracts/eval corpora where MinHash's probabilistic
+      * recall is not acceptable; costs the gram-keyed self-join instead
+      * of the banded signature join. */
+    final case class ExactJaccard(n: Int = 3, threshold: Double = 0.7) extends NearDupPolicy
+  }
+
   final case class Stats(
       input: Long, exactDups: Long, nearDups: Long,
       contaminated: Long, repetitive: Long,
@@ -44,19 +61,18 @@ object Curate {
   }
 
   def run(spark: SparkSession, sfDir: String, minQuality: Double = 0.55,
-      clusterDedup: Boolean = false): (DataFrame, Stats) =
-    runDocs(spark, Tables.documents(spark, sfDir), minQuality, clusterDedup)
+      nearDup: NearDupPolicy = NearDupPolicy.PairwiseDrop): (DataFrame, Stats) =
+    runDocs(spark, Tables.documents(spark, sfDir), minQuality, nearDup)
 
   /** Same pipeline over an arbitrary (doc_id, text) frame.
     *
-    * @param clusterDedup near-dup policy. false (default) = pairwise
-    *   drop-doc_b (every larger-id side of a pair is removed — may keep
-    *   two docs that are transitively near through a third). true =
-    *   connected-component clustering (Dedup.duplicateClusters): exactly
-    *   ONE keeper (the min doc_id) survives per transitive near-dup
-    *   cluster — the policy a production corpus dedup wants. Both are
+    * @param nearDup near-dup policy (see NearDupPolicy): PairwiseDrop
+    *   (default — MinHash pairs, drop doc_b), ClusterKeeper (transitive
+    *   CC, min-id keeper — the policy a production corpus dedup wants),
+    *   or ExactJaccard (recall-lossless n-gram join, drop doc_b — for
+    *   corpora where probabilistic recall is not enough). All three are
     *   oracle-checked end-to-end (t_curate_stats /
-    *   t_curate_stats_clustered).
+    *   t_curate_stats_clustered / t_curate_stats_exact).
     * @param benchmark when set, docs sharing any `contaminationN`-token
     *   shingle with this table are dropped as `contaminated`
     *   (TextAnalysis.contaminationTable — the pre-training eval-leak
@@ -66,13 +82,14 @@ object Curate {
     *   `repetitive` (the Gopher repetition filter). 1.0 disables (the
     *   fraction is strictly < 1). Off by default. */
   def runDocs(spark: SparkSession, documents: DataFrame, minQuality: Double = 0.55,
-      clusterDedup: Boolean = false, benchmark: Option[DataFrame] = None,
+      nearDup: NearDupPolicy = NearDupPolicy.PairwiseDrop,
+      benchmark: Option[DataFrame] = None,
       contaminationN: Int = 4, maxDup3Frac: Double = 1.0): (DataFrame, Stats) = {
     val dedupMark = Dedup.trackMark(spark)
     val docs = documents.persist()
     // a mid-pipeline failure must still close the scope and drop this
     // run's caches (releaseSince after the happy-path release is a no-op)
-    try runLabeled(spark, docs, minQuality, clusterDedup, benchmark,
+    try runLabeled(spark, docs, minQuality, nearDup, benchmark,
       contaminationN, maxDup3Frac, dedupMark)
     catch {
       case t: Throwable =>
@@ -83,21 +100,25 @@ object Curate {
   }
 
   private def runLabeled(spark: SparkSession, docs: DataFrame, minQuality: Double,
-      clusterDedup: Boolean, benchmark: Option[DataFrame], contaminationN: Int,
+      nearDup: NearDupPolicy, benchmark: Option[DataFrame], contaminationN: Int,
       maxDup3Frac: Double, dedupMark: Long): (DataFrame, Stats) = {
     // 1. exact dedup: keep the min doc_id of each fingerprint group
     val keepExact = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
     val afterExact = docs.join(keepExact, "doc_id")
 
-    // 2. near-dup losers among the exact survivors (policy per
-    // `clusterDedup`); the pair table MUST come from afterExact — running
-    // LSH on the raw corpus would pair exact dups with their keepers.
-    val pairs = Dedup.minhashLshPairs(afterExact)
-    val nearDupLosers =
-      if (clusterDedup)
-        Dedup.duplicateClusters(pairs)
+    // 2. near-dup losers among the exact survivors (policy per `nearDup`);
+    // the pair table MUST come from afterExact — pairing on the raw corpus
+    // would match exact dups with their keepers.
+    val nearDupLosers = nearDup match {
+      case NearDupPolicy.PairwiseDrop =>
+        Dedup.minhashLshPairs(afterExact).select(col("doc_b").as("doc_id")).distinct()
+      case NearDupPolicy.ClusterKeeper =>
+        Dedup.duplicateClusters(Dedup.minhashLshPairs(afterExact))
           .filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
-      else pairs.select(col("doc_b").as("doc_id")).distinct()
+      case NearDupPolicy.ExactJaccard(n, threshold) =>
+        Dedup.ngramJaccardPairs(afterExact, n, threshold)
+          .select(col("doc_b").as("doc_id")).distinct()
+    }
 
     // 3. quality + language are per-row functions, so they are computed
     // over the full cached corpus (map-side, one scan) — a dropped doc's

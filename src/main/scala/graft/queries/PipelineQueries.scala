@@ -597,10 +597,12 @@ object PipelineQueries {
     * codebooks, compress every vector to 32 4-bit codes (16× smaller than
     * float32), ADC-score + exact re-rank, gate recall vs brute force —
     * the same self-validating shape as t_ann_ivf_recall. Config swept at
-    * sf0.001/0.01/0.1: m=32, ksub=16, rerank=8 measures 0.945/0.97/0.905,
-    * so the 0.8 bound carries ~0.1 margin at the weakest SF (gate-margin
-    * invariant). The synthetic embeddings are near-uniform noise — the
-    * hardest PQ case; real clustered embeddings quantize better. */
+    * sf0.001/0.01/0.1: m=32, ksub=16, rerank=12 measures 0.99/0.995/0.935,
+    * so the 0.85 bound carries ~0.085 margin at the weakest SF
+    * (gate-margin invariant; rerank=8 measured 0.905 at sf0.1 — too thin
+    * for 0.85, which is why the re-rank widened when the gate rose).
+    * The synthetic embeddings are near-uniform noise — the hardest PQ
+    * case; real clustered embeddings quantize better. */
   val tAnnPqRecall: Q = Q(
     "t_ann_pq_recall",
     run = (s, dir) => {
@@ -608,7 +610,7 @@ object PipelineQueries {
       val q = emb.filter(col("vec_id") < 20)
       val cb = Pq.train(emb, dim = 64, m = 32, ksub = 16, iters = 2)
       val codes = Pq.encode(emb, cb, dim = 64, m = 32)
-      val pq = Pq.topK(codes, cb, emb, q, dim = 64, k = 10, m = 32, rerank = 8)
+      val pq = Pq.topK(codes, cb, emb, q, dim = 64, k = 10, m = 32, rerank = 12)
         .select(col("qid"), col("vec_id")).withColumn("hit", lit(1))
       Similarity.bruteForceTopK(emb, q, 10)
         .select(col("qid"), col("vec_id"))
@@ -616,7 +618,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_expected"),
           sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
         .select(col("n_expected"),
-          (col("n_hit").cast("double") / col("n_expected") >= 0.8).as("ok"))
+          (col("n_hit").cast("double") / col("n_expected") >= 0.85).as("ok"))
     },
     oracle = Some("""
       WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
@@ -634,8 +636,12 @@ object PipelineQueries {
 
   /** IVF-PQ composition (coarse probe prunes the corpus, ADC scores the
     * probed lists in compressed domain, exact re-rank finishes): recall
-    * gated >= 0.8 vs brute force — the bound carries real margin under
-    * both prunings stacked (measured well above it at both gate SFs). */
+    * gated >= 0.85 vs brute force. Sweep at sf0.01/sf0.1: the coarse
+    * probe is the recall ceiling (IVF-alone at nprobe=12 measures 0.910
+    * at sf0.1, and ADC under it reached only 0.87 even at rerank=16), so
+    * the gate raise moved BOTH levers — nprobe 12→14 lifts the ceiling
+    * and rerank 16 recovers the quantization loss: measured 0.985/0.905,
+    * ~0.055 margin at the weakest SF (gate-margin invariant). */
   val tAnnIvfPqRecall: Q = Q(
     "t_ann_ivfpq_recall",
     run = (s, dir) => {
@@ -646,7 +652,7 @@ object PipelineQueries {
       val cb = Pq.train(emb, dim = 64, m = 32, ksub = 16, iters = 2)
       val codes = Pq.encode(emb, cb, dim = 64, m = 32)
       val got = Pq.ivfPqTopK(idx, cents, codes, cb, emb, q,
-        dim = 64, k = 10, nprobe = 12, m = 32, rerank = 8)
+        dim = 64, k = 10, nprobe = 14, m = 32, rerank = 16)
         .select(col("qid"), col("vec_id")).withColumn("hit", lit(1))
       Similarity.bruteForceTopK(emb, q, 10)
         .select(col("qid"), col("vec_id"))
@@ -654,7 +660,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_expected"),
           sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
         .select(col("n_expected"),
-          (col("n_hit").cast("double") / col("n_expected") >= 0.8).as("ok"))
+          (col("n_hit").cast("double") / col("n_expected") >= 0.85).as("ok"))
     },
     oracle = Some("""
       WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
@@ -709,10 +715,10 @@ object PipelineQueries {
     * this match proves the COMPOSITION (join shapes, left-join coalesce
     * semantics, drop-doc_b policy, accounting identity) — not just the
     * stages. One output row of seven counters. */
-  private def curateStatsRun(clusterDedup: Boolean)(
+  private def curateStatsRun(nearDup: graft.pipeline.Curate.NearDupPolicy)(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val (_, st) = graft.pipeline.Curate.run(s, dir, clusterDedup = clusterDedup)
+    val (_, st) = graft.pipeline.Curate.run(s, dir, nearDup = nearDup)
     graft.pipeline.Curate.releaseCaches(s)
     Seq((st.input, st.exactDups, st.nearDups, st.lowQuality, st.unknownLang,
       st.kept, st.keptTokens))
@@ -720,28 +726,10 @@ object PipelineQueries {
         "unknown_lang", "kept", "kept_tokens")
   }
 
-  /** Full-pipeline oracle SQL; `losersCte` selects the near-dup removal
-    * policy (pairwise drop-doc_b vs connected-component non-keepers).
-    * With `full = true` the decontamination (4-gram overlap vs the
-    * doc_id % 23 benchmark slice) and repetition (dup-3-gram frac > 0.02)
-    * gates are recomposed too, in the same precedence order as
-    * Curate.runLabeled: dedup → contaminated → repetitive → quality →
-    * language. */
-  private def curateStatsOracle(losersCte: String, full: Boolean = false,
-      finalSelect: Option[String] = None): String = {
-    val stop = TextAnalysis.lexicons.flatMap(_._2).distinct.sorted
-      .map(w => s"'$w'").mkString("[", ",", "]")
-    val lex = TextAnalysis.lexicons.map { case (lang, words) =>
-      lang -> words.map(w => s"'$w'").mkString("[", ",", "]")
-    }.toMap
-    s"""
-      WITH RECURSIVE fp AS (
-        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
-        FROM documents),
-      keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
-      ae AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
-      toks AS (SELECT doc_id, $TOKS AS toks FROM ae),
-      shg AS (
+  /** The default candidate-pair chain for the curate oracles: MinHash+LSH
+    * banding over the exact-dedup survivors (`toks`), ending in a `pairs`
+    * (doc_a, doc_b) CTE — the SQL twin of Dedup.minhashLshPairs. */
+  private val minhashPairsCtes: String = """shg AS (
         SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
         FROM toks WHERE len(toks) >= 3),
       vh AS (
@@ -769,7 +757,55 @@ object PipelineQueries {
         JOIN vh sa ON sa.doc_id = c.doc_a
         JOIN vh sb ON sb.doc_id = c.doc_b
         WHERE len(list_intersect(sa.v, sb.v))::DOUBLE
-            / len(list_distinct(sa.v || sb.v)) >= 0.8),
+            / len(list_distinct(sa.v || sb.v)) >= 0.8)"""
+
+  /** Exact n-gram Jaccard pair chain (the SQL twin of
+    * Dedup.ngramJaccardPairs at n=3, threshold=0.7, run over the
+    * exact-dedup survivors): ALL gram-sharing pairs are candidates, so the
+    * recomposition is recall-lossless by construction. */
+  private val exactJaccardPairsCtes: String = """jsh AS (
+        SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
+        FROM toks WHERE len(toks) >= 3),
+      jvh AS (
+        SELECT doc_id,
+          list_distinct([CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) for g in shingles]) AS hs
+        FROM jsh),
+      jcg AS (SELECT doc_id, unnest(hs) AS h FROM jvh),
+      jcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM jcg a JOIN jcg b ON a.h = b.h AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM jcand c
+        JOIN jvh sa ON sa.doc_id = c.doc_a
+        JOIN jvh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.hs, sb.hs))::DOUBLE
+            / len(list_distinct(sa.hs || sb.hs)) >= 0.7)"""
+
+  /** Full-pipeline oracle SQL; `pairsCtes` selects the candidate-pair
+    * generation (MinHash+LSH banding by default, exact n-gram Jaccard for
+    * the lossless policy) and `losersCte` the near-dup removal policy
+    * (pairwise drop-doc_b vs connected-component non-keepers).
+    * With `full = true` the decontamination (4-gram overlap vs the
+    * doc_id % 23 benchmark slice) and repetition (dup-3-gram frac > 0.02)
+    * gates are recomposed too, in the same precedence order as
+    * Curate.runLabeled: dedup → contaminated → repetitive → quality →
+    * language. */
+  private def curateStatsOracle(losersCte: String, full: Boolean = false,
+      finalSelect: Option[String] = None, pairsCtes: String = minhashPairsCtes): String = {
+    val stop = TextAnalysis.lexicons.flatMap(_._2).distinct.sorted
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    val lex = TextAnalysis.lexicons.map { case (lang, words) =>
+      lang -> words.map(w => s"'$w'").mkString("[", ",", "]")
+    }.toMap
+    s"""
+      WITH RECURSIVE fp AS (
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents),
+      keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+      ae AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+      toks AS (SELECT doc_id, $TOKS AS toks FROM ae),
+      $pairsCtes,
       $losersCte,
       an AS (SELECT t.doc_id, t.toks FROM toks t
              WHERE t.doc_id NOT IN (SELECT doc_id FROM losers)),
@@ -847,9 +883,23 @@ object PipelineQueries {
 
   val tCurateStats: Q = Q(
     "t_curate_stats",
-    run = curateStatsRun(clusterDedup = false),
+    run = curateStatsRun(graft.pipeline.Curate.NearDupPolicy.PairwiseDrop),
     oracle = Some(curateStatsOracle(
       """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""")))
+
+  /** The composed pipeline under the recall-LOSSLESS near-dup policy:
+    * exact n-gram Jaccard join (prefix + positional filtering) instead of
+    * MinHash banding. The oracle's candidate set is ALL gram-sharing pairs
+    * over the exact-dedup survivors, so the end-to-end hash match proves
+    * the production join's pruning filters lost no pair INSIDE the
+    * composition (same property t_dedup_jaccard proves for the operator
+    * alone). */
+  val tCurateStatsExact: Q = Q(
+    "t_curate_stats_exact",
+    run = curateStatsRun(graft.pipeline.Curate.NearDupPolicy.ExactJaccard()),
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
+      pairsCtes = exactJaccardPairsCtes)))
 
   /** The composed pipeline with EVERY gate on: dedup → decontamination
     * (4-gram overlap vs the doc_id % 23 benchmark slice) → repetition
@@ -880,7 +930,7 @@ object PipelineQueries {
     * same keepers. */
   val tCurateStatsClustered: Q = Q(
     "t_curate_stats_clustered",
-    run = curateStatsRun(clusterDedup = true),
+    run = curateStatsRun(graft.pipeline.Curate.NearDupPolicy.ClusterKeeper),
     oracle = Some(curateStatsOracle(
       """edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -904,7 +954,7 @@ object PipelineQueries {
     run = (s, dir) => {
       import s.implicits._
       val (curated, _) = graft.pipeline.Curate.run(s, dir)
-      val packed = Sampling.packSequences(
+      val packed = Sampling.packSequencesScalable(
         curated.select(col("doc_id"), col("text")), budget = 512, shards = 8)
       val rows = packed.groupBy(col("shard"))
         .agg(countDistinct(col("pack_id")).as("n_packs"),
@@ -1029,7 +1079,8 @@ object PipelineQueries {
       SELECT doc_id,
         CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
       FROM (SELECT doc_id,
-          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+          CAST(('0x' || substr(md5(coalesce('v:' || CAST(doc_id AS VARCHAR), 'null:')), 1, 8))
+            AS BIGINT) % 10000 AS b
         FROM documents)"""))
 
   /** Per-language deterministic downsampling (corpus re-mixing): en kept
@@ -1044,7 +1095,9 @@ object PipelineQueries {
     oracle = Some("""
       SELECT doc_id, lang FROM (
         SELECT doc_id, lang,
-          CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          CAST(('0x' || substr(md5(
+              coalesce('v:' || lang, 'null:') || ':' ||
+              coalesce('v:' || CAST(doc_id AS VARCHAR), 'null:')), 1, 8)) AS BIGINT)
             % 10000 AS b,
           CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 10000 END AS thr
         FROM documents)
@@ -1067,12 +1120,17 @@ object PipelineQueries {
         FROM tf JOIN df USING (term))
       SELECT doc_id, term, tf, df, score, rank FROM s WHERE rank <= 5"""))
 
-  /** Deterministic sequence packing (budget 512 tokens, 8 shards): the
-    * concat-then-cut training layout as a pure window computation — the
-    * oracle reproduces every (shard, pack, offset) assignment exactly. */
+  /** Deterministic sequence packing (budget 512 tokens, 8 shards), via the
+    * PRODUCTION distributed-prefix-sum form (parallelism ≥ partitions, not
+    * capped at `shards`) — the oracle recomputes the single-window
+    * definitional form, so the hash match proves the two-pass offset
+    * decomposition reproduces every (shard, pack, offset) assignment
+    * exactly (SamplingSpec additionally asserts it row-for-row against
+    * packSequences). */
   val tPackSequences: Q = Q(
     "t_pack_sequences",
-    run = (s, dir) => Sampling.packSequences(Tables.documents(s, dir), budget = 512, shards = 8),
+    run = (s, dir) => Sampling.packSequencesScalable(
+      Tables.documents(s, dir), budget = 512, shards = 8),
     oracle = Some(s"""
       WITH t AS (
         SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens,
@@ -1094,7 +1152,7 @@ object PipelineQueries {
     tWinnowPairs, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
-    tCurateStats, tCurateStatsClustered, tCurateStatsFull, tCuratePacked,
+    tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateStatsFull, tCuratePacked,
     tRepetitionScore, tDecontaminate, tDecontaminateBloom, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences)
 }

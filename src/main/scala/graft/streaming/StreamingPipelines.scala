@@ -352,6 +352,46 @@ object StreamingPipelines {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Streaming benchmark decontamination for continuous ingestion: the
+    * batch `contaminationBloom` gate as a sink. The benchmark's n-gram
+    * Bloom filter is built ONCE at sink construction
+    * (TextAnalysis.benchmarkBloom — eval suites are static) and broadcast
+    * once; every micro-batch is scored MAP-SIDE against the same broadcast
+    * (zero corpus shuffle, zero per-trigger filter re-shipping) and its
+    * clean documents land in `outPath/batch=<id>` (overwrite — idempotent
+    * under foreachBatch's at-least-once retry contract, like the other
+    * incremental sinks here).
+    *
+    * Same guarantees as the batch gate: NO false negatives (a doc sharing
+    * a gram with the benchmark is always dropped) and false POSITIVES
+    * bounded by fpp per probed gram — conservative in the safe direction
+    * for an eval-leak gate. Stream ≡ batch is exact, not probabilistic:
+    * the keep decision is a pure per-row function of (doc text, filter),
+    * so batching cannot change it (StreamingSpec asserts union-of-batches
+    * == batch filtering). */
+  def decontaminationSink(docs: DataFrame, benchmark: DataFrame, outPath: String,
+      n: Int = 4, fpp: Double = 1e-6): DataStreamWriter[Row] = {
+    val spark = benchmark.sparkSession
+    val bf = graft.operators.TextAnalysis.benchmarkBloom(benchmark, n, fpp)
+    val bfB = bf.map(spark.sparkContext.broadcast(_))
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val b = batch.toDF().persist()
+        try {
+          val contaminated = bfB match {
+            case Some(broadcastFilter) =>
+              graft.operators.TextAnalysis
+                .bloomScoreBroadcast(b, broadcastFilter, n)
+                .filter(col("n_bf_grams") > 0).select(col("doc_id"))
+            case None => b.select(col("doc_id")).limit(0) // empty benchmark
+          }
+          b.join(contaminated, Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        } finally { b.unpersist(); () }
+      }
+  }
+
   /** K2 analog: dynamic per-record routing — one pass, fanned out by the
     * `sink_table` column (partitioned write ≈ Kafka sink's per-row topic). */
   def routedSink(df: DataFrame, basePath: String): DataStreamWriter[Row] =

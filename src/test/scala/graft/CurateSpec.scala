@@ -34,13 +34,33 @@ class CurateSpec extends AnyFunSuite {
       (9L, words.mkString(" ")))
       .toDF("doc_id", "text")
     val (_, pairwise) = Curate.runDocs(spark, docs, minQuality = 0.0)
-    val (_, clustered) = Curate.runDocs(spark, docs, minQuality = 0.0, clusterDedup = true)
+    val (_, clustered) = Curate.runDocs(spark, docs, minQuality = 0.0,
+      nearDup = Curate.NearDupPolicy.ClusterKeeper)
     assert(pairwise.nearDups === 1, s"pairwise: $pairwise")   // only doc 9
     assert(clustered.nearDups === 2, s"clustered: $clustered") // docs 5 and 9
     assert(pairwise.input === pairwise.nearDups + pairwise.lowQuality
       + pairwise.unknownLang + pairwise.kept + pairwise.exactDups)
     assert(clustered.input === clustered.nearDups + clustered.lowQuality
       + clustered.unknownLang + clustered.kept + clustered.exactDups)
+  }
+
+  test("ExactJaccard policy: lossless near-dup removal inside the pipeline") {
+    import spark.implicits._
+    // doc 2 is a heavy-overlap variant of doc 1 (J >= 0.7 on 3-gram hash
+    // sets); doc 3 is disjoint. The lossless policy must drop exactly
+    // doc 2 and account for it as a near-dup.
+    val words = (1 to 40).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, (words.drop(2)).mkString(" ")),
+      (3L, (100 to 140).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (_, st) = Curate.runDocs(spark, docs, minQuality = 0.0,
+      nearDup = Curate.NearDupPolicy.ExactJaccard())
+    assert(st.nearDups === 1, s"exact: $st")
+    assert(st.input === st.nearDups + st.lowQuality + st.unknownLang
+      + st.kept + st.exactDups)
+    Curate.releaseCaches(spark)
   }
 
   test("contamination + repetition gates: precedence order and conservation") {

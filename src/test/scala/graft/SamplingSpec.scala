@@ -72,7 +72,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.sampleByHash(nullKeys, col("k"), 1.0).count() === 2)
     val splits = Sampling.assignSplits(nullKeys, col("k"), Seq(("a", 0.5), ("b", 0.5)))
       .select("split").distinct().collect().map(_.getString(0))
-    assert(splits.length === 1) // same (empty-string) bucket for both
+    assert(splits.length === 1) // same (null-sentinel) bucket for both
+  }
+
+  test("NULL stratum and empty-string stratum sample independently (sentinel, no collision)") {
+    import spark.implicits._
+    // the same 200 doc_ids under a NULL stratum and an '' stratum: both fall
+    // to defaultRate, but their keep decisions must NOT be perfectly
+    // correlated — pre-sentinel both strata hashed the identical input
+    // ('': doc_id) and selected the exact same doc_ids
+    val rows = (1 to 200).flatMap(i =>
+      Seq((i.toLong, Option.empty[String]), (i.toLong, Some(""))))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(rows, col("doc_id"), col("lang"),
+        Seq(("zz", 0.5)), defaultRate = 0.5)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val keptNull = (1 to 200).count(i => kept.contains((i.toLong, None)))
+    val keptEmpty = (1 to 200).count(i => kept.contains((i.toLong, Some(""))))
+    val agree = (1 to 200).count(i =>
+      kept.contains((i.toLong, None)) == kept.contains((i.toLong, Some("")))) / 200.0
+    // both near-rate, and agreement near 50% (independent), not 100%
+    assert(keptNull > 60 && keptNull < 140, s"null-stratum kept $keptNull of 200")
+    assert(keptEmpty > 60 && keptEmpty < 140, s"empty-stratum kept $keptEmpty of 200")
+    assert(agree < 0.75, s"null and '' decisions ${agree * 100}% correlated")
   }
 
   test("repetitionScore: top_token_frac fold == naive max count; repetitive doc scores high") {
@@ -129,6 +151,22 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     val full = got.map(r => (r._1, r._3)).toMap
     assert(half.nonEmpty && half.forall { case (id, pack) => full(id) == pack })
+  }
+
+  test("packSequencesScalable == packSequences row-for-row (distributed prefix sum)") {
+    val docs = Tables.documents(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // few shards + many partitions is exactly the regime the two-pass form
+    // exists for (window form would serialize into 3 tasks)
+    val simple = rows(Sampling.packSequences(docs, budget = 512, shards = 3))
+    val scalable = rows(Sampling.packSequencesScalable(docs, budget = 512, shards = 3,
+      partitions = 16))
+    assert(scalable === simple)
+    // and at a partition count below the shard count (degenerate splits)
+    val coarse = rows(Sampling.packSequencesScalable(docs, budget = 512, shards = 8,
+      partitions = 2))
+    assert(coarse === rows(Sampling.packSequences(docs, budget = 512, shards = 8)))
   }
 
   test("tfIdfTopTerms: rare terms outrank common ones; k bound and tie order hold") {

@@ -278,6 +278,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() >= wantKeys && got.count() < eventRows.size)
   }
 
+  test("streaming decontamination sink == batch contaminationBloom gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outPath = "/tmp/graft_test_decontam_out"
+    new scala.reflect.io.Directory(new java.io.File(outPath)).deleteRecursively()
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    val docRows = docs.orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingPipelines
+      .decontaminationSink(stream.toDF().toDF("doc_id", "text"), bench, outPath)
+      .start()
+    val batches = docRows.grouped(math.max(1, docRows.size / 3)).toSeq
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.read.parquet(outPath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch twin: same filter (rebuilt — deterministic), same keep rule
+    val flagged = graft.operators.TextAnalysis.contaminationBloom(docs, bench)
+      .filter(col("n_bf_grams") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = docRows.map(_._1).toSet -- flagged
+    assert(flagged.nonEmpty, "benchmark self-matches — flagged set cannot be empty")
+    assert(got === want)
+  }
+
   test("incremental winnow-dedup sink == batch drop-doc_b formulation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
