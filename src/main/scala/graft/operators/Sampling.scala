@@ -122,6 +122,61 @@ object Sampling {
       .select(col("doc_id"), col("shard"), col("pack_id"), col("n_tokens"))
   }
 
+  /** Keep at most `maxRows` rows per stratum, selected DETERMINISTICALLY
+    * by hash-bucket order (key ascending as tie-break) — the per-source /
+    * per-domain quota every corpus-mixing recipe applies so one crawl
+    * domain cannot dominate the mix. Hash order (not doc order) makes the
+    * kept subset an unbiased sample of the stratum, and the same rows win
+    * on every engine and run.
+    *
+    * Scale: one shuffle keyed by stratum; the rank<=k filter plans as
+    * WindowGroupLimit, so each map task pre-prunes to its local top-k
+    * before the exchange — a skewed mega-stratum ships k rows per task,
+    * not its whole population. */
+  def capPerStratum(df: DataFrame, key: Column, stratum: Column, maxRows: Int): DataFrame = {
+    require(maxRows > 0, s"maxRows must be positive, got $maxRows")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(bucket(keyStr(key)).asc, key.asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxRows).drop("__rk")
+  }
+
+  /** Deterministic global shuffle order for training: every row gets a
+    * dense 0-based `shuffle_pos` equal to its rank under (md5-bucket hash,
+    * key) — a reproducible pseudo-random permutation of the corpus (the
+    * training-order shuffle, but engine-stable and resumable, unlike an
+    * RNG shuffle).
+    *
+    * Scale: a naive `row_number() OVER (ORDER BY hash)` is a GLOBAL
+    * window — the whole corpus funnels through one task. This is the same
+    * two-pass distributed prefix rank as packSequencesScalable: range-
+    * partition by (hash, key) and freeze the layout (localCheckpoint —
+    * both passes key on the partition ids; a lazy recompute could
+    * re-sample different range boundaries), collect per-partition COUNTS
+    * (driver-tiny), broadcast exclusive prefix offsets back, and complete
+    * the rank per partition — parallelism = `partitions`, output
+    * identical to the global sort. */
+  def shuffleRank(df: DataFrame, key: Column, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val arranged = df
+      .withColumn("__h", hash32(keyStr(key)))
+      .repartitionByRange(parts, col("__h"), key)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = arranged.groupBy(col("__pid")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2))
+    import spark.implicits._
+    val offFrame = offsets.toSeq.toDF("__pid", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__h").asc, key.asc)
+    arranged.join(broadcast(offFrame), "__pid")
+      .withColumn("shuffle_pos", col("__off") + row_number().over(w) - 1)
+      .drop("__h", "__pid", "__off")
+  }
+
   /** packSequences with a DISTRIBUTED prefix sum — identical assignments
     * (SamplingSpec asserts row-for-row equality with the window form), but
     * parallelism is no longer capped at `shards`: the single-window form

@@ -294,4 +294,32 @@ object TextAnalysis {
     .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
     .filter(size(col("toks")) >= n)
     .select(col("doc_id"), array_distinct(wordShingles(col("toks"), n)).as("g"))
+
+  /** Fixed-size token-window chunking with overlap — the context-window
+    * splitter every RAG / long-document training pipeline runs: chunk i
+    * covers tokens [i·step, i·step + chunkTokens) with
+    * step = chunkTokens − overlap, so consecutive chunks share `overlap`
+    * tokens and every token lands in ≥ 1 chunk. Output one row per
+    * (doc_id, chunk_id) with the rebuilt chunk text and its token count
+    * (the tail chunk may be shorter). Zero-token docs produce no chunks
+    * (the shingle <k rule; also the `sequence(0, n-1)` n=0 descending
+    * trap — see ROUND_NOTES). Deterministic and map-side: tokenize +
+    * bounded explode, no shuffle — scan speed at any corpus size. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 32, overlap: Int = 8): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val step = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / step).cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("toks"), col("chunk_id") * step + 1, lit(chunkTokens)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", col("ctoks")).as("text"),
+        size(col("ctoks")).cast("long").as("n_tokens"))
+  }
 }

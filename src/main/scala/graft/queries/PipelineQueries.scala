@@ -1143,6 +1143,60 @@ object PipelineQueries {
         n_tokens
       FROM t"""))
 
+  /** Per-source quota (corpus mixing): at most 15 docs per `source`,
+    * selected deterministically by hash order — the oracle reproduces the
+    * exact winners, proving the quota is engine-stable (an RNG-sampled
+    * quota could not be oracle-checked). Cap 15 < the 25 docs/source of
+    * the smallest SFs, so the quota bites (drops rows) at every SF. */
+  val tCapPerSource: Q = Q(
+    "t_cap_per_source",
+    run = (s, dir) => Sampling.capPerStratum(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      col("doc_id"), col("source"), maxRows = 15),
+    oracle = Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+            CAST(('0x' || substr(md5(coalesce('v:' || CAST(doc_id AS VARCHAR), 'null:')), 1, 8))
+              AS BIGINT) % 10000 ASC, doc_id ASC) AS rk
+        FROM documents)
+      WHERE rk <= 15"""))
+
+  /** Deterministic global shuffle order via the distributed prefix rank:
+    * the oracle's single global `ROW_NUMBER() OVER (ORDER BY hash, key)`
+    * must equal the two-pass range-partition + offset + local-rank
+    * decomposition exactly — the hash match proves the scalable form
+    * computes the same permutation a global sort would. */
+  val tShuffleRank: Q = Q(
+    "t_shuffle_rank",
+    run = (s, dir) => Sampling.shuffleRank(
+      Tables.documents(s, dir).select(col("doc_id")), col("doc_id"))
+      .select(col("doc_id"), col("shuffle_pos")),
+    oracle = Some("""
+      SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY
+          CAST(('0x' || substr(md5(coalesce('v:' || CAST(doc_id AS VARCHAR), 'null:')), 1, 8))
+            AS BIGINT) ASC, doc_id ASC) - 1 AS shuffle_pos
+      FROM documents"""))
+
+  /** Token-window chunking (32-token chunks, 8-token overlap): every
+    * (doc, chunk) row with rebuilt text and token count, oracle-rebuilt
+    * byte-exactly — the RAG/long-doc context splitter. */
+  val tChunkDocs: Q = Q(
+    "t_chunk_docs",
+    run = (s, dir) => TextAnalysis.chunkDocs(Tables.documents(s, dir),
+      chunkTokens = 32, overlap = 8),
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      t AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
+      c AS (SELECT doc_id, toks,
+          unnest(range(0, ((len(toks) - 1) // 24) + 1)) AS chunk_id
+        FROM t)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ') AS text,
+        CAST(least(32, len(toks) - chunk_id*24) AS BIGINT) AS n_tokens
+      FROM c"""))
+
   val all: Seq[Q] = Seq(
     tDedupExact, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,
@@ -1154,5 +1208,6 @@ object PipelineQueries {
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
     tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateStatsFull, tCuratePacked,
     tRepetitionScore, tDecontaminate, tDecontaminateBloom, tSplitAssign,
-    tStratifiedSample, tTfidfTopTerms, tPackSequences)
+    tStratifiedSample, tTfidfTopTerms, tPackSequences,
+    tCapPerSource, tShuffleRank, tChunkDocs)
 }

@@ -169,6 +169,57 @@ class SamplingSpec extends AnyFunSuite {
     assert(coarse === rows(Sampling.packSequences(docs, budget = 512, shards = 8)))
   }
 
+  test("capPerStratum: quota holds per stratum, deterministic, subset of input") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    def run() = Sampling.capPerStratum(docs, col("doc_id"), col("source"), 15)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val kept = run()
+    assert(kept === run()) // rerun-identical
+    val perSource = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perSource.values.forall(_ <= 15))
+    val totals = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept.subsetOf(totals))
+    // the cap actually bites: every source holds 25 docs at this SF
+    assert(perSource.values.forall(_ === 15), s"per-source: $perSource")
+  }
+
+  test("shuffleRank: dense 0-based permutation, equals the global-sort form") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val got = Sampling.shuffleRank(docs, col("doc_id"), partitions = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val n = docs.count()
+    // dense permutation: positions are exactly 0..n-1, each once
+    assert(got.values.toSet === (0L until n).toSet)
+    // equals the single-window global sort it decomposes
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(graft.functions.TextFunctions.hash32(
+        concat(lit("v:"), col("doc_id").cast("string"))).asc, col("doc_id").asc)
+    val global = docs.withColumn("p", row_number().over(w).cast("long") - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === global)
+    // and NOT the identity order (it is an actual shuffle)
+    assert(got.exists { case (id, pos) => id != pos })
+  }
+
+  test("chunkDocs: full coverage with overlap, byte-exact rebuild, tail bounded") {
+    import spark.implicits._
+    val toks = (1 to 50).map(i => s"t$i")
+    val docs = Seq((1L, toks.mkString(" ")), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(docs, chunkTokens = 32, overlap = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // doc 1: 50 tokens, step 24 -> chunks at 0, 24, 48
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq === Seq(0L, 1L, 2L))
+    assert(d1(0)._3 === toks.slice(0, 32).mkString(" ") && d1(0)._4 === 32L)
+    assert(d1(1)._3 === toks.slice(24, 50).mkString(" ") && d1(1)._4 === 26L)
+    assert(d1(2)._3 === toks.slice(48, 50).mkString(" ") && d1(2)._4 === 2L)
+    // consecutive chunks overlap by `overlap` tokens
+    assert(d1(0)._3.split(" ").takeRight(8).toSeq === d1(1)._3.split(" ").take(8).toSeq)
+    // doc 2 fits one chunk; doc 3 (zero tokens) produces none
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "a b", 2L)))
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("tfIdfTopTerms: rare terms outrank common ones; k bound and tie order hold") {
     import spark.implicits._
     val docs = Seq(
