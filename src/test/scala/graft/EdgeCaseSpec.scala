@@ -85,6 +85,32 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TextAnalysis.langId(nullDocs).count() === 2)
   }
 
+  test("round-5 operators on empty and degenerate input") {
+    import spark.implicits._
+    val S = graft.operators.Sampling
+    // empty frames: no rows, no error (shuffleRank must survive an empty
+    // range partitioner + empty offsets table)
+    assert(S.capPerStratum(emptyDocs, col("doc_id"), col("text"), 3).count() === 0)
+    assert(S.shuffleRank(emptyDocs, col("doc_id")).count() === 0)
+    assert(S.packSequencesScalable(emptyDocs, budget = 16).count() === 0)
+    assert(TextAnalysis.chunkDocs(emptyDocs).count() === 0)
+    // degenerate docs: chunking drops only the zero-token rows
+    val chunks = TextAnalysis.chunkDocs(weirdDocs, chunkTokens = 2, overlap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(chunks.map(_._1).toSet === Set(4L, 5L)) // docs with >= 1 token
+    assert(chunks.count(_._1 == 5L) === 2) // 4 tokens / 2-token chunks
+    // NULL stratum is its own quota bucket, not dropped
+    val nullStrata = Seq((1L, Option.empty[String]), (2L, None), (3L, Some("s")))
+      .toDF("doc_id", "src")
+    val capped = S.capPerStratum(nullStrata, col("doc_id"), col("src"), 1)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(capped.length === 2 && capped.count(_._2.isEmpty) === 1)
+    // shuffleRank on a single row: position 0
+    val one = Seq((7L, "x")).toDF("doc_id", "text")
+    assert(S.shuffleRank(one, col("doc_id")).select("shuffle_pos")
+      .first().getLong(0) === 0L)
+  }
+
   test("as-of join attaches a null right payload instead of a stale value") {
     import spark.implicits._
     val left = Seq((1L, 25L)).toDF("k", "lts")

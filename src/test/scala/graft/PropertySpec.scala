@@ -122,6 +122,51 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shuffleRank == driver-side sort by (hash, key) on random key sets") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    for (seed <- 1L to 3L) {
+      // sparse, unordered, possibly-negative keys
+      val keys = sample(Gen.listOfN(60, Gen.chooseNum(-1000000L, 1000000L)), seed).distinct
+      val df = keys.toDF("doc_id")
+      val got = Sampling.shuffleRank(df, col("doc_id"), partitions = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // driver-side reference: same sentineled hash, same tie-break
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(k: Long): Long = {
+        val hex = md.digest(s"v:$k".getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val want = keys.sortBy(k => (h(k), k)).zipWithIndex
+        .map { case (k, i) => k -> i.toLong }.toMap
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("capPerStratum == driver-side per-stratum top-k on random strata") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    for (seed <- 1L to 3L) {
+      val rows = sample(Gen.listOfN(80,
+        Gen.zip(Gen.chooseNum(0L, 10000L), Gen.oneOf("a", "b", "c", "d"))), seed)
+        .distinctBy(_._1)
+      val df = rows.toDF("doc_id", "src")
+      val got = Sampling.capPerStratum(df, col("doc_id"), col("src"), 5)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def bucket(k: Long): Long = {
+        val hex = md.digest(s"v:$k".getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        java.lang.Long.parseLong(hex, 16) % 10000L
+      }
+      val want = rows.groupBy(_._2).flatMap { case (_, members) =>
+        members.sortBy(m => (bucket(m._1), m._1)).take(5)
+      }.toSet
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("simhash of identical token multisets is order-invariant") {
     import spark.implicits._
     for (seed <- 1L to 5L) {
