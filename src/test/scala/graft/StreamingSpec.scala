@@ -278,6 +278,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() >= wantKeys && got.count() < eventRows.size)
   }
 
+  test("chunkDocs streams as a stateless transform: stream == batch chunks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docRows = docs.orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    // the operator is a pure per-row transform (tokenize + bounded
+    // explode), so it applies directly to a streaming frame — no sink
+    // machinery, no state, append mode
+    val q = graft.operators.TextAnalysis
+      .chunkDocs(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunks_stream")
+      .outputMode("append").start()
+    val (h1, h2) = docRows.splitAt(docRows.size / 2)
+    stream.addData(h1); q.processAllAvailable()
+    stream.addData(h2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chunks_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val want = graft.operators.TextAnalysis.chunkDocs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("streaming decontamination sink == batch contaminationBloom gate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
