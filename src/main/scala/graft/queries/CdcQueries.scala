@@ -77,6 +77,37 @@ object CdcQueries {
              CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version
       FROM orders"""))
 
+  /** K3 at fact scale: the bucket-partitioned MERGE stand-in
+    * (sinks.BucketedUpsert) applied as two change waves — full snapshot,
+    * then an update wave over every third key — and read back. The oracle
+    * reproduces the final latest-per-key state directly, so the hash
+    * match proves the touched-buckets-only rewrite loses and duplicates
+    * nothing. (The companion spec asserts the I/O property itself:
+    * untouched bucket directories are byte-identical after wave 2.) */
+  val k3BucketedUpsert: Q = Q(
+    "k3_bucketed_upsert",
+    run = (s, dir) => {
+      import s.implicits._
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_k3_bucketed").toString + "/t"
+      val ord = Tables.orders(s, dir)
+      val v1 = ord.select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast(dec).cast("double").as("total"), lit(1L).as("version"))
+      val v2 = ord.filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey", lit("F").as("o_orderstatus"),
+          ($"o_totalprice" * 2).cast(dec).cast("double").as("total"), lit(2L).as("version"))
+      graft.sinks.BucketedUpsert.upsert(v1, path, "o_orderkey", "version", nBuckets = 16)
+      graft.sinks.BucketedUpsert.upsert(v2, path, "o_orderkey", "version", nBuckets = 16)
+      graft.sinks.BucketedUpsert.read(s, path, "o_orderkey")
+    },
+    oracle = Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+             CAST(CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2 ELSE o_totalprice END
+                  AS DECIMAL(18,2)) AS DOUBLE) AS total,
+             CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version
+      FROM orders"""))
+
   /** J1: the wide order-detail join (DwdTradeOrderDetail.java:123-169
     * 5-way shape): lineitem ⋈ orders ⋈ customer + broadcast part/supplier.
     * Row-level output, filtered to a deterministic key slice. */
@@ -112,5 +143,5 @@ object CdcQueries {
       WHERE l_orderkey % 50 = 0"""),
     headline = true)
 
-  val all: Seq[Q] = Seq(s3MaxwellRoundtrip, k3UpsertCompact, j1WideJoin)
+  val all: Seq[Q] = Seq(s3MaxwellRoundtrip, k3UpsertCompact, k3BucketedUpsert, j1WideJoin)
 }

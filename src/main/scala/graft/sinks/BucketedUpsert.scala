@@ -1,0 +1,112 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Bucket-partitioned keyed upsert — the MERGE INTO stand-in that scales
+  * past dim-sized tables (reference upsert surface:
+  * gmall-realtime-self/.../app/func/DIM_SinkFunction.java:28-92 writes
+  * keyed upserts row-at-a-time into Phoenix; ClickHouse's merge-on-read
+  * engine plays the same role at MyClickhouseUtil.java:57-102).
+  *
+  * `ConfigRouter.upsertRoutes` / `StreamingPipelines.upsertSink` rewrite
+  * the WHOLE table per batch — correct, and bounded for dim tables, but a
+  * full-table rewrite per micro-batch at fact scale is O(table) I/O for
+  * O(batch) changes. This sink partitions the table by a stable hash
+  * bucket of the primary key (`bucket=<b>` directories, b =
+  * pmod(xxhash64(pk), nBuckets)) and each upsert:
+  *
+  *  1. computes the batch's TOUCHED buckets (distinct hash of its keys —
+  *     at most nBuckets values, driver-tiny);
+  *  2. reads ONLY those bucket directories back (partition pruning on the
+  *     bucket column — untouched buckets are never opened);
+  *  3. latest-row-per-key merges batch ∪ existing (version desc, then a
+  *     deterministic full-row hash tie-break — the upsertRoutes rule);
+  *  4. rewrites ONLY the touched buckets via dynamic partition overwrite
+  *     (one job, no driver loop; untouched directories are untouched).
+  *
+  * I/O per batch is O(touched buckets), not O(table): a 64-bucket fact
+  * table absorbing a 1-bucket batch rewrites 1/64th of itself. At 100 TB
+  * `nBuckets` is sized so a bucket ≈ an executor-friendly rewrite unit.
+  *
+  * Retry safety (foreachBatch is at-least-once): the merge is a pure
+  * latest-wins function of (existing, batch), so re-applying the same
+  * batch — even over a partially-rewritten table — converges to the same
+  * rows; dynamic overwrite replaces whole bucket directories, never
+  * appends duplicates. Like the other parquet sinks, per-directory
+  * replacement (not a transaction log) is the stand-in: with Delta on the
+  * cluster this whole object becomes `MERGE INTO` on a bucketed table.
+  */
+object BucketedUpsert {
+
+  private val BucketCol = "bucket"
+
+  private def withBucket(df: DataFrame, pk: String, nBuckets: Int): DataFrame =
+    df.withColumn(BucketCol, pmod(xxhash64(col(pk).cast("string")), lit(nBuckets.toLong)))
+
+  /** Upsert `batch` into the bucketed table at `path` (created on first
+    * use). Latest row per `pk` wins, ordered by `version` descending with
+    * a deterministic row-hash tie-break. */
+  def upsert(batch: DataFrame, path: String, pk: String, version: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = batch.sparkSession
+    val dataCols = batch.columns.toIndexedSeq
+    require(dataCols.contains(pk) && dataCols.contains(version),
+      s"batch must carry pk '$pk' and version '$version', has ${dataCols.mkString(",")}")
+    val b = withBucket(batch, pk, nBuckets).persist()
+    try {
+      val touched = b.select(col(BucketCol)).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val exists = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      val existing =
+        if (!exists) b.limit(0)
+        else spark.read.parquet(path)
+          // partition pruning: only the touched bucket= directories are
+          // listed/read; column order normalized to the batch's
+          .filter(col(BucketCol).isin(touched.toIndexedSeq: _*))
+          .select((dataCols :+ BucketCol).map(col): _*)
+      val w = Window.partitionBy(col(pk))
+        .orderBy(col(version).desc, xxhash64(struct(dataCols.map(col): _*)).asc)
+      val merged = b.select((dataCols :+ BucketCol).map(col): _*)
+        .unionByName(existing)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      // the write reads from the directories it overwrites — snapshot
+      // first (localCheckpoint truncates lineage, so the overwrite cannot
+      // race its own input scan)
+      val snap = merged.localCheckpoint(true)
+      try
+        snap.write
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .partitionBy(BucketCol)
+          .parquet(path)
+      finally { snap.unpersist(blocking = false); () }
+    } finally { b.unpersist(blocking = false); () }
+  }
+
+  /** The table's current rows (bucket column dropped — it is layout, not
+    * data; pk hashing reconstructs it deterministically). */
+  def read(spark: SparkSession, path: String, pk: String = "event_id"): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      throw new IllegalArgumentException(s"no bucketed table at $path")
+    spark.read.parquet(path).drop(BucketCol)
+  }
+
+  /** Streaming form: each micro-batch upserts into the bucketed table —
+    * K3/K5 at fact scale (per-batch I/O proportional to touched buckets).
+    * Idempotent under foreachBatch retries (see object scaladoc). */
+  def sink(df: DataFrame, path: String, pk: String, version: String,
+      nBuckets: Int = 64): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        upsert(batch.toDF(), path, pk, version, nBuckets)
+      }
+}
