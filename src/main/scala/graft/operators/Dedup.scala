@@ -133,23 +133,17 @@ object Dedup {
     *   Recall-lossless: every cross- and within-chunk pair is produced
     *   exactly once (proven pair-identical to the uncapped join in
     *   DedupSpec and against the uncapped DuckDB oracle). */
-  def minhashLshPairs(
-      docs: DataFrame,
-      numSigs: Int = 8,
-      rowsPerBand: Int = 2,
-      threshold: Double = 0.8,
-      maxBucket: Int = 1000,
-      saltChunk: Int = 0): DataFrame = {
+  /** LSH band table from a shingle table: (doc_id, b, band_key) — the
+    * banding stage of minhashLshPairs, shared with the streaming
+    * incremental sink (which registers bands across micro-batches). */
+  private[graft] def bandsFromShingles(sh: DataFrame, numSigs: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
     val numBands = numSigs / rowsPerBand
-    // persist: the shingle table feeds the signature path AND both sides of
-    // the Jaccard join; the band table feeds both sides of the self-join —
-    // without this Spark recomputes the tokenize+hash pipeline 4x.
-    val sh = track(shingleSets(docs).persist())
     val sigs = sh.select(
       col("doc_id"),
       array((0 until numSigs).map(s =>
         minhashSigFromHashes(col("hashes"), s)): _*).as("sig"))
-    val bands = sigs.select(
+    sigs.select(
       col("doc_id"),
       explode(array((0 until numBands).map { b =>
         struct(lit(b).as("b"),
@@ -157,7 +151,55 @@ object Dedup {
             (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*).as("band_key"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.band_key").as("band_key"))
-      .persist()
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * per-side 32-bit shingle-hash arrays — the verify stage of
+    * minhashLshPairs, shared with the streaming sink (whose sides come
+    * from different frames: the band registry vs the current batch). */
+  private[graft] def jaccardVerify(cand: DataFrame, left: DataFrame,
+      right: DataFrame, threshold: Double): DataFrame =
+    cand.join(left, "doc_a").join(right, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+          size(array_union(col("h_a"), col("h_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** minhashLshPairs' candidate + verify stages over PRECOMPUTED shingle
+    * and band tables (callers persist them — the streaming sink shares one
+    * scan across in-batch pairs, cross-batch verify, and the registry
+    * write). Cold path only (hot buckets dropped at `maxBucket`, no
+    * salting — micro-batches are small next to the corpus). */
+  private[graft] def minhashPairsFromTables(sh: DataFrame, bands: DataFrame,
+      threshold: Double, maxBucket: Int): DataFrame = {
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("band_key"))
+    val capped = bands.withColumn("__bs", count(lit(1)).over(bucketW))
+      .filter(col("__bs") <= maxBucket).drop("__bs")
+    val cand = capped.as("x")
+      .join(capped.as("y"),
+        col("x.band_key") === col("y.band_key") && col("x.b") === col("y.b") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    jaccardVerify(cand,
+      sh.select(col("doc_id").as("doc_a"), col("hashes").as("h_a")),
+      sh.select(col("doc_id").as("doc_b"), col("hashes").as("h_b")),
+      threshold)
+  }
+
+  def minhashLshPairs(
+      docs: DataFrame,
+      numSigs: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000,
+      saltChunk: Int = 0): DataFrame = {
+    // persist: the shingle table feeds the signature path AND both sides of
+    // the Jaccard join; the band table feeds both sides of the self-join —
+    // without this Spark recomputes the tokenize+hash pipeline 4x.
+    val sh = track(shingleSets(docs).persist())
+    val bands = bandsFromShingles(sh, numSigs, rowsPerBand).persist()
     track(bands)
     // hot-bucket cap (windowed count avoids a second aggregation pass)
     val bucketW = org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("band_key"))
@@ -195,17 +237,13 @@ object Dedup {
     // integer compares. Engine parity holds because the oracle derives
     // the same md5-prefix hashes (`v`) from the same distinct shingles —
     // a (≈2e-6/pair) hash collision shrinks BOTH sides' intersect
-    // identically, so results stay hash-identical vs DuckDB.
-    val a = sh.select(col("doc_id").as("doc_a"), col("hashes").as("h_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("hashes").as("h_b"))
-    cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
-          size(array_union(col("h_a"), col("h_b"))))
-      .filter(col("jaccard") >= threshold)
-      // unrounded: small-int ratios land on .xxxx5 round-tie boundaries
-      // where Spark (decimal-repr HALF_UP) and DuckDB (binary) disagree
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // identically, so results stay hash-identical vs DuckDB. Jaccard is
+    // unrounded: small-int ratios land on .xxxx5 round-tie boundaries
+    // where Spark (decimal-repr HALF_UP) and DuckDB (binary) disagree.
+    jaccardVerify(cand,
+      sh.select(col("doc_id").as("doc_a"), col("hashes").as("h_a")),
+      sh.select(col("doc_id").as("doc_b"), col("hashes").as("h_b")),
+      threshold)
   }
 
   /** Exact n-gram Jaccard similarity self-join via prefix filtering

@@ -201,6 +201,93 @@ object StreamingPipelines {
         }
       }
 
+  /** Incremental MinHash+LSH near-dup removal for continuous ingestion —
+    * the streaming twin of Curate's DEFAULT near-dup policy
+    * (Dedup.minhashLshPairs, drop-doc_b), completing policy parity with
+    * the winnow/exact/cluster/span incremental sinks. A parquet registry
+    * accumulates every seen document's LSH bands
+    * (`<registry>/bands/batch=<id>`) and 32-bit shingle-hash arrays
+    * (`<registry>/hashes/batch=<id>`); each micro-batch drops documents
+    * that Jaccard-verify >= `threshold` against ANY earlier document
+    * (band-key join into the registry, exact verify against the stored
+    * hash arrays) or against an earlier-id document in the same batch
+    * (the shared minhashLshPairs stages over one shingle scan), writes
+    * survivors to `outPath`, and registers the WHOLE batch (dropped docs
+    * too — a later near-dup of a dropped doc must still drop, the
+    * property that makes the stream ≡ the batch drop-doc_b formulation on
+    * an id-ordered feed; StreamingSpec proves it).
+    *
+    * Exactly-once under foreachBatch's at-least-once contract: all three
+    * writes overwrite `batch=<id>` partition dirs (idempotent on retry),
+    * registry reads exclude the current batch id and serve only
+    * batches with BOTH tables committed (_SUCCESS), so a half-written
+    * attempt can neither self-match nor go half-registered.
+    *
+    * Band buckets that are ubiquitous in the REGISTRY (> maxBucket prior
+    * docs — boilerplate) are excluded from cross-batch matching,
+    * mirroring minhashLshPairs' in-batch cap; equivalence is exact while
+    * buckets stay under the cap (the spec's regime) and both formulations
+    * degrade the same way past it.
+    *
+    * At scale: the cross-batch join shuffles on (b, band_key) — the same
+    * key minhashLshPairs self-joins on — and the verify ships 4-byte hash
+    * arrays only for banded candidates; registry state grows with seen
+    * documents' bands (numBands rows/doc), not with pairs. */
+  def minhashDedupSink(docs: DataFrame, registryPath: String, outPath: String,
+      numSigs: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val dedupMark = graft.operators.Dedup.trackMark(spark)
+        val b = batch.toDF().persist()
+        // one shingle scan feeds in-batch pairs, cross-batch verify, AND
+        // the registry write (persist before any explode/join fan-out)
+        val sh = graft.operators.Dedup.shingleSets(b).persist()
+        val bands = graft.operators.Dedup.bandsFromShingles(sh, numSigs, rowsPerBand).persist()
+        try {
+          val inBatch = graft.operators.Dedup
+            .minhashPairsFromTables(sh, bands, threshold, maxBucket)
+            .select(col("doc_b").as("doc_id")).distinct()
+          val hashesIds = completedBatches(spark, s"$registryPath/hashes").toSet
+          val ids = completedBatches(spark, s"$registryPath/bands")
+            .filter(id => id != batchId && hashesIds(id))
+          val crossLosers = if (ids.isEmpty) b.select(col("doc_id")).limit(0)
+          else {
+            val regBands = spark.read
+              .parquet(ids.map(id => s"$registryPath/bands/batch=$id"): _*)
+              .select(col("doc_id").as("doc_a"), col("b"), col("band_key")).persist()
+            try {
+              val hotKeys = regBands.groupBy(col("b"), col("band_key"))
+                .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucket)
+                .select(col("b"), col("band_key"))
+              val cand = bands.join(regBands, Seq("b", "band_key"))
+                .join(hotKeys, Seq("b", "band_key"), "left_anti")
+                .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
+              val regHashes = spark.read
+                .parquet(ids.map(id => s"$registryPath/hashes/batch=$id"): _*)
+                .select(col("doc_id").as("doc_a"), col("hashes").as("h_a"))
+              val losers = graft.operators.Dedup.jaccardVerify(cand, regHashes,
+                  sh.select(col("doc_id").as("doc_b"), col("hashes").as("h_b")), threshold)
+                .select(col("doc_b").as("doc_id")).distinct()
+                .localCheckpoint(true) // materialize before regBands unpersists
+              losers
+            } finally { regBands.unpersist(blocking = false); () }
+          }
+          val kept = b.join(inBatch.union(crossLosers).distinct(),
+            Seq("doc_id"), "left_anti")
+          kept.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          bands.write.mode("overwrite").parquet(s"$registryPath/bands/batch=$batchId")
+          sh.select(col("doc_id"), col("hashes"))
+            .write.mode("overwrite").parquet(s"$registryPath/hashes/batch=$batchId")
+        } finally {
+          bands.unpersist(); sh.unpersist(); b.unpersist()
+          graft.operators.Dedup.releaseSince(spark, dedupMark)
+          ()
+        }
+      }
+
   /** Incremental transitive dup-clustering for continuous ingestion: the
     * cluster-keeper policy (Dedup.duplicateClusters) maintained across
     * micro-batches. Reuses winnowDedupSink's fingerprint registry for

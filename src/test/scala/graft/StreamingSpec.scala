@@ -330,6 +330,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("incremental minhash-LSH sink == batch drop-doc_b formulation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_minhash_reg"
+    val outPath = "/tmp/graft_test_minhash_out"
+    for (p <- Seq(regPath, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    // the corpus plus near-dup variants spread across batches, so pairs
+    // exist BOTH within a batch and across the registry boundary
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val variants = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val corpus = docs.unionByName(variants)
+    val docRows = corpus.orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingPipelines
+      .minhashDedupSink(stream.toDF().toDF("doc_id", "text"), regPath, outPath)
+      .start()
+    val (h1, h2) = docRows.splitAt(docRows.size / 2)
+    stream.addData(h1); q.processAllAvailable()
+    stream.addData(h2); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outPath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val losers = graft.operators.Dedup.minhashLshPairs(corpus)
+      .select(col("doc_b")).distinct().collect().map(_.getLong(0)).toSet
+    graft.operators.Dedup.releaseCaches(spark)
+    val want = docRows.map(_._1).toSet -- losers
+    assert(losers.nonEmpty, "no minhash pairs — test is vacuous")
+    // losers must exist on both sides of the batch split for the test to
+    // exercise the registry path
+    assert(losers.exists(_ >= 100000L), "no cross/variant losers")
+    assert(got === want)
+  }
+
   test("incremental winnow-dedup sink == batch drop-doc_b formulation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
