@@ -1,0 +1,176 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Continuous curation: pipeline.Curate's full gate chain
+  * (exact dedup → MinHash near-dup removal → optional decontamination +
+  * repetition gates → quality → language) as ONE incremental sink. Every
+  * micro-batch document is labeled with the first gate that drops it (or
+  * 'kept') — the same precedence and drop rules as Curate.runLabeled — and
+  * the labeled rows land in `outPath/batch=<id>`, so the streaming
+  * accounting is the union of batch accountings.
+  *
+  * Cross-batch state is the same registry design as the other incremental
+  * sinks (all under `registryPath`, every table in overwrite-idempotent
+  * `batch=<id>` dirs, reads gated on _SUCCESS and excluding the current
+  * id):
+  *  - `fps/`     — EVERY seen document's normalized-text fingerprint
+  *    (dropped docs too: the batch keeper of a fingerprint group is its
+  *    FIRST occurrence, and later re-occurrences are exact dups even when
+  *    that keeper later failed a quality gate — exactly exactGroups'
+  *    min-doc_id rule on an id-ordered feed);
+  *  - `bands/` + `hashes/` — LSH bands and shingle-hash arrays of EXACT
+  *    SURVIVORS only (the batch pipeline runs LSH on afterExact), dropped
+  *    near-dups included so later near-dups of a dropped doc still drop.
+  *
+  * Stream ≡ batch (StreamingSpec): on an id-ordered feed the union of
+  * batch labels equals Curate.runDocs' accounting over the corpus-so-far
+  * — same kept set, same per-reason counts, same kept-token sum — under
+  * the sub-cap bucket regime the other LSH sinks document. The
+  * decontamination gate uses the exact n-gram join against the STATIC
+  * benchmark (per-doc and batching-independent, like every other gate);
+  * swap in `decontaminationSink`'s broadcast-Bloom scoring when the
+  * corpus-side shuffle matters more than exactness.
+  *
+  * At scale, per batch: one fingerprint agg, one (b, band_key)-keyed
+  * registry join, one gram-keyed contamination join vs a tiny benchmark,
+  * and map-side quality/lang/repetition — each the scale shape its batch
+  * twin already audited. Registry state grows with seen docs, not pairs.
+  */
+object CurateStream {
+
+  def sink(docs: DataFrame, registryPath: String, outPath: String,
+      benchmark: Option[DataFrame] = None, minQuality: Double = 0.55,
+      contaminationN: Int = 4, maxDup3Frac: Double = 1.0,
+      numSigs: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val dedupMark = Dedup.trackMark(spark)
+        // every frame persisted in this batch body lands here and is
+        // released in the one finally — a failed batch must not leak
+        // InMemoryRelations under the at-least-once retry contract
+        val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        def keep(df: DataFrame): DataFrame = { persisted += df.persist(); df }
+        val b = keep(batch.toDF())
+        val fps = keep(b.select(col("doc_id"),
+          graft.functions.TextFunctions.fingerprint(col("text")).as("fp")))
+        try {
+          def completed(sub: String) =
+            StreamingPipelines.completedBatches(spark, s"$registryPath/$sub")
+              .filter(_ != batchId)
+
+          // 1. exact dups: fingerprint seen in the registry, or a
+          // non-first occurrence within this batch (min doc_id keeps)
+          val fpIds = completed("fps")
+          val dupCross =
+            if (fpIds.isEmpty) b.select(col("doc_id")).limit(0)
+            else fps.join(
+              spark.read.parquet(fpIds.map(id => s"$registryPath/fps/batch=$id"): _*)
+                .select(col("fp")).distinct(), "fp")
+              .select(col("doc_id"))
+          val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+          val dupIn = fps.withColumn("__rn", row_number().over(wFp))
+            .filter(col("__rn") > 1).select(col("doc_id"))
+          val exactDropped = dupCross.union(dupIn).distinct()
+            .localCheckpoint(true)
+          val se = keep(b.join(exactDropped, Seq("doc_id"), "left_anti"))
+
+          // 2. near-dups among exact survivors: in-batch pairs + registry
+          // verify, the minhashDedupSink shape over one shingle scan
+          val sh = keep(Dedup.shingleSets(se))
+          val bands = keep(Dedup.bandsFromShingles(sh, numSigs, rowsPerBand))
+          locally {
+            val inBatch = Dedup.minhashPairsFromTables(sh, bands, threshold, maxBucket)
+              .select(col("doc_b").as("doc_id")).distinct()
+            val hashIds = completed("hashes").toSet
+            val ids = completed("bands").filter(hashIds)
+            val crossLosers =
+              if (ids.isEmpty) b.select(col("doc_id")).limit(0)
+              else {
+                val regBands = spark.read
+                  .parquet(ids.map(id => s"$registryPath/bands/batch=$id"): _*)
+                  .select(col("doc_id").as("doc_a"), col("b"), col("band_key")).persist()
+                try {
+                  val hotKeys = regBands.groupBy(col("b"), col("band_key"))
+                    .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucket)
+                    .select(col("b"), col("band_key"))
+                  val cand = bands.join(regBands, Seq("b", "band_key"))
+                    .join(hotKeys, Seq("b", "band_key"), "left_anti")
+                    .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
+                  val regHashes = spark.read
+                    .parquet(ids.map(id => s"$registryPath/hashes/batch=$id"): _*)
+                    .select(col("doc_id").as("doc_a"), col("hashes").as("h_a"))
+                  Dedup.jaccardVerify(cand, regHashes,
+                      sh.select(col("doc_id").as("doc_b"), col("hashes").as("h_b")),
+                      threshold)
+                    .select(col("doc_b").as("doc_id")).distinct()
+                    .localCheckpoint(true)
+                } finally { regBands.unpersist(blocking = false); () }
+              }
+            val nearDropped = inBatch.union(crossLosers).distinct()
+
+            // 3. per-doc gates (batching-independent), Curate's precedence
+            val quality = TextAnalysis.qualityScore(b)
+              .select(col("doc_id"), col("quality"), col("n_tokens"))
+            val lang = TextAnalysis.langId(b).select(col("doc_id"), col("pred_lang"))
+            val contam = benchmark.map(bench =>
+              TextAnalysis.contaminationTable(b, bench, contaminationN)
+                .select(col("doc_id")).withColumn("__contam", lit(1)))
+            val rep =
+              if (maxDup3Frac < 1.0)
+                Some(TextAnalysis.repetitionScore(b)
+                  .select(col("doc_id"), col("dup_3gram_frac")))
+              else None
+            val joined = b.select(col("doc_id"), col("text"))
+              .join(exactDropped.withColumn("__ex", lit(1)), Seq("doc_id"), "left")
+              .join(nearDropped.withColumn("__near", lit(1)), Seq("doc_id"), "left")
+              .join(quality, Seq("doc_id"), "left")
+              .join(lang, Seq("doc_id"), "left")
+            val withGates = Seq(
+              contam.map(c => (df: DataFrame) => df.join(c, Seq("doc_id"), "left")),
+              rep.map(r => (df: DataFrame) => df.join(r, Seq("doc_id"), "left"))
+            ).flatten.foldLeft(joined)((df, f) => f(df))
+            val contamGate =
+              if (contam.isDefined) col("__contam").isNotNull else lit(false)
+            val repGate =
+              if (rep.isDefined) coalesce(col("dup_3gram_frac"), lit(0.0)) > maxDup3Frac
+              else lit(false)
+            val labeled = withGates
+              .withColumn("quality", coalesce(col("quality"), lit(0.0)))
+              .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+              .withColumn("drop_reason",
+                when(col("__ex").isNotNull, lit("exact_dup"))
+                  .when(col("__near").isNotNull, lit("near_dup"))
+                  .when(contamGate, lit("contaminated"))
+                  .when(repGate, lit("repetitive"))
+                  .when(col("quality") < minQuality, lit("low_quality"))
+                  .when(col("pred_lang") === "und", lit("unknown_lang"))
+                  .otherwise(lit("kept")))
+              .select(col("doc_id"), col("text"), col("pred_lang"),
+                col("quality"), col("n_tokens"), col("drop_reason"))
+
+            labeled.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+            fps.write.mode("overwrite").parquet(s"$registryPath/fps/batch=$batchId")
+            bands.write.mode("overwrite").parquet(s"$registryPath/bands/batch=$batchId")
+            sh.select(col("doc_id"), col("hashes"))
+              .write.mode("overwrite").parquet(s"$registryPath/hashes/batch=$batchId")
+          }
+        } finally {
+          persisted.foreach(_.unpersist(blocking = false))
+          Dedup.releaseSince(spark, dedupMark)
+          ()
+        }
+      }
+
+  /** Everything the sink has kept so far (the curated corpus view). */
+  def keptView(spark: org.apache.spark.sql.SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(outPath).filter(col("drop_reason") === "kept")
+      .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"), col("n_tokens"))
+}

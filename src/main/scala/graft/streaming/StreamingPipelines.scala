@@ -123,7 +123,7 @@ object StreamingPipelines {
   /** batch=<id> subdirs of `path` whose parquet commit FINISHED (the
     * _SUCCESS marker exists), ascending. A crashed write's partial dir
     * must never be served as a complete registry slice or snapshot. */
-  private def completedBatches(spark: SparkSession, path: String): Seq[Long] = {
+  private[streaming] def completedBatches(spark: SparkSession, path: String): Seq[Long] = {
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) Seq.empty

@@ -330,6 +330,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("CurateStream sink == batch Curate accounting over the corpus-so-far") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_curatestream_reg"
+    val outPath = "/tmp/graft_test_curatestream_out"
+    for (p <- Seq(regPath, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    val docRows = docs.orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurateStream.sink(
+        stream.toDF().toDF("doc_id", "text"), regPath, outPath,
+        benchmark = Some(bench), maxDup3Frac = 0.02)
+      .start()
+    val batches = docRows.grouped(math.max(1, docRows.size / 3)).toSeq
+    batches.foreach { h => stream.addData(h); q.processAllAvailable() }
+    q.stop()
+    // streaming accounting = union of per-batch labels
+    val labeled = spark.read.parquet(outPath)
+    val gotCounts = labeled.groupBy("drop_reason").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotKept = labeled.filter(col("drop_reason") === "kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotTokens = labeled.filter(col("drop_reason") === "kept")
+      .agg(sum("n_tokens")).first().getLong(0)
+    // batch twin: the full Curate pipeline with the same gates
+    val (curated, st) = graft.pipeline.Curate.runDocs(spark, docs,
+      benchmark = Some(bench), maxDup3Frac = 0.02)
+    val wantKept = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(st.exactDups > 0 || st.nearDups > 0, "no dups — dedup path vacuous")
+    assert(st.contaminated > 0 && st.repetitive >= 0)
+    assert(gotCounts.getOrElse("exact_dup", 0L) === st.exactDups)
+    assert(gotCounts.getOrElse("near_dup", 0L) === st.nearDups)
+    assert(gotCounts.getOrElse("contaminated", 0L) === st.contaminated)
+    assert(gotCounts.getOrElse("repetitive", 0L) === st.repetitive)
+    assert(gotCounts.getOrElse("low_quality", 0L) === st.lowQuality)
+    assert(gotCounts.getOrElse("unknown_lang", 0L) === st.unknownLang)
+    assert(gotCounts.getOrElse("kept", 0L) === st.kept)
+    assert(gotKept === wantKept)
+    assert(gotTokens === st.keptTokens)
+  }
+
   test("incremental minhash-LSH sink == batch drop-doc_b formulation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
