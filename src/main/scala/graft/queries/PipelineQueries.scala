@@ -985,6 +985,35 @@ object PipelineQueries {
              CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
       FROM packed GROUP BY shard"""))))
 
+  /** Curate → shuffle composition: the default curation pipeline's KEPT
+    * set fed into the deterministic training-order permutation
+    * (Sampling.shuffleRank). The oracle recomposes curation's full CTE
+    * chain and then the global hash-sort rank over the kept docs — so the
+    * hash match proves BOTH the composition hand-off and that the
+    * two-pass distributed prefix rank equals a global sort even over a
+    * filtered, non-contiguous id set. */
+  val tCurateShuffled: Q = Q(
+    "t_curate_shuffled",
+    run = (s, dir) => {
+      val (curated, _) = graft.pipeline.Curate.run(s, dir)
+      val ranked = Sampling.shuffleRank(curated.select(col("doc_id")), col("doc_id"))
+        .select(col("doc_id"), col("shuffle_pos"))
+        .localCheckpoint(true) // materialize before the caches release
+      graft.pipeline.Curate.releaseCaches(s)
+      ranked
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
+      finalSelect = Some("""
+      , keptd AS (
+        SELECT doc_id FROM scored
+        WHERE quality >= 0.55 AND pred_lang <> 'und')
+      SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY
+          CAST(('0x' || substr(md5(coalesce('v:' || CAST(doc_id AS VARCHAR), 'null:')), 1, 8))
+            AS BIGINT) ASC, doc_id ASC) - 1 AS shuffle_pos
+      FROM keptd"""))))
+
   /** Gopher-style repetition filters: duplicate 2/3-gram fractions plus
     * most-frequent-token fraction, all unrounded IEEE ratios (rounding-tie
     * invariant). The oracle recomputes the max token count naively
@@ -1207,6 +1236,7 @@ object PipelineQueries {
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
     tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateStatsFull, tCuratePacked,
+    tCurateShuffled,
     tRepetitionScore, tDecontaminate, tDecontaminateBloom, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
     tCapPerSource, tShuffleRank, tChunkDocs)
