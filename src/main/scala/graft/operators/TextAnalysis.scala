@@ -295,6 +295,29 @@ object TextAnalysis {
     .filter(size(col("toks")) >= n)
     .select(col("doc_id"), array_distinct(wordShingles(col("toks"), n)).as("g"))
 
+  /** Corpus vocabulary (tokenizer-training prep): the top-k terms by
+    * total occurrence count, with document frequency and a dense rank —
+    * what a BPE/WordPiece trainer consumes as its seed frequency table.
+    *
+    * Scale: ONE scan — the (doc, term) tf table feeds both aggregates
+    * (occurrences = sum of tfs, doc_freq = tf-row count per term), then
+    * `orderBy().limit(k)` plans as TakeOrderedAndProject (per-partition
+    * top-k heaps, k-row driver merge — no global sort); the rank window
+    * runs over the k surviving rows only. Ties break by term ascending,
+    * so the cut at k is a deterministic total order (oracle-checkable). */
+  def vocabulary(docs: DataFrame, k: Int = 1000): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(coalesce(col("text"), lit("")))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("term").asc)
+    tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("n_occurrences"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("n_occurrences").desc, col("term").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Fixed-size token-window chunking with overlap — the context-window
     * splitter every RAG / long-document training pipeline runs: chunk i
     * covers tokens [i·step, i·step + chunkTokens) with

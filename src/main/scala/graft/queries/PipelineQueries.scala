@@ -1226,6 +1226,25 @@ object PipelineQueries {
         CAST(least(32, len(toks) - chunk_id*24) AS BIGINT) AS n_tokens
       FROM c"""))
 
+  /** Top-20 corpus vocabulary with occurrence counts, doc frequencies,
+    * and a deterministic rank (ties by term ascending — the cut at k is a
+    * total order, so the oracle reproduces the exact table; k=20 < the
+    * corpus' 31 distinct terms, so the cut and its tie-break are
+    * exercised, not just the counts). */
+  val tVocabulary: Q = Q(
+    "t_vocabulary",
+    run = (s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir), k = 20),
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      t AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      v AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n_occurrences,
+              COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+      r AS (SELECT term, n_occurrences, doc_freq,
+              ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term ASC) AS rank
+            FROM v)
+      SELECT term, n_occurrences, doc_freq, rank FROM r WHERE rank <= 20"""))
+
   val all: Seq[Q] = Seq(
     tDedupExact, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,
@@ -1239,5 +1258,5 @@ object PipelineQueries {
     tCurateShuffled,
     tRepetitionScore, tDecontaminate, tDecontaminateBloom, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
-    tCapPerSource, tShuffleRank, tChunkDocs)
+    tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary)
 }
