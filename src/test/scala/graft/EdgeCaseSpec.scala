@@ -94,6 +94,14 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(S.shuffleRank(emptyDocs, col("doc_id")).count() === 0)
     assert(S.packSequencesScalable(emptyDocs, budget = 16).count() === 0)
     assert(TextAnalysis.chunkDocs(emptyDocs).count() === 0)
+    assert(TextAnalysis.vocabulary(emptyDocs).count() === 0)
+    // vocabulary ranks deterministically on a tiny frame incl. ties
+    import spark.implicits._
+    val tiny = Seq((1L, "b b a a"), (2L, "a c")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(tiny, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a: 3 occurrences in 2 docs; b: 2 in 1 (c cut at k=2)
+    assert(vocab.toSeq === Seq(("a", 3L, 2L, 1L), ("b", 2L, 1L, 2L)))
     // degenerate docs: chunking drops only the zero-token rows
     val chunks = TextAnalysis.chunkDocs(weirdDocs, chunkTokens = 2, overlap = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
