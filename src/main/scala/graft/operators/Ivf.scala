@@ -47,13 +47,19 @@ object Ivf {
 
   /** Assign each vector to its nearest centroid by cosine — one map-side
     * projection over the embedded centroid set, no exchange (ties →
-    * smallest cid, identical to the former window form). */
+    * smallest cid, identical to the former window form — including its
+    * NaN-wins descending-sort rule). An empty centroid set (empty corpus:
+    * the means of nothing) yields an empty assignment, like the join form
+    * it replaced. */
   private def assign(v: DataFrame, centroids: DataFrame): DataFrame = {
     val (ids, cents) = collectCentroids(centroids)
     val cidType = centroids.schema("cid").dataType
-    v.withColumn("__nc", nearestCentroid(col("e"), ids, cents))
-      .select(col("vec_id"), col("e"),
-        col("__nc").getField("cid").cast(cidType).as("cid"))
+    if (ids.isEmpty)
+      v.limit(0).select(col("vec_id"), col("e"), lit(null).cast(cidType).as("cid"))
+    else
+      v.withColumn("__nc", nearestCentroid(col("e"), ids, cents))
+        .select(col("vec_id"), col("e"),
+          col("__nc").getField("cid").cast(cidType).as("cid"))
   }
 
   private def lloyd(v: DataFrame, init: DataFrame, iters: Int): DataFrame = {
@@ -106,14 +112,27 @@ object Ivf {
     var r = 0
     while (r < rounds) {
       // nearest-candidate distance is the same map-side argmax (min d =
-      // max sim; d = 1 - sim is monotone) — the former window form
-      // exchanged N×|cand| rows per round here too
+      // max sim; d = 1 - sim is monotone on non-NaN sims) — the former
+      // window form exchanged N×|cand| rows per round here too.
+      // nanWins = false: the replaced window ordered d ASCENDING, where
+      // NaN sorts LAST — a NaN candidate must lose here (the opposite of
+      // assign's sim-descending rule), or one poisoned candidate turns
+      // every distance and the round's cost sum into NaN
       val (cids, ces) = collectCentroids(cand)
-      val dists = v.withColumn("__nc", nearestCentroid(col("e"), cids, ces))
-        .select(col("vec_id"), col("e"),
-          (lit(1.0) - col("__nc").getField("sim")).as("d")).persist()
+      // empty corpus -> empty candidate seed -> empty distance table (the
+      // assign guard's twin; the expression requires a non-empty set)
+      val dists = (if (cids.isEmpty)
+          v.limit(0).select(col("vec_id"), col("e"), lit(0.0).as("d"))
+        else
+          v.withColumn("__nc",
+              nearestCentroid(col("e"), cids, ces, nanWins = false))
+            .select(col("vec_id"), col("e"),
+              (lit(1.0) - col("__nc").getField("sim")).as("d"))).persist()
       persisted += dists
-      val cost = dists.agg(sum(col("d"))).first().getDouble(0)
+      // SUM over an empty corpus is NULL — treat as zero cost (skip
+      // selection) instead of an NPE
+      val costRow = dists.agg(sum(col("d"))).first()
+      val cost = if (costRow.isNullAt(0)) 0.0 else costRow.getDouble(0)
       if (cost > 0) {
         val sel = dists
           .filter(pmod(xxhash64(col("vec_id"), lit(r)), lit(1000000L)) / 1000000.0 <
@@ -132,6 +151,14 @@ object Ivf {
       .map(row => (row.getLong(0), row.getSeq[Double](1).toArray, row.getLong(2)))
       .sortBy(_._1)
     val n = pts.length
+    if (n == 0) {
+      // empty corpus: no candidates, no centroids — empty frame with the
+      // lloyd-init schema, like train() on an empty corpus
+      val spark0 = vectors.sparkSession
+      import spark0.implicits._
+      persisted.foreach(_.unpersist(blocking = false))
+      return Seq.empty[(Int, Seq[Double])].toDF("cid", "ce")
+    }
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
     chosen += pts.indices.maxBy(i => (pts(i)._3, -pts(i)._1))
     val dmin = Array.fill(n)(Double.MaxValue)

@@ -58,6 +58,7 @@ object Pq {
     val rows = codebook
       .select(col("b").cast("int"), col("cid").cast("long"), col("ce")).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toVector))
+    if (rows.isEmpty) return (Vector.empty, Vector.empty) // empty corpus
     val byBlock = rows.groupBy(_._1)
     val m = byBlock.keys.max + 1
     require(byBlock.keySet == (0 until m).toSet,
@@ -74,11 +75,15 @@ object Pq {
   private def assign(blk: DataFrame, codebook: DataFrame): DataFrame = {
     val (ids, cents) = collectCodebook(codebook)
     val cidType = codebook.schema("cid").dataType
-    blk.withColumn("__nc",
-        graft.plans.VectorExpressions.nearestSubCentroid(col("sub"), col("b"), ids, cents))
-      .select(col("vec_id"), col("b"), col("sub"),
-        col("__nc").getField("cid").cast(cidType).as("cid"),
-        col("__nc").getField("dot").as("dot"))
+    if (ids.isEmpty) // empty corpus -> empty codebook -> empty assignment
+      blk.limit(0).select(col("vec_id"), col("b"), col("sub"),
+        lit(null).cast(cidType).as("cid"), lit(null).cast("double").as("dot"))
+    else
+      blk.withColumn("__nc",
+          graft.plans.VectorExpressions.nearestSubCentroid(col("sub"), col("b"), ids, cents))
+        .select(col("vec_id"), col("b"), col("sub"),
+          col("__nc").getField("cid").cast(cidType).as("cid"),
+          col("__nc").getField("dot").as("dot"))
   }
 
   /** Column-wise mean per (block, code) — the Lloyd update. */

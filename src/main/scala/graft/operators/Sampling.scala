@@ -208,29 +208,36 @@ object Sampling {
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val n = size(graft.functions.TextFunctions.tokens(coalesce(col("text"), lit("")))).cast("long")
+    // __sk: null-safe surrogate for the shard key. A NULL doc_id hashes to
+    // a NULL shard; the window form groups those rows in their own NULL
+    // partition, but a grouping/join key of NULL would (a) NPE the driver
+    // collect and (b) silently DROP the rows at the offsets equi-join
+    // (null-unsafe). -1 is outside pmod's [0, shards) range, so it cannot
+    // collide with a real shard.
     val arranged = docs
       .select(col("doc_id"), n.as("n_tokens"),
         pmod(hash32(col("doc_id").cast("string")), lit(shards.toLong)).as("shard"))
-      .repartitionByRange(parts, col("shard"), col("doc_id"))
+      .withColumn("__sk", coalesce(col("shard"), lit(-1L)))
+      .repartitionByRange(parts, col("__sk"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
-    val sums = arranged.groupBy(col("pid"), col("shard"))
+    val sums = arranged.groupBy(col("pid"), col("__sk"))
       .agg(sum(col("n_tokens")).as("t")).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     // per shard: pid-ascending exclusive prefix sums (offset of each slice)
-    val offsets = sums.groupBy(_._2).toSeq.flatMap { case (shard, slices) =>
+    val offsets = sums.groupBy(_._2).toSeq.flatMap { case (sk, slices) =>
       val byPid = slices.sortBy(_._1)
       byPid.map(_._1).zip(byPid.scanLeft(0L)(_ + _._3))
-        .map { case (pid, off) => (pid, shard, off) }
+        .map { case (pid, off) => (pid, sk, off) }
     }
     import spark.implicits._
-    val offFrame = offsets.toSeq.toDF("pid", "shard", "off")
+    val offFrame = offsets.toSeq.toDF("pid", "__sk", "off")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("pid"), col("shard")).orderBy(col("doc_id"))
+      .partitionBy(col("pid"), col("__sk")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     arranged
-      .join(broadcast(offFrame), Seq("pid", "shard"))
+      .join(broadcast(offFrame), Seq("pid", "__sk"))
       .withColumn("pack_id",
         floor((col("off") + sum(col("n_tokens")).over(w) - col("n_tokens")).cast("double")
           / budget).cast("long"))

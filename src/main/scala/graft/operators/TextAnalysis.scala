@@ -324,10 +324,15 @@ object TextAnalysis {
     * step = chunkTokens − overlap, so consecutive chunks share `overlap`
     * tokens and every token lands in ≥ 1 chunk. Output one row per
     * (doc_id, chunk_id) with the rebuilt chunk text and its token count
-    * (the tail chunk may be shorter). Zero-token docs produce no chunks
-    * (the shingle <k rule; also the `sequence(0, n-1)` n=0 descending
-    * trap — see ROUND_NOTES). Deterministic and map-side: tokenize +
-    * bounded explode, no shuffle — scan speed at any corpus size. */
+    * (the tail chunk may be shorter). Chunking STOPS once a chunk reaches
+    * the document end — the last chunk id is ceil((n − chunkTokens)/step)
+    * (0 for docs that fit one chunk), NOT floor((n−1)/step): the latter
+    * emits a final chunk strictly contained in its predecessor whenever
+    * the predecessor already covers the tail (duplicated training rows).
+    * Zero-token docs produce no chunks (the shingle <k rule; also the
+    * `sequence(0, n-1)` n=0 descending trap — see ROUND_NOTES).
+    * Deterministic and map-side: tokenize + bounded explode, no shuffle —
+    * scan speed at any corpus size. */
   def chunkDocs(docs: DataFrame, chunkTokens: Int = 32, overlap: Int = 8): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     require(overlap >= 0 && overlap < chunkTokens,
@@ -338,7 +343,9 @@ object TextAnalysis {
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0),
-          floor((size(col("toks")) - 1) / step).cast("int"))).as("chunk_id"))
+          greatest(lit(0),
+            ceil((size(col("toks")) - chunkTokens).cast("double") / step)
+              .cast("int")))).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         slice(col("toks"), col("chunk_id") * step + 1, lit(chunkTokens)).as("ctoks"))
       .select(col("doc_id"), col("chunk_id"),

@@ -110,7 +110,8 @@ object GraftFunctions {
         exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nearest_centroid", exprs => NearestCentroid(exprs.head,
-        litLongs(exprs(1)), litDoubles2(exprs(2))), "scala_udf")
+        litLongs(exprs(1)), litDoubles2(exprs(2)),
+        exprs(3).eval().asInstanceOf[Boolean]), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nearest_sub_centroid", exprs => NearestSubCentroid(exprs(0), exprs(1),
         litLongs2(exprs(2)), litDoubles3(exprs(3))), "scala_udf")

@@ -177,14 +177,22 @@ object HyperplaneSketch {
   * argmin belongs in ONE projection. Per-pair cosine accumulates dot/norms
   * in ascending index order, exactly like CosineSimilarity (zero-vector →
   * 0.0), so the selected centroid is bit-identical to the window form's
-  * `orderBy(sim desc, cid asc)` winner; a NaN sim (NaN input component)
-  * wins like Spark's descending sort treats NaN as greatest.
+  * `orderBy(sim desc, cid asc)` winner.
+  *
+  * `nanWins` pins the NaN rule to the window form being replaced — the two
+  * k-means passes DISAGREE: the assign window (`sim DESC`) puts NaN first
+  * (Spark sorts NaN greatest), so a NaN sim wins; the k-means|| distance
+  * window (`d ASC`, d = 1 − sim) puts NaN last, so a NaN candidate LOSES.
+  * A single hard-coded rule silently inverted one of them (a NaN
+  * candidate would poison every distance to NaN and collapse the
+  * oversampling cost loop).
   *
   * `cids`/`cents` are Seq (not Array) so case-class equality — and with it
   * expression canonicalization/subexpression elimination — stays
   * structural.
   */
-case class NearestCentroid(child: Expression, cids: Seq[Long], cents: Seq[Seq[Double]])
+case class NearestCentroid(child: Expression, cids: Seq[Long], cents: Seq[Seq[Double]],
+    nanWins: Boolean = true)
     extends UnaryExpression {
 
   require(cids.nonEmpty && cids.length == cents.length,
@@ -222,7 +230,10 @@ case class NearestCentroid(child: Expression, cids: Seq[Long], cents: Seq[Seq[Do
         j += 1
       }
       val sim = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
-      if (c == 0 || (sim.isNaN && !best.isNaN) || sim > best) { best = sim; bestCid = ids(c) }
+      val better =
+        if (nanWins) (sim.isNaN && !best.isNaN) || sim > best
+        else (!sim.isNaN && best.isNaN) || sim > best
+      if (c == 0 || better) { best = sim; bestCid = ids(c) }
       c += 1
     }
     new GenericInternalRow(Array[Any](bestCid, best))
@@ -244,6 +255,7 @@ case class NearestCentroid(child: Expression, cids: Seq[Long], cents: Seq[Seq[Do
       val sim = ctx.freshName("sim")
       val best = ctx.freshName("best")
       val bestCid = ctx.freshName("bestCid")
+      val better = ctx.freshName("better")
       s"""
         long $bestCid = 0L; double $best = 0.0;
         for (int $c = 0; $c < $matrixRef.length; $c++) {
@@ -256,7 +268,10 @@ case class NearestCentroid(child: Expression, cids: Seq[Long], cents: Seq[Seq[Do
           }
           double $sim = ($nx == 0.0 || $ny == 0.0) ? 0.0
             : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
-          if ($c == 0 || (Double.isNaN($sim) && !Double.isNaN($best)) || $sim > $best) {
+          boolean $better = $nanWins
+            ? ((Double.isNaN($sim) && !Double.isNaN($best)) || $sim > $best)
+            : ((!Double.isNaN($sim) && Double.isNaN($best)) || $sim > $best);
+          if ($c == 0 || $better) {
             $best = $sim; $bestCid = $idsRef[$c];
           }
         }
@@ -377,9 +392,12 @@ object VectorExpressions {
   /** Column handle for the map-side nearest-centroid argmax: the centroid
     * set rides into the plan as foldable literals (driver-tiny — k×dim
     * doubles), so the assign stage of k-means is ONE projection, zero
-    * exchanges. Output is struct(cid BIGINT, sim DOUBLE). */
-  def nearestCentroid(v: Column, cids: Seq[Long], cents: Seq[Seq[Double]]): Column =
-    call_function("nearest_centroid", v, typedLit(cids), typedLit(cents))
+    * exchanges. Output is struct(cid BIGINT, sim DOUBLE); `nanWins`
+    * selects the NaN tie rule of the window form being replaced (see the
+    * expression scaladoc). */
+  def nearestCentroid(v: Column, cids: Seq[Long], cents: Seq[Seq[Double]],
+      nanWins: Boolean = true): Column =
+    call_function("nearest_centroid", v, typedLit(cids), typedLit(cents), lit(nanWins))
 
   /** Column handle for the per-block PQ sub-centroid argmax (codebook
     * indexed [block][code]); output struct(cid BIGINT, dot DOUBLE). */

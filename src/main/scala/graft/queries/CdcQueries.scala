@@ -98,7 +98,7 @@ object CdcQueries {
           ($"o_totalprice" * 2).cast(dec).cast("double").as("total"), lit(2L).as("version"))
       graft.sinks.BucketedUpsert.upsert(v1, path, "o_orderkey", "version", nBuckets = 16)
       graft.sinks.BucketedUpsert.upsert(v2, path, "o_orderkey", "version", nBuckets = 16)
-      graft.sinks.BucketedUpsert.read(s, path, "o_orderkey")
+      graft.sinks.BucketedUpsert.read(s, path)
     },
     oracle = Some("""
       SELECT o_orderkey,

@@ -1219,7 +1219,8 @@ object PipelineQueries {
       WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
       t AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
       c AS (SELECT doc_id, toks,
-          unnest(range(0, ((len(toks) - 1) // 24) + 1)) AS chunk_id
+          unnest(range(0, greatest(0,
+            CAST(ceil((len(toks) - 32)::DOUBLE / 24) AS BIGINT)) + 1)) AS chunk_id
         FROM t)
       SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
         array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ') AS text,

@@ -42,9 +42,34 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 object BucketedUpsert {
 
   private val BucketCol = "bucket"
+  private val LayoutMarker = "_graft_buckets"
 
   private def withBucket(df: DataFrame, pk: String, nBuckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(xxhash64(col(pk).cast("string")), lit(nBuckets.toLong)))
+
+  /** nBuckets is a TABLE LAYOUT property, not a per-call knob: a later
+    * upsert hashing with a different modulus would look for keys in the
+    * wrong bucket directories and silently duplicate (or fail to update)
+    * rows. The first write pins the layout in a sidecar marker; every
+    * subsequent upsert validates against it and fails loudly on mismatch. */
+  private def pinLayout(spark: SparkSession, path: String, nBuckets: Int,
+      tableExists: Boolean): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(path + "." + LayoutMarker)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val pinned = try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+      require(pinned == nBuckets,
+        s"bucketed table at $path is laid out with nBuckets=$pinned; " +
+          s"upsert called with nBuckets=$nBuckets would corrupt the keyed merge")
+    } else {
+      require(!tableExists,
+        s"bucketed table at $path exists without a $LayoutMarker layout marker — " +
+          "refusing to guess its bucket count")
+      val out = fs.create(marker, true)
+      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   /** Upsert `batch` into the bucketed table at `path` (created on first
     * use). Latest row per `pk` wins, ordered by `version` descending with
@@ -64,6 +89,7 @@ object BucketedUpsert {
         val p = new org.apache.hadoop.fs.Path(path)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
       }
+      pinLayout(spark, path, nBuckets, exists)
       val existing =
         if (!exists) b.limit(0)
         else spark.read.parquet(path)
@@ -92,7 +118,7 @@ object BucketedUpsert {
 
   /** The table's current rows (bucket column dropped — it is layout, not
     * data; pk hashing reconstructs it deterministically). */
-  def read(spark: SparkSession, path: String, pk: String = "event_id"): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       throw new IllegalArgumentException(s"no bucketed table at $path")

@@ -25,7 +25,7 @@ class BucketedUpsertSpec extends AnyFunSuite {
     val w2 = (1L to 100L).filter(_ % 4 == 0).map(k => (k, s"b$k", 2L)).toDF("k", "v", "version")
     BucketedUpsert.upsert(w1, path, "k", "version", nBuckets = 8)
     BucketedUpsert.upsert(w2, path, "k", "version", nBuckets = 8)
-    def state() = BucketedUpsert.read(spark, path, "k")
+    def state() = BucketedUpsert.read(spark, path)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     val got = state()
     val want = (1L to 100L).map(k =>
@@ -54,9 +54,27 @@ class BucketedUpsertSpec extends AnyFunSuite {
     val changed = after.keySet.filter(b => before.get(b) != after.get(b))
     assert(changed.size === 1, s"expected 1 rewritten bucket, got $changed")
     // and the data is correct
-    val got = BucketedUpsert.read(spark, path, "k")
+    val got = BucketedUpsert.read(spark, path)
       .filter($"k" === 7L).collect().map(r => (r.getString(1), r.getLong(2))).toSeq
     assert(got === Seq(("B7", 2L)))
+  }
+
+  test("layout is pinned: an upsert with a different nBuckets is rejected") {
+    import spark.implicits._
+    val path = freshPath("layout")
+    val w1 = (1L to 20L).map(k => (k, s"a$k", 1L)).toDF("k", "v", "version")
+    BucketedUpsert.upsert(w1, path, "k", "version", nBuckets = 8)
+    // the default (64) differs from the pinned layout — must fail loudly
+    // instead of silently duplicating keys across incompatible bucket dirs
+    val e = intercept[IllegalArgumentException] {
+      BucketedUpsert.upsert(w1, path, "k", "version")
+    }
+    assert(e.getMessage.contains("nBuckets=8"), e.getMessage)
+    // the matching layout still works after the rejected attempt
+    BucketedUpsert.upsert(Seq((1L, "b1", 2L)).toDF("k", "v", "version"),
+      path, "k", "version", nBuckets = 8)
+    assert(BucketedUpsert.read(spark, path).filter($"k" === 1L)
+      .collect().map(_.getString(1)).toSeq === Seq("b1"))
   }
 
   test("streaming sink: micro-batched upserts == one batch upsert") {
@@ -75,7 +93,7 @@ class BucketedUpsertSpec extends AnyFunSuite {
     stream.addData(h2); q.processAllAvailable()
     q.stop()
     BucketedUpsert.upsert(rows.toDF("k", "v", "version"), batchPath, "k", "version", nBuckets = 4)
-    def rd(p: String) = BucketedUpsert.read(spark, p, "k")
+    def rd(p: String) = BucketedUpsert.read(spark, p)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(rd(streamPath) === rd(batchPath))
   }

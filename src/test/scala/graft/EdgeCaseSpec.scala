@@ -117,6 +117,21 @@ class EdgeCaseSpec extends AnyFunSuite {
     val one = Seq((7L, "x")).toDF("doc_id", "text")
     assert(S.shuffleRank(one, col("doc_id")).select("shuffle_pos")
       .first().getLong(0) === 0L)
+    // NULL doc_id: scalable packing must retain the row (its own NULL
+    // shard group), matching the window form — not NPE or drop it
+    val withNull = Seq((Some(1L), "a b c"), (None, "x y"), (Some(2L), "d e"))
+      .toDF("doc_id", "text")
+    assert(S.packSequencesScalable(withNull, budget = 4, shards = 2).count() === 3)
+    assert(S.packSequences(withNull, budget = 4, shards = 2).count() === 3)
+    // empty corpus: ANN training returns empty frames, not an error (the
+    // behavior of the pre-map-side join forms)
+    val emptyEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.Ivf.train(emptyEmb, 4).count() === 0)
+    assert(graft.operators.Ivf.index(emptyEmb, graft.operators.Ivf.train(emptyEmb, 4))
+      .count() === 0)
+    assert(graft.operators.Ivf.trainScalable(emptyEmb, 4).count() === 0)
+    assert(graft.operators.Pq.train(emptyEmb, dim = 8, m = 2, ksub = 2).count() === 0)
+    graft.operators.Dedup.releaseCaches(spark)
   }
 
   test("as-of join attaches a null right payload instead of a stale value") {

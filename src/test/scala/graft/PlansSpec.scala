@@ -160,6 +160,22 @@ class PlansSpec extends AnyFunSuite {
     assert(fused.nonEmpty && fused === viaWindow)
   }
 
+  test("nearest_centroid NaN rule follows the window form per pass (nanWins)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // centroid 0 is NaN-poisoned, centroid 1 is clean and similar to v
+    val v = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "e")
+    val cids = Seq(0L, 1L)
+    val cents = Seq(Seq(Double.NaN, 0.0), Seq(1.0, 0.1))
+    def pick(nanWins: Boolean) = v.select(
+      graft.plans.VectorExpressions.nearestCentroid(col("e"), cids, cents, nanWins).as("nc"))
+      .select(col("nc").getField("cid")).first().getLong(0)
+    // assign semantics (sim DESC window): NaN sorts greatest -> NaN wins
+    assert(pick(nanWins = true) === 0L)
+    // k-means|| distance semantics (d ASC window): NaN sorts last -> loses
+    assert(pick(nanWins = false) === 1L)
+  }
+
   test("nearest_centroid rejects non-double-array input at analysis time") {
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
