@@ -47,10 +47,19 @@ object Ivf {
 
   /** Assign each vector to its nearest centroid by cosine — one map-side
     * projection over the embedded centroid set, no exchange (ties →
-    * smallest cid, identical to the former window form — including its
-    * NaN-wins descending-sort rule). An empty centroid set (empty corpus:
-    * the means of nothing) yields an empty assignment, like the join form
-    * it replaced. */
+    * smallest cid, identical to the former window form for every NON-NULL
+    * vector — including its NaN-wins descending-sort rule). An empty
+    * centroid set (empty corpus: the means of nothing) yields an empty
+    * assignment, like the join form it replaced.
+    *
+    * NULL vectors are the ONE deliberate divergence from the replaced
+    * crossJoin+row_number form: nullSafeEval yields a NULL struct, so the
+    * row keeps cid NULL (and is skipped by centroid means / inverted
+    * lists), whereas the window form's `sim NULL, NULLS LAST desc`
+    * deterministically assigned the smallest cid. A NULL embedding has no
+    * position in the space — excluding it is the honest semantics; callers
+    * that need the old behavior must backfill cid themselves. Same rule in
+    * Pq.assign. */
   private def assign(v: DataFrame, centroids: DataFrame): DataFrame = {
     val (ids, cents) = collectCentroids(centroids)
     val cidType = centroids.schema("cid").dataType

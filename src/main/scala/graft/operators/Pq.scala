@@ -71,7 +71,10 @@ object Pq {
     * l2-normalized, so summed block dots == cosine) — one map-side
     * projection over the embedded per-block codebook, no exchange (the
     * former broadcast-join + `row_number over partitionBy(vec_id, b)`
-    * form shuffled all N×m×ksub scored rows per Lloyd round). */
+    * form shuffled all N×m×ksub scored rows per Lloyd round). NULL
+    * sub-vectors keep cid NULL (nullSafeEval) rather than the window
+    * form's smallest-cid fallback — the same deliberate NULL-embedding
+    * divergence Ivf.assign documents. */
   private def assign(blk: DataFrame, codebook: DataFrame): DataFrame = {
     val (ids, cents) = collectCodebook(codebook)
     val cidType = codebook.schema("cid").dataType

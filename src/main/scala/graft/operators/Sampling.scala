@@ -123,11 +123,15 @@ object Sampling {
   }
 
   /** Keep at most `maxRows` rows per stratum, selected DETERMINISTICALLY
-    * by hash-bucket order (key ascending as tie-break) — the per-source /
-    * per-domain quota every corpus-mixing recipe applies so one crawl
-    * domain cannot dominate the mix. Hash order (not doc order) makes the
-    * kept subset an unbiased sample of the stratum, and the same rows win
-    * on every engine and run.
+    * by full-32-bit-hash order (key ascending breaks only true hash
+    * collisions) — the per-source / per-domain quota every corpus-mixing
+    * recipe applies so one crawl domain cannot dominate the mix. Hash
+    * order (not doc order) makes the kept subset an unbiased sample of
+    * the stratum, and the same rows win on every engine and run. The full
+    * hash (not the mod-10000 bucket) matters for strata larger than
+    * ~10000·maxRows: a coarser order would select the boundary bucket's
+    * winners by raw key ascending — a doc-id-order bias. shuffleRank uses
+    * the same full-width order for the same reason.
     *
     * Scale: one shuffle keyed by stratum; the rank<=k filter plans as
     * WindowGroupLimit, so each map task pre-prunes to its local top-k
@@ -136,7 +140,7 @@ object Sampling {
   def capPerStratum(df: DataFrame, key: Column, stratum: Column, maxRows: Int): DataFrame = {
     require(maxRows > 0, s"maxRows must be positive, got $maxRows")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum).orderBy(bucket(keyStr(key)).asc, key.asc)
+      .partitionBy(stratum).orderBy(hash32(keyStr(key)).asc, key.asc)
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= maxRows).drop("__rk")
   }

@@ -1173,10 +1173,11 @@ object PipelineQueries {
       FROM t"""))
 
   /** Per-source quota (corpus mixing): at most 15 docs per `source`,
-    * selected deterministically by hash order — the oracle reproduces the
-    * exact winners, proving the quota is engine-stable (an RNG-sampled
-    * quota could not be oracle-checked). Cap 15 < the 25 docs/source of
-    * the smallest SFs, so the quota bites (drops rows) at every SF. */
+    * selected deterministically by full-32-bit-hash order — the oracle
+    * reproduces the exact winners, proving the quota is engine-stable (an
+    * RNG-sampled quota could not be oracle-checked). Cap 15 < the 25
+    * docs/source of the smallest SFs, so the quota bites (drops rows) at
+    * every SF. */
   val tCapPerSource: Q = Q(
     "t_cap_per_source",
     run = (s, dir) => Sampling.capPerStratum(
@@ -1187,7 +1188,7 @@ object PipelineQueries {
         SELECT doc_id, source,
           ROW_NUMBER() OVER (PARTITION BY source ORDER BY
             CAST(('0x' || substr(md5(coalesce('v:' || CAST(doc_id AS VARCHAR), 'null:')), 1, 8))
-              AS BIGINT) % 10000 ASC, doc_id ASC) AS rk
+              AS BIGINT) ASC, doc_id ASC) AS rk
         FROM documents)
       WHERE rk <= 15"""))
 

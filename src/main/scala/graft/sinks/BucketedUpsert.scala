@@ -44,8 +44,17 @@ object BucketedUpsert {
   private val BucketCol = "bucket"
   private val LayoutMarker = "_graft_buckets"
 
+  /** A NULL pk has no merge identity — xxhash64(NULL) would silently
+    * collapse every null-keyed row ever upserted into one surviving row
+    * (one bucket, one window group). Fail LOUDLY at execution instead;
+    * the check is part of the bucket projection, so it costs no extra
+    * pass over the batch. */
   private def withBucket(df: DataFrame, pk: String, nBuckets: Int): DataFrame =
-    df.withColumn(BucketCol, pmod(xxhash64(col(pk).cast("string")), lit(nBuckets.toLong)))
+    df.withColumn(BucketCol,
+      when(col(pk).isNull, raise_error(
+        lit(s"BucketedUpsert: NULL primary key '$pk' has no merge identity — " +
+          "filter null-keyed rows before upsert")))
+        .otherwise(pmod(xxhash64(col(pk).cast("string")), lit(nBuckets.toLong))))
 
   /** nBuckets is a TABLE LAYOUT property, not a per-call knob: a later
     * upsert hashing with a different modulus would look for keys in the
@@ -117,7 +126,15 @@ object BucketedUpsert {
   }
 
   /** The table's current rows (bucket column dropped — it is layout, not
-    * data; pk hashing reconstructs it deterministically). */
+    * data; pk hashing reconstructs it deterministically).
+    *
+    * Visibility contract: bucket directories are replaced by Spark's
+    * dynamic-overwrite commit (per-directory rename). A reader concurrent
+    * with an in-flight upsert may observe some buckets pre-merge and some
+    * post-merge; a crashed upsert leaves affected buckets pre-merge and
+    * the retry converges (the merge is a pure latest-wins function). Only
+    * a transaction log gives cross-bucket atomicity — with Delta on the
+    * cluster this read becomes a snapshot read of the MERGE target. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))

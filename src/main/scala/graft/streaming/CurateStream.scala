@@ -59,8 +59,15 @@ object CurateStream {
         val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         def keep(df: DataFrame): DataFrame = { persisted += df.persist(); df }
         val b = keep(batch.toDF())
+        // NULL-text sentinel: fingerprint(NULL) is NULL, and the registry
+        // equi-join below is null-UNSAFE — without the sentinel a null-text
+        // doc in a later batch never matches a null-fp doc in the registry,
+        // while batch exactGroups DOES group NULL fingerprints into one
+        // group (stream≡batch would break for null-text docs split across
+        // batches). "null:" cannot collide with a 32-hex md5.
         val fps = keep(b.select(col("doc_id"),
-          graft.functions.TextFunctions.fingerprint(col("text")).as("fp")))
+          coalesce(graft.functions.TextFunctions.fingerprint(col("text")),
+            lit("null:")).as("fp")))
         try {
           def completed(sub: String) =
             StreamingPipelines.completedBatches(spark, s"$registryPath/$sub")
@@ -169,8 +176,21 @@ object CurateStream {
         }
       }
 
-  /** Everything the sink has kept so far (the curated corpus view). */
-  def keptView(spark: org.apache.spark.sql.SparkSession, outPath: String): DataFrame =
-    spark.read.parquet(outPath).filter(col("drop_reason") === "kept")
-      .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"), col("n_tokens"))
+  /** Everything the sink has kept so far (the curated corpus view). Serves
+    * only batch dirs whose write COMMITTED (_SUCCESS) — the same gating the
+    * registry reads apply, so a reader concurrent with a crashed/in-flight
+    * batch write never sees a partial `batch=<id>` directory. */
+  def keptView(spark: org.apache.spark.sql.SparkSession, outPath: String): DataFrame = {
+    val ids = StreamingPipelines.completedBatches(spark, outPath)
+    if (ids.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("pred_lang", StringType), StructField("quality", DoubleType),
+          StructField("n_tokens", LongType))))
+    } else
+      spark.read.parquet(ids.map(id => s"$outPath/batch=$id"): _*)
+        .filter(col("drop_reason") === "kept")
+        .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"), col("n_tokens"))
+  }
 }

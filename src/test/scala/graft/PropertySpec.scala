@@ -155,13 +155,14 @@ class PropertySpec extends AnyFunSuite {
       val got = Sampling.capPerStratum(df, col("doc_id"), col("src"), 5)
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet
       val md = java.security.MessageDigest.getInstance("MD5")
-      def bucket(k: Long): Long = {
+      // full 32-bit hash order (not mod-10000) — the unbiased-past-10000·k rule
+      def h32(k: Long): Long = {
         val hex = md.digest(s"v:$k".getBytes("UTF-8"))
           .take(4).map(b => f"${b & 0xff}%02x").mkString
-        java.lang.Long.parseLong(hex, 16) % 10000L
+        java.lang.Long.parseLong(hex, 16)
       }
       val want = rows.groupBy(_._2).flatMap { case (_, members) =>
-        members.sortBy(m => (bucket(m._1), m._1)).take(5)
+        members.sortBy(m => (h32(m._1), m._1)).take(5)
       }.toSet
       assert(got === want, s"seed=$seed")
     }
