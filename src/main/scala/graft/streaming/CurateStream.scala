@@ -17,7 +17,8 @@ import graft.operators.{Dedup, TextAnalysis}
   * Cross-batch state is the same registry design as the other incremental
   * sinks (all under `registryPath`, every table in overwrite-idempotent
   * `batch=<id>` dirs, reads gated on _SUCCESS and excluding the current
-  * id):
+  * id, folded into bounded snapshots every `compactEvery` batches —
+  * Registry scaladoc has the protocol):
   *  - `fps/`     — EVERY seen document's normalized-text fingerprint
   *    (dropped docs too: the batch keeper of a fingerprint group is its
   *    FIRST occurrence, and later re-occurrences are exact dups even when
@@ -47,11 +48,21 @@ object CurateStream {
       benchmark: Option[DataFrame] = None, minQuality: Double = 0.55,
       contaminationN: Int = 4, maxDup3Frac: Double = 1.0,
       numSigs: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
-      maxBucket: Int = 1000): DataStreamWriter[Row] =
+      maxBucket: Int = 1000, compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // bound BOTH read surfaces before this batch's reads: the
+        // three-table registry folds jointly (a snapshot only holds ids
+        // committed in fps AND bands AND hashes), and the labeled output
+        // folds as its own single-table group so keptView/labeledView stay
+        // O(snapshot + compactEvery dirs) under continuous ingestion
+        Registry.maybeCompact(spark, registryPath,
+          Seq(s"$registryPath/fps", s"$registryPath/bands", s"$registryPath/hashes"),
+          upToExclusive = batchId, every = compactEvery)
+        Registry.maybeCompact(spark, outPath, Seq(outPath),
+          upToExclusive = batchId, every = compactEvery)
         val dedupMark = Dedup.trackMark(spark)
         // every frame persisted in this batch body lands here and is
         // released in the one finally — a failed batch must not leak
@@ -69,17 +80,13 @@ object CurateStream {
           coalesce(graft.functions.TextFunctions.fingerprint(col("text")),
             lit("null:")).as("fp")))
         try {
-          def completed(sub: String) =
-            StreamingPipelines.completedBatches(spark, s"$registryPath/$sub")
-              .filter(_ != batchId)
-
           // 1. exact dups: fingerprint seen in the registry, or a
           // non-first occurrence within this batch (min doc_id keeps)
-          val fpIds = completed("fps")
+          val vFps = Registry.view(spark, registryPath, s"$registryPath/fps", batchId)
           val dupCross =
-            if (fpIds.isEmpty) b.select(col("doc_id")).limit(0)
+            if (vFps.isEmpty) b.select(col("doc_id")).limit(0)
             else fps.join(
-              spark.read.parquet(fpIds.map(id => s"$registryPath/fps/batch=$id"): _*)
+              spark.read.parquet(vFps.paths: _*)
                 .select(col("fp")).distinct(), "fp")
               .select(col("doc_id"))
           val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
@@ -96,13 +103,17 @@ object CurateStream {
           locally {
             val inBatch = Dedup.minhashPairsFromTables(sh, bands, threshold, maxBucket)
               .select(col("doc_b").as("doc_id")).distinct()
-            val hashIds = completed("hashes").toSet
-            val ids = completed("bands").filter(hashIds)
+            val vBands = Registry.view(spark, registryPath, s"$registryPath/bands", batchId)
+            val vHashes = Registry.view(spark, registryPath, s"$registryPath/hashes", batchId)
+            // dirs above the watermark keep the both-tables-committed
+            // intersection; snapshots are jointly consistent by fold
+            val served = vBands.dirIds.intersect(vHashes.dirIds)
             val crossLosers =
-              if (ids.isEmpty) b.select(col("doc_id")).limit(0)
+              if (vBands.snapshotPath.isEmpty && served.isEmpty)
+                b.select(col("doc_id")).limit(0)
               else {
                 val regBands = spark.read
-                  .parquet(ids.map(id => s"$registryPath/bands/batch=$id"): _*)
+                  .parquet(vBands.pathsFor(served): _*)
                   .select(col("doc_id").as("doc_a"), col("b"), col("band_key")).persist()
                 try {
                   val hotKeys = regBands.groupBy(col("b"), col("band_key"))
@@ -112,7 +123,7 @@ object CurateStream {
                     .join(hotKeys, Seq("b", "band_key"), "left_anti")
                     .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
                   val regHashes = spark.read
-                    .parquet(ids.map(id => s"$registryPath/hashes/batch=$id"): _*)
+                    .parquet(vHashes.pathsFor(served): _*)
                     .select(col("doc_id").as("doc_a"), col("hashes").as("h_a"))
                   Dedup.jaccardVerify(cand, regHashes,
                       sh.select(col("doc_id").as("doc_b"), col("hashes").as("h_b")),
@@ -176,21 +187,29 @@ object CurateStream {
         }
       }
 
-  /** Everything the sink has kept so far (the curated corpus view). Serves
-    * only batch dirs whose write COMMITTED (_SUCCESS) — the same gating the
-    * registry reads apply, so a reader concurrent with a crashed/in-flight
-    * batch write never sees a partial `batch=<id>` directory. */
-  def keptView(spark: org.apache.spark.sql.SparkSession, outPath: String): DataFrame = {
-    val ids = StreamingPipelines.completedBatches(spark, outPath)
-    if (ids.isEmpty) {
+  /** Every label the sink has emitted so far — the streaming accounting
+    * surface (union of batch accountings). Serves the compacted snapshot
+    * plus only batch dirs whose write COMMITTED (_SUCCESS) — the same
+    * gating the registry reads apply, so a reader concurrent with a
+    * crashed/in-flight batch write never sees a partial `batch=<id>`
+    * directory. Read through this (not a whole-dir parquet read): once
+    * compaction has folded, `outPath` holds snapshot AND batch dirs. */
+  def labeledView(spark: org.apache.spark.sql.SparkSession, outPath: String): DataFrame = {
+    val v = Registry.view(spark, outPath, outPath)
+    if (v.isEmpty) {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
           StructField("pred_lang", StringType), StructField("quality", DoubleType),
-          StructField("n_tokens", LongType))))
+          StructField("n_tokens", LongType), StructField("drop_reason", StringType))))
     } else
-      spark.read.parquet(ids.map(id => s"$outPath/batch=$id"): _*)
-        .filter(col("drop_reason") === "kept")
-        .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"), col("n_tokens"))
+      spark.read.parquet(v.paths: _*)
+        .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"),
+          col("n_tokens"), col("drop_reason"))
   }
+
+  /** Everything the sink has kept so far (the curated corpus view). */
+  def keptView(spark: org.apache.spark.sql.SparkSession, outPath: String): DataFrame =
+    labeledView(spark, outPath).filter(col("drop_reason") === "kept")
+      .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"), col("n_tokens"))
 }

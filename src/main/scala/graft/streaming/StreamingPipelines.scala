@@ -143,10 +143,10 @@ object StreamingPipelines {
   private def registryPairs(fps: DataFrame, registryPath: String, batchId: Long,
       minShared: Int, maxBucket: Int): DataFrame = {
     val spark = fps.sparkSession
-    val ids = completedBatches(spark, registryPath).filter(_ != batchId)
-    if (ids.isEmpty) fps.select(col("doc_id").as("old_doc"), col("doc_id")).limit(0)
+    val v = Registry.view(spark, registryPath, registryPath, excludeId = batchId)
+    if (v.isEmpty) fps.select(col("doc_id").as("old_doc"), col("doc_id")).limit(0)
     else {
-      val reg = spark.read.parquet(ids.map(id => s"$registryPath/batch=$id"): _*)
+      val reg = spark.read.parquet(v.paths: _*)
         .select(col("doc_id").as("old_doc"), col("fp")).persist()
       val hotFps = reg.groupBy(col("fp"))
         .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucket)
@@ -166,11 +166,16 @@ object StreamingPipelines {
 
   def winnowDedupSink(docs: DataFrame, registryPath: String, outPath: String,
       k: Int = 3, w: Int = 4, minShared: Int = 2,
-      maxBucket: Int = 1000): DataStreamWriter[Row] =
+      maxBucket: Int = 1000, compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // bound the registry read-set BEFORE this batch's reads: fold
+        // batch dirs below this id into the snapshot every `compactEvery`
+        // batches (Registry scaladoc has the retry/grace contract)
+        Registry.maybeCompact(spark, registryPath, Seq(registryPath),
+          upToExclusive = batchId, every = compactEvery)
         val dedupMark = graft.operators.Dedup.trackMark(spark)
         val b = batch.toDF().persist()
         // materialize the fingerprint table BEFORE exploding — Generate
@@ -235,11 +240,17 @@ object StreamingPipelines {
     * documents' bands (numBands rows/doc), not with pairs. */
   def minhashDedupSink(docs: DataFrame, registryPath: String, outPath: String,
       numSigs: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
-      maxBucket: Int = 1000): DataStreamWriter[Row] =
+      maxBucket: Int = 1000, compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // fold old (bands, hashes) batch dirs into snapshots every
+        // `compactEvery` batches — one joint fold, so a snapshot only ever
+        // holds ids committed in BOTH tables (Registry scaladoc)
+        Registry.maybeCompact(spark, registryPath,
+          Seq(s"$registryPath/bands", s"$registryPath/hashes"),
+          upToExclusive = batchId, every = compactEvery)
         val dedupMark = graft.operators.Dedup.trackMark(spark)
         val b = batch.toDF().persist()
         // one shingle scan feeds in-batch pairs, cross-batch verify, AND
@@ -250,13 +261,16 @@ object StreamingPipelines {
           val inBatch = graft.operators.Dedup
             .minhashPairsFromTables(sh, bands, threshold, maxBucket)
             .select(col("doc_b").as("doc_id")).distinct()
-          val hashesIds = completedBatches(spark, s"$registryPath/hashes").toSet
-          val ids = completedBatches(spark, s"$registryPath/bands")
-            .filter(id => id != batchId && hashesIds(id))
-          val crossLosers = if (ids.isEmpty) b.select(col("doc_id")).limit(0)
+          val vb = Registry.view(spark, registryPath, s"$registryPath/bands", batchId)
+          val vh = Registry.view(spark, registryPath, s"$registryPath/hashes", batchId)
+          // dirs above the watermark still need the both-tables-committed
+          // intersection; the snapshots are jointly consistent by fold
+          val served = vb.dirIds.intersect(vh.dirIds)
+          val crossLosers = if (vb.snapshotPath.isEmpty && served.isEmpty)
+            b.select(col("doc_id")).limit(0)
           else {
             val regBands = spark.read
-              .parquet(ids.map(id => s"$registryPath/bands/batch=$id"): _*)
+              .parquet(vb.pathsFor(served): _*)
               .select(col("doc_id").as("doc_a"), col("b"), col("band_key")).persist()
             try {
               val hotKeys = regBands.groupBy(col("b"), col("band_key"))
@@ -266,7 +280,7 @@ object StreamingPipelines {
                 .join(hotKeys, Seq("b", "band_key"), "left_anti")
                 .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
               val regHashes = spark.read
-                .parquet(ids.map(id => s"$registryPath/hashes/batch=$id"): _*)
+                .parquet(vh.pathsFor(served): _*)
                 .select(col("doc_id").as("doc_a"), col("hashes").as("h_a"))
               val losers = graft.operators.Dedup.jaccardVerify(cand, regHashes,
                   sh.select(col("doc_id").as("doc_b"), col("hashes").as("h_b")), threshold)
@@ -308,15 +322,22 @@ object StreamingPipelines {
     *
     * At scale: the registry join shuffles on fp; each fold's CC runs over
     * one row per clustered doc + this batch's pairs, not the historical
-    * pair set. Snapshots accumulate one directory per batch — compact by
-    * deleting dirs older than the newest (each snapshot is complete). */
+    * pair set. Label snapshots are pruned to the newest two each batch
+    * (each is complete; two kept for reader grace), and the fingerprint
+    * registry folds via Registry.maybeCompact like winnowDedupSink's. */
   def winnowClusterSink(docs: DataFrame, registryPath: String, labelsPath: String,
       k: Int = 3, w: Int = 4, minShared: Int = 2,
-      maxBucket: Int = 1000): DataStreamWriter[Row] =
+      maxBucket: Int = 1000, compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // fingerprint registry compacts like winnowDedupSink's; the labels
+        // table is SELF-COMPLETE per batch, so its compaction is simply
+        // dropping superseded snapshots (newest 2 kept for reader grace)
+        Registry.maybeCompact(spark, registryPath, Seq(registryPath),
+          upToExclusive = batchId, every = compactEvery)
+        Registry.pruneKeepNewest(spark, labelsPath, keep = 2)
         val dedupMark = graft.operators.Dedup.trackMark(spark)
         val b = batch.toDF().persist()
         // materialize before exploding — see Dedup.winnowPairs; the same
@@ -377,10 +398,17 @@ object StreamingPipelines {
     * batch N disappears from batch-1 documents too, exactly like the
     * batch operator run over the full corpus (StreamingSpec proves
     * stream ≡ batch across 3 batches). */
-  def spanDedupSink(docs: DataFrame, spanPath: String, k: Int = 8): DataStreamWriter[Row] =
+  def spanDedupSink(docs: DataFrame, spanPath: String, k: Int = 8,
+      compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // joint fold of (spans, meta) — currentSpanDedup's read-set stays
+        // bounded at snapshot + ~compactEvery dirs per table
+        Registry.maybeCompact(spark, spanPath,
+          Seq(s"$spanPath/spans", s"$spanPath/meta"),
+          upToExclusive = batchId, every = compactEvery)
         val b = batch.toDF().persist()
         // materialize before exploding — Generate re-inlines the span
         // construction chain otherwise (see Dedup.winnowPairs)
@@ -406,17 +434,18 @@ object StreamingPipelines {
     * agg, and rebuilds with one doc-keyed shuffle — re-tokenization never
     * happens twice. */
   def currentSpanDedup(spark: SparkSession, spanPath: String, maxOcc: Int = 1): DataFrame = {
-    val metaIds = completedBatches(spark, s"$spanPath/meta").toSet
-    val ids = completedBatches(spark, s"$spanPath/spans").filter(metaIds)
-    if (ids.isEmpty) {
+    val vs = Registry.view(spark, spanPath, s"$spanPath/spans")
+    val vm = Registry.view(spark, spanPath, s"$spanPath/meta")
+    val served = vs.dirIds.intersect(vm.dirIds)
+    if (vs.snapshotPath.isEmpty && served.isEmpty) {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
           StructField("n_spans", LongType), StructField("n_kept", LongType))))
     } else {
-      val spans = spark.read.parquet(ids.map(id => s"$spanPath/spans/batch=$id"): _*)
+      val spans = spark.read.parquet(vs.pathsFor(served): _*)
         .select(col("doc_id"), col("pos"), col("span"))
-      val meta = spark.read.parquet(ids.map(id => s"$spanPath/meta/batch=$id"): _*)
+      val meta = spark.read.parquet(vm.pathsFor(served): _*)
         .select(col("doc_id"), col("n_spans"))
       graft.operators.Dedup.finishSpans(meta, spans, maxOcc)
     }

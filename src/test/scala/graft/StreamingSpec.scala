@@ -525,6 +525,101 @@ class StreamingSpec extends AnyFunSuite {
     graft.operators.Dedup.releaseCaches(spark)
   }
 
+  test("registry compaction: minhash sink == batch across fold boundaries, read set bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_minhash_compact_reg"
+    val outPath = "/tmp/graft_test_minhash_compact_out"
+    for (p <- Seq(regPath, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // variants carry the highest ids, so they arrive in the LAST batch —
+    // by then their originals are only reachable through the SNAPSHOT
+    // (the folds below have already folded the early batch dirs)
+    val variants = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val corpus = docs.unionByName(variants)
+    val docRows = corpus.orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingPipelines
+      .minhashDedupSink(stream.toDF().toDF("doc_id", "text"), regPath, outPath,
+        compactEvery = 2)
+      .start()
+    // six batches => folds fire mid-stream (at batches 2 and 4), so the
+    // final batches' registry matches cross a compaction boundary
+    val batches = docRows.grouped(math.max(1, docRows.size / 6 + 1)).toSeq
+    batches.foreach { h => stream.addData(h); q.processAllAvailable() }
+    q.stop()
+    val got = spark.read.parquet(outPath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val losers = graft.operators.Dedup.minhashLshPairs(corpus)
+      .select(col("doc_b")).distinct().collect().map(_.getLong(0)).toSet
+    graft.operators.Dedup.releaseCaches(spark)
+    val want = docRows.map(_._1).toSet -- losers
+    assert(losers.nonEmpty && losers.exists(_ >= 100000L),
+      "no cross-batch losers — snapshot matching untested")
+    assert(got === want)
+    // compaction actually ran and bounded the read set
+    val w = graft.streaming.Registry.watermark(spark, regPath)
+    assert(w.isDefined, "no compaction committed in six batches at every=2")
+    val vb = graft.streaming.Registry.view(spark, regPath, s"$regPath/bands")
+    assert(vb.snapshotPath.isDefined)
+    assert(vb.dirIds.size <= 3,
+      s"unfolded dir set not bounded: ${vb.dirIds}")
+    // on-disk batch dirs are bounded too (one-cycle grace over every=2)
+    val bandDirs = new java.io.File(s"$regPath/bands").listFiles()
+      .count(_.getName.startsWith("batch="))
+    assert(bandDirs <= 2 * 2 + 1, s"stale batch dirs not cleaned: $bandDirs")
+  }
+
+  test("CurateStream with compaction: accounting identical across fold boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_curatecompact_reg"
+    val outPath = "/tmp/graft_test_curatecompact_out"
+    for (p <- Seq(regPath, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docRows = docs.orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurateStream.sink(
+        stream.toDF().toDF("doc_id", "text"), regPath, outPath,
+        compactEvery = 2)
+      .start()
+    val batches = docRows.grouped(math.max(1, docRows.size / 6 + 1)).toSeq
+    batches.foreach { h => stream.addData(h); q.processAllAvailable() }
+    q.stop()
+    // the output folded too: read through labeledView (snapshot + recent
+    // dirs, exactly-once), not a whole-dir parquet read
+    val labeled = graft.streaming.CurateStream.labeledView(spark, outPath)
+    val gotCounts = labeled.groupBy("drop_reason").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotKept = graft.streaming.CurateStream.keptView(spark, outPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (curated, st) = graft.pipeline.Curate.runDocs(spark, docs)
+    val wantKept = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(st.exactDups > 0 || st.nearDups > 0, "no dups — dedup path vacuous")
+    assert(gotCounts.getOrElse("exact_dup", 0L) === st.exactDups)
+    assert(gotCounts.getOrElse("near_dup", 0L) === st.nearDups)
+    assert(gotCounts.getOrElse("low_quality", 0L) === st.lowQuality)
+    assert(gotCounts.getOrElse("unknown_lang", 0L) === st.unknownLang)
+    assert(gotCounts.getOrElse("kept", 0L) === st.kept)
+    assert(gotKept === wantKept)
+    assert(gotCounts.values.sum === docRows.size.toLong,
+      "labeledView must serve every document exactly once")
+    // all three registry tables and the output folded
+    assert(graft.streaming.Registry.watermark(spark, regPath).isDefined)
+    assert(graft.streaming.Registry.watermark(spark, outPath).isDefined)
+    for (t <- Seq(s"$regPath/fps", s"$regPath/bands", s"$regPath/hashes", outPath)) {
+      val v = graft.streaming.Registry.view(spark, if (t == outPath) outPath else regPath, t)
+      assert(v.snapshotPath.isDefined && v.dirIds.size <= 3, s"$t not bounded: ${v.dirIds}")
+    }
+  }
+
   test("dedupDocsByFingerprint stream == Dedup.exactGroups keep set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
