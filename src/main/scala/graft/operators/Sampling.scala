@@ -153,32 +153,40 @@ object Sampling {
     *
     * Scale: a naive `row_number() OVER (ORDER BY hash)` is a GLOBAL
     * window — the whole corpus funnels through one task. This is the same
-    * two-pass distributed prefix rank as packSequencesScalable: range-
-    * partition by (hash, key) and freeze the layout (localCheckpoint —
-    * both passes key on the partition ids; a lazy recompute could
-    * re-sample different range boundaries), collect per-partition COUNTS
-    * (driver-tiny), broadcast exclusive prefix offsets back, and complete
-    * the rank per partition — parallelism = `partitions`, output
-    * identical to the global sort. */
+    * two-pass distributed prefix rank as packSequencesScalable, over
+    * DETERMINISTIC hash-range buckets: the md5 hash is uniform in
+    * [0, 2^32), so `bucket = __h div ceil(2^32/partitions)` is a balanced,
+    * order-preserving split that is a PURE FUNCTION of the row — both
+    * passes recompute identical boundaries from the data alone, with no
+    * materialized layout to freeze (the earlier form needed
+    * `repartitionByRange` + localCheckpoint, whose unreplicated
+    * executor-local blocks made an executor loss unrecoverable mid-job
+    * and whose corpus-sized copy competed with shuffle for memory).
+    * Pass 1 collects per-bucket COUNTS (<= `partitions` rows,
+    * driver-tiny); pass 2 broadcasts exclusive prefix offsets back and
+    * completes the rank per bucket — parallelism = `partitions`, output
+    * identical to the global sort. The input is persisted (lineage-backed
+    * — an executor loss recomputes, unlike a localCheckpoint) so the two
+    * passes share one upstream scan; released via Dedup.releaseCaches. */
   def shuffleRank(df: DataFrame, key: Column, partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val arranged = df
+    val width = ((1L << 32) + parts - 1) / parts // ceil(2^32 / parts)
+    val arranged = Dedup.track(df
       .withColumn("__h", hash32(keyStr(key)))
-      .repartitionByRange(parts, col("__h"), key)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val counts = arranged.groupBy(col("__pid")).count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .withColumn("__b", expr(s"__h div $width"))
+      .persist())
+    val counts = arranged.groupBy(col("__b")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2))
     import spark.implicits._
-    val offFrame = offsets.toSeq.toDF("__pid", "__off")
+    val offFrame = offsets.toSeq.toDF("__b", "__off")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(col("__h").asc, key.asc)
-    arranged.join(broadcast(offFrame), "__pid")
+      .partitionBy(col("__b")).orderBy(col("__h").asc, key.asc)
+    arranged.join(broadcast(offFrame), "__b")
       .withColumn("shuffle_pos", col("__off") + row_number().over(w) - 1)
-      .drop("__h", "__pid", "__off")
+      .drop("__h", "__b", "__off")
   }
 
   /** packSequences with a DISTRIBUTED prefix sum — identical assignments
@@ -188,22 +196,30 @@ object Sampling {
     * at shards ≈ cores but serializes a 100 TB corpus a user packs into
     * few shards.
     *
-    * Two passes over range-partitioned data (the classic scan-then-offset
-    * prefix-sum):
-    *  1. range-partition by (shard, doc_id) into `partitions` splits and
-    *     materialize (localCheckpoint — the partition ids BOTH passes key
-    *     on must come from one frozen layout; a lazy recompute could
-    *     re-sample different range boundaries and silently corrupt the
-    *     offsets), then collect per-(partition, shard) token sums —
-    *     O(partitions + shards) rows, driver-tiny;
-    *  2. per-shard cumulative offsets of earlier partitions broadcast-join
-    *     back, and the running sum completes WITHIN each
-    *     (partition, shard) slice — a window whose groups number
-    *     ≥ partitions, so every core works regardless of `shards`.
+    * Two passes over DETERMINISTIC doc_id-range sub-buckets (the classic
+    * scan-then-offset prefix-sum):
+    *  1. one cheap min/max(doc_id) agg fixes fixed-width id ranges
+    *     `__sub = (doc_id - lo) div chunk` — an order-preserving split
+    *     within each shard that is a PURE FUNCTION of the row (the
+    *     earlier form froze a sampled `repartitionByRange` layout with
+    *     localCheckpoint, whose unreplicated executor-local blocks made
+    *     an executor loss unrecoverable mid-job); then collect
+    *     per-(shard, sub) token sums — <= shards·(partitions+1) rows,
+    *     driver-tiny;
+    *  2. per-shard cumulative offsets of earlier sub-buckets
+    *     broadcast-join back, and the running sum completes WITHIN each
+    *     (shard, sub) slice — window groups number up to
+    *     shards·partitions, so every core works regardless of `shards`.
     *
-    * offset(pid, shard) + slice-running-sum = the shard's global running
+    * offset(shard, sub) + slice-running-sum = the shard's global running
     * sum (longs, associative), so pack ids are bit-identical to the
-    * single-window form. */
+    * single-window form. Balance note: fixed-width id ranges are balanced
+    * for the normal dense monotonically-assigned doc_id regime; a
+    * pathologically clustered sparse id space degrades parallelism (some
+    * empty sub-buckets), never correctness. The tokenized input is
+    * persisted (lineage-backed — recomputable after executor loss, unlike
+    * a localCheckpoint) so the two passes tokenize once; released via
+    * Dedup.releaseCaches. */
   def packSequencesScalable(docs: DataFrame, budget: Long, shards: Int = 64,
       partitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
@@ -212,36 +228,44 @@ object Sampling {
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val n = size(graft.functions.TextFunctions.tokens(coalesce(col("text"), lit("")))).cast("long")
+    // deterministic range boundaries from one driver-tiny agg (doc_id
+    // projection only — Catalyst prunes the text column away)
+    val mm = docs.agg(min(col("doc_id").cast("long")).as("lo"),
+      max(col("doc_id").cast("long")).as("hi")).first()
+    val lo = if (mm.isNullAt(0)) 0L else mm.getLong(0)
+    val hi = if (mm.isNullAt(1)) 0L else mm.getLong(1)
+    val chunk = math.max(1L, (hi - lo) / parts + 1L)
     // __sk: null-safe surrogate for the shard key. A NULL doc_id hashes to
     // a NULL shard; the window form groups those rows in their own NULL
     // partition, but a grouping/join key of NULL would (a) NPE the driver
     // collect and (b) silently DROP the rows at the offsets equi-join
-    // (null-unsafe). -1 is outside pmod's [0, shards) range, so it cannot
-    // collide with a real shard.
-    val arranged = docs
+    // (null-unsafe). -1 is outside pmod's [0, shards) range and below
+    // every real sub-bucket, so it cannot collide.
+    val arranged = Dedup.track(docs
       .select(col("doc_id"), n.as("n_tokens"),
         pmod(hash32(col("doc_id").cast("string")), lit(shards.toLong)).as("shard"))
       .withColumn("__sk", coalesce(col("shard"), lit(-1L)))
-      .repartitionByRange(parts, col("__sk"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
-    val sums = arranged.groupBy(col("pid"), col("__sk"))
+      .withColumn("__sub",
+        when(col("doc_id").isNull, lit(-1L))
+          .otherwise(expr(s"(CAST(doc_id AS BIGINT) - ${lo}L) div ${chunk}L")))
+      .persist())
+    val sums = arranged.groupBy(col("__sub"), col("__sk"))
       .agg(sum(col("n_tokens")).as("t")).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    // per shard: pid-ascending exclusive prefix sums (offset of each slice)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // per shard: sub-ascending exclusive prefix sums (offset of each slice)
     val offsets = sums.groupBy(_._2).toSeq.flatMap { case (sk, slices) =>
-      val byPid = slices.sortBy(_._1)
-      byPid.map(_._1).zip(byPid.scanLeft(0L)(_ + _._3))
-        .map { case (pid, off) => (pid, sk, off) }
+      val bySub = slices.sortBy(_._1)
+      bySub.map(_._1).zip(bySub.scanLeft(0L)(_ + _._3))
+        .map { case (sub, off) => (sub, sk, off) }
     }
     import spark.implicits._
-    val offFrame = offsets.toSeq.toDF("pid", "__sk", "off")
+    val offFrame = offsets.toSeq.toDF("__sub", "__sk", "off")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("pid"), col("__sk")).orderBy(col("doc_id"))
+      .partitionBy(col("__sub"), col("__sk")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     arranged
-      .join(broadcast(offFrame), Seq("pid", "__sk"))
+      .join(broadcast(offFrame), Seq("__sub", "__sk"))
       .withColumn("pack_id",
         floor((col("off") + sum(col("n_tokens")).over(w) - col("n_tokens")).cast("double")
           / budget).cast("long"))

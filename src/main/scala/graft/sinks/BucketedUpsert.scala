@@ -82,9 +82,23 @@ object BucketedUpsert {
 
   /** Upsert `batch` into the bucketed table at `path` (created on first
     * use). Latest row per `pk` wins, ordered by `version` descending with
-    * a deterministic row-hash tie-break. */
+    * a deterministic row-hash tie-break.
+    *
+    * Snapshot durability (`durableStage`): the merge must be materialized
+    * before the overwrite because the write replaces the very directories
+    * its input scan reads. Default (false) snapshots via localCheckpoint —
+    * unreplicated executor-local blocks, so losing an executor mid-write
+    * fails the JOB (no lineage to rebuild the snapshot); nothing corrupts
+    * — the table still holds complete pre-merge buckets and the
+    * foreachBatch retry re-runs the whole idempotent merge — but the
+    * retry re-pays the full merge. With durableStage=true the merge lands
+    * in a hidden `.staging-merge` dir on the table's filesystem first and
+    * the overwrite reads THAT: an executor loss mid-overwrite recomputes
+    * from durable staging (task-level retry, no job restart), at the cost
+    * of one extra write+read of the touched buckets. Prefer true at fact
+    * scale where a merge is expensive relative to the staging I/O. */
   def upsert(batch: DataFrame, path: String, pk: String, version: String,
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int = 64, durableStage: Boolean = false): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = batch.sparkSession
     val dataCols = batch.columns.toIndexedSeq
@@ -112,16 +126,28 @@ object BucketedUpsert {
         .unionByName(existing)
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
       // the write reads from the directories it overwrites — snapshot
-      // first (localCheckpoint truncates lineage, so the overwrite cannot
-      // race its own input scan)
-      val snap = merged.localCheckpoint(true)
-      try
+      // first (see scaladoc for the durability tradeoff). Hidden
+      // dot-prefixed staging is invisible to parquet directory reads and
+      // untouched by the dynamic overwrite; a crashed attempt's stale
+      // staging is simply overwritten by the retry.
+      def overwrite(snap: DataFrame): Unit =
         snap.write
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite")
           .partitionBy(BucketCol)
           .parquet(path)
-      finally { snap.unpersist(blocking = false); () }
+      if (durableStage) {
+        val staging = new org.apache.hadoop.fs.Path(path, ".staging-merge")
+        val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        merged.write.mode("overwrite").parquet(staging.toString)
+        overwrite(spark.read.parquet(staging.toString))
+        fs.delete(staging, true)
+        ()
+      } else {
+        val snap = merged.localCheckpoint(true)
+        try overwrite(snap)
+        finally { snap.unpersist(blocking = false); () }
+      }
     } finally { b.unpersist(blocking = false); () }
   }
 
@@ -146,10 +172,10 @@ object BucketedUpsert {
     * K3/K5 at fact scale (per-batch I/O proportional to touched buckets).
     * Idempotent under foreachBatch retries (see object scaladoc). */
   def sink(df: DataFrame, path: String, pk: String, version: String,
-      nBuckets: Int = 64): DataStreamWriter[Row] =
+      nBuckets: Int = 64, durableStage: Boolean = false): DataStreamWriter[Row] =
     df.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        upsert(batch.toDF(), path, pk, version, nBuckets)
+        upsert(batch.toDF(), path, pk, version, nBuckets, durableStage)
       }
 }

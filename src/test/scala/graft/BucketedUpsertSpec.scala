@@ -77,6 +77,38 @@ class BucketedUpsertSpec extends AnyFunSuite {
       .collect().map(_.getString(1)).toSeq === Seq("b1"))
   }
 
+  test("durableStage snapshot: identical table, staging dir cleaned up") {
+    import spark.implicits._
+    val pathA = freshPath("durable")
+    val pathB = freshPath("localck")
+    val w1 = (1L to 100L).map(k => (k, s"a$k", 1L)).toDF("k", "v", "version")
+    val w2 = (1L to 100L).filter(_ % 3 == 0).map(k => (k, s"b$k", 2L)).toDF("k", "v", "version")
+    for (w <- Seq(w1, w2)) {
+      BucketedUpsert.upsert(w, pathA, "k", "version", nBuckets = 8, durableStage = true)
+      BucketedUpsert.upsert(w, pathB, "k", "version", nBuckets = 8)
+    }
+    def rd(p: String) = BucketedUpsert.read(spark, p)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rd(pathA) === rd(pathB))
+    // staging is transient: deleted after the overwrite commits
+    assert(!new java.io.File(pathA, ".staging-merge").exists())
+  }
+
+  test("NULL primary key fails loudly instead of collapsing to one row") {
+    import spark.implicits._
+    val path = freshPath("nullpk")
+    val bad = Seq((Some(1L), "a", 1L), (None, "b", 1L), (None, "c", 2L))
+      .toDF("k", "v", "version")
+    // raise_error surfaces as SparkRuntimeException (USER_RAISED_EXCEPTION),
+    // possibly wrapped in a task-failure SparkException
+    val e = intercept[Exception] {
+      BucketedUpsert.upsert(bad, path, "k", "version", nBuckets = 4)
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("NULL primary key"), s"unexpected failure: $msgs")
+  }
+
   test("streaming sink: micro-batched upserts == one batch upsert") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -169,6 +169,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(coarse === rows(Sampling.packSequences(docs, budget = 512, shards = 8)))
   }
 
+  test("packSequencesScalable: sparse and negative ids still equal the window form") {
+    import spark.implicits._
+    // the deterministic (doc_id - lo) div chunk sub-buckets must stay
+    // order-preserving and exact on a clustered sparse id space spanning
+    // negative values — the regime the fixed-width ranges are weakest in
+    val ids = Seq(-900000L, -899999L, -17L, 0L, 3L, 4L, 5L,
+      1000000L, 1000001L, 5000000L, 5000017L, 9999999L)
+    val docs = ids.zipWithIndex
+      .map { case (id, i) => (id, Seq.fill(i % 7 + 1)("tok").mkString(" ")) }
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = rows(Sampling.packSequences(docs, budget = 5, shards = 3))
+    val got = rows(Sampling.packSequencesScalable(docs, budget = 5, shards = 3,
+      partitions = 8))
+    assert(got === want)
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("capPerStratum: quota holds per stratum, deterministic, subset of input") {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     def run() = Sampling.capPerStratum(docs, col("doc_id"), col("source"), 15)
