@@ -985,6 +985,110 @@ object PipelineQueries {
              CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
       FROM packed GROUP BY shard"""))))
 
+  /** Curate → full training layout in ONE frame: every kept doc with its
+    * shuffle position AND pack assignment (the join of the two
+    * compositions above — what CurateStream.trainingView serves over the
+    * continuous sink's kept set). The oracle recomposes curation, the
+    * global hash rank, and the per-shard pack window in one statement. */
+  val tCurateLayout: Q = Q(
+    "t_curate_layout",
+    run = (s, dir) => {
+      val (curated, _) = graft.pipeline.Curate.run(s, dir)
+      val ranked = Sampling.shuffleRank(curated.select(col("doc_id")), col("doc_id"))
+        .select(col("doc_id"), col("shuffle_pos"))
+      val packed = Sampling.packSequencesScalable(
+        curated.select(col("doc_id"), col("text")), budget = 512, shards = 8)
+      val out = packed.join(ranked, "doc_id")
+        .select(col("doc_id"), col("shuffle_pos"), col("shard"), col("pack_id"),
+          col("n_tokens"))
+        .localCheckpoint(true) // materialize before the caches release
+      graft.pipeline.Curate.releaseCaches(s)
+      out
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
+      finalSelect = Some("""
+      , keptd AS (
+        SELECT doc_id, n_tokens FROM scored
+        WHERE quality >= 0.55 AND pred_lang <> 'und'),
+      shd AS (
+        SELECT doc_id, n_tokens,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard
+        FROM keptd),
+      packed AS (
+        SELECT doc_id, shard,
+          CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::DOUBLE
+            / 512) AS BIGINT) AS pack_id,
+          n_tokens
+        FROM shd),
+      ranked AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY
+            CAST(('0x' || substr(md5(coalesce('v:' || CAST(doc_id AS VARCHAR), 'null:')), 1, 8))
+              AS BIGINT) ASC, doc_id ASC) - 1 AS shuffle_pos
+        FROM keptd)
+      SELECT p.doc_id, r.shuffle_pos, p.shard, p.pack_id, p.n_tokens
+      FROM packed p JOIN ranked r USING (doc_id)"""))))
+
+  /** Curate → chunk → pack: the RAG / long-document training shape. Kept
+    * docs are split into 32-token chunks with 8-token overlap
+    * (TextAnalysis.chunkDocs), each chunk gets a composite key
+    * doc_id·2^20 + chunk_id (chunk counts are bounded far below 2^20 at
+    * any oracle SF), and the chunk stream is sequence-packed; summarized
+    * per shard like t_curate_packed. The oracle recomposes curation,
+    * chunking (list-comprehension slices), and the pack window — proving
+    * the three stages compose byte-stably across engines. */
+  val tCurateChunked: Q = Q(
+    "t_curate_chunked",
+    run = (s, dir) => {
+      import s.implicits._
+      val (curated, _) = graft.pipeline.Curate.run(s, dir)
+      val chunks = TextAnalysis.chunkDocs(
+        curated.select(col("doc_id"), col("text")), chunkTokens = 32, overlap = 8)
+      val keyed = chunks.select(
+        (col("doc_id") * 1048576L + col("chunk_id")).as("doc_id"), col("text"))
+      val packed = Sampling.packSequencesScalable(keyed, budget = 512, shards = 8)
+      val rows = packed.groupBy(col("shard"))
+        .agg(countDistinct(col("pack_id")).as("n_packs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      graft.pipeline.Curate.releaseCaches(s)
+      rows.toDF("shard", "n_packs", "n_chunks", "sum_tokens")
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
+      finalSelect = Some("""
+      , keptd AS (
+        SELECT doc_id FROM scored
+        WHERE quality >= 0.55 AND pred_lang <> 'und'),
+      kt AS (
+        SELECT t.doc_id, t.toks FROM an t JOIN keptd USING (doc_id)
+        WHERE len(t.toks) > 0),
+      chunkd AS (
+        SELECT doc_id * 1048576 + u.cid AS ck, u.ct AS ctoks
+        FROM (
+          SELECT doc_id,
+            unnest([{'cid': c, 'ct': toks[c*24+1 : c*24+32]}
+              for c in range(0, greatest(0,
+                CAST(ceil((len(toks) - 32)::DOUBLE / 24) AS BIGINT)) + 1)]) AS u
+          FROM kt)),
+      shd AS (
+        SELECT ck, CAST(len(ctoks) AS BIGINT) AS n_tokens,
+          CAST(('0x' || substr(md5(CAST(ck AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard
+        FROM chunkd),
+      packed AS (
+        SELECT ck, shard,
+          CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ck
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::DOUBLE
+            / 512) AS BIGINT) AS pack_id,
+          n_tokens
+        FROM shd)
+      SELECT shard, COUNT(DISTINCT pack_id) AS n_packs, COUNT(*) AS n_chunks,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM packed GROUP BY shard"""))))
+
   /** Curate → shuffle composition: the default curation pipeline's KEPT
     * set fed into the deterministic training-order permutation
     * (Sampling.shuffleRank). The oracle recomposes curation's full CTE
@@ -1257,7 +1361,7 @@ object PipelineQueries {
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
     tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateStatsFull, tCuratePacked,
-    tCurateShuffled,
+    tCurateShuffled, tCurateLayout, tCurateChunked,
     tRepetitionScore, tDecontaminate, tDecontaminateBloom, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
     tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary)

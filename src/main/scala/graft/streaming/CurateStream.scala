@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Sampling, TextAnalysis}
 
 /** Continuous curation: pipeline.Curate's full gate chain
   * (exact dedup → MinHash near-dup removal → optional decontamination +
@@ -212,4 +212,31 @@ object CurateStream {
   def keptView(spark: org.apache.spark.sql.SparkSession, outPath: String): DataFrame =
     labeledView(spark, outPath).filter(col("drop_reason") === "kept")
       .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"), col("n_tokens"))
+
+  /** Training-layout snapshot over everything kept so far: each kept doc
+    * with its deterministic shuffle position (Sampling.shuffleRank) and
+    * sequence-pack assignment (Sampling.packSequencesScalable) — the
+    * composition batch curation hands off to (t_curate_shuffled /
+    * t_curate_packed / t_curate_layout), now derivable from the
+    * continuous sink's state at any point.
+    *
+    * Resumability contract: both layouts are PURE FUNCTIONS of the kept
+    * set (no RNG, no partition-order dependence), so a training job can
+    * re-derive the exact same order and packing from any snapshot of the
+    * sink's output. Pack assignments are additionally byte-stable under
+    * append-only id growth (packSequences scaladoc); shuffle positions
+    * re-derive exactly but naturally re-permute as the kept set grows —
+    * pin a snapshot (or re-rank a frozen kept set) for a fixed epoch
+    * order. Caller releases the layout's tracked caches via
+    * Dedup.releaseCaches after the terminal action. */
+  def trainingView(spark: org.apache.spark.sql.SparkSession, outPath: String,
+      budget: Long = 512, shards: Int = 64, partitions: Int = 0): DataFrame = {
+    val kept = keptView(spark, outPath)
+    val ranked = Sampling.shuffleRank(kept.select(col("doc_id")), col("doc_id"), partitions)
+      .select(col("doc_id"), col("shuffle_pos"))
+    val packed = Sampling.packSequencesScalable(
+      kept.select(col("doc_id"), col("text")), budget, shards, partitions)
+    packed.join(ranked, "doc_id")
+      .select(col("doc_id"), col("shuffle_pos"), col("shard"), col("pack_id"), col("n_tokens"))
+  }
 }

@@ -618,6 +618,26 @@ class StreamingSpec extends AnyFunSuite {
       val v = graft.streaming.Registry.view(spark, if (t == outPath) outPath else regPath, t)
       assert(v.snapshotPath.isDefined && v.dirIds.size <= 3, s"$t not bounded: ${v.dirIds}")
     }
+    // training-layout snapshot over the sink's kept set == the batch
+    // composition (shuffleRank ⋈ packSequencesScalable over batch-kept
+    // docs) — the resumable-training hand-off, derived from a compacted
+    // output. Both layouts are pure functions of the kept set, so the
+    // already-proven kept-set equality must carry through the layout ops.
+    def layoutRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val gotLayout = layoutRows(
+      graft.streaming.CurateStream.trainingView(spark, outPath, budget = 512, shards = 8))
+    val keptBatch = docs.join(
+      wantKept.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+    val rankedB = graft.operators.Sampling
+      .shuffleRank(keptBatch.select(col("doc_id")), col("doc_id"))
+      .select(col("doc_id"), col("shuffle_pos"))
+    val packedB = graft.operators.Sampling
+      .packSequencesScalable(keptBatch.select(col("doc_id"), col("text")), 512, 8)
+    val wantLayout = layoutRows(packedB.join(rankedB, "doc_id")
+      .select(col("doc_id"), col("shuffle_pos"), col("shard"), col("pack_id"), col("n_tokens")))
+    graft.operators.Dedup.releaseCaches(spark)
+    assert(gotLayout === wantLayout && gotLayout.map(_._1) === wantKept)
   }
 
   test("dedupDocsByFingerprint stream == Dedup.exactGroups keep set") {
