@@ -61,22 +61,31 @@ object BucketedUpsert {
     * wrong bucket directories and silently duplicate (or fail to update)
     * rows. The first write pins the layout in a sidecar marker; every
     * subsequent upsert validates against it and fails loudly on mismatch. */
+  /** The layout marker's pinned bucket count, if the table has one. */
+  private def pinnedBuckets(spark: SparkSession, path: String): Option[Int] = {
+    val marker = new org.apache.hadoop.fs.Path(path + "." + LayoutMarker)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      Some(try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close())
+    }
+  }
+
   private def pinLayout(spark: SparkSession, path: String, nBuckets: Int,
       tableExists: Boolean): Unit = {
     val marker = new org.apache.hadoop.fs.Path(path + "." + LayoutMarker)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val pinned = try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
-      require(pinned == nBuckets,
+    pinnedBuckets(spark, path) match {
+      case Some(pinned) => require(pinned == nBuckets,
         s"bucketed table at $path is laid out with nBuckets=$pinned; " +
           s"upsert called with nBuckets=$nBuckets would corrupt the keyed merge")
-    } else {
-      require(!tableExists,
-        s"bucketed table at $path exists without a $LayoutMarker layout marker — " +
-          "refusing to guess its bucket count")
-      val out = fs.create(marker, true)
-      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+      case None =>
+        require(!tableExists,
+          s"bucketed table at $path exists without a $LayoutMarker layout marker — " +
+            "refusing to guess its bucket count")
+        val out = fs.create(marker, true)
+        try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
     }
   }
 
@@ -166,6 +175,31 @@ object BucketedUpsert {
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       throw new IllegalArgumentException(s"no bucketed table at $path")
     spark.read.parquet(path).drop(BucketCol)
+  }
+
+  /** Point lookup for one primary-key value: reconstructs the key's
+    * bucket and reads ONLY that bucket directory (partition pruning on
+    * the bucket column — the plan's scan lists one `bucket=<b>` dir, not
+    * the table). This is the dim-lookup access pattern the reference
+    * serves row-at-a-time (gmall-realtime-self/.../app/func/
+    * DimHandler.java:25-63); here it is a pruned scan a driver-side
+    * cache or broadcast can sit on top of.
+    *
+    * The bucket is computed with the SAME Spark expression the writes
+    * use, evaluated in a one-row local job — no driver-side hash
+    * reimplementation to drift from the executor's — and `nBuckets`
+    * comes from the pinned layout marker, so a caller cannot probe with
+    * the wrong modulus. */
+  def readKey(spark: SparkSession, path: String, pk: String, value: Any): DataFrame = {
+    require(value != null, "a NULL key has no bucket (NULL pks are rejected at upsert)")
+    val n = pinnedBuckets(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no bucketed table layout at $path"))
+    val b = spark.range(1)
+      .select(pmod(xxhash64(lit(value).cast("string")), lit(n.toLong)).as("b"))
+      .first().getLong(0)
+    spark.read.parquet(path)
+      .filter(col(BucketCol) === b && col(pk) === lit(value))
+      .drop(BucketCol)
   }
 
   /** Streaming form: each micro-batch upserts into the bucketed table —

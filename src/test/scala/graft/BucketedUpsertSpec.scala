@@ -109,6 +109,35 @@ class BucketedUpsertSpec extends AnyFunSuite {
     assert(msgs.contains("NULL primary key"), s"unexpected failure: $msgs")
   }
 
+  test("readKey scans exactly one bucket directory (partition pruning)") {
+    import spark.implicits._
+    val path = freshPath("lookup")
+    val w1 = (1L to 200L).map(k => (k, s"a$k", 1L)).toDF("k", "v", "version")
+    BucketedUpsert.upsert(w1, path, "k", "version", nBuckets = 8)
+    val lookup = BucketedUpsert.readKey(spark, path, "k", 7L)
+    // correctness: exactly the requested row
+    assert(lookup.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((7L, "a7")))
+    // pruning: the bucket equality reaches the scan as a PARTITION filter
+    // (inputFiles would lie here — it lists pre-pruning), and the
+    // post-execution numFiles metric proves exactly one of the 8 bucket
+    // dirs' files was read
+    val plan = lookup.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters") &&
+      plan.toString.contains("bucket"), plan.toString)
+    val scan = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metrics("numFiles").value === 1L,
+      s"read ${scan.metrics("numFiles").value} files, expected 1")
+    // a missing key resolves to its (single) bucket and returns no rows
+    assert(BucketedUpsert.readKey(spark, path, "k", 100000L).count() === 0L)
+    // no layout marker => loud failure, not a guessed modulus
+    intercept[IllegalArgumentException] {
+      BucketedUpsert.readKey(spark, freshPath("nolayout"), "k", 1L)
+    }
+  }
+
   test("streaming sink: micro-batched upserts == one batch upsert") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
