@@ -54,8 +54,12 @@ object Bench {
     // and the median is trustworthy.
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     qs.foreach { case (name, fn) =>
-      for (_ <- 1 to nRuns) {
+      def sampleOnce(): Unit = {
         settle()
         val t0 = System.nanoTime()
         try exec(fn) catch { case e: Throwable =>
@@ -63,10 +67,18 @@ object Bench {
         }
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
       }
-    }
-    def median(xs: Vector[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      for (_ <- 1 to nRuns) sampleOnce()
+      // Sub-2s medians at sf0.1 are overhead/load-dominated: round 5
+      // measured q1 1.47s at sf0.1 vs 0.95s at sf1 with no code change —
+      // session load (~±20%) dwarfs the plan signal at that duration.
+      // Widen those queries to median-of-5 so one loaded sample cannot
+      // move the median; long queries keep n=nRuns (their signal-to-noise
+      // is fine and extra runs cost real wall-clock).
+      // (skipped when the caller explicitly asked for fewer than 3 runs —
+      // that is a speed-over-precision request)
+      while (nRuns >= 3 && samples(name).size < math.max(5, nRuns)
+          && median(samples(name)) < 2.0)
+        sampleOnce()
     }
     val results = qs.map { case (name, _) => name -> median(samples(name)) }
     val perQuery = results.map { case (k, v) => "\"" + k + "\":" + v }
