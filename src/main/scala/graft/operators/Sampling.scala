@@ -145,6 +145,63 @@ object Sampling {
       .filter(col("__rk") <= maxRows).drop("__rk")
   }
 
+  /** Temperature-flattened per-stratum quotas — the multi-source /
+    * multilingual mixing rule (XLM-R-style exponentiated sampling):
+    * stratum s keeps `floor(scale · n_s^alpha + 0.5)` rows, so alpha < 1
+    * FLATTENS dominant strata (a 3× bigger source keeps only 3^alpha×
+    * more rows) while alpha = 1 reduces to proportional pass-through.
+    * Selection within a stratum is the deterministic full-hash order
+    * (capPerStratum's rule): the kept subset is an unbiased, engine-
+    * stable sample and a stratum's kept set only shrinks/grows at the
+    * hash-order boundary as its target moves.
+    *
+    * Cross-engine exactness: alpha = 0.5 computes the target via sqrt —
+    * an IEEE correctly-rounded operation, bit-identical in any engine —
+    * which is what the oracle entry pins. Other alphas go through pow,
+    * which libm does NOT guarantee correctly rounded; reproducibility
+    * then holds per-engine, not across engines (documented tradeoff).
+    *
+    * Scale: one shuffle keyed by stratum; the per-stratum count and rank
+    * share that single exchange. Unlike capPerStratum the rank bound is
+    * data-dependent, so there is no map-side WindowGroupLimit prune — a
+    * skewed mega-stratum ships its population; if targets are known
+    * ahead of time, precompute counts and use capPerStratum per stratum
+    * for the skew-proof plan. */
+  def temperatureQuota(df: DataFrame, key: Column, stratum: Column,
+      alpha: Double = 0.5, scale: Double = 1.0): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(scale > 0.0, s"scale must be positive, got $scale")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(hash32(keyStr(key)).asc, key.asc)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(stratum)
+    val n = count(lit(1)).over(wc).cast("double")
+    val scaled =
+      if (alpha == 0.5) lit(scale) * sqrt(n)
+      else if (alpha == 1.0) lit(scale) * n
+      else lit(scale) * pow(n, lit(alpha))
+    // floor(x + 0.5), never round(): HALF_UP vs binary-round ties (the
+    // repo-wide quantization invariant)
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__tgt", floor(scaled + lit(0.5)).cast("long"))
+      .filter(col("__rk") <= col("__tgt"))
+      .drop("__rk", "__tgt")
+  }
+
+  /** Fixed-budget deterministic corpus sample: the `n` rows with the
+    * smallest (full 32-bit hash, key) — an unbiased engine-stable sample
+    * of exactly min(n, |corpus|) rows (the eval-set / debug-slice carve
+    * with a row budget instead of a rate). Plans as
+    * TakeOrderedAndProject: per-partition top-n heaps + an n-row driver
+    * merge — never a global sort, scale-safe for any corpus size with
+    * driver memory O(n). */
+  def sampleFixed(df: DataFrame, key: Column, n: Int, seed: String = ""): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    df.withColumn("__h", hash32(concat(lit(seed), lit(":"), keyStr(key))))
+      .orderBy(col("__h").asc, key.asc)
+      .limit(n)
+      .drop("__h")
+  }
+
   /** Deterministic global shuffle order for training: every row gets a
     * dense 0-based `shuffle_pos` equal to its rank under (md5-bucket hash,
     * key) — a reproducible pseudo-random permutation of the corpus (the

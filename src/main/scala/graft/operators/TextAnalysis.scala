@@ -318,6 +318,84 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** Deterministic BPE merge training (Sennrich et al., ACL'16 — the
+    * byte-pair-encoding subword learner every modern tokenizer descends
+    * from), distributed the way the algorithm wants to be: ONE corpus
+    * scan builds the word-frequency table, then each of the `k` merge
+    * rounds runs over that vocab table only (pair counts = one explode +
+    * partial-aggregated groupBy; the argmax row is driver-collected —
+    * O(1) rows). Returns one row per learned merge:
+    * (rank, pair, merged, cnt), rank in learning order.
+    *
+    * Determinism: ties in the pair-count argmax break by pair string
+    * ascending (byte order — engine-portable over [a-z0-9 ] symbols), so
+    * the merge sequence is reproducible across runs, engines, and
+    * cluster sizes.
+    *
+    * Word-internal merges only (no end-of-word marker — an engine op,
+    * not a drop-in tokenizer). Sequences are space-delimited symbol
+    * strings padded with one leading/trailing space; a merge applies
+    * `replace(" l r " -> " lr ")` THREE times. Plain left-to-right
+    * non-overlapping string replace has a fencepost: consecutive
+    * occurrences share the delimiter space, so one pass merges at least
+    * every other occurrence and each extra pass halves the remainder —
+    * three passes cover same-pair chains up to ~8 symbols, far beyond
+    * any real word. The oracle applies the IDENTICAL three passes, so
+    * cross-engine equality holds exactly even where a chain is longer
+    * (both engines leave the same residue — parity by construction, not
+    * by convergence).
+    *
+    * At 100 TB: the corpus contributes one tokenize scan; the loop's
+    * cost is k shuffles of the VOCAB table (distinct words — orders of
+    * magnitude smaller than the corpus, partial-agged). Caches are
+    * tracked for Dedup.releaseCaches. */
+  def bpeMerges(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs
+      .select(explode(tokens(coalesce(col("text"), lit("")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("f"))
+    var cur = graft.operators.Dedup.track(wf.select(
+        concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("seq"),
+        col("f"))
+      .persist())
+    cur.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < k && !done) {
+      // adjacent symbol pairs, weighted by word frequency; the array is
+      // bound to a column before the lambdas (HOF re-inline invariant)
+      val withS = cur.select(col("f"), split(trim(col("seq")), " ").as("s"))
+      val best = withS
+        .select(col("f"), explode(zip_with(
+          slice(col("s"), lit(1), size(col("s")) - 1),
+          slice(col("s"), lit(2), size(col("s")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        out += ((r.toLong, pair, merged, cnt))
+        val pat = lit(" " + pair + " ")
+        val rep = lit(" " + merged + " ")
+        val next = graft.operators.Dedup.track(cur.select(
+            replace(replace(replace(col("seq"), pat, rep), pat, rep), pat, rep).as("seq"),
+            col("f"))
+          .persist())
+        next.count() // materialize before dropping the previous round
+        cur.unpersist(blocking = false)
+        cur = next
+        r += 1
+      }
+    }
+    out.toSeq.toDF("rank", "pair", "merged", "cnt")
+  }
+
   /** Fixed-size token-window chunking with overlap — the context-window
     * splitter every RAG / long-document training pipeline runs: chunk i
     * covers tokens [i·step, i·step + chunkTokens) with

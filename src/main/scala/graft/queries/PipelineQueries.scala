@@ -1296,6 +1296,42 @@ object PipelineQueries {
         FROM documents)
       WHERE rk <= 15"""))
 
+  /** Temperature-flattened language mixing (alpha = 0.5, scale = 4):
+    * stratum s keeps floor(4·sqrt(n_s) + 0.5) docs by hash order — the
+    * multilingual exponentiated-sampling rule over the SKEWED lang
+    * column (en is ~3× the others, so the entry exercises differential
+    * flattening, not just a uniform cap). alpha = 0.5 keeps the target
+    * arithmetic inside correctly-rounded IEEE ops (sqrt), so the oracle
+    * reproduces the exact kept set. */
+  val tTemperatureMix: Q = Q(
+    "t_temperature_mix",
+    run = (s, dir) => Sampling.temperatureQuota(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      col("doc_id"), col("lang"), alpha = 0.5, scale = 4.0),
+    oracle = Some("""
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+            CAST(('0x' || substr(md5(coalesce('v:' || CAST(doc_id AS VARCHAR), 'null:')), 1, 8))
+              AS BIGINT) ASC, doc_id ASC) AS rk,
+          COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents)
+      WHERE rk <= CAST(floor(4.0 * sqrt(n::DOUBLE) + 0.5) AS BIGINT)"""))
+
+  /** Fixed-budget corpus sample: the 100 smallest (seeded hash, key)
+    * rows — the eval-set carve with a row budget. Plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  val tSampleFixed: Q = Q(
+    "t_sample_fixed",
+    run = (s, dir) => Sampling.sampleFixed(
+      Tables.documents(s, dir).select(col("doc_id")), col("doc_id"), n = 100, seed = "ev"),
+    oracle = Some("""
+      SELECT doc_id FROM (
+        SELECT doc_id FROM documents
+        ORDER BY CAST(('0x' || substr(md5('ev:' || coalesce('v:' || CAST(doc_id AS VARCHAR), 'null:')), 1, 8))
+            AS BIGINT) ASC, doc_id ASC
+        LIMIT 100)"""))
+
   /** Deterministic global shuffle order via the distributed prefix rank:
     * the oracle's single global `ROW_NUMBER() OVER (ORDER BY hash, key)`
     * must equal the two-pass range-partition + offset + local-rank
@@ -1351,6 +1387,53 @@ object PipelineQueries {
             FROM v)
       SELECT term, n_occurrences, doc_freq, rank FROM r WHERE rank <= 20"""))
 
+  /** Oracle twin of TextAnalysis.bpeMerges: k merge rounds unrolled as a
+    * CTE chain — per round, pair counts over the symbol sequences, the
+    * (cnt DESC, pair ASC) argmax, and the SAME three-pass
+    * `replace(' l r ' -> ' lr ')` state update the Spark loop applies
+    * (parity by construction: identical pass counts leave identical
+    * residue even on pathological same-pair chains). */
+  private def bpeOracle(k: Int): String = {
+    // every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // b_i is referenced six times by round i+1 — inlining makes the plan
+    // tree (and the parquet re-opens) grow 6^k
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH wf AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+          SELECT unnest($TOKS) AS w FROM documents) t GROUP BY w),
+      r0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq, f FROM wf)"""
+    for (i <- 0 until k) {
+      sb ++= s""",
+      p$i AS MATERIALIZED (
+        SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+          SELECT f, unnest([s[j] || ' ' || s[j+1] for j in range(1, len(s))]) AS pair
+          FROM (SELECT string_split(trim(seq), ' ') AS s, f FROM r$i) z) zz
+        GROUP BY pair),
+      b$i AS MATERIALIZED (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1)"""
+      if (i < k - 1) sb ++= s""",
+      r${i + 1} AS MATERIALIZED (
+        SELECT replace(replace(replace(seq,
+            ' ' || (SELECT pair FROM b$i) || ' ', ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' '),
+            ' ' || (SELECT pair FROM b$i) || ' ', ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' '),
+            ' ' || (SELECT pair FROM b$i) || ' ', ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' ') AS seq, f
+        FROM r$i)"""
+    }
+    sb ++= (0 until k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, pair, replace(pair, ' ', '') AS merged, cnt FROM b$i")
+      .mkString("\n      ", "\n      UNION ALL\n      ", "")
+    sb.toString
+  }
+
+  /** Deterministic BPE merge training over the corpus vocabulary: 8
+    * learned merges (rank, pair, merged, cnt), ties broken by pair
+    * string ascending. One corpus scan; each round runs over the vocab
+    * table only. */
+  val tBpeMerges: Q = Q(
+    "t_bpe_merges",
+    run = (s, dir) => TextAnalysis.bpeMerges(Tables.documents(s, dir), k = 8),
+    oracle = Some(bpeOracle(8)))
+
   val all: Seq[Q] = Seq(
     tDedupExact, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,
@@ -1361,7 +1444,8 @@ object PipelineQueries {
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
     tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateStatsFull, tCuratePacked,
-    tCurateShuffled, tCurateLayout, tCurateChunked,
+    tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tSampleFixed,
+    tBpeMerges,
     tRepetitionScore, tDecontaminate, tDecontaminateBloom, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
     tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary)

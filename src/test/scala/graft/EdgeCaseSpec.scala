@@ -85,6 +85,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TextAnalysis.langId(nullDocs).count() === 2)
   }
 
+  test("round-6 operators on empty and degenerate input") {
+    import spark.implicits._
+    val S = graft.operators.Sampling
+    assert(S.temperatureQuota(emptyDocs, col("doc_id"), col("text")).count() === 0)
+    assert(S.sampleFixed(emptyDocs, col("doc_id"), 5).count() === 0)
+    assert(TextAnalysis.bpeMerges(emptyDocs, k = 3).count() === 0)
+    // single-char vocab: no adjacent pairs, zero merges (early stop)
+    val single = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeMerges(single, k = 3).count() === 0)
+    // NULL stratum forms its own quota group instead of vanishing
+    val nullStrata = Seq((1L, Some("x")), (2L, None), (3L, None))
+      .toDF("doc_id", "src")
+    val kept = S.temperatureQuota(nullStrata, col("doc_id"), col("src"),
+        alpha = 1.0, scale = 1.0)
+      .count()
+    assert(kept === 3L)
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("round-5 operators on empty and degenerate input") {
     import spark.implicits._
     val S = graft.operators.Sampling

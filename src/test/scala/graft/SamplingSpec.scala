@@ -202,6 +202,43 @@ class SamplingSpec extends AnyFunSuite {
     assert(perSource.values.forall(_ === 15), s"per-source: $perSource")
   }
 
+  test("temperatureQuota flattens skewed strata; targets exact; alpha=1 passes through") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val totals = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.temperatureQuota(docs, col("doc_id"), col("lang"),
+        alpha = 0.5, scale = 4.0)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-stratum target is exactly floor(4*sqrt(n) + 0.5), capped by n
+    for ((lang, n) <- totals)
+      assert(kept(lang) === math.min(n, math.floor(4.0 * math.sqrt(n.toDouble) + 0.5).toLong),
+        s"$lang: n=$n kept=${kept(lang)}")
+    // flattening: en dominates the corpus ~3x but keeps < 2x of any other
+    val (maxLang, maxN) = totals.maxBy(_._2)
+    val others = totals.removed(maxLang)
+    assert(others.values.forall(_ * 2 < maxN), "fixture no longer skewed — test is vacuous")
+    assert(others.forall { case (l, _) => kept(maxLang) < 2 * kept(l) },
+      s"not flattened: $kept")
+    // alpha = 1, scale = 1 keeps everything (proportional pass-through)
+    assert(Sampling.temperatureQuota(docs, col("doc_id"), col("lang"), alpha = 1.0)
+      .count() === docs.count())
+  }
+
+  test("sampleFixed: exact budget, deterministic, seed-independent, heap plan") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    def ids(seed: String) = Sampling.sampleFixed(docs, col("doc_id"), 100, seed)
+      .collect().map(_.getLong(0)).toSet
+    val a = ids("s1")
+    assert(a.size === 100 && a === ids("s1"))
+    assert(ids("s2") !== a) // different seed, different carve
+    // over-budget n returns the whole corpus
+    assert(Sampling.sampleFixed(docs, col("doc_id"), 10000).count() === docs.count())
+    // no global sort: the limit plans as TakeOrderedAndProject
+    val plan = Sampling.sampleFixed(docs, col("doc_id"), 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("shuffleRank: dense 0-based permutation, equals the global-sort form") {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val got = Sampling.shuffleRank(docs, col("doc_id"), partitions = 16)
@@ -239,6 +276,23 @@ class SamplingSpec extends AnyFunSuite {
     // doc 2 fits one chunk; doc 3 (zero tokens) produces none
     assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "a b", 2L)))
     assert(!got.exists(_._1 == 3L))
+  }
+
+  test("bpeMerges: hand-computed merge sequence, weighted counts, early stop") {
+    import spark.implicits._
+    // vocab: aaab x3, ab x1
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // round 0: pairs (a,a)=2x3=6 beat (a,b)=3+1=4 -> merge aa
+    //   (left-to-right: 'a a a b' -> 'aa a b', the fencepost residue rule)
+    // round 1: (a,b)=3+1=4 beats (aa,a)=3 -> merge ab
+    // round 2: (aa,ab)=3 -> merge aaab; round 3: no pairs left -> stop
+    assert(got === Seq(
+      (0L, "a a", "aa", 6L),
+      (1L, "a b", "ab", 4L),
+      (2L, "aa ab", "aaab", 3L)))
+    graft.operators.Dedup.releaseCaches(spark)
   }
 
   test("tfIdfTopTerms: rare terms outrank common ones; k bound and tie order hold") {
