@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -96,6 +96,30 @@ object Dedup {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("ct"), min(col("doc_id")).as("keep_id"))
+
+  /** exactGroups with a caller-supplied keeper rule: within each
+    * fingerprint group the kept doc minimizes (preference, doc_id) —
+    * smaller preference wins, doc_id ascending breaks ties. This is the
+    * production multi-source rule ("keep the curated/licensed copy of a
+    * page, drop its crawl duplicates") that min-id dedup cannot express:
+    * preference is any per-row Column (a source-priority rank, a partition
+    * recency, a parse-quality tier). Deterministic by the doc_id
+    * tie-break; exact-duplicate texts are identical after normalization,
+    * so length/quality of the TEXT never differs within a group — the
+    * preference must come from row metadata, which is why it is a column,
+    * not a fixed heuristic.
+    *
+    * Scale: identical shape to exactGroups — one fingerprint-keyed
+    * shuffle; the keeper argmin rides the same partial aggregation
+    * (min over a (preference, doc_id) struct — no window, no second
+    * pass). */
+  def exactGroupsKeepBest(docs: DataFrame, preference: Column): DataFrame =
+    docs
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        preference.cast("long").as("__pref"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("ct"),
+        min(struct(col("__pref"), col("doc_id"))).getField("doc_id").as("keep_id"))
 
   /** Per-doc distinct word-3-shingle sets plus their hash32 values (docs
     * with <3 tokens cannot form a shingle and are dropped). The hashes ride

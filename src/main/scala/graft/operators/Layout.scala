@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional file-layout clustering: Morton (Z-order) keys —
+  * the `OPTIMIZE ZORDER BY` analog for plain parquet tables (Morton
+  * 1966; the standard space-filling-curve layout every lakehouse engine
+  * uses for multi-column data skipping).
+  *
+  * Why it matters at 100 TB: min/max row-group statistics prune a scan
+  * only when the file layout CLUSTERS the filtered columns. Sorting by
+  * one column gives perfect pruning on it and none on the others;
+  * sorting by the interleaved Morton key gives every dimension locality
+  * proportional to its bit share, so a two-column predicate prunes on
+  * both. The engine-side recipe: `zorderFrame(df, dims)` →
+  * `repartitionByRange(n, col("z"))` (+ sortWithinPartitions("z")) →
+  * write; readers then prune files/row-groups on any dim's min/max.
+  *
+  * Everything here is exact integer arithmetic — power-of-two bucket
+  * widths via shifts, bit interleave via shift/mask/add — so the key is
+  * bit-identical across engines and oracle-checkable (no doubles, no
+  * rounding modes).
+  */
+object Layout {
+
+  /** Morton interleave of pre-bucketed dimension values: bit b of
+    * dimension d lands at position b·D + d. Dims must already be in
+    * [0, 2^bits); D·bits <= 63 keeps the key in a signed long. */
+  def zValue(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty, "zValue needs at least one dimension")
+    require(bits > 0 && dims.size * bits <= 63,
+      s"dims*bits must fit a signed long, got ${dims.size}*$bits")
+    val d = dims.size
+    val terms = for {
+      b <- 0 until bits
+      (dim, di) <- dims.zipWithIndex
+    } yield shiftleft(shiftright(dim, b).bitwiseAND(lit(1L)), b * d + di)
+    terms.reduce(_ + _)
+  }
+
+  /** Smallest shift making (hi - lo) >> shift fit `bits` bits — the
+    * power-of-two bucket width for [lo, hi]. Integer-only (no log2
+    * floats whose rounding could flip at exact powers of two); the
+    * oracle derives the same shift with the same integer rule. */
+  def bucketShift(lo: Long, hi: Long, bits: Int): Int = {
+    require(hi >= lo, s"empty range [$lo, $hi]")
+    val range = hi - lo
+    var s = 0
+    while ((range >> s) >= (1L << bits)) s += 1
+    s
+  }
+
+  /** Monotone power-of-two bucketing to [0, 2^bits): order-preserving
+    * per dimension (a hash bucket would destroy the range locality the
+    * curve exists for). */
+  def bucketize(c: Column, lo: Long, shift: Int): Column =
+    shiftright(c.cast("long") - lit(lo), shift)
+
+  /** The frame plus a Morton key `z` over the named integer dimensions:
+    * one driver-tiny min/max agg fixes each dimension's bounds, then the
+    * key is a single map-side projection. Sort/range-partition by `z`
+    * before writing to get multi-column clustering. NULL dims: a NULL
+    * value yields a NULL z (the row sorts last in the layout — document
+    * rather than invent an ordering for missing keys). */
+  def zorderFrame(df: DataFrame, dims: Seq[String], bits: Int = 16): DataFrame = {
+    require(dims.nonEmpty, "zorderFrame needs at least one dimension")
+    val aggs = dims.flatMap(d =>
+      Seq(min(col(d).cast("long")).as(s"__lo_$d"), max(col(d).cast("long")).as(s"__hi_$d")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).first()
+    val cols = dims.zipWithIndex.map { case (dname, i) =>
+      // empty frame / all-NULL dim: bounds are NULL — fall back to [0,0]
+      // (no non-null value exists to bucket; NULL rows keep z NULL)
+      val lo = if (bounds.isNullAt(2 * i)) 0L else bounds.getLong(2 * i)
+      val hi = if (bounds.isNullAt(2 * i + 1)) 0L else bounds.getLong(2 * i + 1)
+      bucketize(col(dname), lo, bucketShift(lo, hi, bits))
+    }
+    df.withColumn("z", zValue(cols, bits))
+  }
+
+  /** Coarse clustering bucket: the top `bucketBits` bits of a
+    * D-dim × `bits` Morton key — at most 2^bucketBits buckets, each a
+    * contiguous hypercube run of the curve. A pure function of z (no
+    * sampled range bounds, no frozen layout), so the zone map below is
+    * an ordinary SQL view of the data and two passes always agree. */
+  def zBucket(z: Column, nDims: Int, bits: Int, bucketBits: Int): Column = {
+    require(bucketBits > 0 && bucketBits <= nDims * bits,
+      s"bucketBits must be in (0, ${nDims * bits}], got $bucketBits")
+    shiftright(z, nDims * bits - bucketBits)
+  }
+
+  /** Write `df` clustered for multi-column data skipping: Morton key →
+    * coarse `zb=<bucket>/` directories, rows z-sorted within each file.
+    * One shuffle hash-keyed by zb (each bucket lands in one task → one
+    * file per bucket); a NULL dimension yields zb NULL (hive default
+    * partition — never pruned away, so NULL-dim rows stay reachable).
+    * Readers prune whole directories with `prunedRead` (zone-map
+    * overlap + partition filters) and parquet row-group min/max stats
+    * prune inside each file thanks to the z sort. */
+  def writeClustered(df: DataFrame, dims: Seq[String], path: String,
+                     bits: Int = 8, bucketBits: Int = 6): Unit =
+    zorderFrame(df, dims, bits)
+      .withColumn("zb", zBucket(col("z"), dims.size, bits, bucketBits))
+      .repartition(col("zb"))
+      .sortWithinPartitions("zb", "z")
+      .write.partitionBy("zb").mode("overwrite").parquet(path)
+
+  /** Per-bucket zone map (count + each dim's min/max) — the file-skipping
+    * index for a clustered table. Bounded at 2^bucketBits rows. Computed
+    * here by aggregating the table (fine for tests and rebuilds); at
+    * 100 TB persist this frame alongside the table at write time — it is
+    * a deterministic function of the data, so rebuild == original. */
+  def zoneMapOf(table: DataFrame, dims: Seq[String]): DataFrame = {
+    val aggs = count(lit(1L)).as("ct") +:
+      dims.flatMap(d => Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d")))
+    table.groupBy(col("zb")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Range query over a clustered table touching only buckets whose zone
+    * map overlaps the predicate: the driver-tiny (≤ 2^bucketBits rows)
+    * zone map resolves the bucket set, `zb IN (...)` reaches the scan as
+    * a partition filter (whole directories skipped), and the residual
+    * per-dim predicate drops the bucket-boundary rows. Equal to the
+    * unpruned filter by construction — the zone map is exact. */
+  def prunedRead(spark: SparkSession, path: String,
+                 ranges: Seq[(String, Long, Long)],
+                 zoneMap: Option[DataFrame] = None): DataFrame = {
+    require(ranges.nonEmpty, "prunedRead needs at least one range")
+    val table = spark.read.parquet(path)
+    val overlap = ranges.map { case (d, lo, hi) =>
+      col(s"min_$d") <= lit(hi) && col(s"max_$d") >= lit(lo)
+    }.reduce(_ && _)
+    val buckets = zoneMap.getOrElse(zoneMapOf(table, ranges.map(_._1)))
+      .filter(overlap && col("zb").isNotNull) // NULL partition unioned below
+      .select(col("zb").cast("long"))
+      .collect().map(_.getLong(0)) // driver-tiny: one row per bucket
+    val residual = ranges.map { case (d, lo, hi) =>
+      col(d) >= lit(lo) && col(d) <= lit(hi)
+    }.reduce(_ && _)
+    // NULL-dim rows live in the hive default partition (zb NULL) outside
+    // every zone-map range — scan that one partition too so a row whose
+    // QUERIED dims are set still surfaces when some OTHER layout dim was
+    // NULL. Both disjuncts are partition filters; the pruning stands.
+    table.filter((col("zb").isInCollection(buckets) || col("zb").isNull) && residual)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
-import graft.operators.{Dedup, Ivf, Multimodal, Pq, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Ivf, Layout, Multimodal, Pq, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over `documents`/`embeddings`:
   * dedup (exact / MinHash+LSH / SimHash), ANN similarity search, and text
@@ -23,6 +23,35 @@ object PipelineQueries {
       SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
              COUNT(*) AS ct, MIN(doc_id) AS keep_id
       FROM documents GROUP BY 1"""))
+
+  /** Source-priority exact dedup: the corpus plus a 'curated tier 0'
+    * copy of every third doc (shifted ids, identical text) — each
+    * duplicated group must keep the CURATED copy (the higher id),
+    * proving the preference rule overrides min-id keeping. */
+  val tDedupKeepBest: Q = Q(
+    "t_dedup_keep_best",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val curated = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      val corpus = docs.withColumn("__tier", lit(1L))
+        .unionByName(curated.withColumn("__tier", lit(0L)))
+      Dedup.exactGroupsKeepBest(corpus, col("__tier"))
+    },
+    oracle = Some("""
+      WITH c AS (
+        SELECT doc_id, text, 1 AS tier FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, text, 0 FROM documents WHERE doc_id % 3 = 0),
+      f AS (SELECT doc_id, tier,
+              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM c),
+      g AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS ct FROM f GROUP BY fp),
+      k AS (SELECT fp, doc_id AS keep_id FROM (
+              SELECT fp, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY fp ORDER BY tier ASC, doc_id ASC) AS rn
+              FROM f) t WHERE rn = 1)
+      SELECT g.fp, g.ct, k.keep_id FROM g JOIN k USING (fp)"""))
 
   /** MinHash+LSH near-dup pairs (8 sigs, 4 bands × 2, Jaccard >= 0.8). */
   val tDedupMinhash: Q = Q(
@@ -1387,6 +1416,68 @@ object PipelineQueries {
             FROM v)
       SELECT term, n_occurrences, doc_freq, rank FROM r WHERE rank <= 20"""))
 
+  /** (doc_id, token count) with both dims Morton-bucketed at 8 bits —
+    * shared CTE chain for the z-order oracles: the same integer bucket-
+    * shift rule as Layout.bucketShift, then the bit interleave unrolled
+    * as shift/mask/add. Ends in CTE `zt(doc_id, n_tokens, z)`. */
+  private val zorderDocsCte: String = {
+    val interleave = (0 until 8).flatMap(b => Seq(
+      s"(((v0 >> $b) & 1) << ${2 * b})",
+      s"(((v1 >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+    s"""
+      WITH t AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
+      b AS (SELECT MIN(doc_id) AS lo0, MAX(doc_id) AS hi0,
+                   MIN(n_tokens) AS lo1, MAX(n_tokens) AS hi1 FROM t),
+      sh AS (SELECT
+        (SELECT MIN(s) FROM range(0, 56) r(s)
+         WHERE (((SELECT hi0 FROM b) - (SELECT lo0 FROM b)) >> s) < 256) AS s0,
+        (SELECT MIN(s) FROM range(0, 56) r(s)
+         WHERE (((SELECT hi1 FROM b) - (SELECT lo1 FROM b)) >> s) < 256) AS s1),
+      v AS (SELECT doc_id, n_tokens,
+              (doc_id - (SELECT lo0 FROM b)) >> (SELECT s0 FROM sh) AS v0,
+              (n_tokens - (SELECT lo1 FROM b)) >> (SELECT s1 FROM sh) AS v1
+            FROM t),
+      zt AS (SELECT doc_id, n_tokens, CAST($interleave AS BIGINT) AS z FROM v)"""
+  }
+
+  /** documents projected to the z-order dimensions (doc_id, n_tokens). */
+  private def zorderDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir).select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(coalesce(col("text"), lit(""))))
+        .cast("long").as("n_tokens"))
+
+  /** Morton (Z-order) layout keys over (doc_id, token count) at 8 bits
+    * per dimension — the multi-column data-skipping layout key, all
+    * integer arithmetic (power-of-two bucket shifts derived by the same
+    * integer rule on both engines, bit interleave as shift/mask/add).
+    * Sorting files by this key is what makes min/max row-group pruning
+    * work on BOTH dimensions at 100 TB. */
+  val tZorderValues: Q = Q(
+    "t_zorder_values",
+    run = (s, dir) =>
+      Layout.zorderFrame(zorderDocs(s, dir), Seq("doc_id", "n_tokens"), bits = 8),
+    oracle = Some(
+      s"$zorderDocsCte SELECT doc_id, n_tokens, z FROM zt"))
+
+  /** Zone map of the z-clustered layout: per coarse z-bucket (top 6 of
+    * the 16 key bits) the row count and each dimension's min/max — the
+    * file-skipping index `Layout.prunedRead` consults. Exactly the
+    * per-directory parquet footer stats a clustered write produces, as
+    * one oracle-checkable aggregate. */
+  val tZoneMap: Q = Q(
+    "t_zone_map",
+    run = (s, dir) => {
+      val z = Layout.zorderFrame(zorderDocs(s, dir), Seq("doc_id", "n_tokens"), bits = 8)
+        .withColumn("zb", Layout.zBucket(col("z"), 2, 8, 6))
+      Layout.zoneMapOf(z, Seq("doc_id", "n_tokens"))
+    },
+    oracle = Some(s"""
+      $zorderDocsCte
+      SELECT z >> 10 AS zb, CAST(COUNT(*) AS BIGINT) AS ct,
+             MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+             MIN(n_tokens) AS min_n_tokens, MAX(n_tokens) AS max_n_tokens
+      FROM zt GROUP BY 1"""))
+
   /** Oracle twin of TextAnalysis.bpeMerges: k merge rounds unrolled as a
     * CTE chain — per round, pair counts over the symbol sequences, the
     * (cnt DESC, pair ASC) argmax, and the SAME three-pass
@@ -1435,7 +1526,7 @@ object PipelineQueries {
     oracle = Some(bpeOracle(8)))
 
   val all: Seq[Q] = Seq(
-    tDedupExact, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupSpans,
+    tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,
     tSimhash, tAnnCosine,
     tDedupEmbedding, tDedupEmbeddingBucketed, tDedupEmbeddingBucketedHi,
@@ -1445,7 +1536,7 @@ object PipelineQueries {
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
     tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateStatsFull, tCuratePacked,
     tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tSampleFixed,
-    tBpeMerges,
+    tBpeMerges, tZorderValues, tZoneMap,
     tRepetitionScore, tDecontaminate, tDecontaminateBloom, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
     tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary)
