@@ -205,6 +205,71 @@ object DwsQueries {
              s.signup_id AS asof_signup_id
       FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts"""))
 
+  /** J8 (beyond the reference): point-in-interval range join — orders
+    * whose date falls inside any [shipdate, shipdate+30d] window of the
+    * quantity-50 lineitems, counted per order. Catalyst would plan the
+    * raw theta join as BroadcastNestedLoopJoin; RangeJoin buckets the
+    * time axis (2^21 s ≈ 24 d) and equi-joins on the bucket, so both
+    * sides shuffle once and candidates are bucket-local. The oracle runs
+    * the plain theta join — bucketing must be invisible in the result. */
+  val j8RangeJoin: Q = Q(
+    "j8_range_join",
+    run = (s, dir) => {
+      import s.implicits._
+      val win = Tables.lineitem(s, dir).filter($"l_quantity" === 50.0)
+        .select($"l_orderkey", unix_timestamp($"l_shipdate").as("lo"))
+        .withColumn("hi", col("lo") + lit(30L * 86400))
+      val pts = Tables.orders(s, dir)
+        .select($"o_orderkey", unix_timestamp($"o_orderdate").as("v"))
+      graft.operators.RangeJoin
+        .pointInInterval(pts, "v", win, "lo", "hi", bucketBits = 21)
+        .groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("n_windows"), min($"l_orderkey").as("first_window"))
+    },
+    oracle = Some("""
+      WITH w AS (SELECT l_orderkey, CAST(epoch(l_shipdate) AS BIGINT) AS lo,
+                        CAST(epoch(l_shipdate) AS BIGINT) + 30*86400 AS hi
+                 FROM lineitem WHERE l_quantity = 50),
+           p AS (SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS v
+                 FROM orders)
+      SELECT p.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_windows,
+             MIN(w.l_orderkey) AS first_window
+      FROM p JOIN w ON p.v >= w.lo AND p.v <= w.hi
+      GROUP BY 1"""))
+
+  /** J9 (beyond the reference): interval-overlap range join — urgent
+    * orders' [orderdate, +7d] windows overlapping quantity-50 lineitems'
+    * [shipdate, +30d] windows. Both sides explode to covering buckets;
+    * each pair is emitted only in the canonical bucket (the overlap's
+    * left edge), so no distinct is needed — the plain-theta oracle
+    * certifies both the match set and the exactly-once emission. */
+  val j9RangeOverlap: Q = Q(
+    "j9_range_overlap",
+    run = (s, dir) => {
+      import s.implicits._
+      val a = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", unix_timestamp($"o_orderdate").as("a_lo"))
+        .withColumn("a_hi", col("a_lo") + lit(7L * 86400))
+      val b = Tables.lineitem(s, dir).filter($"l_quantity" === 50.0)
+        .select($"l_orderkey", unix_timestamp($"l_shipdate").as("b_lo"))
+        .withColumn("b_hi", col("b_lo") + lit(30L * 86400))
+      graft.operators.RangeJoin
+        .intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", bucketBits = 21)
+        .groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("n_overlaps"), min($"l_orderkey").as("first_overlap"))
+    },
+    oracle = Some("""
+      WITH a AS (SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS a_lo,
+                        CAST(epoch(o_orderdate) AS BIGINT) + 7*86400 AS a_hi
+                 FROM orders WHERE o_orderpriority = '1-URGENT'),
+           b AS (SELECT l_orderkey, CAST(epoch(l_shipdate) AS BIGINT) AS b_lo,
+                        CAST(epoch(l_shipdate) AS BIGINT) + 30*86400 AS b_hi
+                 FROM lineitem WHERE l_quantity = 50)
+      SELECT a.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+             MIN(b.l_orderkey) AS first_overlap
+      FROM a JOIN b ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+      GROUP BY 1"""))
+
   /** A10 (beyond the reference): session windows — 30-minute-gap sessions
     * per user (Spark session_window ≡ gaps-and-islands in the oracle). */
   val a10SessionWindow: Q = Q(
@@ -239,5 +304,5 @@ object DwsQueries {
 
   val all: Seq[Q] = Seq(
     a2GlobalWindow, a5DailyUv, a6Backflow, a7IsNewRepair, a8DedupFirst,
-    dws09Composite, j7AsofJoin, a10SessionWindow)
+    dws09Composite, j7AsofJoin, j8RangeJoin, j9RangeOverlap, a10SessionWindow)
 }
