@@ -142,6 +142,38 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., 2023: cluster the
+    * embedding space, then search for near-duplicates WITHIN clusters
+    * only): assign every vector to its nearest centroid with the fused
+    * map-side argmax (zero exchanges — the k-means assign shape), then
+    * emit all same-cluster pairs (a<b) with cosine >= threshold.
+    *
+    * Clustering is the third bucketing family next to hyperplane-LSH
+    * (angle buckets) and MinHash bands (token buckets): data-adaptive
+    * buckets from a trained codebook. The centroid set is a driver-tiny
+    * (k×dim) parameter — train it with Ivf.train in production; the
+    * catalog entry pins a deterministic seed set so the DuckDB oracle can
+    * recompute the assignment bit-for-bit.
+    *
+    * Scale: one scan assigns (map-side), ONE shuffle on cid co-locates
+    * each cluster, and the pairwise stage is Σ n_c² instead of N² — the
+    * paper's point. A skewed mega-cluster is the hot-bucket case: raise k
+    * or sub-split with a second centroid tier (same shape, per cluster). */
+  def semanticDedupPairs(vectors: DataFrame, cids: Seq[Long],
+      cents: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    val v = vectors
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("asg", graft.plans.VectorExpressions
+        .nearestCentroid(col("e"), cids, cents))
+      .select(col("vec_id"), col("e"), col("asg.cid").as("cid"))
+    val a = v.select(col("cid"), col("vec_id").as("vec_a"), col("e").as("ea"))
+    val b = v.select(col("cid").as("cid_b"), col("vec_id").as("vec_b"), col("e").as("eb"))
+    a.join(b, col("cid") === col("cid_b") && col("vec_a") < col("vec_b"))
+      .withColumn("sim", graft.plans.VectorExpressions.cosineFused(col("ea"), col("eb")))
+      .filter(col("sim") >= threshold)
+      .select(col("cid"), col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** ANN top-k within LSH buckets: same contract as bruteForceTopK but only
     * same-bucket pairs are scored — the candidate join shuffles on bucket id
     * instead of materializing the full N×Q cross product. */

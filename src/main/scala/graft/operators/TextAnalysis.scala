@@ -396,6 +396,44 @@ object TextAnalysis {
     out.toSeq.toDF("rank", "pair", "merged", "cnt")
   }
 
+  /** Apply a learned BPE merge list (the output of [[bpeMerges]]) to the
+    * corpus — the ENCODE half of the tokenizer story: training produced
+    * the merge sequence, this segments every document with it. Each
+    * word's character sequence folds through the merges in rank order
+    * using the IDENTICAL three-pass `replace(" l r " -> " lr ")` the
+    * trainer applied per round, so a word encodes exactly as it would
+    * have evolved during training (parity by construction — same residue
+    * on pathological same-pair chains, see bpeMerges).
+    *
+    * Output one row per doc: `encoded` (subwords space-joined within a
+    * word, words joined by " | "), `n_words`, `n_subwords`.
+    *
+    * Scale: the merge table is k driver-embedded literals folded into
+    * ONE projection — encoding is map-side at scan speed, no shuffle, no
+    * join, whole-stage-codegen'd. This is the right distribution for a
+    * tokenizer: the model is tiny and static, the corpus is 100 TB. The
+    * token array is bound to a column before the per-word lambda (HOF
+    * re-inline invariant); the replace chain operates only on the lambda
+    * variable, so nothing expensive re-inlines. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    def encodeWord(w: Column): Column = {
+      val seq0 = concat(lit(" "), concat_ws(" ", split(w, "")), lit(" "))
+      merges.foldLeft(seq0) { case (s, (pair, merged)) =>
+        val pat = lit(" " + pair + " ")
+        val rep = lit(" " + merged + " ")
+        replace(replace(replace(s, pat, rep), pat, rep), pat, rep)
+      }
+    }
+    docs
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), transform(col("toks"), w => trim(encodeWord(w))).as("encs"))
+      .select(col("doc_id"),
+        concat_ws(" | ", col("encs")).as("encoded"),
+        size(col("encs")).cast("long").as("n_words"),
+        coalesce(aggregate(col("encs"), lit(0L),
+          (acc, e) => acc + size(split(e, " ")).cast("long")), lit(0L)).as("n_subwords"))
+  }
+
   /** Fixed-size token-window chunking with overlap — the context-window
     * splitter every RAG / long-document training pipeline runs: chunk i
     * covers tokens [i·step, i·step + chunkTokens) with

@@ -244,6 +244,45 @@ object PipelineQueries {
         FROM v a JOIN v b ON a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45"""))
 
+  /** SemDeDup-style semantic dedup: nearest-centroid clustering (8
+    * deterministic seed centroids = the lowest-vec_id embeddings, so the
+    * oracle can recompute the assignment), then same-cluster cosine
+    * pairs. The oracle re-derives the argmax assignment (sim DESC, cid
+    * ASC — the expression's strict-> first-win rule) and the pair set,
+    * so both the clustering and the within-cluster search are certified. */
+  val tDedupSemantic: Q = Q(
+    "t_dedup_semantic",
+    run = (s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val seeds = embs.orderBy(col("vec_id")).limit(8).collect()
+      val cids = seeds.map(_.getLong(0)).toSeq
+      val cents = seeds.map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      Similarity.semanticDedupPairs(embs, cids, cents, 0.4)
+    },
+    oracle = Some("""
+      WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+      sims AS (
+        SELECT v.vec_id, c.cid,
+          list_sum([v.e[i+1]*c.ce[i+1] for i in range(0, 64)]) /
+            (sqrt(list_sum([v.e[i+1]*v.e[i+1] for i in range(0, 64)]))
+             * sqrt(list_sum([c.ce[i+1]*c.ce[i+1] for i in range(0, 64)]))) AS sim
+        FROM v, c),
+      asg AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk
+          FROM sims) z WHERE rk = 1),
+      p AS (
+        SELECT aa.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+          list_sum([a.e[i+1]*b.e[i+1] for i in range(0, 64)]) /
+            (sqrt(list_sum([a.e[i+1]*a.e[i+1] for i in range(0, 64)]))
+             * sqrt(list_sum([b.e[i+1]*b.e[i+1] for i in range(0, 64)]))) AS sim
+        FROM v a JOIN asg aa ON a.vec_id = aa.vec_id
+        JOIN asg bb ON aa.cid = bb.cid
+        JOIN v b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id)
+      SELECT cid, vec_a, vec_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.4"""))
+
   /** Transitive duplicate clusters: connected components over the MinHash
     * near-dup pairs (min-label propagation — Dedup.duplicateClusters); the
     * DuckDB oracle computes the same components with a recursive CTE, so
@@ -1484,7 +1523,10 @@ object PipelineQueries {
     * `replace(' l r ' -> ' lr ')` state update the Spark loop applies
     * (parity by construction: identical pass counts leave identical
     * residue even on pathological same-pair chains). */
-  private def bpeOracle(k: Int): String = {
+  /** The shared k-round BPE training CTE chain (wf, r0, p_i/b_i/r_i+1):
+    * bpeOracle appends the merge-list SELECT, bpeEncodeOracle appends the
+    * corpus-encoding stages over the same learned b_i rows. */
+  private def bpeChain(k: Int): StringBuilder = {
     // every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
     // b_i is referenced six times by round i+1 — inlining makes the plan
     // tree (and the parquet re-opens) grow 6^k
@@ -1510,6 +1552,11 @@ object PipelineQueries {
             ' ' || (SELECT pair FROM b$i) || ' ', ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' ') AS seq, f
         FROM r$i)"""
     }
+    sb
+  }
+
+  private def bpeOracle(k: Int): String = {
+    val sb = bpeChain(k)
     sb ++= (0 until k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS rank, pair, replace(pair, ' ', '') AS merged, cnt FROM b$i")
       .mkString("\n      ", "\n      UNION ALL\n      ", "")
@@ -1525,18 +1572,157 @@ object PipelineQueries {
     run = (s, dir) => TextAnalysis.bpeMerges(Tables.documents(s, dir), k = 8),
     oracle = Some(bpeOracle(8)))
 
+  /** Oracle twin of the train→encode composition: re-learn the same k
+    * merges (shared CTE chain), pivot the b_i rows into a 1-row merge
+    * table m, and fold each word through the IDENTICAL per-merge
+    * three-pass replace chain the Spark encoder applies. Words keep
+    * their in-document order via zipped unnest + ORDER BY j. */
+  private def bpeEncodeOracle(k: Int): String = {
+    val sb = bpeChain(k)
+    val cols = (0 until k).map(i =>
+      s"(SELECT pair FROM b$i) AS p$i, (SELECT replace(pair, ' ', '') FROM b$i) AS g$i")
+      .mkString(", ")
+    val chain = (0 until k).foldLeft(
+      "' ' || array_to_string(string_split(w, ''), ' ') || ' '") { (s, i) =>
+      val pat = s"' ' || p$i || ' '"
+      val rep = s"' ' || g$i || ' '"
+      s"replace(replace(replace($s, $pat, $rep), $pat, $rep), $pat, $rep)"
+    }
+    sb ++= s""",
+      m AS MATERIALIZED (SELECT $cols),
+      d AS MATERIALIZED (SELECT doc_id, $TOKS AS toks FROM documents),
+      wrd AS (SELECT doc_id, unnest(toks) AS w, unnest(range(len(toks))) AS j FROM d),
+      e AS (SELECT doc_id, j, trim($chain) AS e FROM wrd, m),
+      agg AS (
+        SELECT doc_id, string_agg(e, ' | ' ORDER BY j) AS encoded,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(string_split(e, ' '))) AS BIGINT) AS n_subwords
+        FROM e GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.encoded, '') AS encoded,
+             CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+             CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords
+      FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+    sb.toString
+  }
+
+  /** The engine-parity weight expression shared by the classifier and
+    * importance oracles: difference of Laplace-smoothed probabilities,
+    * quantized to integer micro-units — identical parenthesization to
+    * Classify.microWeights (only +,-,*,/ on exact int64 inputs, every op
+    * correctly rounded, so the doubles agree bit-for-bit). */
+  private def microWeightSql(aB: String, cB: String, aTot: String, cTot: String,
+                             b: Int): String =
+    s"""CAST(floor((((CAST(coalesce($aB, 0) + 1 AS DOUBLE) / CAST(t.$aTot + $b AS DOUBLE)) * $b.0) -
+               ((CAST(coalesce($cB, 0) + 1 AS DOUBLE) / CAST(t.$cTot + $b AS DOUBLE)) * $b.0)) * 1000000.0 + 0.5) AS BIGINT)"""
+
+  /** Hashed-token quality classifier: train on the even-doc_id half
+    * (label = lang 'en'), score the WHOLE corpus. The oracle recomputes
+    * the same hashed buckets (md5-prefix32 % 1024), the same zero-filled
+    * count table, the same micro-unit weights, and the same exact BIGINT
+    * doc sums — training and inference both hash-checked end to end. */
+  val tQualityClassifier: Q = Q(
+    "t_quality_classifier",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = graft.operators.Classify.trainTokenWeights(
+        docs.filter(col("doc_id") % 2 === 0), col("lang") === "en", buckets = 1024)
+      graft.operators.Classify.scoreTokens(docs, w, buckets = 1024)
+    },
+    oracle = Some(s"""
+      WITH tb AS MATERIALIZED (
+        SELECT (lang = 'en') AS pos,
+               CAST(('0x' || substr(md5('qc:' || tok), 1, 8)) AS BIGINT) % 1024 AS bucket
+        FROM (SELECT lang, unnest($TOKS) AS tok FROM documents WHERE doc_id % 2 = 0) z),
+      c AS (SELECT bucket,
+              CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_b,
+              CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_b
+            FROM tb GROUP BY bucket),
+      t AS (SELECT CAST(SUM(pos_b) AS BIGINT) AS pos_tot,
+                   CAST(SUM(neg_b) AS BIGINT) AS neg_tot FROM c),
+      w AS MATERIALIZED (SELECT r.bucket,
+              ${microWeightSql("c.pos_b", "c.neg_b", "pos_tot", "neg_tot", 1024)} AS w_micro
+            FROM (SELECT unnest(range(1024)) AS bucket) r
+            LEFT JOIN c ON r.bucket = c.bucket, t),
+      db AS (SELECT doc_id,
+               CAST(('0x' || substr(md5('qc:' || tok), 1, 8)) AS BIGINT) % 1024 AS bucket
+             FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents) z),
+      s AS (SELECT db.doc_id, CAST(SUM(w.w_micro) AS BIGINT) AS score_micro,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM db JOIN w USING (bucket) GROUP BY db.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(s.score_micro, 0) AS BIGINT) AS score_micro,
+             coalesce(s.score_micro, 0) > 0 AS pred
+      FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"""))
+
+  /** DSIR-flavored importance selection: hashed-bigram target-vs-raw
+    * scores (target = lang 'en'), top 100 under (score desc, doc_id).
+    * Zero-bigram docs participate with score 0 — the oracle re-ranks the
+    * full corpus, so the selection boundary is certified too. */
+  val tImportanceSample: Q = Q(
+    "t_importance_sample",
+    run = (s, dir) => {
+      val scored = graft.operators.Classify.importanceWeights(
+        Tables.documents(s, dir), col("lang") === "en", buckets = 1024)
+      graft.operators.Classify.selectTopN(scored, 100)
+    },
+    oracle = Some(s"""
+      WITH d AS MATERIALIZED (SELECT doc_id, (lang = 'en') AS tgt, $TOKS AS toks FROM documents),
+      bg AS MATERIALIZED (
+        SELECT doc_id, tgt,
+               CAST(('0x' || substr(md5('ir:' || b), 1, 8)) AS BIGINT) % 1024 AS bucket
+        FROM (SELECT doc_id, tgt,
+                unnest([toks[j] || ' ' || toks[j+1] for j in range(1, len(toks))]) AS b
+              FROM d) z),
+      c AS (SELECT bucket,
+              CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tgt_b,
+              CAST(COUNT(*) AS BIGINT) AS raw_b
+            FROM bg GROUP BY bucket),
+      t AS (SELECT CAST(SUM(tgt_b) AS BIGINT) AS tgt_tot,
+                   CAST(SUM(raw_b) AS BIGINT) AS raw_tot FROM c),
+      w AS MATERIALIZED (SELECT r.bucket,
+              ${microWeightSql("c.tgt_b", "c.raw_b", "tgt_tot", "raw_tot", 1024)} AS w_micro
+            FROM (SELECT unnest(range(1024)) AS bucket) r
+            LEFT JOIN c ON r.bucket = c.bucket, t),
+      s AS (SELECT bg.doc_id, CAST(SUM(w.w_micro) AS BIGINT) AS score_micro,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams
+            FROM bg JOIN w USING (bucket) GROUP BY bg.doc_id),
+      allscores AS (SELECT d.doc_id,
+                 CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                 CAST(coalesce(s.score_micro, 0) AS BIGINT) AS score_micro
+               FROM d LEFT JOIN s ON d.doc_id = s.doc_id)
+      SELECT doc_id, n_bigrams, score_micro,
+             CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+      FROM allscores ORDER BY score_micro DESC, doc_id ASC LIMIT 100"""))
+
+  /** BPE train→encode composition: learn 8 merges, then segment every
+    * document with them (subwords space-joined, words joined by " | ").
+    * The merge table is 8 driver-embedded literals folded into one
+    * map-side projection — tokenization runs at scan speed. */
+  val tBpeEncode: Q = Q(
+    "t_bpe_encode",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.bpeMerges(docs, k = 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs, merges)
+    },
+    oracle = Some(bpeEncodeOracle(8)))
+
   val all: Seq[Q] = Seq(
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,
     tSimhash, tAnnCosine,
-    tDedupEmbedding, tDedupEmbeddingBucketed, tDedupEmbeddingBucketedHi,
+    tDedupEmbedding, tDedupEmbeddingBucketed, tDedupEmbeddingBucketedHi, tDedupSemantic,
     tWinnowFingerprint,
     tWinnowPairs, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
     tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateStatsFull, tCuratePacked,
     tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tSampleFixed,
-    tBpeMerges, tZorderValues, tZoneMap,
+    tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
+    tZorderValues, tZoneMap,
     tRepetitionScore, tDecontaminate, tDecontaminateBloom, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
     tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary)

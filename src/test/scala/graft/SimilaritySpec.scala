@@ -109,4 +109,40 @@ class SimilaritySpec extends AnyFunSuite {
       brute.get(key).foreach(s => assert(s === r.getDouble(2)))
     }
   }
+
+  test("semantic dedup == exact pairs filtered to same-cluster, no cartesian") {
+    val emb = Tables.embeddings(spark, dir)
+    val seeds = emb.orderBy(emb("vec_id")).limit(8).collect()
+    val cids = seeds.map(_.getLong(0)).toSeq
+    val cents = seeds.map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val sem = Similarity.semanticDedupPairs(emb, cids, cents, 0.4)
+    val plan = sem.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // independent driver-side brute force, mirroring the expression's
+    // single-pass accumulation (dot/nx/ny ascending j, first-win argmax)
+    val vecs = emb.orderBy(emb("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(u: Array[Double], v: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var j = 0
+      while (j < u.length) { dot += u(j) * v(j); nx += u(j) * u(j); ny += v(j) * v(j); j += 1 }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val seedArr = cids.zip(cents.map(_.toArray)).toArray
+    val assign = vecs.map { case (v, e) =>
+      var bestCid = 0L; var best = 0.0; var first = true
+      for ((c, ce) <- seedArr) {
+        val s = cos(e, ce)
+        if (first || s > best) { best = s; bestCid = c; first = false }
+      }
+      v -> bestCid
+    }.toMap
+    val exact = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      if assign(vecs(i)._1) == assign(vecs(j)._1)
+      s = cos(vecs(i)._2, vecs(j)._2) if s >= 0.4
+    } yield (assign(vecs(i)._1), vecs(i)._1, vecs(j)._1)).toSet
+    val got = sem.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got === exact)
+  }
 }
