@@ -37,9 +37,20 @@ object Curate {
     final case class ExactJaccard(n: Int = 3, threshold: Double = 0.7) extends NearDupPolicy
   }
 
+  /** Model-based selection gate (CCNet posture: a tiny static model, a
+    * corpus-sized scan): docs whose Classify.scoreTokens score is <= 0
+    * are dropped as `classifier`, AFTER the repetition gate and BEFORE
+    * the heuristic quality score. The weight table is trained once
+    * (Classify.trainTokenWeights — one aggregation over a labeled frame)
+    * and broadcast into the scoring scan, so the gate costs one map-side
+    * explode + broadcast join + doc-keyed agg per corpus pass. Docs with
+    * zero tokens score 0 and are dropped here (they would land in
+    * low_quality otherwise — precedence decides the label, not the fate). */
+  final case class ClassifierGate(weights: DataFrame, buckets: Int = 1024)
+
   final case class Stats(
       input: Long, exactDups: Long, nearDups: Long,
-      contaminated: Long, repetitive: Long,
+      contaminated: Long, repetitive: Long, classifierDropped: Long,
       lowQuality: Long, unknownLang: Long, kept: Long, keptTokens: Long)
 
   // the one cache that outlives runDocs (it backs the returned `curated`
@@ -80,17 +91,22 @@ object Curate {
     * @param maxDup3Frac docs whose duplicate-3-gram fraction
     *   (TextAnalysis.repetitionScore) exceeds this are dropped as
     *   `repetitive` (the Gopher repetition filter). 1.0 disables (the
-    *   fraction is strictly < 1). Off by default. */
+    *   fraction is strictly < 1). Off by default.
+    * @param classifier when set, docs the trained model scores <= 0 are
+    *   dropped as `classifier` (see [[ClassifierGate]]) — after the
+    *   repetition gate, before the heuristic quality score. Off by
+    *   default. */
   def runDocs(spark: SparkSession, documents: DataFrame, minQuality: Double = 0.55,
       nearDup: NearDupPolicy = NearDupPolicy.PairwiseDrop,
       benchmark: Option[DataFrame] = None,
-      contaminationN: Int = 4, maxDup3Frac: Double = 1.0): (DataFrame, Stats) = {
+      contaminationN: Int = 4, maxDup3Frac: Double = 1.0,
+      classifier: Option[ClassifierGate] = None): (DataFrame, Stats) = {
     val dedupMark = Dedup.trackMark(spark)
     val docs = documents.persist()
     // a mid-pipeline failure must still close the scope and drop this
     // run's caches (releaseSince after the happy-path release is a no-op)
     try runLabeled(spark, docs, minQuality, nearDup, benchmark,
-      contaminationN, maxDup3Frac, dedupMark)
+      contaminationN, maxDup3Frac, classifier, dedupMark)
     catch {
       case t: Throwable =>
         Dedup.releaseSince(spark, dedupMark)
@@ -101,7 +117,8 @@ object Curate {
 
   private def runLabeled(spark: SparkSession, docs: DataFrame, minQuality: Double,
       nearDup: NearDupPolicy, benchmark: Option[DataFrame], contaminationN: Int,
-      maxDup3Frac: Double, dedupMark: Long): (DataFrame, Stats) = {
+      maxDup3Frac: Double, classifier: Option[ClassifierGate],
+      dedupMark: Long): (DataFrame, Stats) = {
     // 1. exact dedup: keep the min doc_id of each fingerprint group
     val keepExact = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
     val afterExact = docs.join(keepExact, "doc_id")
@@ -140,6 +157,11 @@ object Curate {
         Some(TextAnalysis.repetitionScore(docs)
           .select(col("doc_id"), col("dup_3gram_frac")))
       else None
+    // model gate: scoreTokens covers EVERY input doc (it left-joins from
+    // docs and coalesces no-token scores to 0), so __cls_keep is total
+    val clsPred = classifier.map(cg =>
+      graft.operators.Classify.scoreTokens(docs, cg.weights, cg.buckets)
+        .select(col("doc_id"), col("pred").as("__cls_keep")))
 
     // ONE labeled frame over the whole input: every document carries the
     // reason it left the pipeline (or 'kept'), so the ENTIRE accounting —
@@ -155,12 +177,16 @@ object Curate {
     val withGates = Seq(
       contaminated.map(c => (df: DataFrame) => df.join(c, Seq("doc_id"), "left")),
       repetition.map(r => (df: DataFrame) => df.join(r, Seq("doc_id"), "left")
-        .withColumn("dup_3gram_frac", coalesce(col("dup_3gram_frac"), lit(0.0))))
+        .withColumn("dup_3gram_frac", coalesce(col("dup_3gram_frac"), lit(0.0)))),
+      clsPred.map(c => (df: DataFrame) => df.join(c, Seq("doc_id"), "left"))
     ).flatten.foldLeft(joined)((df, f) => f(df))
     val contamGate =
       if (contaminated.isDefined) col("__contam").isNotNull else lit(false)
     val repGate =
       if (repetition.isDefined) col("dup_3gram_frac") > maxDup3Frac else lit(false)
+    val clsGate =
+      if (classifier.isDefined) not(coalesce(col("__cls_keep"), lit(false)))
+      else lit(false)
     val labeled = withGates
       .withColumn("quality", coalesce(col("quality"), lit(0.0)))
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
@@ -169,11 +195,13 @@ object Curate {
           .when(col("__loser").isNotNull, lit("near_dup"))
           .when(contamGate, lit("contaminated"))
           .when(repGate, lit("repetitive"))
+          .when(clsGate, lit("classifier"))
           .when(col("quality") < minQuality, lit("low_quality"))
           .when(col("pred_lang") === "und", lit("unknown_lang"))
           .otherwise(lit("kept")))
       .drop((Seq("__keeper", "__loser") ++ contaminated.map(_ => "__contam")
-        ++ repetition.map(_ => "dup_3gram_frac")): _*)
+        ++ repetition.map(_ => "dup_3gram_frac")
+        ++ clsPred.map(_ => "__cls_keep")): _*)
       .persist()
     synchronized {
       tracked.filterInPlace((s, _) => !s.sparkContext.isStopped)
@@ -200,13 +228,14 @@ object Curate {
     val curated = labeled.filter(col("drop_reason") === "kept")
       .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"), col("n_tokens"))
     val stats = Stats(counters.values.map(_._1).sum, n("exact_dup"), n("near_dup"),
-      n("contaminated"), n("repetitive"),
+      n("contaminated"), n("repetitive"), n("classifier"),
       n("low_quality"), n("unknown_lang"), n("kept"),
       counters.get("kept").map(_._2).getOrElse(0L))
     // structural now (the labels partition the input), but kept as the
     // tripwire for a precedence or join-cardinality regression
     assert(stats.input == stats.exactDups + stats.nearDups + stats.contaminated
-      + stats.repetitive + stats.lowQuality + stats.unknownLang + stats.kept,
+      + stats.repetitive + stats.classifierDropped + stats.lowQuality
+      + stats.unknownLang + stats.kept,
       s"curation accounting does not balance: $stats")
     (curated, stats)
   }
@@ -221,6 +250,7 @@ object Curate {
     releaseCaches(spark)
     println(s"""{"input":${s.input},"exact_dups":${s.exactDups},"near_dups":${s.nearDups},""" +
       s""""contaminated":${s.contaminated},"repetitive":${s.repetitive},""" +
+      s""""classifier_dropped":${s.classifierDropped},""" +
       s""""low_quality":${s.lowQuality},"unknown_lang":${s.unknownLang},""" +
       s""""kept":${s.kept},"kept_tokens":${s.keptTokens}}""")
     spark.stop()

@@ -859,7 +859,36 @@ object PipelineQueries {
     * gates are recomposed too, in the same precedence order as
     * Curate.runLabeled: dedup → contaminated → repetitive → quality →
     * language. */
+  /** The classifier-gate CTE chain for the curate oracle: the SAME
+    * train/score recomposition t_quality_classifier certifies (even-half
+    * training, lang='en' labels, B=1024 md5 buckets, micro-unit weights,
+    * exact BIGINT doc sums), ending in `clskeep` = doc_ids with positive
+    * score. Docs with zero tokens never reach cdb, so they are absent
+    * from clskeep — dropped by the gate, like scoreTokens' coalesced 0. */
+  private def classifierCtes: String = s"""
+      ctb AS MATERIALIZED (
+        SELECT (lang = 'en') AS pos,
+               CAST(('0x' || substr(md5('qc:' || tok), 1, 8)) AS BIGINT) % 1024 AS bucket
+        FROM (SELECT lang, unnest($TOKS) AS tok FROM documents WHERE doc_id % 2 = 0) z),
+      ccnt AS (SELECT bucket,
+              CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_b,
+              CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_b
+            FROM ctb GROUP BY bucket),
+      ctot AS (SELECT CAST(SUM(pos_b) AS BIGINT) AS pos_tot,
+                      CAST(SUM(neg_b) AS BIGINT) AS neg_tot FROM ccnt),
+      cwts AS MATERIALIZED (SELECT r.bucket,
+              ${microWeightSql("ccnt.pos_b", "ccnt.neg_b", "pos_tot", "neg_tot", 1024)} AS w_micro
+            FROM (SELECT unnest(range(1024)) AS bucket) r
+            LEFT JOIN ccnt ON r.bucket = ccnt.bucket, ctot t),
+      cdb AS (SELECT doc_id,
+               CAST(('0x' || substr(md5('qc:' || tok), 1, 8)) AS BIGINT) % 1024 AS bucket
+             FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents) z),
+      clskeep AS MATERIALIZED (
+        SELECT cdb.doc_id FROM cdb JOIN cwts USING (bucket)
+        GROUP BY cdb.doc_id HAVING CAST(SUM(cwts.w_micro) AS BIGINT) > 0),"""
+
   private def curateStatsOracle(losersCte: String, full: Boolean = false,
+      classifier: Boolean = false,
       finalSelect: Option[String] = None, pairsCtes: String = minhashPairsCtes): String = {
     val stop = TextAnalysis.lexicons.flatMap(_._2).distinct.sorted
       .map(w => s"'$w'").mkString("[", ",", "]")
@@ -911,12 +940,15 @@ object PipelineQueries {
                      for i in range(1, len(toks)-1)]))::DOUBLE / (len(toks) - 2)
                ELSE 0.0 END AS dup3
         FROM ftoks WHERE len(toks) > 0),""" else ""}
+      ${if (classifier) classifierCtes else ""}
       scored AS (
         SELECT an.doc_id, COALESCE(q.quality, 0.0) AS quality,
                COALESCE(q.n_tokens, 0) AS n_tokens, lang.pred_lang
                ${if (full) """,
                an.doc_id IN (SELECT doc_id FROM contam) AS is_contam,
                COALESCE(rep.dup3, 0.0) > 0.02 AS is_rep""" else ""}
+               ${if (classifier) """,
+               an.doc_id IN (SELECT doc_id FROM clskeep) AS cls_ok""" else ""}
         FROM an LEFT JOIN q USING (doc_id) JOIN lang USING (doc_id)
              ${if (full) "LEFT JOIN rep USING (doc_id)" else ""})
       """ + finalSelect.getOrElse(defaultStatsSelect(full))
@@ -991,6 +1023,45 @@ object PipelineQueries {
     },
     oracle = Some(curateStatsOracle(
       """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""", full = true)))
+
+  /** The composed pipeline with the MODEL gate on: exact dedup → MinHash
+    * near-dup removal → classifier (trained on the even-doc_id half with
+    * lang='en' labels — the CCNet posture: heuristics plus a learned
+    * filter) → quality → language. The oracle recomposes the classifier's
+    * training AND inference (the t_quality_classifier chain) inside the
+    * pipeline recomposition, so the composition of model training, model
+    * scoring, and gate precedence is certified end-to-end in one hash. */
+  val tCurateClassified: Q = Q(
+    "t_curate_classified",
+    run = (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val w = graft.operators.Classify.trainTokenWeights(
+        docs.filter(col("doc_id") % 2 === 0), col("lang") === "en", buckets = 1024)
+      val (_, st) = graft.pipeline.Curate.runDocs(s, docs,
+        classifier = Some(graft.pipeline.Curate.ClassifierGate(w, 1024)))
+      graft.pipeline.Curate.releaseCaches(s)
+      Seq((st.input, st.exactDups, st.nearDups, st.classifierDropped,
+        st.lowQuality, st.unknownLang, st.kept, st.keptTokens))
+        .toDF("input", "exact_dups", "near_dups", "classifier_dropped",
+          "low_quality", "unknown_lang", "kept", "kept_tokens")
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
+      classifier = true,
+      finalSelect = Some("""
+      SELECT
+        (SELECT COUNT(*) FROM documents) AS input,
+        (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM ae) AS exact_dups,
+        (SELECT COUNT(*) FROM losers) AS near_dups,
+        (SELECT COUNT(*) FROM scored WHERE NOT cls_ok) AS classifier_dropped,
+        (SELECT COUNT(*) FROM scored WHERE cls_ok AND quality < 0.55) AS low_quality,
+        (SELECT COUNT(*) FROM scored
+         WHERE cls_ok AND quality >= 0.55 AND pred_lang = 'und') AS unknown_lang,
+        (SELECT COUNT(*) FROM scored
+         WHERE cls_ok AND quality >= 0.55 AND pred_lang <> 'und') AS kept,
+        (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM scored
+         WHERE cls_ok AND quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens"""))))
 
   /** Same composed pipeline under the transitively-correct near-dup
     * policy: connected-component clustering keeps exactly one doc (the
@@ -1719,7 +1790,8 @@ object PipelineQueries {
     tWinnowPairs, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
-    tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateStatsFull, tCuratePacked,
+    tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateStatsFull,
+    tCurateClassified, tCuratePacked,
     tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
     tZorderValues, tZoneMap,

@@ -8,7 +8,8 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
 
 /** Continuous curation: pipeline.Curate's full gate chain
   * (exact dedup → MinHash near-dup removal → optional decontamination +
-  * repetition gates → quality → language) as ONE incremental sink. Every
+  * repetition + classifier gates → quality → language) as ONE
+  * incremental sink. Every
   * micro-batch document is labeled with the first gate that drops it (or
   * 'kept') — the same precedence and drop rules as Curate.runLabeled — and
   * the labeled rows land in `outPath/batch=<id>`, so the streaming
@@ -44,9 +45,16 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   */
 object CurateStream {
 
+  /** @param classifier when set, the model gate runs per batch exactly as
+    *   in the batch chain (Curate.ClassifierGate): the weight table is a
+    *   STATIC broadcast side — train it once before starting the stream —
+    *   and scoring is per-doc, so the gate is batching-independent like
+    *   quality/lang and stream≡batch holds with the SAME weights on both
+    *   sides. */
   def sink(docs: DataFrame, registryPath: String, outPath: String,
       benchmark: Option[DataFrame] = None, minQuality: Double = 0.55,
       contaminationN: Int = 4, maxDup3Frac: Double = 1.0,
+      classifier: Option[graft.pipeline.Curate.ClassifierGate] = None,
       numSigs: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
       maxBucket: Int = 1000, compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
@@ -146,6 +154,9 @@ object CurateStream {
                 Some(TextAnalysis.repetitionScore(b)
                   .select(col("doc_id"), col("dup_3gram_frac")))
               else None
+            val cls = classifier.map(cg =>
+              graft.operators.Classify.scoreTokens(b, cg.weights, cg.buckets)
+                .select(col("doc_id"), col("pred").as("__cls_keep")))
             val joined = b.select(col("doc_id"), col("text"))
               .join(exactDropped.withColumn("__ex", lit(1)), Seq("doc_id"), "left")
               .join(nearDropped.withColumn("__near", lit(1)), Seq("doc_id"), "left")
@@ -153,12 +164,16 @@ object CurateStream {
               .join(lang, Seq("doc_id"), "left")
             val withGates = Seq(
               contam.map(c => (df: DataFrame) => df.join(c, Seq("doc_id"), "left")),
-              rep.map(r => (df: DataFrame) => df.join(r, Seq("doc_id"), "left"))
+              rep.map(r => (df: DataFrame) => df.join(r, Seq("doc_id"), "left")),
+              cls.map(c => (df: DataFrame) => df.join(c, Seq("doc_id"), "left"))
             ).flatten.foldLeft(joined)((df, f) => f(df))
             val contamGate =
               if (contam.isDefined) col("__contam").isNotNull else lit(false)
             val repGate =
               if (rep.isDefined) coalesce(col("dup_3gram_frac"), lit(0.0)) > maxDup3Frac
+              else lit(false)
+            val clsGate =
+              if (classifier.isDefined) not(coalesce(col("__cls_keep"), lit(false)))
               else lit(false)
             val labeled = withGates
               .withColumn("quality", coalesce(col("quality"), lit(0.0)))
@@ -168,6 +183,7 @@ object CurateStream {
                   .when(col("__near").isNotNull, lit("near_dup"))
                   .when(contamGate, lit("contaminated"))
                   .when(repGate, lit("repetitive"))
+                  .when(clsGate, lit("classifier"))
                   .when(col("quality") < minQuality, lit("low_quality"))
                   .when(col("pred_lang") === "und", lit("unknown_lang"))
                   .otherwise(lit("kept")))

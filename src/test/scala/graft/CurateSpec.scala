@@ -142,6 +142,31 @@ class CurateSpec extends AnyFunSuite {
     assert(Dedup.releaseCaches(spark) === 0)
   }
 
+  test("classifier gate: model drop labeled before quality, after exact dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val train = Seq(
+      (1L, "good fine nice clean solid the and is", true),
+      (2L, "bad ugly junk spam noise the and is", false)).toDF("doc_id", "text", "label")
+    val w = graft.operators.Classify.trainTokenWeights(train, col("label"), buckets = 1024)
+    val docs = Seq(
+      (10L, "good fine nice clean solid work the and is done"),
+      (11L, "bad ugly junk spam noise mess the and is done"),
+      (12L, "bad ugly junk spam noise mess the and is done")) // exact dup of 11
+      .toDF("doc_id", "text")
+    val (curated, st) = Curate.runDocs(spark, docs, minQuality = 0.0,
+      classifier = Some(Curate.ClassifierGate(w, 1024)))
+    // doc 12 is an exact dup (dedup precedes the model gate); doc 11 is
+    // model-dropped; doc 10 scores positive and passes the en lexicon
+    assert(st.exactDups === 1 && st.classifierDropped === 1 && st.kept === 1,
+      s"stats: $st")
+    assert(curated.select("doc_id").collect().map(_.getLong(0)).toSet === Set(10L))
+    assert(st.input === st.exactDups + st.nearDups + st.contaminated
+      + st.repetitive + st.classifierDropped + st.lowQuality
+      + st.unknownLang + st.kept)
+    Curate.releaseCaches(spark)
+  }
+
   test("zero-token docs are accounted as lowQuality, not silently dropped") {
     import spark.implicits._
     val docs = Seq(

@@ -375,6 +375,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotTokens === st.keptTokens)
   }
 
+  test("CurateStream classifier gate == batch Curate with the same weights") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_curatestream_cls_reg"
+    val outPath = "/tmp/graft_test_curatestream_cls_out"
+    for (p <- Seq(regPath, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val train = Seq(
+      (1L, "good fine nice clean solid the and is", true),
+      (2L, "bad ugly junk spam noise the and is", false)).toDF("doc_id", "text", "label")
+    val w = graft.operators.Classify.trainTokenWeights(train, col("label"), buckets = 1024)
+    val gate = Some(graft.pipeline.Curate.ClassifierGate(w, 1024))
+    // 4 good + 4 bad docs, plus a later-batch exact dup of one of each —
+    // the model gate must compose with the cross-batch dedup registry
+    val docRows: Seq[(Long, String)] = (0 until 4).flatMap { i =>
+      Seq((10L + i, s"good fine nice clean solid w$i the and is done"),
+        (20L + i, s"bad ugly junk spam noise w$i the and is done"))
+    } ++ Seq((30L, "good fine nice clean solid w0 the and is done"),
+      (31L, "bad ugly junk spam noise w1 the and is done"))
+    val docs = docRows.toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurateStream.sink(
+        stream.toDF().toDF("doc_id", "text"), regPath, outPath,
+        minQuality = 0.0, classifier = gate)
+      .start()
+    docRows.sortBy(_._1).grouped(4).foreach { h =>
+      stream.addData(h); q.processAllAvailable()
+    }
+    q.stop()
+    val labeled = graft.streaming.CurateStream.labeledView(spark, outPath)
+    val gotLabels = labeled.select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (curated, st) = graft.pipeline.Curate.runDocs(spark, docs,
+      minQuality = 0.0, classifier = gate)
+    val wantKept = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(st.classifierDropped > 0 && st.exactDups > 0 && st.kept > 0,
+      s"gate vacuous: $st")
+    assert(gotLabels.size === docRows.size)
+    assert(gotLabels.values.count(_ == "classifier") === st.classifierDropped)
+    assert(gotLabels.values.count(_ == "exact_dup") === st.exactDups)
+    assert(gotLabels.values.count(_ == "kept") === st.kept)
+    assert(gotLabels.filter(_._2 == "kept").keySet === wantKept)
+  }
+
   test("incremental minhash-LSH sink == batch drop-doc_b formulation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
