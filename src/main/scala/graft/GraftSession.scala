@@ -18,9 +18,15 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    // events.parquet carries TIMESTAMP(NANOS); read as long, normalized in
-    // Tables.events.
+    // events.parquet has carried two physical types across testdata
+    // generations: TIMESTAMP(NANOS), which Spark's reader only accepts as a
+    // long (nanosAsLong, normalized in Tables.events), and
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false), which would otherwise
+    // surface as TIMESTAMP_NTZ and break every TimestampType consumer —
+    // inferTimestampNTZ=false reads it as plain TIMESTAMP (the session is
+    // UTC, so the wall-clock values are identical to DuckDB's naive read).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.parquet.compression.codec", "snappy")
     // note: the test-SF parquets are single-row-group files, so scans are
     // one task regardless of maxPartitionBytes (parquet splits only on

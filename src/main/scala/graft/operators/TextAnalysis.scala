@@ -288,6 +288,55 @@ object TextAnalysis {
       bfHits(col("g")).as("n_bf_grams"))
   }
 
+  /** SURGICAL decontamination — excise contaminated spans instead of
+    * dropping whole documents (the softer knife next to
+    * [[contaminationTable]]'s doc-level gate: dropping a 100-page doc for
+    * one leaked eval question wastes the other 99 pages). Every token
+    * position covered by ANY n-gram shared with the benchmark is removed;
+    * the document is rebuilt from the surviving tokens. Output one row per
+    * corpus doc: (doc_id, text, n_tokens, n_removed) — text is the
+    * token-rebuilt form (the dedupSpans contract), unchanged-by-value for
+    * clean docs.
+    *
+    * Scale: positional grams explode only docs with >= n tokens and the
+    * gram join shuffles on the gram string with the DISTINCT benchmark side
+    * (tiny → AQE broadcasts it); the hit list aggregates per contaminated
+    * doc only (bounded by doc length); the rebuild is one doc_id-keyed
+    * left join back to the corpus plus a map-side index filter. The corpus
+    * is never crossed with itself.
+    *
+    * Both array-producing frames are persisted before their explode
+    * (Generate re-inlines higher-order chains — see Dedup.winnowPairs) and
+    * registered in the session cache registry (caller releases via
+    * Curate.releaseCaches, the tfIdfTopTerms contract). The covered-
+    * position array is bound to its own column before the index-filter
+    * lambda references it (HOF re-inline invariant). */
+  def decontaminateSpans(docs: DataFrame, benchmark: DataFrame, n: Int = 4): DataFrame = {
+    val dt = Dedup.track(docs
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .persist())
+    val sg = Dedup.track(dt.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), wordShingles(col("toks"), n).as("g"))
+      .persist())
+    val bg = Dedup.track(contaminationGrams(benchmark, n).persist())
+    val pg = sg.select(col("doc_id"), posexplode(col("g")).as(Seq("pos", "gram")))
+    val benchGrams = bg.select(explode(col("g")).as("gram")).distinct()
+    val hits = pg.join(benchGrams, "gram")
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("hp"))
+    val cov = array_distinct(flatten(transform(col("hp"), p => sequence(p, p + lit(n - 1)))))
+    val keptIdx = when(size(col("toks")) === 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(0), size(col("toks")) - 1),
+        i => !array_contains(col("cov"), i)))
+    dt.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(cov, array().cast("array<int>")).as("cov"))
+      .select(col("doc_id"), col("toks"), keptIdx.as("kept"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("kept"), i => get(col("toks"), i))).as("text"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** Distinct n-gram arrays per doc (the shared shape of every
     * decontamination path); docs shorter than n tokens have no gram. */
   private def contaminationGrams(df: DataFrame, n: Int): DataFrame = df
@@ -432,6 +481,56 @@ object TextAnalysis {
         size(col("encs")).cast("long").as("n_words"),
         coalesce(aggregate(col("encs"), lit(0L),
           (acc, e) => acc + size(split(e, " ")).cast("long")), lit(0L)).as("n_subwords"))
+  }
+
+  /** PII detectors (the standard pre-training scrub list: emails, credit
+    * cards, SSNs, phone numbers, IPv4s), each with its redaction
+    * placeholder. The regexes stay inside the Java-regex ∩ RE2 common
+    * subset (no lookaround, no backreferences; `\b` is the ASCII word
+    * boundary and `\d` is [0-9] in both engines), so the DuckDB oracle
+    * runs the IDENTICAL pattern strings and must agree match-for-match.
+    *
+    * Order is part of the contract: redaction applies top to bottom
+    * (email first — its local part may contain digit runs a later pattern
+    * would bite into; card before phone so a 4-4-4-4 digit run becomes one
+    * <CC> rather than a phone-shaped fragment; the SSN 3-2-4 and phone
+    * 3-3-4 group shapes are mutually exclusive by construction).
+    *
+    * The card pattern demands ONE separator style per number (all-hyphen
+    * or all-space, via alternation): with the lax `[- ]` class a card
+    * following an SSN matched across the boundary ("…-1120 4111-1111-1111"
+    * as a "card"), mangling both — found by PiiSpec's idempotence check.
+    * Mixed-separator true cards don't match; both engines agree, which is
+    * the property the oracle certifies. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("cc", "\\b\\d{4}(-\\d{4}){3}\\b|\\b\\d{4}( \\d{4}){3}\\b", "<CC>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** PII scan + redaction — the privacy scrub every public-web training
+    * corpus runs before anything else sees the text. Emits per-type match
+    * counts (measured on the ORIGINAL text, each pattern independently)
+    * and the redacted text (patterns applied in [[piiPatterns]] order;
+    * every match replaced by its typed placeholder).
+    *
+    * Idempotent by construction: no placeholder contains a digit, an '@',
+    * or a lowercase run a pattern could re-match, so
+    * redact(redact(x)) == redact(x) (PiiSpec asserts it).
+    *
+    * Scale: pure projection — five regex passes per row, whole-stage
+    * codegen'd, no shuffle; at 100 TB this runs at scan speed exactly like
+    * the quality/language gates it sits beside. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(txt, lit(pat), lit(0))).cast("long").as(s"n_$name")
+    }
+    val redacted = piiPatterns.foldLeft(txt) { case (s, (_, pat, rep)) =>
+      regexp_replace(s, pat, rep)
+    }
+    docs.select((col("doc_id") +: counts :+ redacted.as("redacted")): _*)
   }
 
   /** Fixed-size token-window chunking with overlap — the context-window

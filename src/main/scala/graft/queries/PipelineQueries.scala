@@ -1303,6 +1303,40 @@ object PipelineQueries {
       SELECT cg.doc_id, COUNT(*) AS n_shared_grams
       FROM cg JOIN bg USING (gram) GROUP BY 1"""))
 
+  /** Surgical span decontamination: every token position covered by an
+    * n-gram shared with the benchmark is excised and the doc rebuilt —
+    * DuckDB recomposes positional grams, the hit join, covered-position
+    * expansion, and the index-filtered rebuild, so the hash certifies the
+    * exact excision boundaries (not just which docs were touched).
+    * Benchmark = the doc_id % 23 slice, as t_decontaminate. */
+  val tDecontaminateSpans: Q = Q(
+    "t_decontaminate_spans",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.decontaminateSpans(docs, docs.filter(col("doc_id") % 23 === 0), n = 4)
+    },
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      g AS (SELECT doc_id,
+          unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+3], ' ')}
+                  for i in range(1, len(toks) - 2)]) AS s
+        FROM toks WHERE len(toks) >= 4),
+      pg AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM g),
+      bg AS (SELECT DISTINCT unnest(
+          list_distinct([array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks) - 2)])) AS gram
+        FROM toks WHERE doc_id % 23 = 0 AND len(toks) >= 4),
+      h1 AS (SELECT pg.doc_id, list(DISTINCT pos) AS hp
+        FROM pg JOIN bg USING (gram) GROUP BY 1),
+      h2 AS (SELECT doc_id, flatten([range(p, p + 4) for p in hp]) AS cov FROM h1),
+      k AS (SELECT t.doc_id,
+          [t.toks[i] for i in range(1, len(t.toks) + 1)
+           if NOT list_contains(coalesce(h2.cov, []), i - 1)] AS kept,
+          len(t.toks) AS n_tokens
+        FROM toks t LEFT JOIN h2 USING (doc_id))
+      SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS text,
+        n_tokens, n_tokens - len(kept) AS n_removed
+      FROM k"""))
+
   /** Bloom-filter decontamination, self-gated against the exact join: the
     * `ok` column asserts (a) NO false negatives — every doc the exact join
     * flags has n_bf_grams >= its true shared-gram count (the Bloom
@@ -1781,7 +1815,55 @@ object PipelineQueries {
     },
     oracle = Some(bpeEncodeOracle(8)))
 
+  /** PII scan + redaction. The synthetic documents carry no PII, so the
+    * entry plants it deterministically in-query (doc_id-derived emails /
+    * IPs / phones / SSNs / cards, some docs carrying two types) — BOTH
+    * engines build the identical augmented text, then run the identical
+    * pattern list, so the hash gate certifies counts AND the redacted
+    * string byte-for-byte. */
+  val tPiiRedact: Q = Q(
+    "t_pii_redact",
+    run = (s, dir) => {
+      val id = col("doc_id")
+      val aug = concat(
+        coalesce(col("text"), lit("")),
+        when(id % 5 === 0, concat(lit(" contact user"), id.cast("string"),
+          lit("@mail.example.com now"))).otherwise(lit("")),
+        when(id % 5 === 1, concat(lit(" from 10."), (id % 200).cast("string"),
+          lit(".0."), (id % 250).cast("string"), lit(" port"))).otherwise(lit("")),
+        when(id % 5 === 2, concat(lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-0199 soon"))).otherwise(lit("")),
+        when(id % 5 === 3, concat(lit(" ssn 078-05-"),
+          lpad((id % 10000).cast("string"), 4, "0"), lit(" end"))).otherwise(lit("")),
+        when(id % 7 === 0, lit(" card 4111-1111-1111-1111 ok")).otherwise(lit("")))
+      TextAnalysis.redactPii(
+        Tables.documents(s, dir).select(id, aug.as("text")))
+    },
+    oracle = Some("""
+      WITH aug AS (SELECT doc_id,
+        coalesce(text, '')
+        || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END
+        || CASE WHEN doc_id % 5 = 1 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' port' ELSE '' END
+        || CASE WHEN doc_id % 5 = 2 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199 soon' ELSE '' END
+        || CASE WHEN doc_id % 5 = 3 THEN ' ssn 078-05-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' card 4111-1111-1111-1111 ok' ELSE '' END AS text
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', 0)) AS n_email,
+        len(regexp_extract_all(text, '\b\d{4}(-\d{4}){3}\b|\b\d{4}( \d{4}){3}\b', 0)) AS n_cc,
+        len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b', 0)) AS n_ssn,
+        len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', 0)) AS n_phone,
+        len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', 0)) AS n_ipv4,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{4}(-\d{4}){3}\b|\b\d{4}( \d{4}){3}\b', '<CC>', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+          '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+      FROM aug"""))
+
   val all: Seq[Q] = Seq(
+    tPiiRedact,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,
     tSimhash, tAnnCosine,
@@ -1795,7 +1877,7 @@ object PipelineQueries {
     tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
     tZorderValues, tZoneMap,
-    tRepetitionScore, tDecontaminate, tDecontaminateBloom, tSplitAssign,
+    tRepetitionScore, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
     tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary)
 }

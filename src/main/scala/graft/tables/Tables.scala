@@ -57,7 +57,12 @@ object Tables {
   def normalizeEvents(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw
+      // a session without GraftSession's inferTimestampNTZ=false reads the
+      // µs isAdjustedToUTC=false generation as TIMESTAMP_NTZ; the cast is
+      // value-preserving under the UTC session timezone
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
     }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -125,6 +125,50 @@ class SamplingSpec extends AnyFunSuite {
     assert(got === Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("decontaminateSpans: excises exactly the covered positions, rebuilds the rest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),                          // the benchmark phrase
+      (2L, "zzz alpha beta gamma delta yyy www"),              // phrase mid-doc
+      (3L, "alpha beta delta gamma epsilon zeta"),             // same tokens, no shared 4-gram
+      (4L, "one two"),                                         // shorter than n
+      (5L, "")).toDF("doc_id", "text")                         // empty
+    val bench = docs.filter(col("doc_id") === 1)
+    val got = TextAnalysis.decontaminateSpans(docs, bench, n = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 is fully self-covered; doc 2 loses tokens 1..4 only
+    assert(got(1L) === (("", 4L, 4L)))
+    assert(got(2L) === (("zzz yyy www", 7L, 4L)))
+    assert(got(3L) === (("alpha beta delta gamma epsilon zeta", 6L, 0L)))
+    assert(got(4L) === (("one two", 2L, 0L)))
+    assert(got(5L) === (("", 0L, 0L)))
+    graft.pipeline.Curate.releaseCaches(spark)
+  }
+
+  test("decontaminateSpans: overlapping shared grams coalesce into one covered run") {
+    import spark.implicits._
+    // bench doc's two 4-grams overlap in the corpus doc: covered = [1..5]
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d e y")).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 1)
+    val got = TextAnalysis.decontaminateSpans(docs, bench, n = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(got(2L) === (("x y", 5L)))
+    graft.pipeline.Curate.releaseCaches(spark)
+  }
+
+  test("decontaminateSpans: n_removed > 0 iff contaminationTable flags the doc") {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    val flagged = TextAnalysis.contaminationTable(docs, bench, n = 4).collect()
+      .map(_.getLong(0)).toSet
+    val touched = TextAnalysis.decontaminateSpans(docs, bench, n = 4).collect()
+      .filter(_.getLong(3) > 0L).map(_.getLong(0)).toSet
+    assert(touched === flagged)
+    graft.pipeline.Curate.releaseCaches(spark)
+  }
+
   test("packSequences: exhaustive, contiguous per shard, bounded overflow, growth-stable") {
     val docs = Tables.documents(spark, dir)
     val budget = 512L
