@@ -95,25 +95,48 @@ object GraftFunctions {
     }
   }
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "tokenize", exprs => TokenizeGenerator(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_fused", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5_prefix32", exprs => Md5Prefix32(exprs.head), "scala_udf")
-    // dim/nPlanes must be literals: they size the plane matrix embedded in
-    // the expression instance at plan time
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_sketch", exprs => HyperplaneSketch(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nearest_centroid", exprs => NearestCentroid(exprs.head,
-        litLongs(exprs(1)), litDoubles2(exprs(2)),
-        exprs(3).eval().asInstanceOf[Boolean]), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nearest_sub_centroid", exprs => NearestSubCentroid(exprs(0), exprs(1),
-        litLongs2(exprs(2)), litDoubles3(exprs(3))), "scala_udf")
-  }
+  /** (name → builder) for every SQL-surface function — the ONE source of
+    * truth shared by both registration paths: per-session `register` (the
+    * engine's own sessions) and the `GraftExtensions` injection
+    * (`spark.sql.extensions` — sessions the engine does not construct).
+    * dim/nPlanes/centroid-set args must be literals: they size matrices
+    * embedded in the expression instance at plan time. */
+  private[plans] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "tokenize" -> (exprs => TokenizeGenerator(exprs.head)),
+    "cosine_fused" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "md5_prefix32" -> (exprs => Md5Prefix32(exprs.head)),
+    "hyperplane_sketch" -> (exprs => HyperplaneSketch(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].intValue())),
+    "nearest_centroid" -> (exprs => NearestCentroid(exprs.head,
+      litLongs(exprs(1)), litDoubles2(exprs(2)),
+      exprs(3).eval().asInstanceOf[Boolean])),
+    "nearest_sub_centroid" -> (exprs => NearestSubCentroid(exprs(0), exprs(1),
+      litLongs2(exprs(2)), litDoubles3(exprs(3)))))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+}
+
+/** The idiomatic cluster-deployment entry point: register every engine SQL
+  * function through `SparkSessionExtensions`, so a session the engine does
+  * NOT construct (a shared notebook server, a Thrift/Connect gateway, a
+  * spark-submit with `--conf spark.sql.extensions=graft.plans
+  * .GraftExtensions`) gets the full SQL surface without calling
+  * GraftFunctions.register — the reference's "register the UDTF at
+  * environment setup" posture (SplitFunction registration,
+  * DwsTrafficKeywordPageViewWindow.java:88) expressed Spark-first.
+  * Injected and per-session registration share [[GraftFunctions.builders]],
+  * so the two paths cannot drift. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.plans.GraftFunctions", name),
+        b))
+    }
 }

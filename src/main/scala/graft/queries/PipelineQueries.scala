@@ -1815,6 +1815,39 @@ object PipelineQueries {
     },
     oracle = Some(bpeEncodeOracle(8)))
 
+  /** Distributed PCA, self-gated (the t_ann_ivf_recall pattern — an
+    * eigendecomposition is not DuckDB-expressible, so the entry certifies
+    * the Pythagorean identities that hold ONLY if train+project are
+    * correct together): components orthonormal (driver check), spectrum
+    * descending and PSD, avg ‖x−μ‖² == trace(C) (data vs model), and
+    * avg residual == totalVar − Σ top-k eigenvalues within 1e-6 relative —
+    * an orthonormal-projection identity that any assignment, centering, or
+    * eigensolver bug breaks. DuckDB reproduces n_rows / k and ok=TRUE. */
+  val tPcaEmbeddings: Q = Q(
+    "t_pca_embeddings",
+    run = (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val m = graft.operators.Pca.train(emb, k = 8)
+      val orthoOk = (for {
+        i <- m.components.indices; j <- i until m.k
+      } yield math.abs(
+        m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum -
+          (if (i == j) 1.0 else 0.0))).max < 1e-9
+      val eigOk = m.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12) &&
+        m.eigenvalues.last > -1e-9
+      val sqC = aggregate(zip_with(col("embedding"), typedLit(m.mean.toSeq),
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+      graft.operators.Pca.residuals(graft.operators.Pca.project(emb, m), m)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          avg(sqC).as("avg_sq"), avg(col("residual")).as("avg_resid"))
+        .select(col("n_rows"), lit(8).as("k"),
+          (lit(orthoOk && eigOk) &&
+            abs(col("avg_sq") - lit(m.totalVar)) <= lit(1e-6 * m.totalVar) &&
+            abs(col("avg_resid") - lit(m.totalVar - m.capturedVar)) <= lit(1e-6 * m.totalVar) &&
+            col("avg_resid") >= lit(-1e-9)).as("ok"))
+    },
+    oracle = Some("SELECT COUNT(*) AS n_rows, 8 AS k, TRUE AS ok FROM embeddings"))
+
   /** PII scan + redaction. The synthetic documents carry no PII, so the
     * entry plants it deterministically in-query (doc_id-derived emails /
     * IPs / phones / SSNs / cards, some docs carrying two types) — BOTH
@@ -1876,7 +1909,7 @@ object PipelineQueries {
     tCurateClassified, tCuratePacked,
     tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
-    tZorderValues, tZoneMap,
+    tZorderValues, tZoneMap, tPcaEmbeddings,
     tRepetitionScore, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
     tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary)
