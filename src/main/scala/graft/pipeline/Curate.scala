@@ -95,14 +95,25 @@ object Curate {
     * @param classifier when set, docs the trained model scores <= 0 are
     *   dropped as `classifier` (see [[ClassifierGate]]) — after the
     *   repetition gate, before the heuristic quality score. Off by
-    *   default. */
+    *   default.
+    * @param redactPii when true, TextAnalysis.redactPii scrubs every doc
+    *   BEFORE any gate runs (the real-world order: fingerprints, shingles
+    *   and quality scores must reflect the text that ships, and two docs
+    *   differing only in the PII they leak ARE duplicates after the
+    *   scrub). A map-side per-doc transform, so it composes with the
+    *   streaming twin batching-independently. Off by default. */
   def runDocs(spark: SparkSession, documents: DataFrame, minQuality: Double = 0.55,
       nearDup: NearDupPolicy = NearDupPolicy.PairwiseDrop,
       benchmark: Option[DataFrame] = None,
       contaminationN: Int = 4, maxDup3Frac: Double = 1.0,
-      classifier: Option[ClassifierGate] = None): (DataFrame, Stats) = {
+      classifier: Option[ClassifierGate] = None,
+      redactPii: Boolean = false): (DataFrame, Stats) = {
     val dedupMark = Dedup.trackMark(spark)
-    val docs = documents.persist()
+    val base =
+      if (redactPii) TextAnalysis.redactPii(documents)
+        .select(col("doc_id"), col("redacted").as("text"))
+      else documents
+    val docs = base.persist()
     // a mid-pipeline failure must still close the scope and drop this
     // run's caches (releaseSince after the happy-path release is a no-op)
     try runLabeled(spark, docs, minQuality, nearDup, benchmark,

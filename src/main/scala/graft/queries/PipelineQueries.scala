@@ -887,20 +887,26 @@ object PipelineQueries {
         SELECT cdb.doc_id FROM cdb JOIN cwts USING (bucket)
         GROUP BY cdb.doc_id HAVING CAST(SUM(cwts.w_micro) AS BIGINT) > 0),"""
 
+  /** @param docsRel the relation the pipeline ingests ("documents", or a
+    *   CTE name from `prefixCtes` — the t_curate_redacted entry feeds the
+    *   PII-scrubbed corpus through the UNCHANGED chain this way). The
+    *   classifier CTEs always read `documents` (they need its lang
+    *   column); don't combine `classifier` with a non-default docsRel. */
   private def curateStatsOracle(losersCte: String, full: Boolean = false,
       classifier: Boolean = false,
-      finalSelect: Option[String] = None, pairsCtes: String = minhashPairsCtes): String = {
+      finalSelect: Option[String] = None, pairsCtes: String = minhashPairsCtes,
+      docsRel: String = "documents", prefixCtes: String = ""): String = {
     val stop = TextAnalysis.lexicons.flatMap(_._2).distinct.sorted
       .map(w => s"'$w'").mkString("[", ",", "]")
     val lex = TextAnalysis.lexicons.map { case (lang, words) =>
       lang -> words.map(w => s"'$w'").mkString("[", ",", "]")
     }.toMap
     s"""
-      WITH RECURSIVE fp AS (
+      WITH RECURSIVE $prefixCtes fp AS (
         SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
-        FROM documents),
+        FROM $docsRel),
       keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
-      ae AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+      ae AS (SELECT d.doc_id, d.text FROM $docsRel d JOIN keep USING (doc_id)),
       toks AS (SELECT doc_id, $TOKS AS toks FROM ae),
       $pairsCtes,
       $losersCte,
@@ -927,7 +933,7 @@ object PipelineQueries {
             len(list_intersect(list_distinct(toks), ${lex("fr")})) AS hfr
           FROM an)),
       ${if (full) s"""
-      ftoks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      ftoks AS (SELECT doc_id, $TOKS AS toks FROM $docsRel),
       cg4 AS (SELECT doc_id,
           list_distinct([array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]) AS g
         FROM ftoks WHERE len(toks) >= 4),
@@ -951,10 +957,10 @@ object PipelineQueries {
                an.doc_id IN (SELECT doc_id FROM clskeep) AS cls_ok""" else ""}
         FROM an LEFT JOIN q USING (doc_id) JOIN lang USING (doc_id)
              ${if (full) "LEFT JOIN rep USING (doc_id)" else ""})
-      """ + finalSelect.getOrElse(defaultStatsSelect(full))
+      """ + finalSelect.getOrElse(defaultStatsSelect(full, docsRel))
   }
 
-  private def defaultStatsSelect(full: Boolean): String = {
+  private def defaultStatsSelect(full: Boolean, docsRel: String = "documents"): String = {
     val fullCols = """
         (SELECT COUNT(*) FROM scored WHERE is_contam) AS contaminated,
         (SELECT COUNT(*) FROM scored WHERE NOT is_contam AND is_rep) AS repetitive,
@@ -975,8 +981,8 @@ object PipelineQueries {
          WHERE quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens"""
     s"""
       SELECT
-        (SELECT COUNT(*) FROM documents) AS input,
-        (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM ae) AS exact_dups,
+        (SELECT COUNT(*) FROM $docsRel) AS input,
+        (SELECT COUNT(*) FROM $docsRel) - (SELECT COUNT(*) FROM ae) AS exact_dups,
         (SELECT COUNT(*) FROM losers) AS near_dups,
         ${if (full) fullCols else baseCols}"""
   }
@@ -1848,55 +1854,82 @@ object PipelineQueries {
     },
     oracle = Some("SELECT COUNT(*) AS n_rows, 8 AS k, TRUE AS ok FROM embeddings"))
 
-  /** PII scan + redaction. The synthetic documents carry no PII, so the
-    * entry plants it deterministically in-query (doc_id-derived emails /
-    * IPs / phones / SSNs / cards, some docs carrying two types) — BOTH
-    * engines build the identical augmented text, then run the identical
-    * pattern list, so the hash gate certifies counts AND the redacted
-    * string byte-for-byte. */
-  val tPiiRedact: Q = Q(
-    "t_pii_redact",
-    run = (s, dir) => {
-      val id = col("doc_id")
-      val aug = concat(
-        coalesce(col("text"), lit("")),
-        when(id % 5 === 0, concat(lit(" contact user"), id.cast("string"),
-          lit("@mail.example.com now"))).otherwise(lit("")),
-        when(id % 5 === 1, concat(lit(" from 10."), (id % 200).cast("string"),
-          lit(".0."), (id % 250).cast("string"), lit(" port"))).otherwise(lit("")),
-        when(id % 5 === 2, concat(lit(" call 555-"),
-          lpad((id % 1000).cast("string"), 3, "0"), lit("-0199 soon"))).otherwise(lit("")),
-        when(id % 5 === 3, concat(lit(" ssn 078-05-"),
-          lpad((id % 10000).cast("string"), 4, "0"), lit(" end"))).otherwise(lit("")),
-        when(id % 7 === 0, lit(" card 4111-1111-1111-1111 ok")).otherwise(lit("")))
-      TextAnalysis.redactPii(
-        Tables.documents(s, dir).select(id, aug.as("text")))
-    },
-    oracle = Some("""
-      WITH aug AS (SELECT doc_id,
-        coalesce(text, '')
+  /** doc_id-derived PII planting for the PII entries (the synthetic
+    * documents carry no PII): emails / IPs / phones / SSNs / cards, some
+    * docs carrying two types. The Spark column and the SQL build the
+    * IDENTICAL augmented text. */
+  private def piiAugCol: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      coalesce(col("text"), lit("")),
+      when(id % 5 === 0, concat(lit(" contact user"), id.cast("string"),
+        lit("@mail.example.com now"))).otherwise(lit("")),
+      when(id % 5 === 1, concat(lit(" from 10."), (id % 200).cast("string"),
+        lit(".0."), (id % 250).cast("string"), lit(" port"))).otherwise(lit("")),
+      when(id % 5 === 2, concat(lit(" call 555-"),
+        lpad((id % 1000).cast("string"), 3, "0"), lit("-0199 soon"))).otherwise(lit("")),
+      when(id % 5 === 3, concat(lit(" ssn 078-05-"),
+        lpad((id % 10000).cast("string"), 4, "0"), lit(" end"))).otherwise(lit("")),
+      when(id % 7 === 0, lit(" card 4111-1111-1111-1111 ok")).otherwise(lit("")))
+  }
+
+  private val piiAugSql: String = """coalesce(text, '')
         || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END
         || CASE WHEN doc_id % 5 = 1 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' port' ELSE '' END
         || CASE WHEN doc_id % 5 = 2 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199 soon' ELSE '' END
         || CASE WHEN doc_id % 5 = 3 THEN ' ssn 078-05-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end' ELSE '' END
-        || CASE WHEN doc_id % 7 = 0 THEN ' card 4111-1111-1111-1111 ok' ELSE '' END AS text
-        FROM documents)
+        || CASE WHEN doc_id % 7 = 0 THEN ' card 4111-1111-1111-1111 ok' ELSE '' END"""
+
+  /** DuckDB twin of TextAnalysis.redactPii's replace chain — GENERATED
+    * from piiPatterns, so the SQL and the Spark operator cannot drift. */
+  private def piiRedactSql(inner: String): String =
+    TextAnalysis.piiPatterns.foldLeft(inner) { case (s, (_, pat, rep)) =>
+      s"regexp_replace($s, '$pat', '$rep', 'g')"
+    }
+
+  /** PII scan + redaction over the planted-PII corpus — BOTH engines build
+    * the identical augmented text, then run the identical pattern list, so
+    * the hash gate certifies counts AND the redacted string
+    * byte-for-byte. */
+  val tPiiRedact: Q = Q(
+    "t_pii_redact",
+    run = (s, dir) => TextAnalysis.redactPii(
+      Tables.documents(s, dir).select(col("doc_id"), piiAugCol.as("text"))),
+    oracle = Some(s"""
+      WITH aug AS (SELECT doc_id, $piiAugSql AS text FROM documents)
       SELECT doc_id,
-        len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', 0)) AS n_email,
-        len(regexp_extract_all(text, '\b\d{4}(-\d{4}){3}\b|\b\d{4}( \d{4}){3}\b', 0)) AS n_cc,
-        len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b', 0)) AS n_ssn,
-        len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', 0)) AS n_phone,
-        len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', 0)) AS n_ipv4,
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-          '\b\d{4}(-\d{4}){3}\b|\b\d{4}( \d{4}){3}\b', '<CC>', 'g'),
-          '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-          '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
-          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        ${TextAnalysis.piiPatterns.map { case (name, pat, _) =>
+          s"len(regexp_extract_all(text, '$pat', 0)) AS n_$name"
+        }.mkString(",\n        ")},
+        ${piiRedactSql("text")} AS redacted
       FROM aug"""))
 
+  /** The PII scrub composed into the FULL curation pipeline: plant PII,
+    * redact, then run exact dedup → MinHash → quality → language over the
+    * scrubbed text — the DuckDB side recomposes scrub + every gate in one
+    * query, so the hash certifies that redaction feeds the chain (changed
+    * fingerprints, shingles, token counts and quality scores included),
+    * not just that it runs beside it. */
+  val tCurateRedacted: Q = Q(
+    "t_curate_redacted",
+    run = (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), piiAugCol.as("text"))
+      val (_, st) = graft.pipeline.Curate.runDocs(s, docs, redactPii = true)
+      graft.pipeline.Curate.releaseCaches(s)
+      Seq((st.input, st.exactDups, st.nearDups, st.lowQuality, st.unknownLang,
+        st.kept, st.keptTokens))
+        .toDF("input", "exact_dups", "near_dups", "low_quality",
+          "unknown_lang", "kept", "kept_tokens")
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
+      docsRel = "rdocs",
+      prefixCtes = s"""aug AS (SELECT doc_id, $piiAugSql AS text FROM documents),
+      rdocs AS (SELECT doc_id, ${piiRedactSql("text")} AS text FROM aug),""")))
+
   val all: Seq[Q] = Seq(
-    tPiiRedact,
+    tPiiRedact, tCurateRedacted,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,
     tSimhash, tAnnCosine,

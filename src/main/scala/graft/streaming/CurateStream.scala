@@ -50,11 +50,19 @@ object CurateStream {
     *   STATIC broadcast side — train it once before starting the stream —
     *   and scoring is per-doc, so the gate is batching-independent like
     *   quality/lang and stream≡batch holds with the SAME weights on both
-    *   sides. */
+    *   sides.
+    * @param redactPii when true, every micro-batch is PII-scrubbed
+    *   (TextAnalysis.redactPii) before any gate or registry write — the
+    *   batch chain's pre-transform. Per-doc and deterministic, so the
+    *   scrub is batching-independent and stream≡batch holds verbatim;
+    *   registries then hold fingerprints/bands OF THE SCRUBBED text,
+    *   which is the point (two docs differing only in leaked PII are
+    *   duplicates after the scrub). */
   def sink(docs: DataFrame, registryPath: String, outPath: String,
       benchmark: Option[DataFrame] = None, minQuality: Double = 0.55,
       contaminationN: Int = 4, maxDup3Frac: Double = 1.0,
       classifier: Option[graft.pipeline.Curate.ClassifierGate] = None,
+      redactPii: Boolean = false,
       numSigs: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
       maxBucket: Int = 1000, compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
@@ -77,7 +85,10 @@ object CurateStream {
         // InMemoryRelations under the at-least-once retry contract
         val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         def keep(df: DataFrame): DataFrame = { persisted += df.persist(); df }
-        val b = keep(batch.toDF())
+        val b = keep(
+          if (redactPii) TextAnalysis.redactPii(batch.toDF())
+            .select(col("doc_id"), col("redacted").as("text"))
+          else batch.toDF())
         // NULL-text sentinel: fingerprint(NULL) is NULL, and the registry
         // equi-join below is null-UNSAFE — without the sentinel a null-text
         // doc in a later batch never matches a null-fp doc in the registry,

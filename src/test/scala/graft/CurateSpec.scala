@@ -167,6 +167,30 @@ class CurateSpec extends AnyFunSuite {
     Curate.releaseCaches(spark)
   }
 
+  test("redactPii pre-transform: scrubbed text feeds every gate; composition equals manual scrub") {
+    import org.apache.spark.sql.functions._
+    val raw = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" reach me at a@b.co or 10.0.0.1"))
+          .otherwise(lit(""))).as("text"))
+    // composition property: runDocs(redactPii = true) == runDocs over the
+    // manually scrubbed frame (the pre-transform is exactly redactPii)
+    val (keptA, stA) = Curate.runDocs(spark, raw, redactPii = true)
+    val rowsA = keptA.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    Curate.releaseCaches(spark)
+    val scrubbed = graft.operators.TextAnalysis.redactPii(raw)
+      .select(col("doc_id"), col("redacted").as("text"))
+    val (keptB, stB) = Curate.runDocs(spark, scrubbed)
+    val rowsB = keptB.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    Curate.releaseCaches(spark)
+    assert(stA === stB)
+    assert(rowsA === rowsB)
+    // and the kept corpus is actually scrubbed
+    assert(rowsA.nonEmpty)
+    assert(!rowsA.exists { case (_, t) => t.contains("a@b.co") || t.contains("10.0.0.1") })
+    assert(rowsA.exists { case (_, t) => t.contains("<EMAIL>") })
+  }
+
   test("zero-token docs are accounted as lowQuality, not silently dropped") {
     import spark.implicits._
     val docs = Seq(

@@ -375,6 +375,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotTokens === st.keptTokens)
   }
 
+  test("CurateStream redactPii == batch Curate with the scrub; registries hold scrubbed state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_curatestream_pii_reg"
+    val outPath = "/tmp/graft_test_curatestream_pii_out"
+    for (p <- Seq(regPath, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    // plant PII so the scrub changes fingerprints/shingles, and make two
+    // docs exact duplicates ONLY after redaction (same text, different
+    // leaked email) — the property that breaks if the scrub runs after
+    // the registry writes instead of before
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@x.io")))
+          .otherwise(lit(""))).as("text"))
+    val docRows = docs.orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurateStream.sink(
+        stream.toDF().toDF("doc_id", "text"), regPath, outPath, redactPii = true)
+      .start()
+    docRows.grouped(math.max(1, docRows.size / 3)).foreach { h =>
+      stream.addData(h); q.processAllAvailable()
+    }
+    q.stop()
+    val labeled = spark.read.parquet(outPath)
+    val gotCounts = labeled.groupBy("drop_reason").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotKept = labeled.filter(col("drop_reason") === "kept")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val (curated, st) = graft.pipeline.Curate.runDocs(spark, docs, redactPii = true)
+    val wantKept = curated.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(gotCounts.getOrElse("exact_dup", 0L) === st.exactDups)
+    assert(gotCounts.getOrElse("near_dup", 0L) === st.nearDups)
+    assert(gotCounts.getOrElse("kept", 0L) === st.kept)
+    assert(gotKept === wantKept)
+    // the emitted corpus is scrubbed
+    assert(gotKept.nonEmpty)
+    assert(!gotKept.exists(_._2.contains("@x.io")))
+    // and the fingerprint registry holds scrubbed fingerprints: re-running
+    // the scrub on the raw docs reproduces every registered fp
+    val regFps = spark.read.parquet(s"$regPath/fps/batch=0").select("fp")
+      .collect().map(_.getString(0)).toSet
+    val scrubbedFps = graft.operators.TextAnalysis.redactPii(docs)
+      .select(col("doc_id"), col("redacted").as("text"))
+      .select(coalesce(graft.functions.TextFunctions.fingerprint(col("text")),
+        lit("null:")).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    assert(regFps.subsetOf(scrubbedFps))
+  }
+
   test("CurateStream classifier gate == batch Curate with the same weights") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
