@@ -567,4 +567,119 @@ object TextAnalysis {
         concat_ws(" ", col("ctoks")).as("text"),
         size(col("ctoks")).cast("long").as("n_tokens"))
   }
+
+  /** Corpus-frequency line-level boilerplate removal — the line-dedup pass
+    * web-scale pipelines (CCNet §4.1, RefinedWeb/Gopher line filters) run
+    * to kill nav bars, cookie banners and footers: a line occurring in
+    * more than `maxDocFreq` DISTINCT documents is boilerplate and is
+    * stripped from EVERY document; surviving lines keep their order.
+    * Emits (doc_id, text, n_lines, n_stripped); a doc whose every line is
+    * boilerplate survives with empty text (loud accounting, not a silent
+    * row loss). Frequency counts the line byte-exactly (split on '\n') —
+    * normalization, if wanted, belongs in a projection before the call.
+    *
+    * Scale: explode to (line, idx) rows, ONE line-keyed aggregation with
+    * map-side partials counts distinct docs, the hot-line table (tiny —
+    * only lines crossing a corpus-wide threshold) broadcast-joins back as
+    * a FLAG, and one doc_id-keyed aggregation rebuilds text and both
+    * counts together — every doc has ≥ 1 line, so no join back to the
+    * corpus for totals (an earlier draft's corpus⋈corpus doc_id join,
+    * visible in its plan, is gone). Two high-cardinality shuffles, no
+    * per-doc state, no corpus self-join.
+    * Inherently batch/corpus-level: hotness is a global property, and a
+    * line may cross the threshold only after earlier docs already
+    * shipped — there is deliberately no incremental streaming twin. */
+  def stripBoilerplate(docs: DataFrame, maxDocFreq: Int = 5): DataFrame = {
+    val withLs = docs.select(col("doc_id"),
+      split(coalesce(col("text"), lit("")), "\n").as("ls"))
+    val bound = Dedup.track(withLs.persist()) // Generate re-inline hazard
+    val lines = bound.select(col("doc_id"),
+      posexplode(col("ls")).as(Seq("idx", "line")))
+    val hot = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("line"), lit(true).as("__hot"))
+    // no broadcast() hint: hot is tiny for any sane threshold and AQE
+    // broadcasts it, but a pathological corpus (everything boilerplate)
+    // must be allowed to fall back to a shuffle join instead of OOMing
+    lines.join(hot, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws("\n",
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("idx"), col("line"), col("__hot")))),
+              s => s.getField("__hot").isNull),
+            s => s.getField("line"))).as("text"),
+        count(lit(1)).as("n_lines"),
+        count(col("__hot")).as("n_stripped"))
+      .select(col("doc_id"), col("text"), col("n_lines"), col("n_stripped"))
+  }
+
+  /** Bigram-LM fluency scoring — the CCNet/KenLM perplexity gate
+    * re-expressed with engine-parity arithmetic: train add-one-smoothed
+    * bigram counts on `reference`, score every doc by its mean smoothed
+    * bigram probability. The canonical form averages log-probs
+    * (perplexity), but `ln` is not IEEE-correctly-rounded (same surrogate
+    * rule as [[Classify]]), so each bigram occurrence scores the quantized
+    * probability
+    *   p_micro(w1 w2) = (c2(w1 w2) + 1) · 10^6 div (c1(w1) + V)
+    * — exact BIGINT ops throughout (c1 = occurrences of w1 as a bigram
+    * left context in the reference, V = reference vocabulary size; unseen
+    * contexts fall back to 10^6 div V). Per doc: n_bigrams, sum_micro
+    * (exact BIGINT — immune to double summation order) and lm_micro_avg =
+    * sum/n as ONE correctly-rounded double division (NULL for docs with
+    * < 2 tokens — they have no bigram evidence either way). Fluent /
+    * in-domain docs score high, garbled docs low — the same decision
+    * family as perplexity bucketing, bit-reproducible cross-engine;
+    * thresholding or tertile bucketing composes downstream (e.g.
+    * [[Sampling.sampleFixed]] over (lm_micro_avg, doc_id)). An EMPTY
+    * reference has no probability space (V = 0) and fails loud under
+    * ANSI division rather than silently scoring everything 0
+    * (TextOpsSpec pins this).
+    *
+    * Scale: the model is the reference's bigram count table (vocab-
+    * bounded, tiny next to a 100 TB corpus); c1 is derived FROM that
+    * table (sum by left word), never from a second corpus pass. The
+    * corpus explode_outer's to bigram occurrences (zero-bigram docs keep
+    * one NULL row, so every doc reaches the final aggregation WITHOUT a
+    * corpus⋈corpus join-back for the missing rows) and takes two keyed
+    * joins against the count tables (AQE broadcasts them at any real
+    * corpus/model ratio), then ONE doc_id-keyed aggregation with
+    * map-side partials — the corpus's only shuffle. The corpus never
+    * self-joins and is never re-scanned. */
+  def lmScore(docs: DataFrame, reference: DataFrame): DataFrame = {
+    val refBound = Dedup.track(reference
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), wordShingles(col("toks"), 2).as("gs"))
+      .persist()) // Generate re-inline hazard (see file scaladoc)
+    val c2 = refBound.select(explode(col("gs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.select(substring_index(col("g"), " ", 1).as("w1"), col("c2"))
+      .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vrow = reference
+      .select(explode(tokens(coalesce(col("text"), lit("")))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    // explode_outer: zero-bigram docs keep one NULL-g row, so every doc
+    // reaches the final aggregation without a corpus⋈corpus join-back
+    val docBound = Dedup.track(docs
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), wordShingles(col("toks"), 2).as("gs"))
+      .persist()) // Generate re-inline hazard
+    docBound.select(col("doc_id"), explode_outer(col("gs")).as("g"))
+      .join(c2, Seq("g"), "left")
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vrow))
+      .withColumn("p_micro", when(col("g").isNotNull,
+        expr("(coalesce(c2, 0L) + 1L) * 1000000L div (coalesce(c1, 0L) + v)")))
+      .groupBy(col("doc_id"))
+      .agg(count(col("g")).as("n_bigrams"),
+        coalesce(sum(col("p_micro")), lit(0L)).as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_micro"),
+        when(col("n_bigrams") > 0,
+          col("sum_micro").cast("double") / col("n_bigrams").cast("double"))
+          .as("lm_micro_avg"))
+  }
 }

@@ -101,18 +101,34 @@ object Curate {
     *   and quality scores must reflect the text that ships, and two docs
     *   differing only in the PII they leak ARE duplicates after the
     *   scrub). A map-side per-doc transform, so it composes with the
-    *   streaming twin batching-independently. Off by default. */
+    *   streaming twin batching-independently. Off by default.
+    * @param stripLineFreq when set, TextAnalysis.stripBoilerplate removes
+    *   lines occurring in more than this many distinct docs BEFORE any
+    *   gate runs (after the PII scrub if both are on — scrub first so
+    *   line identity reflects shipped text): two docs differing only in
+    *   shared boilerplate ARE duplicates once it's gone, and quality /
+    *   repetition scores must not be propped up (or dragged down) by nav
+    *   bars. Corpus-level (hotness is a global count), so this pre-
+    *   transform exists ONLY in batch — a line can cross the threshold
+    *   after earlier micro-batches already shipped, which is why
+    *   [[graft.streaming.CurateStream]] deliberately has no twin flag. */
   def runDocs(spark: SparkSession, documents: DataFrame, minQuality: Double = 0.55,
       nearDup: NearDupPolicy = NearDupPolicy.PairwiseDrop,
       benchmark: Option[DataFrame] = None,
       contaminationN: Int = 4, maxDup3Frac: Double = 1.0,
       classifier: Option[ClassifierGate] = None,
-      redactPii: Boolean = false): (DataFrame, Stats) = {
+      redactPii: Boolean = false,
+      stripLineFreq: Option[Int] = None): (DataFrame, Stats) = {
     val dedupMark = Dedup.trackMark(spark)
-    val base =
+    val scrubbed =
       if (redactPii) TextAnalysis.redactPii(documents)
         .select(col("doc_id"), col("redacted").as("text"))
       else documents
+    val base = stripLineFreq match {
+      case Some(k) => TextAnalysis.stripBoilerplate(scrubbed, k)
+        .select(col("doc_id"), col("text"))
+      case None => scrubbed
+    }
     val docs = base.persist()
     // a mid-pipeline failure must still close the scope and drop this
     // run's caches (releaseSince after the happy-path release is a no-op)

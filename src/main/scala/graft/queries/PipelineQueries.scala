@@ -1928,8 +1928,134 @@ object PipelineQueries {
       prefixCtes = s"""aug AS (SELECT doc_id, $piiAugSql AS text FROM documents),
       rdocs AS (SELECT doc_id, ${piiRedactSql("text")} AS text FROM aug),""")))
 
+  /** Line-level boilerplate removal over a corpus with planted line
+    * structure (the synthetic texts are single-line, so the entry builds
+    * newline-delimited docs deterministically from doc_id — the
+    * t_pii_redact pattern): three boilerplate lines planted at different
+    * doc_id strides (each lands in ~1/3, ~1/4, ~1/7 of the corpus — far
+    * over the threshold) plus one per-doc unique footer that must
+    * survive. The hash gate certifies the stripped text byte-for-byte,
+    * the per-doc line accounting, and that unique lines are untouched. */
+  /** doc_id-derived line planting for the boilerplate entries: three hot
+    * lines at strides 3/4/7 (each lands in far more than `maxDocFreq`
+    * docs at every SF) plus a per-doc "doc mark <id % 1000>" line that
+    * stays under the threshold at every driver SF. Spark column and SQL
+    * build IDENTICAL text. */
+  private def boilerAugCol: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      coalesce(col("text"), lit("")),
+      when(id % 3 === 0, lit("\nsubscribe to our newsletter today")).otherwise(lit("")),
+      when(id % 4 === 0, lit("\nall rights reserved 2026")).otherwise(lit("")),
+      when(id % 7 === 0, lit("\naccept cookies to continue")).otherwise(lit("")),
+      concat(lit("\ndoc mark "), (id % 1000).cast("string")))
+  }
+
+  private val boilerAugSql: String = """coalesce(text, '')
+        || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'all rights reserved 2026' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'accept cookies to continue' ELSE '' END
+        || chr(10) || 'doc mark ' || CAST(doc_id % 1000 AS VARCHAR)"""
+
+  /** DuckDB twin of stripBoilerplate's explode → hot-flag → reassemble
+    * chain, as WITH-clause text: emits CTEs `<p>t` (doc_id, ls),
+    * `<p>l` (exploded lines), `<p>h` (hot lines) and `<p>s`
+    * (doc_id, text) reading from `from`. */
+  private def stripSqlCtes(p: String, from: String, maxDocFreq: Int): String = s"""
+      ${p}t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $from),
+      ${p}l AS (SELECT doc_id,
+                unnest([{'line': ls[i], 'idx': i} for i in range(1, len(ls)+1)],
+                       recursive := true) FROM ${p}t),
+      ${p}h AS (SELECT line FROM ${p}l GROUP BY line
+                HAVING COUNT(DISTINCT doc_id) > $maxDocFreq),
+      ${p}s AS (SELECT doc_id,
+                coalesce(string_agg(line, chr(10) ORDER BY idx)
+                  FILTER (WHERE line NOT IN (SELECT line FROM ${p}h)), '') AS text
+                FROM ${p}l GROUP BY doc_id)"""
+
+  val tBoilerplateStrip: Q = Q(
+    "t_boilerplate_strip",
+    run = (s, dir) => TextAnalysis.stripBoilerplate(
+      Tables.documents(s, dir).select(col("doc_id"), boilerAugCol.as("text")),
+      maxDocFreq = 5),
+    oracle = Some(s"""
+      WITH aug AS (SELECT doc_id, $boilerAugSql AS text FROM documents),
+      ${stripSqlCtes("b", "aug", 5)},
+      kept AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept
+               FROM bl WHERE line NOT IN (SELECT line FROM bh)
+               GROUP BY doc_id)
+      SELECT t.doc_id, s.text,
+             CAST(len(t.ls) AS BIGINT) AS n_lines,
+             CAST(len(t.ls) - coalesce(k.n_kept, 0) AS BIGINT) AS n_stripped
+      FROM bt t JOIN bs s USING (doc_id) LEFT JOIN kept k USING (doc_id)"""))
+
+  /** Boilerplate strip composed into the FULL curation pipeline: plant
+    * hot lines, strip by corpus frequency, then run exact dedup → MinHash
+    * → quality → language over the STRIPPED text — the DuckDB side
+    * recomposes strip + every gate in one query (the t_curate_redacted
+    * mechanism), so the hash certifies that stripping feeds the chain:
+    * fingerprints, shingles, token counts and quality scores all reflect
+    * the de-boilerplated text. */
+  val tCurateBoilerplate: Q = Q(
+    "t_curate_boilerplate",
+    run = (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), boilerAugCol.as("text"))
+      val (_, st) = graft.pipeline.Curate.runDocs(s, docs, stripLineFreq = Some(5))
+      graft.pipeline.Curate.releaseCaches(s)
+      Seq((st.input, st.exactDups, st.nearDups, st.lowQuality, st.unknownLang,
+        st.kept, st.keptTokens))
+        .toDF("input", "exact_dups", "near_dups", "low_quality",
+          "unknown_lang", "kept", "kept_tokens")
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
+      docsRel = "cbs",
+      prefixCtes = s"""aug AS (SELECT doc_id, $boilerAugSql AS text FROM documents),
+      ${stripSqlCtes("cb", "aug", 5)},""")))
+
+  /** Bigram-LM fluency scoring: model trained on the even-doc_id half
+    * (the t_quality_classifier train/score split), every doc scored. The
+    * oracle recomposes training (c2/c1/V), smoothing, the integer
+    * quantization AND the final division, so model and inference are
+    * certified together in one hash. */
+  val tLmScore: Q = Q(
+    "t_lm_score",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.lmScore(docs, docs.filter(col("doc_id") % 2 === 0))
+    },
+    oracle = Some(s"""
+      WITH rt AS MATERIALIZED (
+        SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id % 2 = 0),
+      rb AS MATERIALIZED (
+        SELECT unnest([toks[j] || ' ' || toks[j+1] for j in range(1, len(toks))]) AS g
+        FROM rt WHERE len(toks) >= 2),
+      c2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM rb GROUP BY g),
+      c1 AS (SELECT split_part(g, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+             FROM c2 GROUP BY 1),
+      vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+             FROM (SELECT unnest(toks) AS tok FROM rt) z),
+      dt AS MATERIALIZED (SELECT doc_id, $TOKS AS toks FROM documents),
+      db AS MATERIALIZED (
+        SELECT doc_id,
+               unnest([toks[j] || ' ' || toks[j+1] for j in range(1, len(toks))]) AS g
+        FROM dt WHERE len(toks) >= 2),
+      s AS (SELECT db.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              CAST(SUM((coalesce(c2.c2, 0) + 1) * 1000000 // (coalesce(c1.c1, 0) + vv.v)) AS BIGINT) AS sum_micro
+            FROM db LEFT JOIN c2 USING (g)
+                 LEFT JOIN c1 ON split_part(db.g, ' ', 1) = c1.w1, vv
+            GROUP BY db.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(s.sum_micro, 0) AS BIGINT) AS sum_micro,
+             CASE WHEN s.n_bigrams > 0
+               THEN CAST(s.sum_micro AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE) END AS lm_micro_avg
+      FROM documents d LEFT JOIN s USING (doc_id)"""))
+
   val all: Seq[Q] = Seq(
-    tPiiRedact, tCurateRedacted,
+    tPiiRedact, tCurateRedacted, tBoilerplateStrip, tCurateBoilerplate, tLmScore,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,
     tSimhash, tAnnCosine,

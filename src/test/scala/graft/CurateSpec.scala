@@ -191,6 +191,37 @@ class CurateSpec extends AnyFunSuite {
     assert(rowsA.exists { case (_, t) => t.contains("<EMAIL>") })
   }
 
+  test("stripLineFreq pre-transform: composition equals manual strip; scrub runs before strip") {
+    import org.apache.spark.sql.functions._
+    val raw = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit("\nshared boilerplate line")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("\nmail me at u"), col("doc_id").cast("string"), lit("@b.co")))
+          .otherwise(lit(""))).as("text"))
+    val (keptA, stA) = Curate.runDocs(spark, raw, redactPii = true, stripLineFreq = Some(5))
+    val rowsA = keptA.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    Curate.releaseCaches(spark)
+    // manual composition in the documented order: scrub THEN strip
+    val scrubbed = graft.operators.TextAnalysis.redactPii(raw)
+      .select(col("doc_id"), col("redacted").as("text"))
+    val stripped = graft.operators.TextAnalysis.stripBoilerplate(scrubbed, 5)
+      .select(col("doc_id"), col("text"))
+    val (keptB, stB) = Curate.runDocs(spark, stripped)
+    val rowsB = keptB.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    Curate.releaseCaches(spark)
+    assert(stA === stB)
+    assert(rowsA === rowsB)
+    assert(rowsA.nonEmpty)
+    // boilerplate is gone from the kept corpus; the PII line was scrubbed
+    // BEFORE line counting (each raw line "mail me at u<id>@b.co" is
+    // doc-unique → df 1 → would survive a strip-first order, but the
+    // redacted form "mail me at <EMAIL>" is identical across ~100 docs →
+    // hot → stripped)
+    assert(!rowsA.exists(_._2.contains("shared boilerplate line")))
+    assert(!rowsA.exists(_._2.contains("<EMAIL>")))
+  }
+
   test("zero-token docs are accounted as lowQuality, not silently dropped") {
     import spark.implicits._
     val docs = Seq(

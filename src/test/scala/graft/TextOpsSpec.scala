@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Hand-computed semantics for the corpus-frequency boilerplate strip and
+  * the bigram-LM fluency score (the oracle entries certify cross-engine
+  * parity at SF scale; these pin the arithmetic on inputs small enough to
+  * check by hand).
+  */
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def strip(rows: Seq[(Long, String)], maxDocFreq: Int) = {
+    import spark.implicits._
+    val out = TextAnalysis.stripBoilerplate(rows.toDF("doc_id", "text"), maxDocFreq)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    Dedup.releaseCaches(spark)
+    out
+  }
+
+  test("stripBoilerplate: hot line stripped everywhere, order preserved, all-hot doc empties") {
+    val docs = Seq(
+      1L -> "hello\nFOO\nworld",
+      2L -> "FOO\nbar",
+      3L -> "FOO",
+      4L -> "baz\nFOO",
+      5L -> "unique five")
+    val got = strip(docs, maxDocFreq = 3) // FOO in 4 distinct docs > 3
+    assert(got(1L) === (("hello\nworld", 3L, 1L)))
+    assert(got(2L) === (("bar", 2L, 1L)))
+    assert(got(3L) === (("", 1L, 1L))) // survives with empty text, accounted
+    assert(got(4L) === (("baz", 2L, 1L)))
+    assert(got(5L) === (("unique five", 1L, 0L)))
+  }
+
+  test("stripBoilerplate: threshold is strict (df == maxDocFreq survives); df counts DISTINCT docs") {
+    val docs = Seq(
+      1L -> "hello\nFOO\nworld",
+      2L -> "FOO\nbar",
+      3L -> "FOO",
+      4L -> "baz\nFOO",
+      5L -> "unique five")
+    // FOO df = 4, threshold 4: not > 4, survives everywhere
+    val loose = strip(docs, maxDocFreq = 4)
+    assert(loose(1L) === (("hello\nFOO\nworld", 3L, 0L)))
+    assert(loose(3L) === (("FOO", 1L, 0L)))
+    // a doc repeating FOO twice adds ONE to df (distinct docs, not lines):
+    // df = 5 > 4 now, and the repeating doc loses both copies
+    val tight = strip(docs :+ (6L -> "FOO\nFOO"), maxDocFreq = 4)
+    assert(tight(1L) === (("hello\nworld", 3L, 1L)))
+    assert(tight(6L) === (("", 2L, 2L)))
+  }
+
+  test("stripBoilerplate: null text is one empty line; empty input returns empty") {
+    import spark.implicits._
+    val out = TextAnalysis.stripBoilerplate(
+      Seq((1L, null.asInstanceOf[String]), (2L, "a")).toDF("doc_id", "text"), 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    Dedup.releaseCaches(spark)
+    assert(out(1L) === (("", 1L, 0L)))
+    assert(out(2L) === (("a", 1L, 0L)))
+    assert(TextAnalysis.stripBoilerplate(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() === 0)
+    Dedup.releaseCaches(spark)
+  }
+
+  test("lmScore: hand-computed add-one bigram micro probabilities") {
+    import spark.implicits._
+    // reference "a b a c": c2 = {a b: 1, b a: 1, a c: 1},
+    // c1 = {a: 2, b: 1}, V = |{a, b, c}| = 3
+    val ref = Seq(100L -> "a b a c").toDF("doc_id", "text")
+    val docs = Seq(
+      1L -> "a b c", // "a b": (1+1)*1e6 div (2+3) = 400000; "b c": 1e6 div (1+3) = 250000
+      2L -> "z z",   // unseen context: 1e6 div (0+3) = 333333
+      3L -> "x"      // no bigram evidence
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs, ref).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    Dedup.releaseCaches(spark)
+    assert(got(1L) === ((2L, 650000L, Some(325000.0))))
+    assert(got(2L) === ((1L, 333333L, Some(333333.0))))
+    assert(got(3L) === ((0L, 0L, None)))
+  }
+
+  test("lmScore: repeated bigram occurrences score per occurrence; ranking separates fluent from garbled") {
+    import spark.implicits._
+    val ref = Seq(100L -> "the cat sat on the mat the cat ran").toDF("doc_id", "text")
+    val docs = Seq(
+      1L -> "the cat sat on the mat", // in-domain
+      2L -> "mat ran on sat cat the"  // same tokens, scrambled contexts
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs, ref).collect()
+      .map(r => r.getLong(0) -> r.get(3).asInstanceOf[Double]).toMap
+    Dedup.releaseCaches(spark)
+    assert(got(1L) > got(2L))
+  }
+
+  test("lmScore: empty corpus is fine; empty reference fails LOUD (V = 0 division)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq(1L -> "a b").toDF("doc_id", "text")
+    assert(TextAnalysis.lmScore(empty, docs).count() === 0)
+    Dedup.releaseCaches(spark)
+    // a model with zero vocabulary has no probability space — under ANSI
+    // the V=0 division raises rather than silently scoring everything 0
+    val e = intercept[Exception] { TextAnalysis.lmScore(docs, empty).collect() }
+    Dedup.releaseCaches(spark)
+    assert(e.getMessage.contains("DIVIDE_BY_ZERO") ||
+      Option(e.getCause).exists(_.getMessage.contains("DIVIDE_BY_ZERO")))
+  }
+}
