@@ -328,4 +328,42 @@ object Sampling {
           / budget).cast("long"))
       .select(col("doc_id"), col("shard"), col("pack_id"), col("n_tokens"))
   }
+
+  /** Exact type-1 (lower) quantile thresholds over a BOUNDED integer
+    * column, WITHOUT a global sort: one histogram aggregation (output
+    * cardinality = the value DOMAIN size, data-size-free — the reason
+    * this works where a double column wouldn't), a cumulative count over
+    * that histogram, and one row of thresholds out. `fractions` are
+    * (num, den) rationals so every rank comparison stays integer-exact:
+    * threshold_i = min v with cum(v)·den_i ≥ N·num_i, i.e. the smallest
+    * value whose cumulative count reaches ⌈N·p⌉ — no interpolation, no
+    * float rank. NULL values are excluded from N (no position in the
+    * order).
+    *
+    * Scale: the corpus is touched ONCE by the partial-agged histogram
+    * groupBy; the single-partition window runs over the histogram —
+    * bounded by the domain (e.g. ≤ 10^6+1 rows for micro-quantized
+    * scores), never by the corpus, which is what makes the global
+    * cumulative admissible where a corpus-wide window would be the
+    * classic single-task scale-killer (see shuffleRank for the
+    * corpus-sized alternative). Returns 1 row: (n, t0..t{m-1}). */
+  def boundedIntQuantiles(df: DataFrame, value: Column,
+      fractions: Seq[(Int, Int)]): DataFrame = {
+    require(fractions.nonEmpty, "need at least one fraction")
+    fractions.foreach { case (num, den) =>
+      require(num >= 0 && den > 0 && num <= den, s"fraction $num/$den not in [0,1]") }
+    val hist = df.select(value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+      .crossJoin(broadcast(hist.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))))
+    // cum ≥ ⌈n·num/den⌉  ⇔  cum·den ≥ n·num  (cum integer)
+    val thresholds = fractions.zipWithIndex.map { case ((num, den), i) =>
+      min(when(col("__cum") * den >= col("__n") * num, col("__v"))).as(s"t$i")
+    }
+    cum.agg(max(col("__n")).as("n"), thresholds: _*)
+  }
 }

@@ -648,7 +648,20 @@ object TextAnalysis {
     * corpus/model ratio), then ONE doc_id-keyed aggregation with
     * map-side partials — the corpus's only shuffle. The corpus never
     * self-joins and is never re-scanned. */
-  def lmScore(docs: DataFrame, reference: DataFrame): DataFrame = {
+  def lmScore(docs: DataFrame, reference: DataFrame): DataFrame =
+    scoreLm(docs, trainLm(reference))
+
+  /** The trained bigram model behind [[lmScore]]: the bigram count table,
+    * the left-context totals derived from it, and the 1-row vocabulary
+    * size. All three are vocab-bounded (tiny next to any corpus) and
+    * STATIC once trained — train once, score any number of frames or
+    * micro-batches against the same model (the streaming-twin contract:
+    * per-doc scoring against fixed tables is batching-independent). */
+  final case class LmModel(c2: DataFrame, c1: DataFrame, vrow: DataFrame)
+
+  /** Train [[LmModel]] from a reference corpus — one bigram scan plus a
+    * count-table fold and a vocabulary count (see [[lmScore]]). */
+  def trainLm(reference: DataFrame): LmModel = {
     val refBound = Dedup.track(reference
       .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -661,6 +674,12 @@ object TextAnalysis {
     val vrow = reference
       .select(explode(tokens(coalesce(col("text"), lit("")))).as("t"))
       .agg(countDistinct(col("t")).as("v"))
+    LmModel(c2, c1, vrow)
+  }
+
+  /** Score a corpus against a trained [[LmModel]] (see [[lmScore]] for
+    * semantics and the scale shape). */
+  def scoreLm(docs: DataFrame, model: LmModel): DataFrame = {
     // explode_outer: zero-bigram docs keep one NULL-g row, so every doc
     // reaches the final aggregation without a corpus⋈corpus join-back
     val docBound = Dedup.track(docs
@@ -668,10 +687,10 @@ object TextAnalysis {
       .select(col("doc_id"), wordShingles(col("toks"), 2).as("gs"))
       .persist()) // Generate re-inline hazard
     docBound.select(col("doc_id"), explode_outer(col("gs")).as("g"))
-      .join(c2, Seq("g"), "left")
+      .join(model.c2, Seq("g"), "left")
       .withColumn("w1", substring_index(col("g"), " ", 1))
-      .join(c1, Seq("w1"), "left")
-      .crossJoin(broadcast(vrow))
+      .join(model.c1, Seq("w1"), "left")
+      .crossJoin(broadcast(model.vrow))
       .withColumn("p_micro", when(col("g").isNotNull,
         expr("(coalesce(c2, 0L) + 1L) * 1000000L div (coalesce(c1, 0L) + v)")))
       .groupBy(col("doc_id"))
@@ -681,5 +700,32 @@ object TextAnalysis {
         when(col("n_bigrams") > 0,
           col("sum_micro").cast("double") / col("n_bigrams").cast("double"))
           .as("lm_micro_avg"))
+  }
+
+  /** CCNet-style head/middle/tail fluency buckets over [[scoreLm]]
+    * output: per-doc integer fluency floor (sum_micro div n_bigrams —
+    * stays in the exact-BIGINT family, domain ≤ 10^6+1), exact corpus
+    * tertile thresholds via [[Sampling.boundedIntQuantiles]], and the
+    * label — bottom third `tail`, middle third `middle`, top `head`
+    * (high mean bigram probability = fluent/in-domain, the head CCNet
+    * keeps). Docs with no bigram evidence label `none` (they never had a
+    * score; they also never count toward N). The threshold rule is
+    * boundary-inclusive on the lower side, so ties at a tertile boundary
+    * all land in the lower bucket — deterministic, no rank jitter.
+    *
+    * Scale: scored is read twice (histogram + labeling) — persisted via
+    * the cache registry so that costs one materialization; thresholds are
+    * a broadcast 1-row frame; labeling is map-side. No corpus shuffle
+    * beyond scoreLm's own doc_id agg. */
+  def lmBuckets(scored: DataFrame): DataFrame = {
+    val base = Dedup.track(scored.withColumn("lm_floor",
+      when(col("n_bigrams") > 0, expr("sum_micro div n_bigrams"))).persist())
+    val thr = Sampling.boundedIntQuantiles(base, col("lm_floor"), Seq((1, 3), (2, 3)))
+    base.crossJoin(broadcast(thr.select(col("t0"), col("t1"))))
+      .select(col("doc_id"), col("lm_floor"),
+        when(col("lm_floor").isNull, lit("none"))
+          .when(col("lm_floor") <= col("t0"), lit("tail"))
+          .when(col("lm_floor") <= col("t1"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
   }
 }

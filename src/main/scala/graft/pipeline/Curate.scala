@@ -48,9 +48,20 @@ object Curate {
     * low_quality otherwise — precedence decides the label, not the fate). */
   final case class ClassifierGate(weights: DataFrame, buckets: Int = 1024)
 
+  /** Bigram-LM fluency gate (the CCNet perplexity-bucket posture, via
+    * TextAnalysis.scoreLm's engine-parity micro-probabilities): docs with
+    * lm_micro_avg < minMicroAvg drop as `lm_fluency`, AFTER the
+    * classifier gate and BEFORE the heuristic quality score. Docs with no
+    * bigram evidence (< 2 tokens → NULL average) PASS — insufficient
+    * evidence defers to the quality gate rather than failing a model that
+    * never saw the doc. The model is static (train once via
+    * TextAnalysis.trainLm), so streaming scoring is batching-independent. */
+  final case class LmGate(model: TextAnalysis.LmModel, minMicroAvg: Double)
+
   final case class Stats(
       input: Long, exactDups: Long, nearDups: Long,
       contaminated: Long, repetitive: Long, classifierDropped: Long,
+      lmDropped: Long,
       lowQuality: Long, unknownLang: Long, kept: Long, keptTokens: Long)
 
   // the one cache that outlives runDocs (it backs the returned `curated`
@@ -96,6 +107,10 @@ object Curate {
     *   dropped as `classifier` (see [[ClassifierGate]]) — after the
     *   repetition gate, before the heuristic quality score. Off by
     *   default.
+    * @param lm when set, docs whose bigram-LM fluency score falls below
+    *   the gate's minMicroAvg are dropped as `lm_fluency` (see
+    *   [[LmGate]]) — after the classifier gate, before the heuristic
+    *   quality score. Off by default.
     * @param redactPii when true, TextAnalysis.redactPii scrubs every doc
     *   BEFORE any gate runs (the real-world order: fingerprints, shingles
     *   and quality scores must reflect the text that ships, and two docs
@@ -117,6 +132,7 @@ object Curate {
       benchmark: Option[DataFrame] = None,
       contaminationN: Int = 4, maxDup3Frac: Double = 1.0,
       classifier: Option[ClassifierGate] = None,
+      lm: Option[LmGate] = None,
       redactPii: Boolean = false,
       stripLineFreq: Option[Int] = None): (DataFrame, Stats) = {
     val dedupMark = Dedup.trackMark(spark)
@@ -133,7 +149,7 @@ object Curate {
     // a mid-pipeline failure must still close the scope and drop this
     // run's caches (releaseSince after the happy-path release is a no-op)
     try runLabeled(spark, docs, minQuality, nearDup, benchmark,
-      contaminationN, maxDup3Frac, classifier, dedupMark)
+      contaminationN, maxDup3Frac, classifier, lm, dedupMark)
     catch {
       case t: Throwable =>
         Dedup.releaseSince(spark, dedupMark)
@@ -144,7 +160,7 @@ object Curate {
 
   private def runLabeled(spark: SparkSession, docs: DataFrame, minQuality: Double,
       nearDup: NearDupPolicy, benchmark: Option[DataFrame], contaminationN: Int,
-      maxDup3Frac: Double, classifier: Option[ClassifierGate],
+      maxDup3Frac: Double, classifier: Option[ClassifierGate], lm: Option[LmGate],
       dedupMark: Long): (DataFrame, Stats) = {
     // 1. exact dedup: keep the min doc_id of each fingerprint group
     val keepExact = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
@@ -189,6 +205,13 @@ object Curate {
     val clsPred = classifier.map(cg =>
       graft.operators.Classify.scoreTokens(docs, cg.weights, cg.buckets)
         .select(col("doc_id"), col("pred").as("__cls_keep")))
+    // LM gate: scoreLm covers EVERY input doc (explode_outer keeps
+    // zero-bigram docs); NULL averages pass per the LmGate contract
+    val lmPred = lm.map(g =>
+      TextAnalysis.scoreLm(docs, g.model)
+        .select(col("doc_id"),
+          coalesce(col("lm_micro_avg") >= g.minMicroAvg, lit(true))
+            .as("__lm_keep")))
 
     // ONE labeled frame over the whole input: every document carries the
     // reason it left the pipeline (or 'kept'), so the ENTIRE accounting —
@@ -205,7 +228,8 @@ object Curate {
       contaminated.map(c => (df: DataFrame) => df.join(c, Seq("doc_id"), "left")),
       repetition.map(r => (df: DataFrame) => df.join(r, Seq("doc_id"), "left")
         .withColumn("dup_3gram_frac", coalesce(col("dup_3gram_frac"), lit(0.0)))),
-      clsPred.map(c => (df: DataFrame) => df.join(c, Seq("doc_id"), "left"))
+      clsPred.map(c => (df: DataFrame) => df.join(c, Seq("doc_id"), "left")),
+      lmPred.map(l => (df: DataFrame) => df.join(l, Seq("doc_id"), "left"))
     ).flatten.foldLeft(joined)((df, f) => f(df))
     val contamGate =
       if (contaminated.isDefined) col("__contam").isNotNull else lit(false)
@@ -213,6 +237,9 @@ object Curate {
       if (repetition.isDefined) col("dup_3gram_frac") > maxDup3Frac else lit(false)
     val clsGate =
       if (classifier.isDefined) not(coalesce(col("__cls_keep"), lit(false)))
+      else lit(false)
+    val lmGateCol =
+      if (lm.isDefined) not(coalesce(col("__lm_keep"), lit(true)))
       else lit(false)
     val labeled = withGates
       .withColumn("quality", coalesce(col("quality"), lit(0.0)))
@@ -223,12 +250,14 @@ object Curate {
           .when(contamGate, lit("contaminated"))
           .when(repGate, lit("repetitive"))
           .when(clsGate, lit("classifier"))
+          .when(lmGateCol, lit("lm_fluency"))
           .when(col("quality") < minQuality, lit("low_quality"))
           .when(col("pred_lang") === "und", lit("unknown_lang"))
           .otherwise(lit("kept")))
       .drop((Seq("__keeper", "__loser") ++ contaminated.map(_ => "__contam")
         ++ repetition.map(_ => "dup_3gram_frac")
-        ++ clsPred.map(_ => "__cls_keep")): _*)
+        ++ clsPred.map(_ => "__cls_keep")
+        ++ lmPred.map(_ => "__lm_keep")): _*)
       .persist()
     synchronized {
       tracked.filterInPlace((s, _) => !s.sparkContext.isStopped)
@@ -255,14 +284,14 @@ object Curate {
     val curated = labeled.filter(col("drop_reason") === "kept")
       .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"), col("n_tokens"))
     val stats = Stats(counters.values.map(_._1).sum, n("exact_dup"), n("near_dup"),
-      n("contaminated"), n("repetitive"), n("classifier"),
+      n("contaminated"), n("repetitive"), n("classifier"), n("lm_fluency"),
       n("low_quality"), n("unknown_lang"), n("kept"),
       counters.get("kept").map(_._2).getOrElse(0L))
     // structural now (the labels partition the input), but kept as the
     // tripwire for a precedence or join-cardinality regression
     assert(stats.input == stats.exactDups + stats.nearDups + stats.contaminated
-      + stats.repetitive + stats.classifierDropped + stats.lowQuality
-      + stats.unknownLang + stats.kept,
+      + stats.repetitive + stats.classifierDropped + stats.lmDropped
+      + stats.lowQuality + stats.unknownLang + stats.kept,
       s"curation accounting does not balance: $stats")
     (curated, stats)
   }

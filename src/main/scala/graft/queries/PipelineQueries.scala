@@ -887,13 +887,40 @@ object PipelineQueries {
         SELECT cdb.doc_id FROM cdb JOIN cwts USING (bucket)
         GROUP BY cdb.doc_id HAVING CAST(SUM(cwts.w_micro) AS BIGINT) > 0),"""
 
+  /** Bigram-LM gate CTEs: model trained on the even-doc_id half of
+    * `documents` (the t_lm_score chain), docs of `docsRel` scored;
+    * `lmkeep` holds docs at/above the threshold, `ldb` the docs WITH
+    * bigram evidence (NULL-average docs pass the gate by contract). */
+  private def lmGateCtes(minMicroAvg: Double, docsRel: String): String = s"""
+      lrt AS MATERIALIZED (
+        SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id % 2 = 0),
+      lrb AS MATERIALIZED (
+        SELECT unnest([toks[j] || ' ' || toks[j+1] for j in range(1, len(toks))]) AS g
+        FROM lrt WHERE len(toks) >= 2),
+      lc2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM lrb GROUP BY g),
+      lc1 AS (SELECT split_part(g, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+              FROM lc2 GROUP BY 1),
+      lvv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+              FROM (SELECT unnest(toks) AS tok FROM lrt) z),
+      ldt AS MATERIALIZED (SELECT doc_id, $TOKS AS toks FROM $docsRel),
+      ldb AS MATERIALIZED (
+        SELECT doc_id,
+               unnest([toks[j] || ' ' || toks[j+1] for j in range(1, len(toks))]) AS g
+        FROM ldt WHERE len(toks) >= 2),
+      lmkeep AS MATERIALIZED (
+        SELECT ldb.doc_id FROM ldb LEFT JOIN lc2 USING (g)
+             LEFT JOIN lc1 ON split_part(ldb.g, ' ', 1) = lc1.w1, lvv
+        GROUP BY ldb.doc_id
+        HAVING CAST(SUM((coalesce(lc2.c2, 0) + 1) * 1000000 // (coalesce(lc1.c1, 0) + lvv.v)) AS DOUBLE)
+                 / COUNT(*) >= $minMicroAvg),"""
+
   /** @param docsRel the relation the pipeline ingests ("documents", or a
     *   CTE name from `prefixCtes` — the t_curate_redacted entry feeds the
     *   PII-scrubbed corpus through the UNCHANGED chain this way). The
     *   classifier CTEs always read `documents` (they need its lang
     *   column); don't combine `classifier` with a non-default docsRel. */
   private def curateStatsOracle(losersCte: String, full: Boolean = false,
-      classifier: Boolean = false,
+      classifier: Boolean = false, lm: Option[Double] = None,
       finalSelect: Option[String] = None, pairsCtes: String = minhashPairsCtes,
       docsRel: String = "documents", prefixCtes: String = ""): String = {
     val stop = TextAnalysis.lexicons.flatMap(_._2).distinct.sorted
@@ -947,6 +974,7 @@ object PipelineQueries {
                ELSE 0.0 END AS dup3
         FROM ftoks WHERE len(toks) > 0),""" else ""}
       ${if (classifier) classifierCtes else ""}
+      ${lm.map(m => lmGateCtes(m, docsRel)).getOrElse("")}
       scored AS (
         SELECT an.doc_id, COALESCE(q.quality, 0.0) AS quality,
                COALESCE(q.n_tokens, 0) AS n_tokens, lang.pred_lang
@@ -955,6 +983,9 @@ object PipelineQueries {
                COALESCE(rep.dup3, 0.0) > 0.02 AS is_rep""" else ""}
                ${if (classifier) """,
                an.doc_id IN (SELECT doc_id FROM clskeep) AS cls_ok""" else ""}
+               ${if (lm.isDefined) """,
+               (an.doc_id NOT IN (SELECT DISTINCT doc_id FROM ldb)
+                  OR an.doc_id IN (SELECT doc_id FROM lmkeep)) AS lm_ok""" else ""}
         FROM an LEFT JOIN q USING (doc_id) JOIN lang USING (doc_id)
              ${if (full) "LEFT JOIN rep USING (doc_id)" else ""})
       """ + finalSelect.getOrElse(defaultStatsSelect(full, docsRel))
@@ -2019,14 +2050,11 @@ object PipelineQueries {
     * oracle recomposes training (c2/c1/V), smoothing, the integer
     * quantization AND the final division, so model and inference are
     * certified together in one hash. */
-  val tLmScore: Q = Q(
-    "t_lm_score",
-    run = (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextAnalysis.lmScore(docs, docs.filter(col("doc_id") % 2 === 0))
-    },
-    oracle = Some(s"""
-      WITH rt AS MATERIALIZED (
+  /** Shared LM-scoring CTE chain (train on the even half, score every
+    * doc): ends at `s` (doc_id, n_bigrams, sum_micro) — t_lm_score reads
+    * it directly, t_lm_buckets builds tertiles on top, so the two entries
+    * certify the SAME model and scoring arithmetic. */
+  private val lmScoreCtes: String = s"""rt AS MATERIALIZED (
         SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id % 2 = 0),
       rb AS MATERIALIZED (
         SELECT unnest([toks[j] || ' ' || toks[j+1] for j in range(1, len(toks))]) AS g
@@ -2046,7 +2074,16 @@ object PipelineQueries {
               CAST(SUM((coalesce(c2.c2, 0) + 1) * 1000000 // (coalesce(c1.c1, 0) + vv.v)) AS BIGINT) AS sum_micro
             FROM db LEFT JOIN c2 USING (g)
                  LEFT JOIN c1 ON split_part(db.g, ' ', 1) = c1.w1, vv
-            GROUP BY db.doc_id)
+            GROUP BY db.doc_id)"""
+
+  val tLmScore: Q = Q(
+    "t_lm_score",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.lmScore(docs, docs.filter(col("doc_id") % 2 === 0))
+    },
+    oracle = Some(s"""
+      WITH $lmScoreCtes
       SELECT d.doc_id,
              CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
              CAST(coalesce(s.sum_micro, 0) AS BIGINT) AS sum_micro,
@@ -2054,8 +2091,83 @@ object PipelineQueries {
                THEN CAST(s.sum_micro AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE) END AS lm_micro_avg
       FROM documents d LEFT JOIN s USING (doc_id)"""))
 
+  /** Head/middle/tail fluency buckets: the t_lm_score chain + integer
+    * fluency floors + EXACT corpus tertiles from the domain-bounded
+    * histogram (Sampling.boundedIntQuantiles — cum·den ≥ N·num, all
+    * integer). The hash gate certifies the thresholds AND every per-doc
+    * label, i.e. the whole distributed-quantile mechanism. */
+  val tLmBuckets: Q = Q(
+    "t_lm_buckets",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.lmBuckets(
+        TextAnalysis.lmScore(docs, docs.filter(col("doc_id") % 2 === 0)))
+    },
+    oracle = Some(s"""
+      WITH $lmScoreCtes,
+      sc AS (SELECT d.doc_id,
+               CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(s.sum_micro, 0) AS BIGINT) AS sum_micro
+             FROM documents d LEFT JOIN s USING (doc_id)),
+      base AS (SELECT doc_id,
+                 CASE WHEN n_bigrams > 0 THEN sum_micro // n_bigrams END AS lm_floor
+               FROM sc),
+      hist AS (SELECT lm_floor AS v, CAST(COUNT(*) AS BIGINT) AS c
+               FROM base WHERE lm_floor IS NOT NULL GROUP BY 1),
+      cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM hist),
+      nn AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM hist),
+      thr AS (SELECT
+        (SELECT MIN(v) FROM cum, nn WHERE cum * 3 >= n * 1) AS t0,
+        (SELECT MIN(v) FROM cum, nn WHERE cum * 3 >= n * 2) AS t1)
+      SELECT base.doc_id, CAST(lm_floor AS BIGINT) AS lm_floor,
+        CASE WHEN lm_floor IS NULL THEN 'none'
+             WHEN lm_floor <= thr.t0 THEN 'tail'
+             WHEN lm_floor <= thr.t1 THEN 'middle'
+             ELSE 'head' END AS bucket
+      FROM base, thr"""))
+
+  /** The LM fluency gate composed into the pipeline: model trained on
+    * the even half (the t_lm_score chain), every doc below 33000 micro
+    * (≈ the corpus 20th percentile — a real head/tail cut) dropped as
+    * lm_fluency after dedup, before the heuristic quality gate. The
+    * DuckDB side recomposes LM TRAINING + INFERENCE + the gate inside
+    * the full curation query, so model, scoring, threshold, the
+    * NULL-average-passes rule AND gate precedence are certified in one
+    * hash. */
+  val tCurateLm: Q = Q(
+    "t_curate_lm",
+    run = (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val model = TextAnalysis.trainLm(docs.filter(col("doc_id") % 2 === 0))
+      val (_, st) = graft.pipeline.Curate.runDocs(s, docs,
+        lm = Some(graft.pipeline.Curate.LmGate(model, 33000.0)))
+      graft.pipeline.Curate.releaseCaches(s)
+      Seq((st.input, st.exactDups, st.nearDups, st.lmDropped, st.lowQuality,
+        st.unknownLang, st.kept, st.keptTokens))
+        .toDF("input", "exact_dups", "near_dups", "lm_dropped", "low_quality",
+          "unknown_lang", "kept", "kept_tokens")
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
+      lm = Some(33000.0),
+      finalSelect = Some("""
+      SELECT
+        (SELECT COUNT(*) FROM documents) AS input,
+        (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM ae) AS exact_dups,
+        (SELECT COUNT(*) FROM losers) AS near_dups,
+        (SELECT COUNT(*) FROM scored WHERE NOT lm_ok) AS lm_dropped,
+        (SELECT COUNT(*) FROM scored WHERE lm_ok AND quality < 0.55) AS low_quality,
+        (SELECT COUNT(*) FROM scored
+         WHERE lm_ok AND quality >= 0.55 AND pred_lang = 'und') AS unknown_lang,
+        (SELECT COUNT(*) FROM scored
+         WHERE lm_ok AND quality >= 0.55 AND pred_lang <> 'und') AS kept,
+        (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM scored
+         WHERE lm_ok AND quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens"""))))
+
   val all: Seq[Q] = Seq(
     tPiiRedact, tCurateRedacted, tBoilerplateStrip, tCurateBoilerplate, tLmScore,
+    tCurateLm, tLmBuckets,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,
     tSimhash, tAnnCosine,

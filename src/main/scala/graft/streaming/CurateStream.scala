@@ -51,6 +51,11 @@ object CurateStream {
     *   and scoring is per-doc, so the gate is batching-independent like
     *   quality/lang and stream≡batch holds with the SAME weights on both
     *   sides.
+    * @param lm bigram-LM fluency gate (docs below minMicroAvg drop as
+    *   `lm_fluency`) — the model is STATIC tables (TextAnalysis.trainLm,
+    *   run before starting the stream) and scoring is per-doc, so the
+    *   gate is batching-independent and stream≡batch holds with the SAME
+    *   model on both sides.
     * @param redactPii when true, every micro-batch is PII-scrubbed
     *   (TextAnalysis.redactPii) before any gate or registry write — the
     *   batch chain's pre-transform. Per-doc and deterministic, so the
@@ -62,6 +67,7 @@ object CurateStream {
       benchmark: Option[DataFrame] = None, minQuality: Double = 0.55,
       contaminationN: Int = 4, maxDup3Frac: Double = 1.0,
       classifier: Option[graft.pipeline.Curate.ClassifierGate] = None,
+      lm: Option[graft.pipeline.Curate.LmGate] = None,
       redactPii: Boolean = false,
       numSigs: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
       maxBucket: Int = 1000, compactEvery: Int = 16): DataStreamWriter[Row] =
@@ -168,6 +174,12 @@ object CurateStream {
             val cls = classifier.map(cg =>
               graft.operators.Classify.scoreTokens(b, cg.weights, cg.buckets)
                 .select(col("doc_id"), col("pred").as("__cls_keep")))
+            // static model tables → per-doc scoring is batching-independent
+            val lmp = lm.map(g =>
+              TextAnalysis.scoreLm(b, g.model)
+                .select(col("doc_id"),
+                  coalesce(col("lm_micro_avg") >= g.minMicroAvg, lit(true))
+                    .as("__lm_keep")))
             val joined = b.select(col("doc_id"), col("text"))
               .join(exactDropped.withColumn("__ex", lit(1)), Seq("doc_id"), "left")
               .join(nearDropped.withColumn("__near", lit(1)), Seq("doc_id"), "left")
@@ -176,7 +188,8 @@ object CurateStream {
             val withGates = Seq(
               contam.map(c => (df: DataFrame) => df.join(c, Seq("doc_id"), "left")),
               rep.map(r => (df: DataFrame) => df.join(r, Seq("doc_id"), "left")),
-              cls.map(c => (df: DataFrame) => df.join(c, Seq("doc_id"), "left"))
+              cls.map(c => (df: DataFrame) => df.join(c, Seq("doc_id"), "left")),
+              lmp.map(l => (df: DataFrame) => df.join(l, Seq("doc_id"), "left"))
             ).flatten.foldLeft(joined)((df, f) => f(df))
             val contamGate =
               if (contam.isDefined) col("__contam").isNotNull else lit(false)
@@ -185,6 +198,9 @@ object CurateStream {
               else lit(false)
             val clsGate =
               if (classifier.isDefined) not(coalesce(col("__cls_keep"), lit(false)))
+              else lit(false)
+            val lmGate =
+              if (lm.isDefined) not(coalesce(col("__lm_keep"), lit(true)))
               else lit(false)
             val labeled = withGates
               .withColumn("quality", coalesce(col("quality"), lit(0.0)))
@@ -195,6 +211,7 @@ object CurateStream {
                   .when(contamGate, lit("contaminated"))
                   .when(repGate, lit("repetitive"))
                   .when(clsGate, lit("classifier"))
+                  .when(lmGate, lit("lm_fluency"))
                   .when(col("quality") < minQuality, lit("low_quality"))
                   .when(col("pred_lang") === "und", lit("unknown_lang"))
                   .otherwise(lit("kept")))

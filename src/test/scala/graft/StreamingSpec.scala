@@ -474,6 +474,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotLabels.filter(_._2 == "kept").keySet === wantKept)
   }
 
+  test("CurateStream LM fluency gate == batch Curate with the same model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_curatestream_lm_reg"
+    val outPath = "/tmp/graft_test_curatestream_lm_out"
+    for (p <- Seq(regPath, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    // reference = fluent phrasing; fluent docs repeat its bigrams,
+    // garbled docs share the tokens but scramble every context
+    val ref = Seq((100L, "the cat sat on the mat and the dog ran to the cat"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.TextAnalysis.trainLm(ref)
+    val gate = Some(graft.pipeline.Curate.LmGate(model, 140000.0))
+    val docRows: Seq[(Long, String)] = (0 until 4).flatMap { i =>
+      Seq((10L + i, s"the cat sat on the mat w$i and the dog ran"),
+        (20L + i, s"mat the ran cat w$i dog sat and on the to"))
+    } ++ Seq((30L, "the cat sat on the mat w0 and the dog ran"), // exact dup
+      (31L, "x")) // no bigram evidence: NULL average must PASS the gate
+    val docs = docRows.toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurateStream.sink(
+        stream.toDF().toDF("doc_id", "text"), regPath, outPath,
+        minQuality = 0.0, lm = gate)
+      .start()
+    docRows.sortBy(_._1).grouped(4).foreach { h =>
+      stream.addData(h); q.processAllAvailable()
+    }
+    q.stop()
+    val labeled = graft.streaming.CurateStream.labeledView(spark, outPath)
+    val gotLabels = labeled.select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (curated, st) = graft.pipeline.Curate.runDocs(spark, docs,
+      minQuality = 0.0, lm = gate)
+    val wantKept = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(st.lmDropped > 0 && st.exactDups > 0 && st.kept > 0, s"gate vacuous: $st")
+    assert(gotLabels.size === docRows.size)
+    assert(gotLabels.values.count(_ == "lm_fluency") === st.lmDropped)
+    assert(gotLabels.values.count(_ == "exact_dup") === st.exactDups)
+    assert(gotLabels.values.count(_ == "kept") === st.kept)
+    assert(gotLabels.filter(_._2 == "kept").keySet === wantKept)
+    // the zero-bigram doc passed the LM gate (landed kept or a later gate,
+    // not lm_fluency)
+    assert(gotLabels(31L) !== "lm_fluency")
+  }
+
   test("incremental minhash-LSH sink == batch drop-doc_b formulation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

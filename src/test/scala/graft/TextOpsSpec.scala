@@ -100,6 +100,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(1L) > got(2L))
   }
 
+  test("boundedIntQuantiles: hand-computed tertiles, duplicate mass, empty input") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 1..10: ceil(10/3)=4 -> t0=4; ceil(20/3)=7 -> t1=7
+    val r1 = Sampling.boundedIntQuantiles(
+      (1 to 10).map(_.toLong).toDF("v"), col("v"), Seq((1, 3), (2, 3))).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) === ((10L, 4L, 7L)))
+    // duplicate mass: [1,5,5,5] -> both tertile thresholds land on 5
+    val r2 = Sampling.boundedIntQuantiles(
+      Seq(1L, 5L, 5L, 5L).toDF("v"), col("v"), Seq((1, 3), (2, 3))).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((4L, 5L, 5L)))
+    // NULLs excluded from N; empty input yields NULL thresholds, not a crash
+    val r3 = Sampling.boundedIntQuantiles(
+      Seq(Some(7L), None).toDF("v"), col("v"), Seq((1, 1))).collect()(0)
+    assert((r3.getLong(0), r3.getLong(1)) === ((1L, 7L)))
+    val r4 = Sampling.boundedIntQuantiles(
+      Seq.empty[Long].toDF("v"), col("v"), Seq((1, 2))).collect()(0)
+    assert(r4.isNullAt(0) && r4.isNullAt(1))
+  }
+
+  test("lmBuckets: tertile labels over hand-computed scores; no-evidence docs label none") {
+    import spark.implicits._
+    val ref = Seq(100L -> "a b a c").toDF("doc_id", "text")
+    val docs = Seq(
+      1L -> "a b c", // floor 325000
+      2L -> "z z",   // floor 333333
+      3L -> "x"      // no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmBuckets(TextAnalysis.lmScore(docs, ref)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    Dedup.releaseCaches(spark)
+    // N=2: t0 = 325000 (cum 1 ≥ ceil(2/3)), t1 = 333333 (cum 2 ≥ ceil(4/3))
+    assert(got === Map(1L -> "tail", 2L -> "middle", 3L -> "none"))
+  }
+
   test("lmScore: empty corpus is fine; empty reference fails LOUD (V = 0 division)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
