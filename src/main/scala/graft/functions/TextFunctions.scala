@@ -62,6 +62,18 @@ object TextFunctions {
   def minhashSig(tokenSet: Column, seed: Int): Column =
     minhashSigFromHashes(transform(tokenSet, hash32(_)), seed)
 
+  /** Fused per-position word-shingle hash array:
+    * `shingleHash32(toks, n)[i] == hash32(concat_ws(" ", toks[i..i+n-1]))`
+    * with ZERO intermediate shingle strings (token bytes stream straight
+    * into one digest — see plans.ShingleHash32; per-position bit-equality
+    * vs the compositional chain asserted in PlansSpec). The MinHash scan
+    * kernel: use this instead of
+    * `transform(wordShingles(toks, n), hash32)` wherever only the hashes
+    * are consumed. */
+  def shingleHash32(toks: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("shingle_hash32", toks,
+      org.apache.spark.sql.functions.lit(n))
+
   /** Document fingerprint: md5 over whitespace-normalized lowercased text. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))

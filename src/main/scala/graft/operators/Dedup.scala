@@ -121,9 +121,15 @@ object Dedup {
       .agg(count(lit(1)).as("ct"),
         min(struct(col("__pref"), col("doc_id"))).getField("doc_id").as("keep_id"))
 
-  /** Per-doc distinct word-3-shingle sets plus their hash32 values (docs
-    * with <3 tokens cannot form a shingle and are dropped). The hashes ride
-    * along so MinHash does ONE md5 per shingle total. */
+  /** Per-doc distinct word-3-shingle hash32 sets (docs with <3 tokens
+    * cannot form a shingle and are dropped). The fused shingle_hash32
+    * kernel digests token bytes straight into md5 — no shingle STRING is
+    * ever materialized (the former `transform(wordShingles, hash32)`
+    * chain allocated O(tokens·3) UTF8String concats per row just to hash
+    * and discard them). `array_distinct` over the per-position hashes is
+    * set-equal to the former hash-of-distinct-shingles for every
+    * consumer (signatures take array_min; verification takes
+    * intersect/union sizes — all set semantics). */
   def shingleSets(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks")) // bind once
@@ -133,8 +139,9 @@ object Dedup {
       // the scan predicate with the tokenizer re-inlined per element
       // (measured 20x slowdown).
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_distinct(wordShingles(col("toks"), 3)).as("shingles"))
-      .withColumn("hashes", transform(col("shingles"), hash32(_)))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.TextFunctions.shingleHash32(col("toks"), 3))
+          .as("hashes"))
 
   /** MinHash+LSH near-duplicate pairs.
     *
@@ -298,8 +305,9 @@ object Dedup {
     val sets = track(docs
       .select(col("doc_id"), tokens(col("text")).as("toks")) // bind once
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), array_distinct(wordShingles(col("toks"), n)).as("shingles"))
-      .select(col("doc_id"), array_distinct(transform(col("shingles"), hash32(_))).as("hs"))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.TextFunctions.shingleHash32(col("toks"), n))
+          .as("hs"))
       .withColumn("sz", size(col("hs")))
       .persist())
     val grams = sets.select(col("doc_id"), explode(col("hs")).as("h"))

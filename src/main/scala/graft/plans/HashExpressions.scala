@@ -38,6 +38,43 @@ case class Md5Prefix32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused word-shingle hash array — the whole MinHash scan kernel in one
+  * expression: for a token array of size s, emit the md5-prefix32 of each
+  * n-token shingle, i.e. hash32(concat_ws(" ", t_i..t_{i+n-1})) for
+  * i in [0, s-n]. The compositional chain (wordShingles transform →
+  * array_distinct later → transform(hash32)) materializes every shingle
+  * STRING (O(s·n) UTF8String concats per row) just to digest and discard
+  * it; here the digest streams token bytes + a single 0x20 separator
+  * directly — md5 of the identical byte sequence, ZERO intermediate
+  * strings. Bit-equality with the compositional form is asserted in
+  * PlansSpec; NULL tokens are skipped exactly like concat_ws skips null
+  * args (they never occur post-tokenizer — contract documented there).
+  * Returns an empty array when s < n, matching the filtered transform. */
+case class ShingleHash32(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_hash32 requires ARRAY<STRING> input, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressions.shingleHash32(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashExpressions.shingleHash32($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash32 =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
@@ -48,5 +85,37 @@ object HashExpressions {
     d.reset()
     val b = d.digest(s.getBytes)
     ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) | ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+  }
+
+  private val space = Array[Byte](0x20)
+
+  /** md5-prefix32 per n-token window, streaming bytes straight into the
+    * digest (see [[ShingleHash32]]). */
+  def shingleHash32(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val sz = arr.numElements()
+    val m = math.max(0, sz - n + 1)
+    val out = new Array[Long](m)
+    val d = md.get()
+    var i = 0
+    while (i < m) {
+      d.reset()
+      var wrote = false
+      var k = 0
+      while (k < n) {
+        val t = if (arr.isNullAt(i + k)) null else arr.getUTF8String(i + k)
+        if (t != null) { // concat_ws semantics: null args vanish, no separator
+          if (wrote) d.update(space)
+          d.update(t.getBytes)
+          wrote = true
+        }
+        k += 1
+      }
+      val b = d.digest()
+      out(i) = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+        ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

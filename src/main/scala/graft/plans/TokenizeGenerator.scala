@@ -105,6 +105,8 @@ object GraftFunctions {
     "tokenize" -> (exprs => TokenizeGenerator(exprs.head)),
     "cosine_fused" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "md5_prefix32" -> (exprs => Md5Prefix32(exprs.head)),
+    "shingle_hash32" -> (exprs => ShingleHash32(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue())),
     "hyperplane_sketch" -> (exprs => HyperplaneSketch(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue(),
       exprs(2).eval().asInstanceOf[Number].intValue())),

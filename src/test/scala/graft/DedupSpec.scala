@@ -9,9 +9,16 @@ class DedupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = SparkTestSession.sf0001
 
-  /** Ground truth: brute-force all-pairs Jaccard over shingle sets. */
+  /** Ground truth: brute-force all-pairs Jaccard over shingle STRING sets
+    * (built here from the raw tokenizer — shingleSets itself now emits
+    * only the fused hashes, so this stays an independent witness). */
   private lazy val bruteforcePairs: Set[(Long, Long)] = {
-    val sh = Dedup.shingleSets(Tables.documents(spark, dir))
+    import graft.functions.TextFunctions
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.wordShingles(col("toks"), 3)).as("shingles"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     a.crossJoin(b).filter(col("doc_a") < col("doc_b"))

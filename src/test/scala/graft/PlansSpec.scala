@@ -62,6 +62,36 @@ class PlansSpec extends AnyFunSuite {
     assert(pairs.count() > 0)
   }
 
+  test("fused shingle_hash32 == per-position compositional shingle+hash chain") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{size => asize}
+    for (n <- Seq(2, 3, 4)) {
+      val bound = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(asize(col("toks")) >= n)
+      val pairs = bound.select(
+        TextFunctions.shingleHash32(col("toks"), n).as("fused"),
+        transform(TextFunctions.wordShingles(col("toks"), n),
+          s => TextFunctions.hash32Compositional(s)).as("comp"))
+      assert(pairs.filter(not(col("fused") <=> col("comp"))).count() === 0,
+        s"n=$n positional mismatch")
+      assert(pairs.count() > 0)
+    }
+    // edge shapes on raw arrays (the tokenizer can't produce multi-byte
+    // tokens, so feed them directly): exactly n tokens (one shingle),
+    // fewer than n (empty array), multi-byte UTF-8 (byte-streaming into
+    // the digest must equal hashing the concatenated string)
+    import spark.implicits._
+    val edge = Seq(
+      Seq("a", "b", "c"), Seq("a", "b"),
+      Seq("héllo", "wörld", "déjà", "vu")).toDF("toks")
+    val er = edge.select(
+      TextFunctions.shingleHash32(col("toks"), 3).as("fused"),
+      transform(TextFunctions.wordShingles(col("toks"), 3),
+        s => TextFunctions.hash32Compositional(s)).as("comp"))
+    assert(er.filter(not(col("fused") <=> col("comp"))).count() === 0)
+  }
+
   test("fused HyperplaneSketch == composed dim×nPlanes expression tree") {
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
