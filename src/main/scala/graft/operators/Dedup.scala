@@ -377,8 +377,10 @@ object Dedup {
       // rows at sf0.001, thread-dump-confirmed tokenizer re-evaluation) —
       // every consumer that explodes MUST materialize this frame first
       // (winnowPairs/winnowDedupSink persist it; DedupSpec pins the shape).
-      .select(col("doc_id"), wordShingles(col("toks"), k).as("sh"))
-      .withColumn("h", transform(col("sh"), hash32(_)))
+      // positional k-gram hashes from the fused kernel (no shingle
+      // strings; position order is exactly what winnowing windows need)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingleHash32(col("toks"), k).as("h"))
       .withColumn("fps", winnowFromHashes(col("h"), w))
       .select(col("doc_id"), col("fps"))
 
