@@ -55,7 +55,11 @@ object Curate {
     * bigram evidence (< 2 tokens → NULL average) PASS — insufficient
     * evidence defers to the quality gate rather than failing a model that
     * never saw the doc. The model is static (train once via
-    * TextAnalysis.trainLm), so streaming scoring is batching-independent. */
+    * TextAnalysis.trainLm), so streaming scoring is batching-independent.
+    * The model tables are lazy plans over the reference: a long-running
+    * stream should persist() them (or write + re-read) before starting,
+    * or every micro-batch re-runs the reference aggregation — correct
+    * either way (the reference is static), just wasted work. */
   final case class LmGate(model: TextAnalysis.LmModel, minMicroAvg: Double)
 
   final case class Stats(

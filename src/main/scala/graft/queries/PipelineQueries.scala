@@ -2165,9 +2165,49 @@ object PipelineQueries {
         (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM scored
          WHERE lm_ok AND quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens"""))))
 
+  /** Count-min heavy hitters over the 3-gram occurrence stream: the
+    * deterministic-hash sketch (cm<r>:-seeded md5 buckets, depth 4 ×
+    * width 16384) rebuilt identically in DuckDB — counters, min-estimates
+    * and the cut all certified in one hash. Estimates are ≥ truth by
+    * construction, so every truly-heavy gram is in the output (soundness);
+    * collision-admitted light grams are part of the certified surface,
+    * not noise. */
+  val tHeavyHitters: Q = Q(
+    "t_heavy_hitters",
+    run = (s, dir) => {
+      import graft.functions.TextFunctions
+      val bound = graft.operators.Dedup.track(Tables.documents(s, dir)
+        .select(TextFunctions.tokens(coalesce(col("text"), lit(""))).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(TextFunctions.wordShingles(col("toks"), 3).as("gs"))
+        .persist()) // Generate re-inline hazard
+      val obs = bound.select(explode(col("gs")).as("k"))
+      graft.operators.Sketches.heavyHitters(obs, col("k"), minCount = 6L,
+        depth = 4, width = 16384)
+        .select(col("k"), col("est"))
+    },
+    oracle = Some(s"""
+      WITH t AS (SELECT $TOKS AS toks FROM documents),
+      g AS (SELECT unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks)-1)]) AS k
+            FROM t WHERE len(toks) >= 3),
+      cells AS (SELECT r.r,
+                  CAST(('0x' || substr(md5('cm' || r.r || ':' || g.k), 1, 8)) AS BIGINT) % 16384 AS bucket
+                FROM g, range(4) r(r)),
+      counters AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM cells GROUP BY 1, 2),
+      keys AS (SELECT DISTINCT k FROM g),
+      kcells AS (SELECT keys.k, r.r,
+                   CAST(('0x' || substr(md5('cm' || r.r || ':' || keys.k), 1, 8)) AS BIGINT) % 16384 AS bucket
+                 FROM keys, range(4) r(r)),
+      est AS (SELECT kcells.k, MIN(coalesce(counters.c, 0)) AS est
+              FROM kcells LEFT JOIN counters USING (r, bucket)
+              GROUP BY kcells.k)
+      SELECT k, est FROM est WHERE est >= 6"""))
+
   val all: Seq[Q] = Seq(
     tPiiRedact, tCurateRedacted, tBoilerplateStrip, tCurateBoilerplate, tLmScore,
-    tCurateLm, tLmBuckets,
+    tCurateLm, tLmBuckets, tHeavyHitters,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,
     tSimhash, tAnnCosine,
