@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bounded-state protocol for the incremental sinks' parquet registries.
   *
@@ -96,8 +96,18 @@ private[graft] object Registry {
     * compaction cost amortizes over `every` batches. Returns true when a
     * fold ran. Call at the START of a sink body with
     * `upToExclusive = batchId`: folds never touch the running batch. */
+  /** @param fold optional per-table post-union transform applied to the
+    *   snapshot frame before it is written (default identity = plain
+    *   row-union fold). Additive registries (e.g. sketch counters, whose
+    *   state is (key → running sum)) pass an aggregation here so the
+    *   snapshot re-collapses to one row per key — a union fold would
+    *   carry every batch's partial rows forward and the snapshot would
+    *   grow O(batches) instead of staying state-sized. The transform MUST
+    *   be associative over re-folding (agg-of-agg == agg), which is
+    *   exactly the mergeability contract (SketchSpec). */
   def maybeCompact(spark: SparkSession, groupBase: String, tables: Seq[String],
-      upToExclusive: Long, every: Int): Boolean = {
+      upToExclusive: Long, every: Int,
+      fold: Map[String, DataFrame => DataFrame] = Map.empty): Boolean = {
     require(every > 0, s"compactEvery must be positive, got $every")
     require(tables.nonEmpty, "registry group needs at least one table")
     val w = watermark(spark, groupBase)
@@ -110,7 +120,7 @@ private[graft] object Registry {
     tables.foreach { t =>
       val in = w.map(x => s"$t/snapshot=$x").toSeq ++
         foldable.map(id => s"$t/batch=$id")
-      spark.read.parquet(in: _*)
+      fold.getOrElse(t, identity[DataFrame] _)(spark.read.parquet(in: _*))
         .write.mode("overwrite").parquet(s"$t/snapshot=$wNew")
     }
     // commit: atomic create of the new marker (the old one stays — the

@@ -520,4 +520,110 @@ object StreamingPipelines {
           batch.write.mode("append").partitionBy("sink_table").parquet(basePath)
         finally { batch.unpersist(); () }
       }
+
+  /** Incremental count-min sketch: each micro-batch writes ITS OWN
+    * depth×width counter table as `counters/batch=<id>`; the running
+    * sketch is the element-wise SUM over snapshot + committed batch dirs
+    * — exactly the mergeability contract SketchSpec proves, so
+    * stream ≡ batch by construction at any batching. Compaction reuses
+    * the registry fold protocol with a SUMMING transform (see
+    * Registry.maybeCompact's `fold` param): the snapshot re-collapses to
+    * ≤ depth·width rows every cycle, so registry state is model-sized
+    * forever — a plain union fold would grow O(batches).
+    *
+    * The sketch shape is pinned by a `_shape=<depth>x<width>` marker on
+    * first commit; a sink or reader with a different shape fails LOUD
+    * (summing counters from different geometries would be silent
+    * garbage — the BucketedUpsert layout-marker rule). */
+  def sketchSink(obs: DataFrame, keyCol: String, registryPath: String,
+      depth: Int = 4, width: Int = 4096,
+      compactEvery: Int = 16): DataStreamWriter[Row] =
+    obs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        requireShape(spark, registryPath, depth, width, createIfAbsent = true)
+        val sumFold = (df: DataFrame) =>
+          df.groupBy(col("r"), col("bucket")).agg(sum(col("c")).as("c"))
+        Registry.maybeCompact(spark, registryPath,
+          Seq(s"$registryPath/counters"),
+          upToExclusive = batchId, every = compactEvery,
+          fold = Map(s"$registryPath/counters" -> sumFold))
+        val b = batch.toDF().persist()
+        try
+          graft.operators.Sketches
+            .countMinCounters(b, col(keyCol), depth, width)
+            .write.mode("overwrite")
+            .parquet(s"$registryPath/counters/batch=$batchId")
+        finally { b.unpersist(blocking = false); () }
+      }
+
+  /** The running counter table (element-wise sum of snapshot + committed
+    * batch dirs) — one row per touched (r, bucket). */
+  def currentSketch(spark: SparkSession, registryPath: String): DataFrame = {
+    val v = Registry.view(spark, registryPath, s"$registryPath/counters")
+    if (v.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("r", IntegerType), StructField("bucket", LongType),
+        StructField("c", LongType))))
+    } else spark.read.parquet(v.paths: _*)
+      .groupBy(col("r"), col("bucket")).agg(sum(col("c")).as("c"))
+  }
+
+  /** Point estimates against the running sketch for the caller's
+    * candidate keys (shape read from the pinned marker). */
+  def currentEstimate(spark: SparkSession, registryPath: String,
+      keys: DataFrame, keyCol: String): DataFrame = {
+    val (depth, width) = readShape(spark, registryPath)
+    graft.operators.Sketches.countMinEstimate(
+      keys, col(keyCol), currentSketch(spark, registryPath), depth, width)
+  }
+
+  private def shapePath(registryPath: String, depth: Int, width: Int) =
+    new org.apache.hadoop.fs.Path(registryPath, s"_shape=${depth}x$width")
+
+  private def requireShape(spark: SparkSession, registryPath: String,
+      depth: Int, width: Int, createIfAbsent: Boolean): Unit = {
+    val base = new org.apache.hadoop.fs.Path(registryPath)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val existing =
+      if (fs.exists(base))
+        fs.listStatus(base).map(_.getPath.getName)
+          .filter(_.startsWith("_shape=")).toSeq
+      else Seq.empty
+    existing match {
+      case Seq() if createIfAbsent =>
+        fs.mkdirs(base)
+        fs.create(shapePath(registryPath, depth, width), true).close()
+      case Seq() =>
+        throw new IllegalStateException(s"no sketch shape marker under $registryPath")
+      case Seq(one) =>
+        require(one == s"_shape=${depth}x$width",
+          s"sketch shape mismatch under $registryPath: registry is $one, caller wants ${depth}x$width")
+      case many =>
+        throw new IllegalStateException(
+          s"conflicting sketch shape markers under $registryPath: ${many.mkString(", ")}")
+    }
+  }
+
+  private def readShape(spark: SparkSession, registryPath: String): (Int, Int) = {
+    val base = new org.apache.hadoop.fs.Path(registryPath)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val markers =
+      if (fs.exists(base))
+        fs.listStatus(base).map(_.getPath.getName)
+          .filter(_.startsWith("_shape=")).toSeq
+      else Seq.empty
+    markers match {
+      case Seq(one) =>
+        val Array(d, w) = one.stripPrefix("_shape=").split("x")
+        (d.toInt, w.toInt)
+      case Seq() =>
+        throw new IllegalStateException(s"no sketch shape marker under $registryPath")
+      case many =>
+        throw new IllegalStateException(
+          s"conflicting sketch shape markers under $registryPath: ${many.mkString(", ")}")
+    }
+  }
 }

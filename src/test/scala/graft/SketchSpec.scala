@@ -48,6 +48,51 @@ class SketchSpec extends AnyFunSuite {
     assert(merged === cells(full))
   }
 
+  test("sketchSink: stream == batch counters across compaction; snapshot stays model-sized") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_sketch_reg"
+    new scala.reflect.io.Directory(new java.io.File(regPath)).deleteRecursively()
+    val keys: Seq[String] =
+      (1 to 30).map(i => s"k${i % 7}") ++ Seq.fill(10)("hot")
+    val stream = MemoryStream[String]
+    val q = graft.streaming.StreamingPipelines.sketchSink(
+        stream.toDF().toDF("k"), "k", regPath,
+        depth = 3, width = 64, compactEvery = 2)
+      .start()
+    keys.grouped(7).foreach { h => stream.addData(h); q.processAllAvailable() }
+    q.stop()
+    val got = graft.streaming.StreamingPipelines.currentSketch(spark, regPath)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = Sketches.countMinCounters(keys.toDF("k"), col("k"), 3, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Dedup.releaseCaches(spark)
+    assert(got === want) // element-wise sum over batches == one-shot build
+    // estimates through the registry == estimates against the batch sketch
+    val est = graft.streaming.StreamingPipelines.currentEstimate(
+      spark, regPath, Seq("hot", "k1", "absent").toDF("k"), "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Dedup.releaseCaches(spark)
+    assert(est("hot") >= 10L && est("k1") >= 4L)
+    // compaction ran (6 batches at every=2) and the folded snapshot is
+    // re-collapsed: at most depth*width rows, and bounded unfolded dirs
+    val countersDir = new java.io.File(s"$regPath/counters")
+    val dirs = countersDir.listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("snapshot=")), s"no snapshot in ${dirs.toSeq}")
+    assert(dirs.count(_.startsWith("batch=")) <= 2 * 2 + 1, s"unbounded dirs: ${dirs.toSeq}")
+    // shape drift fails loud (a 2x64 sink against the pinned 3x64 registry)
+    val s2 = MemoryStream[String]
+    val q2 = graft.streaming.StreamingPipelines.sketchSink(
+      s2.toDF().toDF("k"), "k", regPath, depth = 2, width = 64).start()
+    s2.addData(Seq("x"))
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("shape mismatch")) || mentions(t.getCause))
+    assert(mentions(ex), s"wrong failure: $ex")
+  }
+
   test("NULL keys are excluded; empty input yields an empty sketch") {
     import spark.implicits._
     val o = Seq(Some("a"), None, Some("a")).toDF("k")
