@@ -702,6 +702,45 @@ object TextAnalysis {
           .as("lm_micro_avg"))
   }
 
+  /** One-row corpus data-quality profile — the `DESCRIBE corpus` surface
+    * a pipeline operator checks before and after every gate: doc and
+    * empty-text counts, exact distinct-fingerprint count (dup mass =
+    * input − distinct), total token volume, per-language doc counts, and
+    * the corpus quality mass as an exact BIGINT micro-sum
+    * (floor(quality·10^6 + 0.5) per doc, the repo's pinned rounding —
+    * a double mean would be summation-order-dependent and break the
+    * cross-engine hash; mean = sum/10^6/input, derived by the caller).
+    *
+    * Scale: per-doc columns are map-side; the single global aggregation
+    * partial-combines, and the one distinct (fingerprints) expands to
+    * the standard two-exchange plan keyed by the fingerprint — one scan,
+    * no joins, no corpus self-join. */
+  def profile(docs: DataFrame): DataFrame = {
+    val perDoc = Dedup.track(docs
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        (col("text").isNull || col("text") === "").as("is_empty"))
+      .withColumn("fp", coalesce(
+        graft.functions.TextFunctions.fingerprint(col("text")), lit("null:")))
+      .withColumn("toks", tokens(col("text")))
+      .persist())
+    val quality = qualityScore(perDoc).select(col("doc_id"),
+      floor(col("quality") * lit(1e6) + lit(0.5)).cast("long").as("q_micro"))
+    val lang = langId(perDoc).select(col("doc_id"), col("pred_lang"))
+    val langCounts = Seq("de", "en", "es", "fr", "und").map(l =>
+      count(when(col("pred_lang") === l, lit(1))).as(s"lang_$l"))
+    val cols: Seq[Column] =
+      count(lit(1)).as("input") +:
+        count(when(col("is_empty"), lit(1))).as("empty_text") +:
+        countDistinct(col("fp")).as("distinct_fp") +:
+        coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("total_tokens") +:
+        coalesce(sum(col("q_micro")), lit(0L)).as("sum_quality_micro") +:
+        langCounts
+    perDoc
+      .join(quality, Seq("doc_id"), "left")
+      .join(lang, Seq("doc_id"), "left")
+      .agg(cols.head, cols.tail: _*)
+  }
+
   /** CCNet-style head/middle/tail fluency buckets over [[scoreLm]]
     * output: per-doc integer fluency floor (sum_micro div n_bigrams —
     * stays in the exact-BIGINT family, domain ≤ 10^6+1), exact corpus

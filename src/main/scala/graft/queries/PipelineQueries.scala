@@ -2205,9 +2205,61 @@ object PipelineQueries {
               GROUP BY kcells.k)
       SELECT k, est FROM est WHERE est >= 6"""))
 
+  /** One-row corpus profile: counts, exact distinct-fingerprint mass,
+    * token volume, per-language doc counts, and the quality mass as an
+    * exact BIGINT micro-sum (a double mean would be summation-order-
+    * dependent — the Classify/lm rule). The hash gate certifies every
+    * column of the report at once. */
+  val tCorpusProfile: Q = Q(
+    "t_corpus_profile",
+    run = (s, dir) => TextAnalysis.profile(Tables.documents(s, dir)),
+    oracle = {
+      val stop = TextAnalysis.lexicons.flatMap(_._2).distinct.sorted
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      val lex = TextAnalysis.lexicons.map { case (lang, words) =>
+        lang -> words.map(w => s"'$w'").mkString("[", ",", "]")
+      }.toMap
+      Some(s"""
+      WITH t AS (SELECT doc_id,
+          (text IS NULL OR text = '') AS is_empty,
+          coalesce(md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))), 'null:') AS fp,
+          $TOKS AS toks
+        FROM documents),
+      q AS (SELECT doc_id,
+          CAST(floor((0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+            + 0.3 * least(1.0, len(toks) / 100.0)
+            + 0.3 * (1.0 - len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE / len(toks)))
+            * 1000000 + 0.5) AS BIGINT) AS q_micro
+        FROM t WHERE len(toks) > 0),
+      l AS (SELECT doc_id,
+          CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
+               WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de'
+               WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
+               WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM (SELECT doc_id,
+                len(list_intersect(list_distinct(toks), ${lex("de")})) AS hde,
+                len(list_intersect(list_distinct(toks), ${lex("en")})) AS hen,
+                len(list_intersect(list_distinct(toks), ${lex("es")})) AS hes,
+                len(list_intersect(list_distinct(toks), ${lex("fr")})) AS hfr
+              FROM t) z)
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS input,
+        CAST(SUM(CASE WHEN t.is_empty THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+        CAST(COUNT(DISTINCT t.fp) AS BIGINT) AS distinct_fp,
+        CAST(COALESCE(SUM(len(t.toks)), 0) AS BIGINT) AS total_tokens,
+        CAST(COALESCE(SUM(q.q_micro), 0) AS BIGINT) AS sum_quality_micro,
+        CAST(SUM(CASE WHEN l.pred_lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS lang_de,
+        CAST(SUM(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS lang_en,
+        CAST(SUM(CASE WHEN l.pred_lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS lang_es,
+        CAST(SUM(CASE WHEN l.pred_lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS lang_fr,
+        CAST(SUM(CASE WHEN l.pred_lang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS lang_und
+      FROM t LEFT JOIN q USING (doc_id) LEFT JOIN l USING (doc_id)""")
+    })
+
   val all: Seq[Q] = Seq(
     tPiiRedact, tCurateRedacted, tBoilerplateStrip, tCurateBoilerplate, tLmScore,
-    tCurateLm, tLmBuckets, tHeavyHitters,
+    tCurateLm, tLmBuckets, tHeavyHitters, tCorpusProfile,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,
     tSimhash, tAnnCosine,

@@ -135,6 +135,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> "tail", 2L -> "middle", 3L -> "none"))
   }
 
+  test("profile: hand-computed corpus report (counts, dup mass, langs, quality micro-sum)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog"),     // en, 5 tokens
+      (2L, "the cat and the dog"),     // exact dup of 1
+      (3L, "la le et de un"),          // fr
+      (4L, null.asInstanceOf[String]), // empty: und, 0 tokens
+      (5L, "zzz qqq www")              // no lexicon hits: und
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.profile(docs).collect()(0)
+    Dedup.releaseCaches(spark)
+    val byName = r.schema.fieldNames.zipWithIndex.toMap
+    def g(n: String) = r.getLong(byName(n))
+    assert(g("input") === 5L)
+    assert(g("empty_text") === 1L)
+    assert(g("distinct_fp") === 4L) // docs 1,2 share a fingerprint
+    assert(g("total_tokens") === (5 + 5 + 5 + 0 + 3).toLong)
+    assert(g("lang_en") === 2L && g("lang_fr") === 1L && g("lang_und") === 2L)
+    assert(g("lang_de") === 0L && g("lang_es") === 0L)
+    // quality micro-sum: exact BIGINT, positive, bounded by input·10^6
+    assert(g("sum_quality_micro") > 0L && g("sum_quality_micro") <= 5L * 1000000L)
+    // empty corpus: one row of zeros, not a crash
+    val z = TextAnalysis.profile(Seq.empty[(Long, String)].toDF("doc_id", "text")).collect()(0)
+    Dedup.releaseCaches(spark)
+    assert(z.getLong(byName("input")) === 0L && z.getLong(byName("total_tokens")) === 0L)
+  }
+
   test("lmScore: empty corpus is fine; empty reference fails LOUD (V = 0 division)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
