@@ -257,6 +257,14 @@ object CurateStream {
     labeledView(spark, outPath).filter(col("drop_reason") === "kept")
       .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"), col("n_tokens"))
 
+  /** Continuous corpus-health report: TextAnalysis.profile over the kept
+    * set as of now — the one-row DESCRIBE-corpus surface an operator
+    * polls while the sink runs (counts, dup mass, token volume, language
+    * mix, quality micro-sum). Pure composition over keptView, so it
+    * equals the batch profile of the same kept set by construction. */
+  def profileView(spark: org.apache.spark.sql.SparkSession, outPath: String): DataFrame =
+    TextAnalysis.profile(keptView(spark, outPath).select(col("doc_id"), col("text")))
+
   /** Training-layout snapshot over everything kept so far: each kept doc
     * with its deterministic shuffle position (Sampling.shuffleRank) and
     * sequence-pack assignment (Sampling.packSequencesScalable) — the

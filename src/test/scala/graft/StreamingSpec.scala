@@ -427,6 +427,14 @@ class StreamingSpec extends AnyFunSuite {
         lit("null:")).as("fp"))
       .collect().map(_.getString(0)).toSet
     assert(regFps.subsetOf(scrubbedFps))
+    // the continuous corpus-health report over the sink's kept set equals
+    // the batch profile of the same docs (pure composition)
+    val pv = graft.streaming.CurateStream.profileView(spark, outPath).collect()(0)
+    val want = graft.operators.TextAnalysis.profile(
+      wantKept.toSeq.toDF("doc_id", "text")).collect()(0)
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(pv.toSeq === want.toSeq)
+    assert(pv.getLong(pv.schema.fieldNames.indexOf("input")) === wantKept.size.toLong)
   }
 
   test("CurateStream classifier gate == batch Curate with the same weights") {
