@@ -760,11 +760,27 @@ object TextAnalysis {
     val base = Dedup.track(scored.withColumn("lm_floor",
       when(col("n_bigrams") > 0, expr("sum_micro div n_bigrams"))).persist())
     val thr = Sampling.boundedIntQuantiles(base, col("lm_floor"), Seq((1, 3), (2, 3)))
-    base.crossJoin(broadcast(thr.select(col("t0"), col("t1"))))
-      .select(col("doc_id"), col("lm_floor"),
-        when(col("lm_floor").isNull, lit("none"))
-          .when(col("lm_floor") <= col("t0"), lit("tail"))
-          .when(col("lm_floor") <= col("t1"), lit("middle"))
-          .otherwise(lit("head")).as("bucket"))
+    labelBuckets(base.crossJoin(broadcast(thr.select(col("t0"), col("t1")))),
+      col("t0"), col("t1"))
   }
+
+  /** [[lmBuckets]] with FROZEN thresholds — the streaming-compatible
+    * form: exact tertiles are a corpus-level property (a doc's label can
+    * change as later docs shift the distribution), so a continuous
+    * pipeline freezes thresholds from a batch profile
+    * ([[Sampling.boundedIntQuantiles]] over a reference corpus) and
+    * labels per-doc map-side — batching-independent, no global state,
+    * identical to [[lmBuckets]] whenever the thresholds came from the
+    * same corpus (TextOpsSpec pins the equivalence). */
+  def lmBucketsFrozen(scored: DataFrame, t0: Long, t1: Long): DataFrame =
+    labelBuckets(scored.withColumn("lm_floor",
+      when(col("n_bigrams") > 0, expr("sum_micro div n_bigrams"))),
+      lit(t0), lit(t1))
+
+  private def labelBuckets(withFloor: DataFrame, t0: Column, t1: Column): DataFrame =
+    withFloor.select(col("doc_id"), col("lm_floor"),
+      when(col("lm_floor").isNull, lit("none"))
+        .when(col("lm_floor") <= t0, lit("tail"))
+        .when(col("lm_floor") <= t1, lit("middle"))
+        .otherwise(lit("head")).as("bucket"))
 }

@@ -133,6 +133,12 @@ class TextOpsSpec extends AnyFunSuite {
     Dedup.releaseCaches(spark)
     // N=2: t0 = 325000 (cum 1 ≥ ceil(2/3)), t1 = 333333 (cum 2 ≥ ceil(4/3))
     assert(got === Map(1L -> "tail", 2L -> "middle", 3L -> "none"))
+    // frozen form with the same thresholds == the exact corpus tertiles
+    val frozen = TextAnalysis.lmBucketsFrozen(
+      TextAnalysis.lmScore(docs, ref), 325000L, 333333L).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    Dedup.releaseCaches(spark)
+    assert(frozen === got)
   }
 
   test("profile: hand-computed corpus report (counts, dup mass, langs, quality micro-sum)") {
