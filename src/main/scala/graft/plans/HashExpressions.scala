@@ -96,6 +96,14 @@ object HashExpressions {
     val sz = arr.numElements()
     val m = math.max(0, sz - n + 1)
     val out = new Array[Long](m)
+    // extract each token's bytes ONCE — a token sits in up to n windows,
+    // and UTF8String.getBytes copies on every call
+    val bytes = new Array[Array[Byte]](sz)
+    var j = 0
+    while (j < sz) {
+      bytes(j) = if (arr.isNullAt(j)) null else arr.getUTF8String(j).getBytes
+      j += 1
+    }
     val d = md.get()
     var i = 0
     while (i < m) {
@@ -103,10 +111,10 @@ object HashExpressions {
       var wrote = false
       var k = 0
       while (k < n) {
-        val t = if (arr.isNullAt(i + k)) null else arr.getUTF8String(i + k)
+        val t = bytes(i + k)
         if (t != null) { // concat_ws semantics: null args vanish, no separator
           if (wrote) d.update(space)
-          d.update(t.getBytes)
+          d.update(t)
           wrote = true
         }
         k += 1
