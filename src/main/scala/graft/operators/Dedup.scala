@@ -277,6 +277,65 @@ object Dedup {
       threshold)
   }
 
+  /** Cross-corpus deduplication — onboarding a new crawl against an
+    * already-curated reference corpus: a doc drops if it exactly matches
+    * any reference doc (normalized fingerprint, NULL-sentineled) or
+    * near-matches one (MinHash band collision + exact-Jaccard verify ≥
+    * `threshold`). The reference is read-only — it is never deduped,
+    * mutated, or self-joined. Returns every input doc labeled
+    * (doc_id, drop_reason ∈ exact_ref | near_ref | kept) — precedence
+    * exact_ref first, the curate-labeling convention. Within-`docs`
+    * duplicates are NOT touched (that is [[exactGroups]] /
+    * [[minhashLshPairs]]' job — compose before or after as the pipeline
+    * wants); this operator answers only "is it already in the corpus?".
+    *
+    * Scale: one fingerprint-keyed join (reference side distinct-ed), one
+    * (band, signature)-keyed join (docs bands × reference bands — never
+    * a self-join on either side), hot REFERENCE buckets capped at
+    * `maxBucket` (a boilerplate band bucket in a 100 TB reference would
+    * otherwise fan every matching new doc into B verify pairs; capped
+    * members still match through their other, more selective bands —
+    * the minhashLshPairs rationale), then the hash-array verify join.
+    * All shuffles are keyed and bucketed; the incremental/streaming twin
+    * of this operation is CurateStream's registry join, which shares the
+    * banding and verify stages. */
+  def dedupAgainst(docs: DataFrame, reference: DataFrame,
+      numSigs: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    val fpRef = reference
+      .select(coalesce(fingerprint(col("text")), lit("null:")).as("fp")).distinct()
+    val fpDocs = track(docs
+      .select(col("doc_id"),
+        coalesce(fingerprint(col("text")), lit("null:")).as("fp")).persist())
+    val exactHit = fpDocs.join(fpRef, Seq("fp")).select(col("doc_id")).distinct()
+
+    val shD = track(shingleSets(docs).persist())
+    val shR = track(shingleSets(reference).persist())
+    val bandsD = bandsFromShingles(shD, numSigs, rowsPerBand)
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b"), col("band_key"))
+    val bandsR = bandsFromShingles(shR, numSigs, rowsPerBand)
+      .withColumn("__bs", count(lit(1)).over(bucketW))
+      .filter(col("__bs") <= maxBucket).drop("__bs")
+    val cand = bandsD.select(col("doc_id").as("doc_a"), col("b"), col("band_key"))
+      .join(bandsR.select(col("doc_id").as("doc_b"), col("b"), col("band_key")),
+        Seq("b", "band_key"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val nearHit = jaccardVerify(cand,
+      shD.select(col("doc_id").as("doc_a"), col("hashes").as("h_a")),
+      shR.select(col("doc_id").as("doc_b"), col("hashes").as("h_b")),
+      threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+
+    docs.select(col("doc_id"))
+      .join(exactHit.withColumn("__ex", lit(1)), Seq("doc_id"), "left")
+      .join(nearHit.withColumn("__nr", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__ex").isNotNull, lit("exact_ref"))
+          .when(col("__nr").isNotNull, lit("near_ref"))
+          .otherwise(lit("kept")).as("drop_reason"))
+  }
+
   /** Exact n-gram Jaccard similarity self-join via prefix filtering
     * (Bayardo et al. WWW'07 All-Pairs; Vernica et al. SIGMOD'10 for the
     * MapReduce formulation) — the exact counterpart to minhashLshPairs:

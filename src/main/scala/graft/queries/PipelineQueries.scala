@@ -2257,9 +2257,83 @@ object PipelineQueries {
       FROM t LEFT JOIN q USING (doc_id) LEFT JOIN l USING (doc_id)""")
     })
 
+  /** Cross-corpus dedup: reference = every doc_id % 5 == 0 doc, re-keyed
+    * +10^6, half verbatim (exact hits) and half with a planted tail
+    * (near hits where the doc is long enough for Jaccard ≥ 0.8 — the
+    * oracle recomputes the identical banding + verify, so the boundary
+    * is certified, not assumed). Every input doc labeled. */
+  val tDedupAgainst: Q = Q(
+    "t_dedup_against",
+    run = (s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      val ref = docs.filter(id % 5 === 0).select(
+        (id + 1000000L).as("doc_id"),
+        when(id % 10 === 0, coalesce(col("text"), lit("")))
+          .otherwise(concat(coalesce(col("text"), lit("")),
+            lit(" planted reference tail marker words"))).as("text"))
+      graft.operators.Dedup.dedupAgainst(docs, ref)
+    },
+    oracle = Some("""
+      WITH rr AS (SELECT doc_id + 1000000 AS doc_id,
+          CASE WHEN doc_id % 10 = 0 THEN coalesce(text, '')
+               ELSE coalesce(text, '') || ' planted reference tail marker words' END AS text
+        FROM documents WHERE doc_id % 5 = 0),
+      fpd AS (SELECT doc_id,
+          coalesce(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 'null:') AS fp
+        FROM documents),
+      fpr AS (SELECT DISTINCT
+          coalesce(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 'null:') AS fp
+        FROM rr),
+      exact_hit AS (SELECT DISTINCT fpd.doc_id FROM fpd JOIN fpr USING (fp)),
+      tkd AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM documents),
+      tkr AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM rr),
+      shd AS (SELECT doc_id,
+          list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
+        FROM tkd WHERE len(toks) >= 3),
+      shr AS (SELECT doc_id,
+          list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
+        FROM tkr WHERE len(toks) >= 3),
+      vhd AS (SELECT doc_id,
+          [CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) for g in shingles] AS v FROM shd),
+      vhr AS (SELECT doc_id,
+          [CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) for g in shingles] AS v FROM shr),
+      sigd AS (SELECT doc_id,
+          [list_min([((2*s+1)*x + 7919*s + 1) % 4294967291 for x in v]) for s in range(0, 8)] AS sig
+        FROM vhd),
+      sigr AS (SELECT doc_id,
+          [list_min([((2*s+1)*x + 7919*s + 1) % 4294967291 for x in v]) for s in range(0, 8)] AS sig
+        FROM vhr),
+      bd AS (SELECT doc_id, b,
+          CAST(sig[2*b+1] AS VARCHAR) || '|' || CAST(sig[2*b+2] AS VARCHAR) AS band_key
+        FROM sigd, range(0, 4) AS r(b)),
+      br AS (SELECT doc_id, b, band_key FROM (
+          SELECT doc_id, b,
+            CAST(sig[2*b+1] AS VARCHAR) || '|' || CAST(sig[2*b+2] AS VARCHAR) AS band_key,
+            COUNT(*) OVER (PARTITION BY b,
+              CAST(sig[2*b+1] AS VARCHAR) || '|' || CAST(sig[2*b+2] AS VARCHAR)) AS bs
+          FROM sigr, range(0, 4) AS r(b)) t WHERE bs <= 1000),
+      cand AS (SELECT DISTINCT bd.doc_id AS doc_a, br.doc_id AS doc_b
+        FROM bd JOIN br ON bd.band_key = br.band_key AND bd.b = br.b),
+      near_hit AS (SELECT DISTINCT c.doc_a AS doc_id
+        FROM cand c
+        JOIN vhd sa ON sa.doc_id = c.doc_a
+        JOIN vhr sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.v, sb.v))::DOUBLE
+            / len(list_distinct(sa.v || sb.v)) >= 0.8)
+      SELECT d.doc_id,
+        CASE WHEN d.doc_id IN (SELECT doc_id FROM exact_hit) THEN 'exact_ref'
+             WHEN d.doc_id IN (SELECT doc_id FROM near_hit) THEN 'near_ref'
+             ELSE 'kept' END AS drop_reason
+      FROM documents d"""))
+
   val all: Seq[Q] = Seq(
     tPiiRedact, tCurateRedacted, tBoilerplateStrip, tCurateBoilerplate, tLmScore,
-    tCurateLm, tLmBuckets, tHeavyHitters, tCorpusProfile,
+    tCurateLm, tLmBuckets, tHeavyHitters, tCorpusProfile, tDedupAgainst,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,
     tSimhash, tAnnCosine,

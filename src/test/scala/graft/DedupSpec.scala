@@ -218,4 +218,32 @@ class DedupSpec extends AnyFunSuite {
     assert(dists.nonEmpty && dists.forall(_ <= 8),
       s"near-dup simhash distances: $dists")
   }
+
+  test("dedupAgainst: exact/near hits vs a read-only reference; within-docs dups untouched") {
+    import spark.implicits._
+    val longText = (1 to 30).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "the quick brown fox jumps over the lazy dog again today", // within-docs dup of 1
+      3L -> "entirely different content with unrelated corpus vocabulary here",
+      4L -> longText).toDF("doc_id", "text")
+    val ref = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog again today", // exact hit for 1 AND 2
+      101L -> (longText + " tail")).toDF("doc_id", "text") // near hit for 4
+    val got = Dedup.dedupAgainst(docs, ref).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    Dedup.releaseCaches(spark)
+    // BOTH within-docs duplicates label exact_ref (the operator answers
+    // "already in the corpus?" per doc — it never dedups docs against
+    // each other); the near-dup clears 0.8 Jaccard via a band collision;
+    // the unrelated doc survives
+    assert(got === Map(1L -> "exact_ref", 2L -> "exact_ref",
+      3L -> "kept", 4L -> "near_ref"))
+    // empty reference keeps everything
+    val none = Dedup.dedupAgainst(docs,
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).collect()
+      .map(_.getString(1)).toSet
+    Dedup.releaseCaches(spark)
+    assert(none === Set("kept"))
+  }
 }
