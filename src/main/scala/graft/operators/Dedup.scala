@@ -609,6 +609,104 @@ object Dedup {
       spans, maxOcc)
   }
 
+  /** Edit-distance similarity self-join (Ed-Join family: Gravano et al.
+    * VLDB'01 q-gram filters; Xiao et al. VLDB'08 prefix filtering for edit
+    * constraints): all pairs with levenshtein(s_a, s_b) <= maxDist, the
+    * character-level counterpart to ngramJaccardPairs' token-set join —
+    * the primitive behind near-identical titles/names/URLs.
+    *
+    * Candidate generation is recall-LOSSLESS. For strings long enough that
+    * the q-gram bound bites (len >= q·(maxDist+1)): one edit destroys at
+    * most q of a side's distinct q-grams, so ed <= d implies each side
+    * shares a gram within its q·d+1 rarest grams (global (df, gram) order;
+    * the prefix-filter theorem needs only SOME shared element in both
+    * prefixes under one total order). Only those prefix grams are exploded
+    * into the inverted index — the shuffle keys are rare grams, so hot
+    * (common-substring) grams land outside every prefix, exactly
+    * ngramJaccardPairs' self-skew-to-singletons property. Shorter strings
+    * (len < q·(d+1), where the bound is vacuous: "abcd"/"xybd" share zero
+    * 3-grams at ed 2) instead tile a LENGTH-band index (width d+1, each row
+    * in its own tile and the one above, so any |Δlen| <= d pair co-tiles);
+    * cross pairs (short × borderline-long) ride the same tiles, keeping the
+    * long×long / rest split a true partition of the pair space. A
+    * degenerate hot tile (mass-duplicate short strings — where the output
+    * itself is quadratic) fails LOUDLY via raise_error rather than
+    * silently dropping pairs (the RangeJoin giant-interval rule).
+    *
+    * Both engines' levenshtein is the exact unit-cost DP over characters —
+    * integer, no floats anywhere, so the DuckDB oracle recomposes the
+    * identical chain hash-for-hash. NULL strings are compared as '' (ed to
+    * the empty string = the other side's length), keeping the join total.
+    *
+    * At 100 TB: the df table is one gram-keyed partial agg; prefixes bound
+    * index size at q·d+1 keys per string; the verify join ships only
+    * candidate pairs. The short-tile path is bounded by maxShortBucket per
+    * tile — shorts at corpus scale are a skew decision the caller must
+    * make explicitly (cap says the quadratic output was the ask). */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 2, q: Int = 3,
+      maxShortBucket: Int = 100000): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    val d = maxDist
+    val longMin = q * (d + 1) // smallest length where the prefix bound bites
+    val base = track(docs
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("s"))
+      .withColumn("len", length(col("s")))
+      .persist()) // feeds gram build, tile build, and both verify sides
+
+    // ---- long×long: rarest-first q-gram prefix index -------------------
+    val gr = track(base.filter(col("len") >= longMin)
+      .select(col("doc_id"), col("len"),
+        array_distinct(transform(sequence(lit(1), col("len") - (q - 1)),
+          i => col("s").substr(i, lit(q)))).as("gs"))
+      .persist()) // bind grams once: df-count + prefix both explode gs
+    val grams = gr.select(col("doc_id"), explode(col("gs")).as("g"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // rarest-first total order via struct sort — no global rank window
+    val pref = grams.join(dfreq, "g")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("ord"))
+      .join(gr.select(col("doc_id"), col("len")), "doc_id")
+      .select(col("doc_id"), col("len"),
+        slice(transform(col("ord"), o => o.getField("g")), 1, q * d + 1).as("pref"))
+    val pe = pref.select(col("doc_id"), col("len"), explode(col("pref")).as("g"))
+    val longCand = pe.as("x").join(pe.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          abs(col("x.len") - col("y.len")) <= d)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // ---- rest: length-band tiles for shorts + their long border --------
+    // tiles cover len < longMin + d (everything a true short can reach);
+    // long×long border pairs are excluded below — the long path owns them
+    val tiles = base.filter(col("len") < longMin + d)
+      .select(col("doc_id"), col("len"), (col("len") / (d + 1)).cast("long").as("b"))
+      .select(col("doc_id"), col("len"), explode(array(col("b"), col("b") + 1)).as("tile"))
+    val tileCt = tiles.groupBy(col("tile")).agg(count(lit(1)).as("ct"))
+    val guarded = tiles.join(tileCt, "tile")
+      .select(col("doc_id"), col("len"),
+        when(col("ct") <= maxShortBucket, col("tile"))
+          .otherwise(raise_error(concat(
+            lit(s"editDistancePairs: length tile holds > $maxShortBucket short strings ("),
+            col("ct"), lit(" rows) — quadratic short-pair output; dedup shorts first"))))
+          .as("tile"))
+    val shortCand = guarded.as("x").join(guarded.as("y"),
+        col("x.tile") === col("y.tile") && col("x.doc_id") < col("y.doc_id") &&
+          abs(col("x.len") - col("y.len")) <= d &&
+          least(col("x.len"), col("y.len")) < longMin) // at least one true short
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // ---- exact verify on the raw strings -------------------------------
+    val a = base.select(col("doc_id").as("doc_a"), col("s").as("__sa"))
+    val b = base.select(col("doc_id").as("doc_b"), col("s").as("__sb"))
+    longCand.unionByName(shortCand)
+      .join(a, "doc_a").join(b, "doc_b")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= d)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"))
+  }
+
   /** Per-doc 32-bit SimHash (near-dup docs differ in few bits).
     *
     * Explode+groupBy formulation: one md5 per distinct token, 32 partial-

@@ -161,6 +161,64 @@ object PipelineQueries {
         JOIN vh sb ON sb.doc_id = c.doc_b)
       SELECT doc_a, doc_b, j AS jaccard FROM jac WHERE j >= 0.7"""))
 
+  /** Edit-distance similarity join over document titles (Ed-Join): title =
+    * first 40 chars (95% distinct in this corpus — near-identical-title
+    * detection is the operator's production shape); every 11th doc
+    * truncated to 6 chars exercises the short-tile path, and planted
+    * drop-1-char (+100000) / drop-2-char (+200000) mutants guarantee
+    * non-vacuous pairs at every dist on both paths. The oracle recomputes
+    * the identical prefix-filter + tile chain (the minhash banding
+    * precedent — DedupSpec proves recall-losslessness vs brute force
+    * separately), then the exact levenshtein verify. */
+  val tDedupEdit: Q = Q(
+    "t_dedup_edit",
+    run = (s, dir) => {
+      val id = col("doc_id")
+      val p0 = Tables.documents(s, dir).select(id.as("doc_id"),
+        when(id % 11 === 0, substring(col("text"), 1, 6))
+          .otherwise(substring(col("text"), 1, 40)).as("text"))
+      val planted1 = p0.filter(id % 3 === 0)
+        .select((id + 100000L).as("doc_id"),
+          col("text").substr(lit(1), length(col("text")) - 1).as("text"))
+      val planted2 = p0.filter(id % 5 === 0)
+        .select((id + 200000L).as("doc_id"),
+          col("text").substr(lit(1), length(col("text")) - 2).as("text"))
+      Dedup.editDistancePairs(p0.unionByName(planted1).unionByName(planted2),
+        maxDist = 2, q = 3)
+    },
+    oracle = Some("""
+      WITH c0 AS (SELECT doc_id,
+          CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 6)
+               ELSE substr(text, 1, 40) END AS s
+        FROM documents),
+      c AS (SELECT doc_id, s FROM c0
+            UNION ALL
+            SELECT doc_id + 100000, substr(s, 1, len(s) - 1) FROM c0 WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + 200000, substr(s, 1, len(s) - 2) FROM c0 WHERE doc_id % 5 = 0),
+      b AS (SELECT doc_id, coalesce(s, '') AS s, len(coalesce(s, '')) AS l FROM c),
+      g AS (SELECT doc_id, l, list_distinct([substr(s, i, 3) for i in range(1, l - 1)]) AS gs
+            FROM b WHERE l >= 9),
+      ex AS (SELECT doc_id, l, unnest(gs) AS g FROM g),
+      dfq AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+      pe AS (SELECT doc_id, l, g FROM (
+              SELECT ex.doc_id, ex.l, ex.g,
+                ROW_NUMBER() OVER (PARTITION BY ex.doc_id ORDER BY dfq.df, ex.g) AS rn
+              FROM ex JOIN dfq USING (g)) t WHERE rn <= 7),
+      lc AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM pe x JOIN pe y ON x.g = y.g AND x.doc_id < y.doc_id
+              AND abs(x.l - y.l) <= 2),
+      t AS (SELECT doc_id, l, unnest([CAST(l // 3 AS BIGINT), CAST(l // 3 AS BIGINT) + 1]) AS tile
+            FROM b WHERE l < 11),
+      sc AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM t x JOIN t y ON x.tile = y.tile AND x.doc_id < y.doc_id
+              AND abs(x.l - y.l) <= 2 AND least(x.l, y.l) < 9),
+      cand AS (SELECT doc_a, doc_b FROM lc UNION SELECT doc_a, doc_b FROM sc),
+      v AS (SELECT cand.doc_a, cand.doc_b, levenshtein(a.s, bb.s) AS dist
+            FROM cand JOIN b a ON a.doc_id = cand.doc_a
+                      JOIN b bb ON bb.doc_id = cand.doc_b)
+      SELECT doc_a, doc_b, CAST(dist AS INT) AS dist FROM v WHERE dist <= 2"""))
+
   /** Corpus-wide repeated-span removal (sub-document dedup): 8-token spans
     * occurring more than once across the corpus are deleted from every doc
     * and texts are rebuilt from the survivors — 153 of 3434 distinct spans
@@ -2334,7 +2392,8 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     tPiiRedact, tCurateRedacted, tBoilerplateStrip, tCurateBoilerplate, tLmScore,
     tCurateLm, tLmBuckets, tHeavyHitters, tCorpusProfile, tDedupAgainst,
-    tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard, tDedupSpans,
+    tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard,
+    tDedupEdit, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,
     tSimhash, tAnnCosine,
     tDedupEmbedding, tDedupEmbeddingBucketed, tDedupEmbeddingBucketedHi, tDedupSemantic,

@@ -246,4 +246,56 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseCaches(spark)
     assert(none === Set("kept"))
   }
+
+  test("editDistancePairs: recall-lossless vs brute force across short/long/cross pairs") {
+    import spark.implicits._
+    // deterministic corpus over a 4-letter alphabet: lengths straddle the
+    // long threshold q*(d+1)=9, including true shorts ("abcd"/"axcd" share
+    // ZERO 3-grams at ed 1 — the case the tile path exists for), empty and
+    // NULL strings, identical strings, and cross short×long border pairs
+    val rnd = new scala.util.Random(42)
+    def randStr(n: Int) = (1 to n).map(_ => "abcd"(rnd.nextInt(4))).mkString
+    val organic = (1L to 80L).map(i => i -> randStr(3 + rnd.nextInt(12)))
+    val planted = Seq(
+      200L -> "abcd", 201L -> "axcd",            // ed 1, zero shared grams
+      202L -> "", 203L -> null,                   // empty + NULL (compared as '')
+      204L -> "aaabbbccc", 205L -> "aaabbbcc",    // cross: long(9) x short(8), ed 1
+      206L -> "aaabbbccc", 207L -> "aaabbbcccddd" // identical + ed-3 (excluded)
+    )
+    val docs = (organic ++ planted).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, maxDist = 2, q = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    Dedup.releaseCaches(spark)
+    val all = (organic ++ planted).map { case (i, s) => i -> Option(s).getOrElse("") }
+    val brute = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      d = levenshteinRef(sa, sb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(brute.exists(_._3 == 0) && brute.exists(_._3 == 1) && brute.exists(_._3 == 2),
+      s"witness corpus must exercise every dist: ${brute.map(_._3)}")
+    assert(got === brute, s"missed=${brute -- got} extra=${got -- brute}")
+    assert(got.contains((200L, 201L, 1)) && got.contains((204L, 205L, 1)) &&
+      got.contains((202L, 203L, 0)) && got.contains((204L, 206L, 0)))
+  }
+
+  test("editDistancePairs: degenerate hot short tile fails loudly, not silently") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => i -> "abc").toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.editDistancePairs(docs, maxDist = 1, q = 3, maxShortBucket = 10).collect()
+    }
+    Dedup.releaseCaches(spark)
+    assert(e.getMessage != null && e.getMessage.contains("editDistancePairs"),
+      s"expected the loud tile-cap error, got: ${e.getMessage}")
+  }
+
+  /** Independent witness: textbook DP levenshtein. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+      if (i == 0) j else if (j == 0) i else 0))
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
 }
