@@ -174,6 +174,67 @@ object Similarity {
       .select(col("cid"), col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Semantic decontamination: label every corpus vector that is cosine->=
+    * threshold near ANY benchmark vector — the embedding-space member of
+    * the decontamination family (next to the n-gram join, the Bloom scan,
+    * and span removal in TextAnalysis), for the leaks a text match cannot
+    * see: paraphrased or re-worded benchmark items that embed nearby.
+    *
+    * Topology is the bipartite form of cosineNearDupPairsBucketed: both
+    * sides sketch map-side with the SAME fixed hyperplanes, the join key is
+    * (band, band_bits), and only candidates are exact-scored. Hamming-1
+    * multi-probing fans out the BENCHMARK side only (the tiny one), so the
+    * corpus is never replicated — the lshProbedTopK rule. The corpus's
+    * only shuffles are the band join and the final EXISTS distinct; the
+    * benchmark band table is small enough to auto-broadcast, making the
+    * whole check effectively one corpus scan at 100 TB.
+    *
+    * Contract: (vec_id, contaminated) for EVERY corpus vector. Recall at
+    * the banding operating point is the measured pair-identity of the
+    * t_dedup_embedding_bucketed_hi entry (~1e-6 analytic miss with
+    * probing); the DuckDB oracle runs the exact bipartite all-pairs check,
+    * so the catalog hash-match proves the banding is invisible on real
+    * data, not assumed. */
+  def decontaminateEmbeddings(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double, dim: Int, rowsPerBand: Int = 4, nBands: Int = 16,
+      probeHamming1: Boolean = true): DataFrame = {
+    require(rowsPerBand * nBands <= 64,
+      s"rowsPerBand*nBands must be <= 64 sketch bits, got ${rowsPerBand * nBands}")
+    val mask = (1L << rowsPerBand) - 1
+    def banded(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+          graft.plans.VectorExpressions
+            .hyperplaneSketch(toDouble(col("embedding")), dim, rowsPerBand * nBands)
+            .as("sk"))
+        .select(col(idAs),
+          explode(array((0 until nBands).map(b =>
+            struct(lit(b).as("b"),
+              shiftright(col("sk"), b * rowsPerBand).bitwiseAND(lit(mask)).as("bk"))): _*))
+            .as("band"))
+        .select(col(idAs), col("band.b").as("b"), col("band.bk").as("bk"))
+    // candidate ids first, embeddings joined back after the distinct — the
+    // band shuffle ships (id, b, bk) only, never nBands copies of the
+    // vector (cosineNearDupPairsBucketed's column-pruning discipline,
+    // made explicit here because the verify inputs differ per side)
+    val c = banded(corpus, "vec_id")
+    val bench0 = banded(benchmark, "bid")
+    val bench =
+      if (!probeHamming1) bench0
+      else bench0.withColumn("pm",
+          explode(array((lit(0L) +: (0 until rowsPerBand).map(i => lit(1L << i))): _*)))
+        .withColumn("bk", col("bk").bitwiseXOR(col("pm"))).drop("pm")
+    val cand = c.join(bench, Seq("b", "bk"))
+      .select(col("vec_id"), col("bid")).distinct()
+    val ce = corpus.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val be = benchmark.select(col("vec_id").as("bid"), toDouble(col("embedding")).as("be"))
+    val hits = cand.join(ce, "vec_id").join(be, "bid")
+      .filter(graft.plans.VectorExpressions.cosineFused(col("e"), col("be")) >= threshold)
+      .select(col("vec_id")).distinct()
+    corpus.select(col("vec_id"))
+      .join(hits.withColumn("__hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("__hit").isNotNull.as("contaminated"))
+  }
+
   /** ANN top-k within LSH buckets: same contract as bruteForceTopK but only
     * same-bucket pairs are scored — the candidate join shuffles on bucket id
     * instead of materializing the full N×Q cross product. */

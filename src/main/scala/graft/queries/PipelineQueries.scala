@@ -464,6 +464,38 @@ object PipelineQueries {
         FROM v a JOIN v b ON a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.46"""))
 
+  /** Semantic decontamination: benchmark = every 19th embedding; corpus =
+    * the rest plus planted verbatim copies of every 3rd benchmark vector
+    * (+100000 ids — cosine 1, guaranteed hits). The banded operator runs at
+    * the measured sharp operating point (0.46, r=4, b=16, Hamming-1
+    * probing); the oracle is the EXACT bipartite all-pairs check, so the
+    * hash match proves the banding invisible on real data — the
+    * t_dedup_embedding_bucketed precedent, bipartite. */
+  val tDecontaminateSemantic: Q = Q(
+    "t_decontaminate_semantic",
+    run = (s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      val bench = em.filter(col("vec_id") % 19 === 0)
+      val corpus = em.filter(col("vec_id") % 19 =!= 0)
+        .unionByName(bench.filter(col("vec_id") % 3 === 0)
+          .withColumn("vec_id", col("vec_id") + 100000L))
+      Similarity.decontaminateEmbeddings(corpus, bench, 0.46, dim = 64)
+    },
+    oracle = Some("""
+      WITH bench AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+                     FROM embeddings WHERE vec_id % 19 = 0),
+      corp AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+               FROM embeddings WHERE vec_id % 19 <> 0
+               UNION ALL
+               SELECT vec_id + 100000, e FROM bench WHERE vec_id % 3 = 0),
+      hits AS (SELECT DISTINCT c.vec_id
+               FROM corp c JOIN bench b ON
+                 list_sum([c.e[i+1]*b.e[i+1] for i in range(0, 64)]) /
+                   (sqrt(list_sum([c.e[i+1]*c.e[i+1] for i in range(0, 64)]))
+                    * sqrt(list_sum([b.e[i+1]*b.e[i+1] for i in range(0, 64)]))) >= 0.46)
+      SELECT c.vec_id, (c.vec_id IN (SELECT vec_id FROM hits)) AS contaminated
+      FROM corp c"""))
+
   /** Winnowing fingerprints (MOSS, SIGMOD'03): per-doc distinct window-min
     * rolling-hash set, k=3-token shingles, window w=4. Arrays compare via
     * md5 over the CSV rendering (longs stringify identically across
@@ -2406,7 +2438,8 @@ object PipelineQueries {
     tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
     tZorderValues, tZoneMap, tPcaEmbeddings,
-    tRepetitionScore, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans, tSplitAssign,
+    tRepetitionScore, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans,
+    tDecontaminateSemantic, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
     tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary)
 }

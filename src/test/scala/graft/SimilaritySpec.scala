@@ -145,4 +145,30 @@ class SimilaritySpec extends AnyFunSuite {
     val got = sem.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got.nonEmpty && got === exact)
   }
+
+  test("semantic decontamination == exact bipartite check; every corpus vector labeled") {
+    val emb = Tables.embeddings(spark, dir)
+    val bench = emb.filter(emb("vec_id") % 7 === 0)
+    val corpus = emb.filter(emb("vec_id") % 7 =!= 0)
+      .unionByName(bench.filter(emb("vec_id") % 2 === 0)
+        .withColumn("vec_id", emb("vec_id") + 100000L)) // verbatim copies: cosine 1
+    val got = Similarity.decontaminateEmbeddings(corpus, bench, 0.46, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // exact bipartite brute force as the independent witness
+    def arr(df: org.apache.spark.sql.DataFrame) = df.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(u: Array[Double], v: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var j = 0
+      while (j < u.length) { dot += u(j) * v(j); nx += u(j) * u(j); ny += v(j) * v(j); j += 1 }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val benchA = arr(bench)
+    val exact = arr(corpus).map { case (v, e) =>
+      v -> benchA.exists { case (_, be) => cos(e, be) >= 0.46 }
+    }.toMap
+    assert(got.keySet === exact.keySet, "every corpus vector must be labeled")
+    assert(got.count(_._2) > 0, "planted copies must flag contaminated")
+    assert(got === exact,
+      s"diff=${got.toSet.diff(exact.toSet)} missing=${exact.toSet.diff(got.toSet)}")
+  }
 }
