@@ -187,6 +187,43 @@ object Sampling {
       .drop("__rk", "__tgt")
   }
 
+  /** Per-stratum TOKEN-budget quotas — the data-mixing rule when recipes
+    * are written in tokens, not rows ("20B tokens of web, 5B of code"):
+    * each stratum keeps docs in the deterministic full-hash order
+    * (capPerStratum's rule — unbiased, engine-stable, growth-stable at
+    * the boundary) while the cumulative token count BEFORE the doc is
+    * still under the stratum's budget. The straddling doc is KEPT, so a
+    * stratum with enough material always fills its budget (training
+    * wants the budget met; the loader's final cut trims the overshoot —
+    * the packSequences convention). Budgets are per-stratum with a
+    * default, like stratifiedSample's rates.
+    *
+    * Scale: one stratum-keyed shuffle carrying (row, n_tokens); the
+    * running sum rides the same exchange. Like temperatureQuota the stop
+    * bound is data-dependent, so there is no map-side WindowGroupLimit
+    * prune — a skewed mega-stratum ships its population; convert budgets
+    * to row caps via mean doc length and pre-prune with capPerStratum if
+    * that matters. Token counting is the pinned tokenizer, map-side. */
+  def tokenBudgetQuota(docs: DataFrame, key: Column, stratum: Column,
+      budgets: Seq[(String, Long)], defaultBudget: Long): DataFrame = {
+    require(defaultBudget >= 0 && budgets.forall(_._2 >= 0),
+      "budgets must be non-negative")
+    val budget = budgets.foldLeft(Option.empty[Column]) {
+      case (acc, (s, b)) =>
+        Some(acc.fold(when(stratum === s, b))(_.when(stratum === s, b)))
+    }.fold(lit(defaultBudget))(_.otherwise(defaultBudget))
+    val n = size(graft.functions.TextFunctions.tokens(coalesce(col("text"), lit(""))))
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(hash32(keyStr(key)).asc, key.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.withColumn("__n", n)
+      .withColumn("__cb", sum(col("__n")).over(w) - col("__n"))
+      .filter(col("__cb") < budget)
+      .drop("__n", "__cb")
+  }
+
   /** Fixed-budget deterministic corpus sample: the `n` rows with the
     * smallest (full 32-bit hash, key) — an unbiased engine-stable sample
     * of exactly min(n, |corpus|) rows (the eval-set / debug-slice carve

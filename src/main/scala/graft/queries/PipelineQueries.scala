@@ -1618,6 +1618,33 @@ object PipelineQueries {
         FROM documents)
       WHERE rk <= CAST(floor(4.0 * sqrt(n::DOUBLE) + 0.5) AS BIGINT)"""))
 
+  /** Token-budget source mixing: budgets written in TOKENS, not rows —
+    * src0 caps at 400, src1 at 800, src2 is effectively uncapped
+    * (2·10^6 > any SF's volume, proving pass-through), every other
+    * source defaults to 600; at every SF each source holds 1.1k+ tokens
+    * so the capped budgets all bite. Docs fill each budget in the
+    * deterministic full-hash order, the straddling doc kept — the oracle
+    * reproduces the exact kept set including the boundary doc per
+    * source. */
+  val tTokenBudgetMix: Q = Q(
+    "t_token_budget_mix",
+    run = (s, dir) => Sampling.tokenBudgetQuota(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source")),
+      col("doc_id"), col("source"),
+      budgets = Seq("src0" -> 400L, "src1" -> 800L, "src2" -> 2000000L),
+      defaultBudget = 600L)
+      .select(col("doc_id"), col("source")),
+    oracle = Some(s"""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+          SUM(n) OVER (PARTITION BY source ORDER BY
+            CAST(('0x' || substr(md5(coalesce('v:' || CAST(doc_id AS VARCHAR), 'null:')), 1, 8))
+              AS BIGINT) ASC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cb
+        FROM (SELECT doc_id, source, len($TOKS) AS n FROM documents))
+      WHERE cb < CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 800
+                             WHEN 'src2' THEN 2000000 ELSE 600 END"""))
+
   /** Fixed-budget corpus sample: the 100 smallest (seeded hash, key)
     * rows — the eval-set carve with a row budget. Plans as
     * TakeOrderedAndProject (per-partition heaps, no global sort). */
@@ -2435,7 +2462,8 @@ object PipelineQueries {
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
     tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateStatsFull,
     tCurateClassified, tCuratePacked,
-    tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tSampleFixed,
+    tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tTokenBudgetMix,
+    tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
     tZorderValues, tZoneMap, tPcaEmbeddings,
     tRepetitionScore, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans,

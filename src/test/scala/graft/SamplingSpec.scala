@@ -372,4 +372,28 @@ class SamplingSpec extends AnyFunSuite {
     val fpDocs = bloom.count { case (id, (_, hits)) => hits > 0 && !exact.contains(id) }
     assert(fpDocs <= math.max(1, bloom.size / 50), s"$fpDocs FP docs of ${bloom.size}")
   }
+
+  test("tokenBudgetQuota: budget filled with one straddling doc; uncapped passes through") {
+    import spark.implicits._
+    // 10 docs of 10 tokens each per source (100 tokens available)
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = (for (s <- Seq("a", "b", "c"); i <- 1 to 10)
+      yield (s.hashCode.toLong * 100 + i, text, s)).toDF("doc_id", "text", "source")
+    val kept = Sampling.tokenBudgetQuota(docs, col("doc_id"), col("source"),
+      budgets = Seq("a" -> 35L, "b" -> 1000L), defaultBudget = 0L).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // 35-token budget over 10-token docs: 3 docs before the budget line and
+    // the straddling 4th kept (cumBefore 30 < 35); budget is FILLED (40 >= 35)
+    assert(bySrc.getOrElse("a", 0) === 4, s"got $bySrc")
+    // budget above the stratum volume: pure pass-through
+    assert(bySrc.getOrElse("b", 0) === 10)
+    // zero default budget: nothing kept (cumBefore 0 < 0 is false)
+    assert(bySrc.getOrElse("c", 0) === 0)
+    // deterministic: same kept set on a re-run over a reshuffled input
+    val kept2 = Sampling.tokenBudgetQuota(docs.repartition(7), col("doc_id"),
+      col("source"), budgets = Seq("a" -> 35L, "b" -> 1000L), defaultBudget = 0L)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(kept.toSet === kept2.toSet)
+  }
 }

@@ -40,15 +40,18 @@ def main():
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
+        # check for the spark dump BEFORE running the oracle SQL: a
+        # targeted Verify (3rd arg) dumps a subset, and running every
+        # other query's DuckDB SQL anyway costs tens of minutes at sf0.1
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
         try:
             exp = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
-            n_fail += 1
-            continue
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
         got = pd.concat([pq.read_table(f).to_pandas() for f in files])
