@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -172,6 +172,37 @@ object Similarity {
       .withColumn("sim", graft.plans.VectorExpressions.cosineFused(col("ea"), col("eb")))
       .filter(col("sim") >= threshold)
       .select(col("cid"), col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Cluster-balanced selection (the DataComp pruning posture): assign
+    * every vector to its nearest seed centroid with the fused map-side
+    * argmax, then keep the top `keepPerCluster` rows per cluster by
+    * (score DESC, vec_id ASC). A GLOBAL top-quality cut collapses the
+    * kept set onto the densest high-score region of embedding space; the
+    * per-cluster quota preserves coverage while still preferring quality
+    * within each region — quality selection that cannot destroy
+    * diversity. `score` is any per-row Column (a classifier score, an LM
+    * fluency, a label tier); vectors with a NULL embedding get a NULL
+    * cid and compete in their own quota group (the Ivf.assign NULL
+    * contract, documented there).
+    *
+    * Scale: the assign stage is one exchange-free codegen'd projection
+    * (the Ivf/NearestCentroid shape); the quota is a cid-keyed shuffle
+    * whose rank <= k plans as WindowGroupLimit with a CONSTANT k — each
+    * map task pre-prunes to its local top-k before the exchange
+    * (capPerStratum's skew-proof rule), so a mega-cluster ships k rows
+    * per task, not its population. Centroids come from Ivf.train in
+    * production; the catalog entry pins deterministic seeds. */
+  def semanticPrune(vectors: DataFrame, score: Column, cids: Seq[Long],
+      cents: Seq[Seq[Double]], keepPerCluster: Int): DataFrame = {
+    require(keepPerCluster > 0, s"keepPerCluster must be positive, got $keepPerCluster")
+    val v = vectors.withColumn("cid",
+      graft.plans.VectorExpressions
+        .nearestCentroid(toDouble(col("embedding")), cids, cents).getField("cid"))
+    val w = Window.partitionBy(col("cid")).orderBy(score.desc, col("vec_id").asc)
+    v.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= keepPerCluster)
+      .drop("__rk")
   }
 
   /** Semantic decontamination: label every corpus vector that is cosine->=

@@ -341,6 +341,44 @@ object PipelineQueries {
         JOIN v b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id)
       SELECT cid, vec_a, vec_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.4"""))
 
+  /** Cluster-balanced quality pruning (DataComp posture): same 8 seed
+    * centroids as t_dedup_semantic, score = the label column, keep the
+    * top 20 per cluster — 500+ vectors over 8 clusters, so every quota
+    * bites at every SF. The oracle recomputes assignment AND the
+    * per-cluster ranked cut, certifying that the kept set prefers
+    * quality within regions without collapsing coverage. */
+  val tClusterPrune: Q = Q(
+    "t_cluster_prune",
+    run = (s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val seeds = embs.orderBy(col("vec_id")).limit(8).collect()
+      val cids = seeds.map(_.getLong(0)).toSeq
+      val cents = seeds.map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      Similarity.semanticPrune(embs, col("label"), cids, cents, keepPerCluster = 20)
+        .select(col("vec_id"), col("cid"), col("label"))
+    },
+    oracle = Some("""
+      WITH v AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS e
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+      sims AS (
+        SELECT v.vec_id, c.cid,
+          list_sum([v.e[i+1]*c.ce[i+1] for i in range(0, 64)]) /
+            (sqrt(list_sum([v.e[i+1]*v.e[i+1] for i in range(0, 64)]))
+             * sqrt(list_sum([c.ce[i+1]*c.ce[i+1] for i in range(0, 64)]))) AS sim
+        FROM v, c),
+      asg AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk
+          FROM sims) z WHERE rk = 1)
+      SELECT vec_id, cid, label FROM (
+        SELECT v.vec_id, asg.cid, v.label,
+               row_number() OVER (PARTITION BY asg.cid
+                 ORDER BY v.label DESC, v.vec_id ASC) AS rk
+        FROM v JOIN asg USING (vec_id)) z
+      WHERE rk <= 20"""))
+
   /** Transitive duplicate clusters: connected components over the MinHash
     * near-dup pairs (min-label propagation — Dedup.duplicateClusters); the
     * DuckDB oracle computes the same components with a recursive CTE, so
@@ -2456,6 +2494,7 @@ object PipelineQueries {
     tDedupClusters, tDedupClustersIncremental,
     tSimhash, tAnnCosine,
     tDedupEmbedding, tDedupEmbeddingBucketed, tDedupEmbeddingBucketedHi, tDedupSemantic,
+    tClusterPrune,
     tWinnowFingerprint,
     tWinnowPairs, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,

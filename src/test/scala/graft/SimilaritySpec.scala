@@ -146,6 +146,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty && got === exact)
   }
 
+  test("semanticPrune: per-cluster quota by score, WindowGroupLimit plan, exchange-free assign") {
+    val emb = Tables.embeddings(spark, dir)
+    val seeds = emb.orderBy(emb("vec_id")).limit(4).collect()
+    val cids = seeds.map(_.getLong(0)).toSeq
+    val cents = seeds.map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val pruned = Similarity.semanticPrune(emb,
+      org.apache.spark.sql.functions.col("label"), cids, cents, keepPerCluster = 10)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // constant-k rank filter must plan as a map-side group limit
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val rows = pruned.collect().map(r =>
+      (r.getLong(0), r.getAs[Long]("cid"), r.getAs[Int]("label")))
+    val byCid = rows.groupBy(_._2)
+    assert(byCid.nonEmpty && byCid.values.forall(_.length <= 10))
+    assert(byCid.values.exists(_.length == 10), "quota must bite somewhere")
+    // within each cluster the kept rows are the top-scored of that cluster:
+    // recompute assignment driver-side and compare the per-cluster cut
+    def cos(u: Array[Double], v: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var j = 0
+      while (j < u.length) { dot += u(j) * v(j); nx += u(j) * u(j); ny += v(j) * v(j); j += 1 }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val all = emb.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val seedArr = cids.zip(cents.map(_.toArray))
+    val expect = all.map { case (v, e, l) =>
+      var bestCid = 0L; var best = 0.0; var first = true
+      for ((c, ce) <- seedArr) {
+        val s = cos(e, ce)
+        if (first || s > best) { best = s; bestCid = c; first = false }
+      }
+      (v, bestCid, l)
+    }.groupBy(_._2).values.flatMap { members =>
+      members.sortBy(m => (-m._3, m._1)).take(10)
+    }.toSet
+    assert(rows.toSet === expect)
+  }
+
   test("semantic decontamination == exact bipartite check; every corpus vector labeled") {
     val emb = Tables.embeddings(spark, dir)
     val bench = emb.filter(emb("vec_id") % 7 === 0)
