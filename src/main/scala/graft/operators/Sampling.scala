@@ -224,6 +224,35 @@ object Sampling {
       .drop("__n", "__cb")
   }
 
+  /** Integer per-stratum upsampling — the other half of mixture recipes:
+    * a rare-but-valuable stratum is OVERSAMPLED by repeating each of its
+    * rows `factor` times (multi-epoch exposure of the small source while
+    * the big sources pass once). Copies carry an `epoch` column
+    * (0..factor-1) so downstream layout (shuffleRank keyed on
+    * (doc_id, epoch), packing) treats them as distinct rows and a given
+    * doc's copies spread through the training order instead of running
+    * back-to-back. Factor 0 drops the stratum (a blocklist in the same
+    * breath); unlisted strata use `defaultFactor`.
+    *
+    * Scale: a map-side bounded explode — no shuffle, no state; the
+    * epoch column is the determinism (no RNG replication). Fractional
+    * oversampling composes from this plus a stratifiedSample of one
+    * extra epoch (e.g. 2.3x = factor 2 + a 0.3-rate sample as epoch 2). */
+  def upsampleByFactor(df: DataFrame, stratum: Column,
+      factors: Seq[(String, Int)], defaultFactor: Int = 1): DataFrame = {
+    require(defaultFactor >= 0 && factors.forall(_._2 >= 0),
+      "factors must be non-negative")
+    val factor = factors.foldLeft(Option.empty[Column]) {
+      case (acc, (s, f)) =>
+        Some(acc.fold(when(stratum === s, f))(_.when(stratum === s, f)))
+    }.fold(lit(defaultFactor))(_.otherwise(defaultFactor))
+    // sequence(0, -1) infers a DESCENDING step ([0,-1]) — the repo-wide
+    // guard: factor 0 must produce an EMPTY array, not two epochs
+    df.withColumn("epoch",
+      explode(when(factor > 0, sequence(lit(0), factor - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** Fixed-budget deterministic corpus sample: the `n` rows with the
     * smallest (full 32-bit hash, key) — an unbiased engine-stable sample
     * of exactly min(n, |corpus|) rows (the eval-set / debug-slice carve

@@ -1683,6 +1683,22 @@ object PipelineQueries {
       WHERE cb < CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 800
                              WHEN 'src2' THEN 2000000 ELSE 600 END"""))
 
+  /** Integer upsampling mix: src0 repeats 3x, src1 2x, src2 drops
+    * (factor 0 — the blocklist case), everything else passes once; the
+    * epoch column distinguishes copies. Map-side bounded explode, no
+    * shuffle. */
+  val tUpsampleMix: Q = Q(
+    "t_upsample_mix",
+    run = (s, dir) => Sampling.upsampleByFactor(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      col("source"), factors = Seq("src0" -> 3, "src1" -> 2, "src2" -> 0))
+      .select(col("doc_id"), col("source"), col("epoch")),
+    oracle = Some("""
+      SELECT doc_id, source, CAST(e AS INT) AS epoch
+      FROM documents, LATERAL unnest(range(
+        CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+                    WHEN 'src2' THEN 0 ELSE 1 END)) AS t(e)"""))
+
   /** Fixed-budget corpus sample: the 100 smallest (seeded hash, key)
     * rows — the eval-set carve with a row budget. Plans as
     * TakeOrderedAndProject (per-partition heaps, no global sort). */
@@ -2502,7 +2518,7 @@ object PipelineQueries {
     tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateStatsFull,
     tCurateClassified, tCuratePacked,
     tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tTokenBudgetMix,
-    tSampleFixed,
+    tUpsampleMix, tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
     tZorderValues, tZoneMap, tPcaEmbeddings,
     tRepetitionScore, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans,

@@ -373,6 +373,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(fpDocs <= math.max(1, bloom.size / 50), s"$fpDocs FP docs of ${bloom.size}")
   }
 
+  test("upsampleByFactor: exact copy counts, epoch ids, factor-0 drops") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("doc_id", "source")
+    val up = Sampling.upsampleByFactor(docs, col("source"),
+      factors = Seq("a" -> 3, "c" -> 0), defaultFactor = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byDoc = up.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(byDoc === Map(1L -> Seq(0, 1, 2), 2L -> Seq(0, 1, 2), 3L -> Seq(0)))
+    assert(!byDoc.contains(4L)) // factor 0 = dropped stratum
+  }
+
   test("tokenBudgetQuota: budget filled with one straddling doc; uncapped passes through") {
     import spark.implicits._
     // 10 docs of 10 tokens each per source (100 tokens available)
