@@ -783,4 +783,73 @@ object TextAnalysis {
         .when(col("lm_floor") <= t0, lit("tail"))
         .when(col("lm_floor") <= t1, lit("middle"))
         .otherwise(lit("head")).as("bucket"))
+
+  /** The Gopher/MassiveText rule-set quality filter (Rae et al. 2021
+    * §A.1.1) as per-doc boolean flags plus the composite `keep` verdict —
+    * the explainable rule-based sibling of the learned `Classify` gate
+    * (every drop is attributable to a named rule, which is what a curation
+    * audit needs).
+    *
+    * Rules, each as a DIVISION-FREE integer comparison (the repo's
+    * engine-parity invariant — cross-engine double division never enters a
+    * threshold compare):
+    *   r_wordcount  minWords <= #words <= maxWords
+    *   r_meanlen    3 <= mean word length <= 10   (3n <= sumlen <= 10n)
+    *   r_symbol     symbol-to-word ratio <= 0.1   ('#', '...', '…')
+    *   r_bullets    <= 90% of lines start with a bullet ('- ', '* ', '• ')
+    *   r_ellipsis   <= 30% of lines end with an ellipsis
+    *   r_alpha      >= 80% of words contain an alphabetic character
+    *   r_stops      >= 2 distinct required stopwords present
+    *
+    * Words split on whitespace runs (case preserved — r_alpha needs it;
+    * r_stops lowercases per word), lines on '\n' with blank lines dropped.
+    * Pure map-side: one projection chain, no shuffle — at 100 TB this runs
+    * at scan speed next to `qualityScore`/`repetitionScore`. Arrays are
+    * bound in their own projection before any lambda references them
+    * (re-evaluation cliff — see file scaladoc). */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      requiredStops: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with")): DataFrame = {
+    val raw = docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("s"))
+    val bound = raw.select(col("doc_id"), col("s"),
+      filter(split(col("s"), "[ \\t\\r\\n]+"), w => w =!= "").as("words"),
+      filter(transform(split(col("s"), "\n"), l => trim(l)), l => l =!= "").as("lines"))
+    val nWords = size(col("words")).cast("long")
+    val sumChars = aggregate(col("words"), lit(0L), (a, w) => a + length(w).cast("long"))
+    val nAlpha = size(filter(col("words"), w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopArr = array(requiredStops.map(lit): _*)
+    val stopHits = size(array_intersect(
+      array_distinct(transform(col("words"), w => lower(w))), stopArr)).cast("long")
+    val nLines = size(col("lines")).cast("long")
+    val bullets = Seq("- ", "* ", "• ")
+    val nBullet = size(filter(col("lines"),
+      l => l.substr(lit(1), lit(2)).isin(bullets: _*))).cast("long")
+    val nEllLine = size(filter(col("lines"), l =>
+      (length(l) >= 3 && l.substr(length(l) - 2, lit(3)) === "...") ||
+        (length(l) >= 1 && l.substr(length(l), lit(1)) === "…"))).cast("long")
+    def occurrences(of: String): Column =
+      ((length(col("s")) - length(replace(col("s"), lit(of), lit("")))) / lit(of.length))
+        .cast("long")
+    val nSymbols = occurrences("#") + occurrences("...") + occurrences("…")
+    val m = bound.select(col("doc_id"),
+      nWords.as("n_words"), sumChars.as("sum_chars"), nAlpha.as("n_alpha"),
+      stopHits.as("stop_hits"), nLines.as("n_lines"), nBullet.as("n_bullet"),
+      nEllLine.as("n_ell_line"), nSymbols.as("n_symbols"))
+    val rules = Seq(
+      "r_wordcount" -> (col("n_words") >= minWords && col("n_words") <= maxWords),
+      "r_meanlen" -> (lit(3L) * col("n_words") <= col("sum_chars") &&
+        col("sum_chars") <= lit(10L) * col("n_words")),
+      "r_symbol" -> (lit(10L) * col("n_symbols") <= col("n_words")),
+      "r_bullets" -> (lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines")),
+      "r_ellipsis" -> (lit(10L) * col("n_ell_line") <= lit(3L) * col("n_lines")),
+      "r_alpha" -> (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")),
+      "r_stops" -> (col("stop_hits") >= 2L))
+    m.select(
+      (Seq(col("doc_id"), col("n_words"), col("n_lines")) ++
+        rules.map { case (n, c) => c.as(n) } :+
+        rules.map(_._2).reduce(_ && _).as("keep")): _*)
+  }
 }

@@ -1447,6 +1447,74 @@ object PipelineQueries {
           / len(toks) AS top_token_frac
       FROM g"""))
 
+  /** Gopher rule-set filter over a deterministically "corrupted" corpus:
+    * the raw documents are single-line word salad, so the entry injects
+    * each failure mode by doc_id class (symbol runs, all-bullet lines,
+    * ellipsis endings, numeric-word padding — CASE order pinned in both
+    * engines) so every rule flag fires both ways at every SF. */
+  val tGopherRules: Q = Q(
+    "t_gopher_rules",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corrupted = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" ############")))
+          .when(col("doc_id") % 5 === 0, concat(lit("- "), col("text")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit("\nto be continued...")))
+          .when(col("doc_id") % 13 === 0, concat(col("text"),
+            lit(" 111 222 333 444 555 666 777 888 999 000" * 3)))
+          .when(col("doc_id") % 17 === 0, concat(col("text"), lit(" " + ("xy" * 1000))))
+          .when(col("doc_id") % 19 === 0, concat(col("text"), lit(" a" * 200)))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.gopherRules(corrupted, minWords = 15, maxWords = 80,
+        requiredStops = Seq("the", "a", "of", "and", "to", "is"))
+    },
+    oracle = Some("""
+      WITH c AS (SELECT doc_id, coalesce(
+          CASE WHEN doc_id % 7 = 0 THEN text || ' ############'
+               WHEN doc_id % 5 = 0 THEN '- ' || text
+               WHEN doc_id % 11 = 0 THEN text || chr(10) || 'to be continued...'
+               WHEN doc_id % 13 = 0 THEN text ||
+                 repeat(' 111 222 333 444 555 666 777 888 999 000', 3)
+               WHEN doc_id % 17 = 0 THEN text || ' ' || repeat('xy', 1000)
+               WHEN doc_id % 19 = 0 THEN text || repeat(' a', 200)
+               ELSE text END, '') AS s FROM documents),
+      b AS (SELECT doc_id, s,
+          list_filter(regexp_split_to_array(s, '[ \t\r\n]+'), w -> w <> '') AS words,
+          list_filter(list_transform(string_split(s, chr(10)), l -> trim(l)),
+                      l -> l <> '') AS lines
+        FROM c),
+      m AS (SELECT doc_id,
+          CAST(len(words) AS BIGINT) AS n_words,
+          CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS sum_chars,
+          CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+          CAST(len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+                                  ['the','a','of','and','to','is'])) AS BIGINT) AS stop_hits,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(list_filter(lines, l -> substr(l,1,2) IN ('- ','* ','• '))) AS BIGINT) AS n_bullet,
+          CAST(len(list_filter(lines, l ->
+              (len(l) >= 3 AND l[-3:] = '...') OR (len(l) >= 1 AND l[-1:] = '…'))) AS BIGINT) AS n_ell_line,
+          CAST(len(s) - len(replace(s, '#', '')) AS BIGINT)
+            + CAST((len(s) - len(replace(s, '...', ''))) / 3 AS BIGINT)
+            + CAST(len(s) - len(replace(s, '…', '')) AS BIGINT) AS n_symbols
+        FROM b)
+      SELECT doc_id, n_words, n_lines,
+        (n_words >= 15 AND n_words <= 80) AS r_wordcount,
+        (3*n_words <= sum_chars AND sum_chars <= 10*n_words) AS r_meanlen,
+        (10*n_symbols <= n_words) AS r_symbol,
+        (10*n_bullet <= 9*n_lines) AS r_bullets,
+        (10*n_ell_line <= 3*n_lines) AS r_ellipsis,
+        (5*n_alpha >= 4*n_words) AS r_alpha,
+        (stop_hits >= 2) AS r_stops,
+        ((n_words >= 15 AND n_words <= 80) AND
+         (3*n_words <= sum_chars AND sum_chars <= 10*n_words) AND
+         (10*n_symbols <= n_words) AND
+         (10*n_bullet <= 9*n_lines) AND
+         (10*n_ell_line <= 3*n_lines) AND
+         (5*n_alpha >= 4*n_words) AND
+         (stop_hits >= 2)) AS keep
+      FROM m"""))
+
   /** Benchmark decontamination: 4-gram overlap counts of every corpus doc
     * against a benchmark slice (doc_id % 23 = 0 stands in for an eval
     * set; benchmark docs self-match by construction, so the entry is
@@ -2521,7 +2589,7 @@ object PipelineQueries {
     tUpsampleMix, tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
     tZorderValues, tZoneMap, tPcaEmbeddings,
-    tRepetitionScore, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans,
+    tRepetitionScore, tGopherRules, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans,
     tDecontaminateSemantic, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
     tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary)

@@ -181,4 +181,57 @@ class TextOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DIVIDE_BY_ZERO") ||
       Option(e.getCause).exists(_.getMessage.contains("DIVIDE_BY_ZERO")))
   }
+
+  test("gopherRules: each rule fires on its crafted failure mode, clean doc keeps") {
+    import spark.implicits._
+    val good = "the cat sat on the mat and the dog ran to the big red barn door now"
+    val docs = Seq(
+      1L -> good, // 16 words, all rules pass
+      2L -> "the of and", // word count below min
+      3L -> ("the of " + Seq.fill(14)("supercalifragilisticexpialidocious").mkString(" ")), // mean len > 10
+      4L -> (good + " ### ###"), // 2 symbol-words vs 18 words -> 10*6 hashes? no: 6 '#' chars
+      5L -> "- the cat\n- of dog\n- and bird", // 3/3 bullet lines
+      6L -> ("the of and cat\nto be continued...\nwait for it..."), // 2/3 ellipsis lines
+      7L -> ("the of " + Seq.fill(20)("123").mkString(" ")), // alpha frac 2/22 < 0.8
+      8L -> "cat sat mat dog ran big red barn door now pig hen fox owl bee ant", // 0 stop hits
+      9L -> "") // empty: zero words
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, minWords = 5, maxWords = 100,
+      requiredStops = Seq("the", "of", "and", "to", "is", "a"))
+      .collect().map { r =>
+        val f = r.schema.fieldNames.zipWithIndex.toMap
+        r.getLong(f("doc_id")) -> f.keys.filter(_.startsWith("r_"))
+          .filterNot(n => r.getBoolean(f(n))).toSet -> r.getBoolean(f("keep"))
+      }.map { case (k, v) => (k._1, (k._2, v)) }.toMap
+    assert(out(1L) === ((Set.empty[String], true)))
+    assert(out(2L)._1.contains("r_wordcount") && !out(2L)._2)
+    assert(out(3L)._1.contains("r_meanlen"))
+    assert(out(4L)._1.contains("r_symbol")) // 6 '#' chars vs 18 words: 60 > 18
+    assert(out(5L)._1.contains("r_bullets"))
+    assert(out(6L)._1.contains("r_ellipsis"))
+    assert(out(7L)._1.contains("r_alpha"))
+    assert(out(8L)._1 === Set("r_stops"))
+    assert(out(9L)._1.contains("r_wordcount") && !out(9L)._2) // empty text drops via word count
+  }
+
+  test("gopherRules: unicode ellipsis and bullet count; boundary ratios are inclusive") {
+    import spark.implicits._
+    val docs = Seq(
+      // 10 lines, exactly 9 bullets -> 10*9 <= 9*10 passes (inclusive)
+      1L -> ((Seq.fill(9)("- the of and cat dog") :+ "plain tail line here now").mkString("\n")),
+      // 10 lines, exactly 3 unicode-ellipsis endings -> passes; 4 would fail
+      2L -> ((Seq.fill(3)("the of cat…") ++ Seq.fill(7)("the of and dog run")).mkString("\n")),
+      3L -> ((Seq.fill(4)("the of cat…") ++ Seq.fill(6)("the of and dog run")).mkString("\n")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, minWords = 5, maxWords = 1000,
+      requiredStops = Seq("the", "of", "and", "to", "is", "a"))
+      .collect().map { r =>
+        val f = r.schema.fieldNames.zipWithIndex.toMap
+        r.getLong(f("doc_id")) ->
+          ((r.getBoolean(f("r_bullets")), r.getBoolean(f("r_ellipsis"))))
+      }.toMap
+    assert(out(1L)._1 === true)
+    assert(out(2L)._2 === true)
+    assert(out(3L)._2 === false) // 10*4 > 3*10: unicode '…' endings counted
+  }
 }
