@@ -121,6 +121,32 @@ object Dedup {
       .agg(count(lit(1)).as("ct"),
         min(struct(col("__pref"), col("doc_id"))).getField("doc_id").as("keep_id"))
 
+  /** Snapshot diff between two corpus versions: per doc_id, whether the
+    * doc was `added`, `removed`, `changed` (present in both, normalized
+    * fingerprint differs), or `unchanged` — the "what did the new crawl
+    * actually change" report an incremental pipeline runs before deciding
+    * how much downstream work (re-dedup, re-embed, re-train) a refresh
+    * buys. Fingerprints compare null-safe, so two null-text versions of a
+    * doc are `unchanged`, not `changed`.
+    *
+    * Scale: texts collapse to fingerprints in the map stage, so the one
+    * shuffle (the doc_id full-outer sort-merge join) carries (id, 32-char
+    * fp) rows, never text. Corpus versions stored bucketed by doc_id
+    * (sinks.BucketedUpsert / Layout.writeClustered) co-locate this join
+    * with zero shuffle. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), fingerprint(col("text")).as("old_fp"),
+      lit(true).as("__in_old"))
+    val n = newDocs.select(col("doc_id"), fingerprint(col("text")).as("new_fp"),
+      lit(true).as("__in_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(col("old_fp") <=> col("new_fp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Per-doc distinct word-3-shingle hash32 sets (docs with <3 tokens
     * cannot form a shingle and are dropped). The fused shingle_hash32
     * kernel digests token bytes straight into md5 — no shingle STRING is

@@ -2501,6 +2501,41 @@ object PipelineQueries {
     * (near hits where the doc is long enough for Jaccard ≥ 0.8 — the
     * oracle recomputes the identical banding + verify, so the boundary
     * is certified, not assumed). Every input doc labeled. */
+  /** Corpus snapshot diff: the "new crawl" removes every 7th doc, edits
+    * every 5th surviving doc, and adds a shifted-id copy of every 3rd —
+    * all four statuses live at every SF. */
+  val tCorpusDiff: Q = Q(
+    "t_corpus_diff",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val next = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.corpusDiff(docs, next)
+    },
+    oracle = Some("""
+      WITH oldc AS (SELECT doc_id,
+          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      newdocs AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN text || ' updated v2' ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0),
+      newc AS (SELECT doc_id,
+          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM newdocs)
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+             ELSE 'changed' END AS status
+      FROM oldc o FULL JOIN newc n ON o.doc_id = n.doc_id"""))
+
   val tDedupAgainst: Q = Q(
     "t_dedup_against",
     run = (s, dir) => {
@@ -2572,7 +2607,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     tPiiRedact, tCurateRedacted, tBoilerplateStrip, tCurateBoilerplate, tLmScore,
-    tCurateLm, tLmBuckets, tHeavyHitters, tCorpusProfile, tDedupAgainst,
+    tCurateLm, tLmBuckets, tHeavyHitters, tCorpusProfile, tDedupAgainst, tCorpusDiff,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard,
     tDedupEdit, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,

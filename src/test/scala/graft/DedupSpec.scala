@@ -289,6 +289,24 @@ class DedupSpec extends AnyFunSuite {
       s"expected the loud tile-cap error, got: ${e.getMessage}")
   }
 
+  test("corpusDiff: all four statuses; null-safe fp compare; whitespace-only edits are unchanged") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "goes away"),
+      (4L, null.asInstanceOf[String]), (5L, "Spaced   Out"))
+      .toDF("doc_id", "text")
+    val next = Seq(
+      (1L, "same text"), (2L, "has changed"),
+      (4L, null.asInstanceOf[String]), // null -> null: unchanged, not changed
+      (5L, "spaced out"), // normalization: case/whitespace-only edit is unchanged
+      (6L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(old, next).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "unchanged", 6L -> "added"))
+  }
+
   /** Independent witness: textbook DP levenshtein. */
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
