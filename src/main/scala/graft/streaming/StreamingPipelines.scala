@@ -607,6 +607,134 @@ object StreamingPipelines {
     }
   }
 
+  // ===== Continuous ANN index (incremental IVF postings) =====
+
+  /** Continuously-maintained IVF ANN index over an embedding stream: per
+    * micro-batch, incoming vectors are assigned to a FROZEN centroid set
+    * (one map-side `NearestCentroid` projection — zero exchanges, the
+    * same codegen'd assign as batch `Ivf.index`) and the (vec_id, e, cid)
+    * postings land in the registry protocol; a re-ingested vec_id
+    * supersedes its earlier posting (last-write-wins upsert, the
+    * "document re-embedded by a newer model run" shape). NULL embeddings
+    * are dropped (no position in the space — the batch assign's
+    * documented NULL rule).
+    *
+    * The model is frozen by design, like `lmBucketsFrozen`: a silently
+    * retraining index would make served neighbors depend on batching.
+    * The centroid set is collected ONCE at sink construction (k rows —
+    * driver-tiny), rebuilt per batch from those literals (no lineage
+    * replay), and fingerprinted into a create-only `_model=<hash>`
+    * marker: a sink or reader holding different centroids fails LOUD
+    * instead of mixing postings assigned under two models (the sketch
+    * `_shape` / BucketedUpsert layout-marker rule). Retraining =
+    * rebuild-from-source into a fresh registry, then switch readers.
+    *
+    * Scale: the per-batch work is one scan of the batch (assign is
+    * exchange-free); compaction's fold collapses superseded postings so
+    * the snapshot holds one row per live vec_id — registry state is
+    * index-sized (it IS the index), never O(batches). Reads touch the
+    * snapshot + ≤ `compactEvery`-ish recent dirs. */
+  def ivfIndexSink(vectors: DataFrame, centroids: DataFrame, registryPath: String,
+      compactEvery: Int = 16): DataStreamWriter[Row] = {
+    val model = collectModel(centroids)
+    require(model.nonEmpty, "ivfIndexSink needs a non-empty centroid set")
+    val hash = modelHash(model)
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        requireModel(spark, registryPath, hash, createIfAbsent = true)
+        Registry.maybeCompact(spark, registryPath, Seq(s"$registryPath/postings"),
+          upToExclusive = batchId, every = compactEvery,
+          fold = Map(s"$registryPath/postings" -> (latestPostings _)))
+        val b = batch.toDF().persist()
+        try
+          graft.operators.Ivf.index(b, modelFrame(spark, model))
+            .filter(col("cid").isNotNull)
+            .select(col("vec_id"), col("e"), col("cid").cast("long").as("cid"),
+              lit(batchId).as("__b"))
+            .write.mode("overwrite").parquet(s"$registryPath/postings/batch=$batchId")
+        finally { b.unpersist(blocking = false); () }
+      }
+  }
+
+  /** The live index: snapshot + committed batch dirs, collapsed to the
+    * newest posting per vec_id — the same fold compaction applies, so
+    * read-time and fold-time dedup cannot drift. */
+  def currentIvfIndex(spark: SparkSession, registryPath: String): DataFrame = {
+    val v = Registry.view(spark, registryPath, s"$registryPath/postings")
+    if (v.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("vec_id", LongType), StructField("e", ArrayType(DoubleType)),
+        StructField("cid", LongType), StructField("__b", LongType))))
+        .drop("__b")
+    } else latestPostings(spark.read.parquet(v.paths: _*)).drop("__b")
+  }
+
+  /** Serve IVF top-k from the live index. The caller's centroids must be
+    * THE model the registry was built under — checked against the pinned
+    * marker, loud on mismatch. */
+  def currentIvfTopK(spark: SparkSession, registryPath: String,
+      centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    requireModel(spark, registryPath, modelHash(collectModel(centroids)),
+      createIfAbsent = false)
+    graft.operators.Ivf.topK(
+      currentIvfIndex(spark, registryPath).withColumn("cid",
+        col("cid").cast(centroids.schema("cid").dataType)),
+      centroids, queries, k, nprobe)
+  }
+
+  /** Newest posting per vec_id: argmax (__b, cid, e) — associative (max
+    * of max), so re-folding a snapshot with later dirs is exact. */
+  private def latestPostings(df: DataFrame): DataFrame =
+    df.groupBy(col("vec_id"))
+      .agg(max(struct(col("__b"), col("cid"), col("e"))).as("m"))
+      .select(col("vec_id"), col("m").getField("e").as("e"),
+        col("m").getField("cid").as("cid"), col("m").getField("__b").as("__b"))
+
+  private def collectModel(centroids: DataFrame): Seq[(Long, Seq[Double])] =
+    centroids.select(col("cid").cast("long"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).toSeq.sortBy(_._1)
+
+  private def modelHash(model: Seq[(Long, Seq[Double])]): String = {
+    val canon = model
+      .map { case (cid, ce) => s"$cid:" + ce.map(_.toString).mkString(",") }
+      .mkString(";")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def modelFrame(spark: SparkSession, model: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    model.toDF("cid", "ce")
+  }
+
+  private def requireModel(spark: SparkSession, registryPath: String,
+      hash: String, createIfAbsent: Boolean): Unit = {
+    val base = new org.apache.hadoop.fs.Path(registryPath)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val existing =
+      if (fs.exists(base))
+        fs.listStatus(base).map(_.getPath.getName)
+          .filter(_.startsWith("_model=")).toSeq
+      else Seq.empty
+    existing match {
+      case Seq() if createIfAbsent =>
+        fs.mkdirs(base)
+        fs.create(new org.apache.hadoop.fs.Path(base, s"_model=$hash"), true).close()
+      case Seq() =>
+        throw new IllegalStateException(s"no IVF model marker under $registryPath")
+      case Seq(one) =>
+        require(one == s"_model=$hash",
+          s"IVF model mismatch under $registryPath: registry was built with " +
+            s"$one, caller holds _model=$hash — rebuild the index for a new model")
+      case many =>
+        throw new IllegalStateException(
+          s"conflicting IVF model markers under $registryPath: ${many.mkString(", ")}")
+    }
+  }
+
   private def readShape(spark: SparkSession, registryPath: String): (Int, Int) = {
     val base = new org.apache.hadoop.fs.Path(registryPath)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Ivf}
+import graft.streaming.StreamingPipelines
+
+/** Continuous IVF index: stream ≡ batch postings under re-embeds and
+  * mid-stream compaction, served top-k equals the batch index's, bounded
+  * registry state, and loud model-drift failure.
+  */
+class AnnStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def vec(i: Long): Seq[Double] =
+    Seq((i % 5) + 1.0, (i % 3) + 0.5, (i * 7 % 11) / 2.0, 1.0 + (i % 7) / 3.0)
+
+  test("ivfIndexSink: stream == batch postings with re-embeds across compaction; topK served") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_ivf_reg"
+    new scala.reflect.io.Directory(new java.io.File(regPath)).deleteRecursively()
+
+    val initial = (0L until 40L).map(i => (i, vec(i)))
+    val reembeds = Seq(5L, 15L, 25L).map(i => (i, vec(i + 40)))
+    val truth = (initial.toMap ++ reembeds.toMap).toSeq
+      .map { case (id, e) => (id, e) }.sortBy(_._1)
+
+    val centroids = Ivf.train(initial.toDF("vec_id", "embedding"), k = 4, iters = 2)
+      .persist()
+    centroids.count()
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingPipelines.ivfIndexSink(
+        stream.toDF().toDF("vec_id", "embedding"), centroids, regPath,
+        compactEvery = 2)
+      .start()
+    (initial.grouped(10).toSeq :+ reembeds).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+
+    // live index == one-shot batch index over the LATEST version of each vec
+    val got = StreamingPipelines.currentIvfIndex(spark, regPath)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getSeq[Double](1).toVector))).toMap
+    val want = Ivf.index(truth.toDF("vec_id", "embedding"), centroids)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Number]("cid").longValue(), r.getSeq[Double](1).toVector))).toMap
+    assert(got.size === 40)
+    assert(got === want) // re-embedded vecs carry their NEW assignment
+
+    // served top-k == batch Ivf.topK over the same index/model
+    val queries = Seq(100L, 101L, 102L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val served = StreamingPipelines
+      .currentIvfTopK(spark, regPath, centroids, queries, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val batchTopK = Ivf.topK(
+      Ivf.index(truth.toDF("vec_id", "embedding"), centroids), centroids,
+      queries, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(served === batchTopK && served.nonEmpty)
+
+    // compaction ran and bounds the dir set; snapshot holds live postings only
+    val dirs = new java.io.File(s"$regPath/postings").listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("snapshot=")), s"no snapshot in ${dirs.toSeq}")
+    assert(dirs.count(_.startsWith("batch=")) <= 2 * 2 + 1, s"unbounded dirs: ${dirs.toSeq}")
+
+    // a sink holding a DIFFERENT model against the same registry fails loud
+    val other = Ivf.train(initial.toDF("vec_id", "embedding"), k = 3, iters = 1)
+    val s2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = StreamingPipelines.ivfIndexSink(
+      s2.toDF().toDF("vec_id", "embedding"), other, regPath).start()
+    s2.addData(Seq((999L, vec(999L))))
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("model mismatch")) || mentions(t.getCause))
+    assert(mentions(ex), s"wrong failure: $ex")
+
+    centroids.unpersist(blocking = false)
+    Dedup.releaseCaches(spark)
+  }
+
+  test("currentIvfIndex: empty registry serves an empty, correctly-shaped frame") {
+    val regPath = "/tmp/graft_test_ivf_reg_empty"
+    new scala.reflect.io.Directory(new java.io.File(regPath)).deleteRecursively()
+    val df = StreamingPipelines.currentIvfIndex(spark, regPath)
+    assert(df.columns.toSeq === Seq("vec_id", "e", "cid"))
+    assert(df.count() === 0)
+  }
+}
