@@ -78,6 +78,13 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Unicode NFC canonical composition (native codegen'd expression —
+    * plans.NfcNormalize). Run before fingerprint/shingle stages on
+    * multilingual corpora: precomposed and decomposed spellings of the
+    * same text must collapse to one fingerprint. */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("nfc_normalize", text)
+
   /** Winnowing window-min step (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     * MOSS local fingerprinting algorithm): over a *bound* column of k-gram
     * hashes IN POSITION ORDER, slide a window of `w` consecutive hashes and

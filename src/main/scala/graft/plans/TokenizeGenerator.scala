@@ -105,6 +105,7 @@ object GraftFunctions {
     "tokenize" -> (exprs => TokenizeGenerator(exprs.head)),
     "cosine_fused" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "md5_prefix32" -> (exprs => Md5Prefix32(exprs.head)),
+    "nfc_normalize" -> (exprs => NfcNormalize(exprs.head)),
     "shingle_hash32" -> (exprs => ShingleHash32(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue())),
     "hyperplane_sketch" -> (exprs => HyperplaneSketch(exprs.head,

@@ -2161,6 +2161,42 @@ object PipelineQueries {
     * the identical augmented text, then run the identical pattern list, so
     * the hash gate certifies counts AND the redacted string
     * byte-for-byte. */
+  /** Unicode NFC canonical composition (plans.NfcNormalize vs DuckDB's
+    * utf8proc nfc_normalize): the corpus is ASCII, so decomposed Latin
+    * (e + U+0301), precomposed Latin (NFC identity), and decomposed
+    * Hangul jamo are injected by doc_id class — composition, the
+    * already-normalized fast path, and codepoint-count shrinkage all
+    * certified in one hash. */
+  val tNfcNormalize: Q = Q(
+    "t_nfc_normalize",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val raw = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" résumé")))
+          .when(col("doc_id") % 4 === 0, concat(col("text"), lit(" résumé")))
+          .when(col("doc_id") % 5 === 0, concat(col("text"), lit(" 가")))
+          .otherwise(col("text")).as("s"))
+      val n = raw.select(col("doc_id"), col("s"),
+        graft.functions.TextFunctions.nfcNormalize(col("s")).as("norm_text"))
+      n.select(col("doc_id"), col("norm_text"),
+        (!(col("s") <=> col("norm_text"))).as("changed"),
+        length(col("s")).cast("long").as("n_raw"),
+        length(col("norm_text")).cast("long").as("n_norm"))
+    },
+    oracle = Some("""
+      WITH c AS (SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN text || ' re' || chr(769) || 'sume' || chr(769)
+               WHEN doc_id % 4 = 0 THEN text || ' résumé'
+               WHEN doc_id % 5 = 0 THEN text || ' ' || chr(4352) || chr(4449)
+               ELSE text END AS s
+        FROM documents),
+      n AS (SELECT doc_id, s, nfc_normalize(s) AS norm_text FROM c)
+      SELECT doc_id, norm_text,
+        (s IS DISTINCT FROM norm_text) AS changed,
+        CAST(len(s) AS BIGINT) AS n_raw,
+        CAST(len(norm_text) AS BIGINT) AS n_norm
+      FROM n"""))
+
   val tPiiRedact: Q = Q(
     "t_pii_redact",
     run = (s, dir) => TextAnalysis.redactPii(
@@ -2606,7 +2642,7 @@ object PipelineQueries {
       FROM documents d"""))
 
   val all: Seq[Q] = Seq(
-    tPiiRedact, tCurateRedacted, tBoilerplateStrip, tCurateBoilerplate, tLmScore,
+    tPiiRedact, tNfcNormalize, tCurateRedacted, tBoilerplateStrip, tCurateBoilerplate, tLmScore,
     tCurateLm, tLmBuckets, tHeavyHitters, tCorpusProfile, tDedupAgainst, tCorpusDiff,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard,
     tDedupEdit, tDedupSpans,

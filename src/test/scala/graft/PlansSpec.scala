@@ -129,6 +129,36 @@ class PlansSpec extends AnyFunSuite {
     assert(e.getMessage.contains("STRING"), e.getMessage)
   }
 
+  test("nfc_normalize: parity with java.text.Normalizer; fast paths; null; type check") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val samples = Seq(
+      "plain ascii stays",
+      "résumé", // decomposed Latin -> composed
+      "résumé", // already NFC: unchanged
+      "각", // jamo -> precomposed Hangul syllable
+      "mixed åcafé #1", // ring above -> å
+      "") // empty
+    val got = samples.toDF("s")
+      .select(TextFunctions.nfcNormalize(col("s")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    val want = samples.map(s =>
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    assert(got === want)
+    assert(got(1) === "résumé") // composition actually happened
+    assert(got(3) === "각") // 각
+    // NULL propagates
+    val nul = Seq[Option[String]](None).toDF("s")
+      .select(TextFunctions.nfcNormalize(col("s"))).collect()(0)
+    assert(nul.isNullAt(0))
+    // analysis-time rejection of non-string input
+    Seq(1L).toDF("n").createOrReplaceTempView("plans_nfc_longs")
+    val e = intercept[Exception] {
+      spark.sql("SELECT nfc_normalize(n) FROM plans_nfc_longs").collect()
+    }
+    assert(e.getMessage.contains("STRING"), e.getMessage)
+  }
+
   test("map-side NearestCentroid == crossJoin + window argmin, assign plan exchange-free") {
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
