@@ -147,6 +147,46 @@ object Dedup {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Estimated pairwise CONTENT overlap between corpus sources: one
+    * union-MinHash signature per source (position s = min of permutation
+    * s over every shingle hash any doc of the source contributes — min
+    * commutes, so the per-source min over per-doc mins equals the min
+    * over the union set) and, per source pair, the matching-position
+    * count as the Jaccard estimate of the two sources' union shingle
+    * sets. The corpus-onboarding dashboard number: "how much of source B
+    * is already covered by source A" — at estimate granularity, before
+    * paying for a full cross-corpus dedup (`dedupAgainst`).
+    *
+    * Scale: the corpus contributes one partial-agged (source, s) → min
+    * shuffle of numSigs rows per doc — state after the map-side combine
+    * is #sources × numSigs rows, and the pair join runs over that tiny
+    * frame (deliberate small-side cross pair, never corpus²).
+    * est_jaccard keeps exact cross-engine equality because numSigs is a
+    * power of two (n/16 is a dyadic rational — exact in both engines). */
+  def sourceOverlap(docs: DataFrame, numSigs: Int = 16): DataFrame = {
+    require(numSigs > 0 && (numSigs & (numSigs - 1)) == 0,
+      s"numSigs must be a positive power of two for exact est_jaccard, got $numSigs")
+    val t = docs.filter(col("source").isNotNull)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val hs = t.select(col("source"),
+      array_distinct(graft.functions.TextFunctions.shingleHash32(col("toks"), 3))
+        .as("hashes"))
+    val sigs = hs.select(col("source"),
+      posexplode(array((0 until numSigs).map(s =>
+        minhashSigFromHashes(col("hashes"), s)): _*)).as(Seq("s", "v")))
+    val perSource = sigs.groupBy(col("source"), col("s")).agg(min(col("v")).as("m"))
+      .groupBy(col("source"))
+      .agg(array_sort(collect_list(struct(col("s"), col("m")))).as("sm"))
+      .select(col("source"), transform(col("sm"), x => x.getField("m")).as("sig"))
+    val matches = size(filter(
+      zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
+    perSource.as("a").join(perSource.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        matches.cast("long").as("n_match"),
+        (matches.cast("double") / lit(numSigs)).as("est_jaccard"))
+  }
+
   /** Per-doc distinct word-3-shingle hash32 sets (docs with <3 tokens
     * cannot form a shingle and are dropped). The fused shingle_hash32
     * kernel digests token bytes straight into md5 — no shingle STRING is

@@ -2572,6 +2572,34 @@ object PipelineQueries {
              ELSE 'changed' END AS status
       FROM oldc o FULL JOIN newc n ON o.doc_id = n.doc_id"""))
 
+  /** Pairwise source-overlap estimates (union-MinHash, 16 sigs): the
+    * full chain — shingles, per-doc permutation mins, per-source union
+    * mins, position-match counts — recomposed in DuckDB and certified
+    * for every source pair in one hash. */
+  val tSourceOverlap: Q = Q(
+    "t_source_overlap",
+    run = (s, dir) => Dedup.sourceOverlap(Tables.documents(s, dir)),
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT source, $TOKS AS toks FROM documents WHERE source IS NOT NULL),
+      t AS (SELECT source, toks FROM toks WHERE len(toks) >= 3),
+      sh AS (SELECT source,
+          list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
+        FROM t),
+      vh AS (SELECT source,
+          [CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) for g in shingles] AS v
+        FROM sh),
+      sigs AS (
+        SELECT source, s,
+          list_min([((2*s+1)*x + 7919*s + 1) % 4294967291 for x in v]) AS m
+        FROM vh, range(0, 16) AS r(s)),
+      ps AS (SELECT source, s, MIN(m) AS m FROM sigs GROUP BY 1, 2),
+      agg AS (SELECT source, list(m ORDER BY s) AS sig FROM ps GROUP BY source)
+      SELECT a.source AS source_a, b.source AS source_b,
+        CAST(len([i for i in range(1, 17) if a.sig[i] = b.sig[i]]) AS BIGINT) AS n_match,
+        len([i for i in range(1, 17) if a.sig[i] = b.sig[i]])::DOUBLE / 16 AS est_jaccard
+      FROM agg a JOIN agg b ON a.source < b.source"""))
+
   val tDedupAgainst: Q = Q(
     "t_dedup_against",
     run = (s, dir) => {
@@ -2644,6 +2672,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     tPiiRedact, tNfcNormalize, tCurateRedacted, tBoilerplateStrip, tCurateBoilerplate, tLmScore,
     tCurateLm, tLmBuckets, tHeavyHitters, tCorpusProfile, tDedupAgainst, tCorpusDiff,
+    tSourceOverlap,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard,
     tDedupEdit, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,

@@ -307,6 +307,29 @@ class DedupSpec extends AnyFunSuite {
       4L -> "unchanged", 5L -> "unchanged", 6L -> "added"))
   }
 
+  test("sourceOverlap: identical sources match 16/16; duplicates don't move a union signature") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight nine"
+    val docs = Seq(
+      (1L, a, "s1"), (2L, b, "s1"),
+      (3L, a, "s2"), (4L, b, "s2"), // s2 == s1 content-wise
+      (5L, b, "s3")) // s3 shares only b
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("s1", "s2")) === ((16L, 1.0))) // same union set -> all positions match
+    assert(got(("s1", "s3"))._1 < 16L) // strict subset differs somewhere
+    assert(got(("s2", "s3")) === got(("s1", "s3"))) // s1 == s2 => same vs s3
+    // duplicating a doc inside a source is a union no-op
+    val withDup = docs.unionByName(Seq((6L, a, "s1")).toDF("doc_id", "text", "source"))
+    val got2 = Dedup.sourceOverlap(withDup)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got2 === got)
+  }
+
   /** Independent witness: textbook DP levenshtein. */
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
