@@ -62,9 +62,23 @@ object Curate {
     * either way (the reference is static), just wasted work. */
   final case class LmGate(model: TextAnalysis.LmModel, minMicroAvg: Double)
 
+  /** Gopher rule-set gate (TextAnalysis.gopherRules): docs failing ANY of
+    * the MassiveText heuristic rules drop as `gopher_rules`, AFTER the
+    * repetition gate (both are Rae et al. §A.1.1 siblings — repetition
+    * keeps its own label for attribution) and BEFORE the learned
+    * classifier: cheap explainable rules run before model calls, the
+    * CCNet/Gopher ordering. Map-side and per-doc, so the streaming twin
+    * is batching-independent. Zero-word docs fail r_wordcount and drop
+    * here when the gate is on (precedence decides the label). */
+  final case class GopherGate(
+      minWords: Int = 50, maxWords: Int = 100000,
+      requiredStops: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+
   final case class Stats(
       input: Long, exactDups: Long, nearDups: Long,
-      contaminated: Long, repetitive: Long, classifierDropped: Long,
+      contaminated: Long, repetitive: Long, gopherDropped: Long,
+      classifierDropped: Long,
       lmDropped: Long,
       lowQuality: Long, unknownLang: Long, kept: Long, keptTokens: Long)
 
@@ -107,9 +121,12 @@ object Curate {
     *   (TextAnalysis.repetitionScore) exceeds this are dropped as
     *   `repetitive` (the Gopher repetition filter). 1.0 disables (the
     *   fraction is strictly < 1). Off by default.
+    * @param gopher when set, docs failing any Gopher/MassiveText rule
+    *   (see [[GopherGate]]) are dropped as `gopher_rules` — after the
+    *   repetition gate, before the learned classifier. Off by default.
     * @param classifier when set, docs the trained model scores <= 0 are
     *   dropped as `classifier` (see [[ClassifierGate]]) — after the
-    *   repetition gate, before the heuristic quality score. Off by
+    *   gopher gate, before the heuristic quality score. Off by
     *   default.
     * @param lm when set, docs whose bigram-LM fluency score falls below
     *   the gate's minMicroAvg are dropped as `lm_fluency` (see
@@ -135,6 +152,7 @@ object Curate {
       nearDup: NearDupPolicy = NearDupPolicy.PairwiseDrop,
       benchmark: Option[DataFrame] = None,
       contaminationN: Int = 4, maxDup3Frac: Double = 1.0,
+      gopher: Option[GopherGate] = None,
       classifier: Option[ClassifierGate] = None,
       lm: Option[LmGate] = None,
       redactPii: Boolean = false,
@@ -153,7 +171,7 @@ object Curate {
     // a mid-pipeline failure must still close the scope and drop this
     // run's caches (releaseSince after the happy-path release is a no-op)
     try runLabeled(spark, docs, minQuality, nearDup, benchmark,
-      contaminationN, maxDup3Frac, classifier, lm, dedupMark)
+      contaminationN, maxDup3Frac, gopher, classifier, lm, dedupMark)
     catch {
       case t: Throwable =>
         Dedup.releaseSince(spark, dedupMark)
@@ -164,7 +182,8 @@ object Curate {
 
   private def runLabeled(spark: SparkSession, docs: DataFrame, minQuality: Double,
       nearDup: NearDupPolicy, benchmark: Option[DataFrame], contaminationN: Int,
-      maxDup3Frac: Double, classifier: Option[ClassifierGate], lm: Option[LmGate],
+      maxDup3Frac: Double, gopher: Option[GopherGate],
+      classifier: Option[ClassifierGate], lm: Option[LmGate],
       dedupMark: Long): (DataFrame, Stats) = {
     // 1. exact dedup: keep the min doc_id of each fingerprint group
     val keepExact = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
@@ -204,6 +223,11 @@ object Curate {
         Some(TextAnalysis.repetitionScore(docs)
           .select(col("doc_id"), col("dup_3gram_frac")))
       else None
+    // rule gate: gopherRules covers EVERY input doc (null text coalesces
+    // to ''), so __goph_keep is total
+    val gophPred = gopher.map(g =>
+      TextAnalysis.gopherRules(docs, g.minWords, g.maxWords, g.requiredStops)
+        .select(col("doc_id"), col("keep").as("__goph_keep")))
     // model gate: scoreTokens covers EVERY input doc (it left-joins from
     // docs and coalesces no-token scores to 0), so __cls_keep is total
     val clsPred = classifier.map(cg =>
@@ -232,6 +256,7 @@ object Curate {
       contaminated.map(c => (df: DataFrame) => df.join(c, Seq("doc_id"), "left")),
       repetition.map(r => (df: DataFrame) => df.join(r, Seq("doc_id"), "left")
         .withColumn("dup_3gram_frac", coalesce(col("dup_3gram_frac"), lit(0.0)))),
+      gophPred.map(g => (df: DataFrame) => df.join(g, Seq("doc_id"), "left")),
       clsPred.map(c => (df: DataFrame) => df.join(c, Seq("doc_id"), "left")),
       lmPred.map(l => (df: DataFrame) => df.join(l, Seq("doc_id"), "left"))
     ).flatten.foldLeft(joined)((df, f) => f(df))
@@ -239,6 +264,9 @@ object Curate {
       if (contaminated.isDefined) col("__contam").isNotNull else lit(false)
     val repGate =
       if (repetition.isDefined) col("dup_3gram_frac") > maxDup3Frac else lit(false)
+    val gophGate =
+      if (gopher.isDefined) not(coalesce(col("__goph_keep"), lit(false)))
+      else lit(false)
     val clsGate =
       if (classifier.isDefined) not(coalesce(col("__cls_keep"), lit(false)))
       else lit(false)
@@ -253,6 +281,7 @@ object Curate {
           .when(col("__loser").isNotNull, lit("near_dup"))
           .when(contamGate, lit("contaminated"))
           .when(repGate, lit("repetitive"))
+          .when(gophGate, lit("gopher_rules"))
           .when(clsGate, lit("classifier"))
           .when(lmGateCol, lit("lm_fluency"))
           .when(col("quality") < minQuality, lit("low_quality"))
@@ -260,6 +289,7 @@ object Curate {
           .otherwise(lit("kept")))
       .drop((Seq("__keeper", "__loser") ++ contaminated.map(_ => "__contam")
         ++ repetition.map(_ => "dup_3gram_frac")
+        ++ gophPred.map(_ => "__goph_keep")
         ++ clsPred.map(_ => "__cls_keep")
         ++ lmPred.map(_ => "__lm_keep")): _*)
       .persist()
@@ -288,13 +318,15 @@ object Curate {
     val curated = labeled.filter(col("drop_reason") === "kept")
       .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"), col("n_tokens"))
     val stats = Stats(counters.values.map(_._1).sum, n("exact_dup"), n("near_dup"),
-      n("contaminated"), n("repetitive"), n("classifier"), n("lm_fluency"),
+      n("contaminated"), n("repetitive"), n("gopher_rules"), n("classifier"),
+      n("lm_fluency"),
       n("low_quality"), n("unknown_lang"), n("kept"),
       counters.get("kept").map(_._2).getOrElse(0L))
     // structural now (the labels partition the input), but kept as the
     // tripwire for a precedence or join-cardinality regression
     assert(stats.input == stats.exactDups + stats.nearDups + stats.contaminated
-      + stats.repetitive + stats.classifierDropped + stats.lmDropped
+      + stats.repetitive + stats.gopherDropped + stats.classifierDropped
+      + stats.lmDropped
       + stats.lowQuality + stats.unknownLang + stats.kept,
       s"curation accounting does not balance: $stats")
     (curated, stats)

@@ -1047,7 +1047,41 @@ object PipelineQueries {
     *   PII-scrubbed corpus through the UNCHANGED chain this way). The
     *   classifier CTEs always read `documents` (they need its lang
     *   column); don't combine `classifier` with a non-default docsRel. */
+  /** Gopher rule-set gate CTEs over `docsRel` (min 15 / max 80 words,
+    * en-lexicon required stops — the same params the catalog entry passes
+    * to Curate.GopherGate): `gophkeep` = doc_ids passing EVERY rule, the
+    * t_gopher_rules chain minus the synthetic corruption. */
+  private def gopherCtes(docsRel: String): String = """
+      gw AS MATERIALIZED (SELECT doc_id, s,
+          list_filter(regexp_split_to_array(s, '[ \t\r\n]+'), w -> w <> '') AS words,
+          list_filter(list_transform(string_split(s, chr(10)), l -> trim(l)),
+                      l -> l <> '') AS lines
+        FROM (SELECT doc_id, coalesce(text, '') AS s FROM """ + docsRel + """) z),
+      gm AS (SELECT doc_id,
+          CAST(len(words) AS BIGINT) AS n_words,
+          CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS sum_chars,
+          CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+          CAST(len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+                                  ['the','a','of','and','to','is'])) AS BIGINT) AS stop_hits,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(list_filter(lines, l -> substr(l,1,2) IN ('- ','* ','• '))) AS BIGINT) AS n_bullet,
+          CAST(len(list_filter(lines, l ->
+              (len(l) >= 3 AND l[-3:] = '...') OR (len(l) >= 1 AND l[-1:] = '…'))) AS BIGINT) AS n_ell_line,
+          CAST(len(s) - len(replace(s, '#', '')) AS BIGINT)
+            + CAST((len(s) - len(replace(s, '...', ''))) / 3 AS BIGINT)
+            + CAST(len(s) - len(replace(s, '…', '')) AS BIGINT) AS n_symbols
+        FROM gw),
+      gophkeep AS MATERIALIZED (SELECT doc_id FROM gm
+        WHERE n_words >= 15 AND n_words <= 80
+          AND 3*n_words <= sum_chars AND sum_chars <= 10*n_words
+          AND 10*n_symbols <= n_words
+          AND 10*n_bullet <= 9*n_lines
+          AND 10*n_ell_line <= 3*n_lines
+          AND 5*n_alpha >= 4*n_words
+          AND stop_hits >= 2),"""
+
   private def curateStatsOracle(losersCte: String, full: Boolean = false,
+      gopher: Boolean = false,
       classifier: Boolean = false, lm: Option[Double] = None,
       finalSelect: Option[String] = None, pairsCtes: String = minhashPairsCtes,
       docsRel: String = "documents", prefixCtes: String = ""): String = {
@@ -1101,6 +1135,7 @@ object PipelineQueries {
                      for i in range(1, len(toks)-1)]))::DOUBLE / (len(toks) - 2)
                ELSE 0.0 END AS dup3
         FROM ftoks WHERE len(toks) > 0),""" else ""}
+      ${if (gopher) gopherCtes(docsRel) else ""}
       ${if (classifier) classifierCtes else ""}
       ${lm.map(m => lmGateCtes(m, docsRel)).getOrElse("")}
       scored AS (
@@ -1109,6 +1144,8 @@ object PipelineQueries {
                ${if (full) """,
                an.doc_id IN (SELECT doc_id FROM contam) AS is_contam,
                COALESCE(rep.dup3, 0.0) > 0.02 AS is_rep""" else ""}
+               ${if (gopher) """,
+               an.doc_id IN (SELECT doc_id FROM gophkeep) AS goph_ok""" else ""}
                ${if (classifier) """,
                an.doc_id IN (SELECT doc_id FROM clskeep) AS cls_ok""" else ""}
                ${if (lm.isDefined) """,
@@ -1196,6 +1233,40 @@ object PipelineQueries {
     * training AND inference (the t_quality_classifier chain) inside the
     * pipeline recomposition, so the composition of model training, model
     * scoring, and gate precedence is certified end-to-end in one hash. */
+  /** The composed pipeline with the Gopher rule-set gate on (min 15 /
+    * max 80 words, en-lexicon stops — non-vacuous on the raw corpus):
+    * dedup → gopher_rules → quality → language, every rule and the
+    * precedence recomposed in one DuckDB hash. */
+  val tCurateGopher: Q = Q(
+    "t_curate_gopher",
+    run = (s, dir) => {
+      import s.implicits._
+      val (_, st) = graft.pipeline.Curate.runDocs(s, Tables.documents(s, dir),
+        gopher = Some(graft.pipeline.Curate.GopherGate(minWords = 15, maxWords = 80,
+          requiredStops = Seq("the", "a", "of", "and", "to", "is"))))
+      graft.pipeline.Curate.releaseCaches(s)
+      Seq((st.input, st.exactDups, st.nearDups, st.gopherDropped,
+        st.lowQuality, st.unknownLang, st.kept, st.keptTokens))
+        .toDF("input", "exact_dups", "near_dups", "gopher_dropped",
+          "low_quality", "unknown_lang", "kept", "kept_tokens")
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
+      gopher = true,
+      finalSelect = Some("""
+      SELECT
+        (SELECT COUNT(*) FROM documents) AS input,
+        (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM ae) AS exact_dups,
+        (SELECT COUNT(*) FROM losers) AS near_dups,
+        (SELECT COUNT(*) FROM scored WHERE NOT goph_ok) AS gopher_dropped,
+        (SELECT COUNT(*) FROM scored WHERE goph_ok AND quality < 0.55) AS low_quality,
+        (SELECT COUNT(*) FROM scored
+         WHERE goph_ok AND quality >= 0.55 AND pred_lang = 'und') AS unknown_lang,
+        (SELECT COUNT(*) FROM scored
+         WHERE goph_ok AND quality >= 0.55 AND pred_lang <> 'und') AS kept,
+        (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM scored
+         WHERE goph_ok AND quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens"""))))
+
   val tCurateClassified: Q = Q(
     "t_curate_classified",
     run = (s, dir) => {
@@ -2684,7 +2755,7 @@ object PipelineQueries {
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
     tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateStatsFull,
-    tCurateClassified, tCuratePacked,
+    tCurateGopher, tCurateClassified, tCuratePacked,
     tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tTokenBudgetMix,
     tUpsampleMix, tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,

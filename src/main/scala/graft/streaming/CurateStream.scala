@@ -45,7 +45,11 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   */
 object CurateStream {
 
-  /** @param classifier when set, the model gate runs per batch exactly as
+  /** @param gopher Gopher rule-set gate (docs failing any rule drop as
+    *   `gopher_rules`, after repetition, before the classifier — the
+    *   batch precedence). Per-doc map-side rules over static thresholds,
+    *   so the gate is batching-independent like quality/lang.
+    * @param classifier when set, the model gate runs per batch exactly as
     *   in the batch chain (Curate.ClassifierGate): the weight table is a
     *   STATIC broadcast side — train it once before starting the stream —
     *   and scoring is per-doc, so the gate is batching-independent like
@@ -66,6 +70,7 @@ object CurateStream {
   def sink(docs: DataFrame, registryPath: String, outPath: String,
       benchmark: Option[DataFrame] = None, minQuality: Double = 0.55,
       contaminationN: Int = 4, maxDup3Frac: Double = 1.0,
+      gopher: Option[graft.pipeline.Curate.GopherGate] = None,
       classifier: Option[graft.pipeline.Curate.ClassifierGate] = None,
       lm: Option[graft.pipeline.Curate.LmGate] = None,
       redactPii: Boolean = false,
@@ -171,6 +176,9 @@ object CurateStream {
                 Some(TextAnalysis.repetitionScore(b)
                   .select(col("doc_id"), col("dup_3gram_frac")))
               else None
+            val goph = gopher.map(g =>
+              TextAnalysis.gopherRules(b, g.minWords, g.maxWords, g.requiredStops)
+                .select(col("doc_id"), col("keep").as("__goph_keep")))
             val cls = classifier.map(cg =>
               graft.operators.Classify.scoreTokens(b, cg.weights, cg.buckets)
                 .select(col("doc_id"), col("pred").as("__cls_keep")))
@@ -188,6 +196,7 @@ object CurateStream {
             val withGates = Seq(
               contam.map(c => (df: DataFrame) => df.join(c, Seq("doc_id"), "left")),
               rep.map(r => (df: DataFrame) => df.join(r, Seq("doc_id"), "left")),
+              goph.map(g => (df: DataFrame) => df.join(g, Seq("doc_id"), "left")),
               cls.map(c => (df: DataFrame) => df.join(c, Seq("doc_id"), "left")),
               lmp.map(l => (df: DataFrame) => df.join(l, Seq("doc_id"), "left"))
             ).flatten.foldLeft(joined)((df, f) => f(df))
@@ -195,6 +204,9 @@ object CurateStream {
               if (contam.isDefined) col("__contam").isNotNull else lit(false)
             val repGate =
               if (rep.isDefined) coalesce(col("dup_3gram_frac"), lit(0.0)) > maxDup3Frac
+              else lit(false)
+            val gophGate =
+              if (gopher.isDefined) not(coalesce(col("__goph_keep"), lit(false)))
               else lit(false)
             val clsGate =
               if (classifier.isDefined) not(coalesce(col("__cls_keep"), lit(false)))
@@ -210,6 +222,7 @@ object CurateStream {
                   .when(col("__near").isNotNull, lit("near_dup"))
                   .when(contamGate, lit("contaminated"))
                   .when(repGate, lit("repetitive"))
+                  .when(gophGate, lit("gopher_rules"))
                   .when(clsGate, lit("classifier"))
                   .when(lmGate, lit("lm_fluency"))
                   .when(col("quality") < minQuality, lit("low_quality"))

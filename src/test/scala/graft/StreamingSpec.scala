@@ -437,6 +437,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(pv.getLong(pv.schema.fieldNames.indexOf("input")) === wantKept.size.toLong)
   }
 
+  test("CurateStream gopher gate == batch Curate with the same rules") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_curatestream_goph_reg"
+    val outPath = "/tmp/graft_test_curatestream_goph_out"
+    for (p <- Seq(regPath, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val gate = Some(graft.pipeline.Curate.GopherGate(minWords = 5, maxWords = 100,
+      requiredStops = Seq("the", "of", "and", "to", "is", "a")))
+    // pass docs, rule-failing docs (short / symbol-heavy), and a
+    // later-batch exact dup of each kind — the rule gate must compose
+    // with the cross-batch dedup registry
+    val docRows: Seq[(Long, String)] = (0 until 4).flatMap { i =>
+      Seq((10L + i, s"the barn cats and dogs w$i run with food near the gate today"),
+        (20L + i, s"too short w$i"))
+    } ++ Seq((30L, "the barn cats and dogs w0 run with food near the gate today"),
+      (31L, "too short w1"),
+      (32L, "the of and cat dog runs fine here now ### ### ### ### ###"))
+    val docs = docRows.toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurateStream.sink(
+        stream.toDF().toDF("doc_id", "text"), regPath, outPath,
+        minQuality = 0.0, gopher = gate)
+      .start()
+    docRows.sortBy(_._1).grouped(4).foreach { h =>
+      stream.addData(h); q.processAllAvailable()
+    }
+    q.stop()
+    val labeled = graft.streaming.CurateStream.labeledView(spark, outPath)
+    val gotLabels = labeled.select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (curated, st) = graft.pipeline.Curate.runDocs(spark, docs,
+      minQuality = 0.0, gopher = gate)
+    val wantKept = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(st.gopherDropped > 0 && st.exactDups > 0 && st.kept > 0,
+      s"gate vacuous: $st")
+    assert(gotLabels.size === docRows.size)
+    assert(gotLabels.values.count(_ == "gopher_rules") === st.gopherDropped)
+    assert(gotLabels.values.count(_ == "exact_dup") === st.exactDups)
+    assert(gotLabels.values.count(_ == "kept") === st.kept)
+    assert(gotLabels.filter(_._2 == "kept").keySet === wantKept)
+  }
+
   test("CurateStream classifier gate == batch Curate with the same weights") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
