@@ -367,6 +367,30 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** Vocabulary coverage / OOV accounting: per doc, how many token
+    * occurrences a fixed vocabulary covers — the "will this tokenizer
+    * vocab handle this corpus" check run before committing to a vocab
+    * (high OOV mass = retrain the vocab or expect degenerate byte
+    * fallbacks). `vocab` is any frame with a `term` column (typically
+    * `vocabulary(...)` output — train on one slice, measure everywhere).
+    *
+    * Scale: the corpus explodes to (doc_id, term) rows once and the
+    * vocab side is model-sized → broadcast hash join, then one partial-
+    * agged doc_id aggregation. Zero-token docs survive via explode_outer
+    * (n_tokens 0, not a missing row). */
+  def vocabCoverage(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val v = vocab.select(col("term")).distinct().withColumn("__in", lit(1))
+    docs
+      .select(col("doc_id"),
+        explode_outer(tokens(coalesce(col("text"), lit("")))).as("term"))
+      .join(broadcast(v), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("term")).as("n_tokens"),
+        coalesce(sum(col("__in")), lit(0)).cast("long").as("n_in_vocab"))
+      .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+        (col("n_tokens") - col("n_in_vocab")).as("n_oov"))
+  }
+
   /** Deterministic BPE merge training (Sennrich et al., ACL'16 — the
     * byte-pair-encoding subword learner every modern tokenizer descends
     * from), distributed the way the algorithm wants to be: ONE corpus

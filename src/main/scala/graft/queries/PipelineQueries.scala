@@ -1907,6 +1907,36 @@ object PipelineQueries {
             FROM v)
       SELECT term, n_occurrences, doc_freq, rank FROM r WHERE rank <= 20"""))
 
+  /** Vocabulary coverage: a 30-term vocab trained on the even-doc_id half
+    * (the train/apply split), OOV accounting over the WHOLE corpus —
+    * vocab build, deterministic rank cut, and per-doc coverage certified
+    * in one hash. */
+  val tVocabCoverage: Q = Q(
+    "t_vocab_coverage",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = TextAnalysis.vocabulary(docs.filter(col("doc_id") % 2 === 0), k = 30)
+      TextAnalysis.vocabCoverage(docs, vocab)
+    },
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      vt AS (SELECT doc_id, unnest(toks) AS term FROM toks WHERE doc_id % 2 = 0),
+      vtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM vt GROUP BY 1, 2),
+      vv AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n_occ FROM vtf GROUP BY 1),
+      vr AS (SELECT term,
+               ROW_NUMBER() OVER (ORDER BY n_occ DESC, term ASC) AS rank FROM vv),
+      vocab AS (SELECT term FROM vr WHERE rank <= 30),
+      ct AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+      cov AS (SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab
+             FROM ct t LEFT JOIN vocab v USING (term) GROUP BY 1)
+      SELECT k.doc_id,
+        coalesce(c.n_tokens, 0) AS n_tokens,
+        coalesce(c.n_in_vocab, 0) AS n_in_vocab,
+        coalesce(c.n_tokens, 0) - coalesce(c.n_in_vocab, 0) AS n_oov
+      FROM toks k LEFT JOIN cov c USING (doc_id)"""))
+
   /** (doc_id, token count) with both dims Morton-bucketed at 8 bits —
     * shared CTE chain for the z-order oracles: the same integer bucket-
     * shift rule as Layout.bucketShift, then the bit interleave unrolled
@@ -2763,5 +2793,5 @@ object PipelineQueries {
     tRepetitionScore, tGopherRules, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans,
     tDecontaminateSemantic, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
-    tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary)
+    tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary, tVocabCoverage)
 }

@@ -182,6 +182,17 @@ class TextOpsSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("DIVIDE_BY_ZERO")))
   }
 
+  test("vocabCoverage: occurrence counting, zero-token docs kept, duplicate vocab terms collapse") {
+    import spark.implicits._
+    val docs = Seq(1L -> "a b a c", 2L -> "", 3L -> "x y").toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "a").toDF("term") // dup term must not double-count
+    val got = TextAnalysis.vocabCoverage(docs, vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((4L, 3L, 1L))) // a,b,a in vocab; c oov
+    assert(got(2L) === ((0L, 0L, 0L))) // empty doc present, not missing
+    assert(got(3L) === ((2L, 0L, 2L)))
+  }
+
   test("gopherRules: each rule fires on its crafted failure mode, clean doc keeps") {
     import spark.implicits._
     val good = "the cat sat on the mat and the dog ran to the big red barn door now"
