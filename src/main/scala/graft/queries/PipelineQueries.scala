@@ -287,6 +287,37 @@ object PipelineQueries {
       SELECT qid, vec_id, sim, rk FROM ranked WHERE rk <= 10"""),
     headline = true)
 
+  /** Metadata-FILTERED vector search: top-10 cosine among even-label
+    * vectors only, PRE-filter semantics (the filter restricts the
+    * candidate set before ranking, so every query still gets k results
+    * from the allowed subset — post-filtering a top-k would return
+    * fewer). The same composition applies to the IVF path by filtering
+    * the postings frame before Ivf.topK (IvfSpec proves the filtered
+    * index equals filtered brute force at full probe width). */
+  val tAnnFiltered: Q = Q(
+    "t_ann_filtered",
+    run = (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        emb.filter(col("label") % 2 === 0), emb.filter(emb("vec_id") < 5), 10)
+    },
+    oracle = Some("""
+      WITH v AS (SELECT vec_id, label,
+          [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      f AS (SELECT vec_id, e FROM v WHERE label % 2 = 0),
+      q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+      sims AS (
+        SELECT q.qid, f.vec_id,
+          list_sum([qe[i+1]*e[i+1] for i in range(0, 64)]) /
+            (sqrt(list_sum([qe[i+1]*qe[i+1] for i in range(0, 64)]))
+             * sqrt(list_sum([e[i+1]*e[i+1] for i in range(0, 64)]))) AS sim
+        FROM q, f WHERE q.qid <> f.vec_id),
+      ranked AS (
+        SELECT qid, vec_id, round(sim, 6) AS sim,
+          row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id) AS rk
+        FROM sims)
+      SELECT qid, vec_id, sim, rk FROM ranked WHERE rk <= 10"""))
+
   /** Embedding-cosine near-dup pairs (exact, cosine >= 0.45). */
   val tDedupEmbedding: Q = Q(
     "t_dedup_embedding",
@@ -2777,7 +2808,7 @@ object PipelineQueries {
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard,
     tDedupEdit, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,
-    tSimhash, tAnnCosine,
+    tSimhash, tAnnCosine, tAnnFiltered,
     tDedupEmbedding, tDedupEmbeddingBucketed, tDedupEmbeddingBucketedHi, tDedupSemantic,
     tClusterPrune,
     tWinnowFingerprint,

@@ -51,4 +51,23 @@ class IvfSpec extends AnyFunSuite {
     // and every IVF hit carries the exact brute-force score (same arithmetic)
     assert(ivf.nonEmpty)
   }
+
+  test("pre-filtered IVF == pre-filtered brute force at full probe width") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(emb("vec_id") < 10)
+    val centroids = Ivf.train(emb, 8)
+    // the filter applies to the POSTINGS frame before topK — pre-filter
+    // semantics: every query gets k results from the allowed subset, and
+    // with every cluster probed the pruning is a no-op, so the result
+    // must EQUAL filtered brute force row-for-row (sim and rank included)
+    val indexed = Ivf.index(emb, centroids).filter(col("cid").isNotNull)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label") % 2 === 0)
+    val ivf = Ivf.topK(indexed, centroids, q, 10, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute = Similarity.bruteForceTopK(emb.filter(col("label") % 2 === 0), q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(ivf === brute && ivf.nonEmpty)
+  }
 }
