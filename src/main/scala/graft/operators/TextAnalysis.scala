@@ -739,10 +739,23 @@ object TextAnalysis {
     * partial-combines, and the one distinct (fingerprints) expands to
     * the standard two-exchange plan keyed by the fingerprint — one scan,
     * no joins, no corpus self-join. */
-  def profile(docs: DataFrame): DataFrame = {
+  def profile(docs: DataFrame): DataFrame = profiled(docs, Nil)
+
+  /** [[profile]] per group (e.g. per source or per shard): one report row
+    * per distinct value of `group` — the per-source health dashboard a
+    * multi-source mix needs (a source whose distinct_fp/input collapses
+    * or whose quality mass drops flags itself). Same single-scan shape;
+    * the group key rides the same partial-agged aggregation, so cost is
+    * identical to the global profile. Note distinct_fp is per-GROUP
+    * distinct — two sources sharing a doc each count it once. */
+  def profileBy(docs: DataFrame, group: String): DataFrame =
+    profiled(docs, Seq(group))
+
+  private def profiled(docs: DataFrame, group: Seq[String]): DataFrame = {
     val perDoc = Dedup.track(docs
-      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
-        (col("text").isNull || col("text") === "").as("is_empty"))
+      .select((Seq(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        (col("text").isNull || col("text") === "").as("is_empty")) ++
+        group.map(col)): _*)
       .withColumn("fp", coalesce(
         graft.functions.TextFunctions.fingerprint(col("text")), lit("null:")))
       .withColumn("toks", tokens(col("text")))
@@ -759,10 +772,11 @@ object TextAnalysis {
         coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("total_tokens") +:
         coalesce(sum(col("q_micro")), lit(0L)).as("sum_quality_micro") +:
         langCounts
-    perDoc
+    val joined = perDoc
       .join(quality, Seq("doc_id"), "left")
       .join(lang, Seq("doc_id"), "left")
-      .agg(cols.head, cols.tail: _*)
+    if (group.isEmpty) joined.agg(cols.head, cols.tail: _*)
+    else joined.groupBy(group.map(col): _*).agg(cols.head, cols.tail: _*)
   }
 
   /** CCNet-style head/middle/tail fluency buckets over [[scoreLm]]

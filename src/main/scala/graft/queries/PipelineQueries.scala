@@ -2664,6 +2664,56 @@ object PipelineQueries {
       FROM t LEFT JOIN q USING (doc_id) LEFT JOIN l USING (doc_id)""")
     })
 
+  /** Per-source corpus profile: the same report, one row per source —
+    * the multi-source health dashboard. Same oracle chain grouped. */
+  val tProfileBySource: Q = Q(
+    "t_profile_by_source",
+    run = (s, dir) => TextAnalysis.profileBy(Tables.documents(s, dir), "source"),
+    oracle = {
+      val stop = TextAnalysis.lexicons.flatMap(_._2).distinct.sorted
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      val lex = TextAnalysis.lexicons.map { case (lang, words) =>
+        lang -> words.map(w => s"'$w'").mkString("[", ",", "]")
+      }.toMap
+      Some(s"""
+      WITH t AS (SELECT doc_id, source,
+          (text IS NULL OR text = '') AS is_empty,
+          coalesce(md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))), 'null:') AS fp,
+          $TOKS AS toks
+        FROM documents),
+      q AS (SELECT doc_id,
+          CAST(floor((0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+            + 0.3 * least(1.0, len(toks) / 100.0)
+            + 0.3 * (1.0 - len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE / len(toks)))
+            * 1000000 + 0.5) AS BIGINT) AS q_micro
+        FROM t WHERE len(toks) > 0),
+      l AS (SELECT doc_id,
+          CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
+               WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de'
+               WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
+               WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM (SELECT doc_id,
+                len(list_intersect(list_distinct(toks), ${lex("de")})) AS hde,
+                len(list_intersect(list_distinct(toks), ${lex("en")})) AS hen,
+                len(list_intersect(list_distinct(toks), ${lex("es")})) AS hes,
+                len(list_intersect(list_distinct(toks), ${lex("fr")})) AS hfr
+              FROM t) z)
+      SELECT t.source,
+        CAST(COUNT(*) AS BIGINT) AS input,
+        CAST(SUM(CASE WHEN t.is_empty THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+        CAST(COUNT(DISTINCT t.fp) AS BIGINT) AS distinct_fp,
+        CAST(COALESCE(SUM(len(t.toks)), 0) AS BIGINT) AS total_tokens,
+        CAST(COALESCE(SUM(q.q_micro), 0) AS BIGINT) AS sum_quality_micro,
+        CAST(SUM(CASE WHEN l.pred_lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS lang_de,
+        CAST(SUM(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS lang_en,
+        CAST(SUM(CASE WHEN l.pred_lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS lang_es,
+        CAST(SUM(CASE WHEN l.pred_lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS lang_fr,
+        CAST(SUM(CASE WHEN l.pred_lang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS lang_und
+      FROM t LEFT JOIN q USING (doc_id) LEFT JOIN l USING (doc_id)
+      GROUP BY t.source""")
+    })
+
   /** Cross-corpus dedup: reference = every doc_id % 5 == 0 doc, re-keyed
     * +10^6, half verbatim (exact hits) and half with a planted tail
     * (near hits where the doc is long enough for Jaccard ≥ 0.8 — the
@@ -2803,7 +2853,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     tPiiRedact, tNfcNormalize, tCurateRedacted, tBoilerplateStrip, tCurateBoilerplate, tLmScore,
-    tCurateLm, tLmBuckets, tHeavyHitters, tCorpusProfile, tDedupAgainst, tCorpusDiff,
+    tCurateLm, tLmBuckets, tHeavyHitters, tCorpusProfile, tProfileBySource, tDedupAgainst, tCorpusDiff,
     tSourceOverlap,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard,
     tDedupEdit, tDedupSpans,
