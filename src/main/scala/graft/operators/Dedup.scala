@@ -175,10 +175,15 @@ object Dedup {
     val sigs = hs.select(col("source"),
       posexplode(array((0 until numSigs).map(s =>
         minhashSigFromHashes(col("hashes"), s)): _*)).as(Seq("s", "v")))
-    val perSource = sigs.groupBy(col("source"), col("s")).agg(min(col("v")).as("m"))
+    // persist the #sources-row signature frame: both sides of the pair
+    // join read it, and without the cache each side re-runs the WHOLE
+    // corpus scan + signature chain (two scans where one suffices —
+    // caught in plan review). Released via Dedup.releaseCaches.
+    val perSource = track(sigs.groupBy(col("source"), col("s")).agg(min(col("v")).as("m"))
       .groupBy(col("source"))
       .agg(array_sort(collect_list(struct(col("s"), col("m")))).as("sm"))
       .select(col("source"), transform(col("sm"), x => x.getField("m")).as("sig"))
+      .persist())
     val matches = size(filter(
       zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
     perSource.as("a").join(perSource.as("b"), col("a.source") < col("b.source"))
