@@ -367,6 +367,33 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** HTML stripping — the extraction-hygiene pass for web-crawl text that
+    * arrived with markup still in it: drop <script>/<style> blocks WITH
+    * their payload (code is not prose), strip remaining tags, decode the
+    * common entities, collapse whitespace. Deliberately regex-based and
+    * pinned (both engines run the same RE2-compatible patterns — no
+    * backtracking-only constructs), not a DOM parser: at 100 TB this is
+    * a map-side scan, and the goal is training-text hygiene, not HTML
+    * fidelity. Entity decode order is pinned with `&amp;` LAST so
+    * double-encoded text decodes one level per pass (idempotent on clean
+    * text, like redactPii).
+    *
+    * Returns (doc_id, text, changed) — text rebuilt, flag for accounting
+    * (any rewrite counts, incl. whitespace collapse). NULL text passes
+    * through as NULL. */
+  def stripHtml(docs: DataFrame): DataFrame = {
+    val noBlocks = regexp_replace(col("text"),
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    val cleaned = trim(regexp_replace(decoded, "\\s+", " "))
+    docs.select(col("doc_id"), cleaned.as("text"),
+      (!(col("text") <=> cleaned)).as("changed"))
+  }
+
   /** Vocabulary coverage / OOV accounting: per doc, how many token
     * occurrences a fixed vocabulary covers — the "will this tokenizer
     * vocab handle this corpus" check run before committing to a vocab

@@ -1549,6 +1549,42 @@ object PipelineQueries {
           / len(toks) AS top_token_frac
       FROM g"""))
 
+  /** HTML stripping over deterministically marked-up docs: tag wrapping,
+    * entity encoding, and a script block with payload are injected per
+    * doc_id class; the oracle runs the identical pinned regex + entity
+    * chain, so rebuilt text is byte-exact. */
+  val tHtmlStrip: Q = Q(
+    "t_html_strip",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val marked = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<p class=\"x\">"), col("text"), lit("</p> &amp; more &lt;tags&gt;")))
+          .when(col("doc_id") % 5 === 0,
+            concat(lit("<script type=\"text/javascript\">var x = 1;</script>"), col("text")))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit("<div><b>"), col("text"), lit("</b></div>")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.stripHtml(marked)
+    },
+    oracle = Some("""
+      WITH c AS (SELECT doc_id, CASE
+          WHEN doc_id % 3 = 0 THEN '<p class="x">' || text || '</p> &amp; more &lt;tags&gt;'
+          WHEN doc_id % 5 = 0 THEN '<script type="text/javascript">var x = 1;</script>' || text
+          WHEN doc_id % 7 = 0 THEN '<div><b>' || text || '</b></div>'
+          ELSE text END AS s FROM documents),
+      st AS (SELECT doc_id, s,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace(s, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                '<[^>]*>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+            '\s+', ' ', 'g')) AS clean
+        FROM c)
+      SELECT doc_id, clean AS text, (s IS DISTINCT FROM clean) AS changed
+      FROM st"""))
+
   /** Gopher rule-set filter over a deterministically "corrupted" corpus:
     * the raw documents are single-line word salad, so the entry injects
     * each failure mode by doc_id class (symbol runs, all-bullet lines,
@@ -2871,7 +2907,7 @@ object PipelineQueries {
     tUpsampleMix, tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
     tZorderValues, tZoneMap, tPcaEmbeddings,
-    tRepetitionScore, tGopherRules, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans,
+    tRepetitionScore, tGopherRules, tHtmlStrip, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans,
     tDecontaminateSemantic, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
     tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary, tVocabCoverage)

@@ -182,6 +182,34 @@ class TextOpsSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("DIVIDE_BY_ZERO")))
   }
 
+  test("stripHtml: script payload removed, tags stripped, entities decoded; idempotent on clean text") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "<div><p>hello <b>world</b></p></div>",
+      2L -> "<script>var secret = 1;</script>keep this",
+      3L -> "a &amp;amp; b &lt;tag&gt;", // double-encoded decodes ONE level
+      4L -> "already clean text",
+      5L -> "<style type=\"css\">.x{color:red}</style>visible",
+      6L -> null.asInstanceOf[String])
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stripHtml(docs).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.isNullAt(2) || r.getBoolean(2)))).toMap
+    assert(got(1L) === ((Some("hello world"), true)))
+    assert(got(2L) === ((Some("keep this"), true))) // payload gone, not just tags
+    assert(got(3L) === ((Some("a &amp; b <tag>"), true)))
+    assert(got(4L) === ((Some("already clean text"), false)))
+    assert(got(5L) === ((Some("visible"), true)))
+    assert(got(6L)._1 === None) // NULL propagates
+    // idempotence holds where the first pass left no markup-like residue;
+    // doc 3 decodes one MORE level per pass by the pinned &amp;-last order
+    val once = TextAnalysis.stripHtml(docs).select(col("doc_id"), col("text"))
+    val twice = TextAnalysis.stripHtml(once).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.isNullAt(2) || r.getBoolean(2)))).toMap
+    assert(Seq(1L, 2L, 4L, 5L).forall(id => twice(id)._1 === got(id)._1))
+    assert(!twice(1L)._2 && !twice(4L)._2) // and they report changed = false
+    assert(twice(3L)._1 === Some("a & b")) // second decode level, residual tag stripped
+  }
+
   test("vocabCoverage: occurrence counting, zero-token docs kept, duplicate vocab terms collapse") {
     import spark.implicits._
     val docs = Seq(1L -> "a b a c", 2L -> "", 3L -> "x y").toDF("doc_id", "text")
