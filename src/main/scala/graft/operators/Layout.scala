@@ -143,4 +143,37 @@ object Layout {
     // NULL. Both disjuncts are partition filters; the pruning stands.
     table.filter((col("zb").isInCollection(buckets) || col("zb").isNull) && residual)
   }
+
+  /** Small-file compaction for a flat parquet directory — the other
+    * unbounded-growth housekeeping next to the streaming registry fold:
+    * continuous ingestion leaves thousands of kilobyte files whose
+    * per-file open/footer cost eventually dominates scans. Writes a
+    * compacted COPY of `inPath` to `outPath` with
+    * ceil(totalBytes / targetBytes) files; the switch is the caller's
+    * directory rename (one FS rename — atomic on HDFS-compatible
+    * filesystems), so a crash at ANY point leaves the original
+    * untouched and a retry simply overwrites the copy. Deliberately not
+    * an in-place rewrite: every in-place protocol has either a data-
+    * absent window or a retry-duplication window; the copy + atomic
+    * swap has neither, at the cost of transient 2× storage for the one
+    * directory (the same trade the registry fold's snapshot makes).
+    *
+    * Returns (filesBefore, filesAfter). When the directory already meets
+    * the target count nothing is written and (n, n) is returned. */
+  def compactFiles(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val base = new org.apache.hadoop.fs.Path(inPath)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = fs.listStatus(base).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val totalBytes = before.map(_.getLen).sum
+    val want = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    if (before.size <= want) return (before.size, before.size)
+    spark.read.parquet(inPath).repartition(want)
+      .write.mode("overwrite").parquet(outPath)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath)).toSeq
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (before.size, after)
+  }
 }

@@ -104,6 +104,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(nullHit.filter(col("x").isNull).count() === 1L)
   }
 
+  test("compactFiles: many small files -> sized copy, content identical, met-target no-op") {
+    import spark.implicits._
+    val in = "/tmp/graft_test_compact_in"
+    val out = "/tmp/graft_test_compact_out"
+    for (p <- Seq(in, out))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val df = (0L until 2000L).map(i => (i, s"row $i payload ${i % 17}")).toDF("id", "v")
+    df.repartition(40).write.parquet(in)
+    val nIn = new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nIn === 40)
+    // huge target -> everything fits in one file
+    val (b, a) = graft.operators.Layout.compactFiles(spark, in, out, targetBytes = 1L << 30)
+    assert(b === 40 && a === 1)
+    val got = spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want) // byte-for-byte content survives the rewrite
+    // the original is untouched (out-of-place contract)
+    assert(new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet")) === 40)
+    // already-compacted dir: met-target no-op, nothing written
+    val out2 = "/tmp/graft_test_compact_out2"
+    new scala.reflect.io.Directory(new java.io.File(out2)).deleteRecursively()
+    val (b2, a2) = graft.operators.Layout.compactFiles(spark, out, out2, targetBytes = 1L << 30)
+    assert(b2 === 1 && a2 === 1)
+    assert(!new java.io.File(out2).exists())
+  }
+
   test("NULL dims and empty frames are safe") {
     import spark.implicits._
     val withNull = Seq((Some(1L), 2L), (None, 3L)).toDF("x", "y")
