@@ -132,6 +132,11 @@ object Curate {
     *   the gate's minMicroAvg are dropped as `lm_fluency` (see
     *   [[LmGate]]) — after the classifier gate, before the heuristic
     *   quality score. Off by default.
+    * @param stripHtml when true, TextAnalysis.stripHtml runs FIRST
+    *   (before the PII scrub — extraction precedes scrubbing): two docs
+    *   differing only in markup ARE duplicates once it's gone, and no
+    *   gate or registry may see tags/entities. Map-side and per-doc, so
+    *   the streaming twin is batching-independent.
     * @param redactPii when true, TextAnalysis.redactPii scrubs every doc
     *   BEFORE any gate runs (the real-world order: fingerprints, shingles
     *   and quality scores must reflect the text that ships, and two docs
@@ -155,13 +160,20 @@ object Curate {
       gopher: Option[GopherGate] = None,
       classifier: Option[ClassifierGate] = None,
       lm: Option[LmGate] = None,
+      stripHtml: Boolean = false,
       redactPii: Boolean = false,
       stripLineFreq: Option[Int] = None): (DataFrame, Stats) = {
     val dedupMark = Dedup.trackMark(spark)
-    val scrubbed =
-      if (redactPii) TextAnalysis.redactPii(documents)
-        .select(col("doc_id"), col("redacted").as("text"))
+    // extraction precedes scrubbing: markup must be gone before PII
+    // patterns, line identity, or any fingerprint sees the text
+    val extracted =
+      if (stripHtml) TextAnalysis.stripHtml(documents)
+        .select(col("doc_id"), col("text"))
       else documents
+    val scrubbed =
+      if (redactPii) TextAnalysis.redactPii(extracted)
+        .select(col("doc_id"), col("redacted").as("text"))
+      else extracted
     val base = stripLineFreq match {
       case Some(k) => TextAnalysis.stripBoilerplate(scrubbed, k)
         .select(col("doc_id"), col("text"))

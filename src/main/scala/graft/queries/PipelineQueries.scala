@@ -1549,41 +1549,69 @@ object PipelineQueries {
           / len(toks) AS top_token_frac
       FROM g"""))
 
+  /** doc_id-derived HTML corruption (tag wrapping / entity encoding / a
+    * script block with payload) and the pinned strip chain — ONE source
+    * for both the standalone entry and the composed-pipeline oracle, so
+    * the two cannot drift. Spark column and SQL build IDENTICAL text. */
+  private def htmlAugCol: org.apache.spark.sql.Column =
+    when(col("doc_id") % 3 === 0,
+      concat(lit("<p class=\"x\">"), col("text"), lit("</p> &amp; more &lt;tags&gt;")))
+      .when(col("doc_id") % 5 === 0,
+        concat(lit("<script type=\"text/javascript\">var x = 1;</script>"), col("text")))
+      .when(col("doc_id") % 7 === 0,
+        concat(lit("<div><b>"), col("text"), lit("</b></div>")))
+      .otherwise(col("text"))
+
+  private val htmlAugSql: String = """CASE
+          WHEN doc_id % 3 = 0 THEN '<p class="x">' || text || '</p> &amp; more &lt;tags&gt;'
+          WHEN doc_id % 5 = 0 THEN '<script type="text/javascript">var x = 1;</script>' || text
+          WHEN doc_id % 7 = 0 THEN '<div><b>' || text || '</b></div>'
+          ELSE text END"""
+
+  private def htmlStripSql(inner: String): String = s"""
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace($inner, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                '<[^>]*>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+            '\\s+', ' ', 'g'))"""
+
   /** HTML stripping over deterministically marked-up docs: tag wrapping,
     * entity encoding, and a script block with payload are injected per
     * doc_id class; the oracle runs the identical pinned regex + entity
     * chain, so rebuilt text is byte-exact. */
   val tHtmlStrip: Q = Q(
     "t_html_strip",
-    run = (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val marked = docs.select(col("doc_id"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("<p class=\"x\">"), col("text"), lit("</p> &amp; more &lt;tags&gt;")))
-          .when(col("doc_id") % 5 === 0,
-            concat(lit("<script type=\"text/javascript\">var x = 1;</script>"), col("text")))
-          .when(col("doc_id") % 7 === 0,
-            concat(lit("<div><b>"), col("text"), lit("</b></div>")))
-          .otherwise(col("text")).as("text"))
-      TextAnalysis.stripHtml(marked)
-    },
-    oracle = Some("""
-      WITH c AS (SELECT doc_id, CASE
-          WHEN doc_id % 3 = 0 THEN '<p class="x">' || text || '</p> &amp; more &lt;tags&gt;'
-          WHEN doc_id % 5 = 0 THEN '<script type="text/javascript">var x = 1;</script>' || text
-          WHEN doc_id % 7 = 0 THEN '<div><b>' || text || '</b></div>'
-          ELSE text END AS s FROM documents),
-      st AS (SELECT doc_id, s,
-          trim(regexp_replace(
-            replace(replace(replace(replace(replace(replace(
-              regexp_replace(
-                regexp_replace(s, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
-                '<[^>]*>', ' ', 'g'),
-              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-            '\s+', ' ', 'g')) AS clean
-        FROM c)
+    run = (s, dir) => TextAnalysis.stripHtml(
+      Tables.documents(s, dir).select(col("doc_id"), htmlAugCol.as("text"))),
+    oracle = Some(s"""
+      WITH c AS (SELECT doc_id, $htmlAugSql AS s FROM documents),
+      st AS (SELECT doc_id, s, ${htmlStripSql("s")} AS clean FROM c)
       SELECT doc_id, clean AS text, (s IS DISTINCT FROM clean) AS changed
       FROM st"""))
+
+  /** The composed pipeline with HTML stripping as the pre-transform: the
+    * marked-up corpus is extracted FIRST, so two docs differing only in
+    * markup dedup together and no gate sees tags — extraction + every
+    * gate recomposed in one hash. */
+  val tCurateHtml: Q = Q(
+    "t_curate_html",
+    run = (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), htmlAugCol.as("text"))
+      val (_, st) = graft.pipeline.Curate.runDocs(s, docs, stripHtml = true)
+      graft.pipeline.Curate.releaseCaches(s)
+      Seq((st.input, st.exactDups, st.nearDups, st.lowQuality, st.unknownLang,
+        st.kept, st.keptTokens))
+        .toDF("input", "exact_dups", "near_dups", "low_quality",
+          "unknown_lang", "kept", "kept_tokens")
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
+      docsRel = "hdocs",
+      prefixCtes = s"""hraw AS (SELECT doc_id, $htmlAugSql AS text FROM documents),
+      hdocs AS (SELECT doc_id, ${htmlStripSql("text")} AS text FROM hraw),""")))
 
   /** Gopher rule-set filter over a deterministically "corrupted" corpus:
     * the raw documents are single-line word salad, so the entry injects
@@ -2907,7 +2935,7 @@ object PipelineQueries {
     tUpsampleMix, tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
     tZorderValues, tZoneMap, tPcaEmbeddings,
-    tRepetitionScore, tGopherRules, tHtmlStrip, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans,
+    tRepetitionScore, tGopherRules, tHtmlStrip, tCurateHtml, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans,
     tDecontaminateSemantic, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
     tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary, tVocabCoverage)

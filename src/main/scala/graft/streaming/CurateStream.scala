@@ -45,7 +45,11 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   */
 object CurateStream {
 
-  /** @param gopher Gopher rule-set gate (docs failing any rule drop as
+  /** @param stripHtml when true, every micro-batch is HTML-stripped
+    *   FIRST (before the PII scrub — the batch chain's order). Per-doc
+    *   map-side regex, batching-independent; registries then hold
+    *   fingerprints/bands of the EXTRACTED text.
+    * @param gopher Gopher rule-set gate (docs failing any rule drop as
     *   `gopher_rules`, after repetition, before the classifier — the
     *   batch precedence). Per-doc map-side rules over static thresholds,
     *   so the gate is batching-independent like quality/lang.
@@ -73,6 +77,7 @@ object CurateStream {
       gopher: Option[graft.pipeline.Curate.GopherGate] = None,
       classifier: Option[graft.pipeline.Curate.ClassifierGate] = None,
       lm: Option[graft.pipeline.Curate.LmGate] = None,
+      stripHtml: Boolean = false,
       redactPii: Boolean = false,
       numSigs: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
       maxBucket: Int = 1000, compactEvery: Int = 16): DataStreamWriter[Row] =
@@ -96,10 +101,14 @@ object CurateStream {
         // InMemoryRelations under the at-least-once retry contract
         val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         def keep(df: DataFrame): DataFrame = { persisted += df.persist(); df }
+        val extracted =
+          if (stripHtml) TextAnalysis.stripHtml(batch.toDF())
+            .select(col("doc_id"), col("text"))
+          else batch.toDF()
         val b = keep(
-          if (redactPii) TextAnalysis.redactPii(batch.toDF())
+          if (redactPii) TextAnalysis.redactPii(extracted)
             .select(col("doc_id"), col("redacted").as("text"))
-          else batch.toDF())
+          else extracted)
         // NULL-text sentinel: fingerprint(NULL) is NULL, and the registry
         // equi-join below is null-UNSAFE — without the sentinel a null-text
         // doc in a later batch never matches a null-fp doc in the registry,

@@ -235,4 +235,29 @@ class CurateSpec extends AnyFunSuite {
     assert(s.lowQuality >= 1) // the tokenless doc
     assert(curated.filter($"doc_id" === 1L).count() === 0)
   }
+
+  test("stripHtml pre-transform: markup-only variants dedup together; composition equals manual strip") {
+    import org.apache.spark.sql.functions._
+    // every 4th doc gets a markup-wrapped COPY (shifted id): after
+    // extraction the pair is an exact duplicate — the property that
+    // breaks if stripping ran after the fingerprint stage
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val raw = docs.unionByName(docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(lit("<div><p>"), col("text"), lit("</p></div>")).as("text")))
+    val (keptA, stA) = Curate.runDocs(spark, raw, stripHtml = true)
+    val rowsA = keptA.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    Curate.releaseCaches(spark)
+    val nWrapped = docs.filter(col("doc_id") % 4 === 0).count()
+    assert(stA.exactDups >= nWrapped, s"wrapped copies must dedup: $stA")
+    assert(!rowsA.exists { case (_, t) => t.contains("<div>") })
+    // composition: the pre-transform is exactly stripHtml
+    val stripped = graft.operators.TextAnalysis.stripHtml(raw)
+      .select(col("doc_id"), col("text"))
+    val (keptB, stB) = Curate.runDocs(spark, stripped)
+    val rowsB = keptB.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    Curate.releaseCaches(spark)
+    assert(stA === stB)
+    assert(rowsA === rowsB)
+  }
 }
