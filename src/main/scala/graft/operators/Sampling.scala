@@ -145,6 +145,30 @@ object Sampling {
       .filter(col("__rk") <= maxRows).drop("__rk")
   }
 
+  /** Deterministic held-out carve: per stratum, the `nEval` hash-smallest
+    * keys label `eval`, everything else `train` — the "guarantee every
+    * language/source a minimum eval slice" construction a proportional
+    * split cannot give (a 0.1% stratum would contribute ~0 eval docs).
+    * Growth-stable like assignSplits: a doc's label never changes as the
+    * corpus grows UNLESS it sits at a stratum's hash-order boundary when
+    * new docs hash below it — the same boundary rule capPerStratum's
+    * kept set follows. NULL keys label `train` by contract (they cannot
+    * be addressed individually) and never consume eval quota.
+    *
+    * Scale: the carve reuses capPerStratum's skew-proof plan
+    * (WindowGroupLimit below the stratum exchange — a mega-stratum ships
+    * nEval rows per map task, not its population); the label-back join's
+    * build side is #strata × nEval keys — broadcastable. */
+  def evalCarve(df: DataFrame, key: Column, stratum: Column, nEval: Int): DataFrame = {
+    require(nEval > 0, s"nEval must be positive, got $nEval")
+    val evalKeys = capPerStratum(df.filter(key.isNotNull), key, stratum, nEval)
+      .select(key.as("__eval_k")).distinct()
+    df.join(broadcast(evalKeys), key === col("__eval_k"), "left_outer")
+      .withColumn("split",
+        when(col("__eval_k").isNotNull, lit("eval")).otherwise(lit("train")))
+      .drop("__eval_k")
+  }
+
   /** Temperature-flattened per-stratum quotas — the multi-source /
     * multilingual mixing rule (XLM-R-style exponentiated sampling):
     * stratum s keeps `floor(scale · n_s^alpha + 0.5)` rows, so alpha < 1

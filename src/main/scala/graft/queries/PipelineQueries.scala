@@ -1868,6 +1868,24 @@ object PipelineQueries {
         FROM documents)
       WHERE rk <= 15"""))
 
+  /** Per-language eval carve (20 held-out docs per lang): every doc
+    * labeled, quotas by full-hash order, NULL-free keys — the guaranteed
+    * minimum-eval-slice construction. */
+  val tEvalCarve: Q = Q(
+    "t_eval_carve",
+    run = (s, dir) => Sampling.evalCarve(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      col("doc_id"), col("lang"), nEval = 20),
+    oracle = Some("""
+      SELECT doc_id, lang,
+        CASE WHEN rk <= 20 THEN 'eval' ELSE 'train' END AS split
+      FROM (
+        SELECT doc_id, lang,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+            CAST(('0x' || substr(md5(coalesce('v:' || CAST(doc_id AS VARCHAR), 'null:')), 1, 8))
+              AS BIGINT) ASC, doc_id ASC) AS rk
+        FROM documents)"""))
+
   /** Temperature-flattened language mixing (alpha = 0.5, scale = 4):
     * stratum s keeps floor(4·sqrt(n_s) + 0.5) docs by hash order — the
     * multilingual exponentiated-sampling rule over the SKEWED lang
@@ -2931,7 +2949,7 @@ object PipelineQueries {
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
     tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateStatsFull,
     tCurateGopher, tCurateClassified, tCuratePacked,
-    tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tTokenBudgetMix,
+    tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tTokenBudgetMix, tEvalCarve,
     tUpsampleMix, tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
     tZorderValues, tZoneMap, tPcaEmbeddings,
