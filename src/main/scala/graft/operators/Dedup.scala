@@ -490,6 +490,68 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs: (doc_a, doc_b, containment) where the
+    * smaller-set doc_a has >= `threshold` of its distinct n-gram hashes
+    * inside doc_b — the "doc B is doc A plus extra paragraphs" family
+    * symmetric Jaccard structurally misses (a doc fully contained in one
+    * twice its size has J ≈ 0.5 and sails through a 0.7 Jaccard gate).
+    * The dedup decision this feeds is the asymmetric one: drop the
+    * contained copy, keep the superset.
+    *
+    * Same machinery as [[ngramJaccardPairs]] with the asymmetric prefix
+    * rule: only the CONTAINED side needs a rarest-first prefix (its
+    * first sz − floor(t·sz) + 1 rarest grams — if none of them occur in
+    * B, the overlap cannot reach ceil(t·sz); floor keeps the prefix
+    * conservative under IEEE product rounding), while the container side
+    * indexes ALL its grams — recall-lossless by the same
+    * necessary-condition argument, certified against an ALL-gram-sharing-
+    * pairs oracle. Ties in size order by doc_id, so each unordered pair
+    * is examined in exactly one direction.
+    *
+    * Scale: gram-keyed candidate shuffle like the Jaccard join; the
+    * contained side ships only prefixes, and prefix grams are each doc's
+    * RAREST, which is what keeps the fan-out against the full container
+    * index bounded on low-diversity corpora. */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = track(docs
+      .select(col("doc_id"), tokens(col("text")).as("toks")) // bind once
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.TextFunctions.shingleHash32(col("toks"), n))
+          .as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .persist())
+    val grams = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ordered = grams.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
+    val pref = ordered.join(sets.select(col("doc_id"), col("sz")), "doc_id")
+      .select(col("doc_id"), col("sz"),
+        slice(transform(col("ord"), o => o.getField("h")), lit(1),
+          (col("sz") - floor(lit(threshold) * col("sz")) + 1).cast("int")).as("pref"))
+    val pa = pref.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+      explode(col("pref")).as("h"))
+    val gb = sets.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+      explode(col("hs")).as("h"))
+    val cand = pa.join(gb,
+        pa("h") === gb("h") &&
+          (col("sz_a") < col("sz_b") ||
+            (col("sz_a") === col("sz_b") && col("doc_a") < col("doc_b"))))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("h_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("h_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+          size(col("h_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03):
     * ordered k-token-shingle rolling hashes → sliding window of `w` → keep
     * each window's min → distinct sorted fingerprint set per doc. All

@@ -1613,6 +1613,49 @@ object PipelineQueries {
       prefixCtes = s"""hraw AS (SELECT doc_id, $htmlAugSql AS text FROM documents),
       hdocs AS (SELECT doc_id, ${htmlStripSql("text")} AS text FROM hraw),""")))
 
+  /** Containment dedup over a corpus with planted supersets (every 6th
+    * doc gets a tail-extended copy at a shifted id — the contained
+    * original keeps ALL its shingles inside the copy, containment 1.0,
+    * while symmetric Jaccard on the same pair is diluted). The oracle's
+    * candidates are ALL gram-sharing ordered pairs, so the hash match
+    * proves the asymmetric prefix filter lost no pair. */
+  val tDedupContainment: Q = Q(
+    "t_dedup_containment",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" extra tail words appended here now")).as("text")))
+      Dedup.ngramContainmentPairs(corpus, n = 3, threshold = 0.8)
+    },
+    oracle = Some(s"""
+      WITH c AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 300000, text || ' extra tail words appended here now'
+        FROM documents WHERE doc_id % 6 = 0),
+      toks AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM c),
+      jsh AS (
+        SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
+        FROM toks WHERE len(toks) >= 3),
+      jvh AS (
+        SELECT doc_id,
+          list_distinct([CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) for g in shingles]) AS hs
+        FROM jsh),
+      cg AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM jvh),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cg a JOIN cg b ON a.h = b.h
+          AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id)))
+      SELECT c.doc_a, c.doc_b,
+        len(list_intersect(x.hs, y.hs))::DOUBLE / len(x.hs) AS containment
+      FROM cand c
+      JOIN jvh x ON x.doc_id = c.doc_a
+      JOIN jvh y ON y.doc_id = c.doc_b
+      WHERE len(list_intersect(x.hs, y.hs))::DOUBLE / len(x.hs) >= 0.8"""))
+
   /** Gopher rule-set filter over a deterministically "corrupted" corpus:
     * the raw documents are single-line word salad, so the entry injects
     * each failure mode by doc_id class (symbol runs, all-bullet lines,
@@ -2938,7 +2981,7 @@ object PipelineQueries {
     tCurateLm, tLmBuckets, tHeavyHitters, tCorpusProfile, tProfileBySource, tDedupAgainst, tCorpusDiff,
     tSourceOverlap,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard,
-    tDedupEdit, tDedupSpans,
+    tDedupEdit, tDedupContainment, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,
     tSimhash, tAnnCosine, tAnnFiltered,
     tDedupEmbedding, tDedupEmbeddingBucketed, tDedupEmbeddingBucketedHi, tDedupSemantic,

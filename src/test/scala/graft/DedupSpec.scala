@@ -289,6 +289,25 @@ class DedupSpec extends AnyFunSuite {
       s"expected the loud tile-cap error, got: ${e.getMessage}")
   }
 
+  test("ngramContainmentPairs: catches the superset pair Jaccard misses; direction and threshold") {
+    import spark.implicits._
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val b = a + " plus many extra trailing words that roughly double the doc length overall today"
+    val docs = Seq(1L -> a, 2L -> b, 3L -> "totally different content about other things entirely")
+      .toDF("doc_id", "text")
+    // Jaccard at 0.7 misses the (1,2) superset pair...
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseCaches(spark)
+    assert(!jac.contains((1L, 2L)), s"fixture broken: Jaccard caught it: $jac")
+    // ...containment at 0.8 catches it, contained side first, value 1.0
+    val got = Dedup.ngramContainmentPairs(docs, n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Dedup.releaseCaches(spark)
+    assert(got.keySet === Set((1L, 2L))) // doc 3 shares nothing
+    assert(got((1L, 2L)) === 1.0) // every shingle of A is in B
+  }
+
   test("corpusDiff: all four statuses; null-safe fp compare; whitespace-only edits are unchanged") {
     import spark.implicits._
     val old = Seq(
