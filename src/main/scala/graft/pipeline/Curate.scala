@@ -35,6 +35,11 @@ object Curate {
       * recall is not acceptable; costs the gram-keyed self-join instead
       * of the banded signature join. */
     final case class ExactJaccard(n: Int = 3, threshold: Double = 0.7) extends NearDupPolicy
+    /** Asymmetric containment pairs (Dedup.ngramContainmentPairs): drop
+      * the CONTAINED copy, keep the superset — the "doc plus extra
+      * paragraphs" family symmetric Jaccard dilutes below any usable
+      * threshold. Recall-lossless like ExactJaccard. */
+    final case class Containment(n: Int = 3, threshold: Double = 0.8) extends NearDupPolicy
   }
 
   /** Model-based selection gate (CCNet posture: a tiny static model, a
@@ -213,6 +218,10 @@ object Curate {
       case NearDupPolicy.ExactJaccard(n, threshold) =>
         Dedup.ngramJaccardPairs(afterExact, n, threshold)
           .select(col("doc_b").as("doc_id")).distinct()
+      case NearDupPolicy.Containment(n, threshold) =>
+        // the CONTAINED side (doc_a) is the loser — keep the superset
+        Dedup.ngramContainmentPairs(afterExact, n, threshold)
+          .select(col("doc_a").as("doc_id")).distinct()
     }
 
     // 3. quality + language are per-row functions, so they are computed

@@ -1234,6 +1234,59 @@ object PipelineQueries {
       """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
       pairsCtes = exactJaccardPairsCtes)))
 
+  /** Containment-pairs chain for the curate oracle (the SQL twin of
+    * Dedup.ngramContainmentPairs at n=3, threshold=0.8, over the
+    * exact-dedup survivors): candidates are ALL gram-sharing ordered
+    * pairs, so the recomposition is recall-lossless by construction. */
+  private val containmentPairsCtes: String = """jsh AS (
+        SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
+        FROM toks WHERE len(toks) >= 3),
+      jvh AS (
+        SELECT doc_id,
+          list_distinct([CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) for g in shingles]) AS hs
+        FROM jsh),
+      jcg AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM jvh),
+      jcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM jcg a JOIN jcg b ON a.h = b.h
+          AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))),
+      pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM jcand c
+        JOIN jvh sa ON sa.doc_id = c.doc_a
+        JOIN jvh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.hs, sb.hs))::DOUBLE / len(sa.hs) >= 0.8)"""
+
+  /** The composed pipeline under the CONTAINMENT policy over a corpus
+    * with planted supersets: the contained copies drop as near-dups
+    * (keep the superset), certified end to end with the all-pairs
+    * candidate oracle. */
+  val tCurateContained: Q = Q(
+    "t_curate_contained",
+    run = (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" extra tail words appended here now")).as("text")))
+      val (_, st) = graft.pipeline.Curate.runDocs(s, corpus,
+        nearDup = graft.pipeline.Curate.NearDupPolicy.Containment())
+      graft.pipeline.Curate.releaseCaches(s)
+      Seq((st.input, st.exactDups, st.nearDups, st.lowQuality, st.unknownLang,
+        st.kept, st.keptTokens))
+        .toDF("input", "exact_dups", "near_dups", "low_quality",
+          "unknown_lang", "kept", "kept_tokens")
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_a AS doc_id FROM pairs)""",
+      pairsCtes = containmentPairsCtes,
+      docsRel = "cdocs",
+      prefixCtes = """cdocs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 300000, text || ' extra tail words appended here now'
+        FROM documents WHERE doc_id % 6 = 0),""")))
+
   /** The composed pipeline with EVERY gate on: dedup → decontamination
     * (4-gram overlap vs the doc_id % 23 benchmark slice) → repetition
     * (dup-3-gram frac > 0.02) → quality → language. The oracle recomposes
@@ -2990,7 +3043,7 @@ object PipelineQueries {
     tWinnowPairs, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
-    tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateStatsFull,
+    tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateContained, tCurateStatsFull,
     tCurateGopher, tCurateClassified, tCuratePacked,
     tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tTokenBudgetMix, tEvalCarve,
     tUpsampleMix, tSampleFixed,
