@@ -302,7 +302,37 @@ object DwsQueries {
              COUNT(*) AS n_events
       FROM sess GROUP BY user_id, sid"""))
 
+  /** First-touch funnel view → click → purchase: per-user earliest stage
+    * times under strictly-after ordering, stage = deepest reached. The
+    * oracle recomposes the per-stage MIN + strictly-after join chain;
+    * epoch-microsecond outputs keep the timestamp compare exact. */
+  val a11Funnel: Q = Q(
+    "a11_funnel",
+    run = (s, dir) => graft.operators.Funnel.stages(
+      // sparse 1-in-19 slice: the dense synthetic stream funnels every
+      // user to the last stage, which exercises nothing — the slice
+      // leaves all stage depths (and absent users) populated
+      Tables.events(s, dir).filter(col("event_id") % 19 === 0),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+    oracle = Some("""
+      WITH ev AS (SELECT * FROM events WHERE event_id % 19 = 0),
+      v AS (SELECT user_id, MIN(ts) AS t0 FROM ev
+                 WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM ev e
+            JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+            WHERE e.event_type = 'click' GROUP BY 1),
+      p AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e
+            JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+            WHERE e.event_type = 'purchase' GROUP BY 1)
+      SELECT v.user_id,
+        epoch_us(v.t0) AS t0_us, epoch_us(c.t1) AS t1_us, epoch_us(p.t2) AS t2_us,
+        CASE WHEN p.t2 IS NOT NULL THEN 3
+             WHEN c.t1 IS NOT NULL THEN 2 ELSE 1 END AS stage
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON c.user_id = p.user_id"""))
+
   val all: Seq[Q] = Seq(
     a2GlobalWindow, a5DailyUv, a6Backflow, a7IsNewRepair, a8DedupFirst,
-    dws09Composite, j7AsofJoin, j8RangeJoin, j9RangeOverlap, a10SessionWindow)
+    dws09Composite, j7AsofJoin, j8RangeJoin, j9RangeOverlap, a10SessionWindow,
+    a11Funnel)
 }
