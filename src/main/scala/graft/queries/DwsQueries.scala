@@ -331,8 +331,35 @@ object DwsQueries {
       FROM v LEFT JOIN c ON v.user_id = c.user_id
              LEFT JOIN p ON c.user_id = p.user_id"""))
 
+  /** Retention cohort triangle: users grouped by first-seen date, active
+    * distinct-user counts per (cohort, day offset) — day_offset 0 is the
+    * cohort size. One (user, day) distinct, one user-keyed join to the
+    * per-user first date, one partial-agged (cohort, offset) count. */
+  val a12Retention: Q = Q(
+    "a12_retention",
+    run = (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val first = ev.groupBy($"user_id").agg(min(to_date($"ts")).as("cohort_d"))
+      val active = ev.select($"user_id", to_date($"ts").as("d")).distinct()
+      active.join(first, "user_id")
+        .groupBy($"cohort_d", datediff($"d", $"cohort_d").as("day_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .select(date_format($"cohort_d", "yyyy-MM-dd").as("cohort"),
+          $"day_offset", $"n_users")
+    },
+    oracle = Some("""
+      WITH first AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d
+                     FROM events GROUP BY 1),
+      act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+      SELECT strftime(f.cohort_d, '%Y-%m-%d') AS cohort,
+             CAST(a.d - f.cohort_d AS INTEGER) AS day_offset,
+             COUNT(DISTINCT a.user_id) AS n_users
+      FROM act a JOIN first f ON a.user_id = f.user_id
+      GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     a2GlobalWindow, a5DailyUv, a6Backflow, a7IsNewRepair, a8DedupFirst,
     dws09Composite, j7AsofJoin, j8RangeJoin, j9RangeOverlap, a10SessionWindow,
-    a11Funnel)
+    a11Funnel, a12Retention)
 }
