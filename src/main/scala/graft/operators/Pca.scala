@@ -193,4 +193,41 @@ object Pca {
       lit(0.0), (acc, x) => acc + x)
     projected.withColumn("residual", sqCentered - sqScores)
   }
+
+  /** Deterministic random projection (Johnson–Lindenstrauss): project to
+    * `outDims` dimensions through a data-INDEPENDENT md5-derived matrix —
+    * the oblivious companion to [[train]]: no training pass, no d²
+    * driver state, and a new shard projects identically with zero
+    * coordination, which is what a 100 TB map-side dimension reduction
+    * needs. Matrix entries follow the HyperplaneSketch derivation family:
+    * r(j)(i) = uint32(md5("rp:j:i")) / 2³² − 0.5 — reproducible from the
+    * formula alone in any engine, no RNG state to ship.
+    *
+    * Outputs integer MICRO scores (floor(y·10⁶ + 0.5), the engine-parity
+    * quantization rule) so cross-engine comparison is exact; the raw
+    * doubles agree too (both engines fold the identical product list
+    * left-to-right), but integers keep the oracle hash stable.
+    * Map-side only — one projection, no shuffle, scan speed. */
+  def randomProjection(vectors: DataFrame, d: Int, outDims: Int,
+      embCol: String = "embedding"): DataFrame = {
+    require(d > 0 && outDims > 0, s"dims must be positive, got d=$d out=$outDims")
+    val matrix: Seq[Seq[Double]] = (0 until outDims).map { j =>
+      (0 until d).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp:$j:$i".getBytes("UTF-8"))
+        val u32 = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+          ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+        u32.toDouble / 4294967296.0 - 0.5
+      }
+    }
+    val e = graft.functions.VectorFunctions.toDouble(col(embCol))
+    val bound = vectors.select(col("vec_id"), e.as("__e"))
+    val ys = matrix.zipWithIndex.map { case (row, j) =>
+      floor(aggregate(
+        zip_with(col("__e"), typedLit(row), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) * lit(1e6) + lit(0.5))
+        .cast("long").as(s"y${j}_micro")
+    }
+    bound.select((col("vec_id") +: ys): _*)
+  }
 }

@@ -2892,6 +2892,24 @@ object PipelineQueries {
       GROUP BY t.source""")
     })
 
+  /** Deterministic random projection 64 → 8 dims: the md5-derived
+    * matrix, the fold-order-exact dot products, and the micro
+    * quantization all recomputed in DuckDB — every projected coordinate
+    * of every vector certified in one hash. */
+  val tRandomProjection: Q = Q(
+    "t_random_projection",
+    run = (s, dir) => graft.operators.Pca.randomProjection(
+      Tables.embeddings(s, dir), d = 64, outDims = 8),
+    oracle = {
+      def yCol(j: Int): String =
+        s"""CAST(floor(list_sum([CAST(embedding[i+1] AS DOUBLE) *
+           |  (CAST(('0x' || substr(md5('rp:$j:' || i), 1, 8)) AS BIGINT) / 4294967296.0 - 0.5)
+           |  for i in range(0, 64)]) * 1000000 + 0.5) AS BIGINT) AS y${j}_micro""".stripMargin
+      Some(s"""
+      SELECT vec_id, ${(0 until 8).map(yCol).mkString(",\n        ")}
+      FROM embeddings""")
+    })
+
   /** Cross-corpus dedup: reference = every doc_id % 5 == 0 doc, re-keyed
     * +10^6, half verbatim (exact hits) and half with a planted tail
     * (near hits where the doc is long enough for Jaccard ≥ 0.8 — the
@@ -3048,7 +3066,7 @@ object PipelineQueries {
     tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tTokenBudgetMix, tEvalCarve,
     tUpsampleMix, tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
-    tZorderValues, tZoneMap, tPcaEmbeddings,
+    tZorderValues, tZoneMap, tPcaEmbeddings, tRandomProjection,
     tRepetitionScore, tGopherRules, tHtmlStrip, tCurateHtml, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans,
     tDecontaminateSemantic, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,

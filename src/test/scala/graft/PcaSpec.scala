@@ -89,4 +89,24 @@ class PcaSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(got(0L) === false && got(1L) === true)
   }
+  test("randomProjection: one-hot inputs recover the md5-derived matrix rows") {
+    import spark.implicits._
+    // x = e_i  ==>  y_j = r(j)(i); recompute the matrix entry by hand
+    def entry(j: Int, i: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$j:$i".getBytes("UTF-8"))
+      val u32 = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+        ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+      u32.toDouble / 4294967296.0 - 0.5
+    }
+    val d = 6
+    val oneHots = (0 until d).map(i =>
+      (i.toLong, Seq.tabulate(d)(x => if (x == i) 1.0f else 0.0f)))
+    val got = Pca.randomProjection(oneHots.toDF("vec_id", "embedding"), d, outDims = 3)
+      .collect().map(r => r.getLong(0) -> (1 to 3).map(c => r.getLong(c))).toMap
+    for (i <- 0 until d; j <- 0 until 3) {
+      val want = math.floor(entry(j, i) * 1e6 + 0.5).toLong
+      assert(got(i.toLong)(j) === want, s"matrix entry ($j,$i)")
+    }
+  }
 }
