@@ -842,6 +842,28 @@ object TextAnalysis {
       when(col("n_bigrams") > 0, expr("sum_micro div n_bigrams"))),
       lit(t0), lit(t1))
 
+  /** Heuristic-quality tertile buckets — lmBuckets' sibling over the
+    * cheap quality score: per-doc integer quality micros (the profile
+    * quantization), exact corpus tertiles via the bounded-domain
+    * histogram (domain ≤ 10⁶+1 — data-size-free), head/middle/tail
+    * labels with the boundary-inclusive-low rule. Docs with no tokens
+    * have no quality score and label `none`. The curriculum/mixing
+    * input when no reference LM exists to score fluency against. */
+  def qualityBuckets(docs: DataFrame): DataFrame = {
+    val base = Dedup.track(docs.select(col("doc_id"))
+      .join(qualityScore(docs).select(col("doc_id"),
+        floor(col("quality") * lit(1e6) + lit(0.5)).cast("long").as("q_micro")),
+        Seq("doc_id"), "left")
+      .persist())
+    val thr = Sampling.boundedIntQuantiles(base, col("q_micro"), Seq((1, 3), (2, 3)))
+    base.crossJoin(broadcast(thr.select(col("t0"), col("t1"))))
+      .select(col("doc_id"), col("q_micro"),
+        when(col("q_micro").isNull, lit("none"))
+          .when(col("q_micro") <= col("t0"), lit("tail"))
+          .when(col("q_micro") <= col("t1"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
+
   private def labelBuckets(withFloor: DataFrame, t0: Column, t1: Column): DataFrame =
     withFloor.select(col("doc_id"), col("lm_floor"),
       when(col("lm_floor").isNull, lit("none"))

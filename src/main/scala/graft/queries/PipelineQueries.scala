@@ -2711,6 +2711,40 @@ object PipelineQueries {
              ELSE 'head' END AS bucket
       FROM base, thr"""))
 
+  /** Quality tertile buckets: the same quality-micro arithmetic as the
+    * profile, exact histogram tertiles, per-doc labels — the heuristic
+    * sibling of t_lm_buckets, certified threshold-and-label in one
+    * hash. */
+  val tQualityBuckets: Q = Q(
+    "t_quality_buckets",
+    run = (s, dir) => TextAnalysis.qualityBuckets(Tables.documents(s, dir)),
+    oracle = {
+      val stop = TextAnalysis.lexicons.flatMap(_._2).distinct.sorted
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      Some(s"""
+      WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      q AS (SELECT doc_id,
+          CAST(floor((0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+            + 0.3 * least(1.0, len(toks) / 100.0)
+            + 0.3 * (1.0 - len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE / len(toks)))
+            * 1000000 + 0.5) AS BIGINT) AS q_micro
+        FROM t WHERE len(toks) > 0),
+      base AS (SELECT t.doc_id, q.q_micro FROM t LEFT JOIN q USING (doc_id)),
+      hist AS (SELECT q_micro AS v, CAST(COUNT(*) AS BIGINT) AS c
+               FROM base WHERE q_micro IS NOT NULL GROUP BY 1),
+      cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM hist),
+      nn AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM hist),
+      thr AS (SELECT
+        (SELECT MIN(v) FROM cum, nn WHERE cum * 3 >= n * 1) AS t0,
+        (SELECT MIN(v) FROM cum, nn WHERE cum * 3 >= n * 2) AS t1)
+      SELECT base.doc_id, base.q_micro,
+        CASE WHEN q_micro IS NULL THEN 'none'
+             WHEN q_micro <= thr.t0 THEN 'tail'
+             WHEN q_micro <= thr.t1 THEN 'middle'
+             ELSE 'head' END AS bucket
+      FROM base, thr""")
+    })
+
   /** The LM fluency gate composed into the pipeline: model trained on
     * the even half (the t_lm_score chain), every doc below 33000 micro
     * (≈ the corpus 20th percentile — a real head/tail cut) dropped as
@@ -3049,7 +3083,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     tPiiRedact, tNfcNormalize, tCurateRedacted, tBoilerplateStrip, tCurateBoilerplate, tLmScore,
-    tCurateLm, tLmBuckets, tHeavyHitters, tCorpusProfile, tProfileBySource, tDedupAgainst, tCorpusDiff,
+    tCurateLm, tLmBuckets, tQualityBuckets, tHeavyHitters, tCorpusProfile, tProfileBySource, tDedupAgainst, tCorpusDiff,
     tSourceOverlap,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard,
     tDedupEdit, tDedupContainment, tDedupSpans,
