@@ -394,6 +394,46 @@ object TextAnalysis {
       (!(col("text") <=> cleaned)).as("changed"))
   }
 
+  /** Collocation mining: top-k token bigrams ranked by a PMI-monotone
+    * association score — pairs that co-occur far more than their parts'
+    * frequencies predict ("new york", "machine learning"), the phrase
+    * inventory a tokenizer or quality audit wants. The score is the
+    * engine-parity integer surrogate c(ab)·10⁹ div (c(a)·c(b)):
+    * corpus-constant factors (N) drop out of the RANKING, and exact
+    * BIGINT arithmetic keeps both engines bit-identical where a
+    * log-based PMI would diverge (ln is not correctly rounded — the
+    * Classify/LmScore rule). Counts cover bigram-eligible docs (≥ 2
+    * tokens), occurrences not distinct-per-doc. Ties rank by bigram
+    * string ascending.
+    *
+    * Scale: one scan builds both count tables (the bigram frame is
+    * persisted before its explode — Generate re-inlines higher-order
+    * chains); the score join keys on the VOCAB tables, not the corpus;
+    * top-k plans as TakeOrderedAndProject heaps. */
+  def collocations(docs: DataFrame, k: Int = 50): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val t = Dedup.track(docs
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .persist())
+    val bg = Dedup.track(t.select(wordShingles(col("toks"), 2).as("gs")).persist())
+    val c2 = bg.select(explode(col("gs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
+    val c1 = t.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val scored = c2
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .withColumn("w2", split(col("g"), " ").getItem(1))
+      .join(c1.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(c1.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .select(col("g"), col("c_ab"),
+        expr("(c_ab * 1000000000) div (c_a * c_b)").as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_micro").desc, col("g").asc)
+    scored.orderBy(col("score_micro").desc, col("g").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Vocabulary coverage / OOV accounting: per doc, how many token
     * occurrences a fixed vocabulary covers — the "will this tokenizer
     * vocab handle this corpus" check run before committing to a vocab

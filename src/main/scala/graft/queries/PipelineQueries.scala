@@ -2116,6 +2116,30 @@ object PipelineQueries {
             FROM v)
       SELECT term, n_occurrences, doc_freq, rank FROM r WHERE rank <= 20"""))
 
+  /** Top-30 collocations: bigram association ranking with the exact
+    * integer surrogate score — counts, score arithmetic, tie order, and
+    * the k-cut all certified in one hash. */
+  val tCollocations: Q = Q(
+    "t_collocations",
+    run = (s, dir) => TextAnalysis.collocations(Tables.documents(s, dir), k = 30),
+    oracle = Some(s"""
+      WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+      bg AS (SELECT unnest([toks[j] || ' ' || toks[j+1] for j in range(1, len(toks))]) AS g
+             FROM tt),
+      c2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1),
+      c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+             FROM (SELECT unnest(toks) AS w FROM tt) z GROUP BY 1),
+      sc AS (SELECT g, c_ab,
+               (c_ab * 1000000000) // (a.c * b.c) AS score_micro
+             FROM c2
+             JOIN c1 a ON split_part(g, ' ', 1) = a.w
+             JOIN c1 b ON split_part(g, ' ', 2) = b.w),
+      r AS (SELECT g, c_ab, score_micro,
+              ROW_NUMBER() OVER (ORDER BY score_micro DESC, g ASC) AS rank
+            FROM sc)
+      SELECT g, c_ab, score_micro, rank FROM r WHERE rank <= 30"""))
+
   /** Vocabulary coverage: a 30-term vocab trained on the even-doc_id half
     * (the train/apply split), OOV accounting over the WHOLE corpus —
     * vocab build, deterministic rank cut, and per-doc coverage certified
@@ -3104,5 +3128,5 @@ object PipelineQueries {
     tRepetitionScore, tGopherRules, tHtmlStrip, tCurateHtml, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans,
     tDecontaminateSemantic, tSplitAssign,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
-    tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary, tVocabCoverage)
+    tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary, tVocabCoverage, tCollocations)
 }

@@ -531,10 +531,37 @@ object RelationalQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1"""))
 
+  /** Market-basket co-occurrence: part pairs bought together in >= 2
+    * orders. The self-join keys on the ORDER (fan-out bounded by basket
+    * size — ≤ 7 lineitems per TPC-H order — never quadratic in the
+    * table), the (part, part) count is partial-agged, and dedup of
+    * repeated part lines within an order happens BEFORE the pair
+    * explosion so a twice-ordered part can't inflate its own pairs. */
+  val basketPairs: Q = Q(
+    "q23_basket_pairs",
+    run = (s, dir) => {
+      import s.implicits._
+      val items = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_partkey").distinct()
+      items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter($"n_orders" >= 2)
+    },
+    oracle = Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
+
   val all: Seq[Q] = Seq(
     q6Revenue, jSemiAnti, setOps, rollupRevenue, windowAnalytics, approxUv,
     q4OrderPriority, q2MinCost, q16SupplierCounts, q22IdleRich,
     pivotStatus, statsMoments, statsCorr, cubeRevenue, q19Disjunctive,
     approxPercentiles, statsQuantiles, groupingSets, windowRangeFrame,
-    skewSaltedAgg, skewSaltedJoin)
+    skewSaltedAgg, skewSaltedJoin, basketPairs)
 }
