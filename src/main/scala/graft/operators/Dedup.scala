@@ -526,21 +526,36 @@ object Dedup {
       .persist())
     val grams = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val ordered = grams.join(dfreq, "h")
+    // persisted ONCE: both the prefix side and the positional container
+    // index read this frame (and the Generate cliff needs the cache
+    // boundary below each posexplode anyway)
+    val ranked = track(grams.join(dfreq, "h")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
-    val pref = ordered.join(sets.select(col("doc_id"), col("sz")), "doc_id")
+      .join(sets.select(col("doc_id"), col("sz")), "doc_id")
       .select(col("doc_id"), col("sz"),
-        slice(transform(col("ord"), o => o.getField("h")), lit(1),
-          (col("sz") - floor(lit(threshold) * col("sz")) + 1).cast("int")).as("pref"))
-    val pa = pref.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
-      explode(col("pref")).as("h"))
-    val gb = sets.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
-      explode(col("hs")).as("h"))
+        transform(col("ord"), o => o.getField("h")).as("ordh"))
+      .persist())
+    val pa = ranked.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+      posexplode(slice(col("ordh"), lit(1),
+        (col("sz") - floor(lit(threshold) * col("sz")) + 1).cast("int")))
+        .as(Seq("i", "h")))
+    // container side carries POSITIONS over its full rarest-first order so
+    // the PPJoin positional cap applies: a co-occurrence at (i, j) bounds
+    // the overlap at 1 + min(szA−i−1, szB−j−1); requiring that to reach
+    // ceil(t·szA) prunes hot-gram candidates pair-losslessly (a true pair
+    // always survives via its FIRST shared gram, where the cap is
+    // largest — the ngramJaccardPairs argument, same 1e-9 rounding slack).
+    // Without it the container's full gram index made low-diversity
+    // corpora quadratic-ish (sf1 fixture: 122s → see ROUND_NOTES).
+    val gb = ranked.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+      posexplode(col("ordh")).as(Seq("j", "h")))
     val cand = pa.join(gb,
         pa("h") === gb("h") &&
           (col("sz_a") < col("sz_b") ||
-            (col("sz_a") === col("sz_b") && col("doc_a") < col("doc_b"))))
+            (col("sz_a") === col("sz_b") && col("doc_a") < col("doc_b"))) &&
+          (lit(1) + least(col("sz_a") - col("i") - 1, col("sz_b") - col("j") - 1)) >=
+            lit(threshold - 1e-9) * col("sz_a"))
       .select(col("doc_a"), col("doc_b")).distinct()
     val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("h_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("h_b"))
