@@ -394,6 +394,32 @@ object TextAnalysis {
       (!(col("text") <=> cleaned)).as("changed"))
   }
 
+  /** Content-addressed corpus identity: one row
+    * (n_docs, n_distinct_fp, version) where `version` is the BIGINT sum
+    * of 32-bit fingerprint hashes over the DISTINCT normalized-text
+    * fingerprints — an order-free, partition-order-free, mergeable
+    * digest of the corpus CONTENT SET. Two corpora get the same version
+    * iff their distinct-fingerprint sets collide (sum collisions over
+    * 32-bit summands are possible but need engineered inputs — this is a
+    * change DETECTOR for cache invalidation and provenance stamps, not a
+    * cryptographic commitment, and n_docs/n_distinct_fp ride along as
+    * cheap secondary checks). Duplicate and reordered docs do not move
+    * the version; any added, removed, or edited text does. (`version`
+    * sums DISTINCT hash VALUES - a 32-bit collision between two distinct
+    * fingerprints collapses one summand; same definition in both
+    * engines, and n_distinct_fp still moves.)
+    *
+    * Scale: ONE scan, one aggregation (the distinct count and the
+    * distinct sum share its partial agg); the sum of <= 2^32-sized
+    * summands stays far inside BIGINT for any real corpus. */
+  def corpusVersion(docs: DataFrame): DataFrame =
+    docs.select(coalesce(
+        graft.functions.TextFunctions.fingerprint(col("text")), lit("null:")).as("fp"))
+      .select(col("fp"), graft.functions.TextFunctions.hash32(col("fp")).as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct_fp"),
+        coalesce(sum_distinct(col("h")), lit(0L)).as("version"))
+
   /** Collocation mining: top-k token bigrams ranked by a PMI-monotone
     * association score — pairs that co-occur far more than their parts'
     * frequencies predict ("new york", "machine learning"), the phrase

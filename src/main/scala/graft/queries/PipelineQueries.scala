@@ -2116,6 +2116,32 @@ object PipelineQueries {
             FROM v)
       SELECT term, n_occurrences, doc_freq, rank FROM r WHERE rank <= 20"""))
 
+  /** Corpus version stamp over a corpus with planted duplicates (every
+    * 9th doc re-keyed +700000): n_docs counts rows, n_distinct_fp and
+    * the version digest ignore the copies — duplicate-invariance and
+    * the digest arithmetic certified in one hash. */
+  val tCorpusVersion: Q = Q(
+    "t_corpus_version",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.corpusVersion(docs.unionByName(
+        docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 700000L).as("doc_id"), col("text"))))
+    },
+    oracle = Some("""
+      WITH c AS (
+        SELECT text FROM documents
+        UNION ALL
+        SELECT text FROM documents WHERE doc_id % 9 = 0),
+      f AS (SELECT coalesce(
+          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 'null:') AS fp
+        FROM c)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+        CAST(COALESCE(SUM(DISTINCT
+          CAST(('0x' || substr(md5(fp), 1, 8)) AS BIGINT)), 0) AS BIGINT) AS version
+      FROM f"""))
+
   /** Top-30 collocations: bigram association ranking with the exact
     * integer surrogate score — counts, score arithmetic, tie order, and
     * the k-cut all certified in one hash. */
@@ -3107,7 +3133,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     tPiiRedact, tNfcNormalize, tCurateRedacted, tBoilerplateStrip, tCurateBoilerplate, tLmScore,
-    tCurateLm, tLmBuckets, tQualityBuckets, tHeavyHitters, tCorpusProfile, tProfileBySource, tDedupAgainst, tCorpusDiff,
+    tCurateLm, tLmBuckets, tQualityBuckets, tCorpusVersion, tHeavyHitters, tCorpusProfile, tProfileBySource, tDedupAgainst, tCorpusDiff,
     tSourceOverlap,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard,
     tDedupEdit, tDedupContainment, tDedupSpans,

@@ -182,6 +182,27 @@ class TextOpsSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("DIVIDE_BY_ZERO")))
   }
 
+  test("corpusVersion: duplicate- and order-invariant, edit-sensitive") {
+    import spark.implicits._
+    def ver(rows: Seq[(Long, String)]) = {
+      val r = TextAnalysis.corpusVersion(rows.toDF("doc_id", "text")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val base = Seq(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "epsilon zeta")
+    val (n0, d0, v0) = ver(base)
+    assert((n0, d0) === ((3L, 3L)))
+    // reorder + duplicate: same distinct set, same version
+    val (n1, d1, v1) = ver(Seq(3L -> "epsilon zeta", 1L -> "alpha beta",
+      2L -> "gamma delta", 9L -> "alpha beta"))
+    assert((d1, v1) === ((d0, v0)) && n1 === 4L)
+    // whitespace/case-only noise is the SAME content (normalized fp)
+    val (_, d2, v2) = ver(base :+ (4L -> "  ALPHA   beta "))
+    assert((d2, v2) === ((d0, v0)))
+    // a real edit moves the version
+    val (_, _, v3) = ver(base.updated(0, 1L -> "alpha beta prime"))
+    assert(v3 !== v0)
+  }
+
   test("stripHtml: script payload removed, tags stripped, entities decoded; idempotent on clean text") {
     import spark.implicits._
     val docs = Seq(
