@@ -420,6 +420,40 @@ object TextAnalysis {
         countDistinct(col("fp")).as("n_distinct_fp"),
         coalesce(sum_distinct(col("h")), lit(0L)).as("version"))
 
+  /** Term-frequency drift between two corpora: the top-k terms whose
+    * relative frequency moved most between corpus A and corpus B — the
+    * "what actually changed between crawls / sources" diagnosis behind a
+    * divergence number (and unlike a KL/chi-square TOTAL, which would
+    * sum doubles in row order and lose cross-engine determinism, the
+    * per-term statistic is exact: |c_a·N_b − c_b·N_a| in BIGINTs is the
+    * cross-multiplied form of |c_a/N_a − c_b/N_b| scaled by N_a·N_b).
+    * Ties rank by term ascending. Terms absent from one side count 0
+    * there — vocabulary drift surfaces alongside frequency drift.
+    *
+    * Scale: one scan + one partial-agged count per corpus, a term-keyed
+    * full-outer join of the two VOCAB tables (model-sized, never the
+    * corpora), broadcast scalar totals, heap top-k. */
+  def termDrift(a: DataFrame, b: DataFrame, k: Int = 50): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def counts(df: DataFrame) = df
+      .select(explode(tokens(coalesce(col("text"), lit("")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val ca = counts(a).select(col("w"), col("c").as("c_a"))
+    val cb = counts(b).select(col("w"), col("c").as("c_b"))
+    val joined = ca.join(cb, Seq("w"), "full_outer")
+      .select(col("w"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .crossJoin(broadcast(ca.agg(coalesce(sum(col("c_a")), lit(0L)).as("n_a"))))
+      .crossJoin(broadcast(cb.agg(coalesce(sum(col("c_b")), lit(0L)).as("n_b"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("shift").desc, col("w").asc)
+    joined
+      .select(col("w"), col("c_a"), col("c_b"),
+        abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")).as("shift"))
+      .orderBy(col("shift").desc, col("w").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Collocation mining: top-k token bigrams ranked by a PMI-monotone
     * association score — pairs that co-occur far more than their parts'
     * frequencies predict ("new york", "machine learning"), the phrase

@@ -2116,6 +2116,43 @@ object PipelineQueries {
             FROM v)
       SELECT term, n_occurrences, doc_freq, rank FROM r WHERE rank <= 20"""))
 
+  /** Term drift, even-half vs odd-half corpus (plus a planted burst:
+    * the odd side appends ' breaking breaking update' to every 11th doc
+    * so a real shift exists above sampling noise): counts, exact
+    * cross-multiplied shift, tie order, and the k-cut in one hash. */
+  val tTermDrift: Q = Q(
+    "t_term_drift",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.termDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"),
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" breaking breaking update")))
+            .otherwise(col("text")).as("text")),
+        k = 30)
+    },
+    oracle = Some(s"""
+      WITH av AS (SELECT unnest($TOKS) AS w FROM documents WHERE doc_id % 2 = 0),
+      bdocs AS (SELECT CASE WHEN doc_id % 11 = 0
+                  THEN text || ' breaking breaking update' ELSE text END AS text
+                FROM documents WHERE doc_id % 2 = 1),
+      bv AS (SELECT unnest($TOKS) AS w FROM bdocs),
+      ca AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_a FROM av GROUP BY 1),
+      cb AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_b FROM bv GROUP BY 1),
+      na AS (SELECT CAST(COALESCE(SUM(c_a), 0) AS BIGINT) AS n_a FROM ca),
+      nb AS (SELECT CAST(COALESCE(SUM(c_b), 0) AS BIGINT) AS n_b FROM cb),
+      j AS (SELECT coalesce(ca.w, cb.w) AS w,
+              coalesce(ca.c_a, 0) AS c_a, coalesce(cb.c_b, 0) AS c_b
+            FROM ca FULL JOIN cb ON ca.w = cb.w),
+      sc AS (SELECT w, c_a, c_b,
+               abs(c_a * nb.n_b - c_b * na.n_a) AS shift
+             FROM j, na, nb),
+      r AS (SELECT w, c_a, c_b, shift,
+              ROW_NUMBER() OVER (ORDER BY shift DESC, w ASC) AS rank
+            FROM sc)
+      SELECT w, c_a, c_b, shift, rank FROM r WHERE rank <= 30"""))
+
   /** Corpus version stamp over a corpus with planted duplicates (every
     * 9th doc re-keyed +700000): n_docs counts rows, n_distinct_fp and
     * the version digest ignore the copies — duplicate-invariance and
@@ -3133,7 +3170,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     tPiiRedact, tNfcNormalize, tCurateRedacted, tBoilerplateStrip, tCurateBoilerplate, tLmScore,
-    tCurateLm, tLmBuckets, tQualityBuckets, tCorpusVersion, tHeavyHitters, tCorpusProfile, tProfileBySource, tDedupAgainst, tCorpusDiff,
+    tCurateLm, tLmBuckets, tQualityBuckets, tCorpusVersion, tTermDrift, tHeavyHitters, tCorpusProfile, tProfileBySource, tDedupAgainst, tCorpusDiff,
     tSourceOverlap,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard,
     tDedupEdit, tDedupContainment, tDedupSpans,

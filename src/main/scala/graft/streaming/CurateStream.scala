@@ -287,6 +287,15 @@ object CurateStream {
   def profileView(spark: org.apache.spark.sql.SparkSession, outPath: String): DataFrame =
     TextAnalysis.profile(keptView(spark, outPath).select(col("doc_id"), col("text")))
 
+  /** Content-addressed identity of the kept corpus as of now
+    * (TextAnalysis.corpusVersion over keptView): a downstream consumer
+    * (training job, embedding pass) polls this to decide whether its
+    * cached derivation is stale. The digest is order-free and
+    * duplicate-invariant, so it is batching-independent by construction
+    * — equal to the batch stamp of the same kept set. */
+  def versionView(spark: org.apache.spark.sql.SparkSession, outPath: String): DataFrame =
+    TextAnalysis.corpusVersion(keptView(spark, outPath).select(col("doc_id"), col("text")))
+
   /** Training-layout snapshot over everything kept so far: each kept doc
     * with its deterministic shuffle position (Sampling.shuffleRank) and
     * sequence-pack assignment (Sampling.packSequencesScalable) — the

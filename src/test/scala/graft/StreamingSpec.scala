@@ -435,6 +435,14 @@ class StreamingSpec extends AnyFunSuite {
     graft.pipeline.Curate.releaseCaches(spark)
     assert(pv.toSeq === want.toSeq)
     assert(pv.getLong(pv.schema.fieldNames.indexOf("input")) === wantKept.size.toLong)
+    // the continuous version stamp equals the batch stamp of the same
+    // kept set (order-free digest => batching-independent)
+    val vv = graft.streaming.CurateStream.versionView(spark, outPath).collect()(0)
+    val vw = graft.operators.TextAnalysis.corpusVersion(
+      wantKept.toSeq.toDF("doc_id", "text")).collect()(0)
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(vv.toSeq === vw.toSeq)
+    assert(vv.getLong(0) === wantKept.size.toLong)
   }
 
   test("CurateStream gopher gate == batch Curate with the same rules") {
