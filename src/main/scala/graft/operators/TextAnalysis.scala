@@ -438,8 +438,11 @@ object TextAnalysis {
     def counts(df: DataFrame) = df
       .select(explode(tokens(coalesce(col("text"), lit("")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val ca = counts(a).select(col("w"), col("c").as("c_a"))
-    val cb = counts(b).select(col("w"), col("c").as("c_b"))
+    // persisted: each vocab table feeds BOTH the join and its scalar
+    // total — without the cache each consumer re-runs the corpus scan
+    // (the sourceOverlap lesson)
+    val ca = Dedup.track(counts(a).select(col("w"), col("c").as("c_a")).persist())
+    val cb = Dedup.track(counts(b).select(col("w"), col("c").as("c_b")).persist())
     val joined = ca.join(cb, Seq("w"), "full_outer")
       .select(col("w"), coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
