@@ -372,30 +372,56 @@ object Dedup {
     * banding and verify stages. */
   def dedupAgainst(docs: DataFrame, reference: DataFrame,
       numSigs: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
-      maxBucket: Int = 1000): DataFrame = {
-    val fpRef = reference
-      .select(coalesce(fingerprint(col("text")), lit("null:")).as("fp")).distinct()
+      maxBucket: Int = 1000): DataFrame =
+    dedupAgainstIndex(docs,
+      prepareReference(reference, numSigs, rowsPerBand, threshold, maxBucket))
+
+  /** The reference side of [[dedupAgainst]], computed once: distinct
+    * fingerprints, the hot-bucket-capped band table, and the shingle-hash
+    * arrays. Persisted (cache-registry-tracked), so a long-lived consumer
+    * — the batch call, or [[graft.streaming.StreamingPipelines
+    * .onboardingSink]] checking every micro-batch against the SAME
+    * curated corpus — pays the reference scans once, not per use. */
+  final case class ReferenceIndex(
+      fpRef: DataFrame, bandsR: DataFrame, shR: DataFrame,
+      numSigs: Int, rowsPerBand: Int, threshold: Double)
+
+  def prepareReference(reference: DataFrame,
+      numSigs: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
+      maxBucket: Int = 1000): ReferenceIndex = {
+    val fpRef = track(reference
+      .select(coalesce(fingerprint(col("text")), lit("null:")).as("fp"))
+      .distinct().persist())
+    val shR = track(shingleSets(reference).persist())
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b"), col("band_key"))
+    val bandsR = track(bandsFromShingles(shR, numSigs, rowsPerBand)
+      .withColumn("__bs", count(lit(1)).over(bucketW))
+      .filter(col("__bs") <= maxBucket).drop("__bs")
+      .persist())
+    ReferenceIndex(fpRef, bandsR, shR, numSigs, rowsPerBand, threshold)
+  }
+
+  /** Label `docs` against a prepared reference: exact_ref / near_ref /
+    * kept, with exact_ref taking precedence. Per-doc and reference-static,
+    * so the decision is batching-independent — the property the streaming
+    * onboarding sink's stream≡batch rests on. */
+  def dedupAgainstIndex(docs: DataFrame, ref: ReferenceIndex): DataFrame = {
     val fpDocs = track(docs
       .select(col("doc_id"),
         coalesce(fingerprint(col("text")), lit("null:")).as("fp")).persist())
-    val exactHit = fpDocs.join(fpRef, Seq("fp")).select(col("doc_id")).distinct()
+    val exactHit = fpDocs.join(ref.fpRef, Seq("fp")).select(col("doc_id")).distinct()
 
     val shD = track(shingleSets(docs).persist())
-    val shR = track(shingleSets(reference).persist())
-    val bandsD = bandsFromShingles(shD, numSigs, rowsPerBand)
-    val bucketW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("b"), col("band_key"))
-    val bandsR = bandsFromShingles(shR, numSigs, rowsPerBand)
-      .withColumn("__bs", count(lit(1)).over(bucketW))
-      .filter(col("__bs") <= maxBucket).drop("__bs")
+    val bandsD = bandsFromShingles(shD, ref.numSigs, ref.rowsPerBand)
     val cand = bandsD.select(col("doc_id").as("doc_a"), col("b"), col("band_key"))
-      .join(bandsR.select(col("doc_id").as("doc_b"), col("b"), col("band_key")),
+      .join(ref.bandsR.select(col("doc_id").as("doc_b"), col("b"), col("band_key")),
         Seq("b", "band_key"))
       .select(col("doc_a"), col("doc_b")).distinct()
     val nearHit = jaccardVerify(cand,
       shD.select(col("doc_id").as("doc_a"), col("hashes").as("h_a")),
-      shR.select(col("doc_id").as("doc_b"), col("hashes").as("h_b")),
-      threshold)
+      ref.shR.select(col("doc_id").as("doc_b"), col("hashes").as("h_b")),
+      ref.threshold)
       .select(col("doc_a").as("doc_id")).distinct()
 
     docs.select(col("doc_id"))

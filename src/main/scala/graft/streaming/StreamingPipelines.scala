@@ -607,6 +607,60 @@ object StreamingPipelines {
     }
   }
 
+  /** Continuous corpus onboarding: every micro-batch of incoming docs is
+    * labeled against a STATIC curated reference (graft.operators.Dedup
+    * .dedupAgainst semantics — exact fingerprint hit / banded+verified
+    * near hit / kept) and the labels land in `outPath/batch=<id>` under
+    * the registry protocol. The reference index is built ONCE at sink
+    * construction and persisted (fingerprints, capped band table,
+    * shingle arrays — Dedup.prepareReference), so micro-batches pay
+    * map/join work only, never the reference scans. The decision is
+    * per-doc against static state, so stream ≡ batch at ANY batching —
+    * the union of batch labels equals one dedupAgainst over the union
+    * of batches (OnboardingSpec). Within-stream duplicates are
+    * deliberately NOT tracked here (that is minhashDedupSink /
+    * CurateStream's job); this sink answers exactly one question per
+    * doc: "is it already in the curated corpus?" */
+  def onboardingSink(docs: DataFrame, reference: DataFrame, outPath: String,
+      numSigs: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
+      maxBucket: Int = 1000, compactEvery: Int = 16): DataStreamWriter[Row] = {
+    val ref = graft.operators.Dedup.prepareReference(
+      reference, numSigs, rowsPerBand, threshold, maxBucket)
+    // materialize the index now: the first micro-batch should not absorb
+    // the reference scans, and the persisted frames are shared by all
+    ref.fpRef.count(); ref.bandsR.count(); ref.shR.count()
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        Registry.maybeCompact(spark, outPath, Seq(outPath),
+          upToExclusive = batchId, every = compactEvery)
+        val mark = graft.operators.Dedup.trackMark(spark)
+        val b = batch.toDF().persist()
+        try
+          graft.operators.Dedup.dedupAgainstIndex(b, ref)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        finally {
+          b.unpersist(blocking = false)
+          // release THIS batch's per-doc caches; the reference index
+          // frames belong to the sink's (earlier) scope and survive
+          graft.operators.Dedup.releaseSince(spark, mark)
+          ()
+        }
+      }
+  }
+
+  /** Every onboarding label so far (committed batches + snapshot). */
+  def onboardedView(spark: SparkSession, outPath: String): DataFrame = {
+    val v = Registry.view(spark, outPath, outPath)
+    if (v.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("doc_id", LongType), StructField("drop_reason", StringType))))
+    } else spark.read.parquet(v.paths: _*)
+      .select(col("doc_id"), col("drop_reason"))
+  }
+
   // ===== Continuous ANN index (incremental IVF postings) =====
 
   /** Continuously-maintained IVF ANN index over an embedding stream: per
