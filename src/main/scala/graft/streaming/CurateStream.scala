@@ -296,6 +296,18 @@ object CurateStream {
   def versionView(spark: org.apache.spark.sql.SparkSession, outPath: String): DataFrame =
     TextAnalysis.corpusVersion(keptView(spark, outPath).select(col("doc_id"), col("text")))
 
+  /** Term drift of the kept corpus against a FROZEN baseline
+    * (TextAnalysis.termDrift ∘ keptView): the "is what we're ingesting
+    * changing" monitor — top-k terms whose relative frequency moved most
+    * vs the reference slice the operator froze (yesterday's kept set, a
+    * golden corpus). Composition over the kept view, so it equals the
+    * batch drift of the same kept set; the baseline side should be a
+    * persisted/static frame (the LmGate static-model rule). */
+  def driftView(spark: org.apache.spark.sql.SparkSession, outPath: String,
+      baseline: DataFrame, k: Int = 50): DataFrame =
+    TextAnalysis.termDrift(baseline,
+      keptView(spark, outPath).select(col("doc_id"), col("text")), k)
+
   /** Training-layout snapshot over everything kept so far: each kept doc
     * with its deterministic shuffle position (Sampling.shuffleRank) and
     * sequence-pack assignment (Sampling.packSequencesScalable) — the

@@ -443,6 +443,15 @@ class StreamingSpec extends AnyFunSuite {
     graft.pipeline.Curate.releaseCaches(spark)
     assert(vv.toSeq === vw.toSeq)
     assert(vv.getLong(0) === wantKept.size.toLong)
+    // drift vs a frozen baseline equals the batch drift of the same kept set
+    val baseline = docs.limit(50).select(col("doc_id"), col("text"))
+    val dv = graft.streaming.CurateStream.driftView(spark, outPath, baseline, k = 10)
+      .collect().map(_.toSeq).toSeq
+    val dw = graft.operators.TextAnalysis.termDrift(baseline,
+      wantKept.toSeq.toDF("doc_id", "text"), k = 10)
+      .collect().map(_.toSeq).toSeq
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(dv === dw && dv.nonEmpty)
   }
 
   test("CurateStream gopher gate == batch Curate with the same rules") {
