@@ -814,9 +814,12 @@ object Dedup {
     *
     * At 100 TB: the df table is one gram-keyed partial agg; prefixes bound
     * index size at q·d+1 keys per string; the verify join ships only
-    * candidate pairs. The short-tile path is bounded by maxShortBucket per
-    * tile — shorts at corpus scale are a skew decision the caller must
-    * make explicitly (cap says the quadratic output was the ask). */
+    * candidate pairs. The short-tile path is bounded by maxShortBucket
+    * TRUE-short strings (len < q·(d+1)) per tile — border-long riders do
+    * not count toward the cap (their long×long pairs belong to the prefix
+    * path, so a border-dense tile is not quadratic); shorts at corpus
+    * scale are a skew decision the caller must make explicitly (cap says
+    * the quadratic output was the ask). */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 2, q: Int = 3,
       maxShortBucket: Int = 100000): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
@@ -856,8 +859,15 @@ object Dedup {
     val tiles = base.filter(col("len") < longMin + d)
       .select(col("doc_id"), col("len"), (col("len") / (d + 1)).cast("long").as("b"))
       .select(col("doc_id"), col("len"), explode(array(col("b"), col("b") + 1)).as("tile"))
-    val tileCt = tiles.groupBy(col("tile")).agg(count(lit(1)).as("ct"))
-    val guarded = tiles.join(tileCt, "tile")
+    // the cap counts TRUE shorts only (len < longMin): border-long rows
+    // (len in [longMin, longMin+d)) ride the tiles so short×long pairs
+    // co-tile, but every long×long pair is owned by the prefix path — a
+    // tile dense in border-longs is not a quadratic short-pair output and
+    // must not trip the guard
+    val tileCt = tiles.filter(col("len") < longMin)
+      .groupBy(col("tile")).agg(count(lit(1)).as("ct"))
+    val guarded = tiles.join(tileCt, Seq("tile"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
       .select(col("doc_id"), col("len"),
         when(col("ct") <= maxShortBucket, col("tile"))
           .otherwise(raise_error(concat(

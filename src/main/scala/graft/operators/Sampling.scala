@@ -155,14 +155,24 @@ object Sampling {
     * kept set follows. NULL keys label `train` by contract (they cannot
     * be addressed individually) and never consume eval quota.
     *
+    * Keys need not be unique: the quota is counted over DISTINCT
+    * (key, stratum) pairs — the carve picks the nEval hash-smallest KEYS
+    * per stratum, and every row carrying an eval key labels `eval`
+    * (duplicates of one key consume ONE quota slot, not several; a
+    * row-capped rank would quietly under-fill the guaranteed slice).
+    *
     * Scale: the carve reuses capPerStratum's skew-proof plan
     * (WindowGroupLimit below the stratum exchange — a mega-stratum ships
     * nEval rows per map task, not its population); the label-back join's
     * build side is #strata × nEval keys — broadcastable. */
   def evalCarve(df: DataFrame, key: Column, stratum: Column, nEval: Int): DataFrame = {
     require(nEval > 0, s"nEval must be positive, got $nEval")
-    val evalKeys = capPerStratum(df.filter(key.isNotNull), key, stratum, nEval)
-      .select(key.as("__eval_k")).distinct()
+    // distinct BEFORE the cap: the quota is nEval KEYS per stratum, so
+    // duplicate rows of one key must not consume extra slots
+    val distinctKeys = df.filter(key.isNotNull)
+      .select(key.as("__k"), stratum.as("__st")).distinct()
+    val evalKeys = capPerStratum(distinctKeys, col("__k"), col("__st"), nEval)
+      .select(col("__k").as("__eval_k")).distinct()
     df.join(broadcast(evalKeys), key === col("__eval_k"), "left_outer")
       .withColumn("split",
         when(col("__eval_k").isNotNull, lit("eval")).otherwise(lit("train")))

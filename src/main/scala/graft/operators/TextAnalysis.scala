@@ -395,8 +395,8 @@ object TextAnalysis {
   }
 
   /** Content-addressed corpus identity: one row
-    * (n_docs, n_distinct_fp, version) where `version` is the BIGINT sum
-    * of 32-bit fingerprint hashes over the DISTINCT normalized-text
+    * (n_docs, n_distinct_fp, version) where `version` is the mod-2^63
+    * folded sum of 32-bit fingerprint hashes over the DISTINCT normalized-text
     * fingerprints — an order-free, partition-order-free, mergeable
     * digest of the corpus CONTENT SET. Two corpora get the same version
     * iff their distinct-fingerprint sets collide (sum collisions over
@@ -410,25 +410,40 @@ object TextAnalysis {
     * engines, and n_distinct_fp still moves.)
     *
     * Scale: ONE scan, one aggregation (the distinct count and the
-    * distinct sum share its partial agg); the sum of <= 2^32-sized
-    * summands stays far inside BIGINT for any real corpus. */
+    * distinct sum share its partial agg). The sum accumulates in
+    * DECIMAL(38,0) — exact past 10^28 distinct fingerprints — and the
+    * stamp is the sum FOLDED mod 2^63 explicitly on BOTH engines (a raw
+    * BIGINT sum of 2^32-sized summands crosses signed-64 at ~4×10^9
+    * distinct fps, a plausible 100 TB corpus, and Spark/DuckDB disagree
+    * on what happens next: wrap vs HUGEINT promotion — exactly when the
+    * digest is being trusted). Below the fold the value is unchanged. */
   def corpusVersion(docs: DataFrame): DataFrame =
     docs.select(coalesce(
         graft.functions.TextFunctions.fingerprint(col("text")), lit("null:")).as("fp"))
       .select(col("fp"), graft.functions.TextFunctions.hash32(col("fp")).as("h"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("fp")).as("n_distinct_fp"),
-        coalesce(sum_distinct(col("h")), lit(0L)).as("version"))
+        coalesce(
+          pmod(sum_distinct(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+            lit(new java.math.BigDecimal("9223372036854775808"))).cast("long"),
+          lit(0L)).as("version"))
 
   /** Term-frequency drift between two corpora: the top-k terms whose
     * relative frequency moved most between corpus A and corpus B — the
     * "what actually changed between crawls / sources" diagnosis behind a
-    * divergence number (and unlike a KL/chi-square TOTAL, which would
-    * sum doubles in row order and lose cross-engine determinism, the
-    * per-term statistic is exact: |c_a·N_b − c_b·N_a| in BIGINTs is the
-    * cross-multiplied form of |c_a/N_a − c_b/N_b| scaled by N_a·N_b).
-    * Ties rank by term ascending. Terms absent from one side count 0
-    * there — vocabulary drift surfaces alongside frequency drift.
+    * divergence number. The per-term statistic is the parts-per-billion
+    * frequency difference |ppb_a − ppb_b| with ppb = (c·10⁹) div N
+    * computed through an exact DECIMAL intermediate: deterministic
+    * integer arithmetic (no doubles, both engines quantize identically)
+    * and BOUNDED at every corpus size — the cross-multiplied form
+    * |c_a·N_b − c_b·N_a| is exact but silently crosses signed-64 once a
+    * side passes ~10^10 tokens (top-term c ~5×10^8 × N ~10^10 ≈ 2^62),
+    * far below the target scale; c·10⁹ instead lives in DECIMAL(30,0)
+    * for any BIGINT c and the div result is ≤ 10⁹. Resolution is 1 ppb —
+    * terms whose frequencies differ by < 10⁻⁹ tie (and rank by term
+    * ascending, so the cut stays a total order). Terms absent from one
+    * side count 0 there — vocabulary drift surfaces alongside frequency
+    * drift. An empty side contributes frequency 0 for every term.
     *
     * Scale: one scan + one partial-agged count per corpus, a term-keyed
     * full-outer join of the two VOCAB tables (model-sized, never the
@@ -449,11 +464,16 @@ object TextAnalysis {
       .crossJoin(broadcast(ca.agg(coalesce(sum(col("c_a")), lit(0L)).as("n_a"))))
       .crossJoin(broadcast(cb.agg(coalesce(sum(col("c_b")), lit(0L)).as("n_b"))))
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("shift").desc, col("w").asc)
+      .orderBy(col("shift_ppb").desc, col("w").asc)
+    // ppb through DECIMAL(19,0)·10⁹ → DECIMAL(30,0), integral-divided
+    // back to BIGINT; the zero-N guard keeps ANSI div-by-zero out
+    def ppb(c: String, n: String): Column =
+      when(col(n) === 0, lit(0L)).otherwise(
+        expr(s"(CAST($c AS DECIMAL(19,0)) * 1000000000) div $n"))
     joined
       .select(col("w"), col("c_a"), col("c_b"),
-        abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")).as("shift"))
-      .orderBy(col("shift").desc, col("w").asc).limit(k)
+        abs(ppb("c_a", "n_a") - ppb("c_b", "n_b")).as("shift_ppb"))
+      .orderBy(col("shift_ppb").desc, col("w").asc).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
@@ -463,7 +483,8 @@ object TextAnalysis {
     * inventory a tokenizer or quality audit wants. The score is the
     * engine-parity integer surrogate c(ab)·10⁹ div (c(a)·c(b)):
     * corpus-constant factors (N) drop out of the RANKING, and exact
-    * BIGINT arithmetic keeps both engines bit-identical where a
+    * integer arithmetic (DECIMAL/HUGEINT intermediates — overflow-free
+    * for any BIGINT counts) keeps both engines bit-identical where a
     * log-based PMI would diverge (ln is not correctly rounded — the
     * Classify/LmScore rule). Counts cover bigram-eligible docs (≥ 2
     * tokens), occurrences not distinct-per-doc. Ties rank by bigram
@@ -490,7 +511,13 @@ object TextAnalysis {
       .join(c1.select(col("w").as("w1"), col("c").as("c_a")), "w1")
       .join(c1.select(col("w").as("w2"), col("c").as("c_b")), "w2")
       .select(col("g"), col("c_ab"),
-        expr("(c_ab * 1000000000) div (c_a * c_b)").as("score_micro"))
+        // DECIMAL intermediates: c_ab·10⁹ lives in DECIMAL(30,0) and
+        // c_a·c_b in DECIMAL(38,0) (max BIGINT² ≈ 8.5×10³⁷ < 10³⁸), so
+        // the surrogate is exact at any corpus size — the raw BIGINT
+        // form overflows silently at c_ab > ~9.2×10⁹ (stop-word bigrams
+        // at 10¹³ tokens) and flips the ranking; div returns BIGINT
+        expr("(CAST(c_ab AS DECIMAL(19,0)) * 1000000000)" +
+          " div (CAST(c_a AS DECIMAL(19,0)) * c_b)").as("score_micro"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score_micro").desc, col("g").asc)
     scored.orderBy(col("score_micro").desc, col("g").asc).limit(k)

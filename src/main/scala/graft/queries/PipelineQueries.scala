@@ -1982,6 +1982,37 @@ object PipelineQueries {
               AS BIGINT) ASC, doc_id ASC) AS rk
         FROM documents)"""))
 
+  /** Eval carve under NON-UNIQUE keys: every 4th doc appears twice (a
+    * re-crawled row), and the quota must still carve 20 DISTINCT keys
+    * per lang — duplicates of one key consume ONE slot, and both copies
+    * of an eval key label `eval`. A row-capped rank would quietly
+    * under-fill the slice (the duplicate burns quota); this entry pins
+    * the distinct-(key, stratum) contract. */
+  val tEvalCarveDupkeys: Q = Q(
+    "t_eval_carve_dupkeys",
+    run = (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      Sampling.evalCarve(
+        base.unionByName(base.filter(col("doc_id") % 4 === 0)),
+        col("doc_id"), col("lang"), nEval = 20)
+    },
+    oracle = Some("""
+      WITH c AS (
+        SELECT doc_id, lang FROM documents
+        UNION ALL
+        SELECT doc_id, lang FROM documents WHERE doc_id % 4 = 0),
+      dk AS (SELECT DISTINCT doc_id, lang FROM c),
+      ev AS (SELECT doc_id FROM (
+          SELECT doc_id, lang,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+              CAST(('0x' || substr(md5(coalesce('v:' || CAST(doc_id AS VARCHAR), 'null:')), 1, 8))
+                AS BIGINT) ASC, doc_id ASC) AS rk
+          FROM dk)
+        WHERE rk <= 20)
+      SELECT c.doc_id, c.lang,
+        CASE WHEN ev.doc_id IS NOT NULL THEN 'eval' ELSE 'train' END AS split
+      FROM c LEFT JOIN ev ON c.doc_id = ev.doc_id"""))
+
   /** Temperature-flattened language mixing (alpha = 0.5, scale = 4):
     * stratum s keeps floor(4·sqrt(n_s) + 0.5) docs by hash order — the
     * multilingual exponentiated-sampling rule over the SKEWED lang
@@ -2118,8 +2149,9 @@ object PipelineQueries {
 
   /** Term drift, even-half vs odd-half corpus (plus a planted burst:
     * the odd side appends ' breaking breaking update' to every 11th doc
-    * so a real shift exists above sampling noise): counts, exact
-    * cross-multiplied shift, tie order, and the k-cut in one hash. */
+    * so a real shift exists above sampling noise): counts, the bounded
+    * ppb-frequency shift (identical DECIMAL/HUGEINT quantization on both
+    * engines), tie order, and the k-cut in one hash. */
   val tTermDrift: Q = Q(
     "t_term_drift",
     run = (s, dir) => {
@@ -2146,12 +2178,17 @@ object PipelineQueries {
               coalesce(ca.c_a, 0) AS c_a, coalesce(cb.c_b, 0) AS c_b
             FROM ca FULL JOIN cb ON ca.w = cb.w),
       sc AS (SELECT w, c_a, c_b,
-               abs(c_a * nb.n_b - c_b * na.n_a) AS shift
+               CAST(abs(
+                 CASE WHEN na.n_a = 0 THEN 0
+                      ELSE (CAST(c_a AS HUGEINT) * 1000000000) // na.n_a END
+                 - CASE WHEN nb.n_b = 0 THEN 0
+                        ELSE (CAST(c_b AS HUGEINT) * 1000000000) // nb.n_b END)
+                 AS BIGINT) AS shift_ppb
              FROM j, na, nb),
-      r AS (SELECT w, c_a, c_b, shift,
-              ROW_NUMBER() OVER (ORDER BY shift DESC, w ASC) AS rank
+      r AS (SELECT w, c_a, c_b, shift_ppb,
+              ROW_NUMBER() OVER (ORDER BY shift_ppb DESC, w ASC) AS rank
             FROM sc)
-      SELECT w, c_a, c_b, shift, rank FROM r WHERE rank <= 30"""))
+      SELECT w, c_a, c_b, shift_ppb, rank FROM r WHERE rank <= 30"""))
 
   /** Corpus version stamp over a corpus with planted duplicates (every
     * 9th doc re-keyed +700000): n_docs counts rows, n_distinct_fp and
@@ -2176,7 +2213,8 @@ object PipelineQueries {
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
         CAST(COALESCE(SUM(DISTINCT
-          CAST(('0x' || substr(md5(fp), 1, 8)) AS BIGINT)), 0) AS BIGINT) AS version
+            CAST(('0x' || substr(md5(fp), 1, 8)) AS BIGINT))
+          % CAST('9223372036854775808' AS HUGEINT), 0) AS BIGINT) AS version
       FROM f"""))
 
   /** Top-30 collocations: bigram association ranking with the exact
@@ -2194,7 +2232,8 @@ object PipelineQueries {
       c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
              FROM (SELECT unnest(toks) AS w FROM tt) z GROUP BY 1),
       sc AS (SELECT g, c_ab,
-               (c_ab * 1000000000) // (a.c * b.c) AS score_micro
+               CAST((CAST(c_ab AS HUGEINT) * 1000000000)
+                 // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS score_micro
              FROM c2
              JOIN c1 a ON split_part(g, ' ', 1) = a.w
              JOIN c1 b ON split_part(g, ' ', 2) = b.w),
@@ -3184,7 +3223,7 @@ object PipelineQueries {
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
     tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateContained, tCurateStatsFull,
     tCurateGopher, tCurateClassified, tCuratePacked,
-    tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tTokenBudgetMix, tEvalCarve,
+    tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tTokenBudgetMix, tEvalCarve, tEvalCarveDupkeys,
     tUpsampleMix, tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
     tZorderValues, tZoneMap, tPcaEmbeddings, tRandomProjection,
