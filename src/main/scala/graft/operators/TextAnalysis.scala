@@ -551,11 +551,17 @@ object TextAnalysis {
   /** Deterministic BPE merge training (Sennrich et al., ACL'16 — the
     * byte-pair-encoding subword learner every modern tokenizer descends
     * from), distributed the way the algorithm wants to be: ONE corpus
-    * scan builds the word-frequency table, then each of the `k` merge
-    * rounds runs over that vocab table only (pair counts = one explode +
-    * partial-aggregated groupBy; the argmax row is driver-collected —
-    * O(1) rows). Returns one row per learned merge:
-    * (rank, pair, merged, cnt), rank in learning order.
+    * scan builds the word-frequency table (partial-agged, vocab-sized),
+    * which is collected ONCE and the whole merge loop runs in driver
+    * memory with incremental pair-count maintenance (BpeTrainer,
+    * SentencePiece-style) — the cluster work is k-INDEPENDENT, so a
+    * production vocab (32k merges) costs the same single corpus scan as
+    * k=8 instead of 2 sequential Spark jobs per merge round. Returns one
+    * row per learned merge: (rank, pair, merged, cnt), rank in learning
+    * order. `maxWordTypes` > 0 caps the collected table to the most
+    * frequent word types (ties by word ascending — deterministic), the
+    * standard trainer pre-prune for open-vocab web corpora; 0 collects
+    * the full vocabulary.
     *
     * Determinism: ties in the pair-count argmax break by pair string
     * ascending (byte order — engine-portable over [a-z0-9 ] symbols), so
@@ -575,55 +581,24 @@ object TextAnalysis {
     * (both engines leave the same residue — parity by construction, not
     * by convergence).
     *
-    * At 100 TB: the corpus contributes one tokenize scan; the loop's
-    * cost is k shuffles of the VOCAB table (distinct words — orders of
-    * magnitude smaller than the corpus, partial-agged). Caches are
-    * tracked for Dedup.releaseCaches. */
-  def bpeMerges(docs: DataFrame, k: Int = 8): DataFrame = {
+    * At 100 TB: the corpus contributes one tokenize scan (the ONLY
+    * cluster job); the merge loop holds O(distinct words + pairs) on the
+    * driver — the table every production BPE trainer holds — bounded by
+    * `maxWordTypes` when the vocabulary itself is unbounded. */
+  def bpeMerges(docs: DataFrame, k: Int = 8, maxWordTypes: Int = 0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
-    val wf = docs
+    val wfDf = docs
       .select(explode(tokens(coalesce(col("text"), lit("")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).cast("long").as("f"))
-    var cur = graft.operators.Dedup.track(wf.select(
-        concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("seq"),
-        col("f"))
-      .persist())
-    cur.count()
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var r = 0
-    var done = false
-    while (r < k && !done) {
-      // adjacent symbol pairs, weighted by word frequency; the array is
-      // bound to a column before the lambdas (HOF re-inline invariant)
-      val withS = cur.select(col("f"), split(trim(col("seq")), " ").as("s"))
-      val best = withS
-        .select(col("f"), explode(zip_with(
-          slice(col("s"), lit(1), size(col("s")) - 1),
-          slice(col("s"), lit(2), size(col("s")) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
-      if (best.isEmpty) done = true
-      else {
-        val pair = best(0).getString(0)
-        val cnt = best(0).getLong(1)
-        val merged = pair.replace(" ", "")
-        out += ((r.toLong, pair, merged, cnt))
-        val pat = lit(" " + pair + " ")
-        val rep = lit(" " + merged + " ")
-        val next = graft.operators.Dedup.track(cur.select(
-            replace(replace(replace(col("seq"), pat, rep), pat, rep), pat, rep).as("seq"),
-            col("f"))
-          .persist())
-        next.count() // materialize before dropping the previous round
-        cur.unpersist(blocking = false)
-        cur = next
-        r += 1
-      }
-    }
-    out.toSeq.toDF("rank", "pair", "merged", "cnt")
+    // the cap plans as TakeOrderedAndProject — the collect itself is
+    // bounded, not just the loop's working set
+    val capped =
+      if (maxWordTypes > 0) wfDf.orderBy(col("f").desc, col("w").asc).limit(maxWordTypes)
+      else wfDf
+    val wf = capped.collect().map(r => (r.getString(0), r.getLong(1)))
+    BpeTrainer.train(wf, k).toDF("rank", "pair", "merged", "cnt")
   }
 
   /** Apply a learned BPE merge list (the output of [[bpeMerges]]) to the
@@ -638,31 +613,22 @@ object TextAnalysis {
     * Output one row per doc: `encoded` (subwords space-joined within a
     * word, words joined by " | "), `n_words`, `n_subwords`.
     *
-    * Scale: the merge table is k driver-embedded literals folded into
-    * ONE projection — encoding is map-side at scan speed, no shuffle, no
-    * join, whole-stage-codegen'd. This is the right distribution for a
-    * tokenizer: the model is tiny and static, the corpus is 100 TB. The
-    * token array is bound to a column before the per-word lambda (HOF
-    * re-inline invariant); the replace chain operates only on the lambda
-    * variable, so nothing expensive re-inlines. */
-  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    def encodeWord(w: Column): Column = {
-      val seq0 = concat(lit(" "), concat_ws(" ", split(w, "")), lit(" "))
-      merges.foldLeft(seq0) { case (s, (pair, merged)) =>
-        val pat = lit(" " + pair + " ")
-        val rep = lit(" " + merged + " ")
-        replace(replace(replace(s, pat, rep), pat, rep), pat, rep)
-      }
-    }
+    * Scale: the merge table is embedded ONCE in a native expression
+    * (plans.BpeEncodeDoc) — the plan is one map-side projection with one
+    * opaque call, k-INDEPENDENT in size, inside whole-stage codegen. The
+    * previous form folded k merges into a k·3-deep literal replace chain,
+    * which blows analysis/codegen past ~1k merges; now 32k merges costs
+    * the same one-node plan as 8 (ClassifySpec pins the plan shape at
+    * k=256). This is the right distribution for a tokenizer: the model
+    * is tiny and static, the corpus is 100 TB. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     docs
-      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
-      .select(col("doc_id"), transform(col("toks"), w => trim(encodeWord(w))).as("encs"))
       .select(col("doc_id"),
-        concat_ws(" | ", col("encs")).as("encoded"),
-        size(col("encs")).cast("long").as("n_words"),
-        coalesce(aggregate(col("encs"), lit(0L),
-          (acc, e) => acc + size(split(e, " ")).cast("long")), lit(0L)).as("n_subwords"))
-  }
+        graft.plans.BpeExpressions.bpeEncodeCol(
+          coalesce(col("text"), lit("")), merges).as("r"))
+      .select(col("doc_id"), col("r").getField("encoded").as("encoded"),
+        col("r").getField("n_words").as("n_words"),
+        col("r").getField("n_subwords").as("n_subwords"))
 
   /** PII detectors (the standard pre-training scrub list: emails, credit
     * cards, SSNs, phone numbers, IPv4s), each with its redaction

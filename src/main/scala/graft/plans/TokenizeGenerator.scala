@@ -79,6 +79,10 @@ object GraftFunctions {
   // unpacked at plan time into the expression's embedded matrices
   private def litLongs(e: Expression): Seq[Long] =
     e.eval().asInstanceOf[ArrayData].toLongArray().toSeq
+  private def litStrings(e: Expression): Seq[String] = {
+    val ad = e.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+  }
   private def litDoubles2(e: Expression): Seq[Seq[Double]] = {
     val ad = e.eval().asInstanceOf[ArrayData]
     (0 until ad.numElements()).map(i => ad.getArray(i).toDoubleArray().toSeq)
@@ -115,7 +119,9 @@ object GraftFunctions {
       litLongs(exprs(1)), litDoubles2(exprs(2)),
       exprs(3).eval().asInstanceOf[Boolean])),
     "nearest_sub_centroid" -> (exprs => NearestSubCentroid(exprs(0), exprs(1),
-      litLongs2(exprs(2)), litDoubles3(exprs(3)))))
+      litLongs2(exprs(2)), litDoubles3(exprs(3)))),
+    "bpe_encode" -> (exprs => BpeEncodeDoc(exprs.head,
+      litStrings(exprs(1)), litStrings(exprs(2)))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>
