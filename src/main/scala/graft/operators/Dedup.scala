@@ -666,46 +666,79 @@ object Dedup {
     * the correct corpus-dedup policy where the pairwise drop-doc_b rule
     * would over- or under-drop.
     *
-    * Iterative min-label propagation: each round every node takes the min
-    * of its own label and its neighbors' labels; converges in
-    * O(component diameter) rounds (near-dup clusters are near-cliques —
-    * 1-2 rounds in practice). Each round is ONE shuffle keyed by node id
-    * (partial-aggregated min), the canonical scalable CC formulation; the
-    * loop materializes and releases per round like Ivf.lloyd. Only
-    * documents that appear in some pair are returned (singletons are their
-    * own cluster trivially). */
-  def duplicateClusters(pairs: DataFrame): DataFrame = {
-    val edges = track(pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    * Two-phase star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): each round alternates
+    * large-star(u) — every neighbor v > u re-attaches to
+    * m = min(Γ(u) ∪ {u}) — and small-star on the (u > v) orientation —
+    * every smaller neighbor and u itself re-attach to the neighborhood
+    * min. Both operations preserve connectivity and converge to stars
+    * rooted at each component's MINIMUM node in O(log n) effective rounds
+    * EVEN ON LONG CHAINS (a path contracts geometrically), where the
+    * previous min-label propagation needed O(component diameter) rounds —
+    * 999 sequential shuffles for a 1000-link chain; DedupSpec pins the
+    * round bound. Near-clique dup clusters converge in 1-2 rounds under
+    * both schemes, so the common case costs the same.
+    *
+    * Each phase is a node-keyed partial-agged min + one join — the same
+    * shuffle shape as the label rounds, just two per round. Only
+    * documents that appear in some pair are returned (singletons are
+    * their own cluster trivially). */
+  def duplicateClusters(pairs: DataFrame): DataFrame = starCC(pairs)._1
+
+  /** [[duplicateClusters]] with the round count exposed (for the
+    * convergence-bound spec). */
+  private[graft] def starCC(pairs: DataFrame): (DataFrame, Int) = {
+    val nodes = track(pairs
+      .select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct().persist())
+    // representation invariant: directed unique pairs with u > v (both
+    // phases provably re-emit only larger→smaller edges)
+    //
     // localCheckpoint per round TRUNCATES LINEAGE, not just caches: the
-    // round-r plan would otherwise embed both the (r-1) plan and the edge
-    // plan on both sides of the change-count self-join — ~2^r copies of
-    // the (large) pair-generation subtree, and AQE's per-update
-    // explainString OOMs on the stringified tree long before the data is
-    // big (observed at 3 docs). With the truncation every round's plan is
-    // O(|edge plan|), constant across rounds.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(edges("src").as("n_id")).agg(min(col("label")).as("nbr"))
-      // the round's ONE action: the convergence count rides on the frame
-      // as a flag column, and the agg both materializes the (lazy) local
-      // checkpoint and returns the count — the previous two-action form
-      // (eager checkpoint, then a self-join count) doubled round latency
-      val next = labels.as("l")
-        .join(nbrMin, col("l.doc_id") === col("n_id"), "left")
-        .select(col("l.doc_id").as("doc_id"),
-          least(col("l.label"), coalesce(col("nbr"), col("l.label"))).as("label"),
-          (coalesce(col("nbr"), col("l.label")) < col("l.label")).cast("long").as("__chg"))
+    // round-r plan would otherwise embed the (r-1) plan on both sides of
+    // the convergence anti-join — ~2^r copies of the (large) pair-
+    // generation subtree, and AQE's per-update explainString OOMs on the
+    // stringified tree long before the data is big (observed at 3 docs).
+    // With the truncation every round's plan is O(|edge plan|).
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      // ---- large-star: neighbors above u hook onto u's neighborhood min
+      val sym = edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b")))
+      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val large = sym.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // ---- small-star: u and its smaller neighbors hook onto their min
+      val dirMin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = large.join(dirMin, "u")
+        .select(col("v").as("n"), col("m"))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .union(dirMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
         .localCheckpoint(false)
-      changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).first().getLong(0)
-      labels = next.select(col("doc_id"), col("label")) // prior round's blocks GC-reclaim
+      // exact convergence: the directed edge set is unchanged (set
+      // equality via two anti-joins — a fingerprint compare could stop
+      // early on a collision and silently mislabel)
+      converged = next.join(edges, Seq("u", "v"), "left_anti")
+        .union(edges.join(next, Seq("u", "v"), "left_anti"))
+        .isEmpty
+      edges = next // prior round's blocks GC-reclaim
+      rounds += 1
     }
-    labels.select(col("doc_id"), col("label").as("cluster"))
+    val parents = edges.groupBy(col("u")).agg(min(col("v")).as("__parent"))
+    val labels = nodes.join(parents, nodes("doc_id") === parents("u"), "left")
+      .select(col("doc_id"), coalesce(col("__parent"), col("doc_id")).as("cluster"))
+    (labels, rounds)
   }
 
   /** Fold NEW near-dup pairs into an existing cluster labeling without the

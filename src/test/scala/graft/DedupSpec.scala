@@ -108,6 +108,36 @@ class DedupSpec extends AnyFunSuite {
     graft.operators.Dedup.releaseCaches(spark)
   }
 
+  test("starCC: a 1000-link chain converges in O(log n) rounds, labels exact") {
+    import spark.implicits._
+    // worst case for label propagation (999 rounds = component diameter);
+    // the two-phase star contraction must close it in ~log2(1000) rounds
+    val n = 1000
+    val pairs = (0L until n.toLong - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = graft.operators.Dedup.starCC(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === n)
+    assert(got.forall(_._2 == 0L), s"all $n chain nodes must label to the min (0)")
+    assert(rounds <= 20,
+      s"star contraction took $rounds rounds on a $n-chain — not O(log n)")
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
+  test("starCC: shuffled high-id chain and disjoint cliques stay exact") {
+    import spark.implicits._
+    // ids NOT in path order (the min sits mid-chain) + two 4-cliques
+    val chain = (0 until 60).map(i => (1000L + ((i * 37) % 61), 1000L + (((i + 1) * 37) % 61)))
+    val cliq = for (b <- Seq(1L, 100L); x <- 0 to 3; y <- (x + 1) to 3)
+      yield (b + x, b + y)
+    val pairs = (chain ++ cliq).toDF("doc_a", "doc_b")
+    val (labels, rounds) = graft.operators.Dedup.starCC(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 61).forall(i => got(1000L + i) == 1000L), "chain labels to min id")
+    assert((0 to 3).forall(i => got(1L + i) == 1L && got(100L + i) == 100L))
+    assert(rounds <= 12, s"took $rounds rounds")
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("mergeClusters: a new pair bridges two stored clusters; bystanders survive") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
