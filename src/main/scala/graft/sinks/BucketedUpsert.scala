@@ -38,11 +38,64 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * appends duplicates. Like the other parquet sinks, per-directory
   * replacement (not a transaction log) is the stand-in: with Delta on the
   * cluster this whole object becomes `MERGE INTO` on a bucketed table.
+  *
+  * SINGLE-WRITER CONTRACT: without a transaction log there is no
+  * cross-writer conflict detection — two concurrent upserts would each
+  * read pre-merge buckets and the later commit would silently drop the
+  * earlier one's rows (lost update, not corruption, but wrong). Each
+  * upsert therefore takes a sidecar writer lock (atomic
+  * create-if-absent; released in a finally) and a second writer fails
+  * LOUDLY instead of silently losing updates. A writer that dies without
+  * running its finally (driver kill -9) leaves a stale lock: the error
+  * message carries the holder's pid/timestamp and [[breakLock]] is the
+  * operator override — exactly the posture of Delta's lock-free
+  * alternative, minus automation. (Atomic create-if-absent holds on
+  * HDFS/local/ABFS; on S3 it is best-effort — the same reason Delta
+  * needs a LogStore there.) Concurrent READERS are unaffected (see
+  * [[read]]'s visibility contract).
   */
 object BucketedUpsert {
 
   private val BucketCol = "bucket"
   private val LayoutMarker = "_graft_buckets"
+  private val LockMarker = "_graft_writer_lock"
+
+  private def lockPath(path: String) = new org.apache.hadoop.fs.Path(path + "." + LockMarker)
+
+  /** Acquire the table's writer lock or fail loudly naming the holder. */
+  private def acquireLock(spark: SparkSession, path: String): Unit = {
+    val lock = lockPath(path)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val holder = s"pid=${ProcessHandle.current().pid()} acquired=${java.time.Instant.now()}"
+    try {
+      val out = fs.create(lock, false) // overwrite=false: atomic create-if-absent
+      try out.write(holder.getBytes("UTF-8")) finally out.close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.io.IOException
+          if fs.exists(lock) =>
+        val held = try {
+          val in = fs.open(lock)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        } catch { case _: java.io.IOException => "<unreadable>" }
+        throw new IllegalStateException(
+          s"BucketedUpsert: concurrent upsert on $path — writer lock held ($held). " +
+            "A second writer would silently lose updates (no transaction log). If the " +
+            "holder crashed without releasing, clear it with BucketedUpsert.breakLock.")
+    }
+  }
+
+  private def releaseLock(spark: SparkSession, path: String): Unit = {
+    val lock = lockPath(path)
+    lock.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(lock, false)
+    ()
+  }
+
+  /** Operator override for a stale writer lock (the holder crashed before
+    * its finally). Returns true if a lock was present and removed. */
+  def breakLock(spark: SparkSession, path: String): Boolean = {
+    val lock = lockPath(path)
+    lock.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(lock, false)
+  }
 
   /** A NULL pk has no merge identity — xxhash64(NULL) would silently
     * collapse every null-keyed row ever upserted into one surviving row
@@ -113,7 +166,9 @@ object BucketedUpsert {
     val dataCols = batch.columns.toIndexedSeq
     require(dataCols.contains(pk) && dataCols.contains(version),
       s"batch must carry pk '$pk' and version '$version', has ${dataCols.mkString(",")}")
-    val b = withBucket(batch, pk, nBuckets).persist()
+    acquireLock(spark, path) // single-writer contract (object scaladoc)
+    val b = try withBucket(batch, pk, nBuckets).persist()
+    catch { case t: Throwable => releaseLock(spark, path); throw t }
     try {
       val touched = b.select(col(BucketCol)).distinct()
         .collect().map(_.getLong(0)).sorted
@@ -157,7 +212,10 @@ object BucketedUpsert {
         try overwrite(snap)
         finally { snap.unpersist(blocking = false); () }
       }
-    } finally { b.unpersist(blocking = false); () }
+    } finally {
+      b.unpersist(blocking = false)
+      releaseLock(spark, path)
+    }
   }
 
   /** The table's current rows (bucket column dropped — it is layout, not

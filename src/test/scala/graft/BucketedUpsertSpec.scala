@@ -109,6 +109,51 @@ class BucketedUpsertSpec extends AnyFunSuite {
     assert(msgs.contains("NULL primary key"), s"unexpected failure: $msgs")
   }
 
+  test("writer lock: a held lock fails the second writer loudly; breakLock recovers") {
+    import spark.implicits._
+    val path = freshPath("lock")
+    val w1 = (1L to 20L).map(k => (k, s"a$k", 1L)).toDF("k", "v", "version")
+    BucketedUpsert.upsert(w1, path, "k", "version", nBuckets = 4)
+    // a successful upsert releases its lock
+    assert(!new java.io.File(path + "._graft_writer_lock").exists(),
+      "lock must be released after a successful upsert")
+    // simulate a concurrent/crashed writer holding the lock
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path + "._graft_writer_lock"),
+      "pid=9999 acquired=2026-01-01T00:00:00Z".getBytes("UTF-8"))
+    val w2 = Seq((1L, "b1", 2L)).toDF("k", "v", "version")
+    val e = intercept[IllegalStateException] {
+      BucketedUpsert.upsert(w2, path, "k", "version", nBuckets = 4)
+    }
+    assert(e.getMessage.contains("writer lock held") && e.getMessage.contains("pid=9999"),
+      s"must name the holder: ${e.getMessage}")
+    // the failed attempt must NOT have removed someone else's lock
+    assert(new java.io.File(path + "._graft_writer_lock").exists())
+    // and must not have changed the table
+    assert(BucketedUpsert.read(spark, path).filter(col("k") === 1L)
+      .collect().map(_.getString(1)).toSeq === Seq("a1"))
+    // operator override, then the upsert proceeds and re-releases
+    assert(BucketedUpsert.breakLock(spark, path))
+    BucketedUpsert.upsert(w2, path, "k", "version", nBuckets = 4)
+    assert(BucketedUpsert.read(spark, path).filter(col("k") === 1L)
+      .collect().map(_.getString(1)).toSeq === Seq("b1"))
+    assert(!new java.io.File(path + "._graft_writer_lock").exists())
+  }
+
+  test("writer lock: released even when the upsert itself fails (NULL pk)") {
+    import spark.implicits._
+    val path = freshPath("lockfail")
+    val bad = Seq((Some(1L), "a", 1L), (None, "b", 1L)).toDF("k", "v", "version")
+    intercept[Exception] {
+      BucketedUpsert.upsert(bad, path, "k", "version", nBuckets = 4)
+    }
+    assert(!new java.io.File(path + "._graft_writer_lock").exists(),
+      "a failed upsert in a live JVM must release the lock for the retry")
+    // the retry (nulls filtered) succeeds without manual intervention
+    BucketedUpsert.upsert(bad.filter(col("k").isNotNull), path, "k", "version", nBuckets = 4)
+    assert(BucketedUpsert.read(spark, path).count() === 1L)
+  }
+
   test("readKey scans exactly one bucket directory (partition pruning)") {
     import spark.implicits._
     val path = freshPath("lookup")
