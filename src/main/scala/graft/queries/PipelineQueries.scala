@@ -932,8 +932,11 @@ object PipelineQueries {
       ranked AS (
         SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id) AS rk
         FROM sims)
-      SELECT COUNT(*) AS n_expected, TRUE AS ok FROM ranked WHERE rk <= 10"""),
-    headline = true)
+      SELECT COUNT(*) AS n_expected, TRUE AS ok FROM ranked WHERE rk <= 10"""))
+    // not a bench headline: the entry re-trains k-means|| per run, which
+    // benchmarked the TRAINER, not serving — Bench times training once
+    // (ivf_train_sec) and headlines the serve path (t_ann_ivf_serve)
+    // against pre-trained centroids; correctness gating is unchanged here
 
   /** End-to-end curation pipeline, oracle-checked as ONE query: the DuckDB
     * side recomposes every stage (exact-fingerprint dedup → MinHash+LSH
