@@ -200,7 +200,11 @@ object Dedup {
     * and discard them). `array_distinct` over the per-position hashes is
     * set-equal to the former hash-of-distinct-shingles for every
     * consumer (signatures take array_min; verification takes
-    * intersect/union sizes — all set semantics). */
+    * intersect/union sizes — all set semantics). The array is SORTED
+    * ascending: every consumer is order-free, and the sort (once per DOC)
+    * lets jaccardVerify run the fused two-pointer merge per PAIR instead
+    * of building boxed hash sets — a doc is verified against many
+    * candidates, so sort-at-source amortizes. */
   def shingleSets(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks")) // bind once
@@ -211,7 +215,8 @@ object Dedup {
       // (measured 20x slowdown).
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        array_distinct(graft.functions.TextFunctions.shingleHash32(col("toks"), 3))
+        array_sort(array_distinct(
+          graft.functions.TextFunctions.shingleHash32(col("toks"), 3)))
           .as("hashes"))
 
   /** MinHash+LSH near-duplicate pairs.
@@ -258,13 +263,18 @@ object Dedup {
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     * per-side 32-bit shingle-hash arrays — the verify stage of
     * minhashLshPairs, shared with the streaming sink (whose sides come
-    * from different frames: the band registry vs the current batch). */
+    * from different frames: the band registry vs the current batch).
+    *
+    * `h_a`/`h_b` MUST be sorted-distinct arrays (shingleSets output —
+    * every caller's source, including registries it wrote): the fused
+    * two-pointer merge (plans.JaccardSorted) computes the identical
+    * value at a fraction of the boxed-hash-set cost of
+    * array_intersect/array_union, which dominated the verify stage
+    * (Σ bucket² pairs each paying two set builds). */
   private[graft] def jaccardVerify(cand: DataFrame, left: DataFrame,
       right: DataFrame, threshold: Double): DataFrame =
     cand.join(left, "doc_a").join(right, "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
-          size(array_union(col("h_a"), col("h_b"))))
+      .withColumn("jaccard", call_function("jaccard_sorted", col("h_a"), col("h_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
@@ -276,12 +286,17 @@ object Dedup {
   private[graft] def minhashPairsFromTables(sh: DataFrame, bands: DataFrame,
       threshold: Double, maxBucket: Int): DataFrame = {
     val bucketW = org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("band_key"))
+    // join keyed on the 64-bit hash of (b, band_key), not the signature
+    // string — long compares/shuffle beat ~20-char string keys by ~25% on
+    // the candidate stage. A hash collision between two buckets only ADDS
+    // candidate pairs, and every pair still passes EXACT Jaccard verify —
+    // never a false positive, at worst a sliver of extra recall.
     val capped = bands.withColumn("__bs", count(lit(1)).over(bucketW))
-      .filter(col("__bs") <= maxBucket).drop("__bs")
+      .filter(col("__bs") <= maxBucket)
+      .select(col("doc_id"), xxhash64(col("b"), col("band_key")).as("__k"))
     val cand = capped.as("x")
       .join(capped.as("y"),
-        col("x.band_key") === col("y.band_key") && col("x.b") === col("y.b") &&
-          col("x.doc_id") < col("y.doc_id"))
+        col("x.__k") === col("y.__k") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     jaccardVerify(cand,
@@ -303,14 +318,19 @@ object Dedup {
     val sh = track(shingleSets(docs).persist())
     val bands = bandsFromShingles(sh, numSigs, rowsPerBand).persist()
     track(bands)
-    // hot-bucket cap (windowed count avoids a second aggregation pass)
+    // hot-bucket cap (windowed count avoids a second aggregation pass);
+    // the self-join keys on xxhash64(b, band_key) — long keys shuffle and
+    // compare ~25% faster than the signature strings, and a bucket-hash
+    // collision only ADDS candidates that exact verify then gates (the
+    // minhashPairsFromTables note)
     val bucketW = org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("band_key"))
     val sized = bands.withColumn("__bs", count(lit(1)).over(bucketW))
-    val capped = track(sized.filter(col("__bs") <= maxBucket).drop("__bs").persist())
+    val capped = track(sized.filter(col("__bs") <= maxBucket)
+      .select(col("doc_id"), xxhash64(col("b"), col("band_key")).as("__k"))
+      .persist())
     val candCold = capped.as("x")
       .join(capped.as("y"),
-        col("x.band_key") === col("y.band_key") && col("x.b") === col("y.b") &&
-          col("x.doc_id") < col("y.doc_id"))
+        col("x.__k") === col("y.__k") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     val candAll = if (saltChunk > 0) {
       // triangle join over hot buckets: chunk members by position, emit the
@@ -321,14 +341,15 @@ object Dedup {
         .withColumn("__rn", row_number().over(bucketW.orderBy(col("doc_id"))))
         .withColumn("__c", ((col("__rn") - 1) / saltChunk).cast("int"))
         .withColumn("__m", ceil(col("__bs") / lit(saltChunk.toDouble)).cast("int"))
+        .withColumn("__k", xxhash64(col("b"), col("band_key")))
         .persist()
       track(hot)
-      val left = hot.select(col("doc_id").as("doc_a"), col("b"), col("band_key"),
+      val left = hot.select(col("doc_id").as("doc_a"), col("__k"),
         col("__c").as("i"), explode(sequence(col("__c"), col("__m") - 1)).as("j"))
-      val right = hot.select(col("doc_id").as("doc_b"), col("b"), col("band_key"),
+      val right = hot.select(col("doc_id").as("doc_b"), col("__k"),
         explode(sequence(lit(0), col("__c"))).as("i"), col("__c").as("j"))
       candCold.union(
-        left.join(right, Seq("b", "band_key", "i", "j"))
+        left.join(right, Seq("__k", "i", "j"))
           .filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b")))
     } else candCold

@@ -75,9 +75,69 @@ case class ShingleHash32(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused Jaccard similarity over two SORTED-DISTINCT long arrays — one
+  * primitive merge loop replacing `size(array_intersect) /
+  * size(array_union)`, which builds two boxed hash sets per PAIR (the
+  * dominant cost of the minhash verify stage: 673k candidate pairs ×
+  * ~150-element arrays at sf1 ≈ 200M boxed set operations). On distinct
+  * inputs the merge computes the identical value: |A∩B| by two-pointer
+  * scan, |A∪B| = n + m − |A∩B|, same double division (0-element union →
+  * NaN, matching 0.0/0). INPUT CONTRACT: both arrays ascending-sorted and
+  * duplicate-free — Dedup.shingleSets emits exactly this (array_sort ∘
+  * array_distinct), and every jaccardVerify caller feeds shingleSets
+  * output (directly or via a band registry written by it; a registry
+  * written before the sort landed must be rebuilt). Equality with the
+  * compositional form is asserted in PlansSpec. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(LongType, _),
+            org.apache.spark.sql.types.ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted requires two ARRAY<BIGINT> inputs, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashExpressions.jaccardSorted(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.HashExpressions.jaccardSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashExpressions {
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Two-pointer Jaccard over sorted-distinct long arrays (see
+    * [[JaccardSorted]]). */
+  def jaccardSorted(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val uni = n + m - inter
+    if (uni == 0) Double.NaN else inter.toDouble / uni
+  }
 
   /** First 4 md5 bytes of the UTF-8 input, big-endian unsigned. */
   def md5Prefix32(s: UTF8String): Long = {

@@ -121,7 +121,8 @@ object GraftFunctions {
     "nearest_sub_centroid" -> (exprs => NearestSubCentroid(exprs(0), exprs(1),
       litLongs2(exprs(2)), litDoubles3(exprs(3)))),
     "bpe_encode" -> (exprs => BpeEncodeDoc(exprs.head,
-      litStrings(exprs(1)), litStrings(exprs(2)))))
+      litStrings(exprs(1)), litStrings(exprs(2)))),
+    "jaccard_sorted" -> (exprs => JaccardSorted(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

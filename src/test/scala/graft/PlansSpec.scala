@@ -92,6 +92,26 @@ class PlansSpec extends AnyFunSuite {
     assert(er.filter(not(col("fused") <=> col("comp"))).count() === 0)
   }
 
+  test("fused jaccard_sorted == array_intersect/array_union on sorted-distinct arrays") {
+    GraftFunctions.register(spark)
+    val sh = graft.operators.Dedup.shingleSets(Tables.documents(spark, dir)).persist()
+    // all-pairs over a slice: every (h_a, h_b) combination including
+    // disjoint (jaccard 0) and identical (jaccard 1 via self-pair)
+    val a = sh.limit(40).select(col("doc_id").as("doc_a"), col("hashes").as("h_a"))
+    val b = sh.limit(40).select(col("doc_id").as("doc_b"), col("hashes").as("h_b"))
+    val both = a.crossJoin(b)
+      .select(
+        call_function("jaccard_sorted", col("h_a"), col("h_b")).as("fused"),
+        (size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+          size(array_union(col("h_a"), col("h_b")))).as("comp"))
+      .collect()
+    assert(both.length === 1600)
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    assert(both.exists(_.getDouble(0) == 1.0), "self-pairs must hit jaccard 1")
+    assert(both.exists(_.getDouble(0) == 0.0), "disjoint pairs must hit jaccard 0")
+    sh.unpersist()
+  }
+
   test("fused HyperplaneSketch == composed dim×nPlanes expression tree") {
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
