@@ -89,6 +89,11 @@ object Layout {
     shiftright(z, nDims * bits - bucketBits)
   }
 
+  /** Sidecar directory holding the persisted zone map of a clustered
+    * table (dot-prefixed sibling — invisible to parquet directory reads
+    * of the table itself). */
+  def zoneMapPath(path: String): String = path + "._graft_zonemap"
+
   /** Write `df` clustered for multi-column data skipping: Morton key →
     * coarse `zb=<bucket>/` directories, rows z-sorted within each file.
     * One shuffle hash-keyed by zb (each bucket lands in one task → one
@@ -96,20 +101,45 @@ object Layout {
     * partition — never pruned away, so NULL-dim rows stay reachable).
     * Readers prune whole directories with `prunedRead` (zone-map
     * overlap + partition filters) and parquet row-group min/max stats
-    * prune inside each file thanks to the z sort. */
+    * prune inside each file thanks to the z sort.
+    *
+    * The per-bucket zone map is PERSISTED next to the data
+    * ([[zoneMapPath]]) so readers prune without re-aggregating the
+    * table: built from a column-pruned scan of the freshly-written
+    * files (reads only the layout dims + the partition column — cheap
+    * next to the write), which also certifies the index describes what
+    * actually LANDED. Crash ordering: the stale sidecar is deleted
+    * BEFORE the data overwrite, so a crash anywhere in the window
+    * leaves no sidecar and readers fall back to recomputation — a stale
+    * index can never describe new data. */
   def writeClustered(df: DataFrame, dims: Seq[String], path: String,
-                     bits: Int = 8, bucketBits: Int = 6): Unit =
+                     bits: Int = 8, bucketBits: Int = 6): Unit = {
+    val spark = df.sparkSession
+    val zm = new org.apache.hadoop.fs.Path(zoneMapPath(path))
+    val fs = zm.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(zm, true) // stale index must not outlive the old data
     zorderFrame(df, dims, bits)
       .withColumn("zb", zBucket(col("z"), dims.size, bits, bucketBits))
       .repartition(col("zb"))
       .sortWithinPartitions("zb", "z")
       .write.partitionBy("zb").mode("overwrite").parquet(path)
+    zoneMapOf(spark.read.parquet(path), dims)
+      .write.mode("overwrite").parquet(zoneMapPath(path))
+  }
+
+  /** The persisted zone map written by [[writeClustered]], if present. */
+  def persistedZoneMap(spark: SparkSession, path: String): Option[DataFrame] = {
+    val zm = new org.apache.hadoop.fs.Path(zoneMapPath(path))
+    val fs = zm.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(zm)) Some(spark.read.parquet(zoneMapPath(path))) else None
+  }
 
   /** Per-bucket zone map (count + each dim's min/max) — the file-skipping
-    * index for a clustered table. Bounded at 2^bucketBits rows. Computed
-    * here by aggregating the table (fine for tests and rebuilds); at
-    * 100 TB persist this frame alongside the table at write time — it is
-    * a deterministic function of the data, so rebuild == original. */
+    * index for a clustered table. Bounded at 2^bucketBits rows.
+    * [[writeClustered]] persists this frame alongside the table (it is a
+    * deterministic function of the data, so rebuild == original);
+    * aggregating the table directly remains the rebuild / fallback
+    * path. */
   def zoneMapOf(table: DataFrame, dims: Seq[String]): DataFrame = {
     val aggs = count(lit(1L)).as("ct") +:
       dims.flatMap(d => Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d")))
@@ -121,7 +151,11 @@ object Layout {
     * zone map resolves the bucket set, `zb IN (...)` reaches the scan as
     * a partition filter (whole directories skipped), and the residual
     * per-dim predicate drops the bucket-boundary rows. Equal to the
-    * unpruned filter by construction — the zone map is exact. */
+    * unpruned filter by construction — the zone map is exact.
+    *
+    * Zone-map source, in order: the caller's `zoneMap` frame, the
+    * PERSISTED sidecar writeClustered emitted (no table re-aggregation —
+    * the 100 TB path), else an on-the-fly rebuild (pre-sidecar tables). */
   def prunedRead(spark: SparkSession, path: String,
                  ranges: Seq[(String, Long, Long)],
                  zoneMap: Option[DataFrame] = None): DataFrame = {
@@ -130,7 +164,8 @@ object Layout {
     val overlap = ranges.map { case (d, lo, hi) =>
       col(s"min_$d") <= lit(hi) && col(s"max_$d") >= lit(lo)
     }.reduce(_ && _)
-    val buckets = zoneMap.getOrElse(zoneMapOf(table, ranges.map(_._1)))
+    val buckets = zoneMap.orElse(persistedZoneMap(spark, path))
+      .getOrElse(zoneMapOf(table, ranges.map(_._1)))
       .filter(overlap && col("zb").isNotNull) // NULL partition unioned below
       .select(col("zb").cast("long"))
       .collect().map(_.getLong(0)) // driver-tiny: one row per bucket

@@ -104,6 +104,46 @@ class LayoutSpec extends AnyFunSuite {
     assert(nullHit.filter(col("x").isNull).count() === 1L)
   }
 
+  test("prunedRead consults the PERSISTED zone map, not a re-aggregation") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("layout_zm").toString + "/t"
+    val rows = for (x <- 0 until 32; y <- 0 until 32) yield (1000L + x, 500L + y)
+    Layout.writeClustered(rows.toDF("x", "y"), Seq("x", "y"), path,
+      bits = 5, bucketBits = 4)
+    // the write emitted the sidecar index
+    val zmDir = new java.io.File(Layout.zoneMapPath(path))
+    assert(zmDir.isDirectory, "writeClustered must persist the zone map sidecar")
+    val ranges = Seq(("x", 1008L, 1015L), ("y", 508L, 515L))
+    assert(Layout.prunedRead(spark, path, ranges).count() === 64L)
+    // doctor the sidecar: drop the overlapping bucket's row. If prunedRead
+    // re-aggregated the table the result would be unchanged; reading the
+    // doctored index must lose exactly that bucket (the residual keeps
+    // nothing else in range).
+    val doctored = spark.read.parquet(Layout.zoneMapPath(path))
+      .filter(!(col("min_x") <= 1015L && col("max_x") >= 1008L &&
+        col("min_y") <= 515L && col("max_y") >= 508L))
+      .localCheckpoint(true) // materialize before overwriting its own source
+    doctored.write.mode("overwrite").parquet(Layout.zoneMapPath(path))
+    assert(Layout.prunedRead(spark, path, ranges).count() === 0L,
+      "a doctored persisted index must drive the pruning — it was recomputed instead")
+    // an explicit zoneMap argument still takes precedence over the sidecar
+    val table = spark.read.parquet(path)
+    assert(Layout.prunedRead(spark, path, ranges,
+      Some(Layout.zoneMapOf(table, Seq("x", "y")))).count() === 64L)
+    // rebuild == original (deterministic function of the data): restore
+    Layout.zoneMapOf(table, Seq("x", "y"))
+      .write.mode("overwrite").parquet(Layout.zoneMapPath(path))
+    assert(Layout.prunedRead(spark, path, ranges).count() === 64L)
+    // a rewrite refreshes the sidecar atomically-enough: stale index is
+    // deleted before the data overwrite (missing -> fallback), new one
+    // written after — re-cluster with different data and re-check
+    val rows2 = for (x <- 0 until 16; y <- 0 until 16) yield (1000L + x, 500L + y)
+    Layout.writeClustered(rows2.toDF("x", "y"), Seq("x", "y"), path,
+      bits = 4, bucketBits = 4)
+    assert(Layout.prunedRead(spark, path, Seq(("x", 1000L, 1003L), ("y", 500L, 503L)))
+      .count() === 16L)
+  }
+
   test("compactFiles: many small files -> sized copy, content identical, met-target no-op") {
     import spark.implicits._
     val in = "/tmp/graft_test_compact_in"
