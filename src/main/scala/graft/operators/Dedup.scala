@@ -483,7 +483,10 @@ object Dedup {
       .select(col("doc_id"), tokens(col("text")).as("toks")) // bind once
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
-        array_distinct(graft.functions.TextFunctions.shingleHash32(col("toks"), n))
+        // sorted at source → the verify runs the fused two-pointer merge
+        // (the shingleSets rule); every other consumer is order-free
+        array_sort(array_distinct(
+          graft.functions.TextFunctions.shingleHash32(col("toks"), n)))
           .as("hs"))
       .withColumn("sz", size(col("hs")))
       .persist())
@@ -530,9 +533,7 @@ object Dedup {
     val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("h_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("h_b"))
     cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
-          size(array_union(col("h_a"), col("h_b"))))
+      .withColumn("jaccard", call_function("jaccard_sorted", col("h_a"), col("h_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -567,7 +568,9 @@ object Dedup {
       .select(col("doc_id"), tokens(col("text")).as("toks")) // bind once
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
-        array_distinct(graft.functions.TextFunctions.shingleHash32(col("toks"), n))
+        // sorted at source — the fused intersect-count contract
+        array_sort(array_distinct(
+          graft.functions.TextFunctions.shingleHash32(col("toks"), n)))
           .as("hs"))
       .withColumn("sz", size(col("hs")))
       .persist())
@@ -608,7 +611,7 @@ object Dedup {
     val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("h_b"))
     cand.join(a, "doc_a").join(b, "doc_b")
       .withColumn("containment",
-        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+        call_function("intersect_count_sorted", col("h_a"), col("h_b")).cast("double") /
           size(col("h_a")))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("containment"))

@@ -122,7 +122,8 @@ object GraftFunctions {
       litLongs2(exprs(2)), litDoubles3(exprs(3)))),
     "bpe_encode" -> (exprs => BpeEncodeDoc(exprs.head,
       litStrings(exprs(1)), litStrings(exprs(2)))),
-    "jaccard_sorted" -> (exprs => JaccardSorted(exprs(0), exprs(1))))
+    "jaccard_sorted" -> (exprs => JaccardSorted(exprs(0), exprs(1))),
+    "intersect_count_sorted" -> (exprs => IntersectCountSorted(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -85,6 +85,9 @@ object CurateStream {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // refuse a registry whose hash arrays predate the sorted-array
+        // contract (fused verify would silently mis-score)
+        Registry.ensureFormat(spark, registryPath, "hashes-sorted-v2")
         // bound BOTH read surfaces before this batch's reads: the
         // three-table registry folds jointly (a snapshot only holds ids
         // committed in fps AND bands AND hashes), and the labeled output

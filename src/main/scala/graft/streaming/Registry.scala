@@ -58,6 +58,35 @@ private[graft] object Registry {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Format-version guard for registries whose ROW CONTENT contract can
+    * change across engine versions — e.g. the minhash `hashes` arrays are
+    * SORTED since the fused-verify change, and a registry written by the
+    * pre-sort engine would silently produce wrong Jaccard values if the
+    * two-pointer merge consumed it. On a new/empty group the marker
+    * `_format=<format>` is created; on an existing group missing it the
+    * sink fails LOUDLY telling the operator to rebuild, instead of
+    * quietly mis-verifying. Cheap per-batch (one exists() once created). */
+  def ensureFormat(spark: SparkSession, groupBase: String, format: String): Unit = {
+    val base = new Path(groupBase)
+    val fs = fsOf(spark, base)
+    val marker = new Path(base, s"_format=$format")
+    if (fs.exists(marker)) return
+    val hasData = fs.exists(base) && fs.listStatus(base).exists { st =>
+      !st.getPath.getName.startsWith("_format=")
+    }
+    if (hasData) {
+      val found = fs.listStatus(base).map(_.getPath.getName)
+        .filter(_.startsWith("_format=")).mkString(", ")
+      throw new IllegalStateException(
+        s"registry at $groupBase was written with a different row format " +
+          s"(want _format=$format, found ${if (found.isEmpty) "none" else found}) — " +
+          "its contents would verify incorrectly under the current engine; " +
+          "rebuild the registry (delete the directory and replay/re-ingest)")
+    }
+    fs.mkdirs(base)
+    fs.create(marker, true).close()
+  }
+
   /** Group watermark: max W over `_w=<W>` marker files; None before the
     * first compaction. */
   def watermark(spark: SparkSession, groupBase: String): Option[Long] = {

@@ -245,6 +245,9 @@ object StreamingPipelines {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // refuse a registry whose hash arrays predate the sorted-array
+        // contract (fused verify would silently mis-score)
+        Registry.ensureFormat(spark, registryPath, "hashes-sorted-v2")
         // fold old (bands, hashes) batch dirs into snapshots every
         // `compactEvery` batches — one joint fold, so a snapshot only ever
         // holds ids committed in BOTH tables (Registry scaladoc)

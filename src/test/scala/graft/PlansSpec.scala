@@ -103,10 +103,13 @@ class PlansSpec extends AnyFunSuite {
       .select(
         call_function("jaccard_sorted", col("h_a"), col("h_b")).as("fused"),
         (size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
-          size(array_union(col("h_a"), col("h_b")))).as("comp"))
+          size(array_union(col("h_a"), col("h_b")))).as("comp"),
+        call_function("intersect_count_sorted", col("h_a"), col("h_b")).as("fusedCt"),
+        size(array_intersect(col("h_a"), col("h_b"))).cast("long").as("compCt"))
       .collect()
     assert(both.length === 1600)
     both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    both.foreach(r => assert(r.getLong(2) === r.getLong(3)))
     assert(both.exists(_.getDouble(0) == 1.0), "self-pairs must hit jaccard 1")
     assert(both.exists(_.getDouble(0) == 0.0), "disjoint pairs must hit jaccard 0")
     sh.unpersist()

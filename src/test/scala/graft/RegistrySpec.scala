@@ -32,6 +32,31 @@ class RegistrySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
   }
 
+  test("ensureFormat: marks new groups, passes marked ones, refuses unmarked data") {
+    // new/empty group: marker created, subsequent calls no-op
+    val base = freshBase("fmt")
+    Registry.ensureFormat(spark, base, "hashes-sorted-v2")
+    assert(new java.io.File(base, "_format=hashes-sorted-v2").exists())
+    Registry.ensureFormat(spark, base, "hashes-sorted-v2") // idempotent
+    writeBatches(s"$base/hashes", Seq(0L))
+    Registry.ensureFormat(spark, base, "hashes-sorted-v2") // still passes with data
+    // a group holding data WITHOUT the expected marker (written by an
+    // older engine, or marked with a different format) fails loudly
+    val old = freshBase("fmt_old")
+    writeBatches(s"$old/hashes", Seq(0L))
+    val e = intercept[IllegalStateException] {
+      Registry.ensureFormat(spark, old, "hashes-sorted-v2")
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    val mismarked = freshBase("fmt_mis")
+    Registry.ensureFormat(spark, mismarked, "hashes-sorted-v1")
+    writeBatches(s"$mismarked/hashes", Seq(0L))
+    val e2 = intercept[IllegalStateException] {
+      Registry.ensureFormat(spark, mismarked, "hashes-sorted-v2")
+    }
+    assert(e2.getMessage.contains("hashes-sorted-v1"), e2.getMessage)
+  }
+
   test("fold advances the watermark; served rows are exactly-once and unchanged") {
     val base = freshBase("fold")
     writeBatches(base, 0L to 5L)
