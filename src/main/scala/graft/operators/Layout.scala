@@ -118,6 +118,11 @@ object Layout {
     val zm = new org.apache.hadoop.fs.Path(zoneMapPath(path))
     val fs = zm.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(zm, true) // stale index must not outlive the old data
+    // same rule for any membership sidecars of the previous contents
+    // (globStatus returns null when the parent does not exist yet)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(path + "._graft_member_*")))
+      .getOrElse(Array.empty)
+      .foreach(st => fs.delete(st.getPath, true))
     zorderFrame(df, dims, bits)
       .withColumn("zb", zBucket(col("z"), dims.size, bits, bucketBits))
       .repartition(col("zb"))
@@ -177,6 +182,107 @@ object Layout {
     // QUERIED dims are set still surfaces when some OTHER layout dim was
     // NULL. Both disjuncts are partition filters; the pruning stands.
     table.filter((col("zb").isInCollection(buckets) || col("zb").isNull) && residual)
+  }
+
+  /** Sidecar directory holding the persisted membership index of one
+    * column of a clustered table. */
+  def membershipPath(path: String, column: String): String =
+    path + "._graft_member_" + column
+
+  /** The k probe positions of a value in a `bits`-wide membership
+    * sketch: md5-prefix32("bf<i>:" + value) mod bits — the engine-parity
+    * hash family (the DuckDB oracle recomposes identical positions), one
+    * Spark expression shared by index build and point lookup (no
+    * driver-side hash reimplementation to drift — the readKey rule). */
+  def membershipProbes(c: Column, bits: Int, k: Int): Seq[Column] = {
+    require(bits > 0 && k > 0, s"bits/k must be positive, got $bits/$k")
+    (0 until k).map(i =>
+      pmod(graft.functions.TextFunctions.hash32(
+        concat(lit(s"bf$i:"), c.cast("string"))), lit(bits.toLong)))
+  }
+
+  /** Per-bucket membership sketch over a HIGH-CARDINALITY column — the
+    * bloom-filter-index complement to the zone map: zone maps prune RANGE
+    * queries on the layout dimensions, this prunes POINT lookups on a
+    * column whose values scatter across buckets (ids, urls, hashes). Per
+    * zb bucket, the sorted distinct set of probe positions its values
+    * set ([[membershipProbes]] — k positions per value in a `bits`-wide
+    * space). A lookup keeps only buckets containing ALL k of the probe
+    * positions of the searched value: false positives cost an extra
+    * bucket scan, false negatives are IMPOSSIBLE (a present value set
+    * all its positions), so the pruned read equals the unpruned filter
+    * by construction — same exactness contract as the zone map.
+    *
+    * Scale: one column-pruned scan, k-fold explode, one zb-keyed
+    * partial-agged collect_set bounded by `bits` entries per bucket —
+    * the index is ≤ 2^bucketBits × bits positions regardless of table
+    * size. NULL values set no positions (a NULL lookup is rejected —
+    * point lookups need an addressable value). */
+  def membershipMapOf(table: DataFrame, column: String,
+      bits: Int = 4096, k: Int = 3): DataFrame =
+    table.filter(col(column).isNotNull)
+      .select(col("zb"),
+        explode(array(membershipProbes(col(column), bits, k): _*)).as("pos"))
+      .groupBy(col("zb"))
+      .agg(array_sort(collect_set(col("pos"))).as("positions"))
+      .select(col("zb"), size(col("positions")).cast("long").as("n_positions"),
+        col("positions"))
+
+  /** Build and persist the membership index of `column` from the written
+    * clustered table (column-pruned scan: reads only `column` + the
+    * partition column). `bits`/`k` are pinned INSIDE the sidecar so a
+    * lookup can never probe with a mismatched geometry. */
+  def writeMembership(spark: SparkSession, path: String, column: String,
+      bits: Int = 4096, k: Int = 3): Unit =
+    membershipMapOf(spark.read.parquet(path), column, bits, k)
+      .withColumn("bits", lit(bits)).withColumn("k", lit(k))
+      .write.mode("overwrite").parquet(membershipPath(path, column))
+
+  /** The persisted membership index of `column`, if present, with its
+    * pinned (bits, k) geometry. */
+  def persistedMembership(spark: SparkSession, path: String,
+      column: String): Option[(DataFrame, Int, Int)] = {
+    val mp = new org.apache.hadoop.fs.Path(membershipPath(path, column))
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp)) None
+    else {
+      val idx = spark.read.parquet(membershipPath(path, column))
+      val geo = idx.select(col("bits"), col("k")).distinct().collect()
+      require(geo.length == 1,
+        s"membership index at ${membershipPath(path, column)} has mixed geometry")
+      Some((idx, geo(0).getInt(0), geo(0).getInt(1)))
+    }
+  }
+
+  /** Point lookup over a clustered table touching only buckets whose
+    * membership sketch can contain the value (+ the hive default
+    * partition for NULL-dim rows): the ≤ 2^bucketBits-row index resolves
+    * the bucket set, `zb IN (...)` reaches the scan as a partition
+    * filter, the exact equality predicate finishes. Equal to the
+    * unpruned filter by construction (no false negatives — see
+    * [[membershipMapOf]]). Index source: explicit `index` frame, the
+    * persisted sidecar (whose pinned geometry OVERRIDES the bits/k
+    * arguments), else an on-the-fly rebuild with the given geometry. */
+  def prunedPointRead(spark: SparkSession, path: String, column: String,
+      value: Any, bits: Int = 4096, k: Int = 3,
+      index: Option[DataFrame] = None): DataFrame = {
+    require(value != null, "a NULL value has no membership probes")
+    val table = spark.read.parquet(path)
+    val (idx, useBits, useK) = index.map((_, bits, k))
+      .orElse(persistedMembership(spark, path, column))
+      .getOrElse((membershipMapOf(table, column, bits, k), bits, k))
+    // the value's probe positions via the SAME Spark expression the
+    // index build used, evaluated in a one-row local job
+    val ps = spark.range(1)
+      .select(array(membershipProbes(lit(value), useBits, useK): _*).as("ps"))
+      .first().getSeq[Long](0)
+    val buckets = idx
+      .filter(ps.map(p => array_contains(col("positions"), lit(p))).reduce(_ && _))
+      .filter(col("zb").isNotNull)
+      .select(col("zb").cast("long"))
+      .collect().map(_.getLong(0)) // driver-tiny: one row per bucket
+    table.filter((col("zb").isInCollection(buckets.toIndexedSeq) || col("zb").isNull) &&
+      col(column) === lit(value))
   }
 
   /** Small-file compaction for a flat parquet directory — the other

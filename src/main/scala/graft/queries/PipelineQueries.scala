@@ -2337,6 +2337,32 @@ object PipelineQueries {
              MIN(n_tokens) AS min_n_tokens, MAX(n_tokens) AS max_n_tokens
       FROM zt GROUP BY 1"""))
 
+  /** Membership (bloom-style) index of the z-clustered layout: per
+    * coarse bucket, the sorted distinct probe-position set of its doc_id
+    * values (3 md5-derived positions per value in a 512-wide space) —
+    * the POINT-lookup file-skipping index `Layout.prunedPointRead`
+    * consults, complementing the zone map's range pruning. The oracle
+    * recomposes every position from the identical md5-prefix hashes, so
+    * the hash match certifies the full index (bucket keys, position
+    * sets, dedup, ordering). */
+  val tMembershipIndex: Q = Q(
+    "t_membership_index",
+    run = (s, dir) => {
+      val z = Layout.zorderFrame(zorderDocs(s, dir), Seq("doc_id", "n_tokens"), bits = 8)
+        .withColumn("zb", Layout.zBucket(col("z"), 2, 8, 6))
+      Layout.membershipMapOf(z, "doc_id", bits = 512, k = 3)
+    },
+    oracle = Some(s"""
+      $zorderDocsCte,
+      pr AS (SELECT z >> 10 AS zb, unnest([
+          CAST(('0x' || substr(md5('bf0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 512,
+          CAST(('0x' || substr(md5('bf1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 512,
+          CAST(('0x' || substr(md5('bf2:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 512
+        ]) AS pos FROM zt)
+      SELECT zb, CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_positions,
+             list_sort(list_distinct(list(pos))) AS positions
+      FROM pr GROUP BY zb"""))
+
   /** Oracle twin of TextAnalysis.bpeMerges: k merge rounds unrolled as a
     * CTE chain — per round, pair counts over the symbol sequences, the
     * (cnt DESC, pair ASC) argmax, and the SAME three-pass
@@ -3226,7 +3252,7 @@ object PipelineQueries {
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
     tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateContained, tCurateStatsFull,
     tCurateGopher, tCurateClassified, tCuratePacked,
-    tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tTokenBudgetMix, tEvalCarve, tEvalCarveDupkeys,
+    tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tTokenBudgetMix, tEvalCarve, tEvalCarveDupkeys, tMembershipIndex,
     tUpsampleMix, tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
     tZorderValues, tZoneMap, tPcaEmbeddings, tRandomProjection,

@@ -144,6 +144,49 @@ class LayoutSpec extends AnyFunSuite {
       .count() === 16L)
   }
 
+  test("membership index: point lookup prunes to few buckets, persisted sidecar drives it") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("layout_bf").toString + "/t"
+    // ids scattered over the grid: the x/y layout dims carry NO information
+    // about id, so only the membership sketch can prune an id lookup
+    val rows = for (x <- 0 until 32; y <- 0 until 32)
+      yield (7919L * (x * 32 + y) % 50021, 1000L + x, 500L + y)
+    Layout.writeClustered(rows.toDF("id", "x", "y"), Seq("x", "y"), path,
+      bits = 5, bucketBits = 4)
+    Layout.writeMembership(spark, path, "id", bits = 4096, k = 3)
+    assert(new java.io.File(Layout.membershipPath(path, "id")).isDirectory)
+    val probe = rows(517)._1
+    val pruned = Layout.prunedPointRead(spark, path, "id", probe)
+    val got = pruned.collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"))).toSet
+    val want = rows.collect { case (id, x, y) if id == probe => (x, y) }.toSet
+    assert(got === want && got.nonEmpty)
+    // pruning reached the scan: far fewer than the 16 bucket dirs read
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metrics("numFiles").value < 8L,
+      s"read ${scan.metrics("numFiles").value} files — membership pruning did not engage")
+    // absent value: no bucket passes all three probes (w.h.p.), zero rows
+    assert(Layout.prunedPointRead(spark, path, "id", 999999L).count() === 0L)
+    // the persisted sidecar drives the lookup: a doctored index that
+    // drops every bucket must lose the rows (a rebuild would not)
+    val doctored = spark.read.parquet(Layout.membershipPath(path, "id"))
+      .withColumn("positions", array().cast("array<bigint>"))
+      .localCheckpoint(true) // keep rows + pinned geometry, empty the sets
+    doctored.write.mode("overwrite").parquet(Layout.membershipPath(path, "id"))
+    assert(Layout.prunedPointRead(spark, path, "id", probe).count() === 0L,
+      "doctored persisted index must drive pruning — it was recomputed instead")
+    Layout.writeMembership(spark, path, "id", bits = 4096, k = 3) // restore
+    assert(Layout.prunedPointRead(spark, path, "id", probe).count() === want.size.toLong)
+    // re-clustering deletes stale membership sidecars (missing -> the
+    // caller rebuilds or lookups fall back to on-the-fly indexes)
+    Layout.writeClustered(rows.take(64).toDF("id", "x", "y"), Seq("x", "y"), path,
+      bits = 4, bucketBits = 4)
+    assert(!new java.io.File(Layout.membershipPath(path, "id")).exists(),
+      "stale membership sidecar survived a re-cluster")
+    assert(Layout.prunedPointRead(spark, path, "id", rows(10)._1).count() === 1L)
+  }
+
   test("compactFiles: many small files -> sized copy, content identical, met-target no-op") {
     import spark.implicits._
     val in = "/tmp/graft_test_compact_in"
