@@ -33,6 +33,40 @@ object Similarity {
     ranked.select(col("qid"), col("vec_id"), col("sim"), col("rk"))
   }
 
+  /** Contrastive-pair mining for embedding-model training data: per query
+    * vector, the `kPos` most-similar SAME-label vectors (the positives a
+    * contrastive loss pulls together) and the `kNeg` most-similar
+    * DIFFERENT-label vectors (the HARD negatives it pushes apart — random
+    * negatives are trivially far and teach nothing; the near-miss ones
+    * carry the gradient signal). One row per mined pair:
+    * (qid, vec_id, label, role ∈ pos|neg, sim, rk), rk dense within
+    * (qid, role). Self-pairs excluded; rounding/tie rules are
+    * bruteForceTopK's (6-decimal sim, vec_id tiebreak) so the mined set
+    * is reproducible across engines and runs.
+    *
+    * Scale: the query side is a training batch — broadcast it; the
+    * corpus is scanned ONCE map-side (fused cosine, no shuffle before
+    * the per-(query, role) top-k rank, which WindowGroupLimit pre-prunes
+    * map-side). Corpus-scale query sets should go through the IVF/LSH
+    * bucketed paths per label stratum instead (the t_ann_* scale
+    * answers). */
+  def contrastiveMine(vectors: DataFrame, queries: DataFrame,
+      kPos: Int = 3, kNeg: Int = 5): DataFrame = {
+    require(kPos > 0 && kNeg > 0, s"kPos/kNeg must be positive, got $kPos/$kNeg")
+    val v = vectors.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+    val q = queries.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+      toDouble(col("embedding")).as("qe"))
+    v.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        when(col("label") === col("qlabel"), lit("pos")).otherwise(lit("neg")).as("role"),
+        round(graft.plans.VectorExpressions.cosineFused(col("qe"), col("e")), 6).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"), col("role"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= when(col("role") === "pos", kPos).otherwise(kNeg))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a,b), a<b, with cosine >=
     * threshold. Exact O(N²) form with the fused cosine expression — the
     * bucketed variant (lshTopK's join topology) is the huge-N path. */

@@ -318,6 +318,36 @@ object PipelineQueries {
         FROM sims)
       SELECT qid, vec_id, sim, rk FROM ranked WHERE rk <= 10"""))
 
+  /** Contrastive-pair mining: per query (vec_id < 5), the 3 most-similar
+    * same-label vectors (positives) and the 5 most-similar other-label
+    * vectors (hard negatives) — the training-pair construction behind
+    * embedding-model fine-tuning. The oracle recomposes the full
+    * similarity ranking per (query, role), so the mined set, roles, tie
+    * order and both k-cuts are certified in one hash. */
+  val tContrastiveMine: Q = Q(
+    "t_contrastive_mine",
+    run = (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.contrastiveMine(emb, emb.filter(col("vec_id") < 5), kPos = 3, kNeg = 5)
+    },
+    oracle = Some("""
+      WITH v AS (SELECT vec_id, label,
+          [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe FROM v WHERE vec_id < 5),
+      sims AS (
+        SELECT q.qid, v.vec_id, v.label,
+          CASE WHEN v.label = q.qlabel THEN 'pos' ELSE 'neg' END AS role,
+          round(list_sum([qe[i+1]*e[i+1] for i in range(0, 64)]) /
+            (sqrt(list_sum([qe[i+1]*qe[i+1] for i in range(0, 64)]))
+             * sqrt(list_sum([e[i+1]*e[i+1] for i in range(0, 64)]))), 6) AS sim
+        FROM q, v WHERE q.qid <> v.vec_id),
+      ranked AS (
+        SELECT qid, vec_id, label, role, sim,
+          row_number() OVER (PARTITION BY qid, role ORDER BY sim DESC, vec_id) AS rk
+        FROM sims)
+      SELECT qid, vec_id, label, role, sim, rk FROM ranked
+      WHERE rk <= CASE WHEN role = 'pos' THEN 3 ELSE 5 END"""))
+
   /** Embedding-cosine near-dup pairs (exact, cosine >= 0.45). */
   val tDedupEmbedding: Q = Q(
     "t_dedup_embedding",
@@ -3243,7 +3273,7 @@ object PipelineQueries {
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard,
     tDedupEdit, tDedupContainment, tDedupSpans,
     tDedupClusters, tDedupClustersIncremental,
-    tSimhash, tAnnCosine, tAnnFiltered,
+    tSimhash, tAnnCosine, tAnnFiltered, tContrastiveMine,
     tDedupEmbedding, tDedupEmbeddingBucketed, tDedupEmbeddingBucketedHi, tDedupSemantic,
     tClusterPrune,
     tWinnowFingerprint,

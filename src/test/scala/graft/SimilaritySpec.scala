@@ -20,6 +20,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("contrastiveMine: hand-checkable positives and hard negatives, self excluded") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, 7L, Seq(1.0f, 0.0f)),    // the query, label 7
+      (1L, 7L, Seq(0.9f, 0.1f)),    // same-label near -> the positive
+      (2L, 7L, Seq(0.0f, 1.0f)),    // same-label far
+      (3L, 9L, Seq(0.95f, 0.05f)),  // other-label near -> the HARD negative
+      (4L, 9L, Seq(-1.0f, 0.0f)))   // other-label far
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.contrastiveMine(vecs, vecs.filter($"vec_id" === 0L),
+        kPos = 1, kNeg = 1)
+      .collect().map(r => (r.getAs[String]("role"), r.getAs[Long]("vec_id"))).toSet
+    assert(got === Set(("pos", 1L), ("neg", 3L)))
+    // full-k cuts: per query, kPos same-label rows + kNeg other-label rows
+    val emb = Tables.embeddings(spark, dir)
+    val mined = Similarity.contrastiveMine(emb, emb.filter(emb("vec_id") < 4),
+      kPos = 2, kNeg = 3).collect()
+    val byQR = mined.groupBy(r => (r.getAs[Long]("qid"), r.getAs[String]("role")))
+      .view.mapValues(_.length).toMap
+    for (q <- 0L until 4L) {
+      assert(byQR((q, "pos")) === 2, s"query $q positives")
+      assert(byQR((q, "neg")) === 3, s"query $q negatives")
+    }
+    assert(!mined.exists(r => r.getAs[Long]("qid") == r.getAs[Long]("vec_id")))
+    // hard negatives beat the positives' tail: within a role, sims descend
+    mined.groupBy(r => (r.getAs[Long]("qid"), r.getAs[String]("role"))).values.foreach { rs =>
+      val sims = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("LSH buckets are deterministic and bounded") {
     val emb = Tables.embeddings(spark, dir)
     val b1 = Similarity.hyperplaneBuckets(emb, 64).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
