@@ -950,19 +950,17 @@ object Dedup {
 
   /** Per-doc 32-bit SimHash (near-dup docs differ in few bits).
     *
-    * Explode+groupBy formulation: one md5 per distinct token, 32 partial-
-    * aggregated vote sums — the shuffle carries one 32-int row per
-    * (doc, map-partition), not the token stream. Semantics identical to
-    * TextFunctions.simhash32 (asserted in DedupSpec). */
-  def simhashTable(docs: DataFrame): DataFrame = {
-    val votes = docs
-      .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
-      .select(col("doc_id"), hash32(col("tok")).as("v"))
-    val aggs = (0 until 32).map(b =>
-      sum(shiftright(col("v"), 31 - b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
-    val bitSums = votes.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    bitSums.select(col("doc_id"),
-      (0 until 32).map(b =>
-        when(col(s"s$b") >= 0, lit(1L << (31 - b))).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
-  }
+    * One fused map-side call per doc (plans.SimHash32Doc: tokenize →
+    * distinct → one md5 per token → 32 vote counters in a primitive
+    * loop) — ZERO exchanges at any corpus size. This replaced the
+    * explode+groupBy formulation (whose shuffle carried a 32-int vote
+    * row per doc per map partition) once the fused kernel existed;
+    * semantics stay identical to TextFunctions.simhash32 (asserted in
+    * DedupSpec) and zero-token docs are absent, matching the explode
+    * form's no-row behavior. */
+  def simhashTable(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        call_function("simhash32_fused", coalesce(col("text"), lit(""))).as("simhash"))
+      .filter(col("simhash").isNotNull)
 }

@@ -147,9 +147,77 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused 32-bit SimHash straight from TEXT: tokenize (the pinned
+  * TokenizeGenerator kernel), dedup tokens, md5-prefix-hash each DISTINCT
+  * token once, accumulate the 32 sign votes in one primitive loop —
+  * semantics identical to `TextFunctions.simhash32 ∘ tokenSet` (asserted
+  * in PlansSpec) and to Dedup.simhashTable's explode+groupBy form, at a
+  * fraction of either's cost: the compositional form is 32 interpreted
+  * array folds per doc (HOFs are CodegenFallback — they also unfuse the
+  * whole projection), the groupBy form shuffles 32-int vote rows. This is
+  * ONE codegen'd map-side call — zero exchanges at any corpus size. Zero
+  * tokens → NULL (the simhashTable contract: an empty doc has no
+  * signature, not the all-ones vote-0 artifact). */
+case class SimHash32Doc(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash32_fused requires STRING input, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressions.simhash32Doc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = graft.plans.HashExpressions.simhash32Doc($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Long) r).longValue(); }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32Doc =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Whole-doc SimHash kernel (see [[SimHash32Doc]]); null for zero
+    * tokens. Returns a boxed Long (the codegen call site null-checks). */
+  def simhash32Doc(text: UTF8String): java.lang.Long = {
+    val toks = TokenizeGenerator.tokenizeToArray(text)
+    val n = toks.numElements()
+    if (n == 0) return null
+    val seen = new java.util.HashSet[String](n * 2)
+    val votes = new Array[Int](32)
+    var any = false
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (seen.add(t.toString)) {
+        any = true
+        val h = md5Prefix32(t)
+        var b = 0
+        while (b < 32) {
+          if (((h >> (31 - b)) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return null
+    var sig = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) >= 0) sig |= (1L << (31 - b))
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
 
   /** Two-pointer |A∩B| over sorted-distinct long arrays (see
     * [[IntersectCountSorted]]). */

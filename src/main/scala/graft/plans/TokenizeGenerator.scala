@@ -123,7 +123,8 @@ object GraftFunctions {
     "bpe_encode" -> (exprs => BpeEncodeDoc(exprs.head,
       litStrings(exprs(1)), litStrings(exprs(2)))),
     "jaccard_sorted" -> (exprs => JaccardSorted(exprs(0), exprs(1))),
-    "intersect_count_sorted" -> (exprs => IntersectCountSorted(exprs(0), exprs(1))))
+    "intersect_count_sorted" -> (exprs => IntersectCountSorted(exprs(0), exprs(1))),
+    "simhash32_fused" -> (exprs => SimHash32Doc(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>
