@@ -435,9 +435,13 @@ object Dedup {
 
     val shD = track(shingleSets(docs).persist())
     val bandsD = bandsFromShingles(shD, ref.numSigs, ref.rowsPerBand)
-    val cand = bandsD.select(col("doc_id").as("doc_a"), col("b"), col("band_key"))
-      .join(ref.bandsR.select(col("doc_id").as("doc_b"), col("b"), col("band_key")),
-        Seq("b", "band_key"))
+    // long-keyed band join (the minhashLshPairs rule): xxhash64(b, band_key)
+    // shuffles/compares faster than the signature strings, and a bucket-
+    // hash collision only ADDS candidates that exact verify then gates
+    val cand = bandsD
+      .select(col("doc_id").as("doc_a"), xxhash64(col("b"), col("band_key")).as("__k"))
+      .join(ref.bandsR.select(col("doc_id").as("doc_b"),
+        xxhash64(col("b"), col("band_key")).as("__k")), Seq("__k"))
       .select(col("doc_a"), col("doc_b")).distinct()
     val nearHit = jaccardVerify(cand,
       shD.select(col("doc_id").as("doc_a"), col("hashes").as("h_a")),
