@@ -189,6 +189,44 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.cosineNearDupPairsBucketed(one, 0.45, 64).count() === 0)
   }
 
+  test("contrastiveMine: single-label corpus yields positives only; empty queries yield nothing") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, 1L, Seq(1.0f, 0.0f)), (1L, 1L, Seq(0.9f, 0.1f)), (2L, 1L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val mined = Similarity.contrastiveMine(vecs, vecs.filter(col("vec_id") === 0L),
+      kPos = 2, kNeg = 2).collect()
+    assert(mined.forall(_.getAs[String]("role") == "pos"),
+      "no other-label vectors exist, so no negatives can be mined")
+    assert(mined.length === 2)
+    assert(Similarity.contrastiveMine(vecs, vecs.filter(col("vec_id") < 0L))
+      .count() === 0L)
+  }
+
+  test("membership point read: no sidecar -> on-the-fly index, same rows") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("edge_member").toString + "/t"
+    val rows = (0 until 64).map(i => (i * 131L % 977, 1000L + i % 8, 500L + i / 8))
+    graft.operators.Layout.writeClustered(
+      rows.toDF("id", "x", "y"), Seq("x", "y"), path, bits = 4, bucketBits = 3)
+    // no writeMembership: the lookup must fall back to an on-the-fly index
+    val probe = rows(17)._1
+    val got = graft.operators.Layout.prunedPointRead(spark, path, "id", probe)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(got === Seq(probe))
+  }
+
+  test("bpeEncode: null-text doc encodes empty through the native expression") {
+    import spark.implicits._
+    val docs = Seq((0L, Option("ab ab")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, Seq("a b" -> "ab"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[String]("encoded") === "ab | ab")
+    assert(got(1).getAs[String]("encoded") === "" &&
+      got(1).getAs[Long]("n_words") === 0L && got(1).getAs[Long]("n_subwords") === 0L)
+  }
+
   test("K6 route with a source type absent from events creates an empty table") {
     import graft.operators.ConfigRouter
     import graft.operators.ConfigRouter.TableProcess
