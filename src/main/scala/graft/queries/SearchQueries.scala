@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Search
+import graft.tables.Tables
+
+/** Full-text retrieval over `documents`: the inverted index in
+  * relational form, scored top-k search (disjunctive and conjunctive),
+  * phrase search, and the persisted term-bucketed index served back
+  * through the same scoring kernel. Oracles re-express the pinned
+  * tokenizer + the division-free linear-idf score (tf · (10^9 // df),
+  * HUGEINT intermediates) in DuckDB SQL.
+  */
+object SearchQueries {
+
+  private val TOKS =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Shared oracle shape for the scored searches: candidate postings of
+    * the query terms only, df over those candidates, tf·(10^9//df)
+    * summed per doc in HUGEINT, deterministic (score desc, doc_id asc)
+    * k-cut. */
+  private def searchSql(terms: Seq[String], k: Int, conjunctive: Boolean): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val having = if (conjunctive) s"HAVING COUNT(*) = ${terms.size}" else ""
+    s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      t AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t
+             WHERE term IN ($inList) GROUP BY 1, 2),
+      w AS (SELECT term, 1000000000 // CAST(COUNT(*) AS BIGINT) AS w_ppb
+            FROM tf GROUP BY 1),
+      s AS (SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+              CAST(SUM(CAST(tf.tf AS HUGEINT) * w.w_ppb) AS BIGINT) AS score_ppb
+            FROM tf JOIN w USING (term) GROUP BY 1 $having),
+      r AS (SELECT doc_id, n_terms, score_ppb,
+              CAST(ROW_NUMBER() OVER (ORDER BY score_ppb DESC, doc_id ASC)
+                AS BIGINT) AS rank
+            FROM s)
+      SELECT doc_id, n_terms, score_ppb, rank FROM r WHERE rank <= $k"""
+  }
+
+  /** Term-level inverted-index statistics: df + total occurrences. */
+  val tIndexPostings: Q = Q(
+    "t_index_postings",
+    run = (s, dir) => Search.termStats(Tables.documents(s, dir)),
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      t AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2)
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY 1"""))
+
+  /** Disjunctive scored top-k: mixed-frequency query so the linear-idf
+    * weighting decides the ranking, not raw hit counts. */
+  val tSearchTopk: Q = Q(
+    "t_search_topk",
+    run = (s, dir) =>
+      Search.searchTopK(Tables.documents(s, dir), Seq("spark", "vector", "dup"), k = 10),
+    oracle = Some(searchSql(Seq("spark", "vector", "dup"), 10, conjunctive = false)))
+
+  /** Conjunctive top-k: only docs containing EVERY query term. */
+  val tSearchConjunctive: Q = Q(
+    "t_search_conjunctive",
+    run = (s, dir) =>
+      Search.searchConjunctive(Tables.documents(s, dir), Seq("spark", "join"), k = 15),
+    oracle = Some(searchSql(Seq("spark", "join"), 15, conjunctive = true)))
+
+  /** Phrase search: pinned non-overlapping delimiter-consuming count
+    * over the space-joined token stream, identical formula on both
+    * engines. */
+  val tPhraseSearch: Q = Q(
+    "t_phrase_search",
+    run = (s, dir) => Search.phraseSearch(Tables.documents(s, dir), "batch batch"),
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      p AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s FROM toks),
+      h AS (SELECT doc_id,
+              CAST((length(s) - length(replace(s, ' batch batch ', '')))
+                // length(' batch batch ') AS BIGINT) AS n_hits
+            FROM p)
+      SELECT doc_id, n_hits FROM h WHERE n_hits >= 1"""))
+
+  /** The persisted-index serve path: write the term-bucketed index to a
+    * scratch dir, then answer from the index alone (pruned to the query
+    * terms' buckets). The oracle is the SAME scored-search SQL — the
+    * entry proves index-served ≡ corpus-scanned. */
+  val tSearchIndexed: Q = Q(
+    "t_search_indexed",
+    run = (s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_search_idx").toString + "/idx"
+      Search.writeIndex(Tables.documents(s, dir), path)
+      Search.searchIndexed(s, path, Seq("merge", "hash", "scan"), k = 12)
+    },
+    oracle = Some(searchSql(Seq("merge", "hash", "scan"), 12, conjunctive = false)))
+
+  val all: Seq[Q] = Seq(
+    tIndexPostings, tSearchTopk, tSearchConjunctive, tPhraseSearch, tSearchIndexed)
+}

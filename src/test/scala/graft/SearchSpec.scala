@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Search
+import graft.tables.Tables
+
+/** Full-text retrieval: index-served ≡ corpus-scanned results, bucket
+  * pruning reaches the scan as a partition filter, conjunctive subset
+  * semantics, query normalization, and the pinned phrase-count
+  * semantics.
+  */
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private def docs = Tables.documents(spark, SparkTestSession.sf0001)
+
+  private def asTuples(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSeq.sortBy(_._4)
+
+  test("searchIndexed == searchTopK, and the read prunes to the query buckets") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_search_spec").toString + "/idx"
+    Search.writeIndex(docs, path)
+    val query = Seq("spark", "vector", "dup")
+
+    val scanned = asTuples(Search.searchTopK(docs, query, k = 10))
+    val served = Search.searchIndexed(spark, path, query, k = 10)
+    val servedRows = asTuples(served)
+    assert(servedRows === scanned && scanned.size === 10)
+
+    // the bucket set reached the postings scan as a partition filter:
+    // at most one bucket dir per query term was read (descend through
+    // the AQE wrapper — this plan has exchanges, so executedPlan is
+    // AdaptiveSparkPlanExec and a flat collect sees no scans)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scansOf)
+    }
+    val plan = served.queryExecution.executedPlan
+    val postingsScan = scansOf(plan).find(_.metadata.get("Location")
+      .exists(_.contains("postings"))).getOrElse(fail(s"no postings scan in\n$plan"))
+    val nParts = postingsScan.metrics.get("numPartitions")
+      .orElse(postingsScan.metrics.get("numFiles")).map(_.value)
+      .getOrElse(fail("no partition/file metric"))
+    assert(plan.toString.contains("PartitionFilters: [bucket"), plan.toString)
+    assert(nParts <= query.size.toLong,
+      s"read $nParts postings partitions for a ${query.size}-term query")
+  }
+
+  test("conjunctive hits are the all-terms subset of disjunctive hits") {
+    val query = Seq("spark", "join")
+    val dis = Search.searchTopK(docs, query, k = 1000)
+    val con = Search.searchConjunctive(docs, query, k = 1000)
+    val disAll = dis.filter(col("n_terms") === 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val conIds = con.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(conIds === disAll && conIds.nonEmpty)
+    assert(con.filter(col("n_terms") =!= 2).count() === 0L)
+  }
+
+  test("query normalization: tokenizer semantics, case/punct-insensitive, deduped") {
+    val a = asTuples(Search.searchTopK(docs, Seq("Spark, JOIN!"), k = 5))
+    val b = asTuples(Search.searchTopK(docs, Seq("spark", "join", "spark"), k = 5))
+    assert(a === b && a.nonEmpty)
+    assertThrows[IllegalArgumentException] {
+      Search.searchTopK(docs, Seq("!!!", ""), k = 5)
+    }
+  }
+
+  test("unknown terms: zero hits scanned; empty frame (same schema) served") {
+    assert(Search.searchTopK(docs, Seq("zzzznotaterm"), k = 5).count() === 0L)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_search_spec2").toString + "/idx"
+    Search.writeIndex(docs.limit(50), path)
+    val served = Search.searchIndexed(spark, path, Seq("zzzznotaterm"), k = 5)
+    assert(served.count() === 0L)
+    assert(served.columns.toSeq === Seq("doc_id", "n_terms", "score_ppb", "rank"))
+  }
+
+  test("phrase count semantics are pinned: non-overlapping, delimiter-consuming") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a"),      // "a b a" overlaps itself -> ONE consuming match
+      (2L, "x a b a y a b a"), // two disjoint occurrences
+      (3L, "a, B: a"),         // tokenizer normalizes case/punct -> "a b a"
+      (4L, null.asInstanceOf[String]),
+      (5L, "a b")              // partial -> no hit
+    ).toDF("doc_id", "text")
+    val got = Search.phraseSearch(d, "A  b;a").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("score is tf-weighted by linear idf: rarer term outranks commoner at equal tf") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "rare common"),
+      (2L, "common common common"), // tf 3 of the common term
+      (3L, "common"),
+      (4L, "common filler")
+    ).toDF("doc_id", "text")
+    // df(rare)=1 -> w 1e9; df(common)=4 -> w 25e7. doc1 = 1e9 + 25e7 wins
+    // over doc2's 3 * 25e7 = 75e7 despite fewer matched tokens.
+    val top = Search.searchTopK(d, Seq("rare", "common"), k = 2).collect()
+    assert(top.head.getLong(0) === 1L)
+    assert(top.head.getAs[Long]("score_ppb") === 1000000000L + 250000000L)
+    assert(top(1).getLong(0) === 2L)
+    assert(top(1).getAs[Long]("score_ppb") === 750000000L)
+  }
+}
