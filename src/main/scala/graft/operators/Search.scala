@@ -159,6 +159,110 @@ object Search {
     norm
   }
 
+  /** BM25-shaped scored retrieval (Robertson/Spärck Jones, k1=1.2,
+    * b=0.75) with the two properties that distinguish BM25 from plain
+    * tf·idf kept EXACT, and the one engine-hostile part substituted:
+    *
+    *  - tf SATURATION and LENGTH NORMALIZATION are computed exactly as
+    *    the rational  tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)). With
+    *    k1=6/5, b=3/4 and avgdl = T/N (T total tokens, N docs), the
+    *    term is  44·T·tf / (20·T·tf + 6·T + 18·dl·N) — integer
+    *    numerator/denominator, emitted in ppm via exact integral
+    *    division (DECIMAL/HUGEINT intermediates; `div` truncates and
+    *    all operands are positive, so Spark and DuckDB agree exactly).
+    *  - the log-idf factor is the same pinned linear-idf ppb weight as
+    *    [[searchTopK]] (10^9 div df) — log's last-ulp behavior differs
+    *    across libm builds and would hang the hash gate; the weight is
+    *    monotone in df, which is what the ranking consumes.
+    *
+    * Per-term contribution is bounded by 2.2e6·1e9 ≈ 2.2e15, so the
+    * BIGINT score is safe to ~4000 matched query terms per doc; the
+    * final cast is ANSI-checked on both engines — loud, never a wrap.
+    *
+    * Scale: dl rides along the SAME tokenize scan that extracts the
+    * candidate postings (size() before the explode — no second pass);
+    * (N, T) is one map-side-partial scalar agg broadcast via
+    * crossJoin; everything downstream is the searchTopK plan. */
+  def bm25TopK(docs: DataFrame, query: Seq[String], k: Int = 10): DataFrame = {
+    val terms = queryTerms(query)
+    val toks = docs.select(col("doc_id"),
+      tokens(coalesce(col("text"), lit(""))).as("__toks"))
+    val corpus = toks.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(col("__toks")).cast("long")), lit(0L)).as("total_tf"))
+    val tf = Dedup.track(toks
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist())
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    val scored = tf
+      .join(broadcast(withWeight(dfreq)), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("__num",
+        d("tf") * d("total_tf") * lit(44000000L).cast("decimal(38,0)"))
+      .withColumn("__den",
+        d("tf") * d("total_tf") * lit(20) + d("total_tf") * lit(6) +
+          d("dl") * d("n_docs") * lit(18))
+      // IntegralDivide on decimals: exact truncating division → BIGINT
+      // (never the rounded decimal `/`, whose scale-6 quotient could
+      // round up across the floor boundary)
+      .withColumn("tfsat_ppm", expr("__num div __den"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tfsat_ppm").cast("decimal(38,0)") * d("w_ppb"))
+          .cast("long").as("score"))
+    scored
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("n_terms"), col("score"), col("rank"))
+  }
+
+  /** Batch retrieval: MANY queries answered in one pass — the shape
+    * decontamination audits and eval harvesting need (a million probe
+    * queries against the corpus is a join, not a loop). `queries` is a
+    * DataFrame (query_id, query); each row is normalized by the pinned
+    * tokenizer into a DEDUPED term set (matching [[searchTopK]]'s
+    * per-query semantics), joined to the corpus postings on term, and
+    * scored per (query_id, doc). Per-query top-k is a rank over the
+    * (query_id)-partitioned window — Spark's WindowGroupLimit prunes to
+    * k rows per query BEFORE the final shuffle, so the plan never
+    * materializes full per-query rankings.
+    *
+    * df is corpus-global per term (computed over the matched postings —
+    * identical to searchTopK's, since a term's candidate set does not
+    * depend on which query asked). Output: (query_id, doc_id, n_terms,
+    * score_ppb, rank 1..k). */
+  def searchMany(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val qterms = queries
+      .select(col("query_id"),
+        explode(array_distinct(tokens(coalesce(col("query"), lit(""))))).as("term"))
+    val tf = Dedup.track(
+      postings(docs)
+        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+        .persist())
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib =
+      (col("tf").cast("decimal(38,0)") * col("w_ppb").cast("decimal(38,0)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppb").desc, col("doc_id").asc)
+    tf
+      .join(qterms, Seq("term"))
+      .join(broadcast(withWeight(dfreq)), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(contrib).cast("long").as("score_ppb"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        col("score_ppb"), col("rank"))
+  }
+
   // ===== Persisted term-bucketed index =====
 
   /** Number of term-hash buckets the persisted postings are partitioned

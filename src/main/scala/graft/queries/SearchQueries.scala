@@ -96,6 +96,72 @@ object SearchQueries {
     },
     oracle = Some(searchSql(Seq("merge", "hash", "scan"), 12, conjunctive = false)))
 
+  /** BM25-shaped ranking: exact rational tf-saturation + length
+    * normalization (HUGEINT // on the oracle side), linear-idf ppb
+    * weight — see Search.bm25TopK for the pinned-arithmetic contract. */
+  val tSearchBm25: Q = Q(
+    "t_search_bm25",
+    run = (s, dir) =>
+      Search.bm25TopK(Tables.documents(s, dir), Seq("spark", "vector", "dup"), k = 10),
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      corpus AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
+                   CAST(COALESCE(SUM(len(toks)), 0) AS HUGEINT) AS total_tf
+                 FROM toks),
+      t AS (SELECT doc_id, CAST(len(toks) AS HUGEINT) AS dl,
+              unnest(toks) AS term FROM toks),
+      tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS HUGEINT) AS tf FROM t
+             WHERE term IN ('spark', 'vector', 'dup') GROUP BY 1, 2, 3),
+      w AS (SELECT term, 1000000000 // CAST(COUNT(*) AS BIGINT) AS w_ppb
+            FROM tf GROUP BY 1),
+      s AS (SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+              CAST(SUM(
+                ((tf.tf * c.total_tf * 44000000)
+                  // (tf.tf * c.total_tf * 20 + c.total_tf * 6 + tf.dl * c.n_docs * 18))
+                * w.w_ppb) AS BIGINT) AS score
+            FROM tf JOIN w USING (term), corpus c GROUP BY 1),
+      r AS (SELECT doc_id, n_terms, score,
+              CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                AS BIGINT) AS rank
+            FROM s)
+      SELECT doc_id, n_terms, score, rank FROM r WHERE rank <= 10"""))
+
+  /** Batch retrieval: three queries answered in ONE pass, per-query
+    * top-k via the (query_id)-partitioned rank (WindowGroupLimit). */
+  val tSearchMulti: Q = Q(
+    "t_search_multi",
+    run = (s, dir) => {
+      val qs = s.createDataFrame(Seq(
+        (1L, "spark join"), (2L, "merge batch window"), (3L, "Dup, Vector!")))
+        .toDF("query_id", "query")
+      Search.searchMany(Tables.documents(s, dir), qs, k = 5)
+    },
+    oracle = Some(s"""
+      WITH queries(query_id, query) AS (VALUES
+        (1, 'spark join'), (2, 'merge batch window'), (3, 'Dup, Vector!')),
+      qt AS (SELECT query_id,
+               unnest(list_distinct(list_filter(
+                 regexp_split_to_array(lower(query), '[^a-z0-9]+'),
+                 x -> x <> ''))) AS term
+             FROM queries),
+      toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      t AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t
+             WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+      w AS (SELECT term, 1000000000 // CAST(COUNT(*) AS BIGINT) AS w_ppb
+            FROM tf GROUP BY 1),
+      s AS (SELECT qt.query_id, tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+              CAST(SUM(CAST(tf.tf AS HUGEINT) * w.w_ppb) AS BIGINT) AS score_ppb
+            FROM tf JOIN qt USING (term) JOIN w USING (term) GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id, n_terms, score_ppb,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score_ppb DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM s)
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_terms,
+             score_ppb, rank
+      FROM r WHERE rank <= 5"""))
+
   val all: Seq[Q] = Seq(
-    tIndexPostings, tSearchTopk, tSearchConjunctive, tPhraseSearch, tSearchIndexed)
+    tIndexPostings, tSearchTopk, tSearchConjunctive, tPhraseSearch,
+    tSearchIndexed, tSearchBm25, tSearchMulti)
 }

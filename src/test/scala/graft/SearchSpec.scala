@@ -96,6 +96,45 @@ class SearchSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("bm25: length normalization and tf saturation behave like BM25") {
+    import spark.implicits._
+    val filler = (1 to 50).map(i => s"filler$i").mkString(" ")
+    val d = Seq(
+      (1L, "hit hit"),                  // short doc, tf 2
+      (2L, s"hit hit $filler"),         // same tf, much longer -> lower score
+      (3L, ("hit " * 40).trim),          // tf 40: saturates, NOT 20x doc1
+      (4L, "other words only")
+    ).toDF("doc_id", "text")
+    val rows = Search.bm25TopK(d, Seq("hit"), k = 10).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("score")).toMap
+    assert(rows(1L) > rows(2L), s"length norm failed: $rows")
+    // saturation: doc3 has 20x doc1's tf but must score < 2x doc1
+    // (k1=1.2 caps the tf factor at k1+1 = 2.2)
+    assert(rows(3L) > rows(1L) && rows(3L) < 2L * rows(1L), s"saturation failed: $rows")
+    assert(!rows.contains(4L))
+    // tf factor is bounded by (k1+1) = 2.2e6 ppm times the idf weight
+    val wPpb = 1000000000L / 3 // df(hit)=3
+    assert(rows.values.forall(_ <= 2200000L * wPpb), s"unbounded: $rows")
+  }
+
+  test("searchMany == searchTopK per query, ranked inside each query") {
+    val qs = spark.createDataFrame(Seq(
+      (10L, "spark join"), (20L, "Merge; BATCH window")))
+      .toDF("query_id", "query")
+    val many = Search.searchMany(docs, qs, k = 7)
+    for ((qid, q) <- Seq((10L, Seq("spark", "join")),
+        (20L, Seq("merge", "batch", "window")))) {
+      val got = many.filter(col("query_id") === qid)
+        .select("doc_id", "n_terms", "score_ppb", "rank")
+      val want = Search.searchTopK(docs, q, k = 7)
+      assert(asTuples(got) === asTuples(want), s"query $qid diverged")
+    }
+    // the per-query rank<=k filter is pushed into the window as a group
+    // limit (no full per-query ranking is materialized)
+    val plan = many.queryExecution.optimizedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("score is tf-weighted by linear idf: rarer term outranks commoner at equal tf") {
     import spark.implicits._
     val d = Seq(
