@@ -263,6 +263,72 @@ object Search {
         col("score_ppb"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) over any number
+    * of ranked lists: each list contributes `10^9 div (c + rank)` per
+    * doc and the fused score is the sum — rank-only, so lists with
+    * incomparable score scales (keyword ppb vs cosine) fuse soundly.
+    * Integer-exact on both engines; c=60 is the published default.
+    * Inputs need only (doc_id, rank); a doc absent from a list simply
+    * contributes nothing. Ties in the fused k-cut break by doc_id. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(c >= 0, s"rrf constant must be non-negative, got $c")
+    val u = rankings
+      .map(_.select(col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
+    u.withColumn("__w", expr(s"CAST(1000000000 AS BIGINT) div ($c + rank)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("__w")).cast("long").as("rrf_ppb"))
+      .orderBy(col("rrf_ppb").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("rrf_ppb").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("n_lists"), col("rrf_ppb"), col("rank"))
+  }
+
+  /** Hybrid retrieval: the keyword ranking ([[searchTopK]]) fused with
+    * a vector ranking (brute-force cosine here — the exact baseline;
+    * swap in Ivf.topK postings for the 100 TB path, the fusion only
+    * sees (doc_id, rank)) by reciprocal-rank fusion. `queryVec` is ONE
+    * query row (vec_id, embedding) in the documents' id space; the
+    * query's own doc is excluded on the vector side (bruteForceTopK's
+    * self-exclusion) but may surface via keywords. */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, query: Seq[String],
+      queryVec: DataFrame, k: Int = 10, kCand: Int = 20): DataFrame =
+    rrfFuse(Seq(
+      searchTopK(docs, query, kCand).select(col("doc_id"), col("rank")),
+      Similarity.bruteForceTopK(emb, queryVec, kCand)
+        .select(col("vec_id").as("doc_id"), col("rk").as("rank"))), k)
+
+  /** "More like this": retrieve the docs most similar to a seed doc by
+    * its own dominant terms. The seed profile is the doc's top-`nTerms`
+    * tokens by in-doc tf (tie: term asc) — one tiny single-doc agg, no
+    * corpus pass; those terms then run the standard scored search. df
+    * is corpus-global (seed included); the seed doc itself is excluded
+    * from the results. */
+  def moreLikeThis(docs: DataFrame, docId: Long, nTerms: Int = 5,
+      k: Int = 10): DataFrame = {
+    val seed = docs.filter(col("doc_id") === docId)
+      .select(explode(tokens(coalesce(col("text"), lit("")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("tf").desc, col("term").asc)))
+      .filter(col("rn") <= nTerms)
+      .select(col("term"))
+    val tfAll = Dedup.track(
+      docs.select(col("doc_id"),
+          explode(tokens(coalesce(col("text"), lit("")))).as("term"))
+        .join(broadcast(seed), Seq("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .persist())
+    scoreTopK(
+      tfAll.filter(col("doc_id") =!= docId),
+      tfAll.groupBy(col("term")).agg(count(lit(1)).as("df")), k)
+  }
+
   // ===== Persisted term-bucketed index =====
 
   /** Number of term-hash buckets the persisted postings are partitioned

@@ -161,7 +161,85 @@ object SearchQueries {
              score_ppb, rank
       FROM r WHERE rank <= 5"""))
 
+  /** Hybrid keyword+vector retrieval fused by reciprocal rank (RRF,
+    * c=60, integer ppb): keyword candidates from the scored search,
+    * vector candidates from brute-force cosine (the exact baseline —
+    * the fusion consumes only (doc_id, rank), so the IVF path drops in
+    * unchanged), query = doc 0's embedding + a term set. */
+  val tSearchHybrid: Q = Q(
+    "t_search_hybrid",
+    run = (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Search.hybridTopK(Tables.documents(s, dir), emb,
+        Seq("spark", "vector", "dup"), emb.filter(col("vec_id") === 0L),
+        k = 10, kCand = 20)
+    },
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      t AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t
+             WHERE term IN ('spark', 'vector', 'dup') GROUP BY 1, 2),
+      w AS (SELECT term, 1000000000 // CAST(COUNT(*) AS BIGINT) AS w_ppb
+            FROM tf GROUP BY 1),
+      s AS (SELECT tf.doc_id, CAST(SUM(CAST(tf.tf AS HUGEINT) * w.w_ppb) AS BIGINT)
+              AS score_ppb
+            FROM tf JOIN w USING (term) GROUP BY 1),
+      kwr AS (SELECT doc_id, rank FROM (
+                SELECT doc_id,
+                  CAST(ROW_NUMBER() OVER (ORDER BY score_ppb DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+                FROM s) WHERE rank <= 20),
+      v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id = 0),
+      sims AS (
+        SELECT v.vec_id,
+          list_sum([qe[i+1]*e[i+1] for i in range(0, 64)]) /
+            (sqrt(list_sum([qe[i+1]*qe[i+1] for i in range(0, 64)]))
+             * sqrt(list_sum([e[i+1]*e[i+1] for i in range(0, 64)]))) AS sim
+        FROM q, v WHERE q.qid <> v.vec_id),
+      vecr AS (SELECT vec_id AS doc_id, rank FROM (
+                 SELECT vec_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY round(sim, 6) DESC, vec_id)
+                     AS BIGINT) AS rank
+                 FROM sims) WHERE rank <= 20),
+      u AS (SELECT * FROM kwr UNION ALL SELECT * FROM vecr),
+      f AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+              CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_ppb
+            FROM u GROUP BY 1),
+      fr AS (SELECT doc_id, n_lists, rrf_ppb,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf_ppb DESC, doc_id ASC)
+                 AS BIGINT) AS rank
+             FROM f)
+      SELECT doc_id, n_lists, rrf_ppb, rank FROM fr WHERE rank <= 10"""))
+
+  /** "More like this" doc 0: seed profile = its top-4 in-doc terms
+    * (tf desc, term asc), then the standard scored search with
+    * corpus-global df, seed excluded from results. */
+  val tSearchMoreLike: Q = Q(
+    "t_search_more_like",
+    run = (s, dir) =>
+      Search.moreLikeThis(Tables.documents(s, dir), docId = 0L, nTerms = 4, k = 8),
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      t AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+      seed AS (SELECT term FROM (
+                 SELECT term, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term ASC) AS rn
+                 FROM t WHERE doc_id = 0 GROUP BY term) WHERE rn <= 4),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t
+             WHERE term IN (SELECT term FROM seed) GROUP BY 1, 2),
+      w AS (SELECT term, 1000000000 // CAST(COUNT(*) AS BIGINT) AS w_ppb
+            FROM tf GROUP BY 1),
+      s AS (SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+              CAST(SUM(CAST(tf.tf AS HUGEINT) * w.w_ppb) AS BIGINT) AS score_ppb
+            FROM tf JOIN w USING (term) WHERE tf.doc_id <> 0 GROUP BY 1),
+      r AS (SELECT doc_id, n_terms, score_ppb,
+              CAST(ROW_NUMBER() OVER (ORDER BY score_ppb DESC, doc_id ASC)
+                AS BIGINT) AS rank
+            FROM s)
+      SELECT doc_id, n_terms, score_ppb, rank FROM r WHERE rank <= 8"""))
+
   val all: Seq[Q] = Seq(
+    tSearchHybrid, tSearchMoreLike,
     tIndexPostings, tSearchTopk, tSearchConjunctive, tPhraseSearch,
     tSearchIndexed, tSearchBm25, tSearchMulti)
 }

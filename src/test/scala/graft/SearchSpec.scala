@@ -135,6 +135,50 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("rrfFuse: hand-checked integer RRF; absent-from-list contributes nothing") {
+    import spark.implicits._
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val got = Search.rrfFuse(Seq(a, b), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 1e9 div 61 = 16393442, div 62 = 16129032
+    assert(got.toSeq === Seq(
+      (2L, 2L, 16393442L + 16129032L, 1L),
+      (1L, 1L, 16393442L, 2L),
+      (3L, 1L, 16129032L, 3L)))
+  }
+
+  test("hybridTopK == rrfFuse of its keyword and vector components") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sf0001)
+    val qv = emb.filter(col("vec_id") === 0L)
+    val query = Seq("spark", "vector", "dup")
+    val hybrid = asTuples(Search.hybridTopK(docs, emb, query, qv, k = 10, kCand = 20)
+      .select("doc_id", "n_lists", "rrf_ppb", "rank"))
+    val composed = asTuples(Search.rrfFuse(Seq(
+      Search.searchTopK(docs, query, 20).select(col("doc_id"), col("rank")),
+      graft.operators.Similarity.bruteForceTopK(emb, qv, 20)
+        .select(col("vec_id").as("doc_id"), col("rk").as("rank"))), k = 10)
+      .select("doc_id", "n_lists", "rrf_ppb", "rank"))
+    assert(hybrid === composed && hybrid.size === 10)
+  }
+
+  test("moreLikeThis: seed excluded, hits share seed terms, profile is top-tf") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "apple apple apple banana banana cherry zebra"),
+      (1L, "apple banana pear"),   // 2 seed terms
+      (2L, "cherry plum"),          // 1 seed term (cherry in profile at n=3)
+      (3L, "zebra only here"),      // zebra NOT in top-3 profile
+      (4L, "plum pear quince")      // no seed terms
+    ).toDF("doc_id", "text")
+    // profile nTerms=3: apple(3), banana(2), cherry(1) — zebra(1) loses the
+    // tie to cherry on term asc
+    val got = Search.moreLikeThis(d, docId = 0L, nTerms = 3, k = 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_terms"))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === 2L && got(2L) === 1L)
+  }
+
   test("score is tf-weighted by linear idf: rarer term outranks commoner at equal tf") {
     import spark.implicits._
     val d = Seq(
