@@ -339,4 +339,82 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
   }
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    * diversified top-k — greedily pick the candidate maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked, so the
+    * result set trades raw nearness for coverage (the diversity knob
+    * retrieval-augmented sampling and eval-set construction need; a
+    * plain top-k returns k near-duplicates of each other).
+    *
+    * Engine-parity arithmetic: λ is an integer percent `lambdaPct` in
+    * [1,100]; relevance and pairwise similarity enter as FLOOR(cos·10^6)
+    * micros, and the selection score is the BIGINT
+    * `lambdaPct·rel_u − (100−lambdaPct)·maxsim_u` — the same argmax as
+    * the real-valued MMR (positive scale factor), with no float
+    * comparison anywhere in the greedy. Ties break by vec_id.
+    *
+    * Scale: candidates are the top-`kCand` of the exact baseline (swap
+    * in the IVF/LSH candidate frame for huge corpora — the greedy only
+    * needs (vec_id, rel_u, e)); the greedy runs PER QUERY GROUP over a
+    * bounded kCand-sized list after ONE qid-keyed shuffle
+    * (flatMapGroups) — k·kCand² integer work per query, never a
+    * driver loop, never a cross-query barrier. */
+  def mmrTopK(vectors: DataFrame, queries: DataFrame, k: Int = 10,
+      kCand: Int = 50, lambdaPct: Int = 50): DataFrame = {
+    require(k >= 1 && kCand >= k, s"need kCand >= k >= 1, got k=$k kCand=$kCand")
+    require(lambdaPct >= 1 && lambdaPct <= 100,
+      s"lambdaPct must be in [1,100], got $lambdaPct")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cand = bruteForceTopK(vectors, queries, kCand)
+      .join(vectors.select(col("vec_id"), toDouble(col("embedding")).as("e")),
+        Seq("vec_id"))
+      .select(col("qid").cast("long").as("qid"), col("vec_id").cast("long").as("vec_id"),
+        floor(col("sim") * lit(1000000.0d)).cast("long").as("rel_u"), col("e"))
+      .as[MmrCand]
+    cand.groupByKey(_.qid)
+      .flatMapGroups((qid, it) => mmrGreedy(qid, it.toSeq, k, lambdaPct))
+      .toDF()
+  }
+
+  private[graft] case class MmrCand(qid: Long, vec_id: Long, rel_u: Long, e: Seq[Double])
+  private[graft] case class MmrHit(qid: Long, vec_id: Long, score_u: Long, rank: Long)
+
+  /** Sequential-sum cosine in micros — floor(cos·10^6), matching the
+    * oracle's floor(list_sum(...)/(sqrt·sqrt)·10^6) term for term. */
+  private def simU(a: Seq[Double], b: Seq[Double]): Long = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0d).toLong
+  }
+
+  private def mmrGreedy(qid: Long, cands: Seq[MmrCand], k: Int,
+      lp: Int): Seq[MmrHit] = {
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    val selVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[MmrHit]
+    var rank = 1L
+    while (rank <= k && remaining.nonEmpty) {
+      var bestIdx = -1; var bestScore = Long.MinValue; var bestId = Long.MaxValue
+      var i = 0
+      while (i < remaining.length) {
+        val c = remaining(i)
+        val maxSim = if (selVecs.isEmpty) 0L else selVecs.map(simU(c.e, _)).max
+        val score = lp.toLong * c.rel_u - (100L - lp) * maxSim
+        if (score > bestScore || (score == bestScore && c.vec_id < bestId)) {
+          bestScore = score; bestId = c.vec_id; bestIdx = i
+        }
+        i += 1
+      }
+      val picked = remaining.remove(bestIdx)
+      selVecs += picked.e
+      out += MmrHit(qid, picked.vec_id, bestScore, rank)
+      rank += 1
+    }
+    out.toSeq
+  }
 }

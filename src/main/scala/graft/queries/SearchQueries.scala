@@ -238,8 +238,62 @@ object SearchQueries {
             FROM s)
       SELECT doc_id, n_terms, score_ppb, rank FROM r WHERE rank <= 8"""))
 
+  private def cosSql(a: String, b: String): String =
+    s"(list_sum([$a.e[i+1]*$b.e[i+1] for i in range(0, 64)]) / " +
+      s"(sqrt(list_sum([$a.e[i+1]*$a.e[i+1] for i in range(0, 64)])) * " +
+      s"sqrt(list_sum([$b.e[i+1]*$b.e[i+1] for i in range(0, 64)]))))"
+
+  private def flMicros(e: String): String = s"CAST(floor($e * 1000000) AS BIGINT)"
+
+  /** MMR-diversified top-3 (λ=70%, 10 candidates, 2 queries): the greedy
+    * unrolled to three argmax CTE levels — selection scores are the
+    * exact BIGINT 70·rel_u − 30·maxsim_u the Spark greedy computes. */
+  val tAnnMmr: Q = Q(
+    "t_ann_mmr",
+    run = (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 2),
+        k = 3, kCand = 10, lambdaPct = 70)
+    },
+    oracle = Some(s"""
+      WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 2),
+      sims AS (SELECT q.qid, v.vec_id,
+          list_sum([qe[i+1]*e[i+1] for i in range(0, 64)]) /
+            (sqrt(list_sum([qe[i+1]*qe[i+1] for i in range(0, 64)]))
+             * sqrt(list_sum([e[i+1]*e[i+1] for i in range(0, 64)]))) AS sim,
+          v.e
+        FROM q, v WHERE q.qid <> v.vec_id),
+      cand AS (SELECT qid, vec_id,
+          CAST(floor(round(sim, 6) * 1000000) AS BIGINT) AS rel_u, e
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY round(sim, 6) DESC, vec_id) AS rk FROM sims)
+        WHERE rk <= 10),
+      s1 AS (SELECT qid, vec_id, e, 70 * rel_u AS score_u FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY rel_u DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
+      m2 AS (SELECT c.qid, c.vec_id, c.e,
+          70 * c.rel_u - 30 * ${flMicros(cosSql("c", "s1"))} AS score_u
+        FROM cand c JOIN s1 ON c.qid = s1.qid AND c.vec_id <> s1.vec_id),
+      s2 AS (SELECT qid, vec_id, e, score_u FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY score_u DESC, vec_id) AS rn FROM m2) WHERE rn = 1),
+      m3 AS (SELECT c.qid, c.vec_id,
+          70 * c.rel_u - 30 * greatest(${flMicros(cosSql("c", "s1"))},
+            ${flMicros(cosSql("c", "s2"))}) AS score_u
+        FROM cand c
+        JOIN s1 ON c.qid = s1.qid JOIN s2 ON c.qid = s2.qid
+        WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id),
+      s3 AS (SELECT qid, vec_id, score_u FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY score_u DESC, vec_id) AS rn FROM m3) WHERE rn = 1)
+      SELECT qid, vec_id, score_u, CAST(1 AS BIGINT) AS rank FROM s1
+      UNION ALL SELECT qid, vec_id, score_u, CAST(2 AS BIGINT) FROM s2
+      UNION ALL SELECT qid, vec_id, score_u, CAST(3 AS BIGINT) FROM s3"""))
+
   val all: Seq[Q] = Seq(
-    tSearchHybrid, tSearchMoreLike,
+    tSearchHybrid, tSearchMoreLike, tAnnMmr,
     tIndexPostings, tSearchTopk, tSearchConjunctive, tPhraseSearch,
     tSearchIndexed, tSearchBm25, tSearchMulti)
 }

@@ -179,6 +179,29 @@ class SearchSpec extends AnyFunSuite {
     assert(got(1L) === 2L && got(2L) === 1L)
   }
 
+  test("mmrTopK diversifies: near-duplicate of pick 1 loses to a farther candidate") {
+    import spark.implicits._
+    // query [0.9, 0.436]; candidates: a=[1,0] (rel ~0.90, picked first),
+    // its near-dup b (rel ~0.85, sim-to-a ~0.995), orthogonal c=[0,1]
+    // (rel ~0.44, sim-to-a 0). Plain top-2 = {a, b}; MMR at λ=50 must
+    // pick c second: 50·852k − 50·995k < 0 < 50·436k.
+    // (The query must NOT equal a: for q == a every candidate has
+    // rel == sim-to-a and λ=50 scores all collapse to zero.)
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.995, -0.0998)), (3L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((100L, Seq(0.9, 0.436))).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .mmrTopK(vecs, qs, k = 2, kCand = 3, lambdaPct = 50)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 1L), (3L, 2L)), got.toSeq)
+    // and at λ=100 MMR degenerates to plain relevance order
+    val pure = graft.operators.Similarity
+      .mmrTopK(vecs, qs, k = 2, kCand = 3, lambdaPct = 100)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(pure.toSeq === Seq((1L, 1L), (2L, 2L)), pure.toSeq)
+  }
+
   test("score is tf-weighted by linear idf: rarer term outranks commoner at equal tf") {
     import spark.implicits._
     val d = Seq(
