@@ -292,8 +292,74 @@ object SearchQueries {
       UNION ALL SELECT qid, vec_id, score_u, CAST(2 AS BIGINT) FROM s2
       UNION ALL SELECT qid, vec_id, score_u, CAST(3 AS BIGINT) FROM s3"""))
 
+  /** Retrieval scorecard for truncated-dimension search: gold = graded
+    * exact top-10 over all 64 dims (rel 3/2/1 by rank band), system =
+    * exact top-10 over the FIRST 16 dims only — the "can I serve 4×
+    * cheaper vectors" question. recall/MRR/nDCG in exact integer ppm;
+    * the nDCG discount table is interpolated verbatim into this SQL
+    * from [[graft.operators.Eval.discountTablePpm]] so neither engine's
+    * log2 enters the compare. */
+  val tRetrievalEval: Q = {
+    val w = graft.operators.Eval.discountTablePpm(10)
+    val wList = s"[${w.mkString(", ")}]"
+    Q(
+      "t_retrieval_eval",
+      run = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val gold = graft.operators.Similarity
+          .bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 10)
+          .select(col("qid"), col("vec_id"),
+            when(col("rk") <= 3, 3L).when(col("rk") <= 6, 2L).otherwise(1L).as("rel"))
+        val trunc = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+        val sys = graft.operators.Similarity
+          .bruteForceTopK(trunc, trunc.filter(col("vec_id") < 8), 10)
+          .select(col("qid"), col("vec_id"), col("rk").as("rank"))
+        graft.operators.Eval.retrievalMetrics(sys, gold, k = 10)
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 8),
+        gsim AS (SELECT q.qid, v.vec_id,
+            round(list_sum([qe[i+1]*e[i+1] for i in range(0, 64)]) /
+              (sqrt(list_sum([qe[i+1]*qe[i+1] for i in range(0, 64)]))
+               * sqrt(list_sum([e[i+1]*e[i+1] for i in range(0, 64)]))), 6) AS sim
+          FROM q, v WHERE q.qid <> v.vec_id),
+        gold AS (SELECT qid, vec_id,
+            CASE WHEN rk <= 3 THEN 3 WHEN rk <= 6 THEN 2 ELSE 1 END AS rel
+          FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY sim DESC, vec_id) AS rk FROM gsim)
+          WHERE rk <= 10),
+        tsim AS (SELECT q.qid, v.vec_id,
+            round(list_sum([qe[i+1]*e[i+1] for i in range(0, 16)]) /
+              (sqrt(list_sum([qe[i+1]*qe[i+1] for i in range(0, 16)]))
+               * sqrt(list_sum([e[i+1]*e[i+1] for i in range(0, 16)]))), 6) AS sim
+          FROM q, v WHERE q.qid <> v.vec_id),
+        sys AS (SELECT qid, vec_id, rk AS rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY sim DESC, vec_id) AS rk FROM tsim)
+          WHERE rk <= 10),
+        got AS (SELECT s.qid, CAST(COUNT(*) AS BIGINT) AS hits,
+            MIN(s.rank) AS first_rel_rank,
+            CAST(SUM(((1 << g.rel) - 1) * $wList[s.rank]) AS BIGINT) AS dcg
+          FROM sys s JOIN gold g ON s.qid = g.qid AND s.vec_id = g.vec_id
+          GROUP BY 1),
+        ideal AS (SELECT qid,
+            CAST(SUM(((1 << rel) - 1) * $wList[irk]) AS BIGINT) AS idcg
+          FROM (SELECT qid, rel, row_number() OVER (PARTITION BY qid
+                  ORDER BY rel DESC, vec_id) AS irk FROM gold) z
+          WHERE irk <= 10 GROUP BY 1),
+        nr AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM gold GROUP BY 1)
+        SELECT nr.qid, nr.n_rel,
+          CAST(coalesce(got.hits, 0) AS BIGINT) AS hits,
+          CAST((1000000 * coalesce(got.hits, 0)) // nr.n_rel AS BIGINT) AS recall_ppm,
+          CAST(coalesce(1000000 // got.first_rel_rank, 0) AS BIGINT) AS mrr_ppm,
+          CAST((1000000 * coalesce(got.dcg, 0)) // ideal.idcg AS BIGINT) AS ndcg_ppm
+        FROM nr JOIN ideal USING (qid) LEFT JOIN got USING (qid)"""))
+  }
+
   val all: Seq[Q] = Seq(
-    tSearchHybrid, tSearchMoreLike, tAnnMmr,
+    tSearchHybrid, tSearchMoreLike, tAnnMmr, tRetrievalEval,
     tIndexPostings, tSearchTopk, tSearchConjunctive, tPhraseSearch,
     tSearchIndexed, tSearchBm25, tSearchMulti)
 }

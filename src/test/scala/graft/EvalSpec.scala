@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Eval
+
+/** Retrieval-metrics semantics on hand-built rankings: exact ppm values
+  * from first principles, the judged-but-unretrieved query keeps a zero
+  * row, unjudged results are ignored, and a perfect system scores 10^6
+  * on every metric.
+  */
+class EvalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def metrics(results: Seq[(Long, Long, Long)],
+      qrels: Seq[(Long, Long, Long)], k: Int) = {
+    import spark.implicits._
+    Eval.retrievalMetrics(
+      results.toDF("qid", "vec_id", "rank"),
+      qrels.toDF("qid", "vec_id", "rel"), k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+  }
+
+  test("known ranking scores the hand-computed ppm values") {
+    // qrels q1: a=rel3, b=rel1, c=rel2; system returns [b, x(unjudged), c]
+    val m = metrics(
+      results = Seq((1L, 20L, 1L), (1L, 99L, 2L), (1L, 30L, 3L)),
+      qrels = Seq((1L, 10L, 3L), (1L, 20L, 1L), (1L, 30L, 2L)),
+      k = 3)
+    val w = Eval.discountTablePpm(3) // 1000000, 630929, 500000
+    assert(w === Seq(1000000L, 630929L, 500000L))
+    val dcg = 1L * w(0) + 3L * w(2) // b(gain 1)@1 + c(gain 3)@3
+    val idcg = 7L * w(0) + 3L * w(1) + 1L * w(2) // ideal: a, c, b
+    val (nRel, hits, recall, mrr, ndcg) = m(1L)
+    assert((nRel, hits) === (3L, 2L))
+    assert(recall === 1000000L * 2 / 3) // 666666
+    assert(mrr === 1000000L) // first relevant at rank 1
+    assert(ndcg === 1000000L * dcg / idcg)
+  }
+
+  test("judged query with no retrieved relevant scores zeros, not absence") {
+    val m = metrics(
+      results = Seq((1L, 99L, 1L)), // only an unjudged doc
+      qrels = Seq((1L, 10L, 2L), (2L, 10L, 1L)), // q2 has NO results at all
+      k = 5)
+    assert(m(1L) === ((1L, 0L, 0L, 0L, 0L)))
+    assert(m(2L) === ((1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("perfect system scores 10^6 everywhere; ranks beyond k are ignored") {
+    val m = metrics(
+      // gold order exactly, plus a relevant doc at rank 4 > k
+      results = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L), (1L, 40L, 4L)),
+      qrels = Seq((1L, 10L, 3L), (1L, 20L, 2L), (1L, 30L, 1L), (1L, 40L, 1L)),
+      k = 3)
+    val (nRel, hits, recall, mrr, ndcg) = m(1L)
+    assert((nRel, hits) === (4L, 3L))
+    assert(recall === 750000L)
+    assert(mrr === 1000000L)
+    assert(ndcg === 1000000L) // realized order == ideal order at k=3
+  }
+
+  test("rel=0 judgments are non-relevant: excluded from n_rel, hits, and ideal") {
+    val m = metrics(
+      results = Seq((1L, 10L, 1L), (1L, 20L, 2L)),
+      qrels = Seq((1L, 10L, 0L), (1L, 20L, 2L)),
+      k = 2)
+    val w = Eval.discountTablePpm(2)
+    val (nRel, hits, recall, mrr, ndcg) = m(1L)
+    assert((nRel, hits) === (1L, 1L))
+    assert(recall === 1000000L)
+    assert(mrr === 500000L) // first relevant at rank 2
+    assert(ndcg === 1000000L * (3L * w(1)) / (3L * w(0)))
+  }
+}
