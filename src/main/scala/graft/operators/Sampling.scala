@@ -55,6 +55,29 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-safe split: assign whole NEAR-DUPLICATE CLUSTERS to one
+    * split, so no near-duplicate pair straddles train/test (per-doc
+    * hashing leaks — a test doc's near-twin in train inflates eval; the
+    * standard contamination path exact dedup can't close). `clusters` is
+    * (doc_id, cluster) from any dedup family ([[Dedup.duplicateClusters]]
+    * over MinHash/SimHash/embedding pairs); unclustered docs (left-join
+    * miss) key by their own doc_id. The split hash runs on the GROUP key,
+    * so every member inherits the same assignment by construction, and
+    * adding new members to a cluster never moves the cluster.
+    *
+    * Scale: one doc_id-keyed left join against the (much smaller)
+    * cluster table, then the same scan-speed hash projection as
+    * [[assignSplits]] — the cluster table is the output of the already-
+    * bucketed dedup pipeline, so nothing here adds a corpus shuffle. */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val keyed = docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster")), Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("cluster"), col("doc_id")))
+    assignSplits(keyed, col("group_key"), splits)
+      .select(col("doc_id"), col("group_key"), col("split"))
+  }
+
   /** Deterministic Bernoulli sample at `rate`: keep rows whose seeded
     * bucket falls under rate·10000. The seed participates in the hash so
     * independent samples of the same corpus don't select nested subsets. */

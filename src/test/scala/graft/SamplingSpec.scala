@@ -26,6 +26,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(half.forall { case (id, s) => full(id) == s })
   }
 
+  test("leakageSafeSplit: clusters never straddle splits; unclustered match per-doc carve") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs)
+    val clusters = graft.operators.Dedup.duplicateClusters(pairs).persist()
+    assert(clusters.count() > 0) // fixture must actually exercise the join
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val got = Sampling.leakageSafeSplit(docs, clusters, splits).persist()
+    assert(got.count() === docs.count()) // exhaustive, one row per doc
+    // every near-dup PAIR lands in one split — the leakage contract
+    val straddle = pairs
+      .join(got.select(col("doc_id").as("doc_a"), col("split").as("s_a")), Seq("doc_a"))
+      .join(got.select(col("doc_id").as("doc_b"), col("split").as("s_b")), Seq("doc_b"))
+      .filter(col("s_a") =!= col("s_b")).count()
+    assert(straddle === 0L)
+    // docs outside any cluster carve exactly as the per-doc assignment
+    val loneDocs = docs.join(clusters, Seq("doc_id"), "left_anti")
+    val lone = got.join(clusters, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = Sampling.assignSplits(loneDocs.select(col("doc_id")), col("doc_id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lone === perDoc)
+    got.unpersist(blocking = false); clusters.unpersist(blocking = false)
+  }
+
   test("assignSplits rejects weights that do not sum to 1") {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     intercept[IllegalArgumentException] {
