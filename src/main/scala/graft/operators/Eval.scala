@@ -79,4 +79,80 @@ object Eval {
         coalesce(expr("1000000 div first_rel_rank"), lit(0L)).as("mrr_ppm"),
         expr("(1000000 * coalesce(dcg, 0L)) div idcg").as("ndcg_ppm"))
   }
+
+  /** Per-class precision/recall/F1 of predicted vs gold labels — the
+    * audit frame for every labeler in the pipeline (language-ID, quality
+    * classifier, any router): one row per label seen on EITHER side, so
+    * a class the model never predicts (recall hole) and a label the
+    * model hallucinates (precision hole) both surface instead of
+    * vanishing from the report. Exact integer ppm; f1_ppm is the
+    * harmonic mean OF THE ROUNDED ppm values (deterministic across
+    * engines — a real-valued F1 would put both engines' float division
+    * in the compare). Zero denominators score 0, loudly present.
+    *
+    * Scale: two label-keyed partial aggs + one tp agg over the matched
+    * rows, joined on the (bounded) label space — the corpus is scanned
+    * once, map-side combined; nothing shuffles but label counts. */
+  def classificationMetrics(labeled: DataFrame, pred: Column, gold: Column): DataFrame = {
+    val base = labeled.select(pred.cast("string").as("p"), gold.cast("string").as("g"))
+    val predC = base.groupBy(col("p").as("label")).agg(count(lit(1)).as("n_pred"))
+    val goldC = base.groupBy(col("g").as("label")).agg(count(lit(1)).as("n_gold"))
+    val tpC = base.filter(col("p") === col("g"))
+      .groupBy(col("p").as("label")).agg(count(lit(1)).as("tp"))
+    predC.join(goldC, Seq("label"), "full")
+      .join(tpC, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_ppm",
+        when(col("n_pred") > 0, expr("(1000000 * tp) div n_pred")).otherwise(0L))
+      .withColumn("recall_ppm",
+        when(col("n_gold") > 0, expr("(1000000 * tp) div n_gold")).otherwise(0L))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm") + col("recall_ppm") > 0,
+          expr("(2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm)"))
+          .otherwise(0L))
+  }
+
+  /** Inter-labeler agreement (Cohen's kappa): observed agreement
+    * corrected for the agreement two independent labelers with these
+    * marginals would reach by chance — the number that tells a labeling
+    * pipeline whether two annotators (or a model and a human, or two
+    * model versions) actually agree or just share a majority class.
+    * One row: (n, agree, po_ppm, pe_ppm, kappa_ppm).
+    *
+    * Engine parity: po/pe in exact ppm; pe's Σ n_a·n_b / n² runs in
+    * DECIMAL(38,0) (n² overflows BIGINT beyond ~3·10^9 rows) with the
+    * exact floor-div `(x − x mod d) / d` — subtracting the remainder
+    * first makes the decimal quotient an exact integer, so no engine's
+    * rounding mode enters. kappa's numerator can be negative:
+    * truncation toward zero is forced on both engines by dividing
+    * |po−pe| and reapplying the sign (DuckDB's `//` floors negatives,
+    * Spark's `div` truncates — the sign split removes the divergence).
+    * Degenerate pe = 10^6 (both sides constant) reports kappa 0.
+    *
+    * Scale: one (a,b)-keyed count agg over the corpus (map-side
+    * combined, label²-bounded result), then driver-sized joins. */
+  def agreement(labeled: DataFrame, a: Column, b: Column): DataFrame = {
+    val counts = labeled.select(a.cast("string").as("a"), b.cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("agree"))
+    val sp = counts.groupBy(col("a")).agg(sum(col("c")).as("na"))
+      .join(counts.groupBy(col("b")).agg(sum(col("c")).as("nb")),
+        col("a") === col("b"))
+      .agg(coalesce(sum(col("na").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("sp"))
+    tot.crossJoin(sp)
+      .withColumn("po_ppm", expr("(1000000 * agree) div n"))
+      .withColumn("pe_ppm",
+        expr("""CAST((1000000 * sp - (1000000 * sp) % (CAST(n AS DECIMAL(38,0)) * n))
+                     / (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""))
+      .withColumn("kappa_ppm",
+        when(col("pe_ppm") === 1000000L, lit(0L)).otherwise(
+          signum(col("po_ppm") - col("pe_ppm")).cast("long") *
+            expr("(1000000 * abs(po_ppm - pe_ppm)) div (1000000 - pe_ppm)")))
+      .select(col("n"), col("agree"), col("po_ppm"), col("pe_ppm"), col("kappa_ppm"))
+  }
 }

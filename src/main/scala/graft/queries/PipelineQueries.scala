@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
-import graft.operators.{Dedup, Ivf, Layout, Multimodal, Pq, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Eval, Ivf, Layout, Multimodal, Pq, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over `documents`/`embeddings`:
   * dedup (exact / MinHash+LSH / SimHash), ANN similarity search, and text
@@ -476,7 +476,13 @@ object PipelineQueries {
     },
     oracle = Some(clustersClosureSql))
 
-  private lazy val clustersClosureSql: String = s"""
+  private lazy val clustersClosureSql: String = clustersClosureCtes + """
+      SELECT doc_id, MIN(root) AS cluster FROM reach GROUP BY doc_id"""
+
+  /** The CTE chain of [[clustersClosureSql]] up through `reach`, so
+    * entries composing ON TOP of the duplicate clusters (leakage-safe
+    * split) share the one recursive-closure definition. */
+  private lazy val clustersClosureCtes: String = s"""
       WITH RECURSIVE toks AS (
         SELECT doc_id, $TOKS AS toks FROM documents),
       sh AS (
@@ -514,8 +520,7 @@ object PipelineQueries {
       reach(doc_id, root) AS (
         SELECT src, src FROM edges
         UNION
-        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id)
-      SELECT doc_id, MIN(root) AS cluster FROM reach GROUP BY doc_id"""
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id)"""
 
   /** Scale path for t_dedup_embedding: banded hyperplane-LSH candidates +
     * exact re-score. Same oracle as the exact O(N²) form — the hash match
@@ -641,27 +646,36 @@ object PipelineQueries {
       FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id
       GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
 
-  /** Stopword-lexicon language ID. */
-  val tLangId: Q = Q(
-    "t_lang_id",
-    run = (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)),
-    oracle = Some(s"""
-      WITH t AS (SELECT doc_id, list_distinct($TOKS) AS toks FROM documents),
-      h AS (SELECT doc_id,
+  /** CTE body (no WITH keyword) producing `ls_p` = (doc_id, lang, hde,
+    * hen, hes, hfr, pred_lang) — the stopword-lexicon language ID,
+    * shared by t_lang_id and the eval entries composed on top of it. */
+  private lazy val langStopBody: String = s"""
+      ls_t AS (SELECT doc_id, lang, list_distinct($TOKS) AS toks FROM documents),
+      ls_h AS (SELECT doc_id, lang,
               len(list_intersect(toks, ['der','die','das','und','ist','nicht'])) AS hde,
               len(list_intersect(toks, ['the','a','of','and','to','is'])) AS hen,
               len(list_intersect(toks, ['el','la','de','que','y','los'])) AS hes,
               len(list_intersect(toks, ['le','la','les','et','de','un'])) AS hfr
-            FROM t)
-      SELECT doc_id,
-             CAST(hde AS BIGINT) AS hits_de, CAST(hen AS BIGINT) AS hits_en,
-             CAST(hes AS BIGINT) AS hits_es, CAST(hfr AS BIGINT) AS hits_fr,
+            FROM ls_t),
+      ls_p AS (SELECT doc_id, lang, hde, hen, hes, hfr,
              CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
                   WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de'
                   WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
                   WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es'
                   ELSE 'fr' END AS pred_lang
-      FROM h"""))
+      FROM ls_h)"""
+
+  /** Stopword-lexicon language ID. */
+  val tLangId: Q = Q(
+    "t_lang_id",
+    run = (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)),
+    oracle = Some(s"""
+      WITH $langStopBody
+      SELECT doc_id,
+             CAST(hde AS BIGINT) AS hits_de, CAST(hen AS BIGINT) AS hits_en,
+             CAST(hes AS BIGINT) AS hits_es, CAST(hfr AS BIGINT) AS hits_fr,
+             pred_lang
+      FROM ls_p"""))
 
   /** Embedding post-processing: L2 norm, max-abs scale, and symmetric int8
     * quantization (what a training pipeline ships). The quantized vector is
@@ -693,42 +707,127 @@ object PipelineQueries {
         FROM b)
       SELECT vec_id, nrm, scale, md5(array_to_string(qv, ',')) AS q_md5 FROM q"""))
 
-  /** Char-trigram language ID (the n-gram heuristic variant of t_lang_id). */
-  val tLangIdNgram: Q = Q(
-    "t_lang_id_ngram",
-    run = (s, dir) => TextAnalysis.langIdNgram(Tables.documents(s, dir)),
-    oracle = {
-      val profiles = TextAnalysis.trigramProfiles.map { case (lang, tris) =>
-        lang -> tris.map(t => s"'$t'").mkString("[", ",", "]")
-      }.toMap
-      Some(s"""
-      WITH s AS (
+  /** CTE body producing `lt_p` = (doc_id, hde..hfr, pred_lang) — the
+    * char-trigram language ID, shared by t_lang_id_ngram and
+    * t_eval_agreement. */
+  private lazy val langTrigramBody: String = {
+    val profiles = TextAnalysis.trigramProfiles.map { case (lang, tris) =>
+      lang -> tris.map(t => s"'$t'").mkString("[", ",", "]")
+    }.toMap
+    s"""
+      lt_s AS (
         SELECT doc_id,
                ' ' || trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')) || ' ' AS s
         FROM documents),
-      t AS (
+      lt_t AS (
         SELECT doc_id,
                CASE WHEN length(s) < 3 THEN []::VARCHAR[]
                     ELSE list_distinct([substring(s, i, 3) for i in range(1, CAST(length(s) AS BIGINT) - 1)])
                END AS tris
-        FROM s),
-      h AS (
+        FROM lt_s),
+      lt_h AS (
         SELECT doc_id,
                len(list_intersect(tris, ${profiles("de")})) AS hde,
                len(list_intersect(tris, ${profiles("en")})) AS hen,
                len(list_intersect(tris, ${profiles("es")})) AS hes,
                len(list_intersect(tris, ${profiles("fr")})) AS hfr
-        FROM t)
-      SELECT doc_id,
-             CAST(hde AS BIGINT) AS tri_de, CAST(hen AS BIGINT) AS tri_en,
-             CAST(hes AS BIGINT) AS tri_es, CAST(hfr AS BIGINT) AS tri_fr,
+        FROM lt_t),
+      lt_p AS (
+        SELECT doc_id, hde, hen, hes, hfr,
              CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
                   WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de'
                   WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
                   WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es'
                   ELSE 'fr' END AS pred_lang
-      FROM h""")
-    })
+        FROM lt_h)"""
+  }
+
+  /** Char-trigram language ID (the n-gram heuristic variant of t_lang_id). */
+  val tLangIdNgram: Q = Q(
+    "t_lang_id_ngram",
+    run = (s, dir) => TextAnalysis.langIdNgram(Tables.documents(s, dir)),
+    oracle = Some(s"""
+      WITH $langTrigramBody
+      SELECT doc_id,
+             CAST(hde AS BIGINT) AS tri_de, CAST(hen AS BIGINT) AS tri_en,
+             CAST(hes AS BIGINT) AS tri_es, CAST(hfr AS BIGINT) AS tri_fr,
+             pred_lang
+      FROM lt_p"""))
+
+  /** Per-class scorecard of the stopword language ID against the gold
+    * `lang` column: precision/recall/F1 in exact ppm via
+    * [[graft.operators.Eval.classificationMetrics]]. Gold has a class
+    * the model never predicts (zh) and the model emits one gold never
+    * has (und) — both must appear as zero-scored rows, not vanish. */
+  val tEvalLangid: Q = Q(
+    "t_eval_langid",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pred = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
+      Eval.classificationMetrics(
+        pred.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        col("pred_lang"), col("lang"))
+    },
+    oracle = Some(s"""
+      WITH $langStopBody,
+      j AS (SELECT pred_lang AS p, lang AS g FROM ls_p),
+      pc AS (SELECT p AS label, CAST(COUNT(*) AS BIGINT) AS n_pred FROM j GROUP BY 1),
+      gc AS (SELECT g AS label, CAST(COUNT(*) AS BIGINT) AS n_gold FROM j GROUP BY 1),
+      tpc AS (SELECT p AS label, CAST(COUNT(*) AS BIGINT) AS tp FROM j WHERE p = g GROUP BY 1),
+      m AS (SELECT coalesce(pc.label, gc.label) AS label,
+              coalesce(gc.n_gold, 0) AS n_gold,
+              coalesce(pc.n_pred, 0) AS n_pred
+            FROM pc FULL JOIN gc ON pc.label = gc.label),
+      r AS (SELECT m.label, m.n_gold, m.n_pred, coalesce(tpc.tp, 0) AS tp,
+              CASE WHEN m.n_pred > 0 THEN (1000000 * coalesce(tpc.tp, 0)) // m.n_pred
+                   ELSE 0 END AS precision_ppm,
+              CASE WHEN m.n_gold > 0 THEN (1000000 * coalesce(tpc.tp, 0)) // m.n_gold
+                   ELSE 0 END AS recall_ppm
+            FROM m LEFT JOIN tpc ON m.label = tpc.label)
+      SELECT label, n_gold, n_pred, CAST(tp AS BIGINT) AS tp,
+             CAST(precision_ppm AS BIGINT) AS precision_ppm,
+             CAST(recall_ppm AS BIGINT) AS recall_ppm,
+             CAST(CASE WHEN precision_ppm + recall_ppm > 0
+                  THEN (2 * precision_ppm * recall_ppm) // (precision_ppm + recall_ppm)
+                  ELSE 0 END AS BIGINT) AS f1_ppm
+      FROM r"""))
+
+  /** Cohen's kappa between the two language-ID heuristics (stopword vs
+    * char-trigram) — the two-labelers-agreement frame, chance-corrected
+    * against their marginals. pe runs in HUGEINT/DECIMAL(38,0) on the
+    * two engines; the kappa division truncates toward zero on both by
+    * the |x|·sign split (see operator scaladoc). */
+  val tEvalAgreement: Q = Q(
+    "t_eval_agreement",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val a = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang").as("a"))
+      val b = TextAnalysis.langIdNgram(docs).select(col("doc_id"), col("pred_lang").as("b"))
+      Eval.agreement(a.join(b, Seq("doc_id")), col("a"), col("b"))
+    },
+    oracle = Some(s"""
+      WITH $langStopBody,
+      $langTrigramBody,
+      j AS (SELECT ls_p.pred_lang AS pa, lt_p.pred_lang AS pb
+            FROM ls_p JOIN lt_p ON ls_p.doc_id = lt_p.doc_id),
+      cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT) AS agree
+             FROM j),
+      ma AS (SELECT pa AS l, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1),
+      mb AS (SELECT pb AS l, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1),
+      spv AS (SELECT coalesce(SUM(CAST(ma.c AS HUGEINT) * mb.c), 0) AS sp
+              FROM ma JOIN mb ON ma.l = mb.l),
+      pp AS (SELECT n, agree,
+               (1000000 * agree) // n AS po_ppm,
+               CAST((1000000 * sp) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+             FROM cnt, spv)
+      SELECT n, agree, po_ppm, pe_ppm,
+             CASE WHEN pe_ppm = 1000000 THEN 0
+                  ELSE (CASE WHEN po_ppm > pe_ppm THEN 1
+                             WHEN po_ppm < pe_ppm THEN -1 ELSE 0 END)
+                       * ((1000000 * abs(po_ppm - pe_ppm)) // (1000000 - pe_ppm))
+             END AS kappa_ppm
+      FROM pp"""))
 
   /** Quality scoring: TTR, stopword rate, length saturation. */
   val tQualityScore: Q = Q(
@@ -1916,6 +2015,32 @@ object PipelineQueries {
           CAST(('0x' || substr(md5(coalesce('v:' || CAST(doc_id AS VARCHAR), 'null:')), 1, 8))
             AS BIGINT) % 10000 AS b
         FROM documents)"""))
+
+  /** Leakage-safe carve: the SAME md5-bucket carve as t_split_assign but
+    * keyed on the doc's near-dup CLUSTER label (minhash pairs → recursive
+    * closure), so near-twins can never straddle train/test. The oracle
+    * recomputes the closure (shared CTE chain with t_dedup_clusters) and
+    * the group-keyed hash, certifying member-inherits-cluster-split
+    * end-to-end. */
+  val tSplitLeakageSafe: Q = Q(
+    "t_split_leakage_safe",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.duplicateClusters(Dedup.minhashLshPairs(docs))
+      Sampling.leakageSafeSplit(docs, clusters,
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    },
+    oracle = Some(clustersClosureCtes + """,
+      cl AS (SELECT doc_id, MIN(root) AS cluster FROM reach GROUP BY doc_id),
+      keyed AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS group_key
+        FROM documents d LEFT JOIN cl USING (doc_id)),
+      bk AS (SELECT doc_id, group_key,
+          CAST(('0x' || substr(md5(coalesce('v:' || CAST(group_key AS VARCHAR), 'null:')), 1, 8))
+            AS BIGINT) % 10000 AS b
+        FROM keyed)
+      SELECT doc_id, group_key,
+        CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+      FROM bk"""))
 
   /** Per-language deterministic downsampling (corpus re-mixing): en kept
     * at 50%, de at 25%, everything else untouched; the stratum seeds the
@@ -3277,7 +3402,8 @@ object PipelineQueries {
     tDedupEmbedding, tDedupEmbeddingBucketed, tDedupEmbeddingBucketedHi, tDedupSemantic,
     tClusterPrune,
     tWinnowFingerprint,
-    tWinnowPairs, tLangId, tLangIdNgram, tQualityScore, tTokenStats,
+    tWinnowPairs, tLangId, tLangIdNgram, tEvalLangid, tEvalAgreement,
+    tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
     tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateContained, tCurateStatsFull,
@@ -3287,7 +3413,7 @@ object PipelineQueries {
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
     tZorderValues, tZoneMap, tPcaEmbeddings, tRandomProjection,
     tRepetitionScore, tGopherRules, tHtmlStrip, tCurateHtml, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans,
-    tDecontaminateSemantic, tSplitAssign,
+    tDecontaminateSemantic, tSplitAssign, tSplitLeakageSafe,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
     tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary, tVocabCoverage, tCollocations)
 }

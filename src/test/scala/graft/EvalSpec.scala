@@ -62,6 +62,47 @@ class EvalSpec extends AnyFunSuite {
     assert(ndcg === 1000000L) // realized order == ideal order at k=3
   }
 
+  test("classificationMetrics: hand-computed per-class ppm; one-sided labels score 0") {
+    import spark.implicits._
+    // gold:  a a a b b c    pred:  a a b b b d
+    val df = Seq(("a", "a"), ("a", "a"), ("b", "a"), ("b", "b"), ("b", "b"), ("d", "c"))
+      .toDF("p", "g")
+    val m = Eval.classificationMetrics(df, col("p"), col("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(m.keySet === Set("a", "b", "c", "d"))
+    // a: gold 3, pred 2, tp 2 -> P 1.0, R 2/3, F1 = 2PR/(P+R) of the ppms
+    assert(m("a") === ((3L, 2L, 2L, 1000000L, 666666L,
+      2L * 1000000L * 666666L / (1000000L + 666666L))))
+    // b: gold 2, pred 3, tp 2 -> P 2/3, R 1.0
+    assert(m("b") === ((2L, 3L, 2L, 666666L, 1000000L,
+      2L * 666666L * 1000000L / (666666L + 1000000L))))
+    // c: gold-only (model never predicts it); d: pred-only (hallucinated)
+    assert(m("c") === ((1L, 0L, 0L, 0L, 0L, 0L)))
+    assert(m("d") === ((0L, 1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("agreement: hand-computed kappa; independent and degenerate labelers") {
+    import spark.implicits._
+    // 10 rows: agree on 6; marginals a: x6 y4, b: x6 y4
+    val rows = Seq.fill(4)(("x", "x")) ++ Seq.fill(2)(("y", "y")) ++
+      Seq.fill(2)(("x", "y")) ++ Seq.fill(2)(("y", "x"))
+    val got = Eval.agreement(rows.toDF("a", "b"), col("a"), col("b")).collect().head
+    val (n, agree, po, pe) = (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+    assert((n, agree, po) === ((10L, 6L, 600000L)))
+    assert(pe === (1000000L * (6 * 6 + 4 * 4)) / 100) // 520000
+    assert(got.getLong(4) === (600000L - 520000L) * 1000000L / (1000000L - 520000L))
+    // worse-than-chance: perfect DISagreement on balanced labels -> kappa -10^6
+    val anti = Seq.fill(5)(("x", "y")) ++ Seq.fill(5)(("y", "x"))
+    val g2 = Eval.agreement(anti.toDF("a", "b"), col("a"), col("b")).collect().head
+    assert((g2.getLong(2), g2.getLong(3), g2.getLong(4)) === ((0L, 500000L, -1000000L)))
+    // degenerate: both constant -> pe = 10^6, kappa pinned to 0
+    val const = Seq.fill(3)(("x", "x"))
+    val g3 = Eval.agreement(const.toDF("a", "b"), col("a"), col("b")).collect().head
+    assert((g3.getLong(2), g3.getLong(3), g3.getLong(4)) === ((1000000L, 1000000L, 0L)))
+  }
+
   test("rel=0 judgments are non-relevant: excluded from n_rel, hits, and ideal") {
     val m = metrics(
       results = Seq((1L, 10L, 1L), (1L, 20L, 2L)),
