@@ -90,21 +90,50 @@ object Eval {
     * engines — a real-valued F1 would put both engines' float division
     * in the compare). Zero denominators score 0, loudly present.
     *
-    * Scale: two label-keyed partial aggs + one tp agg over the matched
-    * rows, joined on the (bounded) label space — the corpus is scanned
-    * once, map-side combined; nothing shuffles but label counts. */
-  def classificationMetrics(labeled: DataFrame, pred: Column, gold: Column): DataFrame = {
-    val base = labeled.select(pred.cast("string").as("p"), gold.cast("string").as("g"))
-    val predC = base.groupBy(col("p").as("label")).agg(count(lit(1)).as("n_pred"))
-    val goldC = base.groupBy(col("g").as("label")).agg(count(lit(1)).as("n_gold"))
-    val tpC = base.filter(col("p") === col("g"))
-      .groupBy(col("p").as("label")).agg(count(lit(1)).as("tp"))
-    predC.join(goldC, Seq("label"), "full")
-      .join(tpC, Seq("label"), "left")
-      .select(col("label"),
-        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
-        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
-        coalesce(col("tp"), lit(0L)).as("tp"))
+    * Scale: the corpus is scanned ONCE into the label²-bounded
+    * confusion matrix (map-side combined count agg, persisted via the
+    * shared cache registry); marginals, diagonal, and every metric
+    * derive from that tiny frame — re-deriving them from the corpus
+    * would triple the scan count, the thing a 100 TB eval can't afford. */
+  def classificationMetrics(labeled: DataFrame, pred: Column, gold: Column): DataFrame =
+    metricsFromConfusion(confusion(labeled, pred, gold), Nil)
+
+  /** SLICED per-class metrics: the same scorecard computed per value of
+    * `slice` (source, language, time bucket, …) — aggregate metrics hide
+    * per-slice regressions (a labeler can gain overall while collapsing
+    * on one source; slice-level eval is how that's caught). Output adds
+    * a leading `slice` column; labels are scored within their slice
+    * only. Same one-scan confusion-matrix plan, keyed by (slice, a, b). */
+  def classificationMetricsBy(labeled: DataFrame, pred: Column, gold: Column,
+      slice: Column): DataFrame =
+    metricsFromConfusion(
+      Dedup.track(labeled
+        .select(slice.cast("string").as("slice"),
+          pred.cast("string").as("a"), gold.cast("string").as("b"))
+        .groupBy(col("slice"), col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .persist()),
+      Seq("slice"))
+
+  /** The raw (pred, gold, n) confusion matrix — the drill-down behind
+    * [[classificationMetrics]]; one corpus scan, label² rows. */
+  def confusionMatrix(labeled: DataFrame, pred: Column, gold: Column): DataFrame =
+    confusion(labeled, pred, gold)
+      .select(col("a").as("pred"), col("b").as("gold"), col("c").as("n"))
+
+  private def metricsFromConfusion(cm: DataFrame, keys: Seq[String]): DataFrame = {
+    val predKeys = keys :+ "label"
+    val predC = cm.groupBy((keys.map(col) :+ col("a").as("label")): _*)
+      .agg(sum(col("c")).as("n_pred"))
+    val goldC = cm.groupBy((keys.map(col) :+ col("b").as("label")): _*)
+      .agg(sum(col("c")).as("n_gold"))
+    val tpC = cm.filter(col("a") === col("b"))
+      .select((keys.map(col) :+ col("a").as("label") :+ col("c").as("tp")): _*)
+    predC.join(goldC, predKeys, "full")
+      .join(tpC, predKeys, "left")
+      .select((predKeys.map(col) :+
+        coalesce(col("n_gold"), lit(0L)).as("n_gold") :+
+        coalesce(col("n_pred"), lit(0L)).as("n_pred") :+
+        coalesce(col("tp"), lit(0L)).as("tp")): _*)
       .withColumn("precision_ppm",
         when(col("n_pred") > 0, expr("(1000000 * tp) div n_pred")).otherwise(0L))
       .withColumn("recall_ppm",
@@ -133,10 +162,10 @@ object Eval {
     * Degenerate pe = 10^6 (both sides constant) reports kappa 0.
     *
     * Scale: one (a,b)-keyed count agg over the corpus (map-side
-    * combined, label²-bounded result), then driver-sized joins. */
+    * combined, label²-bounded, persisted — each marginal reads the
+    * cached matrix, not the corpus), then driver-sized joins. */
   def agreement(labeled: DataFrame, a: Column, b: Column): DataFrame = {
-    val counts = labeled.select(a.cast("string").as("a"), b.cast("string").as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val counts = confusion(labeled, a, b)
     val tot = counts.agg(sum(col("c")).as("n"),
       sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("agree"))
     val sp = counts.groupBy(col("a")).agg(sum(col("c")).as("na"))
@@ -155,4 +184,12 @@ object Eval {
             expr("(1000000 * abs(po_ppm - pe_ppm)) div (1000000 - pe_ppm)")))
       .select(col("n"), col("agree"), col("po_ppm"), col("pe_ppm"), col("kappa_ppm"))
   }
+
+  /** The (a, b, count) confusion matrix — ONE corpus scan, label²
+    * rows, persisted on the session cache registry (released by
+    * [[Dedup.releaseCaches]]/releaseSince like every operator-held
+    * frame) so the metric derivations above never rescan the corpus. */
+  private def confusion(labeled: DataFrame, a: Column, b: Column): DataFrame =
+    Dedup.track(labeled.select(a.cast("string").as("a"), b.cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c")).persist())
 }

@@ -65,6 +65,14 @@ object Sampling {
     * so every member inherits the same assignment by construction, and
     * adding new members to a cluster never moves the cluster.
     *
+    * Growth caveat (deliberate): a new doc can BRIDGE two existing
+    * clusters; the merged cluster takes one label, so the members keyed
+    * by the losing label are reassigned. This is the correct trade —
+    * leakage-safety DOMINATES per-doc stability (keeping the two halves
+    * in different splits would leave near-twins straddling train/test);
+    * [[assignSplits]] on doc_id remains the growth-stable carve for
+    * corpora where that property matters more than near-dup hygiene.
+    *
     * Scale: one doc_id-keyed left join against the (much smaller)
     * cluster table, then the same scan-speed hash projection as
     * [[assignSplits]] — the cluster table is the output of the already-

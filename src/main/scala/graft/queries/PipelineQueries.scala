@@ -650,14 +650,14 @@ object PipelineQueries {
     * hen, hes, hfr, pred_lang) — the stopword-lexicon language ID,
     * shared by t_lang_id and the eval entries composed on top of it. */
   private lazy val langStopBody: String = s"""
-      ls_t AS (SELECT doc_id, lang, list_distinct($TOKS) AS toks FROM documents),
-      ls_h AS (SELECT doc_id, lang,
+      ls_t AS (SELECT doc_id, lang, source, list_distinct($TOKS) AS toks FROM documents),
+      ls_h AS (SELECT doc_id, lang, source,
               len(list_intersect(toks, ['der','die','das','und','ist','nicht'])) AS hde,
               len(list_intersect(toks, ['the','a','of','and','to','is'])) AS hen,
               len(list_intersect(toks, ['el','la','de','que','y','los'])) AS hes,
               len(list_intersect(toks, ['le','la','les','et','de','un'])) AS hfr
             FROM ls_t),
-      ls_p AS (SELECT doc_id, lang, hde, hen, hes, hfr,
+      ls_p AS (SELECT doc_id, lang, source, hde, hen, hes, hfr,
              CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
                   WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de'
                   WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
@@ -828,6 +828,64 @@ object PipelineQueries {
                        * ((1000000 * abs(po_ppm - pe_ppm)) // (1000000 - pe_ppm))
              END AS kappa_ppm
       FROM pp"""))
+
+  /** Per-SOURCE sliced scorecard of the stopword language ID: the same
+    * metrics as t_eval_langid but computed within each source — the
+    * slice-level eval that catches a labeler collapsing on one source
+    * while the aggregate improves. */
+  val tEvalLangidSliced: Q = Q(
+    "t_eval_langid_sliced",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pred = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
+      Eval.classificationMetricsBy(
+        pred.join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id")),
+        col("pred_lang"), col("lang"), col("source"))
+    },
+    oracle = Some(s"""
+      WITH $langStopBody,
+      j AS (SELECT source AS slice, pred_lang AS p, lang AS g FROM ls_p),
+      pc AS (SELECT slice, p AS label, CAST(COUNT(*) AS BIGINT) AS n_pred
+             FROM j GROUP BY 1, 2),
+      gc AS (SELECT slice, g AS label, CAST(COUNT(*) AS BIGINT) AS n_gold
+             FROM j GROUP BY 1, 2),
+      tpc AS (SELECT slice, p AS label, CAST(COUNT(*) AS BIGINT) AS tp
+              FROM j WHERE p = g GROUP BY 1, 2),
+      m AS (SELECT coalesce(pc.slice, gc.slice) AS slice,
+              coalesce(pc.label, gc.label) AS label,
+              coalesce(gc.n_gold, 0) AS n_gold,
+              coalesce(pc.n_pred, 0) AS n_pred
+            FROM pc FULL JOIN gc ON pc.slice = gc.slice AND pc.label = gc.label),
+      r AS (SELECT m.slice, m.label, m.n_gold, m.n_pred, coalesce(tpc.tp, 0) AS tp,
+              CASE WHEN m.n_pred > 0 THEN (1000000 * coalesce(tpc.tp, 0)) // m.n_pred
+                   ELSE 0 END AS precision_ppm,
+              CASE WHEN m.n_gold > 0 THEN (1000000 * coalesce(tpc.tp, 0)) // m.n_gold
+                   ELSE 0 END AS recall_ppm
+            FROM m LEFT JOIN tpc ON m.slice = tpc.slice AND m.label = tpc.label)
+      SELECT slice, label, n_gold, n_pred, CAST(tp AS BIGINT) AS tp,
+             CAST(precision_ppm AS BIGINT) AS precision_ppm,
+             CAST(recall_ppm AS BIGINT) AS recall_ppm,
+             CAST(CASE WHEN precision_ppm + recall_ppm > 0
+                  THEN (2 * precision_ppm * recall_ppm) // (precision_ppm + recall_ppm)
+                  ELSE 0 END AS BIGINT) AS f1_ppm
+      FROM r"""))
+
+  /** The raw confusion matrix behind t_eval_langid — the drill-down a
+    * scorecard regression points into (which gold class is being
+    * mistaken for what). */
+  val tEvalConfusion: Q = Q(
+    "t_eval_confusion",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pred = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
+      Eval.confusionMatrix(
+        pred.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        col("pred_lang"), col("lang"))
+    },
+    oracle = Some(s"""
+      WITH $langStopBody
+      SELECT pred_lang AS pred, lang AS gold, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ls_p GROUP BY 1, 2"""))
 
   /** Quality scoring: TTR, stopword rate, length saturation. */
   val tQualityScore: Q = Q(
@@ -3403,7 +3461,7 @@ object PipelineQueries {
     tClusterPrune,
     tWinnowFingerprint,
     tWinnowPairs, tLangId, tLangIdNgram, tEvalLangid, tEvalAgreement,
-    tQualityScore, tTokenStats,
+    tEvalLangidSliced, tEvalConfusion, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
     tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateContained, tCurateStatsFull,

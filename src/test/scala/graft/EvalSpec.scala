@@ -103,6 +103,28 @@ class EvalSpec extends AnyFunSuite {
     assert((g3.getLong(2), g3.getLong(3), g3.getLong(4)) === ((1000000L, 1000000L, 0L)))
   }
 
+  test("classificationMetricsBy: slices score independently; confusionMatrix drills down") {
+    import spark.implicits._
+    // slice s1 is perfect on {a}; slice s2 mislabels every a as b
+    val df = Seq(("s1", "a", "a"), ("s1", "a", "a"), ("s2", "b", "a"), ("s2", "b", "b"))
+      .toDF("src", "p", "g")
+    val by = Eval.classificationMetricsBy(df, col("p"), col("g"), col("src"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(by(("s1", "a")) === ((2L, 2L, 2L, 1000000L, 1000000L, 1000000L)))
+    assert(by(("s2", "a")) === ((1L, 0L, 0L, 0L, 0L, 0L))) // never predicted IN s2
+    assert(by(("s2", "b")) === ((1L, 2L, 1L, 500000L, 1000000L,
+      2L * 500000L * 1000000L / 1500000L)))
+    // an aggregate run hides s2's collapse on 'a' — the reason slicing exists
+    val agg = Eval.classificationMetrics(df, col("p"), col("g"))
+      .filter(col("label") === "a").collect().head
+    assert(agg.getLong(4) === 1000000L && agg.getLong(5) === 666666L)
+    val cm = Eval.confusionMatrix(df, col("p"), col("g"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cm === Map(("a", "a") -> 2L, ("b", "a") -> 1L, ("b", "b") -> 1L))
+  }
+
   test("rel=0 judgments are non-relevant: excluded from n_rel, hits, and ideal") {
     val m = metrics(
       results = Seq((1L, 10L, 1L), (1L, 20L, 2L)),

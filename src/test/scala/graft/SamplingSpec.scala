@@ -52,6 +52,26 @@ class SamplingSpec extends AnyFunSuite {
     got.unpersist(blocking = false); clusters.unpersist(blocking = false)
   }
 
+  test("leakageSafeSplit growth: a bridging doc merges clusters and re-keys the losers") {
+    import spark.implicits._
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val docs = Seq(1L, 2L, 5L, 6L, 9L).toDF("doc_id")
+    val before = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)).toDF("doc_id", "cluster")
+    // bridge pair (2,5): clusters {1,2} and {5,6} merge under label 1
+    val after = Seq((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L)).toDF("doc_id", "cluster")
+    def carve(cl: org.apache.spark.sql.DataFrame) =
+      Sampling.leakageSafeSplit(docs, cl, splits)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val (b, a) = (carve(before), carve(after))
+    // merged members all share ONE (group_key, split) — the leakage contract
+    assert(Seq(1L, 2L, 5L, 6L).map(a(_)).toSet.size === 1)
+    assert(a(1L) === b(1L)) // surviving-label members never move
+    assert(a(9L) === b(9L)) // untouched singleton never moves
+    // and the reassignment is real whenever the two labels carve apart:
+    // doc 5 moved from cluster-5's split to cluster-1's (here they differ)
+    assert(b(5L)._1 === 5L && a(5L)._1 === 1L)
+  }
+
   test("assignSplits rejects weights that do not sum to 1") {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     intercept[IllegalArgumentException] {
