@@ -713,6 +713,18 @@ object Dedup {
     * their own cluster trivially). */
   def duplicateClusters(pairs: DataFrame): DataFrame = starCC(pairs)._1
 
+  /** Cluster-size histogram over [[duplicateClusters]] output — dedup
+    * observability: one row per cluster size with how many clusters have
+    * it and how many docs they hold (n_docs = cluster_size · n_clusters).
+    * A heavy tail here is the "one boilerplate template swallowed half
+    * the corpus" alarm that per-pair metrics can't show. Two tiny keyed
+    * aggs over the cluster table (cluster-count rows, then size-count
+    * rows) — nothing corpus-sized shuffles. */
+  def clusterSizeProfile(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+
   /** [[duplicateClusters]] with the round count exposed (for the
     * convergence-bound spec). */
   private[graft] def starCC(pairs: DataFrame): (DataFrame, Int) = {

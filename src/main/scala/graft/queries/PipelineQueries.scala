@@ -522,6 +522,20 @@ object PipelineQueries {
         UNION
         SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id)"""
 
+  /** Dedup observability: the cluster-size histogram of the minhash
+    * near-dup clusters (how many clusters of each size, holding how many
+    * docs) — the heavy-tail alarm read before trusting a dedup pass. */
+  val tDedupClusterSizes: Q = Q(
+    "t_dedup_cluster_sizes",
+    run = (s, dir) => Dedup.clusterSizeProfile(
+      Dedup.duplicateClusters(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
+    oracle = Some(clustersClosureCtes + """,
+      cl AS (SELECT doc_id, MIN(root) AS cluster FROM reach GROUP BY doc_id),
+      sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz FROM cl GROUP BY 1)
+      SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(sz) AS BIGINT) AS n_docs
+      FROM sz GROUP BY 1"""))
+
   /** Scale path for t_dedup_embedding: banded hyperplane-LSH candidates +
     * exact re-score. Same oracle as the exact O(N²) form — the hash match
     * proves the bucketed generator is pair-identical on this corpus (the
@@ -3455,7 +3469,7 @@ object PipelineQueries {
     tSourceOverlap,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard,
     tDedupEdit, tDedupContainment, tDedupSpans,
-    tDedupClusters, tDedupClustersIncremental,
+    tDedupClusters, tDedupClustersIncremental, tDedupClusterSizes,
     tSimhash, tAnnCosine, tAnnFiltered, tContrastiveMine,
     tDedupEmbedding, tDedupEmbeddingBucketed, tDedupEmbeddingBucketedHi, tDedupSemantic,
     tClusterPrune,

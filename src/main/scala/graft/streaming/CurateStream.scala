@@ -299,6 +299,22 @@ object CurateStream {
   def versionView(spark: org.apache.spark.sql.SparkSession, outPath: String): DataFrame =
     TextAnalysis.corpusVersion(keptView(spark, outPath).select(col("doc_id"), col("text")))
 
+  /** Live labeler-health report: per-class precision/recall/F1 of the
+    * kept set's language-ID predictions against a GOLD judgment frame
+    * (doc_id, lang) — the monitor that catches the labeler drifting as
+    * the sink runs (a class collapsing shows up as its recall row, not
+    * as a silent mix shift). Gold is static (human labels / a frozen
+    * golden slice), the per-batch rule every gate model follows. Pure
+    * composition over keptView, so it equals the batch scorecard of the
+    * same kept set; stored pred_lang is recomputable from the stored
+    * (scrubbed) text — StreamingSpec proves both. */
+  def scorecardView(spark: org.apache.spark.sql.SparkSession, outPath: String,
+      gold: DataFrame): DataFrame =
+    graft.operators.Eval.classificationMetrics(
+      keptView(spark, outPath).select(col("doc_id"), col("pred_lang"))
+        .join(gold.select(col("doc_id"), col("lang")), Seq("doc_id")),
+      col("pred_lang"), col("lang"))
+
   /** Term drift of the kept corpus against a FROZEN baseline
     * (TextAnalysis.termDrift ∘ keptView): the "is what we're ingesting
     * changing" monitor — top-k terms whose relative frequency moved most

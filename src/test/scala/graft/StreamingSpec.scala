@@ -452,6 +452,21 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     graft.pipeline.Curate.releaseCaches(spark)
     assert(dv === dw && dv.nonEmpty)
+    // live labeler scorecard == batch metrics of langId RECOMPUTED on the
+    // stored (scrubbed) kept text — proves both the composition and that
+    // the sink's stored pred_lang is the langId of what it stored
+    val gold = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val sv = graft.streaming.CurateStream.scorecardView(spark, outPath, gold)
+      .collect().map(_.toSeq).toSet
+    val repred = graft.operators.TextAnalysis.langId(
+        spark.read.parquet(outPath).filter(col("drop_reason") === "kept")
+          .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("pred_lang"))
+    val sw = graft.operators.Eval.classificationMetrics(
+        repred.join(gold, Seq("doc_id")), col("pred_lang"), col("lang"))
+      .collect().map(_.toSeq).toSet
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(sv === sw && sv.nonEmpty)
   }
 
   test("CurateStream gopher gate == batch Curate with the same rules") {
