@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Windowed count-anomaly detection over an event stream — the traffic
+  * alarm of a real-time warehouse (cf. the reference's windowed traffic
+  * aggregates, `Dws...TrafficApp`): bucket timestamps, count per
+  * (key, bucket), and flag buckets whose count deviates from the key's
+  * OWN bucket-count distribution by more than k standard deviations.
+  *
+  * Exact integer z-test: |c − μ| > kσ cross-multiplies (μ = S/n,
+  * σ² = Q/n − S²/n², S = Σc, Q = Σc²) to
+  * `(n·c − S)² > k²·(n·Q − S²)` — no division, no sqrt, no floats
+  * anywhere, so both engines compute the identical flag. Intermediates
+  * run in DECIMAL(38,0) (DuckDB: HUGEINT): n·Q alone passes BIGINT at
+  * ~10^5 daily buckets of ~10^12 events, far under the 100 TB posture.
+  *
+  * Scale: ONE (key, bucket)-keyed count agg over the events (map-side
+  * combined — the only corpus-sized work), then per-key stats over the
+  * BUCKET COUNTS (bucket-count-sized) broadcast back onto them. A
+  * missing bucket is absent, not zero: silence anomalies (a feed going
+  * dark) need bucket densification upstream, not a z-test on rows that
+  * don't exist — deliberate, documented contract. */
+object Anomaly {
+
+  /** Per-(key, bucket) counts with the anomaly verdict:
+    * (key, bucket, c, direction ∈ {-1,0,1}, is_anomaly). `granularity`
+    * is any `date_trunc` unit (day, hour, week, …); a key with a single
+    * bucket is never anomalous (n=1 makes both sides 0). */
+  def countAnomalies(events: DataFrame, key: Column, ts: Column,
+      granularity: String = "day", k: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = events
+      .select(key.cast("string").as("key"), date_trunc(granularity, ts).as("bucket"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val stats = c.groupBy(col("key")).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("c"))).as("s"),
+      sum(dec(col("c")) * dec(col("c"))).as("q"))
+    val lhsRoot = dec(col("n")) * dec(col("c")) - col("s") // n·c − S (signed)
+    c.join(broadcast(stats), Seq("key"))
+      .select(col("key"), col("bucket"), col("c"),
+        when(lhsRoot > 0, 1L).when(lhsRoot < 0, -1L).otherwise(0L).as("direction"),
+        (lhsRoot * lhsRoot >
+          lit(k.toLong * k) * (dec(col("n")) * col("q") - col("s") * col("s")))
+          .as("is_anomaly"))
+  }
+}

@@ -358,8 +358,34 @@ object DwsQueries {
       FROM act a JOIN first f ON a.user_id = f.user_id
       GROUP BY 1, 2"""))
 
+  /** Windowed count-anomaly alarm: daily per-type event counts flagged
+    * when they leave the type's own ±2σ band — via the exact integer
+    * cross-multiplied z-test (n·c − S)² > k²(n·Q − S²), so no float and
+    * no sqrt enters the cross-engine compare. Both flag values are live
+    * at every gate SF (2σ fires on the synthetic stream; 3σ would not
+    * at sf0.001). */
+  val a13CountAnomaly: Q = Q(
+    "a13_count_anomaly",
+    run = (s, dir) => graft.operators.Anomaly.countAnomalies(
+        Tables.events(s, dir), col("event_type"), col("ts"), "day", k = 2)
+      .select(col("key"), date_format(col("bucket"), "yyyy-MM-dd").as("d"),
+        col("c"), col("direction"), col("is_anomaly")),
+    oracle = Some("""
+      WITH c AS (SELECT event_type AS key,
+          strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      s AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(CAST(c AS HUGEINT)) AS sm, SUM(CAST(c AS HUGEINT) * c) AS q
+        FROM c GROUP BY 1)
+      SELECT c.key, c.d, c.c,
+        CAST(CASE WHEN n * c.c - sm > 0 THEN 1
+                  WHEN n * c.c - sm < 0 THEN -1 ELSE 0 END AS BIGINT) AS direction,
+        (n * c.c - sm) * (n * c.c - sm) > 4 * (n * q - sm * sm) AS is_anomaly
+      FROM c JOIN s USING (key)"""))
+
   val all: Seq[Q] = Seq(
     a2GlobalWindow, a5DailyUv, a6Backflow, a7IsNewRepair, a8DedupFirst,
     dws09Composite, j7AsofJoin, j8RangeJoin, j9RangeOverlap, a10SessionWindow,
-    a11Funnel, a12Retention)
+    a11Funnel, a12Retention, a13CountAnomaly)
 }
