@@ -29,12 +29,25 @@ object Anomaly {
     * is any `date_trunc` unit (day, hour, week, …); a key with a single
     * bucket is never anomalous (n=1 makes both sides 0). */
   def countAnomalies(events: DataFrame, key: Column, ts: Column,
-      granularity: String = "day", k: Int = 2): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    val c = events
+      granularity: String = "day", k: Int = 2): DataFrame =
+    flagFromCounts(bucketCounts(events, key, ts, granularity), k)
+
+  /** The (key, bucket, c) count table — the state the continuous twin
+    * ([[graft.streaming.StreamingPipelines.countSink]]) maintains
+    * incrementally: counts SUM, so per-batch partial counts fold
+    * exactly and the alarm is batching-independent by construction. */
+  def bucketCounts(events: DataFrame, key: Column, ts: Column,
+      granularity: String = "day"): DataFrame =
+    events
       .select(key.cast("string").as("key"), date_trunc(granularity, ts).as("bucket"))
       .groupBy(col("key"), col("bucket"))
       .agg(count(lit(1)).as("c"))
+
+  /** The z-test over an existing (key, bucket, c) count table (see class
+    * doc for the cross-multiplied arithmetic). */
+  def flagFromCounts(counts: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = counts.select(col("key"), col("bucket"), col("c").cast("long").as("c"))
     val dec = (x: Column) => x.cast("decimal(38,0)")
     val stats = c.groupBy(col("key")).agg(
       count(lit(1)).as("n"),

@@ -664,6 +664,58 @@ object StreamingPipelines {
       .select(col("doc_id"), col("drop_reason"))
   }
 
+  // ===== Continuous count-anomaly alarm =====
+
+  /** Continuously-maintained (key, bucket) event counts on the registry
+    * protocol — the state behind the LIVE traffic alarm
+    * ([[currentCountAnomalies]]): each micro-batch contributes its OWN
+    * partial counts (one batch-sized agg, never the accumulated stream)
+    * and the fold/read re-aggregation SUMS them. Sum is associative and
+    * commutative, so snapshot + dirs re-agg is exact and the alarm is
+    * batching-independent BY CONSTRUCTION — the same argument as the
+    * corpus-version digest, here for additive state. Re-delivered
+    * batches overwrite their own dir (exactly-once); registry state
+    * compacts to one row per live (key, bucket). */
+  def countSink(events: DataFrame, registryPath: String,
+      keyCol: String = "event_type", tsCol: String = "ts",
+      granularity: String = "day", compactEvery: Int = 16): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        Registry.maybeCompact(spark, registryPath, Seq(s"$registryPath/counts"),
+          upToExclusive = batchId, every = compactEvery,
+          fold = Map(s"$registryPath/counts" -> (sumCounts _)))
+        graft.operators.Anomaly
+          .bucketCounts(batch.toDF(), col(keyCol), col(tsCol), granularity)
+          .write.mode("overwrite").parquet(s"$registryPath/counts/batch=$batchId")
+        ()
+      }
+
+  /** The live count table: snapshot + committed dirs, summed per
+    * (key, bucket) — read-time and fold-time use the same function, so
+    * they cannot drift. */
+  def currentCounts(spark: SparkSession, registryPath: String): DataFrame = {
+    val v = Registry.view(spark, registryPath, s"$registryPath/counts")
+    if (v.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("key", StringType), StructField("bucket", TimestampType),
+        StructField("c", LongType))))
+    } else sumCounts(spark.read.parquet(v.paths: _*))
+  }
+
+  /** The live alarm: [[graft.operators.Anomaly.flagFromCounts]] over the
+    * registry's count table — equals the batch `countAnomalies` of every
+    * event ingested so far, at any batching and across fold boundaries
+    * (AnomalySpec proves it). */
+  def currentCountAnomalies(spark: SparkSession, registryPath: String,
+      k: Int = 2): DataFrame =
+    graft.operators.Anomaly.flagFromCounts(currentCounts(spark, registryPath), k)
+
+  private def sumCounts(df: DataFrame): DataFrame =
+    df.groupBy(col("key"), col("bucket")).agg(sum(col("c")).as("c"))
+
   // ===== Continuous ANN index (incremental IVF postings) =====
 
   /** Continuously-maintained IVF ANN index over an embedding stream: per

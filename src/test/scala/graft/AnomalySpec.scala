@@ -46,6 +46,39 @@ class AnomalySpec extends AnyFunSuite {
     assert(got(("solo", "2024-01-01")) === ((50L, 0L, false)))
   }
 
+  test("continuous count sink == batch alarm at any batching, across fold boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_anomaly_reg"
+    new scala.reflect.io.Directory(new java.io.File(regPath)).deleteRecursively()
+    val shape = ((1 to 9).map(i => ("a", f"2024-01-$i%02d", 10)) :+ ("a", "2024-01-10", 100)) ++
+      (1 to 10).map(i => ("b", f"2024-01-$i%02d", 7))
+    val rows = shape.flatMap { case (k, d, n) => Seq.fill(n)((k, s"$d 12:00:00")) }
+    val stream = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingPipelines.countSink(
+        stream.toDF().toDF("event_type", "t")
+          .select(col("event_type"), to_timestamp(col("t")).as("ts")),
+        regPath, compactEvery = 2)
+      .start()
+    // 7 uneven chunks: days straddle batches, so per-(key, bucket) partial
+    // counts land in MULTIPLE dirs and the sum-fold is actually exercised;
+    // compactEvery=2 forces fold boundaries mid-stream
+    rows.grouped(math.max(1, rows.size / 7)).foreach { h =>
+      stream.addData(h); q.processAllAvailable()
+    }
+    q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val got = keyed(graft.streaming.StreamingPipelines
+      .currentCountAnomalies(spark, regPath, k = 2))
+    val want = keyed(Anomaly.countAnomalies(ev(shape),
+      col("event_type"), col("ts"), "day", k = 2))
+    assert(got === want && got.size === 20)
+    assert(got(("a", "2024-01-10 00:00:00.0")) === ((100L, 1L, true)))
+  }
+
   test("k raises the bar: the 2-sigma spike survives k=3 here but a mild bump does not") {
     // mild bump: nine days of 10, one day of 19 — flags at k=2?
     // (10·19−190)=0 ... make it asymmetric: 9 days of 10, one of 20:
