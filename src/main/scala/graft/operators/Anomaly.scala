@@ -43,6 +43,18 @@ object Anomaly {
       .groupBy(col("key"), col("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** Roll an existing (key, bucket, c) count table up to a COARSER
+    * granularity — counts are additive, so day buckets re-trunc'd and
+    * summed equal counting at the coarse granularity directly
+    * (AnomalySpec pins the identity). One fine-granularity registry
+    * (`StreamingPipelines.countSink`) therefore serves every coarser
+    * alarm: flagFromCounts ∘ rollup gives the weekly/monthly view with
+    * no second pass over the events. */
+  def rollupCounts(counts: DataFrame, granularity: String): DataFrame =
+    counts
+      .groupBy(col("key"), date_trunc(granularity, col("bucket")).as("bucket"))
+      .agg(sum(col("c")).as("c"))
+
   /** The z-test over an existing (key, bucket, c) count table (see class
     * doc for the cross-multiplied arithmetic). */
   def flagFromCounts(counts: DataFrame, k: Int): DataFrame = {

@@ -34,8 +34,10 @@ object Eval {
 
   /** Per-query metrics of `results` (qid, vec_id, rank — rank 1-based,
     * deduplicated per qid) against `qrels` (qid, vec_id, rel — integer
-    * grade, rel > 0 means relevant; rel must be < 62 so 2^rel fits a
-    * BIGINT). One output row per qid that has at least one relevant
+    * grade, rel > 0 means relevant; grades must stay ≤ 30 so the
+    * gain·discount sums fit BIGINT — beyond that the ANSI arithmetic
+    * THROWS rather than silently wrapping, and real judgment scales
+    * stop at single digits anyway). One output row per qid that has at least one relevant
     * judgment — a system returning nothing for a judged query scores 0,
     * it does not vanish from the frame:
     * (qid, n_rel, hits, recall_ppm, mrr_ppm, ndcg_ppm). */
@@ -50,8 +52,11 @@ object Eval {
 
     val r = results.select(col("qid"), col("vec_id"),
       col("rank").cast("long").as("rank")).filter(col("rank") <= k)
+    // conflicting duplicate judgments take the MAX grade (the standard
+    // qrels merge rule) — summing them would double-count n_rel/IDCG
     val q = qrels.select(col("qid"), col("vec_id"),
       col("rel").cast("long").as("rel")).filter(col("rel") > 0)
+      .groupBy(col("qid"), col("vec_id")).agg(max(col("rel")).as("rel"))
 
     // retrieved ∩ relevant: hits, first relevant rank, realized DCG
     val got = r.join(q, Seq("qid", "vec_id"))

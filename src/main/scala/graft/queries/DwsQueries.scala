@@ -384,8 +384,24 @@ object DwsQueries {
         (n * c.c - sm) * (n * c.c - sm) > 4 * (n * q - sm * sm) AS is_anomaly
       FROM c JOIN s USING (key)"""))
 
+  /** Rollup identity cross-engine: day counts rolled up to month equal
+    * counting at month directly — the property that lets ONE
+    * fine-granularity count registry serve every coarser alarm with no
+    * second pass over the events (the oracle counts at month). */
+  val a14CountRollup: Q = Q(
+    "a14_count_rollup",
+    run = (s, dir) => graft.operators.Anomaly.rollupCounts(
+        graft.operators.Anomaly.bucketCounts(
+          Tables.events(s, dir), col("event_type"), col("ts"), "day"),
+        "month")
+      .select(col("key"), date_format(col("bucket"), "yyyy-MM-dd").as("d"), col("c")),
+    oracle = Some("""
+      SELECT event_type AS key, strftime(date_trunc('month', ts), '%Y-%m-%d') AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     a2GlobalWindow, a5DailyUv, a6Backflow, a7IsNewRepair, a8DedupFirst,
     dws09Composite, j7AsofJoin, j8RangeJoin, j9RangeOverlap, a10SessionWindow,
-    a11Funnel, a12Retention, a13CountAnomaly)
+    a11Funnel, a12Retention, a13CountAnomaly, a14CountRollup)
 }

@@ -79,6 +79,18 @@ class AnomalySpec extends AnyFunSuite {
     assert(got(("a", "2024-01-10 00:00:00.0")) === ((100L, 1L, true)))
   }
 
+  test("rollup identity: day counts re-trunc'd to month == counting at month directly") {
+    val rows = Seq(("a", "2024-01-05", 3), ("a", "2024-01-25", 4), ("a", "2024-02-02", 5),
+      ("b", "2024-01-05", 2), ("b", "2024-03-09", 6))
+    val e = ev(rows)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getTimestamp(1).toString) -> r.getLong(2)).toMap
+    val rolled = keyed(Anomaly.rollupCounts(
+      Anomaly.bucketCounts(e, col("event_type"), col("ts"), "day"), "month"))
+    val direct = keyed(Anomaly.bucketCounts(e, col("event_type"), col("ts"), "month"))
+    assert(rolled === direct && rolled(("a", "2024-01-01 00:00:00.0")) === 7L)
+  }
+
   test("k raises the bar: the 2-sigma spike survives k=3 here but a mild bump does not") {
     // mild bump: nine days of 10, one day of 19 — flags at k=2?
     // (10·19−190)=0 ... make it asymmetric: 9 days of 10, one of 20:

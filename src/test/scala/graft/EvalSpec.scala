@@ -103,6 +103,19 @@ class EvalSpec extends AnyFunSuite {
     assert((g3.getLong(2), g3.getLong(3), g3.getLong(4)) === ((1000000L, 1000000L, 0L)))
   }
 
+  test("duplicate judgments merge by max grade, not double-count") {
+    val m = metrics(
+      results = Seq((1L, 10L, 1L)),
+      // doc 10 judged twice (rel 1 and rel 3): must count ONCE at rel 3
+      qrels = Seq((1L, 10L, 1L), (1L, 10L, 3L), (1L, 20L, 2L)),
+      k = 2)
+    val w = Eval.discountTablePpm(2)
+    val (nRel, hits, recall, mrr, ndcg) = m(1L)
+    assert((nRel, hits) === (2L, 1L))
+    assert(recall === 500000L && mrr === 1000000L)
+    assert(ndcg === 1000000L * (7L * w(0)) / (7L * w(0) + 3L * w(1)))
+  }
+
   test("classificationMetricsBy: slices score independently; confusionMatrix drills down") {
     import spark.implicits._
     // slice s1 is perfect on {a}; slice s2 mislabels every a as b
