@@ -55,6 +55,35 @@ object Anomaly {
       .groupBy(col("key"), date_trunc(granularity, col("bucket")).as("bucket"))
       .agg(sum(col("c")).as("c"))
 
+  /** Top movers: per key, the buckets with the largest
+    * period-over-period count change — the "what spiked today vs
+    * yesterday" dashboard cut, complementary to the z-test (a steady
+    * two-day doubling flags here long before it leaves the all-history
+    * sigma band). `delta` is vs the PREVIOUS OBSERVED bucket of the same
+    * key (missing buckets are absent, per the class contract); the first
+    * bucket of a key has no predecessor and is excluded. Ranked by
+    * (|delta| desc, bucket) within key, cut at `topN`.
+    *
+    * Scale: the window runs over the BUCKET COUNTS (bucket-count-sized,
+    * key-partitioned — WindowGroupLimit prunes the rank map-side), never
+    * the events. */
+  def topMovers(counts: DataFrame, topN: Int = 3): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket"))
+    val ranked = counts
+      .select(col("key"), col("bucket"), col("c").cast("long").as("c"))
+      .withColumn("prev_c", lag(col("c"), 1).over(byKey))
+      .filter(col("prev_c").isNotNull)
+      .withColumn("delta", col("c") - col("prev_c"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+          .orderBy(abs(col("delta")).desc, col("bucket"))))
+      .filter(col("rk") <= topN)
+    ranked.select(col("key"), col("bucket"), col("c"), col("prev_c"),
+      col("delta"), col("rk").cast("long").as("rk"))
+  }
+
   /** The z-test over an existing (key, bucket, c) count table (see class
     * doc for the cross-multiplied arithmetic). */
   def flagFromCounts(counts: DataFrame, k: Int): DataFrame = {

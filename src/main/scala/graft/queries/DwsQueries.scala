@@ -400,8 +400,33 @@ object DwsQueries {
              CAST(COUNT(*) AS BIGINT) AS c
       FROM events GROUP BY 1, 2"""))
 
+  /** Day-over-day top movers per event type: the largest absolute count
+    * change vs the previous observed day, top-3 per key — the dashboard
+    * cut complementary to a13's all-history sigma band. */
+  val a15CountMovers: Q = Q(
+    "a15_count_movers",
+    run = (s, dir) => graft.operators.Anomaly.topMovers(
+        graft.operators.Anomaly.bucketCounts(
+          Tables.events(s, dir), col("event_type"), col("ts"), "day"),
+        topN = 3)
+      .select(col("key"), date_format(col("bucket"), "yyyy-MM-dd").as("d"),
+        col("c"), col("prev_c"), col("delta"), col("rk")),
+    oracle = Some("""
+      WITH c AS (SELECT event_type AS key,
+          strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      l AS (SELECT key, d, c,
+          lag(c) OVER (PARTITION BY key ORDER BY d) AS prev_c
+        FROM c),
+      r AS (SELECT key, d, c, prev_c, c - prev_c AS delta,
+          CAST(row_number() OVER (PARTITION BY key
+            ORDER BY abs(c - prev_c) DESC, d) AS BIGINT) AS rk
+        FROM l WHERE prev_c IS NOT NULL)
+      SELECT key, d, c, prev_c, delta, rk FROM r WHERE rk <= 3"""))
+
   val all: Seq[Q] = Seq(
     a2GlobalWindow, a5DailyUv, a6Backflow, a7IsNewRepair, a8DedupFirst,
     dws09Composite, j7AsofJoin, j8RangeJoin, j9RangeOverlap, a10SessionWindow,
-    a11Funnel, a12Retention, a13CountAnomaly, a14CountRollup)
+    a11Funnel, a12Retention, a13CountAnomaly, a14CountRollup, a15CountMovers)
 }

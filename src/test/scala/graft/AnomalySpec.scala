@@ -79,6 +79,23 @@ class AnomalySpec extends AnyFunSuite {
     assert(got(("a", "2024-01-10 00:00:00.0")) === ((100L, 1L, true)))
   }
 
+  test("topMovers: largest |delta| first, ties by bucket, first bucket excluded, k-cut") {
+    val e = ev(Seq(("a", "2024-01-01", 10), ("a", "2024-01-02", 12),
+      ("a", "2024-01-03", 30), ("a", "2024-01-04", 29),
+      ("t", "2024-01-01", 10), ("t", "2024-01-02", 12), ("t", "2024-01-03", 10)))
+    val counts = Anomaly.bucketCounts(e, col("event_type"), col("ts"), "day")
+    val got = Anomaly.topMovers(counts, topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(5)) ->
+        (r.getTimestamp(1).toString.take(10), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(("a", 1L)) === (("2024-01-03", 30L, 12L, 18L)))
+    assert(got(("a", 2L)) === (("2024-01-02", 12L, 10L, 2L))) // day4's -1 cut by topN
+    // |+2| == |-2|: earlier bucket wins the tie
+    assert(got(("t", 1L)) === (("2024-01-02", 12L, 10L, 2L)))
+    assert(got(("t", 2L)) === (("2024-01-03", 10L, 12L, -2L)))
+    assert(got.size === 4) // day-1 rows (no predecessor) never appear
+  }
+
   test("rollup identity: day counts re-trunc'd to month == counting at month directly") {
     val rows = Seq(("a", "2024-01-05", 3), ("a", "2024-01-25", 4), ("a", "2024-02-02", 5),
       ("b", "2024-01-05", 2), ("b", "2024-03-09", 6))
