@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality audits — the checks a warehouse runs BEFORE trusting a
+  * layer enough to join against it (the reference's dim/fact contract,
+  * `DimApp`/`DwdTradeOrderDetail`, silently assumes them; here they're
+  * queryable):
+  *
+  *  - referential integrity: child keys that resolve to no parent row
+  *    (a CDC feed that dropped a dim upsert, a late dim arrival);
+  *  - column profile: per-column null rate / distinct count / min-max —
+  *    the DESCRIBE-grade snapshot a schema-drift monitor diffs.
+  *
+  * All counts exact; everything reduces to keyed aggs and one anti-join.
+  */
+object Audit {
+
+  /** Orphan check: one row per audit —
+    * (n_child, n_distinct_keys, n_orphan_rows, n_orphan_keys, ok).
+    * NULL child keys are counted separately via `n_null_keys` (a NULL FK
+    * is a different defect than a dangling one and must not hide in
+    * either count).
+    *
+    * Scale: the orphan join is a key-keyed LEFT ANTI against the
+    * parent's DISTINCT key set (parent side collapses to its keys before
+    * shuffling; AQE broadcasts it when dimension-sized — the common
+    * case). One pass over each table. */
+  def referentialIntegrity(child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column): DataFrame = {
+    val ck = child.select(childKey.cast("string").as("k"))
+    val pk = parent.select(parentKey.cast("string").as("k")).distinct()
+    val orphans = ck.filter(col("k").isNotNull)
+      .join(pk, Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_rows"),
+        count_distinct(col("k")).as("n_orphan_keys"))
+    val base = ck.agg(count(lit(1)).as("n_child"),
+      sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_keys"),
+      count_distinct(col("k")).as("n_distinct_keys"))
+    base.crossJoin(orphans)
+      .select(col("n_child"), col("n_null_keys"), col("n_distinct_keys"),
+        col("n_orphan_rows"), col("n_orphan_keys"),
+        (col("n_orphan_rows") === 0L && col("n_null_keys") === 0L).as("ok"))
+  }
+
+  /** Per-column profile of the named columns:
+    * (col_name, n, n_null, n_distinct, min_str, max_str) — one frame
+    * profiles heterogeneous columns by rendering values as strings, but
+    * min/max are computed on the ORIGINAL type and rendered AFTER, so
+    * numeric/date order is preserved ('9' > '10' as strings would lie).
+    * Distinct counts are EXACT — the audit's point is a number a drift
+    * diff can trust; at corpus scale profile a column subset or a
+    * sampled slice instead of weakening the count. Doubles render
+    * engine-differently in exponent ranges — profile them for n/null/
+    * distinct and read min/max from a numeric query if exact parity
+    * matters.
+    *
+    * Scale: one stacked (col_name, value) projection into a keyed agg
+    * with exact per-column distincts, plus ONE single-row agg for the
+    * typed min/max — two keyed shuffles over #cols × rows, the honest
+    * price of exact distincts across many columns in one frame. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val stacked = df.select(explode(array(cols.map { c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v"))
+    }: _*)).as("s")).select(col("s.col_name").as("col_name"), col("s.v").as("v"))
+    val counts = stacked.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      count_distinct(col("v")).as("n_distinct"))
+    val mmAggs = cols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val mm = df.agg(mmAggs.head, mmAggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"), col(s"__min_$c").as("min_str"),
+          col(s"__max_$c").as("max_str"))
+      }: _*)).as("s")).select(col("s.col_name").as("col_name"),
+        col("s.min_str"), col("s.max_str"))
+    counts.join(mm, Seq("col_name"))
+  }
+}

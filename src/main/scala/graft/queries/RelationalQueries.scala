@@ -558,10 +558,90 @@ object RelationalQueries {
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
 
+  /** Referential-integrity audit: orders → a DELIBERATELY holed customer
+    * dim (every 7th key dropped), so the orphan path is live — plus the
+    * clean lineitem → orders audit proving ok=TRUE on intact data. One
+    * row per audit, union'd. */
+  val tAuditFk: Q = Q(
+    "t_audit_fk",
+    run = (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val holed = Tables.customer(s, dir).filter(col("c_custkey") % 7 =!= 0)
+      val a = graft.operators.Audit.referentialIntegrity(
+          orders, col("o_custkey"), holed, col("c_custkey"))
+        .withColumn("audit", lit("orders_to_holed_customers"))
+      val b = graft.operators.Audit.referentialIntegrity(
+          Tables.lineitem(s, dir), col("l_orderkey"), orders, col("o_orderkey"))
+        .withColumn("audit", lit("lineitem_to_orders"))
+      a.unionByName(b)
+    },
+    oracle = Some("""
+      WITH holed AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+                     FROM customer WHERE c_custkey % 7 <> 0),
+      o1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_orphan_keys
+             FROM (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders) c
+             WHERE k IS NOT NULL AND k NOT IN (SELECT k FROM holed)),
+      b1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_keys
+             FROM orders),
+      o2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_orphan_keys
+             FROM (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem) c
+             WHERE k IS NOT NULL
+               AND k NOT IN (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) FROM orders)),
+      b2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct_keys
+             FROM lineitem)
+      SELECT b1.n_child, b1.n_null_keys, b1.n_distinct_keys,
+             o1.n_orphan_rows, o1.n_orphan_keys,
+             (o1.n_orphan_rows = 0 AND b1.n_null_keys = 0) AS ok,
+             'orders_to_holed_customers' AS audit
+      FROM b1, o1
+      UNION ALL
+      SELECT b2.n_child, b2.n_null_keys, b2.n_distinct_keys,
+             o2.n_orphan_rows, o2.n_orphan_keys,
+             (o2.n_orphan_rows = 0 AND b2.n_null_keys = 0) AS ok,
+             'lineitem_to_orders' AS audit
+      FROM b2, o2"""))
+
+  /** Column-profile audit over orders: exact per-column null/distinct
+    * counts, typed min/max rendered after the compare order is fixed —
+    * the DESCRIBE-grade snapshot a schema-drift monitor diffs. Doubles
+    * excluded by the operator's documented rendering contract. */
+  val tAuditColumns: Q = Q(
+    "t_audit_columns",
+    run = (s, dir) => graft.operators.Audit.columnProfile(
+      Tables.orders(s, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+    oracle = Some("""
+      SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_str FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+             CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+             MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+             MIN(o_orderpriority), MAX(o_orderpriority) FROM orders"""))
+
   val all: Seq[Q] = Seq(
     q6Revenue, jSemiAnti, setOps, rollupRevenue, windowAnalytics, approxUv,
     q4OrderPriority, q2MinCost, q16SupplierCounts, q22IdleRich,
     pivotStatus, statsMoments, statsCorr, cubeRevenue, q19Disjunctive,
     approxPercentiles, statsQuantiles, groupingSets, windowRangeFrame,
-    skewSaltedAgg, skewSaltedJoin, basketPairs)
+    skewSaltedAgg, skewSaltedJoin, basketPairs, tAuditFk, tAuditColumns)
 }

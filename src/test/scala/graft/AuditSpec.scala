@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Audit
+
+/** Audit semantics on hand-built tables: NULL FKs counted apart from
+  * dangling ones, clean data says ok, and the profile's min/max respect
+  * the ORIGINAL type's order, not string order.
+  */
+class AuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("referentialIntegrity: orphans, NULL keys, and the clean case") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), Some(8L), None)
+      .toDF("fk")
+    val r = Audit.referentialIntegrity(child, col("fk"), parent, col("pk"))
+      .collect().head
+    // 6 child rows, 1 null key, distinct non-null keys {1,9,8} = 3,
+    // orphan rows {9,9,8} = 3 over orphan keys {9,8} = 2, not ok
+    assert(r.toSeq === Seq(6L, 1L, 3L, 3L, 2L, false))
+    val clean = Audit.referentialIntegrity(
+      Seq(1L, 2L).toDF("fk"), col("fk"), parent, col("pk")).collect().head
+    assert(clean.toSeq === Seq(2L, 0L, 2L, 0L, 0L, true))
+  }
+
+  test("columnProfile: typed min/max (9 < 10 numerically), exact distincts, nulls") {
+    import spark.implicits._
+    val df = Seq((9L, Some("b")), (10L, Some("a")), (10L, None))
+      .toDF("num", "s")
+    val got = Audit.columnProfile(df, Seq("num", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    // string order would say max='9'; the typed compare must say 10
+    assert(got("num") === ((3L, 0L, 2L, "9", "10")))
+    assert(got("s") === ((3L, 1L, 2L, "a", "b")))
+  }
+}

@@ -180,4 +180,57 @@ class PropertySpec extends AnyFunSuite {
       assert(hashes(fwd) === hashes(rev), s"seed=$seed")
     }
   }
+
+  test("anomaly z-flag is invariant under uniform count scaling (the cross-multiply cancels)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    for (seed <- 1L to 5L) {
+      val counts = sample(Gen.listOfN(12, Gen.chooseNum(1L, 50L)), seed)
+        .zipWithIndex.map { case (c, i) =>
+          ("k", Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00"), c) }
+      def flags(mult: Long) = graft.operators.Anomaly.flagFromCounts(
+          counts.map { case (k, b, c) => (k, b, c * mult) }.toDF("key", "bucket", "c"), k = 2)
+        .orderBy(col("bucket"))
+        .collect().map(r => (r.getLong(3), r.getBoolean(4))).toSeq
+      assert(flags(1L) === flags(1000L), s"seed=$seed")
+    }
+  }
+
+  test("classification metrics: f1 stays between min and max of P/R; tp bounded") {
+    import spark.implicits._
+    for (seed <- 1L to 5L) {
+      val pairs = sample(Gen.listOfN(60,
+        Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.oneOf("a", "b", "c"))), seed)
+      val rows = graft.operators.Eval.classificationMetrics(
+        pairs.toDF("p", "g"), col("p"), col("g")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (nGold, nPred, tp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        val (p, rec, f1) = (r.getLong(4), r.getLong(5), r.getLong(6))
+        assert(tp <= math.min(nGold, nPred), s"seed=$seed $r")
+        assert(p <= 1000000L && rec <= 1000000L, s"seed=$seed $r")
+        // the harmonic mean sits between min and max (±1 ppm floor jitter);
+        // zero-P or zero-R pins f1 to 0
+        if (p == 0L || rec == 0L) assert(f1 === 0L, s"seed=$seed $r")
+        else assert(f1 >= math.min(p, rec) - 1 && f1 <= math.max(p, rec) + 1,
+          s"seed=$seed $r")
+      }
+    }
+  }
+
+  test("retrieval metrics: a permutation of gold's top-k always scores recall=mrr=10^6") {
+    import spark.implicits._
+    for (seed <- 1L to 5L) {
+      val perm = sample(Gen.const(()).flatMap(_ =>
+        Gen.pick(5, 1L to 5L).map(_.toList)), seed)
+      val results = perm.zipWithIndex.map { case (v, i) => (1L, v * 10L, (i + 1).toLong) }
+      val qrels = (1L to 5L).map(v => (1L, v * 10L, 2L))
+      val r = graft.operators.Eval.retrievalMetrics(
+        results.toDF("qid", "vec_id", "rank"),
+        qrels.toDF("qid", "vec_id", "rel"), k = 5).collect().head
+      assert(r.getLong(3) === 1000000L && r.getLong(4) === 1000000L, s"seed=$seed $r")
+      // equal grades: any order of the same 5 docs IS an ideal ordering
+      assert(r.getLong(5) === 1000000L, s"seed=$seed $r")
+    }
+  }
 }
