@@ -44,6 +44,44 @@ object Audit {
         (col("n_orphan_rows") === 0L && col("n_null_keys") === 0L).as("ok"))
   }
 
+  /** Freshness audit: per key, the newest event time and its lag vs a
+    * caller-supplied reference instant — the "which feed went stale"
+    * check. `asOf` is an explicit parameter, NOT the wall clock: the
+    * audit stays deterministic, replayable, and oracle-checkable (pass
+    * the batch's own max, a trigger time, or now() at the call site).
+    * One key-keyed max agg — scan speed. */
+  def freshness(df: DataFrame, key: Column, ts: Column,
+      asOf: java.sql.Timestamp): DataFrame =
+    df.select(key.cast("string").as("key"), ts.as("ts"))
+      .groupBy(col("key"))
+      .agg(max(col("ts")).as("last_ts"))
+      .select(col("key"),
+        unix_micros(col("last_ts")).as("last_ts_us"),
+        (unix_micros(lit(asOf)) - unix_micros(col("last_ts"))).as("lag_us"))
+
+  /** Coverage-gap audit: the buckets in [first, last] of each key where
+    * NO event landed — the silence anomaly [[Anomaly.countAnomalies]]
+    * deliberately does not cover (its missing buckets are absent rows; a
+    * feed going dark is THIS audit's finding). Bucket range is per key
+    * (a source that onboarded late is not "missing" its pre-history).
+    *
+    * Scale: per-key min/max (one keyed agg), then `sequence()` explodes
+    * ONLY the key's own range — output work is proportional to
+    * key-count × range, independent of event count — anti-joined
+    * against the observed (key, bucket) set. Day granularity (the
+    * sequence step is a literal interval). */
+  def coverageGaps(events: DataFrame, key: Column, ts: Column): DataFrame = {
+    val observed = events
+      .select(key.cast("string").as("key"), date_trunc("day", ts).as("bucket"))
+      .distinct()
+    val spans = observed.groupBy(col("key"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    spans
+      .select(col("key"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("bucket"))
+      .join(observed, Seq("key", "bucket"), "left_anti")
+  }
+
   /** Per-column profile of the named columns:
     * (col_name, n, n_null, n_distinct, min_str, max_str) — one frame
     * profiles heterogeneous columns by rendering values as strings, but

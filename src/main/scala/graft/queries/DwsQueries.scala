@@ -425,8 +425,47 @@ object DwsQueries {
         FROM l WHERE prev_c IS NOT NULL)
       SELECT key, d, c, prev_c, delta, rk FROM r WHERE rk <= 3"""))
 
+  /** Freshness audit: newest event + lag vs a pinned reference instant
+    * per type — asOf is a parameter, never the wall clock, so the audit
+    * is deterministic and oracle-checkable (epoch-microsecond outputs
+    * keep the compare exact, the a11_funnel rule). */
+  val tAuditFreshness: Q = Q(
+    "t_audit_freshness",
+    run = (s, dir) => graft.operators.Audit.freshness(
+      Tables.events(s, dir), col("event_type"), col("ts"),
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
+    oracle = Some("""
+      SELECT event_type AS key, epoch_us(MAX(ts)) AS last_ts_us,
+             epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(MAX(ts)) AS lag_us
+      FROM events GROUP BY 1"""))
+
+  /** Coverage-gap audit: three days of click events are deliberately
+    * dropped, and the audit must report EXACTLY those (key, day) holes —
+    * the feed-went-dark finding the anomaly alarm's absent-bucket
+    * contract hands off to this operator. */
+  val tAuditCoverage: Q = Q(
+    "t_audit_coverage",
+    run = (s, dir) => graft.operators.Audit.coverageGaps(
+        Tables.events(s, dir).filter(
+          !(col("event_type") === "click" &&
+            dayofmonth(col("ts")).isin(10, 11, 12) && month(col("ts")) === 1)),
+        col("event_type"), col("ts"))
+      .select(col("key"), date_format(col("bucket"), "yyyy-MM-dd").as("d")),
+    oracle = Some("""
+      WITH ev AS (SELECT * FROM events
+        WHERE NOT (event_type = 'click'
+          AND day(ts) IN (10, 11, 12) AND month(ts) = 1)),
+      obs AS (SELECT DISTINCT event_type AS key, date_trunc('day', ts) AS bucket FROM ev),
+      spans AS (SELECT key, MIN(bucket) AS lo, MAX(bucket) AS hi FROM obs GROUP BY 1),
+      dense AS (SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+                FROM spans)
+      SELECT f.key, strftime(f.bucket, '%Y-%m-%d') AS d
+      FROM dense f LEFT JOIN obs o ON f.key = o.key AND f.bucket = o.bucket
+      WHERE o.key IS NULL"""))
+
   val all: Seq[Q] = Seq(
     a2GlobalWindow, a5DailyUv, a6Backflow, a7IsNewRepair, a8DedupFirst,
     dws09Composite, j7AsofJoin, j8RangeJoin, j9RangeOverlap, a10SessionWindow,
-    a11Funnel, a12Retention, a13CountAnomaly, a14CountRollup, a15CountMovers)
+    a11Funnel, a12Retention, a13CountAnomaly, a14CountRollup, a15CountMovers,
+    tAuditFreshness, tAuditCoverage)
 }

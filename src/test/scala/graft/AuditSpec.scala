@@ -26,6 +26,22 @@ class AuditSpec extends AnyFunSuite {
     assert(clean.toSeq === Seq(2L, 0L, 2L, 0L, 0L, true))
   }
 
+  test("freshness: exact micro lag vs the pinned instant; coverageGaps finds only true holes") {
+    import spark.implicits._
+    val e = Seq(("a", "2024-01-01 10:00:00"), ("a", "2024-01-04 23:59:59"),
+      ("b", "2024-01-02 00:00:00"))
+      .toDF("k", "t").select(col("k"), to_timestamp(col("t")).as("ts"))
+    val fr = Audit.freshness(e, col("k"), col("ts"),
+        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fr("a")._2 === 1000000L) // one second of lag, in micros
+    assert(fr("b")._2 === 3L * 24 * 3600 * 1000000L)
+    // a observed on days 1 and 4 -> gaps are 2 and 3; b spans one day -> none
+    val gaps = Audit.coverageGaps(e, col("k"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString.take(10))).toSet
+    assert(gaps === Set(("a", "2024-01-02"), ("a", "2024-01-03")))
+  }
+
   test("columnProfile: typed min/max (9 < 10 numerically), exact distincts, nulls") {
     import spark.implicits._
     val df = Seq((9L, Some("b")), (10L, Some("a")), (10L, None))
