@@ -102,12 +102,20 @@ object Search {
       .select(col("doc_id"), col("n_terms"), col("score_ppb"), col("rank"))
   }
 
-  /** Candidate postings for a query: tokenize with the term filter
-    * applied map-side (non-matching tokens never shuffle), then one
-    * (doc, term) partial agg. */
+  /** Candidate postings for a query: a LOSSLESS substring prefilter
+    * skips the tokenize+explode for non-matching docs entirely (every
+    * token is a maximal alnum run of lower(text), so token == t implies
+    * lower(text) contains t — query terms are already normalized by
+    * queryTerms; a NULL text has no tokens and is dropped either way).
+    * On a corpus scan the tokenizer IS the cost: the prefilter turns
+    * "tokenize 100 TB" into "tokenize the docs that can match".
+    * Surviving docs tokenize with the term filter applied map-side
+    * (non-matching tokens never shuffle), then one (doc, term) partial
+    * agg. */
   private def queryTf(docs: DataFrame, terms: Seq[String]): DataFrame =
     docs
-      .select(col("doc_id"), explode(tokens(coalesce(col("text"), lit("")))).as("term"))
+      .filter(terms.map(t => lower(col("text")).contains(lit(t))).reduce(_ || _))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

@@ -58,7 +58,8 @@ object SearchQueries {
     "t_search_topk",
     run = (s, dir) =>
       Search.searchTopK(Tables.documents(s, dir), Seq("spark", "vector", "dup"), k = 10),
-    oracle = Some(searchSql(Seq("spark", "vector", "dup"), 10, conjunctive = false)))
+    oracle = Some(searchSql(Seq("spark", "vector", "dup"), 10, conjunctive = false)),
+    headline = true)
 
   /** Conjunctive top-k: only docs containing EVERY query term. */
   val tSearchConjunctive: Q = Q(
