@@ -28,6 +28,16 @@ object Anomaly {
     * (key, bucket, c, direction ∈ {-1,0,1}, is_anomaly). `granularity`
     * is any `date_trunc` unit (day, hour, week, …); a key with a single
     * bucket is never anomalous (n=1 makes both sides 0). */
+  /** date_trunc units this module accepts: Spark silently returns NULL
+    * for an unknown unit (every row collapses to one n=1 bucket and the
+    * alarm goes quiet with no error), so the typo must fail here. */
+  private val Granularities =
+    Set("year", "quarter", "month", "week", "day", "hour", "minute", "second")
+  private def requireGranularity(g: String): Unit =
+    require(Granularities.contains(g.toLowerCase),
+      s"unknown granularity '$g' (Spark's date_trunc would return NULL for " +
+        s"every row and silently disarm the alarm); use one of $Granularities")
+
   def countAnomalies(events: DataFrame, key: Column, ts: Column,
       granularity: String = "day", k: Int = 2): DataFrame =
     flagFromCounts(bucketCounts(events, key, ts, granularity), k)
@@ -37,11 +47,13 @@ object Anomaly {
     * incrementally: counts SUM, so per-batch partial counts fold
     * exactly and the alarm is batching-independent by construction. */
   def bucketCounts(events: DataFrame, key: Column, ts: Column,
-      granularity: String = "day"): DataFrame =
+      granularity: String = "day"): DataFrame = {
+    requireGranularity(granularity)
     events
       .select(key.cast("string").as("key"), date_trunc(granularity, ts).as("bucket"))
       .groupBy(col("key"), col("bucket"))
       .agg(count(lit(1)).as("c"))
+  }
 
   /** Roll an existing (key, bucket, c) count table up to a COARSER
     * granularity — counts are additive, so day buckets re-trunc'd and
@@ -50,10 +62,12 @@ object Anomaly {
     * (`StreamingPipelines.countSink`) therefore serves every coarser
     * alarm: flagFromCounts ∘ rollup gives the weekly/monthly view with
     * no second pass over the events. */
-  def rollupCounts(counts: DataFrame, granularity: String): DataFrame =
+  def rollupCounts(counts: DataFrame, granularity: String): DataFrame = {
+    requireGranularity(granularity)
     counts
       .groupBy(col("key"), date_trunc(granularity, col("bucket")).as("bucket"))
       .agg(sum(col("c")).as("c"))
+  }
 
   /** Top movers: per key, the buckets with the largest
     * period-over-period count change — the "what spiked today vs
@@ -95,7 +109,11 @@ object Anomaly {
       sum(dec(col("c"))).as("s"),
       sum(dec(col("c")) * dec(col("c"))).as("q"))
     val lhsRoot = dec(col("n")) * dec(col("c")) - col("s") // n·c − S (signed)
-    c.join(broadcast(stats), Seq("key"))
+    // null-safe join: a NULL key is a real feed (groupBy keeps it as a
+    // group) and must not silently vanish from the alarm — a plain
+    // equi-join would drop it (the Sampling.keyStr failure mode)
+    c.join(broadcast(stats.withColumnRenamed("key", "__sk")),
+        col("key") <=> col("__sk"))
       .select(col("key"), col("bucket"), col("c"),
         when(lhsRoot > 0, 1L).when(lhsRoot < 0, -1L).otherwise(0L).as("direction"),
         (lhsRoot * lhsRoot >

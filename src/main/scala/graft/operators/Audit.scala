@@ -23,22 +23,25 @@ object Audit {
     * is a different defect than a dangling one and must not hide in
     * either count).
     *
-    * Scale: the orphan join is a key-keyed LEFT ANTI against the
-    * parent's DISTINCT key set (parent side collapses to its keys before
-    * shuffling; AQE broadcasts it when dimension-sized — the common
-    * case). One pass over each table. */
+    * Scale: ONE pass over the child — a LEFT OUTER join against the
+    * parent's DISTINCT key set marks each row matched/orphaned/null and
+    * a single conditional agg produces every count (a separate
+    * anti-join branch would scan the 100 TB child twice; the parent
+    * side collapses to its keys before shuffling and AQE broadcasts it
+    * when dimension-sized — the common case). */
   def referentialIntegrity(child: DataFrame, childKey: Column,
       parent: DataFrame, parentKey: Column): DataFrame = {
     val ck = child.select(childKey.cast("string").as("k"))
-    val pk = parent.select(parentKey.cast("string").as("k")).distinct()
-    val orphans = ck.filter(col("k").isNotNull)
-      .join(pk, Seq("k"), "left_anti")
-      .agg(count(lit(1)).as("n_orphan_rows"),
-        count_distinct(col("k")).as("n_orphan_keys"))
-    val base = ck.agg(count(lit(1)).as("n_child"),
-      sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_keys"),
-      count_distinct(col("k")).as("n_distinct_keys"))
-    base.crossJoin(orphans)
+    val pk = parent.select(parentKey.cast("string").as("k"))
+      .filter(col("k").isNotNull).distinct()
+      .withColumn("__hit", lit(1))
+    val orphan = col("k").isNotNull && col("__hit").isNull
+    ck.join(pk, Seq("k"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_keys"),
+        count_distinct(col("k")).as("n_distinct_keys"),
+        sum(when(orphan, 1L).otherwise(0L)).as("n_orphan_rows"),
+        count_distinct(when(orphan, col("k"))).as("n_orphan_keys"))
       .select(col("n_child"), col("n_null_keys"), col("n_distinct_keys"),
         col("n_orphan_rows"), col("n_orphan_keys"),
         (col("n_orphan_rows") === 0L && col("n_null_keys") === 0L).as("ok"))
@@ -48,10 +51,13 @@ object Audit {
     * caller-supplied reference instant — the "which feed went stale"
     * check. `asOf` is an explicit parameter, NOT the wall clock: the
     * audit stays deterministic, replayable, and oracle-checkable (pass
-    * the batch's own max, a trigger time, or now() at the call site).
-    * One key-keyed max agg — scan speed. */
+    * the batch's own max, a trigger time, or Instant.now() at the call
+    * site) — and an [[java.time.Instant]], an absolute point on the
+    * timeline, so no host timezone enters the lag (a java.sql.Timestamp
+    * literal parses in the JVM default zone and would shift the audit
+    * by the host's UTC offset). One key-keyed max agg — scan speed. */
   def freshness(df: DataFrame, key: Column, ts: Column,
-      asOf: java.sql.Timestamp): DataFrame =
+      asOf: java.time.Instant): DataFrame =
     df.select(key.cast("string").as("key"), ts.as("ts"))
       .groupBy(col("key"))
       .agg(max(col("ts")).as("last_ts"))
@@ -74,12 +80,15 @@ object Audit {
     val observed = events
       .select(key.cast("string").as("key"), date_trunc("day", ts).as("bucket"))
       .distinct()
-    val spans = observed.groupBy(col("key"))
+    val spans = observed.filter(col("bucket").isNotNull).groupBy(col("key"))
       .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
-    spans
-      .select(col("key"),
-        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("bucket"))
-      .join(observed, Seq("key", "bucket"), "left_anti")
+    // null-safe anti-join: a NULL-keyed feed's observed days must match
+    // its own densified range — a plain anti-join never matches NULL keys
+    // and would report every day of a healthy feed as a gap
+    val dense = spans.select(col("key"),
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("bucket"))
+    dense.join(observed.withColumnsRenamed(Map("key" -> "__ok", "bucket" -> "__ob")),
+        col("key") <=> col("__ok") && col("bucket") === col("__ob"), "left_anti")
   }
 
   /** Per-column profile of the named columns:

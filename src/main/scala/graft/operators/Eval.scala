@@ -34,10 +34,11 @@ object Eval {
 
   /** Per-query metrics of `results` (qid, vec_id, rank — rank 1-based,
     * deduplicated per qid) against `qrels` (qid, vec_id, rel — integer
-    * grade, rel > 0 means relevant; grades must stay ≤ 30 so the
-    * gain·discount sums fit BIGINT — beyond that the ANSI arithmetic
-    * THROWS rather than silently wrapping, and real judgment scales
-    * stop at single digits anyway). One output row per qid that has at least one relevant
+    * grade, rel > 0 means relevant; grades above 30 fail LOUDLY via
+    * raise_error — the gain·discount sums would leave BIGINT, and a
+    * silent 2^rel wrap at 64 would zero a doc's gain while it still
+    * counted in n_rel; real judgment scales stop at single digits
+    * anyway). One output row per qid that has at least one relevant
     * judgment — a system returning nothing for a judged query scores 0,
     * it does not vanish from the frame:
     * (qid, n_rel, hits, recall_ppm, mrr_ppm, ndcg_ppm). */
@@ -46,9 +47,14 @@ object Eval {
     val wTable = discountTablePpm(k)
     def w(rankCol: Column): Column =
       element_at(array(wTable.map(lit): _*), rankCol.cast("int"))
-    // 2^rel − 1 (the DSL's shiftleft only takes a literal shift width)
+    // 2^rel − 1 (the DSL's shiftleft only takes a literal shift width);
+    // grades > 30 raise: Java masks the shift width to 6 bits, so rel=64
+    // would silently yield gain 0 — a loud failure beats a wrong scorecard
     def gain(relCol: Column): Column =
-      call_function("shiftleft", lit(1L), relCol.cast("int")) - lit(1L)
+      when(relCol > 30, raise_error(concat(
+        lit("retrievalMetrics: rel grade > 30 overflows the BIGINT gain sums, got "),
+        relCol.cast("string"))))
+        .otherwise(call_function("shiftleft", lit(1L), relCol.cast("int")) - lit(1L))
 
     val r = results.select(col("qid"), col("vec_id"),
       col("rank").cast("long").as("rank")).filter(col("rank") <= k)
@@ -112,18 +118,16 @@ object Eval {
   def classificationMetricsBy(labeled: DataFrame, pred: Column, gold: Column,
       slice: Column): DataFrame =
     metricsFromConfusion(
-      Dedup.track(labeled
-        .select(slice.cast("string").as("slice"),
-          pred.cast("string").as("a"), gold.cast("string").as("b"))
-        .groupBy(col("slice"), col("a"), col("b")).agg(count(lit(1)).as("c"))
-        .persist()),
-      Seq("slice"))
+      confusion(labeled, pred, gold, keys = Seq("slice" -> slice)), Seq("slice"))
 
   /** The raw (pred, gold, n) confusion matrix — the drill-down behind
-    * [[classificationMetrics]]; one corpus scan, label² rows. */
+    * [[classificationMetrics]]; one corpus scan, label² rows. A NULL
+    * label on either side is a class of its own (see [[confusion]]) and
+    * reads back as NULL here. */
   def confusionMatrix(labeled: DataFrame, pred: Column, gold: Column): DataFrame =
     confusion(labeled, pred, gold)
-      .select(col("a").as("pred"), col("b").as("gold"), col("c").as("n"))
+      .select(denull(col("a")).as("pred"), denull(col("b")).as("gold"),
+        col("c").as("n"))
 
   private def metricsFromConfusion(cm: DataFrame, keys: Seq[String]): DataFrame = {
     val predKeys = keys :+ "label"
@@ -133,7 +137,7 @@ object Eval {
       .agg(sum(col("c")).as("n_gold"))
     val tpC = cm.filter(col("a") === col("b"))
       .select((keys.map(col) :+ col("a").as("label") :+ col("c").as("tp")): _*)
-    predC.join(goldC, predKeys, "full")
+    val joined = predC.join(goldC, predKeys, "full")
       .join(tpC, predKeys, "left")
       .select((predKeys.map(col) :+
         coalesce(col("n_gold"), lit(0L)).as("n_gold") :+
@@ -147,6 +151,8 @@ object Eval {
         when(col("precision_ppm") + col("recall_ppm") > 0,
           expr("(2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm)"))
           .otherwise(0L))
+    // restore NULL labels/keys for the reader (sentineled for the joins)
+    predKeys.foldLeft(joined)((df, k) => df.withColumn(k, denull(col(k))))
   }
 
   /** Inter-labeler agreement (Cohen's kappa): observed agreement
@@ -190,11 +196,31 @@ object Eval {
       .select(col("n"), col("agree"), col("po_ppm"), col("pe_ppm"), col("kappa_ppm"))
   }
 
-  /** The (a, b, count) confusion matrix — ONE corpus scan, label²
-    * rows, persisted on the session cache registry (released by
+  /** The (keys…, a, b, count) confusion matrix — ONE corpus scan,
+    * label² rows, persisted on the session cache registry (released by
     * [[Dedup.releaseCaches]]/releaseSince like every operator-held
-    * frame) so the metric derivations above never rescan the corpus. */
-  private def confusion(labeled: DataFrame, a: Column, b: Column): DataFrame =
-    Dedup.track(labeled.select(a.cast("string").as("a"), b.cast("string").as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c")).persist())
+    * frame) so the metric derivations above never rescan the corpus.
+    *
+    * NULL labels are a CLASS OF THEIR OWN (an abstaining labeler is a
+    * real behavior the scorecard must show, and two labelers both
+    * abstaining is agreement): internally they carry a non-colliding
+    * sentinel so the equi-joins and the a=b diagonal treat them as any
+    * other label — plain joins drop null==null matches, which would
+    * split the NULL class into two half-rows and zero its tp. Readers
+    * see NULL again via [[denull]]. */
+  private def confusion(labeled: DataFrame, a: Column, b: Column,
+      keys: Seq[(String, Column)] = Nil): DataFrame = {
+    val cols = keys.map { case (n, c) => sentinel(c).as(n) } ++
+      Seq(sentinel(a).as("a"), sentinel(b).as("b"))
+    Dedup.track(labeled.select(cols: _*)
+      .groupBy((keys.map(k => col(k._1)) :+ col("a")) :+ col("b"): _*)
+      .agg(count(lit(1)).as("c")).persist())
+  }
+
+  /** Sentinel no real `cast(x AS STRING)` can produce (NUL byte prefix). */
+  private val NullLabel = "\u0000<null>"
+  private def sentinel(c: Column): Column =
+    coalesce(c.cast("string"), lit(NullLabel))
+  private def denull(c: Column): Column =
+    when(c === NullLabel, lit(null).cast("string")).otherwise(c)
 }

@@ -433,7 +433,7 @@ object DwsQueries {
     "t_audit_freshness",
     run = (s, dir) => graft.operators.Audit.freshness(
       Tables.events(s, dir), col("event_type"), col("ts"),
-      java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
+      java.time.Instant.parse("2024-02-01T00:00:00Z")),
     oracle = Some("""
       SELECT event_type AS key, epoch_us(MAX(ts)) AS last_ts_us,
              epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(MAX(ts)) AS lag_us

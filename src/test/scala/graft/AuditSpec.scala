@@ -32,7 +32,7 @@ class AuditSpec extends AnyFunSuite {
       ("b", "2024-01-02 00:00:00"))
       .toDF("k", "t").select(col("k"), to_timestamp(col("t")).as("ts"))
     val fr = Audit.freshness(e, col("k"), col("ts"),
-        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+        java.time.Instant.parse("2024-01-05T00:00:00Z"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(fr("a")._2 === 1000000L) // one second of lag, in micros
     assert(fr("b")._2 === 3L * 24 * 3600 * 1000000L)
@@ -40,6 +40,23 @@ class AuditSpec extends AnyFunSuite {
     val gaps = Audit.coverageGaps(e, col("k"), col("ts"))
       .collect().map(r => (r.getString(0), r.getTimestamp(1).toString.take(10))).toSet
     assert(gaps === Set(("a", "2024-01-02"), ("a", "2024-01-03")))
+  }
+
+  test("NULL-keyed feeds: coverageGaps reports only true holes, alarm keeps the feed") {
+    import spark.implicits._
+    // null-keyed feed observed on days 1,2,4 -> the ONLY gap is day 3
+    val e = Seq((None, "2024-01-01"), (None, "2024-01-02"), (None, "2024-01-04"),
+      (Some("b"), "2024-01-01"), (Some("b"), "2024-01-02"))
+      .toDF("k", "d")
+      .select(col("k"), to_timestamp(concat(col("d"), lit(" 12:00:00"))).as("ts"))
+    val gaps = Audit.coverageGaps(e, col("k"), col("ts"))
+      .collect().map(r => (Option(r.getString(0)), r.getTimestamp(1).toString.take(10)))
+    assert(gaps.toSeq === Seq((None, "2024-01-03")))
+    // and the anomaly alarm must not silently drop the null-keyed feed
+    val flagged = graft.operators.Anomaly.countAnomalies(
+        e, col("k"), col("ts"), "day", k = 2)
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(flagged === Set(None, Some("b")))
   }
 
   test("columnProfile: typed min/max (9 < 10 numerically), exact distincts, nulls") {

@@ -138,6 +138,30 @@ class EvalSpec extends AnyFunSuite {
     assert(cm === Map(("a", "a") -> 2L, ("b", "a") -> 1L, ("b", "b") -> 1L))
   }
 
+  test("NULL is a class of its own: one row, null==null agrees, kappa sees it") {
+    import spark.implicits._
+    // pred: null null a a ; gold: null b a null
+    val df = Seq((None, Some("x")), (None, Some("b")), (Some("a"), Some("a")),
+      (Some("a"), None)).toDF("p", "g")
+      .select(when(col("p") === "x", lit(null)).otherwise(col("p")).as("p"),
+        when(col("g") === "x", lit(null)).otherwise(col("g")).as("g"))
+    val m = Eval.classificationMetrics(df, col("p"), col("g"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // NULL class: gold {row1, row4} = 2, pred {row1, row2} = 2, tp = {row1} = 1
+    assert(m(None) === ((2L, 2L, 1L)))
+    assert(m(Some("a")) === ((1L, 2L, 1L)))
+    assert(m(Some("b")) === ((1L, 0L, 0L)))
+    assert(m.size === 3) // ONE null row, not two half-rows
+    val cm = Eval.confusionMatrix(df, col("p"), col("g"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2))
+      .toMap
+    assert(cm((None, None)) === 1L && cm((Some("a"), None)) === 1L)
+    // agreement counts the null-null row as agreement (both abstained)
+    val ag = Eval.agreement(df, col("p"), col("g")).collect().head
+    assert(ag.getLong(1) === 2L) // (null,null) and (a,a)
+  }
+
   test("rel=0 judgments are non-relevant: excluded from n_rel, hits, and ideal") {
     val m = metrics(
       results = Seq((1L, 10L, 1L), (1L, 20L, 2L)),
