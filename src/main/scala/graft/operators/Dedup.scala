@@ -118,8 +118,12 @@ object Dedup {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"),
         preference.cast("long").as("__pref"))
       .groupBy(col("fp"))
+      // NULL preferences lose to every ranked row (a left-join miss
+      // against the priority table means "unranked", not "best"): struct
+      // min orders NULL smallest, so the is-null flag leads the ordering
       .agg(count(lit(1)).as("ct"),
-        min(struct(col("__pref"), col("doc_id"))).getField("doc_id").as("keep_id"))
+        min(struct(col("__pref").isNull.cast("int").as("__unranked"),
+          col("__pref"), col("doc_id"))).getField("doc_id").as("keep_id"))
 
   /** Snapshot diff between two corpus versions: per doc_id, whether the
     * doc was `added`, `removed`, `changed` (present in both, normalized
@@ -245,6 +249,10 @@ object Dedup {
     * incremental sink (which registers bands across micro-batches). */
   private[graft] def bandsFromShingles(sh: DataFrame, numSigs: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
+    require(numSigs >= rowsPerBand && numSigs % rowsPerBand == 0,
+      s"numSigs ($numSigs) must be a positive multiple of rowsPerBand " +
+        s"($rowsPerBand) — truncating would silently band only the first " +
+        s"${numSigs / rowsPerBand * rowsPerBand} signatures and lower recall")
     val numBands = numSigs / rowsPerBand
     val sigs = sh.select(
       col("doc_id"),
@@ -533,13 +541,12 @@ object Dedup {
       .distinct()
     // verify on the distinct 32-bit gram hashes — same engine-parity
     // contract as minhashLshPairs (the oracle derives identical md5-prefix
-    // hashes, so a rare collision shrinks both sides' intersect alike)
-    val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("h_a"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("h_b"))
-    cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("jaccard", call_function("jaccard_sorted", col("h_a"), col("h_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // hashes, so a rare collision shrinks both sides' intersect alike);
+    // shares jaccardVerify so the verify contract lives in ONE place
+    jaccardVerify(cand,
+      sets.select(col("doc_id").as("doc_a"), col("hs").as("h_a")),
+      sets.select(col("doc_id").as("doc_b"), col("hs").as("h_b")),
+      threshold)
   }
 
   /** Asymmetric CONTAINMENT pairs: (doc_a, doc_b, containment) where the

@@ -104,15 +104,22 @@ object Sampling {
       rates: Seq[(String, Double)], defaultRate: Double = 1.0): DataFrame = {
     require((defaultRate +: rates.map(_._2)).forall(r => r >= 0.0 && r <= 1.0),
       "all rates must be in [0,1]")
-    val rate = rates.foldLeft(Option.empty[Column]) {
+    // thresholds are DRIVER-computed literals (math.round, like
+    // sampleByHash/assignSplits) — an engine-side round(rate·10⁴) column
+    // would put Spark's HALF_UP-on-decimal-repr vs DuckDB's binary round
+    // into the gate on .5-boundary products, the repo's pinned
+    // quantization divergence class
+    val thr = rates.foldLeft(Option.empty[Column]) {
       case (acc, (s, r)) =>
-        Some(acc.fold(when(stratum === s, r))(_.when(stratum === s, r)))
-    }.fold(lit(defaultRate))(_.otherwise(defaultRate))
+        val t = lit(math.round(r * Buckets))
+        Some(acc.fold(when(stratum === s, t))(_.when(stratum === s, t)))
+    }.fold(lit(math.round(defaultRate * Buckets)))(
+      _.otherwise(math.round(defaultRate * Buckets)))
     // NULL stratum already falls to defaultRate via the when-chain; the
     // hash must stay NULL-safe too or the row is dropped regardless of rate
     // (DuckDB: md5('v:' || stratum || ':v:' || CAST(k AS VARCHAR)))
     val b = bucket(concat(keyStr(stratum), lit(":"), keyStr(key)))
-    df.filter(b < round(rate * Buckets).cast("long"))
+    df.filter(b < thr)
   }
 
   /** Deterministic sequence packing for training: documents are bucketed

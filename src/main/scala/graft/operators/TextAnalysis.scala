@@ -23,10 +23,20 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y", "los"),
     "fr" -> Seq("le", "la", "les", "et", "de", "un"))
 
+  /** (doc_id, n_chars, toks) — REUSES a caller-bound `toks` column when
+    * one is present (contract: it must be `tokens(text)` of the same
+    * frame, e.g. `profiled`'s persisted per-doc frame), so a profile that
+    * fans into quality + language + token stats tokenizes the corpus
+    * once, not once per consumer. */
   private def withToks(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
-      tokens(coalesce(col("text"), lit(""))).as("toks"))
+    if (docs.columns.contains("toks"))
+      docs.select(col("doc_id"),
+        length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
+        col("toks"))
+    else
+      docs.select(col("doc_id"),
+        length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
+        tokens(coalesce(col("text"), lit(""))).as("toks"))
 
   private def hits(toks: Column, words: Seq[String]): Column =
     size(array_intersect(array_distinct(toks), array(words.map(lit): _*)))
@@ -161,12 +171,8 @@ object TextAnalysis {
     * Both array frames are persisted BEFORE their explode — Generate
     * re-inlines higher-order projection chains (see Dedup.winnowPairs). */
   def contaminationTable(docs: DataFrame, benchmark: DataFrame, n: Int = 4): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), array_distinct(wordShingles(col("toks"), n)).as("g"))
-    val dg = grams(docs).persist()
-    val bg = grams(benchmark).persist()
+    val dg = contaminationGrams(docs, n).persist()
+    val bg = contaminationGrams(benchmark, n).persist()
     try {
       val corpusGrams = dg.select(col("doc_id"), explode(col("g")).as("gram"))
       val benchGrams = bg.select(explode(col("g")).as("gram")).distinct()
@@ -381,9 +387,18 @@ object TextAnalysis {
     * Returns (doc_id, text, changed) — text rebuilt, flag for accounting
     * (any rewrite counts, incl. whitespace collapse). NULL text passes
     * through as NULL. */
+  /** One block pattern PER tag type: the single alternation
+    * `<(script|style)>.*?</(script|style)>` cross-matched an opening
+    * `<script>` with the first `</style>` and leaked the script payload
+    * after it into the cleaned text. Public so the DuckDB oracle folds
+    * the IDENTICAL list (one source of truth, the piiPatterns rule). */
+  val htmlBlockPatterns: Seq[String] = Seq(
+    "(?s)<script[^>]*>.*?</script>", "(?s)<style[^>]*>.*?</style>")
+
   def stripHtml(docs: DataFrame): DataFrame = {
-    val noBlocks = regexp_replace(col("text"),
-      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noBlocks = htmlBlockPatterns.foldLeft(col("text")) {
+      (c, p) => regexp_replace(c, p, " ")
+    }
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
@@ -650,7 +665,11 @@ object TextAnalysis {
     * Mixed-separator true cards don't match; both engines agree, which is
     * the property the oracle certifies. */
   val piiPatterns: Seq[(String, String, String)] = Seq(
-    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    // (?i): addresses are case-insensitive and "John.Doe@Example.COM" is
+    // the common real-world form — a lowercase-only pattern let every
+    // mixed-case email through the scrub; no placeholder contains an '@',
+    // so idempotence survives the flag
+    ("email", "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
     ("cc", "\\b\\d{4}(-\\d{4}){3}\\b|\\b\\d{4}( \\d{4}){3}\\b", "<CC>"),
     ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
     ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),

@@ -1825,14 +1825,19 @@ object PipelineQueries {
           WHEN doc_id % 7 = 0 THEN '<div><b>' || text || '</b></div>'
           ELSE text END"""
 
-  private def htmlStripSql(inner: String): String = s"""
+  private def htmlStripSql(inner: String): String = {
+    val noBlocks = TextAnalysis.htmlBlockPatterns.foldLeft(inner) {
+      (s, p) => s"regexp_replace($s, '$p', ' ', 'g')"
+    }
+    s"""
           trim(regexp_replace(
             replace(replace(replace(replace(replace(replace(
               regexp_replace(
-                regexp_replace($inner, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                $noBlocks,
                 '<[^>]*>', ' ', 'g'),
               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
             '\\s+', ' ', 'g'))"""
+  }
 
   /** HTML stripping over deterministically marked-up docs: tag wrapping,
     * entity encoding, and a script block with payload are injected per

@@ -35,6 +35,32 @@ class DedupSpec extends AnyFunSuite {
     assert(groups.agg(sum("ct")).collect()(0).getLong(0) === docs.count())
   }
 
+  test("keepBest: a NULL preference (unranked source) loses to every ranked copy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text", Some(5L)),  // ranked, worst rank
+      (2L, "same text", None),      // unranked (priority-table join miss)
+      (3L, "same text", Some(1L)))  // curated copy — must win
+      .toDF("doc_id", "text", "pref")
+    val keep = graft.operators.Dedup.exactGroupsKeepBest(docs, col("pref"))
+      .collect().head.getAs[Long]("keep_id")
+    assert(keep === 3L)
+    // all-NULL group still picks deterministically by doc_id
+    val allNull = Seq((7L, "t", None: Option[Long]), (4L, "t", None))
+      .toDF("doc_id", "text", "pref")
+    assert(graft.operators.Dedup.exactGroupsKeepBest(allNull, col("pref"))
+      .collect().head.getAs[Long]("keep_id") === 4L)
+  }
+
+  test("bandsFromShingles rejects a signature count not divisible by the band width") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.minhashLshPairs(docs, numSigs = 10, rowsPerBand = 4)
+    }
+    assert(e.getMessage.contains("multiple of rowsPerBand"))
+  }
+
   test("minhash LSH finds all J>=0.8 pairs (recall vs brute force)") {
     val lsh = Dedup.minhashLshPairs(Tables.documents(spark, dir)).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -96,4 +96,16 @@ class PiiSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_cc") === 1L)
     assert(r.getAs[String]("redacted") === "<EMAIL> writes from <IP> about <CC>")
   }
+
+  test("mixed-case emails are redacted; placeholders still idempotent under (?i)") {
+    import spark.implicits._
+    val docs = Seq((1L, "Mail John.Doe@Example.COM or ADMIN@HOST.ORG today"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.redactPii(docs).collect().head
+    assert(r.getAs[Long]("n_email") === 2L)
+    assert(r.getAs[String]("redacted") === "Mail <EMAIL> or <EMAIL> today")
+    val again = graft.operators.TextAnalysis.redactPii(
+      Seq((1L, r.getAs[String]("redacted"))).toDF("doc_id", "text")).collect().head
+    assert(again.getAs[String]("redacted") === r.getAs[String]("redacted"))
+  }
 }

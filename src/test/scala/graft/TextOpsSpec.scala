@@ -231,6 +231,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(twice(3L)._1 === Some("a & b")) // second decode level, residual tag stripped
   }
 
+  test("stripHtml: mismatched script/style close tags cannot leak payload between them") {
+    import spark.implicits._
+    // the old single alternation matched <script>…</style> reluctantly and
+    // left "leaked code" behind as prose
+    val docs = Seq(
+      1L -> "<script>var x=1;</style>leaked code</script><p>hi</p>",
+      2L -> "<style>.a{}</script>also leaked</style>visible")
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stripHtml(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!got(1L).contains("leaked") && got(1L).contains("hi"), got(1L))
+    assert(!got(2L).contains("leaked") && got(2L).contains("visible"), got(2L))
+  }
+
   test("vocabCoverage: occurrence counting, zero-token docs kept, duplicate vocab terms collapse") {
     import spark.implicits._
     val docs = Seq(1L -> "a b a c", 2L -> "", 3L -> "x y").toDF("doc_id", "text")
