@@ -272,9 +272,14 @@ object Layout {
       .orElse(persistedMembership(spark, path, column))
       .getOrElse((membershipMapOf(table, column, bits, k), bits, k))
     // the value's probe positions via the SAME Spark expression the
-    // index build used, evaluated in a one-row local job
+    // index build used, evaluated in a one-row local job. The probe
+    // value is cast to the COLUMN's type first: the index hashed
+    // cast(col AS STRING) of column-typed values, so probing a double
+    // column with the int 5 must hash "5.0", not "5" — a raw-literal
+    // probe silently returns zero rows where the unpruned filter matches
+    val dt = table.schema(column).dataType
     val ps = spark.range(1)
-      .select(array(membershipProbes(lit(value), useBits, useK): _*).as("ps"))
+      .select(array(membershipProbes(lit(value).cast(dt), useBits, useK): _*).as("ps"))
       .first().getSeq[Long](0)
     val buckets = idx
       .filter(ps.map(p => array_contains(col("positions"), lit(p))).reduce(_ && _))
@@ -306,6 +311,14 @@ object Layout {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val base = new org.apache.hadoop.fs.Path(inPath)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val qIn = fs.makeQualified(base)
+    val qOut = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
+    // the overwrite deletes outPath at job start: pointing it at (or
+    // inside) the source would destroy the data being lazily read — the
+    // exact in-place hazard the copy design exists to avoid
+    require(qIn != qOut && !qOut.toString.startsWith(qIn.toString + "/") &&
+      !qIn.toString.startsWith(qOut.toString + "/"),
+      s"compactFiles: outPath ($qOut) must be disjoint from inPath ($qIn)")
     val before = fs.listStatus(base).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val totalBytes = before.map(_.getLen).sum

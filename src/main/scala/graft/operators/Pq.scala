@@ -160,7 +160,12 @@ object Pq {
     * bug (see Dedup's unrounded-jaccard note). */
   private def rerankExact(adc: DataFrame, queries: DataFrame, vectors: DataFrame,
       k: Int, rerank: Int): DataFrame = {
-    val wa = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
+    // round the ADC score before ordering: the sum's partial-agg addition
+    // order is shuffle-nondeterministic, and an unrounded float rank can
+    // flip which of two near-tied candidates crosses the rerank boundary
+    // between runs — the same unrounded-ranking class rerank itself fixes
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(round(col("adc"), 6).desc, col("vec_id"))
     val cand = adc.withColumn("crk", row_number().over(wa))
       .filter(col("crk") <= k * rerank)
       .select(col("qid"), col("vec_id"))

@@ -65,9 +65,12 @@ object Search {
     * query string (so a query can never ask for a term the index cannot
     * contain), deduplicated, order preserved. */
   private[graft] def queryTerms(query: Seq[String]): Seq[String] = {
+    // Locale.ROOT: the document side lowercases via Spark's
+    // locale-independent lower(); a default-locale toLowerCase turns
+    // "INFO" into "ınfo" on a tr-TR JVM and the query misses the index
     val norm = query
       .flatMap(q => Option(q).toSeq)
-      .flatMap(_.toLowerCase.split("[^a-z0-9]+").toSeq)
+      .flatMap(_.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").toSeq)
       .filter(_.nonEmpty)
     require(norm.nonEmpty, "search query normalized to zero terms")
     norm.distinct
@@ -161,8 +164,9 @@ object Search {
   /** Phrase normalization: tokenizer semantics, duplicates KEPT and
     * order KEPT (a phrase is a sequence, not a set). */
   private def queryTermsOrdered(phrase: String): Seq[String] = {
-    val norm = Option(phrase).toSeq
-      .flatMap(_.toLowerCase.split("[^a-z0-9]+").toSeq).filter(_.nonEmpty)
+    val norm = Option(phrase).toSeq // Locale.ROOT: see queryTerms
+      .flatMap(_.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").toSeq)
+      .filter(_.nonEmpty)
     require(norm.nonEmpty, "phrase normalized to zero terms")
     norm
   }
@@ -318,20 +322,20 @@ object Search {
     * from the results. */
   def moreLikeThis(docs: DataFrame, docId: Long, nTerms: Int = 5,
       k: Int = 10): DataFrame = {
-    val seed = docs.filter(col("doc_id") === docId)
+    // the seed profile is ≤ nTerms rows — collect it (driver-tiny,
+    // deterministic) so the corpus pass goes through queryTf and gets
+    // its lossless substring prefilter: without it this was the one
+    // search path that tokenized every doc, the cost queryTf's scaladoc
+    // names as THE corpus-scan cost
+    val terms = docs.filter(col("doc_id") === docId)
       .select(explode(tokens(coalesce(col("text"), lit("")))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("rn",
         row_number().over(Window.orderBy(col("tf").desc, col("term").asc)))
       .filter(col("rn") <= nTerms)
-      .select(col("term"))
-    val tfAll = Dedup.track(
-      docs.select(col("doc_id"),
-          explode(tokens(coalesce(col("text"), lit("")))).as("term"))
-        .join(broadcast(seed), Seq("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-        .persist())
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    if (terms.isEmpty) return emptyResult(docs.sparkSession)
+    val tfAll = Dedup.track(queryTf(docs, terms).persist())
     scoreTopK(
       tfAll.filter(col("doc_id") =!= docId),
       tfAll.groupBy(col("term")).agg(count(lit(1)).as("df")), k)

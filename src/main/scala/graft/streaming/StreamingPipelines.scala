@@ -59,7 +59,14 @@ object StreamingPipelines {
       .join(right.withWatermark(rightTs, delay), condition, "left_outer")
 
   /** K4 analog: append each micro-batch to parquet (stands in for the
-    * ClickHouse JDBC batch sink — swap the body for df.write.jdbc). */
+    * ClickHouse JDBC batch sink — swap the body for df.write.jdbc).
+    *
+    * Delivery contract: AT-LEAST-ONCE, deliberately — a foreachBatch
+    * retry appends the batch again, exactly like the reference's
+    * non-transactional JDBC batch insert (its ClickHouse tables absorb
+    * replays via ReplacingMergeTree-style dedup in the STORE). When the
+    * store cannot dedup, use [[upsertSink]] (keyed latest-wins) or a
+    * `batch=<id>`-dir sink (overwrite-idempotent) instead. */
   def parquetBatchSink(df: DataFrame, path: String): DataStreamWriter[Row] =
     df.writeStream
       .outputMode("append")
@@ -71,26 +78,43 @@ object StreamingPipelines {
   /** K3/K5 streaming upsert: maintain latest-row-per-key in a parquet
     * table via foreachBatch read→merge→swap (the Delta `MERGE INTO`
     * stand-in; with Delta on the cluster the body becomes one MERGE).
-    * Write-to-temp-then-swap keeps the table readable mid-merge. */
+    * Write-to-temp-then-swap keeps the table readable mid-merge.
+    *
+    * Crash-safe across every window of the swap: a crash between
+    * `delete(table)` and `rename(tmp, table)` leaves the table missing
+    * but the temp dir COMPLETE (_SUCCESS) — the retry PROMOTES that temp
+    * to the table first (one atomic rename; without it the retry would
+    * rebuild the table from the one retried batch, silently dropping
+    * every earlier key), then runs the normal merge, which is idempotent
+    * (latest-per-key). Promotion-first also means the merge never reads
+    * the dir it is about to overwrite. Paths resolve through their OWN
+    * filesystem (hdfs://, s3a://, file:), and a failed rename is an
+    * error, not a silent no-op. */
   def upsertSink(df: DataFrame, path: String, key: String, version: String): DataStreamWriter[Row] =
     df.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
-        val dir = new java.io.File(path)
+        val p = new org.apache.hadoop.fs.Path(path)
+        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def renameOrThrow(): Unit =
+          if (!fs.rename(tmp, p))
+            throw new java.io.IOException(
+              s"upsertSink: rename $tmp -> $p failed; table left in temp (recoverable)")
+        if (!fs.exists(p) &&
+          fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+          renameOrThrow() // crashed between delete and rename: promote
         val current =
-          if (dir.exists()) spark.read.parquet(path).unionByName(batch.toDF())
+          if (fs.exists(p)) spark.read.parquet(path).unionByName(batch.toDF())
           else batch.toDF()
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(key)).orderBy(col(version).desc)
         val merged = current
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-        val tmp = path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
-        val p = new org.apache.hadoop.fs.Path(path)
+        merged.write.mode("overwrite").parquet(tmp.toString)
         if (fs.exists(p)) fs.delete(p, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+        renameOrThrow()
         ()
       }
 
@@ -512,7 +536,14 @@ object StreamingPipelines {
   }
 
   /** K2 analog: dynamic per-record routing — one pass, fanned out by the
-    * `sink_table` column (partitioned write ≈ Kafka sink's per-row topic). */
+    * `sink_table` column (partitioned write ≈ Kafka sink's per-row topic).
+    *
+    * Delivery contract: AT-LEAST-ONCE on a foreachBatch retry, matching
+    * the reference's non-transactional Kafka producer (its consumers
+    * dedup downstream). Exactly-once routing belongs to the consumer
+    * side here too — e.g. feed the routed output into [[upsertSink]] /
+    * `sinks.BucketedUpsert` keyed on the record id, which is exactly
+    * what the K3/K5 pipelines do. */
   def routedSink(df: DataFrame, basePath: String): DataStreamWriter[Row] =
     df.writeStream
       .outputMode("append")

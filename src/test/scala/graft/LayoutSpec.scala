@@ -168,6 +168,11 @@ class LayoutSpec extends AnyFunSuite {
       s"read ${scan.metrics("numFiles").value} files — membership pruning did not engage")
     // absent value: no bucket passes all three probes (w.h.p.), zero rows
     assert(Layout.prunedPointRead(spark, path, "id", 999999L).count() === 0L)
+    // cross-type probe: an Int literal against the BIGINT column must hash
+    // the COLUMN-typed rendering ("517", not via a mismatched string) —
+    // the pruned read equals the unpruned filter for coercible literals
+    assert(Layout.prunedPointRead(spark, path, "id", probe.toInt)
+      .count() === want.size.toLong)
     // the persisted sidecar drives the lookup: a doctored index that
     // drops every bucket must lose the rows (a rebuild would not)
     val doctored = spark.read.parquet(Layout.membershipPath(path, "id"))
@@ -211,6 +216,16 @@ class LayoutSpec extends AnyFunSuite {
     val (b2, a2) = graft.operators.Layout.compactFiles(spark, out, out2, targetBytes = 1L << 30)
     assert(b2 === 1 && a2 === 1)
     assert(!new java.io.File(out2).exists())
+    // in-place compaction is refused LOUDLY: the overwrite would delete
+    // the directory being lazily read
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Layout.compactFiles(spark, out, out, targetBytes = 1L)
+    }
+    assert(e.getMessage.contains("disjoint"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Layout.compactFiles(spark, out, out + "/nested", targetBytes = 1L)
+    }
+    assert(e2.getMessage.contains("disjoint"))
   }
 
   test("NULL dims and empty frames are safe") {

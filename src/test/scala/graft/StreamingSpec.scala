@@ -180,6 +180,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((1L, "a-v2", 2L), (2L, "b-v1", 1L), (3L, "c-v1", 1L)))
   }
 
+  test("streaming upsert sink recovers the full table from a crash mid-swap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = "/tmp/graft_test_upsert_crash"
+    for (p <- Seq(path, path + ".tmp"))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val s1 = MemoryStream[(Long, String, Long)]
+    val q1 = graft.streaming.StreamingPipelines
+      .upsertSink(s1.toDF().toDF("id", "payload", "version"), path, "id", "version")
+      .start()
+    s1.addData((1L, "a-v1", 1L), (2L, "b-v1", 1L)); q1.processAllAvailable()
+    q1.stop()
+    // simulate the crash window between delete(table) and rename(tmp):
+    // the table is gone, the COMPLETE merged output sits in .tmp
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".tmp")))
+    // the retry/next batch must promote the temp and keep EVERY old key
+    val s2 = MemoryStream[(Long, String, Long)]
+    val q2 = graft.streaming.StreamingPipelines
+      .upsertSink(s2.toDF().toDF("id", "payload", "version"), path, "id", "version")
+      .start()
+    s2.addData((1L, "a-v2", 2L), (3L, "c-v1", 1L)); q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1L, "a-v2", 2L), (2L, "b-v1", 1L), (3L, "c-v1", 1L)))
+  }
+
   test("stream-stream inner join with watermarks == batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
