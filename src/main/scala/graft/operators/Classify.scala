@@ -65,9 +65,12 @@ object Classify {
     * bound before the zip_with lambda (HOF re-inline invariant). */
   private def bigramBuckets(pre: DataFrame, carry: Seq[String], buckets: Int): DataFrame =
     pre.select(carry.map(col) :+ tokens(coalesce(col("text"), lit(""))).as("toks"): _*)
+      // greatest(…, 0): a zero-token doc would pass length −1 to slice,
+      // which THROWS — empty/null text must contribute no bigrams, not
+      // fail the job
       .select(carry.map(col) :+ explode(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
         (a, b) => concat(a, lit(" "), b))).as("bg"): _*)
       .withColumn("bucket",
         pmod(hash32(concat(lit("ir:"), col("bg"))), lit(buckets.toLong)))
@@ -80,7 +83,12 @@ object Classify {
                         buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val tb = unigramBuckets(
-      train.select(label.cast("boolean").as("pos"), col("text")),
+      // NULL labels are EXCLUDED, not defaulted: when(pos, …).otherwise
+      // would silently count an unlabeled row (outer-join leftover) as a
+      // negative example and skew the weights — identity-less rows don't
+      // get to be training signal (the BucketedUpsert NULL-pk posture)
+      train.select(label.cast("boolean").as("pos"), col("text"))
+        .filter(col("pos").isNotNull),
       Seq("pos"), buckets)
     val counts = tb.groupBy(col("bucket")).agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("pos_b"),

@@ -219,7 +219,11 @@ object ConfigRouter {
         Seq(lit(c), col(c).cast("string"))).toIndexedSeq: _*)
     events
       .join(broadcast(cfg), events("event_type") === cfg("source_type"))
-      .withColumn("kept", split(col("sink_columns"), ","))
+      // trim entries: materializeRoutes/upsertRoutes trim their split of
+      // the SAME config string — an untrimmed " user_id" here would prune
+      // the key from the payload while the DDL side creates the column,
+      // silently loading it all-NULL
+      .withColumn("kept", transform(split(col("sink_columns"), ","), trim(_)))
       .select(
         col("sink_table"),
         map_filter(payload, (k, _) => array_contains(col("kept"), k)).as("payload"))

@@ -67,10 +67,19 @@ object BucketedUpsert {
     val lock = lockPath(path)
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val holder = s"pid=${ProcessHandle.current().pid()} acquired=${java.time.Instant.now()}"
+    var created = false
     try {
       val out = fs.create(lock, false) // overwrite=false: atomic create-if-absent
+      created = true
       try out.write(holder.getBytes("UTF-8")) finally out.close()
     } catch {
+      // our OWN holder-info write failed after the create succeeded:
+      // release the lock we just made and rethrow the real error —
+      // reporting it as "held by a concurrent writer" (quoting our own
+      // empty file) would orphan the lock until a manual breakLock
+      case t: Throwable if created =>
+        fs.delete(lock, false)
+        throw t
       case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.io.IOException
           if fs.exists(lock) =>
         val held = try {
@@ -172,13 +181,22 @@ object BucketedUpsert {
     try {
       val touched = b.select(col(BucketCol)).distinct()
         .collect().map(_.getLong(0)).sorted
-      val exists = {
+      val (exists, hasData) = {
         val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val ex = fs.exists(p)
+        // an existing dir with no visible data (empty first batch, or a
+        // crash that left only _SUCCESS/staging) must merge as EMPTY:
+        // spark.read.parquet on it throws schema-inference errors and
+        // would brick every subsequent upsert on the path
+        (ex, ex && fs.listStatus(p).exists { st =>
+          (st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol=")) ||
+            st.getPath.getName.endsWith(".parquet")
+        })
       }
       pinLayout(spark, path, nBuckets, exists)
       val existing =
-        if (!exists) b.limit(0)
+        if (!hasData) b.limit(0)
         else spark.read.parquet(path)
           // partition pruning: only the touched bucket= directories are
           // listed/read; column order normalized to the batch's

@@ -96,9 +96,14 @@ object SearchStream {
   def currentTopK(spark: SparkSession, registryPath: String,
       query: Seq[String], k: Int = 10): DataFrame = {
     val terms = Search.queryTerms(query)
-    val tf = currentPostings(spark, registryPath)
+    // persisted (cache-registry-tracked) like batch searchTopK's tf: the
+    // frame feeds BOTH the scoring side and the df agg — unpersisted,
+    // every query would read the registry and re-run the argmax dedup
+    // twice
+    val tf = graft.operators.Dedup.track(currentPostings(spark, registryPath)
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), col("tf"))
+      .persist())
     Search.scoreTopK(tf, tf.groupBy(col("term")).agg(count(lit(1)).as("df")), k)
   }
 }
