@@ -36,15 +36,27 @@ object AsOfJoin {
     val l = left.withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .withColumn("__p", lit(null).cast(pStruct))
-    val r = right.select(col(key), col(rightTs).as("__ts"),
+    // equi-join semantics for NULLs: a right row with a NULL timestamp
+    // has no as-of position (it would sort FIRST and leak its payload
+    // onto every left row with no genuine match), and a NULL key never
+    // equi-joins — both are dropped from the right side; NULL-key left
+    // rows then see only left markers in their window and emit a NULL
+    // payload, exactly like the join+filter formulation
+    val r = right.filter(col(rightTs).isNotNull && col(key).isNotNull)
+      .select(col(key), col(rightTs).as("__ts"),
         struct(col(payloadCol).as("v")).as("__p"))
       .withColumn("__side", lit(0))
     val unioned = l.select((col(key) +: left.columns.filter(_ != key).map(col).toSeq
       :+ col("__ts") :+ col("__side") :+ col("__p")): _*)
       .unionByName(r.select(col(key), col("__ts"), col("__side"), col("__p")), allowMissingColumns = true)
     // right rows sort before left rows at equal ts => ties are inclusive
-    // (right_ts == left_ts matches), like DuckDB ASOF JOIN
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+    // (right_ts == left_ts matches), like DuckDB ASOF JOIN. The payload
+    // hash is the FINAL order key: two right rows at the same (key, ts)
+    // would otherwise sort by physical partition order and last() would
+    // return either payload run-to-run — the pinned-tie-break rule every
+    // ranking in the repo follows (deterministic: highest hash wins)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), xxhash64(col("__p")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w).getField("v"))

@@ -37,10 +37,13 @@ object Audit {
       .withColumn("__hit", lit(1))
     val orphan = col("k").isNotNull && col("__hit").isNull
     ck.join(pk, Seq("k"), "left")
+      // coalesce: a zero-row child makes the sum() aggregates NULL, and a
+      // NULL `ok` vanishes from both the pass AND fail lists of a monitor
+      // — an empty child is a PASSING audit (nothing can dangle)
       .agg(count(lit(1)).as("n_child"),
-        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_keys"),
+        coalesce(sum(when(col("k").isNull, 1L).otherwise(0L)), lit(0L)).as("n_null_keys"),
         count_distinct(col("k")).as("n_distinct_keys"),
-        sum(when(orphan, 1L).otherwise(0L)).as("n_orphan_rows"),
+        coalesce(sum(when(orphan, 1L).otherwise(0L)), lit(0L)).as("n_orphan_rows"),
         count_distinct(when(orphan, col("k"))).as("n_orphan_keys"))
       .select(col("n_child"), col("n_null_keys"), col("n_distinct_keys"),
         col("n_orphan_rows"), col("n_orphan_keys"),
@@ -126,6 +129,15 @@ object Audit {
           col(s"__max_$c").as("max_str"))
       }: _*)).as("s")).select(col("s.col_name").as("col_name"),
         col("s.min_str"), col("s.max_str"))
-    counts.join(mm, Seq("col_name"))
+    // mm is the base: a global agg yields its one row even over an EMPTY
+    // frame, so every requested column keeps an (n=0) profile row — an
+    // empty table must read as "all columns empty", not "all columns
+    // dropped" (indistinguishable from schema drift otherwise)
+    mm.join(counts, Seq("col_name"), "left")
+      .select(col("col_name"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_null"), lit(0L)).as("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_str"), col("max_str"))
   }
 }

@@ -30,11 +30,16 @@ object Funnel {
     require(stageTypes.nonEmpty, "funnel needs at least one stage")
     require(stageTypes.distinct.size == stageTypes.size,
       s"stage types must be distinct, got $stageTypes")
-    val first = events.filter(col(typeCol) === stageTypes.head)
+    // a NULL timestamp has no position in a time-ordered funnel: kept, a
+    // user whose stage-0 events are all NULL-ts would emit the stage=0
+    // row the contract above forbids (min over NULLs is NULL, but the
+    // group row survives)
+    val timed = events.filter(col(tsCol).isNotNull)
+    val first = timed.filter(col(typeCol) === stageTypes.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
     val acc = stageTypes.tail.zipWithIndex.foldLeft(first) {
       case (soFar, (st, i)) =>
-        val nxt = events.filter(col(typeCol) === st)
+        val nxt = timed.filter(col(typeCol) === st)
           .join(soFar.select(col(userCol), col(s"t$i")), Seq(userCol))
           .filter(col(tsCol) > col(s"t$i"))
           .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t${i + 1}"))

@@ -88,6 +88,9 @@ object Ivf {
 
   /** Train k centroids with `iters` Lloyd iterations. Returns (cid, ce). */
   def train(vectors: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    // k=0 would make vec_id % k NULL (non-ANSI) and die later with an
+    // opaque NPE in collectCentroids; negative k would mint negative cids
+    require(k >= 1, s"k must be >= 1, got $k")
     val v = vectors.select(col("vec_id"), toDouble(col("embedding")).as("e"))
     lloyd(v, centroidMeans(v.withColumn("cid", (col("vec_id") % k).cast("int"))), iters)
   }

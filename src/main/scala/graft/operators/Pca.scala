@@ -167,13 +167,20 @@ object Pca {
     * as literals — one whole-stage-codegen'd projection, no shuffle, no
     * join (the tiny-static-model / huge-corpus distribution, like
     * bpeEncode). Emits every input column plus `scores` (array<double>,
-    * length k); NULL embeddings get NULL scores. */
+    * length k); NULL embeddings get NULL scores; an embedding whose
+    * length differs from the model's d fails LOUDLY — zip_with would pad
+    * with NULLs and the row would sail through as silent missing data,
+    * the mismatch train() already rejects. */
   def project(vectors: DataFrame, m: Model, embCol: String = "embedding"): DataFrame = {
+    val d = m.mean.length
     val e = col(embCol)
+    val checked = when(size(e) === d, e).otherwise(raise_error(concat(
+      lit(s"Pca.project: embedding dim "), size(e).cast("string"),
+      lit(s" != model d=$d"))))
     val scores = m.components.map { comp =>
       val offset = comp.zip(m.mean).map { case (c, mu) => c * mu }.sum
       aggregate(
-        zip_with(e, typedLit(comp.toSeq), (a, b) => a * b),
+        zip_with(checked, typedLit(comp.toSeq), (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x) - lit(offset)
     }
     vectors.withColumn("scores",

@@ -15,14 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
-  /** Aggregation spec: phase-1 partial expression and phase-2 merge. */
-  final case class Agg(partial: Column => Column, merge: Column => Column, name: String)
+  /** Aggregation spec: phase-1 partial expression (a ready Column — it
+    * aggregates the INPUT columns it closed over) and phase-2 merge (a
+    * function of the phase-1 result column). The partial used to take a
+    * Column argument that every constructor ignored and the call site
+    * fed the OUTPUT name — a trap for custom Aggs, which would resolve
+    * the wrong column or fail. */
+  final case class Agg(partial: Column, merge: Column => Column, name: String)
 
   object Agg {
-    def sumOf(c: Column, name: String): Agg = Agg(_ => sum(c), sum(_), name)
-    def countAll(name: String): Agg = Agg(_ => count(lit(1)), sum(_), name)
-    def minOf(c: Column, name: String): Agg = Agg(_ => min(c), min(_), name)
-    def maxOf(c: Column, name: String): Agg = Agg(_ => max(c), max(_), name)
+    def sumOf(c: Column, name: String): Agg = Agg(sum(c), sum(_), name)
+    def countAll(name: String): Agg = Agg(count(lit(1)), sum(_), name)
+    def minOf(c: Column, name: String): Agg = Agg(min(c), min(_), name)
+    def maxOf(c: Column, name: String): Agg = Agg(max(c), max(_), name)
   }
 
   /** Salted inner equi-join for hot-key joins where the build side is too
@@ -51,8 +56,8 @@ object SkewOps {
     val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
-      .agg(aggs.head.partial(col(aggs.head.name)).as(s"p_${aggs.head.name}"),
-        aggs.tail.map(a => a.partial(col(a.name)).as(s"p_${a.name}")): _*)
+      .agg(aggs.head.partial.as(s"p_${aggs.head.name}"),
+        aggs.tail.map(a => a.partial.as(s"p_${a.name}")): _*)
     phase1
       .groupBy(keys.map(col): _*)
       .agg(aggs.head.merge(col(s"p_${aggs.head.name}")).as(aggs.head.name),

@@ -79,8 +79,15 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (user: Long, rows: Iterator[UserEvent], state: GroupState[VisitState]) => {
           val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // min over stored AND batch first: a LATE earlier-day event in a
+          // later micro-batch is the true first visit and must be labeled
+          // is_new=1 (and lower the state) — keeping the stored date would
+          // diverge from the batch min(dt) oracle for every later event.
+          // Rows already emitted under the old first stand (append mode
+          // cannot retract); state converges to the batch semantics.
+          val batchFirst = sorted.head.ts.toLocalDateTime.toLocalDate.toString
           val first = state.getOption.map(_.firstDate)
-            .getOrElse(sorted.head.ts.toLocalDateTime.toLocalDate.toString)
+            .fold(batchFirst)(s => if (batchFirst < s) batchFirst else s)
           state.update(VisitState(first))
           sorted.iterator.map { e =>
             val dt = e.ts.toLocalDateTime.toLocalDate.toString
@@ -103,12 +110,24 @@ object StatefulOps {
         (user: Long, rows: Iterator[UserEvent], state: GroupState[LoginState]) => {
           val days = rows.map(_.ts.toLocalDateTime.toLocalDate).toSeq.distinct.sorted
           var last = state.getOption.map(s => java.time.LocalDate.parse(s.lastDate))
-          val out = days.map { d =>
-            val isBack = last.exists(l => java.time.temporal.ChronoUnit.DAYS.between(l, d) > 7)
-            last = Some(d)
-            (user, d.toString, if (isBack) 1 else 0)
+          // days at or before the stored lastDate are SKIPPED, not
+          // re-emitted: a cross-batch re-delivery of a seen day would
+          // duplicate its row, and a late earlier day would REGRESS the
+          // state and make the next real day a spurious 7-day "return".
+          // Gap semantics are forward-only (the reference keyed state is
+          // too); the stream≡batch contract holds on event-time-ordered
+          // feeds and degrades to no-emit (never to wrong emits) under
+          // cross-batch disorder.
+          val out = days.flatMap { d =>
+            if (last.exists(l => !d.isAfter(l))) None
+            else {
+              val isBack =
+                last.exists(l => java.time.temporal.ChronoUnit.DAYS.between(l, d) > 7)
+              last = Some(d)
+              Some((user, d.toString, if (isBack) 1 else 0))
+            }
           }
-          state.update(LoginState(last.get.toString))
+          last.foreach(l => state.update(LoginState(l.toString)))
           out.iterator
         })
   }

@@ -163,6 +163,36 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, None)))
   }
 
+  test("as-of join: NULL right ts and NULL keys never leak payloads") {
+    import spark.implicits._
+    // a NULL-ts right row would sort FIRST and hand its payload to every
+    // unmatched left row; a NULL-key right row would pair with NULL-key
+    // left rows though an equi-join never matches NULL
+    val left = Seq((Some(1L), 25L), (Some(2L), 25L), (None, 25L))
+      .toDF("k", "lts")
+    val right = Seq(
+      (Some(1L), Some(10L), 5.0),             // genuine match for k=1
+      (Some(2L), None: Option[Long], 99.0),   // NULL ts: no as-of position
+      (None: Option[Long], Some(1L), 77.0))   // NULL key: never matches
+      .toDF("k", "rts", "p")
+    val got = graft.operators.AsOfJoin.asOf(left, "lts", right, "rts", "k", "p")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got === Set((Some(1L), Some(5.0)), (Some(2L), None), (None, None)))
+  }
+
+  test("audit edge cases: empty child passes FK audit; empty table profiles as n=0") {
+    import spark.implicits._
+    val parent = Seq(1L).toDF("pk")
+    val r = graft.operators.Audit.referentialIntegrity(
+      Seq.empty[Long].toDF("fk"), col("fk"), parent, col("pk")).collect().head
+    assert(r.toSeq === Seq(0L, 0L, 0L, 0L, 0L, true)) // nothing can dangle
+    val prof = graft.operators.Audit.columnProfile(
+        Seq.empty[(Long, String)].toDF("a", "b"), Seq("a", "b"))
+      .collect().map(r2 => r2.getString(0) -> (r2.getLong(1), r2.getLong(2))).toMap
+    assert(prof === Map("a" -> ((0L, 0L)), "b" -> ((0L, 0L)))) // present, not vanished
+  }
+
   test("similarity on empty query set returns empty") {
     import spark.implicits._
     val emb = graft.tables.Tables.embeddings(spark, SparkTestSession.sf0001)

@@ -99,6 +99,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("cross-batch disorder: isNewRepair lowers first-date; backflow neither regresses nor re-emits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(day: Int, id: Long) =
+      UserEvent(1L, "view", java.sql.Timestamp.valueOf(f"2024-06-$day%02d 10:00:00"), id)
+    // isNewRepair: a LATE earlier day must be labeled is_new=1 (it IS the
+    // true first visit) — the old state kept the stale first and gave 0
+    val s1 = MemoryStream[UserEvent]
+    val q1 = StatefulOps.isNewRepair(spark, s1.toDF())
+      .toDF("user_id", "event_id", "is_new")
+      .writeStream.format("memory").queryName("s_isnew_ooo").outputMode("append").start()
+    s1.addData(ev(5, 1)); q1.processAllAvailable()
+    s1.addData(ev(3, 2)); q1.processAllAvailable() // late true-first day
+    s1.addData(ev(3, 3)); q1.processAllAvailable() // repeat of the new first
+    q1.stop()
+    val nu = spark.table("s_isnew_ooo").collect()
+      .map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(nu(2L) === 1 && nu(3L) === 1, s"late first-visit must be is_new=1: $nu")
+    // backflow: a re-delivered day must not duplicate, and a late earlier
+    // day must not regress the gap base into a spurious "return"
+    val s2 = MemoryStream[UserEvent]
+    val q2 = StatefulOps.backflowDays(spark, s2.toDF())
+      .toDF("user_id", "dt", "is_back")
+      .writeStream.format("memory").queryName("s_back_ooo").outputMode("append").start()
+    s2.addData(ev(1, 10)); q2.processAllAvailable()
+    s2.addData(ev(20, 11)); q2.processAllAvailable() // genuine 19-day return
+    s2.addData(ev(20, 12)); q2.processAllAvailable() // re-delivery: no dup row
+    s2.addData(ev(14, 13)); q2.processAllAvailable() // late older day: skipped
+    s2.addData(ev(21, 14)); q2.processAllAvailable() // next day: NOT a return
+    q2.stop()
+    val back = spark.table("s_back_ooo").collect()
+      .map(r => (r.getString(1), r.getInt(2))).toSeq.sorted
+    assert(back === Seq(("2024-06-01", 0), ("2024-06-20", 1), ("2024-06-21", 0)),
+      s"got $back")
+  }
+
   test("trafficWindow stream matches batch except the still-open last window") {
     val got = runTwoBatches("s_window")(StreamingPipelines.trafficWindow)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4))).toSet
