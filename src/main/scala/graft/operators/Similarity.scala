@@ -362,12 +362,24 @@ object Similarity {
     * driver loop, never a cross-query barrier. */
   def mmrTopK(vectors: DataFrame, queries: DataFrame, k: Int = 10,
       kCand: Int = 50, lambdaPct: Int = 50): DataFrame = {
-    require(k >= 1 && kCand >= k, s"need kCand >= k >= 1, got k=$k kCand=$kCand")
+    require(kCand >= k, s"need kCand >= k, got k=$k kCand=$kCand")
+    mmrFromCandidates(bruteForceTopK(vectors, queries, kCand), vectors, k, lambdaPct)
+  }
+
+  /** The MMR greedy over ANY candidate frame (qid, vec_id, sim) — the
+    * scale entry point: feed it `Ivf.topK`/`lshTopK`/`Pq.topK` output
+    * (all share the (qid, vec_id, sim, rk) contract) and the corpus
+    * never meets a BroadcastNestedLoopJoin; [[mmrTopK]] is this with the
+    * exact baseline as the candidate stage. SimilaritySpec proves the
+    * two agree when fed the same candidates. */
+  def mmrFromCandidates(candidates: DataFrame, vectors: DataFrame,
+      k: Int = 10, lambdaPct: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     require(lambdaPct >= 1 && lambdaPct <= 100,
       s"lambdaPct must be in [1,100], got $lambdaPct")
     val spark = vectors.sparkSession
     import spark.implicits._
-    val cand = bruteForceTopK(vectors, queries, kCand)
+    val cand = candidates
       .join(vectors.select(col("vec_id"), toDouble(col("embedding")).as("e")),
         Seq("vec_id"))
       .select(col("qid").cast("long").as("qid"), col("vec_id").cast("long").as("vec_id"),

@@ -240,4 +240,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === exact,
       s"diff=${got.toSet.diff(exact.toSet)} missing=${exact.toSet.diff(got.toSet)}")
   }
+
+  test("mmrFromCandidates: IVF candidates at full probe width == exact-baseline MMR") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+    val cents = graft.operators.Ivf.train(emb, k = 4)
+    val indexed = graft.operators.Ivf.index(emb, cents)
+    // full probe width => IVF candidates == brute-force candidates, so
+    // the greedy must produce the identical diversified set
+    val ivfCand = graft.operators.Ivf.topK(indexed, cents, queries, k = 12, nprobe = 4)
+    val viaIvf = Similarity.mmrFromCandidates(ivfCand, emb, k = 4, lambdaPct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = Similarity.mmrTopK(emb, queries, k = 4, kCand = 12, lambdaPct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaIvf === exact && exact.nonEmpty)
+    graft.operators.Dedup.releaseCaches(spark)
+  }
 }
