@@ -91,6 +91,18 @@ object Eval {
         expr("(1000000 * coalesce(dcg, 0L)) div idcg").as("ndcg_ppm"))
   }
 
+  /** Macro-average of a [[retrievalMetrics]] frame — the one-row summary
+    * an eval report quotes (each QUERY weighs equally; micro-averaging
+    * would let one heavily-judged query dominate). Exact integer ppm:
+    * the mean is `sum(x_ppm) div n` — floor of the true mean, same on
+    * both engines. */
+  def retrievalSummary(metrics: DataFrame): DataFrame =
+    metrics.agg(
+      count(lit(1)).as("n_queries"),
+      coalesce(expr("sum(recall_ppm) div count(1)"), lit(0L)).as("mean_recall_ppm"),
+      coalesce(expr("sum(mrr_ppm) div count(1)"), lit(0L)).as("mean_mrr_ppm"),
+      coalesce(expr("sum(ndcg_ppm) div count(1)"), lit(0L)).as("mean_ndcg_ppm"))
+
   /** Per-class precision/recall/F1 of predicted vs gold labels — the
     * audit frame for every labeler in the pipeline (language-ID, quality
     * classifier, any router): one row per label seen on EITHER side, so

@@ -300,24 +300,24 @@ object SearchQueries {
     * the nDCG discount table is interpolated verbatim into this SQL
     * from [[graft.operators.Eval.discountTablePpm]] so neither engine's
     * log2 enters the compare. */
-  val tRetrievalEval: Q = {
+  private def retrievalEvalRun(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val gold = graft.operators.Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 10)
+      .select(col("qid"), col("vec_id"),
+        when(col("rk") <= 3, 3L).when(col("rk") <= 6, 2L).otherwise(1L).as("rel"))
+    val trunc = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val sys = graft.operators.Similarity
+      .bruteForceTopK(trunc, trunc.filter(col("vec_id") < 8), 10)
+      .select(col("qid"), col("vec_id"), col("rk").as("rank"))
+    graft.operators.Eval.retrievalMetrics(sys, gold, k = 10)
+  }
+
+  private lazy val retrievalEvalSql: String = {
     val w = graft.operators.Eval.discountTablePpm(10)
     val wList = s"[${w.mkString(", ")}]"
-    Q(
-      "t_retrieval_eval",
-      run = (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val gold = graft.operators.Similarity
-          .bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 10)
-          .select(col("qid"), col("vec_id"),
-            when(col("rk") <= 3, 3L).when(col("rk") <= 6, 2L).otherwise(1L).as("rel"))
-        val trunc = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
-        val sys = graft.operators.Similarity
-          .bruteForceTopK(trunc, trunc.filter(col("vec_id") < 8), 10)
-          .select(col("qid"), col("vec_id"), col("rk").as("rank"))
-        graft.operators.Eval.retrievalMetrics(sys, gold, k = 10)
-      },
-      oracle = Some(s"""
+    s"""
         WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
                    FROM embeddings),
         q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 8),
@@ -356,11 +356,28 @@ object SearchQueries {
           CAST((1000000 * coalesce(got.hits, 0)) // nr.n_rel AS BIGINT) AS recall_ppm,
           CAST(coalesce(1000000 // got.first_rel_rank, 0) AS BIGINT) AS mrr_ppm,
           CAST((1000000 * coalesce(got.dcg, 0)) // ideal.idcg AS BIGINT) AS ndcg_ppm
-        FROM nr JOIN ideal USING (qid) LEFT JOIN got USING (qid)"""))
+        FROM nr JOIN ideal USING (qid) LEFT JOIN got USING (qid)"""
   }
 
+  val tRetrievalEval: Q = Q(
+    "t_retrieval_eval",
+    run = retrievalEvalRun,
+    oracle = Some(retrievalEvalSql))
+
+  /** The one-row macro-average over the scorecard — the number a report
+    * quotes; each query weighs equally, in exact floor-div ppm. */
+  val tRetrievalSummary: Q = Q(
+    "t_retrieval_summary",
+    run = (s, dir) => graft.operators.Eval.retrievalSummary(retrievalEvalRun(s, dir)),
+    oracle = Some(s"""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+             CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT) AS mean_recall_ppm,
+             CAST(SUM(mrr_ppm) // COUNT(*) AS BIGINT) AS mean_mrr_ppm,
+             CAST(SUM(ndcg_ppm) // COUNT(*) AS BIGINT) AS mean_ndcg_ppm
+      FROM ($retrievalEvalSql) t"""))
+
   val all: Seq[Q] = Seq(
-    tSearchHybrid, tSearchMoreLike, tAnnMmr, tRetrievalEval,
+    tSearchHybrid, tSearchMoreLike, tAnnMmr, tRetrievalEval, tRetrievalSummary,
     tIndexPostings, tSearchTopk, tSearchConjunctive, tPhraseSearch,
     tSearchIndexed, tSearchBm25, tSearchMulti)
 }

@@ -138,6 +138,17 @@ class EvalSpec extends AnyFunSuite {
     assert(cm === Map(("a", "a") -> 2L, ("b", "a") -> 1L, ("b", "b") -> 1L))
   }
 
+  test("retrievalSummary: exact floor-div macro-average, each query equal weight") {
+    import spark.implicits._
+    val m = Seq((1L, 2L, 1L, 1000000L, 1000000L, 900000L),
+      (2L, 4L, 1L, 250000L, 500000L, 300001L))
+      .toDF("qid", "n_rel", "hits", "recall_ppm", "mrr_ppm", "ndcg_ppm")
+    val r = Eval.retrievalSummary(m).collect().head
+    assert(r.toSeq === Seq(2L, 625000L, 750000L, 600000L)) // floor((9e5+300001)/2)
+    val empty = Eval.retrievalSummary(m.filter(col("qid") < 0)).collect().head
+    assert(empty.toSeq === Seq(0L, 0L, 0L, 0L))
+  }
+
   test("NULL is a class of its own: one row, null==null agrees, kappa sees it") {
     import spark.implicits._
     // pred: null null a a ; gold: null b a null
