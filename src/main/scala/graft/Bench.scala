@@ -79,7 +79,10 @@ object Bench {
     // and the median is trustworthy.
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    val failures = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
     def median(xs: Vector[Double]): Double = {
+      if (xs.isEmpty) return Double.NaN // all samples failed — NaN, never 0s
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
@@ -87,10 +90,17 @@ object Bench {
       def sampleOnce(): Unit = {
         settle()
         val t0 = System.nanoTime()
-        try exec(fn) catch { case e: Throwable =>
+        // a failed run is NOT a sample: recording its (short) elapsed time
+        // would LOWER the median and the stdout JSON — the only thing the
+        // driver reads — would report a phantom speedup; failures are
+        // counted into the JSON instead (stderr alone only helps a human)
+        try {
+          exec(fn)
+          samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          failures(name) += 1
           System.err.println(s"[bench] FAILED $name: $e")
         }
-        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
       }
       for (_ <- 1 to nRuns) sampleOnce()
       // Sub-2s medians at sf0.1 are overhead/load-dominated: round 5
@@ -112,7 +122,12 @@ object Bench {
       "\"" + name + "\":" + samples(name).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$perQuery,"runs":$perRun,"n_runs":$nRuns,"ivf_train_sec":$ivfTrainSec,"sf":"$sfDir"}""")
+    val failJson =
+      if (failures.isEmpty) ""
+      else failures.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","failures":{""", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$perQuery,"runs":$perRun,"n_runs":$nRuns,"ivf_train_sec":$ivfTrainSec$failJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
