@@ -21,6 +21,42 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
+  /** CJK Unified Ideographs (BMP block, U+4E00–U+9FFF) — the pinned
+    * fallback range: BMP-only keeps Spark/DuckDB substring and length
+    * semantics identical (one code unit per char on both engines). */
+  private val Cjk = "一-鿿"
+
+  /** Tokenizer with the CJK-bigram fallback mode — closes the declared
+    * semantic substitution vs the reference's IK Chinese analyzer
+    * (gmall-realtime-self/.../util/KeywordUtil.java:13-35): IK segments
+    * Chinese by dictionary; the standard dictionary-free substitute is
+    * overlapping character bigrams, which the CJK IR literature pins as
+    * near-parity for retrieval. Semantics (pinned):
+    *   - latin/digit runs tokenize exactly as [[tokens]] (lowercased
+    *     maximal [a-z0-9] runs);
+    *   - each maximal CJK run of length L ≥ 2 emits its L−1 overlapping
+    *     character bigrams, in order;
+    *   - an isolated CJK char (run of length 1) emits itself;
+    *   - everything else separates.
+    * `cjk = false` is byte-identical to [[tokens]]. Stays inside
+    * whole-stage codegen (regexp + array lambdas, no UDF) and is
+    * re-expressible in DuckDB (u2_cjk_tokens oracle). */
+  def tokens(text: Column, cjk: Boolean): Column =
+    if (!cjk) tokens(text)
+    else {
+      // keep [a-z0-9] + CJK, everything else -> space; then wrap each
+      // CJK run with spaces so latin and CJK runs split apart (capture-
+      // group replace — DuckDB's RE2 has no lookaround, so the oracle
+      // can mirror this exactly)
+      val kept = regexp_replace(lower(text), s"[^a-z0-9$Cjk]+", " ")
+      val sep = regexp_replace(kept, s"([$Cjk]+)", " $1 ")
+      val pieces = filter(split(sep, " +"), p => p =!= "")
+      flatten(transform(pieces, p =>
+        when(p.rlike(s"^[$Cjk]") && length(p) > 1,
+          transform(sequence(lit(1), length(p) - 1), j => p.substr(j, lit(2))))
+          .otherwise(array(p))))
+    }
+
   /** Distinct token set (order-free; use array_sort for deterministic output). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 

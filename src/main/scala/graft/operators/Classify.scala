@@ -151,8 +151,6 @@ object Classify {
     * variant would slot into the same shape. */
   def selectTopN(scored: DataFrame, n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    val ord = Seq(col("score_micro").desc, col("doc_id").asc)
-    scored.orderBy(ord: _*).limit(n)
-      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+    Ranks.topN(scored, Seq(col("score_micro").desc, col("doc_id").asc), n)
   }
 }

@@ -112,15 +112,30 @@ object Ivf {
     * At 100 TB: `rounds`+1 scans total, driver traffic is O(k·rounds·dim).
     */
   def trainScalable(vectors: DataFrame, k: Int, iters: Int = 2, rounds: Int = 3): DataFrame = {
-    // every frame persisted here is tracked and unpersisted on exit —
-    // Bench runs this twice (warmup + timed), and leaked InMemoryRelations
-    // would accumulate across calls
-    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val spark0 = vectors.sparkSession
+    import spark0.implicits._
     val v = vectors.select(col("vec_id"), toDouble(col("embedding")).as("e")).persist()
-    persisted += v
     val l = 2.0 * k
-    var cand = v.orderBy(col("vec_id")).limit(1)
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    // The candidate set lives ON THE DRIVER (a sorted vec_id -> vector
+    // map): it is O(k·rounds) rows by construction and every round
+    // needed it collected for the map-side assign anyway. Keeping it
+    // driver-side deletes the per-round union+dropDuplicates exchanges,
+    // the dists persists, and the final weights join — on a small SF the
+    // fixed job/shuffle overhead WAS the training cost (round-8 bench:
+    // 8.4 s for 2k vectors), and at 100 TB the corpus-sized passes
+    // (`rounds` cost scans + `rounds` selection scans + 1 weight scan)
+    // are unchanged. Selection math is byte-identical to the frame-based
+    // form it replaces.
+    val candMap = scala.collection.mutable.SortedMap.empty[Long, Vector[Double]]
+    val seedRow = v.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("e")).collect()
+    if (seedRow.isEmpty) {
+      // empty corpus: no candidates, no centroids — empty frame with the
+      // lloyd-init schema, like train() on an empty corpus
+      v.unpersist(blocking = false)
+      return Seq.empty[(Int, Seq[Double])].toDF("cid", "ce")
+    }
+    candMap(seedRow(0).getLong(0)) = seedRow(0).getSeq[Double](1).toVector
     var r = 0
     while (r < rounds) {
       // nearest-candidate distance is the same map-side argmax (min d =
@@ -130,47 +145,37 @@ object Ivf {
       // NaN sorts LAST — a NaN candidate must lose here (the opposite of
       // assign's sim-descending rule), or one poisoned candidate turns
       // every distance and the round's cost sum into NaN
-      val (cids, ces) = collectCentroids(cand)
-      // empty corpus -> empty candidate seed -> empty distance table (the
-      // assign guard's twin; the expression requires a non-empty set)
-      val dists = (if (cids.isEmpty)
-          v.limit(0).select(col("vec_id"), col("e"), lit(0.0).as("d"))
-        else
-          v.withColumn("__nc",
-              nearestCentroid(col("e"), cids, ces, nanWins = false))
-            .select(col("vec_id"), col("e"),
-              (lit(1.0) - col("__nc").getField("sim")).as("d"))).persist()
-      persisted += dists
+      val (cids, ces) = (candMap.keys.toVector, candMap.values.toVector)
+      val dists = v
+        .withColumn("__nc", nearestCentroid(col("e"), cids, ces, nanWins = false))
+        .select(col("vec_id"), col("e"),
+          (lit(1.0) - col("__nc").getField("sim")).as("d"))
       // SUM over an empty corpus is NULL — treat as zero cost (skip
-      // selection) instead of an NPE
+      // selection) instead of an NPE. dists is NOT persisted: it is one
+      // map-side projection over the cached v, cheaper to recompute for
+      // the selection pass than to materialize.
       val costRow = dists.agg(sum(col("d"))).first()
       val cost = if (costRow.isNullAt(0)) 0.0 else costRow.getDouble(0)
       if (cost > 0) {
-        val sel = dists
+        dists
           .filter(pmod(xxhash64(col("vec_id"), lit(r)), lit(1000000L)) / 1000000.0 <
             col("d") * (l / cost))
-          .select(col("vec_id").as("cid"), col("e").as("ce"))
-        cand = cand.union(sel).dropDuplicates("cid").persist()
-        persisted += cand
+          .select(col("vec_id"), col("e"))
+          .collect() // expected ~2k rows per round (the oversampling l)
+          .foreach(row => candMap(row.getLong(0)) = row.getSeq[Double](1).toVector)
       }
       r += 1
     }
-    // weight candidates by attraction counts, reduce to k on the driver
-    val weights = assign(v, cand).groupBy(col("cid")).agg(count(lit(1)).as("w"))
-    val pts = cand.join(weights, Seq("cid"), "left")
-      .select(col("cid"), col("ce"), coalesce(col("w"), lit(0L)).as("w"))
-      .collect()
-      .map(row => (row.getLong(0), row.getSeq[Double](1).toArray, row.getLong(2)))
-      .sortBy(_._1)
+    // weight candidates by attraction counts (one corpus scan, k·rounds-
+    // bounded shuffle), reduce to k on the driver
+    val candDf = candMap.toSeq.map { case (id, e) => (id, e: Seq[Double]) }
+      .toDF("cid", "ce")
+    val weights = assign(v, candDf).groupBy(col("cid")).agg(count(lit(1)).as("w"))
+      .filter(col("cid").isNotNull) // NULL-embedding rows assign to no candidate
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val pts = candMap.toArray
+      .map { case (id, e) => (id, e.toArray, weights.getOrElse(id, 0L)) }
     val n = pts.length
-    if (n == 0) {
-      // empty corpus: no candidates, no centroids — empty frame with the
-      // lloyd-init schema, like train() on an empty corpus
-      val spark0 = vectors.sparkSession
-      import spark0.implicits._
-      persisted.foreach(_.unpersist(blocking = false))
-      return Seq.empty[(Int, Seq[Double])].toDF("cid", "ce")
-    }
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
     chosen += pts.indices.maxBy(i => (pts(i)._3, -pts(i)._1))
     val dmin = Array.fill(n)(Double.MaxValue)
@@ -184,14 +189,12 @@ object Ivf {
         .filterNot(chosen.contains)
         .maxBy(i => (pts(i)._3 * dmin(i), -pts(i)._1))
     }
-    val spark = vectors.sparkSession
-    import spark.implicits._
     val init = chosen.zipWithIndex
       .map { case (pi, ci) => (ci, pts(pi)._2.toSeq) }.toSeq
       .toDF("cid", "ce")
     val result = lloyd(v, init, iters)
-    // final centroids are materialized inside lloyd; the intermediates can go
-    persisted.foreach(_.unpersist(blocking = false))
+    // final centroids are materialized inside lloyd; the cached corpus can go
+    v.unpersist(blocking = false)
     result
   }
 

@@ -96,12 +96,7 @@ object Search {
     val hits =
       if (requireAllOf > 0) scored.filter(col("n_terms") === requireAllOf)
       else scored
-    hits
-      .orderBy(col("score_ppb").desc, col("doc_id").asc)
-      .limit(k)
-      .withColumn("rank",
-        row_number().over(
-          Window.orderBy(col("score_ppb").desc, col("doc_id").asc)).cast("long"))
+    Ranks.topN(hits, Seq(col("score_ppb").desc, col("doc_id").asc), k)
       .select(col("doc_id"), col("n_terms"), col("score_ppb"), col("rank"))
   }
 
@@ -226,12 +221,7 @@ object Search {
       .agg(count(lit(1)).as("n_terms"),
         sum(col("tfsat_ppm").cast("decimal(38,0)") * d("w_ppb"))
           .cast("long").as("score"))
-    scored
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
-      .withColumn("rank",
-        row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+    Ranks.topN(scored, Seq(col("score").desc, col("doc_id").asc), k)
       .select(col("doc_id"), col("n_terms"), col("score"), col("rank"))
   }
 
@@ -289,14 +279,11 @@ object Search {
       .map(_.select(col("doc_id").cast("long").as("doc_id"),
         col("rank").cast("long").as("rank")))
       .reduce(_ unionByName _)
-    u.withColumn("__w", expr(s"CAST(1000000000 AS BIGINT) div ($c + rank)"))
+    val fused = u
+      .withColumn("__w", expr(s"CAST(1000000000 AS BIGINT) div ($c + rank)"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lists"), sum(col("__w")).cast("long").as("rrf_ppb"))
-      .orderBy(col("rrf_ppb").desc, col("doc_id").asc)
-      .limit(k)
-      .withColumn("rank",
-        row_number().over(
-          Window.orderBy(col("rrf_ppb").desc, col("doc_id").asc)).cast("long"))
+    Ranks.topN(fused, Seq(col("rrf_ppb").desc, col("doc_id").asc), k)
       .select(col("doc_id"), col("n_lists"), col("rrf_ppb"), col("rank"))
   }
 
@@ -330,9 +317,7 @@ object Search {
     val terms = docs.filter(col("doc_id") === docId)
       .select(explode(tokens(coalesce(col("text"), lit("")))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("tf"))
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("tf").desc, col("term").asc)))
-      .filter(col("rn") <= nTerms)
+      .orderBy(col("tf").desc, col("term").asc).limit(nTerms)
       .select(col("term")).collect().map(_.getString(0)).toSeq
     if (terms.isEmpty) return emptyResult(docs.sparkSession)
     val tfAll = Dedup.track(queryTf(docs, terms).persist())

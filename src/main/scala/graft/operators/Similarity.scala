@@ -396,8 +396,13 @@ object Similarity {
   /** Sequential-sum cosine in micros — floor(cos·10^6), matching the
     * oracle's floor(list_sum(...)/(sqrt·sqrt)·10^6) term for term. */
   private def simU(a: Seq[Double], b: Seq[Double]): Long = {
+    // fail loudly on mixed-dimension candidate frames — a silent
+    // truncated dot product picks a WRONG diversified set (same
+    // contract as Pca.project's dimension check)
+    require(a.length == b.length,
+      s"simU: embedding dimension mismatch (${a.length} vs ${b.length})")
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) {
       dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
     }

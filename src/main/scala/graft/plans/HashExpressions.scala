@@ -172,11 +172,18 @@ case class SimHash32Doc(child: Expression) extends UnaryExpression {
     HashExpressions.simhash32Doc(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      Object r = graft.plans.HashExpressions.simhash32Doc($c);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = ((java.lang.Long) r).longValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, NOT a fixed local: when this expression is emitted
+      // twice in one codegen function (e.g. the isnotnull filter plus
+      // the projection), a fixed `r` is a Janino "Redefinition of local
+      // variable" error — which silently drops the WHOLE stage to
+      // interpreted execution (seen in the round-8 bench log)
+      val r = ctx.freshName("simhashRes")
+      s"""
+      Object $r = graft.plans.HashExpressions.simhash32Doc($c);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
+    """})
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32Doc =
     copy(child = newChild)

@@ -787,17 +787,18 @@ object PipelineQueries {
       j AS (SELECT pred_lang AS p, lang AS g FROM ls_p),
       pc AS (SELECT p AS label, CAST(COUNT(*) AS BIGINT) AS n_pred FROM j GROUP BY 1),
       gc AS (SELECT g AS label, CAST(COUNT(*) AS BIGINT) AS n_gold FROM j GROUP BY 1),
-      tpc AS (SELECT p AS label, CAST(COUNT(*) AS BIGINT) AS tp FROM j WHERE p = g GROUP BY 1),
+      tpc AS (SELECT p AS label, CAST(COUNT(*) AS BIGINT) AS tp FROM j
+              WHERE p IS NOT DISTINCT FROM g GROUP BY 1),
       m AS (SELECT coalesce(pc.label, gc.label) AS label,
               coalesce(gc.n_gold, 0) AS n_gold,
               coalesce(pc.n_pred, 0) AS n_pred
-            FROM pc FULL JOIN gc ON pc.label = gc.label),
+            FROM pc FULL JOIN gc ON pc.label IS NOT DISTINCT FROM gc.label),
       r AS (SELECT m.label, m.n_gold, m.n_pred, coalesce(tpc.tp, 0) AS tp,
               CASE WHEN m.n_pred > 0 THEN (1000000 * coalesce(tpc.tp, 0)) // m.n_pred
                    ELSE 0 END AS precision_ppm,
               CASE WHEN m.n_gold > 0 THEN (1000000 * coalesce(tpc.tp, 0)) // m.n_gold
                    ELSE 0 END AS recall_ppm
-            FROM m LEFT JOIN tpc ON m.label = tpc.label)
+            FROM m LEFT JOIN tpc ON m.label IS NOT DISTINCT FROM tpc.label)
       SELECT label, n_gold, n_pred, CAST(tp AS BIGINT) AS tp,
              CAST(precision_ppm AS BIGINT) AS precision_ppm,
              CAST(recall_ppm AS BIGINT) AS recall_ppm,
@@ -864,18 +865,20 @@ object PipelineQueries {
       gc AS (SELECT slice, g AS label, CAST(COUNT(*) AS BIGINT) AS n_gold
              FROM j GROUP BY 1, 2),
       tpc AS (SELECT slice, p AS label, CAST(COUNT(*) AS BIGINT) AS tp
-              FROM j WHERE p = g GROUP BY 1, 2),
+              FROM j WHERE p IS NOT DISTINCT FROM g GROUP BY 1, 2),
       m AS (SELECT coalesce(pc.slice, gc.slice) AS slice,
               coalesce(pc.label, gc.label) AS label,
               coalesce(gc.n_gold, 0) AS n_gold,
               coalesce(pc.n_pred, 0) AS n_pred
-            FROM pc FULL JOIN gc ON pc.slice = gc.slice AND pc.label = gc.label),
+            FROM pc FULL JOIN gc ON pc.slice = gc.slice
+              AND pc.label IS NOT DISTINCT FROM gc.label),
       r AS (SELECT m.slice, m.label, m.n_gold, m.n_pred, coalesce(tpc.tp, 0) AS tp,
               CASE WHEN m.n_pred > 0 THEN (1000000 * coalesce(tpc.tp, 0)) // m.n_pred
                    ELSE 0 END AS precision_ppm,
               CASE WHEN m.n_gold > 0 THEN (1000000 * coalesce(tpc.tp, 0)) // m.n_gold
                    ELSE 0 END AS recall_ppm
-            FROM m LEFT JOIN tpc ON m.slice = tpc.slice AND m.label = tpc.label)
+            FROM m LEFT JOIN tpc ON m.slice = tpc.slice
+              AND m.label IS NOT DISTINCT FROM tpc.label)
       SELECT slice, label, n_gold, n_pred, CAST(tp AS BIGINT) AS tp,
              CAST(precision_ppm AS BIGINT) AS precision_ppm,
              CAST(recall_ppm AS BIGINT) AS recall_ppm,
@@ -2576,13 +2579,17 @@ object PipelineQueries {
     * consults, complementing the zone map's range pruning. The oracle
     * recomposes every position from the identical md5-prefix hashes, so
     * the hash match certifies the full index (bucket keys, position
-    * sets, dedup, ordering). */
+    * sets, dedup, ordering). The position set is emitted as md5 over its
+    * CSV rendering (the pinned array-compare invariant — the driver's
+    * comparator cannot sort raw array columns). */
   val tMembershipIndex: Q = Q(
     "t_membership_index",
     run = (s, dir) => {
       val z = Layout.zorderFrame(zorderDocs(s, dir), Seq("doc_id", "n_tokens"), bits = 8)
         .withColumn("zb", Layout.zBucket(col("z"), 2, 8, 6))
       Layout.membershipMapOf(z, "doc_id", bits = 512, k = 3)
+        .select(col("zb"), col("n_positions"),
+          md5(array_join(col("positions"), ",")).as("positions_md5"))
     },
     oracle = Some(s"""
       $zorderDocsCte,
@@ -2592,7 +2599,7 @@ object PipelineQueries {
           CAST(('0x' || substr(md5('bf2:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 512
         ]) AS pos FROM zt)
       SELECT zb, CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_positions,
-             list_sort(list_distinct(list(pos))) AS positions
+             md5(array_to_string(list_sort(list_distinct(list(pos))), ',')) AS positions_md5
       FROM pr GROUP BY zb"""))
 
   /** Oracle twin of TextAnalysis.bpeMerges: k merge rounds unrolled as a

@@ -89,5 +89,68 @@ object ReferenceQueries {
       FROM ev JOIN toks ON ev.doc_id = toks.doc_id, unnest(toks.toks) AS w(word)
       GROUP BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(a1TrafficWindow, u1KeywordCount, dws01KeywordWindow)
+  /** U2 with the CJK-bigram fallback mode engaged — the dictionary-free
+    * substitute for the reference's IK Chinese analyzer
+    * (gmall-realtime-self/.../util/KeywordUtil.java:13-35), golden-pinned
+    * on a mixed-script inline fixture (ASCII runs, pure-CJK runs,
+    * script boundaries with no whitespace, an isolated ideograph, NULL
+    * and empty text). The oracle re-derives every bigram from the SAME
+    * two-stage regexp normalization (keep + run-wrap — no lookaround, so
+    * RE2 mirrors Java verbatim), certifying the full token multiset. */
+  val u2CjkTokens: Q = Q(
+    "u2_cjk_tokens",
+    run = (s, _) => {
+      import s.implicits._
+      val fixture = Seq[(Long, String)](
+        (1L, "Spark入门指南 v2.0"),
+        (2L, "大数据 processing 引擎"),
+        (3L, "流处理"),
+        (4L, "云"),
+        (5L, "hello world"),
+        (6L, "价格:100元"),
+        (7L, null),
+        (8L, ""),
+        (9L, "深度学习模型"),
+        (10L, "spark引擎fast")).toDF("doc_id", "text")
+      fixture
+        .select($"doc_id",
+          explode(TextFunctions.tokens($"text", cjk = true)).as("token"))
+        .groupBy($"doc_id", $"token")
+        .agg(count(lit(1)).as("ct"))
+    },
+    oracle = Some("""
+      WITH f(doc_id, text) AS (VALUES
+        (1, 'Spark入门指南 v2.0'),
+        (2, '大数据 processing 引擎'),
+        (3, '流处理'),
+        (4, '云'),
+        (5, 'hello world'),
+        (6, '价格:100元'),
+        (7, NULL),
+        (8, ''),
+        (9, '深度学习模型'),
+        (10, 'spark引擎fast')),
+      n AS (SELECT doc_id,
+              regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9一-鿿]+', ' ', 'g'), '([一-鿿]+)', ' \1 ', 'g') AS s
+            FROM f),
+      p AS (SELECT doc_id,
+              unnest([x for x in regexp_split_to_array(s, ' +') if x <> '']) AS piece
+            FROM n),
+      t AS (
+        SELECT doc_id, piece AS token FROM p
+        WHERE NOT regexp_matches(piece, '^[一-鿿]')
+        UNION ALL
+        SELECT doc_id, piece AS token FROM p
+        WHERE regexp_matches(piece, '^[一-鿿]') AND length(piece) = 1
+        UNION ALL
+        SELECT doc_id,
+          unnest([substr(piece, j, 2) for j in range(1, length(piece))]) AS token
+        FROM p WHERE regexp_matches(piece, '^[一-鿿]') AND length(piece) >= 2)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, token,
+             CAST(COUNT(*) AS BIGINT) AS ct
+      FROM t GROUP BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(a1TrafficWindow, u1KeywordCount, dws01KeywordWindow,
+    u2CjkTokens)
 }

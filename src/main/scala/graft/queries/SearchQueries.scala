@@ -248,15 +248,12 @@ object SearchQueries {
 
   /** MMR-diversified top-3 (λ=70%, 10 candidates, 2 queries): the greedy
     * unrolled to three argmax CTE levels — selection scores are the
-    * exact BIGINT 70·rel_u − 30·maxsim_u the Spark greedy computes. */
-  val tAnnMmr: Q = Q(
-    "t_ann_mmr",
-    run = (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      graft.operators.Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 2),
-        k = 3, kCand = 10, lambdaPct = 70)
-    },
-    oracle = Some(s"""
+    * exact BIGINT 70·rel_u − 30·maxsim_u the Spark greedy computes.
+    * Shared by the exact-baseline entry and its IVF-candidate twin:
+    * at FULL probe width IVF candidates are exactly the brute-force
+    * top-kCand (same round(cos,6) micros, same self-exclusion, same
+    * vec_id tiebreak), so one oracle certifies both paths. */
+  private lazy val mmrOracleSql: String = s"""
       WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
                  FROM embeddings),
       q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 2),
@@ -291,7 +288,35 @@ object SearchQueries {
             ORDER BY score_u DESC, vec_id) AS rn FROM m3) WHERE rn = 1)
       SELECT qid, vec_id, score_u, CAST(1 AS BIGINT) AS rank FROM s1
       UNION ALL SELECT qid, vec_id, score_u, CAST(2 AS BIGINT) FROM s2
-      UNION ALL SELECT qid, vec_id, score_u, CAST(3 AS BIGINT) FROM s3"""))
+      UNION ALL SELECT qid, vec_id, score_u, CAST(3 AS BIGINT) FROM s3"""
+
+  val tAnnMmr: Q = Q(
+    "t_ann_mmr",
+    run = (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 2),
+        k = 3, kCand = 10, lambdaPct = 70)
+    },
+    oracle = Some(mmrOracleSql))
+
+  /** The 100 TB composition of the same diversified retrieval: MMR's
+    * candidate frame comes from [[graft.operators.Ivf.topK]] (map-side
+    * NearestCentroid assign, broadcast probe joins) instead of the
+    * exact BroadcastNestedLoop baseline. Probe width = all 4 centroids
+    * here so the candidate SET equals brute force and the SAME oracle
+    * certifies the end-to-end path; production narrows nprobe and
+    * trades recall for the bucketed scan. */
+  val tAnnMmrIvf: Q = Q(
+    "t_ann_mmr_ivf",
+    run = (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 2)
+      val cents = graft.operators.Ivf.train(emb, k = 4)
+      val cand = graft.operators.Ivf.topK(
+        graft.operators.Ivf.index(emb, cents), cents, queries, k = 10, nprobe = 4)
+      graft.operators.Similarity.mmrFromCandidates(cand, emb, k = 3, lambdaPct = 70)
+    },
+    oracle = Some(mmrOracleSql))
 
   /** Retrieval scorecard for truncated-dimension search: gold = graded
     * exact top-10 over all 64 dims (rel 3/2/1 by rank band), system =
@@ -377,7 +402,8 @@ object SearchQueries {
       FROM ($retrievalEvalSql) t"""))
 
   val all: Seq[Q] = Seq(
-    tSearchHybrid, tSearchMoreLike, tAnnMmr, tRetrievalEval, tRetrievalSummary,
+    tSearchHybrid, tSearchMoreLike, tAnnMmr, tAnnMmrIvf, tRetrievalEval,
+    tRetrievalSummary,
     tIndexPostings, tSearchTopk, tSearchConjunctive, tPhraseSearch,
     tSearchIndexed, tSearchBm25, tSearchMulti)
 }

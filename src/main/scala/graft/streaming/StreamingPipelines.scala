@@ -102,9 +102,25 @@ object StreamingPipelines {
           if (!fs.rename(tmp, p))
             throw new java.io.IOException(
               s"upsertSink: rename $tmp -> $p failed; table left in temp (recoverable)")
-        if (!fs.exists(p) &&
-          fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
-          renameOrThrow() // crashed between delete and rename: promote
+        // Table missing + temp present = crashed between delete and
+        // rename (tmp writes happen BEFORE the delete, so a mid-write
+        // crash always leaves the table intact). Promote any non-empty
+        // temp — not just ones with _SUCCESS: with the committer's
+        // success marker disabled (marksuccessfuljobs=false, common with
+        // cloud committers) proceeding with current = batch-only would
+        // silently drop every earlier key, the exact loss promotion
+        // prevents. An EMPTY temp next to a missing table is an
+        // unrecoverable state we refuse to paper over.
+        if (!fs.exists(p) && fs.exists(tmp)) {
+          val hasData = fs.listStatus(tmp).exists { st =>
+            val n = st.getPath.getName
+            n == "_SUCCESS" || n.endsWith(".parquet")
+          }
+          if (hasData) renameOrThrow() // promote the completed swap
+          else throw new java.io.IOException(
+            s"upsertSink: table $p missing and temp $tmp has no data files — " +
+              "cannot recover earlier keys; restore the table before retrying")
+        }
         val current =
           if (fs.exists(p)) spark.read.parquet(path).unionByName(batch.toDF())
           else batch.toDF()

@@ -27,6 +27,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(oneSeq(TextFunctions.tokens(lit("!!! ---"))).isEmpty)
   }
 
+  test("tokenizer cjk mode: golden-pinned ordered sequences") {
+    def cjk(s: String): Seq[String] =
+      oneSeq(TextFunctions.tokens(lit(s), cjk = true))
+    // script boundary with no whitespace splits; CJK runs -> bigrams
+    assert(cjk("Spark入门指南 v2.0") === Seq("spark", "入门", "门指", "指南", "v2", "0"))
+    assert(cjk("spark引擎fast") === Seq("spark", "引擎", "fast"))
+    // pure-CJK run of 6 -> 5 overlapping bigrams, in order
+    assert(cjk("深度学习模型") === Seq("深度", "度学", "学习", "习模", "模型"))
+    // isolated ideograph -> unigram; punctuation separates runs
+    assert(cjk("云") === Seq("云"))
+    assert(cjk("价格:100元") === Seq("价格", "100", "元"))
+    // empty / all-separator -> empty
+    assert(cjk("") === Seq.empty)
+    assert(cjk("!!! ---") === Seq.empty)
+  }
+
+  test("tokenizer cjk=false is identical to the pinned tokenizer") {
+    val s = "Hello,  World! 42__x 入门"
+    val plain = oneSeq(TextFunctions.tokens(lit(s)))
+    val flagged = oneSeq(TextFunctions.tokens(lit(s), cjk = false))
+    assert(flagged === plain)
+  }
+
   test("word shingles n=3") {
     val toks = TextFunctions.tokens(lit("a b c d"))
     val got = oneSeq(TextFunctions.wordShingles(toks, 3))
