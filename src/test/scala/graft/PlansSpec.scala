@@ -277,4 +277,37 @@ class PlansSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(got === Seq("hello", "world"))
   }
+
+  test("every bench headline compiles under codegen — no silent interpreted fallback") {
+    // Regression guard for the round-8 SimHash32Doc bug: a doGenCode with
+    // a FIXED-name Java local compiles fine when the expression is emitted
+    // once, but the real t_simhash plan (isnotnull(simhash) pushed into
+    // the scan as a DataFilter + the projection recomputing it in the same
+    // WholeStageCodegen) emits it twice — Janino's "Redefinition of local
+    // variable" then SILENTLY drops the stage to interpreted execution:
+    // only an ERROR log line, never a test failure, and the bench quietly
+    // measures the interpreted path. Toy two-column repros do NOT trigger
+    // it (subexpression elimination merges the duplicates), so the guard
+    // runs the ACTUAL headline queries with spark.sql.codegen.fallback
+    // disabled, turning any codegen compile failure anywhere in a bench
+    // plan into a loud test failure.
+    GraftFunctions.register(spark)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      SparkEntry.headlines.foreach { name =>
+        try SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          fail(s"headline $name failed under codegen-only execution: $e")
+        }
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+      graft.pipeline.Curate.releaseCaches(spark)
+    }
+  }
 }
