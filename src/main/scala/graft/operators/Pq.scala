@@ -34,20 +34,49 @@ import graft.functions.VectorFunctions._
   */
 object Pq {
 
+  /** Per-block sub-vector rows over a PREPARED (vec_id, e) frame —
+    * no normalization here: raw-vector PQ feeds l2-normalized vectors,
+    * residual PQ feeds residuals that must NOT be re-normalized. */
+  private def blocksOf(v: DataFrame, dim: Int, m: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m blocks")
+    val sub = dim / m
+    v.select(col("vec_id"),
+      explode(array((0 until m).map(b =>
+        struct(lit(b).as("b"), slice(col("e"), b * sub + 1, sub).as("sub"))): _*)).as("blk"))
+      .select(col("vec_id"), col("blk.b").as("b"), col("blk.sub").as("sub"))
+  }
+
   /** Per-block sub-vector rows: (vec_id, b, sub) with `sub` = the b-th
     * `dim/m`-length slice of the l2-normalized embedding. */
   private def blocks(vectors: DataFrame, dim: Int, m: Int): DataFrame = {
-    require(dim % m == 0, s"dim $dim must divide into m=$m blocks")
-    val sub = dim / m
     // norm bound in its own projection before the normalize lambda
     // references it (fold-in-lambda re-evaluation cliff)
     val v = vectors.select(col("vec_id"), toDouble(col("embedding")).as("e0"))
       .withColumn("nrm", l2Norm(col("e0")))
       .select(col("vec_id"), l2NormalizeWith(col("e0"), col("nrm")).as("e"))
-    v.select(col("vec_id"),
-      explode(array((0 until m).map(b =>
-        struct(lit(b).as("b"), slice(col("e"), b * sub + 1, sub).as("sub"))): _*)).as("blk"))
-      .select(col("vec_id"), col("blk.b").as("b"), col("blk.sub").as("sub"))
+    blocksOf(v, dim, m)
+  }
+
+  /** Residual rows (vec_id, e) for IVF-residual-PQ: e = the vector's
+    * l2-normalized form MINUS the l2-normalized coarse centroid of its
+    * IVF cell. The decomposition q·v̂ = q·ĉ + q·r is EXACT for any fixed
+    * per-cell reference ĉ (the probe already computes q·ĉ as its cosine,
+    * |q|=|ĉ|=1), and quantizing r instead of v̂ is the classic IVF-PQ
+    * residual trick (Jégou et al. §III): residuals concentrate near 0 so
+    * the same ksub codes spend their resolution on a far smaller cell —
+    * lower quantization error at identical index bytes. NULL-cid rows
+    * (NULL embeddings) drop here, matching the non-residual path where
+    * they never join a probe. */
+  private def residualFrame(indexed: DataFrame, centroids: DataFrame): DataFrame = {
+    val cu = centroids
+      .withColumn("cnrm", l2Norm(col("ce")))
+      .select(col("cid"), l2NormalizeWith(col("ce"), col("cnrm")).as("cu"))
+    indexed
+      .withColumn("nrm", l2Norm(col("e")))
+      .select(col("vec_id"), col("cid"),
+        l2NormalizeWith(col("e"), col("nrm")).as("en"))
+      .join(broadcast(cu), "cid")
+      .select(col("vec_id"), zip_with(col("en"), col("cu"), _ - _).as("e"))
   }
 
   /** Driver-side codebook collect for the map-side assign: (b, cid, ce)
@@ -75,18 +104,36 @@ object Pq {
     * sub-vectors keep cid NULL (nullSafeEval) rather than the window
     * form's smallest-cid fallback — the same deliberate NULL-embedding
     * divergence Ivf.assign documents. */
-  private def assign(blk: DataFrame, codebook: DataFrame): DataFrame = {
+  private def assign(blk: DataFrame, codebook: DataFrame,
+      l2: Boolean = false): DataFrame = {
     val (ids, cents) = collectCodebook(codebook)
     val cidType = codebook.schema("cid").dataType
     if (ids.isEmpty) // empty corpus -> empty codebook -> empty assignment
       blk.limit(0).select(col("vec_id"), col("b"), col("sub"),
         lit(null).cast(cidType).as("cid"), lit(null).cast("double").as("dot"))
-    else
+    else if (!l2)
       blk.withColumn("__nc",
           graft.plans.VectorExpressions.nearestSubCentroid(col("sub"), col("b"), ids, cents))
         .select(col("vec_id"), col("b"), col("sub"),
           col("__nc").getField("cid").cast(cidType).as("cid"),
           col("__nc").getField("dot").as("dot"))
+    else {
+      // L2-nearest assignment (residual PQ): argmin ||s − c||² =
+      // argmax (s·c − ||c||²/2), folded into the SAME fused max-dot
+      // expression by the classic augmentation — append 1.0 to the
+      // sub-vector and −||c||²/2 to each centroid. Max-dot assignment is
+      // right for raw l2-normalized vectors (serve scores dots of
+      // near-constant-norm slices) but degenerate for residuals centered
+      // near 0, where it chases centroid NORM and ignores the distance —
+      // measured recall 0.375 vs 0.44 before this branch existed.
+      val cents2 = cents.map(_.map(cs => cs :+ (-0.5 * cs.map(x => x * x).sum)))
+      blk.withColumn("__s2", concat(col("sub"), array(lit(1.0d))))
+        .withColumn("__nc",
+          graft.plans.VectorExpressions.nearestSubCentroid(col("__s2"), col("b"), ids, cents2))
+        .select(col("vec_id"), col("b"), col("sub"),
+          col("__nc").getField("cid").cast(cidType).as("cid"),
+          col("__nc").getField("dot").as("dot"))
+    }
   }
 
   /** Column-wise mean per (block, code) — the Lloyd update. */
@@ -99,18 +146,19 @@ object Pq {
       .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("dm"))
       .select(col("b"), col("cid"), transform(col("dm"), s => s.getField("mu")).as("ce"))
 
-  /** Train the per-block codebooks: (b, cid, ce). Deterministic init —
-    * sub-centroid j of block b = mean of blocks with vec_id % ksub == j. */
-  def train(vectors: DataFrame, dim: Int, m: Int = 8, ksub: Int = 16,
-      iters: Int = 2): DataFrame = {
-    val blk = blocks(vectors, dim, m).persist()
+  /** Lloyd over pre-sliced block rows — shared by raw-vector and
+    * residual training. Deterministic init — sub-centroid j of block b =
+    * mean of blocks with vec_id % ksub == j. */
+  private def trainOn(blkSrc: DataFrame, ksub: Int, iters: Int,
+      l2: Boolean = false): DataFrame = {
+    val blk = blkSrc.persist()
     try {
       var codebook = means(blk.withColumn("cid", (col("vec_id") % ksub).cast("int")))
         .persist()
       codebook.count()
       var i = 0
       while (i < iters) {
-        val next = means(assign(blk, codebook)).persist()
+        val next = means(assign(blk, codebook, l2)).persist()
         next.count()
         codebook.unpersist(blocking = false)
         codebook = next
@@ -123,13 +171,36 @@ object Pq {
     } finally { blk.unpersist(blocking = false); () }
   }
 
-  /** Encode every vector to its m codes: (vec_id, codes) with
-    * codes[b] = nearest sub-centroid id of block b. */
-  def encode(vectors: DataFrame, codebook: DataFrame, dim: Int, m: Int = 8): DataFrame =
-    assign(blocks(vectors, dim, m), codebook)
+  /** Train the per-block codebooks: (b, cid, ce). */
+  def train(vectors: DataFrame, dim: Int, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2): DataFrame =
+    trainOn(blocks(vectors, dim, m), ksub, iters)
+
+  /** Train per-block codebooks over IVF-cell RESIDUALS (see
+    * [[residualFrame]]). `indexed`/`centroids` are Ivf.index / Ivf.train*
+    * output over the corpus this codebook will encode. */
+  def trainResidual(indexed: DataFrame, centroids: DataFrame, dim: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame =
+    trainOn(blocksOf(residualFrame(indexed, centroids), dim, m), ksub, iters,
+      l2 = true)
+
+  private def codesOf(assigned: DataFrame): DataFrame =
+    assigned
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("b"), col("cid")))).as("bc"))
       .select(col("vec_id"), transform(col("bc"), s => s.getField("cid")).as("codes"))
+
+  /** Encode every vector to its m codes: (vec_id, codes) with
+    * codes[b] = nearest sub-centroid id of block b. */
+  def encode(vectors: DataFrame, codebook: DataFrame, dim: Int, m: Int = 8): DataFrame =
+    codesOf(assign(blocks(vectors, dim, m), codebook))
+
+  /** Encode every vector's RESIDUAL to its m codes (the index the
+    * residual serve path reads; codebook from [[trainResidual]]). */
+  def encodeResidual(indexed: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, dim: Int, m: Int = 8): DataFrame =
+    codesOf(assign(blocksOf(residualFrame(indexed, centroids), dim, m), codebook,
+      l2 = true))
 
   /** l2-normalized query frame (qid, qe). */
   private def normQueries(queries: DataFrame): DataFrame =
@@ -232,6 +303,42 @@ object Pq {
       .join(broadcast(lut), Seq("qid", "b", "cid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("contrib")).as("adc"))
+    rerankExact(adc, queries, vectors, k, rerank)
+  }
+
+  /** IVF-PQ over RESIDUAL codes: same probe + ADC + exact-rerank shape as
+    * [[ivfPqTopK]], but the approximate score decomposes as
+    * q·v̂ ≈ q·ĉ + Σ_b LUT(q, b, code_b) — the probe's cosine IS the exact
+    * q·ĉ term (both sides unit-norm), and the LUT scores the quantized
+    * residual (codebook/codes from [[trainResidual]]/[[encodeResidual]]).
+    * Same index bytes, lower quantization error (PqSpec measures the ADC
+    * error drop vs raw-vector codes on the same geometry).
+    *
+    * Scale story is ivfPqTopK's unchanged: the only corpus-sized shuffle
+    * keys on vec_id; the per-pair ĉ term rides the probe join (nprobe
+    * rows per query, already broadcast). */
+  def ivfPqResidualTopK(indexed: DataFrame, centroids: DataFrame, codes: DataFrame,
+      codebook: DataFrame, vectors: DataFrame, queries: DataFrame,
+      dim: Int, k: Int, nprobe: Int, m: Int = 8, rerank: Int = 4): DataFrame = {
+    val q = normQueries(queries)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", graft.plans.VectorExpressions.cosineFused(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cid"), col("csim"))
+    // each vector lives in exactly ONE inverted list, so (qid, vec_id)
+    // carries a single q·ĉ value — max() below is a no-op pick, not a
+    // choice among competing cells
+    val pairs = probes.join(indexed.select(col("vec_id"), col("cid")), "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("csim"))
+    val lut = lutFor(q, codebook, dim, m)
+    val adc = pairs.join(codes, "vec_id")
+      .select(col("qid"), col("vec_id"), col("csim"),
+        posexplode(col("codes")).as(Seq("b", "cid")))
+      .join(broadcast(lut), Seq("qid", "b", "cid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg((max(col("csim")) + sum(col("contrib"))).as("adc"))
     rerankExact(adc, queries, vectors, k, rerank)
   }
 }

@@ -1107,6 +1107,46 @@ object PipelineQueries {
         FROM sims)
       SELECT COUNT(*) AS n_expected, TRUE AS ok FROM ranked WHERE rk <= 10"""))
 
+  /** Residual IVF-PQ (Jégou et al. §III — codes quantize the CELL-CENTERED
+    * residual, the probe's exact q·ĉ term is added back at serve time):
+    * same index bytes as t_ann_ivfpq_recall, lower quantization error.
+    * Same gate and geometry as the raw-code entry, so the two rows read
+    * side-by-side; the residual-beats-raw ordering claim itself is pinned
+    * at rerank=1 in PqSpec (recall here is rerank-washed). */
+  val tAnnIvfPqResidualRecall: Q = Q(
+    "t_ann_ivfpq_residual_recall",
+    run = (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 20)
+      val cents = Ivf.trainScalable(emb, 16, iters = 1, rounds = 2)
+      val idx = Ivf.index(emb, cents)
+      val cb = Pq.trainResidual(idx, cents, dim = 64, m = 32, ksub = 16, iters = 2)
+      val codes = Pq.encodeResidual(idx, cents, cb, dim = 64, m = 32)
+      val got = Pq.ivfPqResidualTopK(idx, cents, codes, cb, emb, q,
+        dim = 64, k = 10, nprobe = 14, m = 32, rerank = 16)
+        .select(col("qid"), col("vec_id")).withColumn("hit", lit(1))
+      Similarity.bruteForceTopK(emb, q, 10)
+        .select(col("qid"), col("vec_id"))
+        .join(got, Seq("qid", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_expected"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .select(col("n_expected"),
+          (col("n_hit").cast("double") / col("n_expected") >= 0.85).as("ok"))
+    },
+    oracle = Some("""
+      WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 20),
+      sims AS (
+        SELECT q.qid, v.vec_id,
+          list_sum([qe[i+1]*e[i+1] for i in range(0, 64)]) /
+            (sqrt(list_sum([qe[i+1]*qe[i+1] for i in range(0, 64)]))
+             * sqrt(list_sum([e[i+1]*e[i+1] for i in range(0, 64)]))) AS sim
+        FROM q, v WHERE q.qid <> v.vec_id),
+      ranked AS (
+        SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id) AS rk
+        FROM sims)
+      SELECT COUNT(*) AS n_expected, TRUE AS ok FROM ranked WHERE rk <= 10"""))
+
   val tAnnIvfRecall: Q = Q(
     "t_ann_ivf_recall",
     run = (s, dir) => {
@@ -3489,7 +3529,7 @@ object PipelineQueries {
     tWinnowPairs, tLangId, tLangIdNgram, tEvalLangid, tEvalAgreement,
     tEvalLangidSliced, tEvalConfusion, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
-    tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall,
+    tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall, tAnnIvfPqResidualRecall,
     tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateContained, tCurateStatsFull,
     tCurateGopher, tCurateClassified, tCuratePacked,
     tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tTokenBudgetMix, tEvalCarve, tEvalCarveDupkeys, tMembershipIndex,
