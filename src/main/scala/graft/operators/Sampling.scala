@@ -479,10 +479,10 @@ object Sampling {
     * order).
     *
     * Scale: the corpus is touched ONCE by the partial-agged histogram
-    * groupBy; the single-partition window runs over the histogram —
+    * groupBy; the single-partition running sum runs over the histogram —
     * bounded by the domain (e.g. ≤ 10^6+1 rows for micro-quantized
     * scores), never by the corpus, which is what makes the global
-    * cumulative admissible where a corpus-wide window would be the
+    * cumulative admissible where a corpus-wide one would be the
     * classic single-task scale-killer (see shuffleRank for the
     * corpus-sized alternative). Returns 1 row: (n, t0..t{m-1}). */
   def boundedIntQuantiles(df: DataFrame, value: Column,
@@ -493,10 +493,20 @@ object Sampling {
     val hist = df.select(value.cast("long").as("__v"))
       .filter(col("__v").isNotNull)
       .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+    // single-partition running sum via mapPartitions, NOT a partition-less
+    // window: same plan cost (the global window needed the same 1-partition
+    // exchange over the domain-bounded histogram) minus the
+    // `WindowExec: No Partition Defined` warning that would bury a REAL
+    // corpus-sized global window in the logs
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cum = hist.coalesce(1).sortWithinPartitions(col("__v"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        var acc = 0L
+        it.map { case (v, c) => acc += c; (v, c, acc) }
+      }
+      .toDF("__v", "__c", "__cum")
       .crossJoin(broadcast(hist.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))))
     // cum ≥ ⌈n·num/den⌉  ⇔  cum·den ≥ n·num  (cum integer)
     val thresholds = fractions.zipWithIndex.map { case ((num, den), i) =>

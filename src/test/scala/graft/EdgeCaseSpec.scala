@@ -150,6 +150,17 @@ class EdgeCaseSpec extends AnyFunSuite {
       .count() === 0)
     assert(graft.operators.Ivf.trainScalable(emptyEmb, 4).count() === 0)
     assert(graft.operators.Pq.train(emptyEmb, dim = 8, m = 2, ksub = 2).count() === 0)
+    // residual path on an empty corpus: empty index + empty centroids ->
+    // empty codebook/codes/result, not an error
+    val eIdx = graft.operators.Ivf.index(emptyEmb, graft.operators.Ivf.train(emptyEmb, 4))
+    val eCents = graft.operators.Ivf.train(emptyEmb, 4)
+    val eCb = graft.operators.Pq.trainResidual(eIdx, eCents, dim = 8, m = 2, ksub = 2)
+    assert(eCb.count() === 0)
+    assert(graft.operators.Pq.encodeResidual(eIdx, eCents, eCb, dim = 8, m = 2)
+      .count() === 0)
+    assert(graft.operators.Pq.ivfPqResidualTopK(eIdx, eCents,
+      graft.operators.Pq.encodeResidual(eIdx, eCents, eCb, dim = 8, m = 2),
+      eCb, emptyEmb, emptyEmb, dim = 8, k = 3, nprobe = 2, m = 2).count() === 0)
     graft.operators.Dedup.releaseCaches(spark)
   }
 
