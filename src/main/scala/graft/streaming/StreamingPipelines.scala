@@ -849,6 +849,109 @@ object StreamingPipelines {
       .select(col("vec_id"), col("m").getField("e").as("e"),
         col("m").getField("cid").as("cid"), col("m").getField("__b").as("__b"))
 
+  /** Continuous RESIDUAL-PQ index: the compressed-domain twin of
+    * [[ivfIndexSink]]. Each micro-batch assigns its vectors to the FROZEN
+    * coarse centroids, encodes the cell-centered residual against the
+    * FROZEN per-block codebook ([[graft.operators.Pq.encodeResidual]]),
+    * and writes (vec_id, cid, codes) postings — m small ints per vector
+    * instead of dim doubles, the representation a 100 TB serving index
+    * actually stores (raw embeddings stay in the corpus table and are
+    * read only for the rerank·k finalists at query time). Same registry
+    * contract as the IVF sink: last-write-wins per vec_id, batch-id
+    * partition overwrite (idempotent retries), fold compaction, and a
+    * create-only `_model=` marker that now covers BOTH models — a drifted
+    * centroid set OR codebook fails loud instead of silently mixing code
+    * spaces. */
+  def pqIndexSink(vectors: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      registryPath: String, dim: Int, m: Int = 8,
+      compactEvery: Int = 16): DataStreamWriter[Row] = {
+    val cModel = collectModel(centroids)
+    require(cModel.nonEmpty, "pqIndexSink needs a non-empty centroid set")
+    val cbModel = collectCodebookModel(codebook)
+    require(cbModel.nonEmpty, "pqIndexSink needs a non-empty codebook")
+    val hash = pqModelHash(cModel, cbModel)
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        requireModel(spark, registryPath, hash, createIfAbsent = true)
+        Registry.maybeCompact(spark, registryPath, Seq(s"$registryPath/codes"),
+          upToExclusive = batchId, every = compactEvery,
+          fold = Map(s"$registryPath/codes" -> (latestCodes _)))
+        val b = batch.toDF().persist()
+        try {
+          val idx = graft.operators.Ivf.index(b, modelFrame(spark, cModel))
+            .filter(col("cid").isNotNull).persist()
+          try
+            graft.operators.Pq
+              .encodeResidual(idx, modelFrame(spark, cModel),
+                codebookFrame(spark, cbModel), dim, m)
+              .join(idx.select(col("vec_id"), col("cid").cast("long").as("cid")),
+                "vec_id")
+              .select(col("vec_id"), col("cid"), col("codes"), lit(batchId).as("__b"))
+              .write.mode("overwrite").parquet(s"$registryPath/codes/batch=$batchId")
+          finally { idx.unpersist(blocking = false); () }
+        } finally { b.unpersist(blocking = false); () }
+      }
+  }
+
+  /** The live compressed index: (vec_id, cid, codes), newest per vec_id. */
+  def currentPqIndex(spark: SparkSession, registryPath: String): DataFrame = {
+    val v = Registry.view(spark, registryPath, s"$registryPath/codes")
+    if (v.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("vec_id", LongType), StructField("cid", LongType),
+        StructField("codes", ArrayType(IntegerType)), StructField("__b", LongType))))
+        .drop("__b")
+    } else latestCodes(spark.read.parquet(v.paths: _*)).drop("__b")
+  }
+
+  /** Serve residual-IVF-PQ top-k from the live compressed index. The
+    * caller's centroids AND codebook must be THE models the registry was
+    * built under (pinned marker, loud on mismatch); `vectors` is the raw
+    * corpus store, read only for the exact re-rank of the finalists. */
+  def currentPqTopK(spark: SparkSession, registryPath: String,
+      centroids: DataFrame, codebook: DataFrame, vectors: DataFrame,
+      queries: DataFrame, dim: Int, k: Int, nprobe: Int, m: Int = 8,
+      rerank: Int = 4): DataFrame = {
+    requireModel(spark, registryPath,
+      pqModelHash(collectModel(centroids), collectCodebookModel(codebook)),
+      createIfAbsent = false)
+    val idx = currentPqIndex(spark, registryPath)
+      .withColumn("cid", col("cid").cast(centroids.schema("cid").dataType))
+    graft.operators.Pq.ivfPqResidualTopK(
+      idx.select(col("vec_id"), col("cid")), centroids,
+      idx.select(col("vec_id"), col("codes")), codebook,
+      vectors, queries, dim, k, nprobe, m, rerank)
+  }
+
+  /** Newest code row per vec_id — same associative argmax contract as
+    * [[latestPostings]]. */
+  private def latestCodes(df: DataFrame): DataFrame =
+    df.groupBy(col("vec_id"))
+      .agg(max(struct(col("__b"), col("cid"), col("codes"))).as("m"))
+      .select(col("vec_id"), col("m").getField("cid").as("cid"),
+        col("m").getField("codes").as("codes"), col("m").getField("__b").as("__b"))
+
+  private def collectCodebookModel(codebook: DataFrame): Seq[(Long, Long, Seq[Double])] =
+    codebook.select(col("b").cast("long"), col("cid").cast("long"), col("ce"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toVector)).toSeq
+      .sortBy(t => (t._1, t._2))
+
+  private def codebookFrame(spark: SparkSession,
+      model: Seq[(Long, Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    model.toDF("b", "cid", "ce")
+      .select(col("b").cast("int").as("b"), col("cid").cast("int").as("cid"), col("ce"))
+  }
+
+  private def pqModelHash(cModel: Seq[(Long, Seq[Double])],
+      cbModel: Seq[(Long, Long, Seq[Double])]): String =
+    modelHash(cModel) + "-" + modelHash(
+      cbModel.map { case (b, cid, ce) => (b << 32 | cid, ce) })
+
   private def collectModel(centroids: DataFrame): Seq[(Long, Seq[Double])] =
     centroids.select(col("cid").cast("long"), col("ce")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).toSeq.sortBy(_._1)

@@ -90,4 +90,76 @@ class AnnStreamSpec extends AnyFunSuite {
     assert(df.columns.toSeq === Seq("vec_id", "e", "cid"))
     assert(df.count() === 0)
   }
+
+  test("pqIndexSink: stream == batch residual codes; served topK == batch; codebook drift loud") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Pq
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_pq_reg"
+    new scala.reflect.io.Directory(new java.io.File(regPath)).deleteRecursively()
+
+    val initial = (0L until 40L).map(i => (i, vec(i)))
+    val reembeds = Seq(5L, 15L, 25L).map(i => (i, vec(i + 40)))
+    val truth = (initial.toMap ++ reembeds.toMap).toSeq.sortBy(_._1)
+    val corpus = truth.toDF("vec_id", "embedding")
+
+    // both models trained once on the initial corpus, then FROZEN
+    val centroids = Ivf.train(initial.toDF("vec_id", "embedding"), k = 4, iters = 2)
+      .persist(); centroids.count()
+    val idx0 = Ivf.index(initial.toDF("vec_id", "embedding"), centroids)
+    val codebook = Pq.trainResidual(idx0, centroids, dim = 4, m = 2, ksub = 4, iters = 2)
+      .persist(); codebook.count()
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingPipelines.pqIndexSink(
+        stream.toDF().toDF("vec_id", "embedding"), centroids, codebook, regPath,
+        dim = 4, m = 2, compactEvery = 2)
+      .start()
+    (initial.grouped(10).toSeq :+ reembeds).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+
+    // live compressed index == one-shot batch encode over the LATEST vecs
+    val got = StreamingPipelines.currentPqIndex(spark, regPath)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Int](2).toVector))).toMap
+    val batchIdx = Ivf.index(corpus, centroids)
+    val want = Pq.encodeResidual(batchIdx, centroids, codebook, dim = 4, m = 2)
+      .join(batchIdx.select(col("vec_id"), col("cid")), "vec_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Number]("cid").longValue(), r.getSeq[Int](1).toVector))).toMap
+    assert(got.size === 40)
+    assert(got === want) // re-embedded vecs carry NEW cell + NEW codes
+
+    // served residual-PQ top-k == the batch composition on the same models
+    val queries = Seq(100L, 101L, 102L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val served = StreamingPipelines.currentPqTopK(spark, regPath, centroids,
+      codebook, corpus, queries, dim = 4, k = 3, nprobe = 2, m = 2, rerank = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val batchTopK = Pq.ivfPqResidualTopK(batchIdx, centroids,
+      Pq.encodeResidual(batchIdx, centroids, codebook, dim = 4, m = 2), codebook,
+      corpus, queries, dim = 4, k = 3, nprobe = 2, m = 2, rerank = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(served === batchTopK && served.nonEmpty)
+
+    // a sink holding a DIFFERENT codebook (same centroids) fails loud —
+    // silently mixing code spaces is the failure the joint marker exists for
+    val otherCb = Pq.trainResidual(idx0, centroids, dim = 4, m = 2, ksub = 3, iters = 1)
+    val s2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = StreamingPipelines.pqIndexSink(
+      s2.toDF().toDF("vec_id", "embedding"), centroids, otherCb, regPath,
+      dim = 4, m = 2).start()
+    s2.addData(Seq((999L, vec(999L))))
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("model mismatch")) || mentions(t.getCause))
+    assert(mentions(ex), s"wrong failure: $ex")
+
+    centroids.unpersist(blocking = false)
+    codebook.unpersist(blocking = false)
+    Dedup.releaseCaches(spark)
+  }
 }
