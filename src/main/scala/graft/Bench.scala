@@ -88,9 +88,17 @@ object Bench {
     def timedBlock(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       for (_ <- 1 to nRuns) sampleOnce(name, fn)
+      // attempts bound: failed runs don't grow samples(name), so a query
+      // that records one fast sample then fails persistently would
+      // otherwise spin this loop forever (the bench would never emit its
+      // JSON line — worse than a thin median)
+      var extra = 0
+      val maxExtra = 2 * math.max(5, nRuns)
       while (nRuns >= 3 && samples(name).size < math.max(5, nRuns)
-          && median(samples(name)) < 2.0)
+          && median(samples(name)) < 2.0 && extra < maxExtra) {
         sampleOnce(name, fn)
+        extra += 1
+      }
     }
     qs.foreach { case (name, fn) => timedBlock(name, fn) }
     // IVF train/serve split: production amortizes k-means training across

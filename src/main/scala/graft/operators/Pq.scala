@@ -282,21 +282,30 @@ object Pq {
     * per vector (codes ⋈ broadcast LUT — raw embeddings are read only for
     * the rerank·k finalists). The only corpus-sized shuffle keys on
     * vec_id (codes ⋈ probed-candidate pairs). */
+  /** Coarse probe + candidate pairs, shared by the raw and residual
+    * serve paths: the nprobe nearest centroids per normalized query, then
+    * the probed lists' members with self-pairs dropped. The coarse cid is
+    * dropped from the output so the LUT's sub-centroid cid downstream
+    * cannot collide with it; `keepCsim` carries the probe's exact q·ĉ
+    * through for the residual decomposition. */
+  private def probedPairs(q: DataFrame, centroids: DataFrame, indexed: DataFrame,
+      nprobe: Int, keepCsim: Boolean): DataFrame = {
+    val wq = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid").asc)
+    val extra = if (keepCsim) Seq(col("csim")) else Nil
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", graft.plans.VectorExpressions.cosineFused(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
+      .select(Seq(col("qid"), col("cid")) ++ extra: _*)
+    probes.join(indexed.select(col("vec_id"), col("cid")), "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(Seq(col("qid"), col("vec_id")) ++ extra: _*)
+  }
+
   def ivfPqTopK(indexed: DataFrame, centroids: DataFrame, codes: DataFrame,
       codebook: DataFrame, vectors: DataFrame, queries: DataFrame,
       dim: Int, k: Int, nprobe: Int, m: Int = 8, rerank: Int = 4): DataFrame = {
     val q = normQueries(queries)
-    val wq = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("csim", graft.plans.VectorExpressions.cosineFused(col("qe"), col("ce")))
-      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
-      .select(col("qid"), col("cid"))
-    // candidate (query, vector) pairs = the probed lists' members; the
-    // coarse cid is dropped here so the LUT's sub-centroid cid below
-    // cannot collide with it
-    val pairs = probes.join(indexed.select(col("vec_id"), col("cid")), "cid")
-      .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"))
+    val pairs = probedPairs(q, centroids, indexed, nprobe, keepCsim = false)
     val lut = lutFor(q, codebook, dim, m)
     val adc = pairs.join(codes, "vec_id")
       .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("b", "cid")))
@@ -321,17 +330,10 @@ object Pq {
       codebook: DataFrame, vectors: DataFrame, queries: DataFrame,
       dim: Int, k: Int, nprobe: Int, m: Int = 8, rerank: Int = 4): DataFrame = {
     val q = normQueries(queries)
-    val wq = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("csim", graft.plans.VectorExpressions.cosineFused(col("qe"), col("ce")))
-      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
-      .select(col("qid"), col("cid"), col("csim"))
     // each vector lives in exactly ONE inverted list, so (qid, vec_id)
     // carries a single q·ĉ value — max() below is a no-op pick, not a
     // choice among competing cells
-    val pairs = probes.join(indexed.select(col("vec_id"), col("cid")), "cid")
-      .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"), col("csim"))
+    val pairs = probedPairs(q, centroids, indexed, nprobe, keepCsim = true)
     val lut = lutFor(q, codebook, dim, m)
     val adc = pairs.join(codes, "vec_id")
       .select(col("qid"), col("vec_id"), col("csim"),

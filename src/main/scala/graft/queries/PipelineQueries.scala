@@ -870,14 +870,14 @@ object PipelineQueries {
               coalesce(pc.label, gc.label) AS label,
               coalesce(gc.n_gold, 0) AS n_gold,
               coalesce(pc.n_pred, 0) AS n_pred
-            FROM pc FULL JOIN gc ON pc.slice = gc.slice
+            FROM pc FULL JOIN gc ON pc.slice IS NOT DISTINCT FROM gc.slice
               AND pc.label IS NOT DISTINCT FROM gc.label),
       r AS (SELECT m.slice, m.label, m.n_gold, m.n_pred, coalesce(tpc.tp, 0) AS tp,
               CASE WHEN m.n_pred > 0 THEN (1000000 * coalesce(tpc.tp, 0)) // m.n_pred
                    ELSE 0 END AS precision_ppm,
               CASE WHEN m.n_gold > 0 THEN (1000000 * coalesce(tpc.tp, 0)) // m.n_gold
                    ELSE 0 END AS recall_ppm
-            FROM m LEFT JOIN tpc ON m.slice = tpc.slice
+            FROM m LEFT JOIN tpc ON m.slice IS NOT DISTINCT FROM tpc.slice
               AND m.label IS NOT DISTINCT FROM tpc.label)
       SELECT slice, label, n_gold, n_pred, CAST(tp AS BIGINT) AS tp,
              CAST(precision_ppm AS BIGINT) AS precision_ppm,

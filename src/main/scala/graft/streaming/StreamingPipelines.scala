@@ -102,24 +102,26 @@ object StreamingPipelines {
           if (!fs.rename(tmp, p))
             throw new java.io.IOException(
               s"upsertSink: rename $tmp -> $p failed; table left in temp (recoverable)")
-        // Table missing + temp present = crashed between delete and
-        // rename (tmp writes happen BEFORE the delete, so a mid-write
-        // crash always leaves the table intact). Promote any non-empty
-        // temp — not just ones with _SUCCESS: with the committer's
-        // success marker disabled (marksuccessfuljobs=false, common with
-        // cloud committers) proceeding with current = batch-only would
-        // silently drop every earlier key, the exact loss promotion
-        // prevents. An EMPTY temp next to a missing table is an
-        // unrecoverable state we refuse to paper over.
+        // Table missing + temp present: decide by whether the temp WRITE
+        // COMPLETED. A completed write has part files and no _temporary
+        // staging dir (the committer removes it at job commit — with or
+        // without the _SUCCESS marker, so marksuccessfuljobs=false cloud
+        // committers recover too); completed + table missing can only be
+        // a crash between delete and rename, so PROMOTE — proceeding with
+        // current = batch-only would silently drop every earlier key. An
+        // INCOMPLETE temp (_temporary still present, or no part files)
+        // next to a missing table can only be the FIRST-ever batch killed
+        // mid-write (delete(table) runs strictly after a completed temp
+        // write, so any crash mid-write leaves an existing table intact):
+        // no committed data has ever existed — clear the debris and build
+        // from the batch. Promoting an incomplete temp would instead
+        // expose readers to a row-incomplete table.
         if (!fs.exists(p) && fs.exists(tmp)) {
-          val hasData = fs.listStatus(tmp).exists { st =>
-            val n = st.getPath.getName
-            n == "_SUCCESS" || n.endsWith(".parquet")
-          }
-          if (hasData) renameOrThrow() // promote the completed swap
-          else throw new java.io.IOException(
-            s"upsertSink: table $p missing and temp $tmp has no data files — " +
-              "cannot recover earlier keys; restore the table before retrying")
+          val entries = fs.listStatus(tmp).map(_.getPath.getName)
+          val complete = !entries.contains("_temporary") &&
+            entries.exists(n => n == "_SUCCESS" || n.endsWith(".parquet"))
+          if (complete) renameOrThrow() // promote the completed swap
+          else fs.delete(tmp, true) // first batch died mid-write: restart it
         }
         val current =
           if (fs.exists(p)) spark.read.parquet(path).unionByName(batch.toDF())

@@ -246,6 +246,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((1L, "a-v2", 2L), (2L, "b-v1", 1L), (3L, "c-v1", 1L)))
   }
 
+  test("upsert crash recovery: marker-less complete temp promotes; mid-write debris rebuilds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+
+    // (a) complete temp WITHOUT _SUCCESS (marksuccessfuljobs=false
+    // committers) + missing table -> promote, keep every earlier key
+    val pa = "/tmp/graft_test_upsert_nosuccess"
+    for (p <- Seq(pa, pa + ".tmp"))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val s1 = MemoryStream[(Long, String, Long)]
+    val q1 = graft.streaming.StreamingPipelines
+      .upsertSink(s1.toDF().toDF("id", "payload", "version"), pa, "id", "version")
+      .start()
+    s1.addData((1L, "a-v1", 1L), (2L, "b-v1", 1L)); q1.processAllAvailable()
+    q1.stop()
+    assert(fs.rename(new org.apache.hadoop.fs.Path(pa),
+      new org.apache.hadoop.fs.Path(pa + ".tmp")))
+    fs.delete(new org.apache.hadoop.fs.Path(pa + ".tmp", "_SUCCESS"), false)
+    val s2 = MemoryStream[(Long, String, Long)]
+    val q2 = graft.streaming.StreamingPipelines
+      .upsertSink(s2.toDF().toDF("id", "payload", "version"), pa, "id", "version")
+      .start()
+    s2.addData((3L, "c-v1", 1L)); q2.processAllAvailable()
+    q2.stop()
+    val gotA = spark.read.parquet(pa).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotA === Set((1L, "a-v1", 1L), (2L, "b-v1", 1L), (3L, "c-v1", 1L)),
+      "marker-less complete temp must be promoted, not dropped")
+
+    // (b) FIRST-ever batch killed mid-temp-write (only _temporary staging
+    // in tmp, no table) -> the retry clears the debris and builds from the
+    // batch instead of wedging on an unrecoverable-state error
+    val pb = "/tmp/graft_test_upsert_firstcrash"
+    for (p <- Seq(pb, pb + ".tmp"))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val staging = new org.apache.hadoop.fs.Path(pb + ".tmp", "_temporary/0")
+    fs.mkdirs(staging)
+    val s3 = MemoryStream[(Long, String, Long)]
+    val q3 = graft.streaming.StreamingPipelines
+      .upsertSink(s3.toDF().toDF("id", "payload", "version"), pb, "id", "version")
+      .start()
+    s3.addData((7L, "x-v1", 1L)); q3.processAllAvailable()
+    q3.stop()
+    val gotB = spark.read.parquet(pb).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotB === Set((7L, "x-v1", 1L)),
+      "first-batch mid-write debris must not wedge the stream")
+  }
+
   test("stream-stream inner join with watermarks == batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
