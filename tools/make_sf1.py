@@ -13,7 +13,7 @@ import duckdb, os, sys
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
-COPIES = 10
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10  # 10 -> ~sf1, 30 -> ~sf3
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 
