@@ -208,6 +208,52 @@ object Eval {
       .select(col("n"), col("agree"), col("po_ppm"), col("pe_ppm"), col("kappa_ppm"))
   }
 
+  /** Calibration scorecard of a [0, 10^6]-ppm scorer against binary
+    * outcomes: `buckets` equal-width score bins, per bin the count, the
+    * mean score, the observed positive rate, and their absolute gap —
+    * the reliability-diagram frame behind "is this quality/language
+    * classifier's score usable as a probability" (a score can rank
+    * perfectly yet be useless as a keep-probability if uncalibrated; a
+    * temperature-mix or importance-sampling stage that consumes scores
+    * AS probabilities needs this check first).
+    *
+    * Engine-parity arithmetic: everything integer-exact — bin =
+    * clamp((score·buckets) div 10^6), mean_score_ppm = Σscore div n,
+    * pos_rate_ppm = (10^6·n_pos) div n. Scores outside [0, 10^6] clamp
+    * into the edge bins (they still average as-is — a clamped mean would
+    * hide the miscalibration they represent); NULL score or outcome rows
+    * are excluded (no position on the diagram).
+    *
+    * Scale: one scan, one `buckets`-bounded partial-agged groupBy. */
+  def calibration(scored: DataFrame, scorePpm: Column, positive: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    scored
+      .select(scorePpm.cast("long").as("s"), positive.cast("boolean").as("p"))
+      .filter(col("s").isNotNull && col("p").isNotNull)
+      .withColumn("bucket",
+        least(lit(buckets - 1L), greatest(lit(0L), expr(s"(s * $buckets) div 1000000"))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("__ssum"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("__ssum div n").as("mean_score_ppm"),
+        expr("(1000000 * n_pos) div n").as("pos_rate_ppm"))
+      .withColumn("gap_ppm", abs(col("mean_score_ppm") - col("pos_rate_ppm")))
+  }
+
+  /** One-row expected calibration error over [[calibration]]'s bins:
+    * ECE_ppm = (Σ n_b·gap_b) div N — the n-weighted mean gap, exact
+    * BIGINT (n_b·gap_b ≤ N·10^6, far inside 64 bits). Empty input → one
+    * (0, 0) row, not an empty frame (a gate can always read it). */
+  def calibrationError(scored: DataFrame, scorePpm: Column, positive: Column,
+      buckets: Int = 10): DataFrame =
+    calibration(scored, scorePpm, positive, buckets)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("n") * col("gap_ppm")), lit(0L)).as("__wg"))
+      .select(col("n"),
+        when(col("n") > 0, expr("__wg div n")).otherwise(0L).as("ece_ppm"))
+
   /** The (keys…, a, b, count) confusion matrix — ONE corpus scan,
     * label² rows, persisted on the session cache registry (released by
     * [[Dedup.releaseCaches]]/releaseSince like every operator-held

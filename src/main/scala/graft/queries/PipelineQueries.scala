@@ -768,6 +768,78 @@ object PipelineQueries {
              pred_lang
       FROM lt_p"""))
 
+  /** Scored frame for the calibration entries: per doc, the en-stopword
+    * OCCURRENCE rate in ppm as a "P(lang=en)" score, gold = (lang='en').
+    * Integer-exact both sides: score = (10^6·n_en_stop_tokens) div n_tok. */
+  private def enStopScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val en = TextAnalysis.lexicons.toMap.apply("en")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), (col("lang") === "en").as("p"),
+        size(filter(col("toks"),
+          t => array_contains(array(en.map(lit): _*), t))).cast("long").as("n_stop"),
+        size(col("toks")).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("p"),
+        expr("(1000000 * n_stop) div n_tok").as("score_ppm"))
+  }
+
+  private lazy val enStopScoredCte: String = {
+    val en = TextAnalysis.lexicons.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"""
+      st AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
+      sc AS (SELECT doc_id, (lang = 'en') AS p,
+               (1000000 * len(list_filter(toks, x -> list_contains($en, x))))
+                 // len(toks) AS score_ppm
+             FROM st WHERE len(toks) > 0)"""
+  }
+
+  /** Reliability diagram of the en-stopword-rate scorer against the gold
+    * language: 10 equal-width score bins, per bin the exact mean score /
+    * observed positive rate / gap in ppm ([[graft.operators.Eval.calibration]]).
+    * The scorer is deliberately MIScalibrated (a rate, not a fitted
+    * probability) so the gaps are non-trivial at every SF. */
+  val tEvalCalibration: Q = Q(
+    "t_eval_calibration",
+    run = (s, dir) =>
+      Eval.calibration(enStopScored(s, dir), col("score_ppm"), col("p")),
+    oracle = Some(s"""
+      WITH $enStopScoredCte,
+      b AS (SELECT least(9, greatest(0, (score_ppm * 10) // 1000000)) AS bucket,
+                   score_ppm, p FROM sc)
+      SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
+             CAST((1000000 * SUM(CASE WHEN p THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+               AS pos_rate_ppm,
+             CAST(abs(SUM(score_ppm) // COUNT(*)
+               - (1000000 * SUM(CASE WHEN p THEN 1 ELSE 0 END)) // COUNT(*)) AS BIGINT)
+               AS gap_ppm
+      FROM b GROUP BY bucket"""))
+
+  /** The one-row expected calibration error over the same bins:
+    * ECE_ppm = (Σ n_b·gap_b) div N — the number a "use scores as keep
+    * probabilities" gate thresholds on. */
+  val tEvalEce: Q = Q(
+    "t_eval_ece",
+    run = (s, dir) =>
+      Eval.calibrationError(enStopScored(s, dir), col("score_ppm"), col("p")),
+    oracle = Some(s"""
+      WITH $enStopScoredCte,
+      b AS (SELECT least(9, greatest(0, (score_ppm * 10) // 1000000)) AS bucket,
+                   score_ppm, p FROM sc),
+      g AS (SELECT COUNT(*) AS n,
+              abs(SUM(score_ppm) // COUNT(*)
+                - (1000000 * SUM(CASE WHEN p THEN 1 ELSE 0 END)) // COUNT(*)) AS gap
+            FROM b GROUP BY bucket)
+      SELECT CAST(coalesce(SUM(n), 0) AS BIGINT) AS n,
+             CAST(CASE WHEN coalesce(SUM(n), 0) > 0
+                  THEN SUM(n * gap) // SUM(n) ELSE 0 END AS BIGINT) AS ece_ppm
+      FROM g"""))
+
   /** Per-class scorecard of the stopword language ID against the gold
     * `lang` column: precision/recall/F1 in exact ppm via
     * [[graft.operators.Eval.classificationMetrics]]. Gold has a class
@@ -3527,6 +3599,7 @@ object PipelineQueries {
     tClusterPrune,
     tWinnowFingerprint,
     tWinnowPairs, tLangId, tLangIdNgram, tEvalLangid, tEvalAgreement,
+    tEvalCalibration, tEvalEce,
     tEvalLangidSliced, tEvalConfusion, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall, tAnnIvfPqResidualRecall,

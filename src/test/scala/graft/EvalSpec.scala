@@ -173,6 +173,37 @@ class EvalSpec extends AnyFunSuite {
     assert(ag.getLong(1) === 2L) // (null,null) and (a,a)
   }
 
+  test("calibration: hand-checked bins, clamped out-of-range scores, exact ECE") {
+    import spark.implicits._
+    // bin width 100_000 (10 bins). Rows: two in bin 0 (scores 0 and
+    // 50_000, one positive), one in bin 9 via clamp (score 1_200_000,
+    // positive), one NULL score (dropped), one NULL outcome (dropped).
+    val df = Seq(
+      (Some(0L), Some(false)),
+      (Some(50000L), Some(true)),
+      (Some(1200000L), Some(true)),
+      (None: Option[Long], Some(true)),
+      (Some(7L), None: Option[Boolean])).toDF("s", "p")
+    val bins = Eval.calibration(df, col("s"), col("p"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // bin 0: n=2, n_pos=1, mean=(0+50000) div 2=25000, rate=500000, gap=475000
+    assert(bins(0L) === ((2L, 1L, 25000L, 500000L, 475000L)))
+    // bin 9 (clamped): n=1, n_pos=1, mean=1200000 (unclamped mean — the
+    // out-of-range score IS the miscalibration), rate=10^6, gap=200000
+    assert(bins(9L) === ((1L, 1L, 1200000L, 1000000L, 200000L)))
+    assert(bins.size === 2)
+    // ECE = (2*475000 + 1*200000) div 3 = 383333
+    val ece = Eval.calibrationError(df, col("s"), col("p")).collect().head
+    assert((ece.getLong(0), ece.getLong(1)) === ((3L, 383333L)))
+    // empty input -> one (0, 0) row, not an empty frame
+    val empty = Eval.calibrationError(
+      Seq.empty[(Option[Long], Option[Boolean])].toDF("s", "p"), col("s"), col("p"))
+      .collect().head
+    assert((empty.getLong(0), empty.getLong(1)) === ((0L, 0L)))
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("rel=0 judgments are non-relevant: excluded from n_rel, hits, and ideal") {
     val m = metrics(
       results = Seq((1L, 10L, 1L), (1L, 20L, 2L)),
