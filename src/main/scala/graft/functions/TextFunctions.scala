@@ -98,6 +98,27 @@ object TextFunctions {
   def minhashSig(tokenSet: Column, seed: Int): Column =
     minhashSigFromHashes(transform(tokenSet, hash32(_)), seed)
 
+  /** All `n` MinHash signatures in ONE codegen'd pass over the hash
+    * array — the hot-path form of n× [[minhashSigFromHashes]], whose
+    * ArrayTransform lambda evaluates interpreted per seed per row
+    * (plans.MinhashSigs; bit-equality asserted in PlansSpec). */
+  def minhashSigsFused(hashes: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("minhash_sigs", hashes,
+      org.apache.spark.sql.functions.lit(n))
+
+  /** Sorted-distinct long array in one primitive pass — the hot-path
+    * form of `array_sort(array_distinct(...))` (two interpreted HOF
+    * evaluations per row) on hash arrays. */
+  def sortedDistinct(hashes: Column): Column =
+    org.apache.spark.sql.functions.call_function("sorted_distinct_i64", hashes)
+
+  /** The pinned tokenizer as ONE native expression (the same kernel the
+    * tokenize UDTF uses) — the hot-path form of [[tokens]], whose
+    * ArrayFilter lambda evaluates interpreted. NULL text → empty array
+    * (tokens(coalesce(text, '')) parity). */
+  def tokensFused(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("tokenize_array", text)
+
   /** Fused per-position word-shingle hash array:
     * `shingleHash32(toks, n)[i] == hash32(concat_ws(" ", toks[i..i+n-1]))`
     * with ZERO intermediate shingle strings (token bytes stream straight

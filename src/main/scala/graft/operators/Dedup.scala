@@ -171,14 +171,16 @@ object Dedup {
     require(numSigs > 0 && (numSigs & (numSigs - 1)) == 0,
       s"numSigs must be a positive power of two for exact est_jaccard, got $numSigs")
     val t = docs.filter(col("source").isNotNull)
-      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"),
+        graft.functions.TextFunctions.tokensFused(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
     val hs = t.select(col("source"),
-      array_distinct(graft.functions.TextFunctions.shingleHash32(col("toks"), 3))
+      graft.functions.TextFunctions.sortedDistinct(
+        graft.functions.TextFunctions.shingleHash32(col("toks"), 3))
         .as("hashes"))
     val sigs = hs.select(col("source"),
-      posexplode(array((0 until numSigs).map(s =>
-        minhashSigFromHashes(col("hashes"), s)): _*)).as(Seq("s", "v")))
+      posexplode(graft.functions.TextFunctions.minhashSigsFused(
+        col("hashes"), numSigs)).as(Seq("s", "v")))
     // persist the #sources-row signature frame: both sides of the pair
     // join read it, and without the cache each side re-runs the WHOLE
     // corpus scan + signature chain (two scans where one suffices —
@@ -211,7 +213,11 @@ object Dedup {
     * candidates, so sort-at-source amortizes. */
   def shingleSets(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), tokens(col("text")).as("toks")) // bind once
+      // bind once; the fused tokenizer (one native call, no interpreted
+      // ArrayFilter lambda) — jcmd sampling at sf3 put the compositional
+      // chain's HOF evals among the band build's hot frames
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokensFused(col("text")).as("toks"))
       // "has >= 3 tokens" ≡ "has >= 1 shingle", but as a predicate on the
       // bound token array it pushes down as ONE tokenizer call — filtering
       // on size(shingles) instead would push the whole shingle lambda into
@@ -219,8 +225,8 @@ object Dedup {
       // (measured 20x slowdown).
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        array_sort(array_distinct(
-          graft.functions.TextFunctions.shingleHash32(col("toks"), 3)))
+        graft.functions.TextFunctions.sortedDistinct(
+          graft.functions.TextFunctions.shingleHash32(col("toks"), 3))
           .as("hashes"))
 
   /** MinHash+LSH near-duplicate pairs.
@@ -256,8 +262,8 @@ object Dedup {
     val numBands = numSigs / rowsPerBand
     val sigs = sh.select(
       col("doc_id"),
-      array((0 until numSigs).map(s =>
-        minhashSigFromHashes(col("hashes"), s)): _*).as("sig"))
+      graft.functions.TextFunctions.minhashSigsFused(col("hashes"), numSigs)
+        .as("sig"))
     sigs.select(
       col("doc_id"),
       explode(array((0 until numBands).map { b =>
@@ -492,13 +498,14 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.7): DataFrame = {
     val sets = track(docs
-      .select(col("doc_id"), tokens(col("text")).as("toks")) // bind once
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokensFused(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         // sorted at source → the verify runs the fused two-pointer merge
         // (the shingleSets rule); every other consumer is order-free
-        array_sort(array_distinct(
-          graft.functions.TextFunctions.shingleHash32(col("toks"), n)))
+        graft.functions.TextFunctions.sortedDistinct(
+          graft.functions.TextFunctions.shingleHash32(col("toks"), n))
           .as("hs"))
       .withColumn("sz", size(col("hs")))
       .persist())
@@ -576,12 +583,13 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val sets = track(docs
-      .select(col("doc_id"), tokens(col("text")).as("toks")) // bind once
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokensFused(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         // sorted at source — the fused intersect-count contract
-        array_sort(array_distinct(
-          graft.functions.TextFunctions.shingleHash32(col("toks"), n)))
+        graft.functions.TextFunctions.sortedDistinct(
+          graft.functions.TextFunctions.shingleHash32(col("toks"), n))
           .as("hs"))
       .withColumn("sz", size(col("hs")))
       .persist())

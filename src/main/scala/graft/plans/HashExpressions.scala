@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -189,6 +190,107 @@ case class SimHash32Doc(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All `n` MinHash signatures of a 32-bit hash array in ONE codegen'd
+  * pass — the compositional form (`array_min(transform(hashes, perm_s))`
+  * per seed) is n interpreted HOF evaluations per row (ArrayTransform is
+  * CodegenFallback), which jcmd sampling showed as the hot frame of the
+  * minhash band build at sf3. Permutation family is pinned identical to
+  * TextFunctions.minhashSigFromHashes:
+  * `sig_s = min_v ((v·(2s+1) + 7919s + 1) mod 4294967291)` — bit-equality
+  * asserted in PlansSpec. Empty input → array of n nulls (array_min of an
+  * empty array is NULL, and a null signature must stay null — banding on
+  * a fabricated constant would bucket every empty doc together). */
+case class MinhashSigs(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"signature count must be >= 1, got $n")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sigs requires ARRAY<BIGINT> input, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressions.minhashSigs(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashExpressions.minhashSigs($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
+    copy(child = newChild)
+}
+
+/** Sorted-distinct long array in one primitive pass — replaces the
+  * `array_sort(array_distinct(...))` chain (two interpreted HOF
+  * evaluations per row; ArraySort/ArrayDistinct fall out of codegen) on
+  * the shingle-set build. NULL elements are rejected loudly: every
+  * caller feeds hash arrays (containsNull=false), and a silent drop
+  * would change Jaccard denominators. */
+case class SortedDistinctLongs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sorted_distinct_i64 requires ARRAY<BIGINT> input, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressions.sortedDistinctLongs(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashExpressions.sortedDistinctLongs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedDistinctLongs =
+    copy(child = newChild)
+}
+
+/** Scalar form of the pinned tokenizer — the SAME kernel the
+  * TokenizeGenerator UDTF and SimHash32Doc use
+  * (TokenizeGenerator.tokenizeToArray), exposed as a codegen'd
+  * expression so array-consuming pipelines (shingling, minhash) skip the
+  * `filter(split(...))` chain whose ArrayFilter lambda evaluates
+  * interpreted. NULL text → empty array, matching `tokens()` on
+  * coalesced input; bit-equality with the compositional form asserted in
+  * PlansSpec. */
+case class TokenizeArray(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tokenize_array requires STRING input, got ${child.dataType.catalogString}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TokenizeGenerator.tokenizeToArray(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.plans.TokenizeGenerator.tokenizeToArray(${c.isNull} ? null : ${c.value});
+      """
+    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenizeArray =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
@@ -263,6 +365,56 @@ object HashExpressions {
     }
     val uni = n + m - inter
     if (uni == 0) Double.NaN else inter.toDouble / uni
+  }
+
+  /** All n MinHash signatures in one pass (see [[MinhashSigs]]); empty
+    * input → n nulls (array_min-of-empty parity). */
+  def minhashSigs(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val sz = arr.numElements()
+    val out = new Array[Any](n)
+    if (sz > 0) {
+      var s = 0
+      while (s < n) {
+        val a = 2L * s + 1
+        val c = 7919L * s + 1
+        var min = Long.MaxValue
+        var i = 0
+        while (i < sz) {
+          val h = (arr.getLong(i) * a + c) % 4294967291L
+          if (h < min) min = h
+          i += 1
+        }
+        out(s) = min
+        s += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Sorted-distinct long array (see [[SortedDistinctLongs]]). */
+  def sortedDistinctLongs(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          "sorted_distinct_i64: NULL element (callers feed null-free hash arrays; " +
+            "a silent drop would change Jaccard denominators)")
+      a(i) = arr.getLong(i)
+      i += 1
+    }
+    java.util.Arrays.sort(a)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(a, w))
   }
 
   /** First 4 md5 bytes of the UTF-8 input, big-endian unsigned. */

@@ -124,7 +124,11 @@ object GraftFunctions {
       litStrings(exprs(1)), litStrings(exprs(2)))),
     "jaccard_sorted" -> (exprs => JaccardSorted(exprs(0), exprs(1))),
     "intersect_count_sorted" -> (exprs => IntersectCountSorted(exprs(0), exprs(1))),
-    "simhash32_fused" -> (exprs => SimHash32Doc(exprs.head)))
+    "simhash32_fused" -> (exprs => SimHash32Doc(exprs.head)),
+    "minhash_sigs" -> (exprs => MinhashSigs(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue())),
+    "sorted_distinct_i64" -> (exprs => SortedDistinctLongs(exprs.head)),
+    "tokenize_array" -> (exprs => TokenizeArray(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -278,6 +278,45 @@ class PlansSpec extends AnyFunSuite {
     assert(got === Seq("hello", "world"))
   }
 
+  test("fused minhash_sigs / sorted_distinct_i64 / tokenize_array == compositional forms") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // tokenize_array == filter(split(lower())) on every document,
+    // including NULL text (fused: empty array; compositional on
+    // coalesced input: empty array)
+    val tokPairs = docs.select(
+      TextFunctions.tokensFused(col("text")).as("fused"),
+      TextFunctions.tokens(coalesce(col("text"), lit(""))).as("comp"))
+    assert(tokPairs.filter(not(col("fused") <=> col("comp"))).count() === 0)
+    // sorted_distinct_i64 == array_sort(array_distinct) on shingle hashes
+    val toks = docs.select(TextFunctions.tokensFused(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(TextFunctions.shingleHash32(col("toks"), 3).as("hs"))
+    val sdPairs = toks.select(
+      TextFunctions.sortedDistinct(col("hs")).as("fused"),
+      array_sort(array_distinct(col("hs"))).as("comp"))
+    assert(sdPairs.filter(not(col("fused") <=> col("comp"))).count() === 0)
+    assert(sdPairs.count() > 0)
+    // minhash_sigs == the per-seed minhashSigFromHashes chain, all seeds,
+    // plus the empty-array edge (fused: n nulls == n array_min-of-empty)
+    val withEmpty = toks.select(TextFunctions.sortedDistinct(col("hs")).as("h"))
+      .union(Seq(Seq.empty[Long]).toDF("h"))
+    val mhPairs = withEmpty.select(
+      TextFunctions.minhashSigsFused(col("h"), 8).as("fused"),
+      array((0 until 8).map(s =>
+        TextFunctions.minhashSigFromHashes(col("h"), s)): _*).as("comp"))
+    assert(mhPairs.filter(not(col("fused") <=> col("comp"))).count() === 0)
+    // sorted_distinct_i64 rejects NULL elements loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT sorted_distinct_i64(array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT)))")
+        .collect()
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("NULL element")) || mentions(t.getCause))
+    assert(mentions(e), e.toString)
+  }
+
   test("every bench headline compiles under codegen — no silent interpreted fallback") {
     // Regression guard for the round-8 SimHash32Doc bug: a doGenCode with
     // a FIXED-name Java local compiles fine when the expression is emitted
