@@ -56,7 +56,7 @@ object Classify {
   /** `pre` must carry the `carry` columns plus `text`. */
   private def unigramBuckets(pre: DataFrame, carry: Seq[String], buckets: Int): DataFrame =
     pre.select(carry.map(col) :+
-        explode(tokens(coalesce(col("text"), lit("")))).as("tok"): _*)
+        explode(tokensFused(col("text"))).as("tok"): _*)
       .withColumn("bucket",
         pmod(hash32(concat(lit("qc:"), col("tok"))), lit(buckets.toLong)))
       .drop("tok")
@@ -64,7 +64,7 @@ object Classify {
   /** `pre` must carry the `carry` columns plus `text`. The token array is
     * bound before the zip_with lambda (HOF re-inline invariant). */
   private def bigramBuckets(pre: DataFrame, carry: Seq[String], buckets: Int): DataFrame =
-    pre.select(carry.map(col) :+ tokens(coalesce(col("text"), lit(""))).as("toks"): _*)
+    pre.select(carry.map(col) :+ tokensFused(col("text")).as("toks"): _*)
       // greatest(…, 0): a zero-token doc would pass length −1 to slice,
       // which THROWS — empty/null text must contribute no bigrams, not
       // fail the job

@@ -144,7 +144,7 @@ object Sampling {
   def packSequences(docs: DataFrame, budget: Long, shards: Int = 64): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shards > 0, s"shards must be positive, got $shards")
-    val n = size(graft.functions.TextFunctions.tokens(coalesce(col("text"), lit("")))).cast("long")
+    val n = size(graft.functions.TextFunctions.tokensFused(col("text"))).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -284,7 +284,7 @@ object Sampling {
       case (acc, (s, b)) =>
         Some(acc.fold(when(stratum === s, b))(_.when(stratum === s, b)))
     }.fold(lit(defaultBudget))(_.otherwise(defaultBudget))
-    val n = size(graft.functions.TextFunctions.tokens(coalesce(col("text"), lit(""))))
+    val n = size(graft.functions.TextFunctions.tokensFused(col("text")))
       .cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(hash32(keyStr(key)).asc, key.asc)
@@ -422,7 +422,7 @@ object Sampling {
     val spark = docs.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val n = size(graft.functions.TextFunctions.tokens(coalesce(col("text"), lit("")))).cast("long")
+    val n = size(graft.functions.TextFunctions.tokensFused(col("text"))).cast("long")
     // deterministic range boundaries from one driver-tiny agg (doc_id
     // projection only — Catalyst prunes the text column away)
     val mm = docs.agg(min(col("doc_id").cast("long")).as("lo"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{tokens, tokensFused}
 
 /** Full-text retrieval over the `documents` table: an inverted index in
   * relational form (term → doc postings with term frequency), scored
@@ -47,7 +47,7 @@ object Search {
     * one (term, doc)-keyed partial agg. */
   def postings(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), explode(tokens(coalesce(col("text"), lit("")))).as("term"))
+      .select(col("doc_id"), explode(tokensFused(col("text"))).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 
@@ -113,7 +113,7 @@ object Search {
   private def queryTf(docs: DataFrame, terms: Seq[String]): DataFrame =
     docs
       .filter(terms.map(t => lower(col("text")).contains(lit(t))).reduce(_ || _))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .select(col("doc_id"), explode(tokensFused(col("text"))).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -146,7 +146,7 @@ object Search {
   def phraseSearch(docs: DataFrame, phrase: String): DataFrame = {
     val needle = " " + queryTermsOrdered(phrase).mkString(" ") + " "
     val joined = concat(lit(" "),
-      array_join(tokens(coalesce(col("text"), lit(""))), " "), lit(" "))
+      array_join(tokensFused(col("text")), " "), lit(" "))
     docs
       .withColumn("__s", joined)
       .withColumn("n_hits",
@@ -193,7 +193,7 @@ object Search {
   def bm25TopK(docs: DataFrame, query: Seq[String], k: Int = 10): DataFrame = {
     val terms = queryTerms(query)
     val toks = docs.select(col("doc_id"),
-      tokens(coalesce(col("text"), lit(""))).as("__toks"))
+      tokensFused(col("text")).as("__toks"))
     val corpus = toks.agg(count(lit(1)).as("n_docs"),
       coalesce(sum(size(col("__toks")).cast("long")), lit(0L)).as("total_tf"))
     val tf = Dedup.track(toks
@@ -243,7 +243,7 @@ object Search {
   def searchMany(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     val qterms = queries
       .select(col("query_id"),
-        explode(array_distinct(tokens(coalesce(col("query"), lit(""))))).as("term"))
+        explode(array_distinct(tokensFused(col("query")))).as("term"))
     val tf = Dedup.track(
       postings(docs)
         .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
@@ -315,7 +315,7 @@ object Search {
     // search path that tokenized every doc, the cost queryTf's scaladoc
     // names as THE corpus-scan cost
     val terms = docs.filter(col("doc_id") === docId)
-      .select(explode(tokens(coalesce(col("text"), lit("")))).as("term"))
+      .select(explode(tokensFused(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("term").asc).limit(nTerms)
       .select(col("term")).collect().map(_.getString(0)).toSeq

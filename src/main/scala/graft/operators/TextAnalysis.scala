@@ -36,7 +36,7 @@ object TextAnalysis {
     else
       docs.select(col("doc_id"),
         length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
-        tokens(coalesce(col("text"), lit(""))).as("toks"))
+        tokensFused(col("text")).as("toks"))
 
   private def hits(toks: Column, words: Seq[String]): Column =
     size(array_intersect(array_distinct(toks), array(words.map(lit): _*)))
@@ -205,7 +205,7 @@ object TextAnalysis {
     * no driver pass. */
   def tfIdfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     val terms = docs
-      .select(col("doc_id"), explode(tokens(coalesce(col("text"), lit("")))).as("term"))
+      .select(col("doc_id"), explode(tokensFused(col("text"))).as("term"))
     // persisted (session registry, Dedup.releaseCaches contract): tf feeds
     // BOTH the score side and the df aggregation — unpersisted, the whole
     // tokenize+explode+groupBy pipeline runs twice
@@ -319,7 +319,7 @@ object TextAnalysis {
     * lambda references it (HOF re-inline invariant). */
   def decontaminateSpans(docs: DataFrame, benchmark: DataFrame, n: Int = 4): DataFrame = {
     val dt = Dedup.track(docs
-      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), tokensFused(col("text")).as("toks"))
       .persist())
     val sg = Dedup.track(dt.filter(size(col("toks")) >= n)
       .select(col("doc_id"), wordShingles(col("toks"), n).as("g"))
@@ -346,7 +346,7 @@ object TextAnalysis {
   /** Distinct n-gram arrays per doc (the shared shape of every
     * decontamination path); docs shorter than n tokens have no gram. */
   private def contaminationGrams(df: DataFrame, n: Int): DataFrame = df
-    .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+    .select(col("doc_id"), tokensFused(col("text")).as("toks"))
     .filter(size(col("toks")) >= n)
     .select(col("doc_id"), array_distinct(wordShingles(col("toks"), n)).as("g"))
 
@@ -363,7 +363,7 @@ object TextAnalysis {
   def vocabulary(docs: DataFrame, k: Int = 1000): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val tf = docs
-      .select(col("doc_id"), explode(tokens(coalesce(col("text"), lit("")))).as("term"))
+      .select(col("doc_id"), explode(tokensFused(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_occurrences").desc, col("term").asc)
@@ -466,7 +466,7 @@ object TextAnalysis {
   def termDrift(a: DataFrame, b: DataFrame, k: Int = 50): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     def counts(df: DataFrame) = df
-      .select(explode(tokens(coalesce(col("text"), lit("")))).as("w"))
+      .select(explode(tokensFused(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     // persisted: each vocab table feeds BOTH the join and its scalar
     // total — without the cache each consumer re-runs the corpus scan
@@ -512,7 +512,7 @@ object TextAnalysis {
   def collocations(docs: DataFrame, k: Int = 50): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val t = Dedup.track(docs
-      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), tokensFused(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .persist())
     val bg = Dedup.track(t.select(wordShingles(col("toks"), 2).as("gs")).persist())
@@ -554,7 +554,7 @@ object TextAnalysis {
     val v = vocab.select(col("term")).distinct().withColumn("__in", lit(1))
     docs
       .select(col("doc_id"),
-        explode_outer(tokens(coalesce(col("text"), lit("")))).as("term"))
+        explode_outer(tokensFused(col("text"))).as("term"))
       .join(broadcast(v), Seq("term"), "left")
       .groupBy(col("doc_id"))
       .agg(count(col("term")).as("n_tokens"),
@@ -605,7 +605,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val wfDf = docs
-      .select(explode(tokens(coalesce(col("text"), lit("")))).as("w"))
+      .select(explode(tokensFused(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).cast("long").as("f"))
     // the cap plans as TakeOrderedAndProject — the collect itself is
     // bounded, not just the loop's working set
@@ -720,7 +720,7 @@ object TextAnalysis {
       s"overlap must be in [0, chunkTokens), got $overlap")
     val step = chunkTokens - overlap
     docs
-      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), tokensFused(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0),
@@ -829,7 +829,7 @@ object TextAnalysis {
     * count-table fold and a vocabulary count (see [[lmScore]]). */
   def trainLm(reference: DataFrame): LmModel = {
     val refBound = Dedup.track(reference
-      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), tokensFused(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), wordShingles(col("toks"), 2).as("gs"))
       .persist()) // Generate re-inline hazard (see file scaladoc)
@@ -838,7 +838,7 @@ object TextAnalysis {
     val c1 = c2.select(substring_index(col("g"), " ", 1).as("w1"), col("c2"))
       .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vrow = reference
-      .select(explode(tokens(coalesce(col("text"), lit("")))).as("t"))
+      .select(explode(tokensFused(col("text"))).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     LmModel(c2, c1, vrow)
   }
@@ -849,7 +849,7 @@ object TextAnalysis {
     // explode_outer: zero-bigram docs keep one NULL-g row, so every doc
     // reaches the final aggregation without a corpus⋈corpus join-back
     val docBound = Dedup.track(docs
-      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), tokensFused(col("text")).as("toks"))
       .select(col("doc_id"), wordShingles(col("toks"), 2).as("gs"))
       .persist()) // Generate re-inline hazard
     docBound.select(col("doc_id"), explode_outer(col("gs")).as("g"))

@@ -776,7 +776,7 @@ object PipelineQueries {
     val en = TextAnalysis.lexicons.toMap.apply("en")
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
-        graft.functions.TextFunctions.tokens(coalesce(col("text"), lit(""))).as("toks"))
+        graft.functions.TextFunctions.tokensFused(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), (col("lang") === "en").as("p"),
         size(filter(col("toks"),
@@ -2649,7 +2649,7 @@ object PipelineQueries {
   /** documents projected to the z-order dimensions (doc_id, n_tokens). */
   private def zorderDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir).select(col("doc_id"),
-      size(graft.functions.TextFunctions.tokens(coalesce(col("text"), lit(""))))
+      size(graft.functions.TextFunctions.tokensFused(col("text")))
         .cast("long").as("n_tokens"))
 
   /** Morton (Z-order) layout keys over (doc_id, token count) at 8 bits
@@ -3302,7 +3302,7 @@ object PipelineQueries {
     run = (s, dir) => {
       import graft.functions.TextFunctions
       val bound = graft.operators.Dedup.track(Tables.documents(s, dir)
-        .select(TextFunctions.tokens(coalesce(col("text"), lit(""))).as("toks"))
+        .select(TextFunctions.tokensFused(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(TextFunctions.wordShingles(col("toks"), 3).as("gs"))
         .persist()) // Generate re-inline hazard

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{tokens, tokensFused}
 import graft.operators.Search
 
 /** Continuously-maintained full-text index over a document stream, on
@@ -42,7 +42,7 @@ object SearchStream {
   private def docPosts(batch: DataFrame): DataFrame =
     batch
       .select(col("doc_id"),
-        explode_outer(tokens(coalesce(col("text"), lit("")))).as("term"))
+        explode_outer(tokensFused(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .groupBy(col("doc_id"))
