@@ -115,7 +115,15 @@ object TextFunctions {
   /** The pinned tokenizer as ONE native expression (the same kernel the
     * tokenize UDTF uses) — the hot-path form of [[tokens]], whose
     * ArrayFilter lambda evaluates interpreted. NULL text → empty array
-    * (tokens(coalesce(text, '')) parity). */
+    * (tokens(coalesce(text, '')) parity).
+    *
+    * Lowercasing nuance: the kernel lowercases with Locale.ROOT
+    * (locale-INDEPENDENT — matching DuckDB's utf8proc `lower()`), while
+    * the compositional [[tokens]] rides Spark's `lower()`, which routes
+    * non-ASCII strings through the JVM default locale. On a tr/az-locale
+    * JVM the two can disagree on dotted/dotless I in mixed-script text;
+    * the fused form is the deterministic one, and ASCII corpora (every
+    * fixture here) are identical under both. */
   def tokensFused(text: Column): Column =
     org.apache.spark.sql.functions.call_function("tokenize_array", text)
 

@@ -231,8 +231,14 @@ object Eval {
     scored
       .select(scorePpm.cast("long").as("s"), positive.cast("boolean").as("p"))
       .filter(col("s").isNotNull && col("p").isNotNull)
+      // bucket from a PRE-clamped copy of the score: multiplying a wild
+      // out-of-range score first could overflow Long and wrap a huge
+      // positive into bin 0 instead of the documented top edge bin (the
+      // mean still aggregates the UNCLAMPED value — see scaladoc)
+      .withColumn("bucket", expr(
+        s"(least(1000000L, greatest(0L, s)) * $buckets) div 1000000"))
       .withColumn("bucket",
-        least(lit(buckets - 1L), greatest(lit(0L), expr(s"(s * $buckets) div 1000000"))))
+        least(lit(buckets - 1L), col("bucket")))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("s")).as("__ssum"),
         sum(when(col("p"), 1L).otherwise(0L)).as("n_pos"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.{tokens, tokensFused}
+import graft.functions.TextFunctions.tokensFused
 
 /** Full-text retrieval over the `documents` table: an inverted index in
   * relational form (term → doc postings with term frequency), scored

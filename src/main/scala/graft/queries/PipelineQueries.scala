@@ -777,10 +777,19 @@ object PipelineQueries {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         graft.functions.TextFunctions.tokensFused(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
+      // NULL lang rows carry no outcome — dropped HERE so the oracle can
+      // mirror with lang IS NOT NULL (the operator would drop them via
+      // its own NULL-outcome filter, but DuckDB's CASE WHEN p would have
+      // counted them as negatives — the NULL-divergence class)
+      .filter(size(col("toks")) > 0 && col("lang").isNotNull)
+      // the lexicon array is BOUND once per row (the wordShingles rule) —
+      // constructing it inside the filter lambda would re-evaluate the
+      // array literal per token (array_except can't replace the lambda:
+      // it DEDUPES its result, breaking the occurrence count)
+      .withColumn("__en", array(en.map(lit): _*))
       .select(col("doc_id"), (col("lang") === "en").as("p"),
         size(filter(col("toks"),
-          t => array_contains(array(en.map(lit): _*), t))).cast("long").as("n_stop"),
+          t => array_contains(col("__en"), t))).cast("long").as("n_stop"),
         size(col("toks")).cast("long").as("n_tok"))
       .select(col("doc_id"), col("p"),
         expr("(1000000 * n_stop) div n_tok").as("score_ppm"))
@@ -794,7 +803,7 @@ object PipelineQueries {
       sc AS (SELECT doc_id, (lang = 'en') AS p,
                (1000000 * len(list_filter(toks, x -> list_contains($en, x))))
                  // len(toks) AS score_ppm
-             FROM st WHERE len(toks) > 0)"""
+             FROM st WHERE len(toks) > 0 AND lang IS NOT NULL)"""
   }
 
   /** Reliability diagram of the en-stopword-rate scorer against the gold

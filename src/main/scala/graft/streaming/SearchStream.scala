@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.functions.TextFunctions.{tokens, tokensFused}
+import graft.functions.TextFunctions.tokensFused
 import graft.operators.Search
 
 /** Continuously-maintained full-text index over a document stream, on

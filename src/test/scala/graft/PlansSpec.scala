@@ -282,10 +282,14 @@ class PlansSpec extends AnyFunSuite {
     GraftFunctions.register(spark)
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    // tokenize_array == filter(split(lower())) on every document,
-    // including NULL text (fused: empty array; compositional on
-    // coalesced input: empty array)
-    val tokPairs = docs.select(
+    // tokenize_array == filter(split(lower())) on every document PLUS an
+    // explicit NULL-text row (the fixture has none — without it the
+    // fused kernel's null branch and its nullable=false contract would
+    // never execute): fused gives an empty array, compositional on
+    // coalesced input gives an empty array
+    val withNullText = docs.select(col("text"))
+      .unionByName(Seq(Option.empty[String]).toDF("text"))
+    val tokPairs = withNullText.select(
       TextFunctions.tokensFused(col("text")).as("fused"),
       TextFunctions.tokens(coalesce(col("text"), lit(""))).as("comp"))
     assert(tokPairs.filter(not(col("fused") <=> col("comp"))).count() === 0)
