@@ -365,12 +365,10 @@ object TextAnalysis {
     val tf = docs
       .select(col("doc_id"), explode(tokensFused(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_occurrences").desc, col("term").asc)
-    tf.groupBy(col("term"))
-      .agg(sum(col("tf")).as("n_occurrences"), count(lit(1)).as("doc_freq"))
-      .orderBy(col("n_occurrences").desc, col("term").asc).limit(k)
-      .withColumn("rank", row_number().over(w).cast("long"))
+    Ranks.topN(
+      tf.groupBy(col("term"))
+        .agg(sum(col("tf")).as("n_occurrences"), count(lit(1)).as("doc_freq")),
+      Seq(col("n_occurrences").desc, col("term").asc), k)
   }
 
   /** HTML stripping — the extraction-hygiene pass for web-crawl text that
@@ -478,18 +476,15 @@ object TextAnalysis {
         coalesce(col("c_b"), lit(0L)).as("c_b"))
       .crossJoin(broadcast(ca.agg(coalesce(sum(col("c_a")), lit(0L)).as("n_a"))))
       .crossJoin(broadcast(cb.agg(coalesce(sum(col("c_b")), lit(0L)).as("n_b"))))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("shift_ppb").desc, col("w").asc)
     // ppb through DECIMAL(19,0)·10⁹ → DECIMAL(30,0), integral-divided
     // back to BIGINT; the zero-N guard keeps ANSI div-by-zero out
     def ppb(c: String, n: String): Column =
       when(col(n) === 0, lit(0L)).otherwise(
         expr(s"(CAST($c AS DECIMAL(19,0)) * 1000000000) div $n"))
-    joined
-      .select(col("w"), col("c_a"), col("c_b"),
-        abs(ppb("c_a", "n_a") - ppb("c_b", "n_b")).as("shift_ppb"))
-      .orderBy(col("shift_ppb").desc, col("w").asc).limit(k)
-      .withColumn("rank", row_number().over(w).cast("long"))
+    Ranks.topN(
+      joined.select(col("w"), col("c_a"), col("c_b"),
+        abs(ppb("c_a", "n_a") - ppb("c_b", "n_b")).as("shift_ppb")),
+      Seq(col("shift_ppb").desc, col("w").asc), k)
   }
 
   /** Collocation mining: top-k token bigrams ranked by a PMI-monotone
@@ -533,10 +528,7 @@ object TextAnalysis {
         // at 10¹³ tokens) and flips the ranking; div returns BIGINT
         expr("(CAST(c_ab AS DECIMAL(19,0)) * 1000000000)" +
           " div (CAST(c_a AS DECIMAL(19,0)) * c_b)").as("score_micro"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score_micro").desc, col("g").asc)
-    scored.orderBy(col("score_micro").desc, col("g").asc).limit(k)
-      .withColumn("rank", row_number().over(w).cast("long"))
+    Ranks.topN(scored, Seq(col("score_micro").desc, col("g").asc), k)
   }
 
   /** Vocabulary coverage / OOV accounting: per doc, how many token
