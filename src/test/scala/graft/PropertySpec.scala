@@ -233,4 +233,65 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getLong(5) === 1000000L, s"seed=$seed $r")
     }
   }
+
+  test("calibration: bins partition the input; a perfectly calibrated scorer has ECE 0") {
+    import spark.implicits._
+    import graft.operators.Eval
+    for (seed <- 1L to 8L) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 200).map { _ =>
+        (Some(rnd.nextInt(1000001).toLong), Some(rnd.nextBoolean()))
+      } ++ Seq((None: Option[Long], Some(true)), (Some(5L), None: Option[Boolean]))
+      val df = rows.toDF("s", "p")
+      val bins = Eval.calibration(df, col("s"), col("p")).collect()
+      // bins partition exactly the non-null rows; every gap is |mean - rate|
+      assert(bins.map(_.getLong(1)).sum === 200L, s"seed=$seed")
+      bins.foreach { r =>
+        assert(r.getLong(5) === math.abs(r.getLong(3) - r.getLong(4)), s"seed=$seed $r")
+        assert(r.getLong(0) >= 0 && r.getLong(0) <= 9, s"seed=$seed $r")
+      }
+      // ECE is the n-weighted mean gap — recompute driver-side
+      val ece = Eval.calibrationError(df, col("s"), col("p")).collect().head.getLong(1)
+      val want = bins.map(r => r.getLong(1) * r.getLong(5)).sum / bins.map(_.getLong(1)).sum
+      assert(ece === want, s"seed=$seed")
+    }
+    // a scorer whose score IS the positive rate in every bin: all-positive
+    // rows at score 10^6, all-negative at 0 -> gap 0 in both bins, ECE 0
+    val perfect = (Seq.fill(30)((Some(1000000L), Some(true))) ++
+      Seq.fill(20)((Some(0L), Some(false)))).toDF("s", "p")
+    val e = Eval.calibrationError(perfect, col("s"), col("p")).collect().head
+    assert((e.getLong(0), e.getLong(1)) === ((50L, 0L)))
+  }
+
+  test("Ranks.topN: ranks are 1..min(n, rows) and consistent with the total order") {
+    import spark.implicits._
+    for (seed <- 1L to 6L) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 40L).map(id => (id, rnd.nextInt(10).toLong))
+      val df = rows.toDF("doc_id", "score_micro")
+      for (n <- Seq(5, 40, 100)) {
+        val got = graft.operators.Classify.selectTopN(df, n)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val want = rows.sortBy { case (id, s) => (-s, id) }.take(n)
+          .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1L) }
+        assert(got.sortBy(_._3).toSeq === want, s"seed=$seed n=$n")
+      }
+    }
+  }
+
+  test("residual codes are deterministic under repartition") {
+    import graft.operators.{Ivf, Pq}
+    val emb = graft.tables.Tables.embeddings(spark, SparkTestSession.sf0001)
+    val cents = Ivf.train(emb, k = 4)
+    val idx = Ivf.index(emb, cents).persist()
+    val cb = Pq.trainResidual(idx, cents, dim = 64, m = 8, ksub = 8, iters = 1).persist()
+    def codes(v: org.apache.spark.sql.DataFrame) =
+      Pq.encodeResidual(Ivf.index(v, cents), cents, cb, dim = 64, m = 8)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    val a = codes(emb)
+    val b = codes(emb.repartition(7))
+    assert(a.nonEmpty && a === b)
+    idx.unpersist(); cb.unpersist()
+    graft.operators.Dedup.releaseCaches(spark)
+  }
 }
