@@ -79,12 +79,14 @@ object Bench {
     }
     // Sub-2s medians at sf0.1 are overhead/load-dominated: round 5
     // measured q1 1.47s at sf0.1 vs 0.95s at sf1 with no code change —
-    // session load (~±20%) dwarfs the plan signal at that duration.
-    // Widen those queries to median-of-5 so one loaded sample cannot
-    // move the median; long queries keep n=nRuns (their signal-to-noise
-    // is fine and extra runs cost real wall-clock).
-    // (skipped when the caller explicitly asked for fewer than 3 runs —
-    // that is a speed-over-precision request)
+    // session load (~±20%) dwarfs the plan signal at that duration, and
+    // the r7→r8 "drift" flags were attributed to exactly this noise
+    // (PLANS.md round-8 A/B). Widen those queries to median-of-5, and
+    // the sub-1.5s ones (where load is the WHOLE signal) to median-of-7,
+    // so one loaded sample cannot move the median; long queries keep
+    // n=nRuns (their signal-to-noise is fine and extra runs cost real
+    // wall-clock). (skipped when the caller explicitly asked for fewer
+    // than 3 runs — that is a speed-over-precision request)
     def timedBlock(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       for (_ <- 1 to nRuns) sampleOnce(name, fn)
@@ -93,9 +95,12 @@ object Bench {
       // otherwise spin this loop forever (the bench would never emit its
       // JSON line — worse than a thin median)
       var extra = 0
-      val maxExtra = 2 * math.max(5, nRuns)
-      while (nRuns >= 3 && samples(name).size < math.max(5, nRuns)
-          && median(samples(name)) < 2.0 && extra < maxExtra) {
+      val maxExtra = 2 * math.max(7, nRuns)
+      def target: Int =
+        if (median(samples(name)) < 1.5) math.max(7, nRuns)
+        else if (median(samples(name)) < 2.0) math.max(5, nRuns)
+        else nRuns
+      while (nRuns >= 3 && samples(name).size < target && extra < maxExtra) {
         sampleOnce(name, fn)
         extra += 1
       }
