@@ -162,4 +162,38 @@ class AnnStreamSpec extends AnyFunSuite {
     codebook.unpersist(blocking = false)
     Dedup.releaseCaches(spark)
   }
+
+  test("pqIndexSink: replaying a batch (at-least-once retry) leaves the index unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Ivf, Pq}
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_pq_reg_replay"
+    new scala.reflect.io.Directory(new java.io.File(regPath)).deleteRecursively()
+    val batch0 = (0L until 20L).map(i => (i, vec(i)))
+    val corpus = batch0.toDF("vec_id", "embedding")
+    val centroids = Ivf.train(corpus, k = 4, iters = 1).persist(); centroids.count()
+    val codebook = Pq.trainResidual(Ivf.index(corpus, centroids), centroids,
+      dim = 4, m = 2, ksub = 4, iters = 1).persist(); codebook.count()
+    def deliver(): Unit = {
+      val s = MemoryStream[(Long, Seq[Double])]
+      val q = StreamingPipelines.pqIndexSink(
+        s.toDF().toDF("vec_id", "embedding"), centroids, codebook, regPath,
+        dim = 4, m = 2).start()
+      s.addData(batch0); q.processAllAvailable(); q.stop()
+    }
+    deliver()
+    def snapshot() = StreamingPipelines.currentPqIndex(spark, regPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toVector)).toSet
+    val before = snapshot()
+    assert(before.size === 20)
+    // a fresh checkpoint-less query re-delivers the SAME rows as batchId 0
+    // — foreachBatch's at-least-once contract; the batch=0 partition
+    // overwrite must converge, not duplicate or corrupt
+    deliver()
+    assert(snapshot() === before)
+    centroids.unpersist(blocking = false)
+    codebook.unpersist(blocking = false)
+    Dedup.releaseCaches(spark)
+  }
 }
