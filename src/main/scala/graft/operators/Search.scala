@@ -65,9 +65,10 @@ object Search {
     * query string (so a query can never ask for a term the index cannot
     * contain), deduplicated, order preserved. */
   private[graft] def queryTerms(query: Seq[String]): Seq[String] = {
-    // Locale.ROOT: the document side lowercases via Spark's
-    // locale-independent lower(); a default-locale toLowerCase turns
-    // "INFO" into "ınfo" on a tr-TR JVM and the query misses the index
+    // Locale.ROOT: the document side lowercases via the tokenizer
+    // kernel's Locale.ROOT lowering (tokenize_array / lower_root); a
+    // default-locale toLowerCase turns "INFO" into "ınfo" on a tr-TR
+    // JVM and the query misses the index
     val norm = query
       .flatMap(q => Option(q).toSeq)
       .flatMap(_.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").toSeq)
@@ -102,9 +103,14 @@ object Search {
 
   /** Candidate postings for a query: a LOSSLESS substring prefilter
     * skips the tokenize+explode for non-matching docs entirely (every
-    * token is a maximal alnum run of lower(text), so token == t implies
-    * lower(text) contains t — query terms are already normalized by
-    * queryTerms; a NULL text has no tokens and is dropped either way).
+    * token is a maximal alnum run of the Locale.ROOT-lowered text, so
+    * token == t implies lower_root(text) contains t — query terms are
+    * already normalized by queryTerms; a NULL text has no tokens and is
+    * dropped either way). The prefilter MUST lower with the tokenizer's
+    * OWN kernel (the native lower_root expression): Spark's `lower()`
+    * routes non-ASCII strings through the JVM default locale, and on a
+    * tr/az JVM 'INFO' in mixed-script text lowercases to 'ınfo' — the
+    * prefilter would silently drop a true hit the tokenizer still emits.
     * On a corpus scan the tokenizer IS the cost: the prefilter turns
     * "tokenize 100 TB" into "tokenize the docs that can match".
     * Surviving docs tokenize with the term filter applied map-side
@@ -112,7 +118,8 @@ object Search {
     * agg. */
   private def queryTf(docs: DataFrame, terms: Seq[String]): DataFrame =
     docs
-      .filter(terms.map(t => lower(col("text")).contains(lit(t))).reduce(_ || _))
+      .filter(terms.map(t =>
+        call_function("lower_root", col("text")).contains(lit(t))).reduce(_ || _))
       .select(col("doc_id"), explode(tokensFused(col("text"))).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))

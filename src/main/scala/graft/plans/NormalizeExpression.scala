@@ -41,7 +41,40 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Locale-ROOT lowercasing as a native expression — Spark's `lower()`
+  * routes any NON-ASCII string through the JVM default locale
+  * (UTF8String.toLowerCaseSlow → String.toLowerCase()), so on a tr/az
+  * JVM a capital I in mixed-script text becomes dotless ı and diverges
+  * from the Locale.ROOT tokenizer kernel. The search prefilter's
+  * losslessness proof needs the SAME lowering the tokenizer applies;
+  * this is that lowering, with `lower()`'s ASCII fast path preserved. */
+case class LowerRoot(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lower_root requires STRING input, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeExpressions.lowerRoot(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NormalizeExpressions.lowerRoot($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LowerRoot =
+    copy(child = newChild)
+}
+
 object NormalizeExpressions {
+
+  /** Locale.ROOT lowercase; UTF8String's own ASCII path when possible. */
+  def lowerRoot(s: UTF8String): UTF8String = {
+    // isFullAscii scan is cheap; ASCII lowering is locale-free anyway
+    if (s.isFullAscii) s.toLowerCase
+    else UTF8String.fromString(s.toString.toLowerCase(java.util.Locale.ROOT))
+  }
 
   /** NFC-normalize a UTF8String; identity (no allocation) for ASCII or
     * already-normalized input. */

@@ -128,7 +128,8 @@ object GraftFunctions {
     "minhash_sigs" -> (exprs => MinhashSigs(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue())),
     "sorted_distinct_i64" -> (exprs => SortedDistinctLongs(exprs.head)),
-    "tokenize_array" -> (exprs => TokenizeArray(exprs.head)))
+    "tokenize_array" -> (exprs => TokenizeArray(exprs.head)),
+    "lower_root" -> (exprs => LowerRoot(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -90,8 +90,12 @@ object SearchQueries {
   val tSearchIndexed: Q = Q(
     "t_search_indexed",
     run = (s, dir) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_search_idx").toString + "/idx"
+      // a FIXED scratch path, rebuilt (overwritten) per run: a fresh
+      // createTempDirectory per invocation leaked one full index tree
+      // into /tmp on every verify/bench/spec run — unbounded disk growth
+      // across rounds
+      val path = System.getProperty("java.io.tmpdir") + "/graft_search_idx/idx"
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
       Search.writeIndex(Tables.documents(s, dir), path)
       Search.searchIndexed(s, path, Seq("merge", "hash", "scan"), k = 12)
     },
@@ -396,9 +400,9 @@ object SearchQueries {
     run = (s, dir) => graft.operators.Eval.retrievalSummary(retrievalEvalRun(s, dir)),
     oracle = Some(s"""
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-             CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT) AS mean_recall_ppm,
-             CAST(SUM(mrr_ppm) // COUNT(*) AS BIGINT) AS mean_mrr_ppm,
-             CAST(SUM(ndcg_ppm) // COUNT(*) AS BIGINT) AS mean_ndcg_ppm
+             CAST(COALESCE(SUM(recall_ppm) // COUNT(*), 0) AS BIGINT) AS mean_recall_ppm,
+             CAST(COALESCE(SUM(mrr_ppm) // COUNT(*), 0) AS BIGINT) AS mean_mrr_ppm,
+             CAST(COALESCE(SUM(ndcg_ppm) // COUNT(*), 0) AS BIGINT) AS mean_ndcg_ppm
       FROM ($retrievalEvalSql) t"""))
 
   val all: Seq[Q] = Seq(

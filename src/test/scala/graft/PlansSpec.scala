@@ -321,6 +321,26 @@ class PlansSpec extends AnyFunSuite {
     assert(mentions(e), e.toString)
   }
 
+  test("lower_root: Locale.ROOT lowering, immune to a tr default locale; == lower() on ASCII") {
+    GraftFunctions.register(spark)
+    val prev = java.util.Locale.getDefault
+    try {
+      // under tr-TR, default-locale lowering turns "INFO" into "ınfo"
+      // (dotless i) once the string has ANY non-ASCII char — the exact
+      // divergence that made the search prefilter drop true hits
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val got = graft.plans.NormalizeExpressions.lowerRoot(
+        org.apache.spark.unsafe.types.UTF8String.fromString("Ürün INFO")).toString
+      assert(got === "ürün info", s"got '$got' — default-locale lowering leaked in")
+    } finally java.util.Locale.setDefault(prev)
+    // on the (ASCII) corpus the expression equals Spark's lower()
+    val n = Tables.documents(spark, dir)
+      .select(call_function("lower_root", col("text")).as("a"),
+        lower(col("text")).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(n === 0)
+  }
+
   test("every bench headline compiles under codegen — no silent interpreted fallback") {
     // Regression guard for the round-8 SimHash32Doc bug: a doGenCode with
     // a FIXED-name Java local compiles fine when the expression is emitted
