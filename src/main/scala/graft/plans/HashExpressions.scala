@@ -368,7 +368,11 @@ object HashExpressions {
   }
 
   /** All n MinHash signatures in one pass (see [[MinhashSigs]]); empty
-    * input → n nulls (array_min-of-empty parity). */
+    * input → n nulls (array_min-of-empty parity). NULL elements are
+    * rejected loudly, mirroring [[sortedDistinctLongs]]: getLong on a
+    * NULL slot silently reads 0, which would fabricate a near-minimal
+    * permuted hash (h = c) and diverge from the compositional
+    * array_min(transform(...)) form, which SKIPS nulls. */
   def minhashSigs(arr: org.apache.spark.sql.catalyst.util.ArrayData,
       n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val sz = arr.numElements()
@@ -381,6 +385,10 @@ object HashExpressions {
         var min = Long.MaxValue
         var i = 0
         while (i < sz) {
+          if (arr.isNullAt(i))
+            throw new IllegalArgumentException(
+              "minhash_sigs: NULL element (callers feed null-free hash arrays; " +
+                "getLong(null)=0 would fabricate a near-minimal signature)")
           val h = (arr.getLong(i) * a + c) % 4294967291L
           if (h < min) min = h
           i += 1

@@ -13,6 +13,18 @@ import graft.tables.Tables
   */
 object SearchQueries {
 
+  /** Scratch dir for t_search_indexed: per-process (PID suffix) so
+    * concurrent runs never clobber each other's index, and deleted on
+    * JVM exit so nothing accumulates across rounds. */
+  lazy val scratchIndexPath: String = {
+    val root = System.getProperty("java.io.tmpdir") +
+      s"/graft_search_idx_${ProcessHandle.current().pid()}"
+    sys.addShutdownHook {
+      new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    }
+    root + "/idx"
+  }
+
   private val TOKS =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
@@ -90,11 +102,14 @@ object SearchQueries {
   val tSearchIndexed: Q = Q(
     "t_search_indexed",
     run = (s, dir) => {
-      // a FIXED scratch path, rebuilt (overwritten) per run: a fresh
-      // createTempDirectory per invocation leaked one full index tree
-      // into /tmp on every verify/bench/spec run — unbounded disk growth
-      // across rounds
-      val path = System.getProperty("java.io.tmpdir") + "/graft_search_idx/idx"
+      // a PER-PROCESS scratch path, rebuilt (overwritten) per run and
+      // deleted at JVM exit: a fresh createTempDirectory per invocation
+      // leaked one full index tree into /tmp on every verify/bench/spec
+      // run, while one FIXED shared path let two concurrent runs
+      // (parallel verify/bench, two users on a shared host) delete the
+      // index another run was reading — the PID suffix keeps the leak
+      // fix collision-free
+      val path = SearchQueries.scratchIndexPath
       new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
       Search.writeIndex(Tables.documents(s, dir), path)
       Search.searchIndexed(s, path, Seq("merge", "hash", "scan"), k = 12)

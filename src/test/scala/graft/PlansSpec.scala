@@ -312,13 +312,21 @@ class PlansSpec extends AnyFunSuite {
         TextFunctions.minhashSigFromHashes(col("h"), s)): _*).as("comp"))
     assert(mhPairs.filter(not(col("fused") <=> col("comp"))).count() === 0)
     // sorted_distinct_i64 rejects NULL elements loudly
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("NULL element")) || mentions(t.getCause))
     val e = intercept[Exception] {
       spark.sql("SELECT sorted_distinct_i64(array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT)))")
         .collect()
     }
-    def mentions(t: Throwable): Boolean = t != null &&
-      (Option(t.getMessage).exists(_.contains("NULL element")) || mentions(t.getCause))
     assert(mentions(e), e.toString)
+    // minhash_sigs rejects NULL elements the same way (getLong on a NULL
+    // slot silently reads 0, fabricating a near-minimal signature where
+    // the compositional array_min(transform) SKIPS nulls)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT minhash_sigs(array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT)), 8)")
+        .collect()
+    }
+    assert(mentions(e2), e2.toString)
   }
 
   test("lower_root: Locale.ROOT lowering, immune to a tr default locale; == lower() on ASCII") {
