@@ -212,12 +212,19 @@ object Dedup {
     * of building boxed hash sets — a doc is verified against many
     * candidates, so sort-at-source amortizes. */
   def shingleSets(docs: DataFrame): DataFrame =
-    docs
+    (if (docs.columns.contains("toks"))
+      // REUSE a caller-bound `toks` column (the TextAnalysis.withToks
+      // contract): the mixed-script curation mode binds
+      // tokens(text, cjk = true) ONCE on the persisted corpus frame and
+      // every consumer — shingles, quality, language — reads that one
+      // tokenization instead of re-running its own
+      docs.select(col("doc_id"), col("toks"))
+    else docs
       // bind once; the fused tokenizer (one native call, no interpreted
       // ArrayFilter lambda) — jcmd sampling at sf3 put the compositional
       // chain's HOF evals among the band build's hot frames
       .select(col("doc_id"),
-        graft.functions.TextFunctions.tokensFused(col("text")).as("toks"))
+        graft.functions.TextFunctions.tokensFused(col("text")).as("toks")))
       // "has >= 3 tokens" ≡ "has >= 1 shingle", but as a predicate on the
       // bound token array it pushes down as ONE tokenizer call — filtering
       // on size(shingles) instead would push the whole shingle lambda into

@@ -23,29 +23,58 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y", "los"),
     "fr" -> Seq("le", "la", "les", "et", "de", "un"))
 
-  /** (doc_id, n_chars, toks) — REUSES a caller-bound `toks` column when
-    * one is present (contract: it must be `tokens(text)` of the same
-    * frame, e.g. `profiled`'s persisted per-doc frame), so a profile that
-    * fans into quality + language + token stats tokenizes the corpus
-    * once, not once per consumer. */
+  /** Pinned zh function-word bigrams — the CJK evidence lexicon. Chinese
+    * has no word delimiters, so the latin device (tokenize, intersect a
+    * stopword list) never fires; the dictionary-free substitute is
+    * character-BIGRAM evidence (the same substitution the CJK tokenizer
+    * mode pins vs the reference's IK analyzer,
+    * gmall-realtime-self/.../util/KeywordUtil.java:13-35). Containment of
+    * a pinned common-bigram in the RAW text ≡ a bigram-token intersect
+    * with multiplicity collapsed — and it stays a plain codegen'd
+    * `contains` per entry, no tokenizer pass and no interpreted HOF in
+    * this map-side path. All chars are BMP CJK Unified Ideographs
+    * (U+4E00–U+9FFF), keeping Spark/DuckDB string semantics identical. */
+  val zhLexicon: Seq[String] = Seq("我们", "他们", "什么", "一个", "可以", "没有")
+
+  /** zh evidence: how many of the pinned bigrams the raw text contains
+    * (0..6, the same scale as a 6-word stopword-lexicon hit count). A sum
+    * of codegen'd conditionals — deliberately NOT a filter() lambda. */
+  private def zhHits(text: Column): Column =
+    zhLexicon.map(b => when(contains(coalesce(text, lit("")), lit(b)), 1)
+      .otherwise(0)).reduce(_ + _)
+
+  /** (doc_id, n_chars, toks, __text) — REUSES a caller-bound `toks`
+    * column when one is present (contract: it must be `tokens(text)` —
+    * or, in the mixed-script curation mode, `tokens(text, cjk = true)` —
+    * of the same frame, e.g. `profiled`'s persisted per-doc frame or
+    * Curate's cjk-bound corpus), so a profile that fans into quality +
+    * language + token stats tokenizes the corpus once, not once per
+    * consumer. `__text` carries the coalesced raw text for the zh
+    * containment evidence, which never depends on the tokenization. */
   private def withToks(docs: DataFrame): DataFrame =
     if (docs.columns.contains("toks"))
       docs.select(col("doc_id"),
         length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
-        col("toks"))
+        col("toks"),
+        coalesce(col("text"), lit("")).as("__text"))
     else
       docs.select(col("doc_id"),
         length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
-        tokensFused(col("text")).as("toks"))
+        tokensFused(col("text")).as("toks"),
+        coalesce(col("text"), lit("")).as("__text"))
 
   private def hits(toks: Column, words: Seq[String]): Column =
     size(array_intersect(array_distinct(toks), array(words.map(lit): _*)))
 
-  /** Predict language from stopword hits; ties broken alphabetically,
-    * zero hits => 'und' (undetermined). Emits per-lexicon hit counts. */
+  /** Predict language from stopword hits plus CJK-bigram evidence
+    * ([[zhLexicon]] containment — the zh arm latin tokenization can never
+    * reach, since the tokenizer strips CJK); ties broken alphabetically
+    * (de < en < es < fr < zh), zero hits => 'und' (undetermined). Emits
+    * per-lexicon hit counts. */
   def langId(docs: DataFrame): DataFrame = {
     val t = withToks(docs)
-    val hitCols = lexicons.map { case (lang, words) => lang -> hits(col("toks"), words) }
+    val hitCols = lexicons.map { case (lang, words) => lang -> hits(col("toks"), words) } :+
+      ("zh" -> zhHits(col("__text")))
     val mx = greatest(hitCols.map(_._2): _*)
     val pred = hitCols.foldLeft(when(mx === 0, "und"): Column) {
       case (acc, (lang, h)) => acc.when(h === mx, lang)
@@ -73,14 +102,19 @@ object TextAnalysis {
     val padded = docs.select(col("doc_id"),
       concat(lit(" "),
         trim(regexp_replace(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+", " ")),
-        lit(" ")).as("s"))
-    val bound = padded.select(col("doc_id"),
+        lit(" ")).as("s"),
+      // zh evidence comes from the RAW text (the [a-z0-9] normalization
+      // strips CJK): trigram profiles are a latin-script device, and the
+      // CJK IR literature pins BIGRAMS as the dictionary-free unit — so
+      // the zh arm reuses the bigram-containment lexicon, same 0..6 scale
+      zhHits(col("text")).as("hzh"))
+    val bound = padded.select(col("doc_id"), col("hzh"),
       when(length(col("s")) < 3, array().cast("array<string>"))
         .otherwise(array_distinct(transform(sequence(lit(1), length(col("s")) - 2),
           i => col("s").substr(i, lit(3))))).as("tris"))
     val hitCols = trigramProfiles.map { case (lang, tris) =>
       lang -> size(array_intersect(col("tris"), array(tris.map(lit): _*)))
-    }
+    } :+ ("zh" -> (col("hzh"): Column))
     val mx = greatest(hitCols.map(_._2): _*)
     val pred = hitCols.foldLeft(when(mx === 0, "und"): Column) {
       case (acc, (lang, h)) => acc.when(h === mx, lang)
@@ -897,7 +931,7 @@ object TextAnalysis {
     val quality = qualityScore(perDoc).select(col("doc_id"),
       floor(col("quality") * lit(1e6) + lit(0.5)).cast("long").as("q_micro"))
     val lang = langId(perDoc).select(col("doc_id"), col("pred_lang"))
-    val langCounts = Seq("de", "en", "es", "fr", "und").map(l =>
+    val langCounts = Seq("de", "en", "es", "fr", "zh", "und").map(l =>
       count(when(col("pred_lang") === l, lit(1))).as(s"lang_$l"))
     val cols: Seq[Column] =
       count(lit(1)).as("input") +:

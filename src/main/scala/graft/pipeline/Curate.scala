@@ -158,6 +158,16 @@ object Curate {
     *   transform exists ONLY in batch — a line can cross the threshold
     *   after earlier micro-batches already shipped, which is why
     *   [[graft.streaming.CurateStream]] deliberately has no twin flag. */
+  /** @param cjk mixed-script mode: binds `toks` = tokens(text, cjk=true)
+    *   ONCE on the persisted corpus frame, and the bound-toks reuse
+    *   contract (TextAnalysis.withToks / Dedup.shingleSets) routes that
+    *   one tokenization into quality, language, AND the near-dup shingle
+    *   build — so MinHash/Jaccard operate on CJK character bigrams
+    *   exactly as the CJK tokenizer mode pins them (u2_cjk_tokens), not
+    *   on a latin tokenization that strips CJK to nothing. Exact dedup
+    *   (md5 fingerprint) is script-agnostic either way. Opt-in: the CJK
+    *   tokenizer is the compositional HOF form (one pass over the
+    *   persisted frame), not the fused latin kernel. */
   def runDocs(spark: SparkSession, documents: DataFrame, minQuality: Double = 0.55,
       nearDup: NearDupPolicy = NearDupPolicy.PairwiseDrop,
       benchmark: Option[DataFrame] = None,
@@ -167,7 +177,8 @@ object Curate {
       lm: Option[LmGate] = None,
       stripHtml: Boolean = false,
       redactPii: Boolean = false,
-      stripLineFreq: Option[Int] = None): (DataFrame, Stats) = {
+      stripLineFreq: Option[Int] = None,
+      cjk: Boolean = false): (DataFrame, Stats) = {
     val dedupMark = Dedup.trackMark(spark)
     // extraction precedes scrubbing: markup must be gone before PII
     // patterns, line identity, or any fingerprint sees the text
@@ -184,7 +195,14 @@ object Curate {
         .select(col("doc_id"), col("text"))
       case None => scrubbed
     }
-    val docs = base.persist()
+    // cjk: bind the mixed-script tokenization BEFORE the persist so the
+    // compositional CJK tokenizer runs once, not once per consumer
+    // (coalesce mirrors tokensFused's empty-array-on-NULL contract)
+    val withMode =
+      if (cjk) base.withColumn("toks", graft.functions.TextFunctions
+        .tokens(coalesce(col("text"), lit("")), cjk = true))
+      else base
+    val docs = withMode.persist()
     // a mid-pipeline failure must still close the scope and drop this
     // run's caches (releaseSince after the happy-path release is a no-op)
     try runLabeled(spark, docs, minQuality, nearDup, benchmark,

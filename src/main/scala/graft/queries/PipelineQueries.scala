@@ -660,34 +660,46 @@ object PipelineQueries {
       FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id
       GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
 
+  /** zh evidence in DuckDB — the mirror of TextAnalysis.zhHits: one
+    * codegen-friendly CASE per pinned bigram, summed. Generated from the
+    * SAME zhLexicon so the two engines can never drift. */
+  private lazy val ZH_HITS: String = TextAnalysis.zhLexicon
+    .map(b => s"(CASE WHEN contains(coalesce(text, ''), '$b') THEN 1 ELSE 0 END)")
+    .mkString("(", " + ", ")")
+
   /** CTE body (no WITH keyword) producing `ls_p` = (doc_id, lang, hde,
-    * hen, hes, hfr, pred_lang) — the stopword-lexicon language ID,
-    * shared by t_lang_id and the eval entries composed on top of it. */
-  private lazy val langStopBody: String = s"""
-      ls_t AS (SELECT doc_id, lang, source, list_distinct($TOKS) AS toks FROM documents),
-      ls_h AS (SELECT doc_id, lang, source,
+    * hen, hes, hfr, hzh, pred_lang) — the stopword-lexicon language ID
+    * with the CJK-bigram zh arm, shared by t_lang_id and the eval entries
+    * composed on top of it. `src` lets the cjk entries run the same model
+    * over a seeded relation. */
+  private def langStopBody(src: String = "documents"): String = s"""
+      ls_t AS (SELECT doc_id, lang, source, $ZH_HITS AS hzh,
+               list_distinct($TOKS) AS toks FROM $src),
+      ls_h AS (SELECT doc_id, lang, source, hzh,
               len(list_intersect(toks, ['der','die','das','und','ist','nicht'])) AS hde,
               len(list_intersect(toks, ['the','a','of','and','to','is'])) AS hen,
               len(list_intersect(toks, ['el','la','de','que','y','los'])) AS hes,
               len(list_intersect(toks, ['le','la','les','et','de','un'])) AS hfr
             FROM ls_t),
-      ls_p AS (SELECT doc_id, lang, source, hde, hen, hes, hfr,
-             CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
-                  WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de'
-                  WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
-                  WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es'
-                  ELSE 'fr' END AS pred_lang
+      ls_p AS (SELECT doc_id, lang, source, hde, hen, hes, hfr, hzh,
+             CASE WHEN greatest(hde, hen, hes, hfr, hzh) = 0 THEN 'und'
+                  WHEN hde = greatest(hde, hen, hes, hfr, hzh) THEN 'de'
+                  WHEN hen = greatest(hde, hen, hes, hfr, hzh) THEN 'en'
+                  WHEN hes = greatest(hde, hen, hes, hfr, hzh) THEN 'es'
+                  WHEN hfr = greatest(hde, hen, hes, hfr, hzh) THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
       FROM ls_h)"""
 
-  /** Stopword-lexicon language ID. */
+  /** Stopword-lexicon language ID (+ the CJK-bigram zh arm). */
   val tLangId: Q = Q(
     "t_lang_id",
     run = (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)),
     oracle = Some(s"""
-      WITH $langStopBody
+      WITH ${langStopBody()}
       SELECT doc_id,
              CAST(hde AS BIGINT) AS hits_de, CAST(hen AS BIGINT) AS hits_en,
              CAST(hes AS BIGINT) AS hits_es, CAST(hfr AS BIGINT) AS hits_fr,
+             CAST(hzh AS BIGINT) AS hits_zh,
              pred_lang
       FROM ls_p"""))
 
@@ -730,33 +742,36 @@ object PipelineQueries {
     }.toMap
     s"""
       lt_s AS (
-        SELECT doc_id,
+        SELECT doc_id, $ZH_HITS AS hzh,
                ' ' || trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')) || ' ' AS s
         FROM documents),
       lt_t AS (
-        SELECT doc_id,
+        SELECT doc_id, hzh,
                CASE WHEN length(s) < 3 THEN []::VARCHAR[]
                     ELSE list_distinct([substring(s, i, 3) for i in range(1, CAST(length(s) AS BIGINT) - 1)])
                END AS tris
         FROM lt_s),
       lt_h AS (
-        SELECT doc_id,
+        SELECT doc_id, hzh,
                len(list_intersect(tris, ${profiles("de")})) AS hde,
                len(list_intersect(tris, ${profiles("en")})) AS hen,
                len(list_intersect(tris, ${profiles("es")})) AS hes,
                len(list_intersect(tris, ${profiles("fr")})) AS hfr
         FROM lt_t),
       lt_p AS (
-        SELECT doc_id, hde, hen, hes, hfr,
-             CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
-                  WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de'
-                  WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
-                  WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es'
-                  ELSE 'fr' END AS pred_lang
+        SELECT doc_id, hde, hen, hes, hfr, hzh,
+             CASE WHEN greatest(hde, hen, hes, hfr, hzh) = 0 THEN 'und'
+                  WHEN hde = greatest(hde, hen, hes, hfr, hzh) THEN 'de'
+                  WHEN hen = greatest(hde, hen, hes, hfr, hzh) THEN 'en'
+                  WHEN hes = greatest(hde, hen, hes, hfr, hzh) THEN 'es'
+                  WHEN hfr = greatest(hde, hen, hes, hfr, hzh) THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
         FROM lt_h)"""
   }
 
-  /** Char-trigram language ID (the n-gram heuristic variant of t_lang_id). */
+  /** Char-trigram language ID (the n-gram heuristic variant of t_lang_id;
+    * the zh arm reuses the bigram-containment evidence — trigram profiles
+    * are a latin-script device, see the operator scaladoc). */
   val tLangIdNgram: Q = Q(
     "t_lang_id_ngram",
     run = (s, dir) => TextAnalysis.langIdNgram(Tables.documents(s, dir)),
@@ -765,8 +780,96 @@ object PipelineQueries {
       SELECT doc_id,
              CAST(hde AS BIGINT) AS tri_de, CAST(hen AS BIGINT) AS tri_en,
              CAST(hes AS BIGINT) AS tri_es, CAST(hfr AS BIGINT) AS tri_fr,
+             CAST(hzh AS BIGINT) AS tri_zh,
              pred_lang
       FROM lt_p"""))
+
+  /** Pinned mixed-script fixture rows appended to `documents` for the
+    * live-zh entries. The driver corpus contains ZERO CJK characters at
+    * any SF (verified round 9: the zh GOLD label there is unrecoverable
+    * from text by construction — zh-labeled rows carry the same latin
+    * vocabulary as every other row), so the zh arm is certified live on
+    * seeded rows over the real corpus instead: two pure-zh lexicon hits,
+    * a latin/zh tie that must break alphabetically to 'en', a CJK doc
+    * outside the lexicon that must stay 'und', and a latin-dominant
+    * mixed-script doc. doc_ids sit far above any SF's id range. */
+  private val cjkSeedRows: Seq[(Long, String, String, String)] = Seq(
+    (9000000001L, "我们可以一起去，没有什么问题。", "zh", "cjk_seed"),
+    (9000000002L, "他们说这是一个很好的办法。", "zh", "cjk_seed"),
+    (9000000003L, "the quick fox jumps 我们", "en", "cjk_seed"),
+    (9000000004L, "数据仓库流处理引擎", "zh", "cjk_seed"),
+    (9000000005L, "el la de que y los 没有", "es", "cjk_seed"))
+
+  private def cjkSeeded(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .unionByName(cjkSeedRows.toDF("doc_id", "text", "lang", "source"))
+  }
+
+  private lazy val cjkSeededCte: String = {
+    val rows = cjkSeedRows
+      .map { case (id, t, l, src) => s"(CAST($id AS BIGINT), '$t', '$l', '$src')" }
+      .mkString(",\n                 ")
+    s"""cjk_seeded AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES $rows) v(doc_id, text, lang, source))"""
+  }
+
+  /** The live-zh certification: langId over the seeded frame — the same
+    * model as t_lang_id, now with zh rows it actually predicts. */
+  val tLangIdCjk: Q = Q(
+    "t_lang_id_cjk",
+    run = (s, dir) => TextAnalysis.langId(cjkSeeded(s, dir)),
+    oracle = Some(s"""
+      WITH $cjkSeededCte,
+      ${langStopBody("cjk_seeded")}
+      SELECT doc_id,
+             CAST(hde AS BIGINT) AS hits_de, CAST(hen AS BIGINT) AS hits_en,
+             CAST(hes AS BIGINT) AS hits_es, CAST(hfr AS BIGINT) AS hits_fr,
+             CAST(hzh AS BIGINT) AS hits_zh,
+             pred_lang
+      FROM ls_p"""))
+
+  /** Scorecard over the seeded frame: the zh row is LIVE here (n_pred
+    * and tp > 0 from the seeded pure-zh docs) next to the honest misses
+    * (the out-of-lexicon CJK doc lands in 'und'). */
+  val tEvalLangidCjk: Q = Q(
+    "t_eval_langid_cjk",
+    run = (s, dir) => {
+      val docs = cjkSeeded(s, dir)
+      val pred = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
+      Eval.classificationMetrics(
+        pred.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        col("pred_lang"), col("lang"))
+    },
+    oracle = Some(s"""
+      WITH $cjkSeededCte,
+      ${langStopBody("cjk_seeded")},
+      j AS (SELECT pred_lang AS p, lang AS g FROM ls_p),
+      pc AS (SELECT p AS label, CAST(COUNT(*) AS BIGINT) AS n_pred FROM j GROUP BY 1),
+      gc AS (SELECT g AS label, CAST(COUNT(*) AS BIGINT) AS n_gold FROM j GROUP BY 1),
+      tpc AS (SELECT p AS label, CAST(COUNT(*) AS BIGINT) AS tp FROM j
+              WHERE p IS NOT DISTINCT FROM g GROUP BY 1),
+      m AS (SELECT coalesce(pc.label, gc.label) AS label,
+              coalesce(gc.n_gold, 0) AS n_gold,
+              coalesce(pc.n_pred, 0) AS n_pred
+            FROM pc FULL JOIN gc ON pc.label IS NOT DISTINCT FROM gc.label),
+      r AS (SELECT m.label, m.n_gold, m.n_pred, coalesce(tpc.tp, 0) AS tp,
+              CASE WHEN m.n_pred > 0 THEN (1000000 * coalesce(tpc.tp, 0)) // m.n_pred
+                   ELSE 0 END AS precision_ppm,
+              CASE WHEN m.n_gold > 0 THEN (1000000 * coalesce(tpc.tp, 0)) // m.n_gold
+                   ELSE 0 END AS recall_ppm
+            FROM m LEFT JOIN tpc ON m.label IS NOT DISTINCT FROM tpc.label)
+      SELECT label, n_gold, n_pred, CAST(tp AS BIGINT) AS tp,
+             CAST(precision_ppm AS BIGINT) AS precision_ppm,
+             CAST(recall_ppm AS BIGINT) AS recall_ppm,
+             CAST(CASE WHEN precision_ppm + recall_ppm > 0
+                  THEN (2 * precision_ppm * recall_ppm) // (precision_ppm + recall_ppm)
+                  ELSE 0 END AS BIGINT) AS f1_ppm
+      FROM r"""))
 
   /** Scored frame for the calibration entries: per doc, the en-stopword
     * OCCURRENCE rate in ppm as a "P(lang=en)" score, gold = (lang='en').
@@ -864,7 +967,7 @@ object PipelineQueries {
         col("pred_lang"), col("lang"))
     },
     oracle = Some(s"""
-      WITH $langStopBody,
+      WITH ${langStopBody()},
       j AS (SELECT pred_lang AS p, lang AS g FROM ls_p),
       pc AS (SELECT p AS label, CAST(COUNT(*) AS BIGINT) AS n_pred FROM j GROUP BY 1),
       gc AS (SELECT g AS label, CAST(COUNT(*) AS BIGINT) AS n_gold FROM j GROUP BY 1),
@@ -902,7 +1005,7 @@ object PipelineQueries {
       Eval.agreement(a.join(b, Seq("doc_id")), col("a"), col("b"))
     },
     oracle = Some(s"""
-      WITH $langStopBody,
+      WITH ${langStopBody()},
       $langTrigramBody,
       j AS (SELECT ls_p.pred_lang AS pa, lt_p.pred_lang AS pb
             FROM ls_p JOIN lt_p ON ls_p.doc_id = lt_p.doc_id),
@@ -939,7 +1042,7 @@ object PipelineQueries {
         col("pred_lang"), col("lang"), col("source"))
     },
     oracle = Some(s"""
-      WITH $langStopBody,
+      WITH ${langStopBody()},
       j AS (SELECT source AS slice, pred_lang AS p, lang AS g FROM ls_p),
       pc AS (SELECT slice, p AS label, CAST(COUNT(*) AS BIGINT) AS n_pred
              FROM j GROUP BY 1, 2),
@@ -981,7 +1084,7 @@ object PipelineQueries {
         col("pred_lang"), col("lang"))
     },
     oracle = Some(s"""
-      WITH $langStopBody
+      WITH ${langStopBody()}
       SELECT pred_lang AS pred, lang AS gold, CAST(COUNT(*) AS BIGINT) AS n
       FROM ls_p GROUP BY 1, 2"""))
 
@@ -1468,18 +1571,19 @@ object PipelineQueries {
         FROM an WHERE len(toks) > 0),
       lang AS (
         SELECT doc_id,
-          CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
-               WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de'
-               WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
-               WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es'
-               ELSE 'fr' END AS pred_lang
+          CASE WHEN greatest(hde, hen, hes, hfr, hzh) = 0 THEN 'und'
+               WHEN hde = greatest(hde, hen, hes, hfr, hzh) THEN 'de'
+               WHEN hen = greatest(hde, hen, hes, hfr, hzh) THEN 'en'
+               WHEN hes = greatest(hde, hen, hes, hfr, hzh) THEN 'es'
+               WHEN hfr = greatest(hde, hen, hes, hfr, hzh) THEN 'fr'
+               ELSE 'zh' END AS pred_lang
         FROM (
-          SELECT doc_id,
+          SELECT an.doc_id, $ZH_HITS AS hzh,
             len(list_intersect(list_distinct(toks), ${lex("de")})) AS hde,
             len(list_intersect(list_distinct(toks), ${lex("en")})) AS hen,
             len(list_intersect(list_distinct(toks), ${lex("es")})) AS hes,
             len(list_intersect(list_distinct(toks), ${lex("fr")})) AS hfr
-          FROM an)),
+          FROM an JOIN $docsRel d USING (doc_id))),
       ${if (full) s"""
       ftoks AS (SELECT doc_id, $TOKS AS toks FROM $docsRel),
       cg4 AS (SELECT doc_id,
@@ -3354,7 +3458,7 @@ object PipelineQueries {
         lang -> words.map(w => s"'$w'").mkString("[", ",", "]")
       }.toMap
       Some(s"""
-      WITH t AS (SELECT doc_id,
+      WITH t AS (SELECT doc_id, text,
           (text IS NULL OR text = '') AS is_empty,
           coalesce(md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))), 'null:') AS fp,
           $TOKS AS toks
@@ -3366,12 +3470,13 @@ object PipelineQueries {
             * 1000000 + 0.5) AS BIGINT) AS q_micro
         FROM t WHERE len(toks) > 0),
       l AS (SELECT doc_id,
-          CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
-               WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de'
-               WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
-               WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es'
-               ELSE 'fr' END AS pred_lang
-        FROM (SELECT doc_id,
+          CASE WHEN greatest(hde, hen, hes, hfr, hzh) = 0 THEN 'und'
+               WHEN hde = greatest(hde, hen, hes, hfr, hzh) THEN 'de'
+               WHEN hen = greatest(hde, hen, hes, hfr, hzh) THEN 'en'
+               WHEN hes = greatest(hde, hen, hes, hfr, hzh) THEN 'es'
+               WHEN hfr = greatest(hde, hen, hes, hfr, hzh) THEN 'fr'
+               ELSE 'zh' END AS pred_lang
+        FROM (SELECT doc_id, $ZH_HITS AS hzh,
                 len(list_intersect(list_distinct(toks), ${lex("de")})) AS hde,
                 len(list_intersect(list_distinct(toks), ${lex("en")})) AS hen,
                 len(list_intersect(list_distinct(toks), ${lex("es")})) AS hes,
@@ -3387,6 +3492,7 @@ object PipelineQueries {
         CAST(SUM(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS lang_en,
         CAST(SUM(CASE WHEN l.pred_lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS lang_es,
         CAST(SUM(CASE WHEN l.pred_lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS lang_fr,
+        CAST(SUM(CASE WHEN l.pred_lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS lang_zh,
         CAST(SUM(CASE WHEN l.pred_lang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS lang_und
       FROM t LEFT JOIN q USING (doc_id) LEFT JOIN l USING (doc_id)""")
     })
@@ -3403,7 +3509,7 @@ object PipelineQueries {
         lang -> words.map(w => s"'$w'").mkString("[", ",", "]")
       }.toMap
       Some(s"""
-      WITH t AS (SELECT doc_id, source,
+      WITH t AS (SELECT doc_id, source, text,
           (text IS NULL OR text = '') AS is_empty,
           coalesce(md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))), 'null:') AS fp,
           $TOKS AS toks
@@ -3415,12 +3521,13 @@ object PipelineQueries {
             * 1000000 + 0.5) AS BIGINT) AS q_micro
         FROM t WHERE len(toks) > 0),
       l AS (SELECT doc_id,
-          CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
-               WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de'
-               WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
-               WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es'
-               ELSE 'fr' END AS pred_lang
-        FROM (SELECT doc_id,
+          CASE WHEN greatest(hde, hen, hes, hfr, hzh) = 0 THEN 'und'
+               WHEN hde = greatest(hde, hen, hes, hfr, hzh) THEN 'de'
+               WHEN hen = greatest(hde, hen, hes, hfr, hzh) THEN 'en'
+               WHEN hes = greatest(hde, hen, hes, hfr, hzh) THEN 'es'
+               WHEN hfr = greatest(hde, hen, hes, hfr, hzh) THEN 'fr'
+               ELSE 'zh' END AS pred_lang
+        FROM (SELECT doc_id, $ZH_HITS AS hzh,
                 len(list_intersect(list_distinct(toks), ${lex("de")})) AS hde,
                 len(list_intersect(list_distinct(toks), ${lex("en")})) AS hen,
                 len(list_intersect(list_distinct(toks), ${lex("es")})) AS hes,
@@ -3436,6 +3543,7 @@ object PipelineQueries {
         CAST(SUM(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS lang_en,
         CAST(SUM(CASE WHEN l.pred_lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS lang_es,
         CAST(SUM(CASE WHEN l.pred_lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS lang_fr,
+        CAST(SUM(CASE WHEN l.pred_lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS lang_zh,
         CAST(SUM(CASE WHEN l.pred_lang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS lang_und
       FROM t LEFT JOIN q USING (doc_id) LEFT JOIN l USING (doc_id)
       GROUP BY t.source""")
@@ -3607,7 +3715,8 @@ object PipelineQueries {
     tDedupEmbedding, tDedupEmbeddingBucketed, tDedupEmbeddingBucketedHi, tDedupSemantic,
     tClusterPrune,
     tWinnowFingerprint,
-    tWinnowPairs, tLangId, tLangIdNgram, tEvalLangid, tEvalAgreement,
+    tWinnowPairs, tLangId, tLangIdNgram, tLangIdCjk, tEvalLangidCjk,
+    tEvalLangid, tEvalAgreement,
     tEvalCalibration, tEvalEce,
     tEvalLangidSliced, tEvalConfusion, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,

@@ -70,7 +70,13 @@ object CurateStream {
     *   scrub is batching-independent and stream≡batch holds verbatim;
     *   registries then hold fingerprints/bands OF THE SCRUBBED text,
     *   which is the point (two docs differing only in leaked PII are
-    *   duplicates after the scrub). */
+    *   duplicates after the scrub).
+    * @param cjk mixed-script mode (Curate.runDocs' cjk): binds
+    *   `toks` = tokens(text, cjk=true) once on the persisted batch frame
+    *   so shingles/quality/language all read CJK character bigrams via
+    *   the bound-toks reuse contract. Per-doc and deterministic, so the
+    *   mode is batching-independent; registries then hold CJK-bigram
+    *   shingle hashes, matching the batch chain with the same flag. */
   def sink(docs: DataFrame, registryPath: String, outPath: String,
       benchmark: Option[DataFrame] = None, minQuality: Double = 0.55,
       contaminationN: Int = 4, maxDup3Frac: Double = 1.0,
@@ -79,6 +85,7 @@ object CurateStream {
       lm: Option[graft.pipeline.Curate.LmGate] = None,
       stripHtml: Boolean = false,
       redactPii: Boolean = false,
+      cjk: Boolean = false,
       numSigs: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
       maxBucket: Int = 1000, compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
@@ -108,10 +115,17 @@ object CurateStream {
           if (stripHtml) TextAnalysis.stripHtml(batch.toDF())
             .select(col("doc_id"), col("text"))
           else batch.toDF()
-        val b = keep(
+        val scrubbed =
           if (redactPii) TextAnalysis.redactPii(extracted)
             .select(col("doc_id"), col("redacted").as("text"))
-          else extracted)
+          else extracted
+        // cjk: bind the mixed-script tokenization before the persist
+        // (one compositional-tokenizer pass per batch; coalesce mirrors
+        // tokensFused's empty-array-on-NULL contract)
+        val b = keep(
+          if (cjk) scrubbed.withColumn("toks", graft.functions.TextFunctions
+            .tokens(coalesce(col("text"), lit("")), cjk = true))
+          else scrubbed)
         // NULL-text sentinel: fingerprint(NULL) is NULL, and the registry
         // equi-join below is null-UNSAFE — without the sentinel a null-text
         // doc in a later batch never matches a null-fp doc in the registry,
@@ -352,5 +366,57 @@ object CurateStream {
       kept.select(col("doc_id"), col("text")), budget, shards, partitions)
     packed.join(ranked, "doc_id")
       .select(col("doc_id"), col("shuffle_pos"), col("shard"), col("pack_id"), col("n_tokens"))
+  }
+
+  /** Continuous CCNet-style fluency bucketing with FROZEN tertiles —
+    * the streaming twin of [[TextAnalysis.lmBucketsFrozen]]. Exact
+    * tertiles are a corpus-level property (a doc's lmBuckets label can
+    * change as later docs shift the distribution), so the continuous
+    * form freezes (t0, t1) from a batch profile over a reference corpus
+    * ([[graft.operators.Sampling.boundedIntQuantiles]]) and labels each
+    * micro-batch per doc: the label depends only on the doc, the STATIC
+    * LM model, and the frozen thresholds, so the sink is
+    * batching-independent by construction — stream ≡ batch across any
+    * batch split and any registry fold boundary (StreamingSpec pins it
+    * at compactEvery = 2). Rows (doc_id, lm_floor, bucket) land in
+    * overwrite-idempotent `batch=<id>` dirs under the same compaction
+    * protocol as the labeled sink, so [[lmBucketView]] stays
+    * O(snapshot + compactEvery dirs) under continuous ingestion.
+    *
+    * At scale, per batch: scoreLm's gram-keyed join against the static
+    * model tables plus one doc_id agg — the batch twin's audited shape;
+    * the labeling itself is map-side. */
+  def lmBucketSink(docs: DataFrame, model: TextAnalysis.LmModel,
+      t0: Long, t1: Long, outPath: String,
+      compactEvery: Int = 16): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        Registry.maybeCompact(spark, outPath, Seq(outPath),
+          upToExclusive = batchId, every = compactEvery)
+        val mark = Dedup.trackMark(spark)
+        try {
+          TextAnalysis.lmBucketsFrozen(
+              TextAnalysis.scoreLm(batch.toDF(), model), t0, t1)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        } finally { Dedup.releaseSince(spark, mark); () }
+      }
+
+  /** Every frozen-tertile label the bucket sink has emitted so far —
+    * the continuous head/middle/tail mix surface a curriculum or
+    * temperature-mix stage consumes. Same commit gating as
+    * [[labeledView]] (snapshot + _SUCCESS-committed batch dirs only). */
+  def lmBucketView(spark: org.apache.spark.sql.SparkSession,
+      outPath: String): DataFrame = {
+    val v = Registry.view(spark, outPath, outPath)
+    if (v.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("lm_floor", LongType), StructField("bucket", StringType))))
+    } else
+      spark.read.parquet(v.paths: _*)
+        .select(col("doc_id"), col("lm_floor"), col("bucket"))
   }
 }

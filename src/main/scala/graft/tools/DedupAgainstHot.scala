@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.tables.Tables
+
+/** Hot-reference stress for [[Dedup.dedupAgainst]] (round-9 scale item):
+  * under a 100 TB curated reference, a boilerplate band is the skew risk
+  * the `maxBucket` cap guards — this tool injects a deliberately hot
+  * reference block (N near-identical boilerplate docs, all landing in
+  * the SAME band buckets) into the sf1/sf3 fixture and measures the
+  * capped labeling wall-clock vs (a) the same corpus with no hot block
+  * and (b) the uncapped join on a bounded slice (to show the blow-up the
+  * cap prevents). The cap holds: capped-with-hot must track no-hot,
+  * because the hot buckets are excluded from banding entirely and their
+  * members still match through their other, more selective bands.
+  *
+  * Usage: run_main.sh graft.tools.DedupAgainstHot [sfDir] [hotN]
+  */
+object DedupAgainstHot {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local("dedup-against-hot",
+      Some(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
+    import spark.implicits._
+    val dir = args.headOption.getOrElse("/tmp/graft_sf1")
+    val hotN = if (args.length > 1) args(1).toInt else 20000
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[$tag] ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    // the hot block: hotN docs sharing one boilerplate body, each with a
+    // distinct id-bearing suffix token so fingerprints differ (no exact
+    // collapse) while the 3-shingle sets stay near-identical -> every
+    // band bucket of the block holds ~hotN members
+    val boiler = "terms of service apply contact support for help " +
+      "all rights reserved unsubscribe from this newsletter below"
+    val hot = spark.range(hotN)
+      .select((col("id") + 100000000L).as("doc_id"),
+        concat(lit(boiler), lit(" tail"), (col("id") % 3).cast("string"))
+          .as("text"))
+    val reference = docs.unionByName(hot)
+    // docs side: the fixture corpus plus 2000 docs CONTAINING the
+    // boilerplate (the onboarding feed a template-heavy source produces)
+    val feed = docs.limit(0).unionByName(
+      spark.range(2000).select((col("id") + 200000000L).as("doc_id"),
+        concat(lit(boiler), lit(" extra content "), col("id").cast("string"))
+          .as("text")))
+      .unionByName(docs.sample(withReplacement = false, 0.02, seed = 7))
+    feed.persist(); val nFeed = feed.count()
+    println(s"reference: $nDocs fixture + $hotN hot; feed: $nFeed")
+
+    // (a) baseline: no hot block in the reference
+    val base = timed("labeled-no-hot") {
+      val r = Dedup.dedupAgainst(feed, docs)
+      val c = r.groupBy(col("drop_reason")).count().collect()
+      Dedup.releaseCaches(spark); c
+    }
+    println(s"  no-hot: ${base.mkString(", ")}")
+
+    // (b) capped (default maxBucket=1000) with the hot reference
+    val capped = timed("labeled-hot-capped") {
+      val r = Dedup.dedupAgainst(feed, reference)
+      val c = r.groupBy(col("drop_reason")).count().collect()
+      Dedup.releaseCaches(spark); c
+    }
+    println(s"  hot-capped: ${capped.mkString(", ")}")
+
+    // (c) uncapped control on the SAME corpus: maxBucket above hotN —
+    // every feed boilerplate doc fans into ~hotN verify pairs
+    val uncapped = timed("labeled-hot-UNCAPPED") {
+      val r = Dedup.dedupAgainst(feed, reference, maxBucket = hotN * 2)
+      val c = r.groupBy(col("drop_reason")).count().collect()
+      Dedup.releaseCaches(spark); c
+    }
+    println(s"  hot-uncapped: ${uncapped.mkString(", ")}")
+    spark.stop()
+  }
+}

@@ -58,4 +58,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.collect { case e: ShuffleExchangeExec => e }.size <= 2, s"$p")
     assert(p.collect { case j: BroadcastHashJoinExec => j }.size === 1, s"$p")
   }
+
+  test("ivfPqResidualTopK: broadcast LUT/probe sides, partial-agged ADC, bounded rerank") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    val emb = graft.tables.Tables.embeddings(spark0, dir)
+    val q = emb.filter(col("vec_id") < 4)
+    val cents = graft.operators.Ivf.trainScalable(emb, 4, iters = 1, rounds = 1)
+    val idx = graft.operators.Ivf.index(emb, cents)
+    val cb = graft.operators.Pq.trainResidual(idx, cents, dim = 64, m = 8, ksub = 4, iters = 1)
+    val codes = graft.operators.Pq.encodeResidual(idx, cents, cb, dim = 64, m = 8)
+    val k = 3; val rerank = 2
+    val served = graft.operators.Pq.ivfPqResidualTopK(idx, cents, codes, cb, emb, q,
+      dim = 64, k = k, nprobe = 2, m = 8, rerank = rerank)
+    val p = served.queryExecution.sparkPlan
+    // 1. the per-query LUT joins back as an explicit BROADCAST hash join
+    //    (codes never move toward the LUT), and the query×centroid probe
+    //    is a broadcast nested-loop over the tiny centroid table — the
+    //    corpus must never enter a cartesian
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"LUT join must stay broadcast:\n$p")
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"corpus-sized cartesian crept in:\n$p")
+    // 2. the ADC sum partial-aggs map-side before its (qid, vec_id)
+    //    exchange — a refactor that drops the combine ships one row per
+    //    (probe, subspace) across the wire
+    val partialSum = p.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }.exists(h => h.aggregateExpressions.exists(ae =>
+      ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial &&
+        ae.aggregateFunction.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.aggregate.Sum]))
+    assert(partialSum, s"ADC sum lost its map-side partial aggregation:\n$p")
+    // 3. every window is qid-partitioned (no global single-partition rank)
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"a partition-less window entered the serve path:\n$p")
+    // 4. rerank stays bounded: at most k results per query, ranks 1..k,
+    //    and the exact re-score never exceeds rerank·k candidates per qid
+    val rows = served.collect()
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.nonEmpty && perQ.values.forall(_.length <= k), s"k-cut broke")
+    assert(rows.forall(_.getInt(3) <= k))
+    graft.operators.Dedup.releaseCaches(spark0)
+  }
 }

@@ -720,6 +720,119 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotLabels(31L) !== "lm_fluency")
   }
 
+  test("CJK corpus through the full curate chain (cjk mode): dedup on bigrams, zh kept, stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_curatestream_cjk_reg"
+    val outPath = "/tmp/graft_test_curatestream_cjk_out"
+    for (p <- Seq(regPath, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val zhA = "我们可以一起去没有什么问题他们说这是一个很好的办法"
+    val docRows: Seq[(Long, String)] = Seq(
+      (1L, zhA), // kept, pred_lang zh (6 lexicon bigrams)
+      (2L, zhA), // exact dup of 1 (fingerprint is script-agnostic)
+      (3L, zhA + "呀"), // near dup: 21 of 22 CJK-bigram 3-shingles shared
+      (4L, "他们没有什么可以说的今天天气很好我们都想出去走走"), // distinct zh, kept
+      (5L, "the cat sat on the mat and the dog ran"), // latin control, kept
+      (6L, "永")) // out-of-lexicon single char: und -> unknown_lang
+    val docs = docRows.toDF("doc_id", "text")
+    // batch chain, cjk mode
+    val (curated, st) = graft.pipeline.Curate.runDocs(spark, docs,
+      minQuality = 0.0, cjk = true)
+    val keptBatch = curated.select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(st.exactDups === 1L && st.nearDups === 1L && st.unknownLang === 1L
+      && st.kept === 3L, s"accounting: $st")
+    assert(keptBatch === Map(1L -> "zh", 4L -> "zh", 5L -> "en"))
+    // CONTROL — without cjk the latin tokenizer strips CJK to nothing:
+    // no shingles, so the near dup is MISSED (doc 3 survives); zh docs
+    // still predict zh (containment evidence reads the raw text)
+    val (curated0, st0) = graft.pipeline.Curate.runDocs(spark, docs,
+      minQuality = 0.0, cjk = false)
+    val kept0 = curated0.select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(st0.nearDups === 0L && kept0.contains(3L),
+      s"control: latin mode should miss the CJK near dup, got $st0")
+    // streaming twin with the same flag, fed across 3 micro-batches
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurateStream.sink(
+        stream.toDF().toDF("doc_id", "text"), regPath, outPath,
+        minQuality = 0.0, cjk = true)
+      .start()
+    docRows.sortBy(_._1).grouped(2).foreach { h =>
+      stream.addData(h); q.processAllAvailable()
+    }
+    q.stop()
+    val gotLabels = graft.streaming.CurateStream.labeledView(spark, outPath)
+      .select("doc_id", "drop_reason", "pred_lang").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(gotLabels.size === docRows.size)
+    assert(gotLabels(2L)._1 === "exact_dup")
+    assert(gotLabels(3L)._1 === "near_dup")
+    assert(gotLabels(6L)._1 === "unknown_lang")
+    assert(Seq(1L, 4L, 5L).forall(gotLabels(_)._1 === "kept"))
+    assert(gotLabels(1L)._2 === "zh" && gotLabels(4L)._2 === "zh"
+      && gotLabels(5L)._2 === "en")
+  }
+
+  test("frozen lm-bucket sink == batch lmBucketsFrozen across fold boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val T = graft.operators.TextAnalysis
+    val outPath = "/tmp/graft_test_lmbucket_out"
+    new scala.reflect.io.Directory(new java.io.File(outPath)).deleteRecursively()
+    val ref = Seq((100L, "the cat sat on the mat and the dog ran to the cat"))
+      .toDF("doc_id", "text")
+    val model = T.trainLm(ref)
+    // fluent docs (reference bigrams), garbled docs (scrambled contexts),
+    // and a zero-bigram doc whose NULL floor must label 'none'
+    val docRows: Seq[(Long, String)] = (0 until 6).flatMap { i =>
+      Seq((10L + i, s"the cat sat on the mat w$i and the dog ran"),
+        (30L + i, s"mat the ran cat w$i dog sat and on the to"))
+    } ++ Seq(
+      // pure reference phrasing (no novel token): highest floors -> head
+      (50L, "the cat sat on the mat and the dog ran to the cat"),
+      (51L, "the dog ran to the cat sat on the mat"),
+      (90L, "x"))
+    val docs = docRows.toDF("doc_id", "text")
+    // the operator's own freeze protocol: exact corpus tertiles from a
+    // batch profile of the reference corpus (here: the same corpus)
+    val scored = T.scoreLm(docs, model)
+      .withColumn("lm_floor", when(col("n_bigrams") > 0,
+        org.apache.spark.sql.functions.expr("sum_micro div n_bigrams")))
+    val thr = graft.operators.Sampling.boundedIntQuantiles(
+      scored, col("lm_floor"), Seq((1, 3), (2, 3))).collect()(0)
+    val (t0, t1) = (thr.getLong(1), thr.getLong(2))
+    graft.operators.Dedup.releaseCaches(spark)
+    // feed in 5 micro-batches with compactEvery=2: the view must cross
+    // at least one registry fold boundary while staying label-identical
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurateStream.lmBucketSink(
+        stream.toDF().toDF("doc_id", "text"), model, t0, t1, outPath,
+        compactEvery = 2)
+      .start()
+    docRows.sortBy(_._1).grouped(3).foreach { h =>
+      stream.addData(h); q.processAllAvailable()
+    }
+    q.stop()
+    val got = graft.streaming.CurateStream.lmBucketView(spark, outPath)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val want = T.lmBucketsFrozen(T.scoreLm(docs, model), t0, t1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    graft.operators.Dedup.releaseCaches(spark)
+    assert(got.size === docRows.size)
+    assert(got === want)
+    // the fixture is non-vacuous: every label class is live
+    assert(Set("tail", "middle", "head", "none").subsetOf(got.values.toSet),
+      s"labels seen: ${got.values.toSet}")
+    // a fold actually happened (a snapshot=<W> dir exists), so the label
+    // parity above crossed at least one compaction boundary
+    assert(new java.io.File(outPath).listFiles()
+      .exists(_.getName.startsWith("snapshot=")),
+      "expected a compaction fold under compactEvery=2")
+  }
+
   test("incremental minhash-LSH sink == batch drop-doc_b formulation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

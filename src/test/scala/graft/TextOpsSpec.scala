@@ -159,13 +159,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(g("distinct_fp") === 4L) // docs 1,2 share a fingerprint
     assert(g("total_tokens") === (5 + 5 + 5 + 0 + 3).toLong)
     assert(g("lang_en") === 2L && g("lang_fr") === 1L && g("lang_und") === 2L)
-    assert(g("lang_de") === 0L && g("lang_es") === 0L)
+    assert(g("lang_de") === 0L && g("lang_es") === 0L && g("lang_zh") === 0L)
     // quality micro-sum: exact BIGINT, positive, bounded by input·10^6
     assert(g("sum_quality_micro") > 0L && g("sum_quality_micro") <= 5L * 1000000L)
     // empty corpus: one row of zeros, not a crash
     val z = TextAnalysis.profile(Seq.empty[(Long, String)].toDF("doc_id", "text")).collect()(0)
     Dedup.releaseCaches(spark)
     assert(z.getLong(byName("input")) === 0L && z.getLong(byName("total_tokens")) === 0L)
+  }
+
+  test("langId zh arm: CJK-bigram evidence, alphabetical tie-break, out-of-lexicon CJK stays und") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "我们可以一起去，没有什么问题。"), // 4 lexicon bigrams -> zh
+      (2L, "the quick fox jumps 我们"), // hits_en = hits_zh = 1: tie breaks to en
+      (3L, "数据仓库流处理引擎"), // CJK outside the lexicon -> und (honest miss)
+      (4L, "el la de que y los 没有"), // latin dominates (hes=6 > hzh=1) -> es
+      (5L, null.asInstanceOf[String]) // null text -> und, no NPE
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.langId(docs).collect().map(x => x.getLong(0) -> x).toMap
+    def hits(id: Long, c: String) = r(id).getLong(r(id).fieldIndex(c))
+    def pred(id: Long) = r(id).getString(r(id).fieldIndex("pred_lang"))
+    assert(hits(1L, "hits_zh") === 4L && pred(1L) === "zh")
+    assert(hits(2L, "hits_en") === 1L && hits(2L, "hits_zh") === 1L && pred(2L) === "en")
+    assert(hits(3L, "hits_zh") === 0L && pred(3L) === "und")
+    assert(hits(4L, "hits_zh") === 1L && pred(4L) === "es")
+    assert(pred(5L) === "und")
+    // the ngram variant shares the zh arm (raw-text bigram containment:
+    // the [a-z0-9] trigram normalization strips CJK entirely)
+    val n = TextAnalysis.langIdNgram(docs).collect().map(x => x.getLong(0) -> x).toMap
+    def ntri(id: Long) = n(id).getLong(n(id).fieldIndex("tri_zh"))
+    def npred(id: Long) = n(id).getString(n(id).fieldIndex("pred_lang"))
+    assert(ntri(1L) === 4L && npred(1L) === "zh")
+    assert(ntri(3L) === 0L && npred(3L) === "und")
+    assert(npred(5L) === "und")
   }
 
   test("lmScore: empty corpus is fine; empty reference fails LOUD (V = 0 division)") {
