@@ -42,15 +42,24 @@ object DedupAgainstHot {
         concat(lit(boiler), lit(" tail"), (col("id") % 3).cast("string"))
           .as("text"))
     val reference = docs.unionByName(hot)
-    // docs side: the fixture corpus plus 2000 docs CONTAINING the
-    // boilerplate (the onboarding feed a template-heavy source produces)
+    // docs side: the fixture corpus plus 2000 docs that are NEAR-dups of
+    // the hot block (one trailing token differs -> shingle Jaccard ~0.88,
+    // above the 0.8 verify threshold) — the onboarding feed a
+    // template-heavy source produces
     val feed = docs.limit(0).unionByName(
       spark.range(2000).select((col("id") + 200000000L).as("doc_id"),
-        concat(lit(boiler), lit(" extra content "), col("id").cast("string"))
+        concat(lit(boiler), lit(" c"), (col("id") % 7).cast("string"))
           .as("text")))
       .unionByName(docs.sample(withReplacement = false, 0.02, seed = 7))
     feed.persist(); val nFeed = feed.count()
     println(s"reference: $nDocs fixture + $hotN hot; feed: $nFeed")
+
+    // JVM/codegen warm-up: one full untimed pass so run order does not
+    // charge warm-up to the first timed variant
+    locally {
+      Dedup.dedupAgainst(feed, docs).groupBy(col("drop_reason")).count().collect()
+      Dedup.releaseCaches(spark)
+    }
 
     // (a) baseline: no hot block in the reference
     val base = timed("labeled-no-hot") {
