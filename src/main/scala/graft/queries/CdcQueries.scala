@@ -88,8 +88,9 @@ object CdcQueries {
     "k3_bucketed_upsert",
     run = (s, dir) => {
       import s.implicits._
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_k3_bucketed").toString + "/t"
+      // fresh per run (re-upserting v1 over retained v2 state would keep
+      // v2 and break the oracle), self-cleaning at JVM exit (ScratchDirs)
+      val path = graft.ScratchDirs.fresh("k3_bucketed") + "/t"
       val ord = Tables.orders(s, dir)
       val v1 = ord.select($"o_orderkey", $"o_orderstatus",
         $"o_totalprice".cast(dec).cast("double").as("total"), lit(1L).as("version"))

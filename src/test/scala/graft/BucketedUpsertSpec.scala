@@ -8,7 +8,7 @@ class BucketedUpsertSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   private def freshPath(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_bu_$tag").toString + "/t"
+    SparkTestSession.scratch(s"bu_$tag") + "/t"
 
   private def bucketDirs(path: String): Map[String, Seq[(String, Long, Long)]] = {
     val base = new java.io.File(path)

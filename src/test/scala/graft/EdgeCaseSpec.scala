@@ -246,7 +246,7 @@ class EdgeCaseSpec extends AnyFunSuite {
 
   test("membership point read: no sidecar -> on-the-fly index, same rows") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("edge_member").toString + "/t"
+    val path = SparkTestSession.scratch("edge_member") + "/t"
     val rows = (0 until 64).map(i => (i * 131L % 977, 1000L + i % 8, 500L + i / 8))
     graft.operators.Layout.writeClustered(
       rows.toDF("id", "x", "y"), Seq("x", "y"), path, bits = 4, bucketBits = 3)

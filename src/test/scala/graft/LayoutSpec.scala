@@ -59,7 +59,7 @@ class LayoutSpec extends AnyFunSuite {
 
   test("writeClustered + prunedRead: zone-map pruning, equal to brute filter") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("layout").toString + "/t"
+    val path = SparkTestSession.scratch("layout") + "/t"
     // 32x32 unit-stride grid at 5 bits, 4 bucket bits -> 16 buckets of
     // 64 cells (8x8 blocks); one NULL-dim row exercises the default
     // partition path
@@ -106,7 +106,7 @@ class LayoutSpec extends AnyFunSuite {
 
   test("prunedRead consults the PERSISTED zone map, not a re-aggregation") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("layout_zm").toString + "/t"
+    val path = SparkTestSession.scratch("layout_zm") + "/t"
     val rows = for (x <- 0 until 32; y <- 0 until 32) yield (1000L + x, 500L + y)
     Layout.writeClustered(rows.toDF("x", "y"), Seq("x", "y"), path,
       bits = 5, bucketBits = 4)
@@ -146,7 +146,7 @@ class LayoutSpec extends AnyFunSuite {
 
   test("membership index: point lookup prunes to few buckets, persisted sidecar drives it") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("layout_bf").toString + "/t"
+    val path = SparkTestSession.scratch("layout_bf") + "/t"
     // ids scattered over the grid: the x/y layout dims carry NO information
     // about id, so only the membership sketch can prune an id lookup
     val rows = for (x <- 0 until 32; y <- 0 until 32)

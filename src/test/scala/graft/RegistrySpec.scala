@@ -13,7 +13,7 @@ class RegistrySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   private def freshBase(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_reg_$tag").toString
+    SparkTestSession.scratch(s"reg_$tag")
 
   /** Write batch=<id> dirs of (doc_id, v) rows; doc_id = id*10 + i. */
   private def writeBatches(table: String, ids: Seq[Long], rows: Int = 3): Unit = {

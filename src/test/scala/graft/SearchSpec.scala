@@ -19,8 +19,7 @@ class SearchSpec extends AnyFunSuite {
       r.getLong(2), r.getLong(3))).toSeq.sortBy(_._4)
 
   test("searchIndexed == searchTopK, and the read prunes to the query buckets") {
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_search_spec").toString + "/idx"
+    val path = SparkTestSession.scratch("search_spec") + "/idx"
     Search.writeIndex(docs, path)
     val query = Seq("spark", "vector", "dup")
 
@@ -74,8 +73,7 @@ class SearchSpec extends AnyFunSuite {
 
   test("unknown terms: zero hits scanned; empty frame (same schema) served") {
     assert(Search.searchTopK(docs, Seq("zzzznotaterm"), k = 5).count() === 0L)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_search_spec2").toString + "/idx"
+    val path = SparkTestSession.scratch("search_spec2") + "/idx"
     Search.writeIndex(docs.limit(50), path)
     val served = Search.searchIndexed(spark, path, Seq("zzzznotaterm"), k = 5)
     assert(served.count() === 0L)
