@@ -736,7 +736,7 @@ object PipelineQueries {
   /** CTE body producing `lt_p` = (doc_id, hde..hfr, pred_lang) — the
     * char-trigram language ID, shared by t_lang_id_ngram and
     * t_eval_agreement. */
-  private lazy val langTrigramBody: String = {
+  private def langTrigramBody(src: String = "documents"): String = {
     val profiles = TextAnalysis.trigramProfiles.map { case (lang, tris) =>
       lang -> tris.map(t => s"'$t'").mkString("[", ",", "]")
     }.toMap
@@ -744,7 +744,7 @@ object PipelineQueries {
       lt_s AS (
         SELECT doc_id, $ZH_HITS AS hzh,
                ' ' || trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')) || ' ' AS s
-        FROM documents),
+        FROM $src),
       lt_t AS (
         SELECT doc_id, hzh,
                CASE WHEN length(s) < 3 THEN []::VARCHAR[]
@@ -776,7 +776,7 @@ object PipelineQueries {
     "t_lang_id_ngram",
     run = (s, dir) => TextAnalysis.langIdNgram(Tables.documents(s, dir)),
     oracle = Some(s"""
-      WITH $langTrigramBody
+      WITH ${langTrigramBody()}
       SELECT doc_id,
              CAST(hde AS BIGINT) AS tri_de, CAST(hen AS BIGINT) AS tri_en,
              CAST(hes AS BIGINT) AS tri_es, CAST(hfr AS BIGINT) AS tri_fr,
@@ -991,6 +991,59 @@ object PipelineQueries {
                   ELSE 0 END AS BIGINT) AS f1_ppm
       FROM r"""))
 
+  /** The ngram variant's live-zh certification (same seeded frame):
+    * CJK-stripped trigram evidence stays zero on pure-zh docs, so the
+    * bigram-containment arm is the ONLY live zh signal here. */
+  val tLangIdNgramCjk: Q = Q(
+    "t_lang_id_ngram_cjk",
+    run = (s, dir) => TextAnalysis.langIdNgram(cjkSeeded(s, dir)),
+    oracle = Some(s"""
+      WITH $cjkSeededCte,
+      ${langTrigramBody("cjk_seeded")}
+      SELECT doc_id,
+             CAST(hde AS BIGINT) AS tri_de, CAST(hen AS BIGINT) AS tri_en,
+             CAST(hes AS BIGINT) AS tri_es, CAST(hfr AS BIGINT) AS tri_fr,
+             CAST(hzh AS BIGINT) AS tri_zh,
+             pred_lang
+      FROM lt_p"""))
+
+  /** Kappa between the two labelers over the seeded mixed-script frame —
+    * the agreement surface with a LIVE zh class on both sides (the two
+    * variants share the containment evidence but weigh it against
+    * different latin evidence, so zh/latin outcomes can differ). */
+  val tEvalAgreementCjk: Q = Q(
+    "t_eval_agreement_cjk",
+    run = (s, dir) => {
+      val docs = cjkSeeded(s, dir)
+      val a = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang").as("a"))
+      val b = TextAnalysis.langIdNgram(docs).select(col("doc_id"), col("pred_lang").as("b"))
+      Eval.agreement(a.join(b, Seq("doc_id")), col("a"), col("b"))
+    },
+    oracle = Some(s"""
+      WITH $cjkSeededCte,
+      ${langStopBody("cjk_seeded")},
+      ${langTrigramBody("cjk_seeded")},
+      j AS (SELECT ls_p.pred_lang AS pa, lt_p.pred_lang AS pb
+            FROM ls_p JOIN lt_p ON ls_p.doc_id = lt_p.doc_id),
+      cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT) AS agree
+             FROM j),
+      ma AS (SELECT pa AS l, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1),
+      mb AS (SELECT pb AS l, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1),
+      spv AS (SELECT coalesce(SUM(CAST(ma.c AS HUGEINT) * mb.c), 0) AS sp
+              FROM ma JOIN mb ON ma.l = mb.l),
+      pp AS (SELECT n, agree,
+               (1000000 * agree) // n AS po_ppm,
+               CAST((1000000 * sp) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+             FROM cnt, spv)
+      SELECT n, agree, po_ppm, pe_ppm,
+             CASE WHEN pe_ppm = 1000000 THEN 0
+                  ELSE (CASE WHEN po_ppm > pe_ppm THEN 1
+                             WHEN po_ppm < pe_ppm THEN -1 ELSE 0 END)
+                       * ((1000000 * abs(po_ppm - pe_ppm)) // (1000000 - pe_ppm))
+             END AS kappa_ppm
+      FROM pp"""))
+
   /** Cohen's kappa between the two language-ID heuristics (stopword vs
     * char-trigram) — the two-labelers-agreement frame, chance-corrected
     * against their marginals. pe runs in HUGEINT/DECIMAL(38,0) on the
@@ -1006,7 +1059,7 @@ object PipelineQueries {
     },
     oracle = Some(s"""
       WITH ${langStopBody()},
-      $langTrigramBody,
+      ${langTrigramBody()},
       j AS (SELECT ls_p.pred_lang AS pa, lt_p.pred_lang AS pb
             FROM ls_p JOIN lt_p ON ls_p.doc_id = lt_p.doc_id),
       cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -3716,6 +3769,7 @@ object PipelineQueries {
     tClusterPrune,
     tWinnowFingerprint,
     tWinnowPairs, tLangId, tLangIdNgram, tLangIdCjk, tEvalLangidCjk,
+    tLangIdNgramCjk, tEvalAgreementCjk,
     tEvalLangid, tEvalAgreement,
     tEvalCalibration, tEvalEce,
     tEvalLangidSliced, tEvalConfusion, tQualityScore, tTokenStats,
