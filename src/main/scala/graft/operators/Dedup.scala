@@ -211,20 +211,22 @@ object Dedup {
     * lets jaccardVerify run the fused two-pointer merge per PAIR instead
     * of building boxed hash sets — a doc is verified against many
     * candidates, so sort-at-source amortizes. */
+  /** doc_id + bound token array — REUSES a caller-bound `toks` column
+    * (the TextAnalysis.withToks contract): the mixed-script curation
+    * mode binds tokens(text, cjk = true) ONCE on the persisted corpus
+    * frame and every consumer — shingles, n-gram joins, quality,
+    * language — reads that one tokenization instead of re-running its
+    * own. Otherwise binds the fused latin tokenizer (one native call,
+    * no interpreted ArrayFilter lambda — jcmd sampling at sf3 put the
+    * compositional chain's HOF evals among the band build's hot
+    * frames). */
+  private def boundToks(docs: DataFrame): DataFrame =
+    if (docs.columns.contains("toks")) docs.select(col("doc_id"), col("toks"))
+    else docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokensFused(col("text")).as("toks"))
+
   def shingleSets(docs: DataFrame): DataFrame =
-    (if (docs.columns.contains("toks"))
-      // REUSE a caller-bound `toks` column (the TextAnalysis.withToks
-      // contract): the mixed-script curation mode binds
-      // tokens(text, cjk = true) ONCE on the persisted corpus frame and
-      // every consumer — shingles, quality, language — reads that one
-      // tokenization instead of re-running its own
-      docs.select(col("doc_id"), col("toks"))
-    else docs
-      // bind once; the fused tokenizer (one native call, no interpreted
-      // ArrayFilter lambda) — jcmd sampling at sf3 put the compositional
-      // chain's HOF evals among the band build's hot frames
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.tokensFused(col("text")).as("toks")))
+    boundToks(docs)
       // "has >= 3 tokens" ≡ "has >= 1 shingle", but as a predicate on the
       // bound token array it pushes down as ONE tokenizer call — filtering
       // on size(shingles) instead would push the whole shingle lambda into
@@ -504,9 +506,7 @@ object Dedup {
       docs: DataFrame,
       n: Int = 3,
       threshold: Double = 0.7): DataFrame = {
-    val sets = track(docs
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.tokensFused(col("text")).as("toks"))
+    val sets = track(boundToks(docs)
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         // sorted at source → the verify runs the fused two-pointer merge
@@ -589,9 +589,7 @@ object Dedup {
       docs: DataFrame,
       n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val sets = track(docs
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.tokensFused(col("text")).as("toks"))
+    val sets = track(boundToks(docs)
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         // sorted at source — the fused intersect-count contract

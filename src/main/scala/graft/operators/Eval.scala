@@ -218,15 +218,17 @@ object Eval {
     * AS probabilities needs this check first).
     *
     * Engine-parity arithmetic: everything integer-exact — bin =
-    * clamp((score·buckets) div 10^6), mean_score_ppm = floor(Σscore / n)
-    * (FLOOR, not truncation: a bin whose score sum goes negative must
-    * match the DuckDB `//` convention — `-5 div 2 = -2` but `-5 // 2 =
-    * -3`; implemented as `(Σ − pmod(Σ, n)) div n`, exact for n > 0),
-    * pos_rate_ppm = (10^6·n_pos) div n (non-negative, so div ≡ floor).
-    * Scores outside [0, 10^6] clamp into the edge bins (they still
-    * average as-is — a clamped mean would hide the miscalibration they
-    * represent); NULL score or outcome rows are excluded (no position on
-    * the diagram).
+    * clamp((score·buckets) div 10^6), mean_score_ppm = Σscore div n,
+    * pos_rate_ppm = (10^6·n_pos) div n. The negative-sum convention is
+    * TRUNCATION toward zero on BOTH engines and this is empirically
+    * pinned (EvalSpec): DuckDB's `//` truncates exactly like Spark's
+    * `div` (`SELECT -5 // 2` = -2 on the gate's duckdb 1.0.0 — the
+    * round-9 advice asserting `//` floors was tested and found FALSE;
+    * a floor-division "fix" here would itself break parity). Scores
+    * outside [0, 10^6] clamp into the edge bins (they still average
+    * as-is — a clamped mean would hide the miscalibration they
+    * represent); NULL score or outcome rows are excluded (no position
+    * on the diagram).
     *
     * Scale: one scan, one `buckets`-bounded partial-agged groupBy. */
   def calibration(scored: DataFrame, scorePpm: Column, positive: Column,
@@ -247,9 +249,9 @@ object Eval {
       .agg(count(lit(1)).as("n"), sum(col("s")).as("__ssum"),
         sum(when(col("p"), 1L).otherwise(0L)).as("n_pos"))
       .select(col("bucket"), col("n"), col("n_pos"),
-        // floor division (pmod is in [0, n) for n > 0), matching the
-        // oracle's `//` on negative sums where `div` truncates toward 0
-        expr("(__ssum - pmod(__ssum, n)) div n").as("mean_score_ppm"),
+        // div truncates toward zero — SAME as DuckDB's `//` (verified
+        // empirically, see scaladoc); do NOT "fix" this to floor
+        expr("__ssum div n").as("mean_score_ppm"),
         expr("(1000000 * n_pos) div n").as("pos_rate_ppm"))
       .withColumn("gap_ppm", abs(col("mean_score_ppm") - col("pos_rate_ppm")))
   }

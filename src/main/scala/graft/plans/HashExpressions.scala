@@ -378,6 +378,17 @@ object HashExpressions {
     val sz = arr.numElements()
     val out = new Array[Any](n)
     if (sz > 0) {
+      // ONE upfront validation pass (not inside the n-signature loop —
+      // this is the kernel the interpreted-HOF fusion made hot-path;
+      // per-signature re-checks would cost n× redundant branches)
+      var v = 0
+      while (v < sz) {
+        if (arr.isNullAt(v))
+          throw new IllegalArgumentException(
+            "minhash_sigs: NULL element (callers feed null-free hash arrays; " +
+              "getLong(null)=0 would fabricate a near-minimal signature)")
+        v += 1
+      }
       var s = 0
       while (s < n) {
         val a = 2L * s + 1
@@ -385,10 +396,6 @@ object HashExpressions {
         var min = Long.MaxValue
         var i = 0
         while (i < sz) {
-          if (arr.isNullAt(i))
-            throw new IllegalArgumentException(
-              "minhash_sigs: NULL element (callers feed null-free hash arrays; " +
-                "getLong(null)=0 would fabricate a near-minimal signature)")
           val h = (arr.getLong(i) * a + c) % 4294967291L
           if (h < min) min = h
           i += 1

@@ -31,10 +31,17 @@ object DedupAgainstHot {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
     val nDocs = docs.count()
-    // the hot block: hotN docs sharing one boilerplate body, each with a
-    // distinct id-bearing suffix token so fingerprints differ (no exact
-    // collapse) while the 3-shingle sets stay near-identical -> every
-    // band bucket of the block holds ~hotN members
+    // the hot block: hotN docs sharing one boilerplate body with THREE
+    // rotating suffixes (id % 3) — only 3 distinct texts, deliberately:
+    // identical shingle sets make every band signature identical, so the
+    // block's hotN rows land in at most 3 buckets per band (maximally
+    // hot by construction; distinct per-id suffixes would scatter the
+    // min-hashes across many buckets and dilute the skew under test).
+    // Fingerprints are NOT distinct; that is irrelevant here because
+    // prepareReference bands per doc_id without exact-collapsing the
+    // reference — if a future refactor dedups reference text before
+    // banding, this block shrinks to 3 members and the SCALE.md round-9
+    // numbers must be re-measured
     val boiler = "terms of service apply contact support for help " +
       "all rights reserved unsubscribe from this newsletter below"
     val hot = spark.range(hotN)

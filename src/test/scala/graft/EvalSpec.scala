@@ -204,16 +204,19 @@ class EvalSpec extends AnyFunSuite {
     graft.operators.Dedup.releaseCaches(spark)
   }
 
-  test("calibration: negative score sums floor like the oracle's // (not div-truncate)") {
+  test("calibration: negative score sums truncate toward zero, matching DuckDB's //") {
     import spark.implicits._
-    // both rows land in bin 0 (clamp); sum = -5, n = 2. FLOOR gives
-    // -3 (matching DuckDB's `-5 // 2`); div-truncation would give -2 —
-    // the 1-ppm cross-engine divergence this pins down
+    // both rows land in bin 0 (clamp); sum = -5, n = 2. Truncation gives
+    // -2 — EMPIRICALLY the DuckDB convention too (`SELECT -5 // 2` = -2
+    // on the gate's duckdb 1.0.0; `//` truncates, it does NOT floor).
+    // This pins the parity so a well-meaning floor-division "fix" (round
+    // 9 briefly shipped one off a false advice premise) fails here.
     val df = Seq((-5L, false), (0L, false)).toDF("s", "p")
     val bin = Eval.calibration(df, col("s"), col("p")).collect().head
     assert(bin.getLong(0) === 0L && bin.getLong(1) === 2L)
-    assert(bin.getLong(3) === -3L, s"mean_score_ppm = ${bin.getLong(3)}, want floor(-5/2) = -3")
-    assert(bin.getLong(5) === 3L) // gap = |-3 - 0|
+    assert(bin.getLong(3) === -2L,
+      s"mean_score_ppm = ${bin.getLong(3)}, want trunc(-5/2) = -2 (DuckDB // parity)")
+    assert(bin.getLong(5) === 2L) // gap = |-2 - 0|
   }
 
   test("rel=0 judgments are non-relevant: excluded from n_rel, hits, and ideal") {

@@ -73,24 +73,35 @@ class PlanShapeSpec extends AnyFunSuite {
       dim = 64, k = k, nprobe = 2, m = 8, rerank = rerank)
     val p = served.queryExecution.sparkPlan
     // 1. the per-query LUT joins back as an explicit BROADCAST hash join
-    //    (codes never move toward the LUT), and the query×centroid probe
-    //    is a broadcast nested-loop over the tiny centroid table — the
+    //    (codes never move toward the LUT), the query×centroid probe is
+    //    a broadcast nested-loop over the tiny centroid table, and the
     //    corpus must never enter a cartesian
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
       s"LUT join must stay broadcast:\n$p")
     assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.nonEmpty, s"the query x centroid probe must be a broadcast nested-loop:\n$p")
+    assert(p.collect {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
     }.isEmpty, s"corpus-sized cartesian crept in:\n$p")
-    // 2. the ADC sum partial-aggs map-side before its (qid, vec_id)
-    //    exchange — a refactor that drops the combine ships one row per
-    //    (probe, subspace) across the wire
-    val partialSum = p.collect {
+    // 2. the ADC sum partial-aggs map-side before its exchange, on the
+    //    (qid, vec_id) aggregate SPECIFICALLY (an exists() over any agg
+    //    would stay green if some other Sum in the plan partial-aggs
+    //    while the ADC combine is dropped — shipping one row per
+    //    (probe, subspace) across the wire, the exact regression pinned)
+    val adcPartial = p.collect {
       case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
-    }.exists(h => h.aggregateExpressions.exists(ae =>
-      ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial &&
-        ae.aggregateFunction.isInstanceOf[
-          org.apache.spark.sql.catalyst.expressions.aggregate.Sum]))
-    assert(partialSum, s"ADC sum lost its map-side partial aggregation:\n$p")
+    }.exists { h =>
+      val groupNames = h.groupingExpressions.map(_.asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.NamedExpression].name).toSet
+      groupNames == Set("qid", "vec_id") &&
+        h.aggregateExpressions.exists(ae =>
+          ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial &&
+            ae.aggregateFunction.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.aggregate.Sum])
+    }
+    assert(adcPartial,
+      s"the (qid, vec_id) ADC sum lost its map-side partial aggregation:\n$p")
     // 3. every window is qid-partitioned (no global single-partition rank)
     val windows = p.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w

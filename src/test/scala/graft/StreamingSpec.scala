@@ -745,6 +745,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.exactDups === 1L && st.nearDups === 1L && st.unknownLang === 1L
       && st.kept === 3L, s"accounting: $st")
     assert(keptBatch === Map(1L -> "zh", 4L -> "zh", 5L -> "en"))
+    // the n-gram policies honor cjk mode too (review finding: they used
+    // to re-tokenize latin-fused and silently miss every CJK near dup —
+    // worst on the policy marketed as recall-lossless)
+    val (_, stJ) = graft.pipeline.Curate.runDocs(spark, docs,
+      minQuality = 0.0, cjk = true,
+      nearDup = graft.pipeline.Curate.NearDupPolicy.ExactJaccard(3, 0.8))
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(stJ.nearDups === 1L && stJ.exactDups === 1L,
+      s"ExactJaccard under cjk mode: $stJ")
     // CONTROL — without cjk the latin tokenizer strips CJK to nothing:
     // no shingles, so the near dup is MISSED (doc 3 survives); zh docs
     // still predict zh (containment evidence reads the raw text)
