@@ -955,8 +955,11 @@ object PipelineQueries {
   /** Per-class scorecard of the stopword language ID against the gold
     * `lang` column: precision/recall/F1 in exact ppm via
     * [[graft.operators.Eval.classificationMetrics]]. Gold has a class
-    * the model never predicts (zh) and the model emits one gold never
-    * has (und) — both must appear as zero-scored rows, not vanish. */
+    * the model never predicts HERE (zh — the model is zh-capable since
+    * round 9, but this corpus carries zero CJK characters, so n_pred=0
+    * is the correct output; t_eval_langid_cjk is the live-zh twin) and
+    * the model emits one gold never has (und) — both must appear as
+    * zero-scored rows, not vanish. */
   val tEvalLangid: Q = Q(
     "t_eval_langid",
     run = (s, dir) => {
