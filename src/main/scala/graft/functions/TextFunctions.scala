@@ -127,6 +127,14 @@ object TextFunctions {
   def tokensFused(text: Column): Column =
     org.apache.spark.sql.functions.call_function("tokenize_array", text)
 
+  /** Fused form of [[tokens]]`(text, cjk = true)` — one codegen'd linear
+    * scan instead of the compositional two-regex + interpreted-HOF chain
+    * (plans.TokenizeArrayCjk; bit-parity pinned in PlansSpec). Null text
+    * yields an empty array (the tokensFused contract), so callers need
+    * no coalesce. */
+  def tokensFusedCjk(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("tokenize_array_cjk", text)
+
   /** Fused per-position word-shingle hash array:
     * `shingleHash32(toks, n)[i] == hash32(concat_ws(" ", toks[i..i+n-1]))`
     * with ZERO intermediate shingle strings (token bytes stream straight

@@ -195,12 +195,13 @@ object Curate {
         .select(col("doc_id"), col("text"))
       case None => scrubbed
     }
-    // cjk: bind the mixed-script tokenization BEFORE the persist so the
-    // compositional CJK tokenizer runs once, not once per consumer
-    // (coalesce mirrors tokensFused's empty-array-on-NULL contract)
+    // cjk: bind the mixed-script tokenization BEFORE the persist so it
+    // runs once, not once per consumer — through the FUSED kernel
+    // (tokensFusedCjk: one codegen'd scan, null text → empty array; the
+    // compositional chain's interpreted HOFs stay out of the corpus pass)
     val withMode =
-      if (cjk) base.withColumn("toks", graft.functions.TextFunctions
-        .tokens(coalesce(col("text"), lit("")), cjk = true))
+      if (cjk) base.withColumn("toks",
+        graft.functions.TextFunctions.tokensFusedCjk(col("text")))
       else base
     val docs = withMode.persist()
     // a mid-pipeline failure must still close the scope and drop this

@@ -291,6 +291,38 @@ case class TokenizeArray(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused CJK-bigram tokenizer (see TokenizeGenerator.tokenizeToArrayCjk
+  * for the pinned semantics): the codegen'd form of
+  * `TextFunctions.tokens(text, cjk = true)`, swapped into the curation
+  * cjk mode's one-pass token binding. */
+case class TokenizeArrayCjk(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tokenize_array_cjk requires STRING input, got ${child.dataType.catalogString}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TokenizeGenerator.tokenizeToArrayCjk(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.plans.TokenizeGenerator.tokenizeToArrayCjk(${c.isNull} ? null : ${c.value});
+      """
+    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenizeArrayCjk =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))

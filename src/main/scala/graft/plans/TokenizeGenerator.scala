@@ -71,6 +71,56 @@ object TokenizeGenerator {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** CJK-bigram tokenizer kernel — the fused form of
+    * `TextFunctions.tokens(text, cjk = true)`, whose compositional chain
+    * (two regexp_replace passes + split + a flatten(transform(...)) HOF)
+    * evaluates INTERPRETED per row: under the curation cjk mode that is
+    * the same per-row cost class the round-8 fusion removed from the
+    * latin path. One linear scan, no regex, no intermediate strings
+    * beyond the tokens themselves. Pinned semantics (bit-parity with the
+    * compositional form asserted in PlansSpec over mixed-script
+    * fixtures + the corpus):
+    *   - lowercase (Locale.ROOT — the LowerRoot rule);
+    *   - [a-z0-9] maximal runs → tokens, exactly like [[tokenizeToArray]];
+    *   - each maximal CJK run (BMP Unified Ideographs U+4E00–U+9FFF, the
+    *     pinned range) of length L ≥ 2 → its L−1 overlapping character
+    *     bigrams in order; an isolated CJK char → itself;
+    *   - everything else separates (surrogate pairs fall outside both
+    *     classes → separators, matching the codepoint-class regex);
+    *   - null text → empty array (tokensFused contract). */
+  def tokenizeToArrayCjk(s: UTF8String): ArrayData = {
+    if (s == null) return new GenericArrayData(Array.empty[Any])
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val n = str.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val d = str.charAt(j)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        out += UTF8String.fromString(str.substring(i, j))
+        i = j
+      } else if (c >= '一' && c <= '鿿') {
+        var j = i + 1
+        while (j < n && { val d = str.charAt(j); d >= '一' && d <= '鿿' }) j += 1
+        if (j - i == 1) out += UTF8String.fromString(str.substring(i, j))
+        else {
+          var k = i
+          while (k < j - 1) {
+            out += UTF8String.fromString(str.substring(k, k + 2))
+            k += 1
+          }
+        }
+        i = j
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** Session registration for the engine's SQL-surface functions. */
@@ -129,6 +179,7 @@ object GraftFunctions {
       exprs(1).eval().asInstanceOf[Number].intValue())),
     "sorted_distinct_i64" -> (exprs => SortedDistinctLongs(exprs.head)),
     "tokenize_array" -> (exprs => TokenizeArray(exprs.head)),
+    "tokenize_array_cjk" -> (exprs => TokenizeArrayCjk(exprs.head)),
     "lower_root" -> (exprs => LowerRoot(exprs.head)))
 
   def register(spark: SparkSession): Unit =

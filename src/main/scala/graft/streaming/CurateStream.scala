@@ -119,12 +119,12 @@ object CurateStream {
           if (redactPii) TextAnalysis.redactPii(extracted)
             .select(col("doc_id"), col("redacted").as("text"))
           else extracted
-        // cjk: bind the mixed-script tokenization before the persist
-        // (one compositional-tokenizer pass per batch; coalesce mirrors
-        // tokensFused's empty-array-on-NULL contract)
+        // cjk: bind the mixed-script tokenization before the persist —
+        // through the FUSED kernel (one codegen'd scan per batch, null
+        // text → empty array; Curate.runDocs' cjk binding is identical)
         val b = keep(
-          if (cjk) scrubbed.withColumn("toks", graft.functions.TextFunctions
-            .tokens(coalesce(col("text"), lit("")), cjk = true))
+          if (cjk) scrubbed.withColumn("toks",
+            graft.functions.TextFunctions.tokensFusedCjk(col("text")))
           else scrubbed)
         // NULL-text sentinel: fingerprint(NULL) is NULL, and the registry
         // equi-join below is null-UNSAFE — without the sentinel a null-text

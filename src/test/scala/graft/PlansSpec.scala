@@ -311,6 +311,20 @@ class PlansSpec extends AnyFunSuite {
       array((0 until 8).map(s =>
         TextFunctions.minhashSigFromHashes(col("h"), s)): _*).as("comp"))
     assert(mhPairs.filter(not(col("fused") <=> col("comp"))).count() === 0)
+    // tokenize_array_cjk == tokens(text, cjk = true) on the corpus PLUS
+    // the u2 mixed-script fixture shapes (script boundaries with no
+    // whitespace, isolated ideograph, CJK-digit-CJK, NULL, empty) — the
+    // fused kernel feeding the curation cjk mode must be bit-identical
+    // to the pinned compositional semantics
+    val cjkFixture = Seq(
+      Some("Spark入门指南 v2.0"), Some("大数据 processing 引擎"),
+      Some("流处理"), Some("云"), Some("hello world"), Some("价格:100元"),
+      None, Some(""), Some("深度学习模型"), Some("spark引擎fast"),
+      Some("我们可以一起去，没有什么问题。")).toDF("text")
+    val cjkPairs = docs.select(col("text")).unionByName(cjkFixture).select(
+      TextFunctions.tokensFusedCjk(col("text")).as("fused"),
+      TextFunctions.tokens(coalesce(col("text"), lit("")), cjk = true).as("comp"))
+    assert(cjkPairs.filter(not(col("fused") <=> col("comp"))).count() === 0)
     // sorted_distinct_i64 rejects NULL elements loudly
     def mentions(t: Throwable): Boolean = t != null &&
       (Option(t.getMessage).exists(_.contains("NULL element")) || mentions(t.getCause))
