@@ -135,6 +135,18 @@ object TextFunctions {
   def tokensFusedCjk(text: Column): Column =
     org.apache.spark.sql.functions.call_function("tokenize_array_cjk", text)
 
+  /** Occurrence count of tokens in a pinned word set — the fused form of
+    * `size(filter(toks, t => array_contains(lit, t)))` (plans.CountInSet;
+    * the interpreted lambda re-evaluated the literal array PER TOKEN). */
+  def countInSet(toks: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.functions.call_function("count_in_set", toks,
+      org.apache.spark.sql.functions.typedLit(words))
+
+  /** Σ ceil(numChars/4) per token — the fused BPE-ish subword estimate
+    * (plans.SubwordEst; replaces the interpreted aggregate() fold). */
+  def subwordEstimate(toks: Column): Column =
+    org.apache.spark.sql.functions.call_function("subword_est", toks)
+
   /** Fused per-position word-shingle hash array:
     * `shingleHash32(toks, n)[i] == hash32(concat_ws(" ", toks[i..i+n-1]))`
     * with ZERO intermediate shingle strings (token bytes stream straight

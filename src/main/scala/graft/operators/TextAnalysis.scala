@@ -130,8 +130,11 @@ object TextAnalysis {
     val stopwords = lexicons.flatMap(_._2).distinct.sorted
     val nTok = size(col("toks")).cast("double")
     val ttr = size(array_distinct(col("toks"))).cast("double") / nTok
-    val stopRate = size(filter(col("toks"),
-      t => array_contains(array(stopwords.map(lit): _*), t))).cast("double") / nTok
+    // fused count_in_set: the former size(filter(...)) lambda evaluated
+    // interpreted and re-built the stopword literal array PER TOKEN —
+    // this is the quality gate every curated corpus pays (bit-parity
+    // with the compositional form pinned in PlansSpec)
+    val stopRate = countInSet(col("toks"), stopwords).cast("double") / nTok
     val lenSat = least(lit(1.0), nTok / lit(100.0))
     // ratios stay UNROUNDED: both engines compute them bit-identically,
     // while round() ties diverge (Spark rounds the shortest decimal repr
@@ -148,13 +151,15 @@ object TextAnalysis {
   }
 
   /** Token statistics incl. a BPE-ish subword estimate (ceil(len/4) pieces
-    * per token — a deterministic stand-in for a real BPE vocab). */
+    * per token — a deterministic stand-in for a real BPE vocab; fused
+    * subword_est replaces the interpreted aggregate() fold that sat on
+    * the t_token_stats bench headline — PlansSpec pins bit-parity). */
   def tokenStats(docs: DataFrame): DataFrame =
     withToks(docs).select(
       col("doc_id"), col("n_chars"),
       size(col("toks")).cast("long").as("n_tokens"),
       size(array_distinct(col("toks"))).cast("long").as("n_unique"),
-      aggregate(col("toks"), lit(0L), (acc, t) => acc + ceil(length(t) / 4.0).cast("long")).as("n_subwords"))
+      subwordEstimate(col("toks")).as("n_subwords"))
 
   /** Repetition scoring (the Gopher/MassiveText repetition filters,
     * Rae et al. 2021 §A.1.1, re-expressed as column math): duplicate

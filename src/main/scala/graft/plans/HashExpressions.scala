@@ -323,6 +323,84 @@ case class TokenizeArrayCjk(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Occurrence count of array elements contained in a pinned string set —
+  * the codegen'd form of `size(filter(toks, t => array_contains(lit,
+  * t)))`, whose interpreted ArrayFilter lambda re-evaluates the literal
+  * CreateArray PER TOKEN per row (the stop-rate term of the quality
+  * score runs this over every curated corpus). The set hashes once at
+  * plan time. NULL elements count as not-in (array_contains(_, null) is
+  * null → the compositional filter drops them); NULL input → NULL. */
+case class CountInSet(child: Expression, words: Seq[String]) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"count_in_set requires ARRAY<STRING> input, got ${other.catalogString}")
+    }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressions.countInSet(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordSet", set, classOf[java.util.HashSet[_]].getName)
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashExpressions.countInSet($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
+    copy(child = newChild)
+}
+
+/** Σ ceil(numChars(token)/4) — the codegen'd form of the BPE-ish subword
+  * estimate `aggregate(toks, 0L, acc + ceil(length(t)/4.0))`, whose
+  * interpreted ArrayAggregate lambda sat on the t_token_stats headline.
+  * NULL element → NULL result (the compositional fold's null-absorbing
+  * addition); NULL input → NULL. */
+case class SubwordEst(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"subword_est requires ARRAY<STRING> input, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressions.subwordEst(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arr = child.genCode(ctx)
+    val boxed = ctx.freshName("subwordSum")
+    val code = code"""
+      ${arr.code}
+      boolean ${ev.isNull} = ${arr.isNull};
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        java.lang.Long $boxed = graft.plans.HashExpressions.subwordEst(${arr.value});
+        if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+      }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordEst =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
@@ -462,6 +540,34 @@ object HashExpressions {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       java.util.Arrays.copyOf(a, w))
+  }
+
+  /** Occurrence count of elements ∈ `set` (see [[CountInSet]]); NULL
+    * elements are skipped (array_contains-null parity). */
+  def countInSet(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      set: java.util.HashSet[UTF8String]): Long = {
+    val n = arr.numElements()
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Σ ceil(numChars/4) per token (see [[SubwordEst]]); a NULL element
+    * nulls the whole sum (the compositional fold's null absorption). */
+  def subwordEst(arr: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    var i = 0
+    var s = 0L
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      s += (arr.getUTF8String(i).numChars() + 3) / 4
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
   }
 
   /** First 4 md5 bytes of the UTF-8 input, big-endian unsigned. */

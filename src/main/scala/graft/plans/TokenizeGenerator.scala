@@ -180,6 +180,8 @@ object GraftFunctions {
     "sorted_distinct_i64" -> (exprs => SortedDistinctLongs(exprs.head)),
     "tokenize_array" -> (exprs => TokenizeArray(exprs.head)),
     "tokenize_array_cjk" -> (exprs => TokenizeArrayCjk(exprs.head)),
+    "count_in_set" -> (exprs => CountInSet(exprs.head, litStrings(exprs(1)))),
+    "subword_est" -> (exprs => SubwordEst(exprs.head)),
     "lower_root" -> (exprs => LowerRoot(exprs.head)))
 
   def register(spark: SparkSession): Unit =

@@ -885,14 +885,13 @@ object PipelineQueries {
       // its own NULL-outcome filter, but DuckDB's CASE WHEN p would have
       // counted them as negatives — the NULL-divergence class)
       .filter(size(col("toks")) > 0 && col("lang").isNotNull)
-      // the lexicon array is BOUND once per row (the wordShingles rule) —
-      // constructing it inside the filter lambda would re-evaluate the
-      // array literal per token (array_except can't replace the lambda:
-      // it DEDUPES its result, breaking the occurrence count)
-      .withColumn("__en", array(en.map(lit): _*))
+      // fused count_in_set (plan-time hashed word set): the former
+      // filter() lambda evaluated interpreted per token (array_except
+      // can't replace it either way: it DEDUPES, breaking the
+      // occurrence count)
       .select(col("doc_id"), (col("lang") === "en").as("p"),
-        size(filter(col("toks"),
-          t => array_contains(col("__en"), t))).cast("long").as("n_stop"),
+        graft.functions.TextFunctions.countInSet(col("toks"), en)
+          .cast("long").as("n_stop"),
         size(col("toks")).cast("long").as("n_tok"))
       .select(col("doc_id"), col("p"),
         expr("(1000000 * n_stop) div n_tok").as("score_ppm"))

@@ -311,6 +311,22 @@ class PlansSpec extends AnyFunSuite {
       array((0 until 8).map(s =>
         TextFunctions.minhashSigFromHashes(col("h"), s)): _*).as("comp"))
     assert(mhPairs.filter(not(col("fused") <=> col("comp"))).count() === 0)
+    // count_in_set == the size(filter(array_contains)) occurrence count,
+    // and subword_est == the aggregate() ceil(len/4) fold — on corpus
+    // tokens plus an empty-array row (fold init parity)
+    val words = Seq("the", "spark", "batch", "merge", "zzznotaword")
+    val tokFrames = docs.select(TextFunctions.tokensFused(col("text")).as("toks"))
+      .unionByName(Seq(Seq.empty[String]).toDF("toks"))
+    val csPairs = tokFrames.select(
+      TextFunctions.countInSet(col("toks"), words).as("fused"),
+      size(filter(col("toks"),
+        t => array_contains(typedLit(words), t))).cast("long").as("comp"))
+    assert(csPairs.filter(not(col("fused") <=> col("comp"))).count() === 0)
+    val swPairs = tokFrames.select(
+      TextFunctions.subwordEstimate(col("toks")).as("fused"),
+      aggregate(col("toks"), lit(0L),
+        (acc, t) => acc + ceil(length(t) / 4.0).cast("long")).as("comp"))
+    assert(swPairs.filter(not(col("fused") <=> col("comp"))).count() === 0)
     // tokenize_array_cjk == tokens(text, cjk = true) on the corpus PLUS
     // the u2 mixed-script fixture shapes (script boundaries with no
     // whitespace, isolated ideograph, CJK-digit-CJK, NULL, empty) — the
