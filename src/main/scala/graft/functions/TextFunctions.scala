@@ -70,6 +70,15 @@ object TextFunctions {
     * tokenizations per row; measured 15x slowdown on the documents table).
     */
   def wordShingles(toks: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("word_shingles", toks,
+      org.apache.spark.sql.functions.lit(n))
+
+  /** The pure-functions form of [[wordShingles]], kept for the
+    * bit-equality proof in PlansSpec (the hash32 rule): the fused
+    * plans.WordShingles replaces this interpreted transform+filter
+    * lambda pair across lmScore/repetition/decontamination/collocation
+    * sites. */
+  def wordShinglesCompositional(toks: Column, n: Int): Column =
     filter(
       transform(toks, (_, i) => concat_ws(" ", (0 until n).map(k => get(toks, i + k)): _*)),
       (_, i) => i <= size(toks) - n)

@@ -361,6 +361,39 @@ case class CountInSet(child: Expression, words: Seq[String]) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** Word-level n-gram shingles as STRINGS — the codegen'd form of the
+  * transform+filter lambda pair in
+  * TextFunctions.wordShinglesCompositional (interpreted per row across
+  * the lmScore / repetition / decontamination / collocation sites).
+  * Each of the max(0, sz−n+1) full windows joins its n tokens with one
+  * space via UTF8String.concatWs, which SKIPS null elements exactly
+  * like the compositional concat_ws. NULL input → NULL. Hash-only
+  * consumers use ShingleHash32 instead (no strings at all). */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_shingles requires ARRAY<STRING> input, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressions.wordShingles(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashExpressions.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** Σ ceil(numChars(token)/4) — the codegen'd form of the BPE-ish subword
   * estimate `aggregate(toks, 0L, acc + ceil(length(t)/4.0))`, whose
   * interpreted ArrayAggregate lambda sat on the t_token_stats headline.
@@ -540,6 +573,30 @@ object HashExpressions {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       java.util.Arrays.copyOf(a, w))
+  }
+
+  private val spaceSep = UTF8String.fromString(" ")
+
+  /** n-gram string shingles over full windows (see [[WordShingles]]);
+    * concatWs skips null elements, matching the compositional
+    * concat_ws. */
+  def wordShingles(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val sz = arr.numElements()
+    val m = math.max(0, sz - n + 1)
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](n)
+      var k = 0
+      while (k < n) {
+        parts(k) = if (arr.isNullAt(i + k)) null else arr.getUTF8String(i + k)
+        k += 1
+      }
+      out(i) = UTF8String.concatWs(spaceSep, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Occurrence count of elements ∈ `set` (see [[CountInSet]]); NULL

@@ -181,6 +181,8 @@ object GraftFunctions {
     "tokenize_array" -> (exprs => TokenizeArray(exprs.head)),
     "tokenize_array_cjk" -> (exprs => TokenizeArrayCjk(exprs.head)),
     "count_in_set" -> (exprs => CountInSet(exprs.head, litStrings(exprs(1)))),
+    "word_shingles" -> (exprs => WordShingles(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue())),
     "subword_est" -> (exprs => SubwordEst(exprs.head)),
     "lower_root" -> (exprs => LowerRoot(exprs.head)))
 

@@ -316,7 +316,7 @@ class PlansSpec extends AnyFunSuite {
     // tokens plus an empty-array row (fold init parity)
     val words = Seq("the", "spark", "batch", "merge", "zzznotaword")
     val tokFrames = docs.select(TextFunctions.tokensFused(col("text")).as("toks"))
-      .unionByName(Seq(Seq.empty[String]).toDF("toks"))
+      .unionByName(Seq(Seq.empty[String], Seq("a"), Seq("a", "b")).toDF("toks"))
     val csPairs = tokFrames.select(
       TextFunctions.countInSet(col("toks"), words).as("fused"),
       size(filter(col("toks"),
@@ -327,6 +327,15 @@ class PlansSpec extends AnyFunSuite {
       aggregate(col("toks"), lit(0L),
         (acc, t) => acc + ceil(length(t) / 4.0).cast("long")).as("comp"))
     assert(swPairs.filter(not(col("fused") <=> col("comp"))).count() === 0)
+    // word_shingles == the compositional transform+filter pair, at both
+    // widths the operators use, incl. the sub-width (m = 0) edges
+    val wsPairs = tokFrames.select(
+      TextFunctions.wordShingles(col("toks"), 2).as("f2"),
+      TextFunctions.wordShinglesCompositional(col("toks"), 2).as("c2"),
+      TextFunctions.wordShingles(col("toks"), 3).as("f3"),
+      TextFunctions.wordShinglesCompositional(col("toks"), 3).as("c3"))
+    assert(wsPairs.filter(
+      not(col("f2") <=> col("c2")) || not(col("f3") <=> col("c3"))).count() === 0)
     // tokenize_array_cjk == tokens(text, cjk = true) on the corpus PLUS
     // the u2 mixed-script fixture shapes (script boundaries with no
     // whitespace, isolated ideograph, CJK-digit-CJK, NULL, empty) — the
