@@ -108,10 +108,14 @@ object TextAnalysis {
       // CJK IR literature pins BIGRAMS as the dictionary-free unit — so
       // the zh arm reuses the bigram-containment lexicon, same 0..6 scale
       zhHits(col("text")).as("hzh"))
+    // fused char_trigram_set: the compositional
+    // array_distinct(transform(sequence(...), substr)) allocated one
+    // interpreted substring per char position per row (bit-parity with
+    // that form pinned in PlansSpec; `s` is ASCII by construction, the
+    // kernel's documented precondition)
     val bound = padded.select(col("doc_id"), col("hzh"),
-      when(length(col("s")) < 3, array().cast("array<string>"))
-        .otherwise(array_distinct(transform(sequence(lit(1), length(col("s")) - 2),
-          i => col("s").substr(i, lit(3))))).as("tris"))
+      org.apache.spark.sql.functions.call_function("char_trigram_set", col("s"))
+        .as("tris"))
     val hitCols = trigramProfiles.map { case (lang, tris) =>
       lang -> size(array_intersect(col("tris"), array(tris.map(lit): _*)))
     } :+ ("zh" -> (col("hzh"): Column))

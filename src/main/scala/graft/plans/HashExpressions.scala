@@ -361,6 +361,34 @@ case class CountInSet(child: Expression, words: Seq[String]) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** First-occurrence-ordered DISTINCT character trigram set — the
+  * codegen'd form of langIdNgram's
+  * `array_distinct(transform(sequence(1, len−2), i => substr(s, i, 3)))`
+  * (an interpreted lambda allocating one substring per char position per
+  * row, corpus-wide). Input is the space-padded latin-normalized string
+  * (pure ASCII by construction — the [^a-z0-9]→space strip precedes it —
+  * so char windows ≡ codepoint windows); strings shorter than 3 chars
+  * yield an empty array, matching the compositional when() guard. */
+case class CharTrigramSet(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_trigram_set requires STRING input, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressions.charTrigramSet(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashExpressions.charTrigramSet($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharTrigramSet =
+    copy(child = newChild)
+}
+
 /** Word-level n-gram shingles as STRINGS — the codegen'd form of the
   * transform+filter lambda pair in
   * TextFunctions.wordShinglesCompositional (interpreted per row across
@@ -576,6 +604,28 @@ object HashExpressions {
   }
 
   private val spaceSep = UTF8String.fromString(" ")
+
+  /** First-occurrence-ordered distinct 3-char windows (see
+    * [[CharTrigramSet]]). Codepoint-based windows via String chars —
+    * valid because the caller's normalization strips the input to
+    * ASCII-plus-space before padding. */
+  def charTrigramSet(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val n = str.length
+    if (n < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](n * 2)
+    var i = 0
+    while (i <= n - 3) {
+      seen.add(str.substring(i, i + 3))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var w = 0
+    while (it.hasNext) { out(w) = UTF8String.fromString(it.next()); w += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** n-gram string shingles over full windows (see [[WordShingles]]);
     * concatWs skips null elements, matching the compositional

@@ -184,6 +184,7 @@ object GraftFunctions {
     "word_shingles" -> (exprs => WordShingles(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue())),
     "subword_est" -> (exprs => SubwordEst(exprs.head)),
+    "char_trigram_set" -> (exprs => CharTrigramSet(exprs.head)),
     "lower_root" -> (exprs => LowerRoot(exprs.head)))
 
   def register(spark: SparkSession): Unit =

@@ -336,6 +336,18 @@ class PlansSpec extends AnyFunSuite {
       TextFunctions.wordShinglesCompositional(col("toks"), 3).as("c3"))
     assert(wsPairs.filter(
       not(col("f2") <=> col("c2")) || not(col("f3") <=> col("c3"))).count() === 0)
+    // char_trigram_set == array_distinct(transform(sequence, substr)) on
+    // the langIdNgram normalization of the corpus (+ short/empty edges)
+    val padded = docs.select(concat(lit(" "),
+        trim(regexp_replace(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+", " ")),
+        lit(" ")).as("s"))
+      .unionByName(Seq("  ", " a ", " ab ").toDF("s"))
+    val triPairs = padded.select(
+      call_function("char_trigram_set", col("s")).as("fused"),
+      when(length(col("s")) < 3, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(sequence(lit(1), length(col("s")) - 2),
+          i => col("s").substr(i, lit(3))))).as("comp"))
+    assert(triPairs.filter(not(col("fused") <=> col("comp"))).count() === 0)
     // tokenize_array_cjk == tokens(text, cjk = true) on the corpus PLUS
     // the u2 mixed-script fixture shapes (script boundaries with no
     // whitespace, isolated ideograph, CJK-digit-CJK, NULL, empty) — the
