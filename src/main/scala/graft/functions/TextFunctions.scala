@@ -138,9 +138,13 @@ object TextFunctions {
 
   /** Fused form of [[tokens]]`(text, cjk = true)` — one codegen'd linear
     * scan instead of the compositional two-regex + interpreted-HOF chain
-    * (plans.TokenizeArrayCjk; bit-parity pinned in PlansSpec). Null text
-    * yields an empty array (the tokensFused contract), so callers need
-    * no coalesce. */
+    * (plans.TokenizeArrayCjk; bit-parity pinned in PlansSpec under the
+    * same Locale.ROOT-like-default precondition as [[tokensFused]] — the
+    * compositional form's `lower()` routes non-ASCII through the JVM
+    * default locale, so tr/az JVMs can diverge on dotted/dotless I; the
+    * fused kernel is the locale-independent one). Null text yields an
+    * empty array (the tokensFused contract), so callers need no
+    * coalesce. */
   def tokensFusedCjk(text: Column): Column =
     org.apache.spark.sql.functions.call_function("tokenize_array_cjk", text)
 

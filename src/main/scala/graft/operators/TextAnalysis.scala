@@ -129,9 +129,24 @@ object TextAnalysis {
   }
 
   /** Quality score: length saturation, type-token ratio, stopword rate —
-    * the classic cheap pre-filter trio for web-scale corpora. */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val stopwords = lexicons.flatMap(_._2).distinct.sorted
+    * the classic cheap pre-filter trio for web-scale corpora.
+    *
+    * `cjk = true` (the Curate mixed-script mode, where `toks` are bound
+    * via the CJK-bigram tokenizer) extends the stop set with the
+    * [[zhLexicon]] function-word bigrams — in that mode those bigrams ARE
+    * tokens, so the containment arm langId uses is expressible as plain
+    * set membership here. Without the arm the stop-rate term is CONSTANT
+    * 0 for pure-zh docs (the latin set can never hit a CJK bigram): a zh
+    * keyword-stuffing doc and fluent zh prose were indistinguishable on
+    * it, and zh docs got the term's maximum for free while fluent latin
+    * docs pay their natural 0.3–0.5 stop rate. Measured before the fix
+    * (round 10): fluent pure-zh docs score 0.70–0.79 — they PASS the 0.55
+    * gate either way (the round-9 "under-scored / fails the gate" premise
+    * was tested and refuted; TextOpsSpec pins both facts), so this arm is
+    * a scoring-parity fix, not a gate flip. */
+  def qualityScore(docs: DataFrame, cjk: Boolean = false): DataFrame = {
+    val stopwords =
+      (lexicons.flatMap(_._2) ++ (if (cjk) zhLexicon else Nil)).distinct.sorted
     val nTok = size(col("toks")).cast("double")
     val ttr = size(array_distinct(col("toks"))).cast("double") / nTok
     // fused count_in_set: the former size(filter(...)) lambda evaluated
@@ -361,8 +376,13 @@ object TextAnalysis {
     * position array is bound to its own column before the index-filter
     * lambda references it (HOF re-inline invariant). */
   def decontaminateSpans(docs: DataFrame, benchmark: DataFrame, n: Int = 4): DataFrame = {
+    // bound-toks reuse, like contaminationGrams: a cjk-mode caller's
+    // span excision must see the same token stream its gates see
+    val docToks =
+      if (docs.columns.contains("toks")) col("toks")
+      else tokensFused(col("text"))
     val dt = Dedup.track(docs
-      .select(col("doc_id"), tokensFused(col("text")).as("toks"))
+      .select(col("doc_id"), docToks.as("toks"))
       .persist())
     val sg = Dedup.track(dt.filter(size(col("toks")) >= n)
       .select(col("doc_id"), wordShingles(col("toks"), n).as("g"))
@@ -387,11 +407,21 @@ object TextAnalysis {
   }
 
   /** Distinct n-gram arrays per doc (the shared shape of every
-    * decontamination path); docs shorter than n tokens have no gram. */
-  private def contaminationGrams(df: DataFrame, n: Int): DataFrame = df
-    .select(col("doc_id"), tokensFused(col("text")).as("toks"))
-    .filter(size(col("toks")) >= n)
-    .select(col("doc_id"), array_distinct(wordShingles(col("toks"), n)).as("g"))
+    * decontamination path); docs shorter than n tokens have no gram.
+    * REUSES a caller-bound `toks` column when present (the withToks /
+    * Dedup.shingleSets contract) — in the Curate cjk mode BOTH the corpus
+    * and the benchmark arrive with CJK-bigram toks bound, so the
+    * decontamination gate sees CJK overlap instead of two latin
+    * tokenizations that strip CJK text to zero grams on each side (the
+    * silent-no-fire defect class round 9 fixed for the n-gram near-dup
+    * policies). */
+  private def contaminationGrams(df: DataFrame, n: Int): DataFrame = {
+    val bound =
+      if (df.columns.contains("toks")) df.select(col("doc_id"), col("toks"))
+      else df.select(col("doc_id"), tokensFused(col("text")).as("toks"))
+    bound.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), array_distinct(wordShingles(col("toks"), n)).as("g"))
+  }
 
   /** Corpus vocabulary (tokenizer-training prep): the top-k terms by
     * total occurrence count, with document frequency and a dense rank —
@@ -861,10 +891,17 @@ object TextAnalysis {
   final case class LmModel(c2: DataFrame, c1: DataFrame, vrow: DataFrame)
 
   /** Train [[LmModel]] from a reference corpus — one bigram scan plus a
-    * count-table fold and a vocabulary count (see [[lmScore]]). */
+    * count-table fold and a vocabulary count (see [[lmScore]]). REUSES a
+    * caller-bound `toks` column (the withToks contract): a cjk-mode
+    * caller trains the model on the SAME tokenization its corpus is
+    * scored with — a model trained latin and served CJK shares no vocab
+    * and the gate degenerates to the +1-smoothing floor. */
   def trainLm(reference: DataFrame): LmModel = {
+    val toksOf =
+      if (reference.columns.contains("toks")) col("toks")
+      else tokensFused(col("text"))
     val refBound = Dedup.track(reference
-      .select(col("doc_id"), tokensFused(col("text")).as("toks"))
+      .select(col("doc_id"), toksOf.as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), wordShingles(col("toks"), 2).as("gs"))
       .persist()) // Generate re-inline hazard (see file scaladoc)
@@ -873,18 +910,26 @@ object TextAnalysis {
     val c1 = c2.select(substring_index(col("g"), " ", 1).as("w1"), col("c2"))
       .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vrow = reference
-      .select(explode(tokensFused(col("text"))).as("t"))
+      .select(col("doc_id"), toksOf.as("toks"))
+      .select(explode(col("toks")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     LmModel(c2, c1, vrow)
   }
 
   /** Score a corpus against a trained [[LmModel]] (see [[lmScore]] for
-    * semantics and the scale shape). */
+    * semantics and the scale shape). REUSES a caller-bound `toks` column,
+    * so the Curate cjk mode scores CJK-bigram streams against a cjk-
+    * trained model instead of silently scoring the latin tokens only
+    * (pure-CJK docs had zero bigrams and passed by the NULL-average
+    * default — the gate was inert for the very script the mode curates). */
   def scoreLm(docs: DataFrame, model: LmModel): DataFrame = {
     // explode_outer: zero-bigram docs keep one NULL-g row, so every doc
     // reaches the final aggregation without a corpus⋈corpus join-back
+    val docToks =
+      if (docs.columns.contains("toks")) col("toks")
+      else tokensFused(col("text"))
     val docBound = Dedup.track(docs
-      .select(col("doc_id"), tokensFused(col("text")).as("toks"))
+      .select(col("doc_id"), docToks.as("toks"))
       .select(col("doc_id"), wordShingles(col("toks"), 2).as("gs"))
       .persist()) // Generate re-inline hazard
     docBound.select(col("doc_id"), explode_outer(col("gs")).as("g"))

@@ -158,16 +158,24 @@ object Curate {
     *   transform exists ONLY in batch — a line can cross the threshold
     *   after earlier micro-batches already shipped, which is why
     *   [[graft.streaming.CurateStream]] deliberately has no twin flag. */
-  /** @param cjk mixed-script mode: binds `toks` = tokens(text, cjk=true)
-    *   ONCE on the persisted corpus frame, and the bound-toks reuse
-    *   contract (TextAnalysis.withToks / Dedup.shingleSets) routes that
-    *   one tokenization into quality, language, AND the near-dup shingle
-    *   build — so MinHash/Jaccard operate on CJK character bigrams
-    *   exactly as the CJK tokenizer mode pins them (u2_cjk_tokens), not
-    *   on a latin tokenization that strips CJK to nothing. Exact dedup
-    *   (md5 fingerprint) is script-agnostic either way. Opt-in: the CJK
-    *   tokenizer is the compositional HOF form (one pass over the
-    *   persisted frame), not the fused latin kernel. */
+  /** @param cjk mixed-script mode: binds `toks` ONCE on the persisted
+    *   corpus frame — through the FUSED `tokenize_array_cjk` kernel
+    *   (plans.TokenizeArrayCjk, one codegen'd linear scan; bit-parity
+    *   with the compositional tokens(text, cjk=true) pinned in
+    *   PlansSpec) — and the bound-toks reuse contract
+    *   (TextAnalysis.withToks / Dedup.shingleSets / contaminationGrams /
+    *   scoreLm) routes that one tokenization into quality, language,
+    *   decontamination, the LM gate, AND the near-dup shingle build — so
+    *   MinHash/Jaccard operate on CJK character bigrams exactly as the
+    *   CJK tokenizer mode pins them (u2_cjk_tokens), not on a latin
+    *   tokenization that strips CJK to nothing. The quality stop-rate
+    *   term gains the zhLexicon bigram arm (qualityScore cjk — the term
+    *   is otherwise constant 0 for pure-zh docs), a `benchmark` is
+    *   tokenized in the SAME mode (both sides of the contamination join
+    *   must see CJK grams), and an `lm` gate's model should be trained on
+    *   a cjk-bound reference (bind `toks` before trainLm — a latin-
+    *   trained model shares no vocab with CJK bigram streams). Exact
+    *   dedup (md5 fingerprint) is script-agnostic either way. */
   def runDocs(spark: SparkSession, documents: DataFrame, minQuality: Double = 0.55,
       nearDup: NearDupPolicy = NearDupPolicy.PairwiseDrop,
       benchmark: Option[DataFrame] = None,
@@ -207,7 +215,7 @@ object Curate {
     // a mid-pipeline failure must still close the scope and drop this
     // run's caches (releaseSince after the happy-path release is a no-op)
     try runLabeled(spark, docs, minQuality, nearDup, benchmark,
-      contaminationN, maxDup3Frac, gopher, classifier, lm, dedupMark)
+      contaminationN, maxDup3Frac, gopher, classifier, lm, dedupMark, cjk)
     catch {
       case t: Throwable =>
         Dedup.releaseSince(spark, dedupMark)
@@ -220,7 +228,7 @@ object Curate {
       nearDup: NearDupPolicy, benchmark: Option[DataFrame], contaminationN: Int,
       maxDup3Frac: Double, gopher: Option[GopherGate],
       classifier: Option[ClassifierGate], lm: Option[LmGate],
-      dedupMark: Long): (DataFrame, Stats) = {
+      dedupMark: Long, cjk: Boolean = false): (DataFrame, Stats) = {
     // 1. exact dedup: keep the min doc_id of each fingerprint group
     val keepExact = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
     val afterExact = docs.join(keepExact, "doc_id")
@@ -249,15 +257,24 @@ object Curate {
     // below catches it first. LEFT join: zero-token docs have no quality
     // row — coalesce them to quality 0 so they land in the lowQuality
     // bucket instead of silently vanishing from the accounting.
-    val quality = TextAnalysis.qualityScore(docs)
+    val quality = TextAnalysis.qualityScore(docs, cjk)
       .select(col("doc_id"), col("quality"), col("n_tokens"))
     val lang = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
 
     // optional per-doc gates, computed over the full corpus like
-    // quality/lang (precedence below decides who they actually drop)
-    val contaminated = benchmark.map(b =>
-      TextAnalysis.contaminationTable(docs, b, contaminationN)
-        .select(col("doc_id")).withColumn("__contam", lit(1)))
+    // quality/lang (precedence below decides who they actually drop).
+    // cjk: the benchmark is tokenized in the SAME mode as the corpus —
+    // both sides of the contamination gram join must see CJK bigram
+    // grams, or CJK overlap silently never fires (contaminationGrams'
+    // bound-toks contract picks the column up)
+    val contaminated = benchmark.map { b =>
+      val bb =
+        if (cjk) b.withColumn("toks",
+          graft.functions.TextFunctions.tokensFusedCjk(col("text")))
+        else b
+      TextAnalysis.contaminationTable(docs, bb, contaminationN)
+        .select(col("doc_id")).withColumn("__contam", lit(1))
+    }
     val repetition =
       if (maxDup3Frac < 1.0)
         Some(TextAnalysis.repetitionScore(docs)

@@ -80,7 +80,13 @@ object TokenizeGenerator {
     * latin path. One linear scan, no regex, no intermediate strings
     * beyond the tokens themselves. Pinned semantics (bit-parity with the
     * compositional form asserted in PlansSpec over mixed-script
-    * fixtures + the corpus):
+    * fixtures + the corpus — LOCALE PRECONDITION: this kernel lowercases
+    * with Locale.ROOT while the compositional `tokens(text, cjk=true)`
+    * rides Spark's `lower()`, whose non-ASCII path uses the JVM default
+    * locale; the pinned parity holds on ROOT-like default locales and
+    * can diverge on tr/az JVMs for dotted/dotless I in mixed-script text,
+    * exactly like the latin tokensFused — the fused form is the
+    * deterministic one, see TextFunctions.tokensFused's scaladoc):
     *   - lowercase (Locale.ROOT — the LowerRoot rule);
     *   - [a-z0-9] maximal runs → tokens, exactly like [[tokenizeToArray]];
     *   - each maximal CJK run (BMP Unified Ideographs U+4E00–U+9FFF, the

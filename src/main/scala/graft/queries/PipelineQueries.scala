@@ -15,6 +15,24 @@ object PipelineQueries {
   private val TOKS =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** DuckDB twin of the CJK-bigram tokenizer (tokensFusedCjk /
+    * tokens(text, cjk=true) — semantics pinned by the u2_cjk_tokens
+    * oracle, re-expressed as ONE list expression so it can drop into the
+    * curate oracle's `$TOKS` slot): keep [a-z0-9]+CJK, space-wrap CJK
+    * runs (no lookaround — RE2 mirrors Java), then each CJK piece of
+    * length L ≥ 2 expands to its L−1 overlapping bigrams, an isolated
+    * ideograph or latin run stays itself. On pure-latin text this is
+    * byte-identical to [[TOKS]] (the CASE wraps every piece in a
+    * singleton and flatten undoes it), so swapping it into a chain only
+    * changes rows that actually contain CJK. */
+  private val TOKS_CJK =
+    """flatten(list_transform(
+      list_filter(regexp_split_to_array(
+        regexp_replace(regexp_replace(lower(text), '[^a-z0-9一-鿿]+', ' ', 'g'), '([一-鿿]+)', ' \1 ', 'g'),
+        ' +'), x -> x <> ''),
+      p -> CASE WHEN NOT regexp_matches(p, '^[一-鿿]') OR length(p) = 1 THEN [p]
+                ELSE [substr(p, j, 2) for j in range(1, length(p))] END))"""
+
   /** Exact dedup by normalized-text fingerprint. */
   val tDedupExact: Q = Q(
     "t_dedup_exact",
@@ -1597,12 +1615,24 @@ object PipelineQueries {
           AND 5*n_alpha >= 4*n_words
           AND stop_hits >= 2),"""
 
+  /** @param toksSql the tokenizer expression interpolated into the `toks`
+    *   and `ftoks` CTEs ([[TOKS]] by default; [[TOKS_CJK]] for the cjk
+    *   entry — parametrized rather than duplicated so the ~10 CTE chains
+    *   stay ONE recomposition; the default renders byte-identical SQL to
+    *   the pre-parametrization form). The classifier/LM gate CTEs keep
+    *   the latin [[TOKS]] (no cjk entry enables them; their Spark twins
+    *   would need cjk-bound training frames first — see Curate.runDocs'
+    *   cjk @param).
+    * @param stopZh when true the quality stop set gains the zhLexicon
+    *   bigrams — the SQL twin of `qualityScore(docs, cjk = true)`. */
   private def curateStatsOracle(losersCte: String, full: Boolean = false,
       gopher: Boolean = false,
       classifier: Boolean = false, lm: Option[Double] = None,
       finalSelect: Option[String] = None, pairsCtes: String = minhashPairsCtes,
-      docsRel: String = "documents", prefixCtes: String = ""): String = {
-    val stop = TextAnalysis.lexicons.flatMap(_._2).distinct.sorted
+      docsRel: String = "documents", prefixCtes: String = "",
+      toksSql: String = TOKS, stopZh: Boolean = false): String = {
+    val stop = (TextAnalysis.lexicons.flatMap(_._2)
+        ++ (if (stopZh) TextAnalysis.zhLexicon else Nil)).distinct.sorted
       .map(w => s"'$w'").mkString("[", ",", "]")
     val lex = TextAnalysis.lexicons.map { case (lang, words) =>
       lang -> words.map(w => s"'$w'").mkString("[", ",", "]")
@@ -1613,7 +1643,7 @@ object PipelineQueries {
         FROM $docsRel),
       keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
       ae AS (SELECT d.doc_id, d.text FROM $docsRel d JOIN keep USING (doc_id)),
-      toks AS (SELECT doc_id, $TOKS AS toks FROM ae),
+      toks AS (SELECT doc_id, $toksSql AS toks FROM ae),
       $pairsCtes,
       $losersCte,
       an AS (SELECT t.doc_id, t.toks FROM toks t
@@ -1640,7 +1670,7 @@ object PipelineQueries {
             len(list_intersect(list_distinct(toks), ${lex("fr")})) AS hfr
           FROM an JOIN $docsRel d USING (doc_id))),
       ${if (full) s"""
-      ftoks AS (SELECT doc_id, $TOKS AS toks FROM $docsRel),
+      ftoks AS (SELECT doc_id, $toksSql AS toks FROM $docsRel),
       cg4 AS (SELECT doc_id,
           list_distinct([array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]) AS g
         FROM ftoks WHERE len(toks) >= 4),
@@ -1706,6 +1736,52 @@ object PipelineQueries {
     run = curateStatsRun(graft.pipeline.Curate.NearDupPolicy.PairwiseDrop),
     oracle = Some(curateStatsOracle(
       """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""")))
+
+  /** Seed rows for the cjk-mode pipeline oracle: the five pinned
+    * mixed-script langId rows ([[cjkSeedRows]]) PLUS an exact zh dup of
+    * the first (min-id keeper drops it) and a fluent-zh near-dup pair
+    * (one appended ideograph; Jaccard ≈ 0.93 on bigram 3-shingles —
+    * verified caught by the 4×2 banding, so near_dups gains a LIVE CJK
+    * pair). Ids sit above every SF's range and above the langId seeds. */
+  private val curateCjkRows: Seq[(Long, String)] =
+    cjkSeedRows.map { case (id, t, _, _) => (id, t) } ++ Seq(
+      (9000000006L, "我们可以一起去，没有什么问题。"),
+      (9000000007L, "今天天气很好我们一起去公园散步吧然后回家吃饭"),
+      (9000000008L, "今天天气很好我们一起去公园散步吧然后回家吃饭了"))
+
+  /** The full curation pipeline in cjk mode, hash-gated end to end: the
+    * real corpus plus the CJK seeds flows through Curate.runDocs(cjk =
+    * true) — ONE fused CJK-bigram tokenization bound on the persisted
+    * frame feeds MinHash shingles, quality (zh stop arm), and language —
+    * and the DuckDB side recomposes the whole chain with [[TOKS_CJK]] in
+    * the `$$TOKS` slot and the zh-extended stop set. Closes the round-9
+    * deferral: the CJK composition was spec-certified only; this is its
+    * DuckDB composition oracle. On the latin corpus rows the cjk
+    * tokenizer is byte-identical to the latin one, so the entry also
+    * proves the mode is a no-op outside CJK text. */
+  val tCurateCjk: Q = Q(
+    "t_curate_cjk",
+    run = (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(curateCjkRows.toDF("doc_id", "text"))
+      val (_, st) = graft.pipeline.Curate.runDocs(s, docs, cjk = true)
+      graft.pipeline.Curate.releaseCaches(s)
+      Seq((st.input, st.exactDups, st.nearDups, st.lowQuality, st.unknownLang,
+        st.kept, st.keptTokens))
+        .toDF("input", "exact_dups", "near_dups", "low_quality",
+          "unknown_lang", "kept", "kept_tokens")
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
+      toksSql = TOKS_CJK, stopZh = true,
+      docsRel = "cjkdocs",
+      prefixCtes = s"""cjkdocs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES ${curateCjkRows
+          .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+          .mkString(",\n                 ")}) v(doc_id, text)),""")))
 
   /** The composed pipeline under the recall-LOSSLESS near-dup policy:
     * exact n-gram Jaccard join (prefix + positional filtering) instead of
@@ -3777,7 +3853,7 @@ object PipelineQueries {
     tEvalLangidSliced, tEvalConfusion, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall, tAnnIvfPqResidualRecall,
-    tCurateStats, tCurateStatsClustered, tCurateStatsExact, tCurateContained, tCurateStatsFull,
+    tCurateStats, tCurateCjk, tCurateStatsClustered, tCurateStatsExact, tCurateContained, tCurateStatsFull,
     tCurateGopher, tCurateClassified, tCuratePacked,
     tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tTokenBudgetMix, tEvalCarve, tEvalCarveDupkeys, tMembershipIndex,
     tUpsampleMix, tSampleFixed,

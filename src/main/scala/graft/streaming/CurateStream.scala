@@ -71,10 +71,14 @@ object CurateStream {
     *   registries then hold fingerprints/bands OF THE SCRUBBED text,
     *   which is the point (two docs differing only in leaked PII are
     *   duplicates after the scrub).
-    * @param cjk mixed-script mode (Curate.runDocs' cjk): binds
-    *   `toks` = tokens(text, cjk=true) once on the persisted batch frame
-    *   so shingles/quality/language all read CJK character bigrams via
-    *   the bound-toks reuse contract. Per-doc and deterministic, so the
+    * @param cjk mixed-script mode (Curate.runDocs' cjk): binds `toks`
+    *   once on the persisted batch frame via the fused
+    *   `tokenize_array_cjk` kernel, so shingles/quality/language/
+    *   decontamination/LM scoring all read CJK character bigrams via the
+    *   bound-toks reuse contract; the quality stop-rate gains the
+    *   zhLexicon bigram arm, the `benchmark` is tokenized in the same
+    *   mode, and an `lm` model should be TRAINED on a cjk-bound reference
+    *   (Curate.runDocs' cjk contract). Per-doc and deterministic, so the
     *   mode is batching-independent; registries then hold CJK-bigram
     *   shingle hashes, matching the batch chain with the same flag. */
   def sink(docs: DataFrame, registryPath: String, outPath: String,
@@ -191,12 +195,20 @@ object CurateStream {
             val nearDropped = inBatch.union(crossLosers).distinct()
 
             // 3. per-doc gates (batching-independent), Curate's precedence
-            val quality = TextAnalysis.qualityScore(b)
+            val quality = TextAnalysis.qualityScore(b, cjk)
               .select(col("doc_id"), col("quality"), col("n_tokens"))
             val lang = TextAnalysis.langId(b).select(col("doc_id"), col("pred_lang"))
-            val contam = benchmark.map(bench =>
-              TextAnalysis.contaminationTable(b, bench, contaminationN)
-                .select(col("doc_id")).withColumn("__contam", lit(1)))
+            // cjk: tokenize the STATIC benchmark in the same mode as the
+            // batch (Curate.runLabeled's contract — both sides of the
+            // contamination gram join must see CJK bigram grams)
+            val contam = benchmark.map { bench =>
+              val bb =
+                if (cjk) bench.withColumn("toks",
+                  graft.functions.TextFunctions.tokensFusedCjk(col("text")))
+                else bench
+              TextAnalysis.contaminationTable(b, bb, contaminationN)
+                .select(col("doc_id")).withColumn("__contam", lit(1))
+            }
             val rep =
               if (maxDup3Frac < 1.0)
                 Some(TextAnalysis.repetitionScore(b)

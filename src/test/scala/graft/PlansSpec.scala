@@ -380,6 +380,75 @@ class PlansSpec extends AnyFunSuite {
     assert(mentions(e2), e2.toString)
   }
 
+  test("property: fused kernels == compositional forms on seeded random Unicode (surrogate pairs, astral CJK, CJK range edges, combining marks, NULL/empty)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // seeded generator (deterministic — a failure reproduces): strings
+    // are built from CODEPOINTS, so surrogate pairs are always well-
+    // formed; the pool deliberately stacks the hazard classes — the CJK
+    // block edges (U+4E00/U+9FFF in, U+4DFF/U+A000 out), astral CJK
+    // Ext-B (U+20000, a surrogate pair that must fall OUTSIDE the BMP
+    // range class), length-changing lowercase (U+0130 → i + combining
+    // dot), combining marks, zero-width space, emoji, and plain latin/
+    // digit/whitespace/punctuation
+    val pool: IndexedSeq[Int] = IndexedSeq(
+      'a', 'z', 'q', '0', '9', 'A', 'Z', ' ', '\t', '\n', ',', '.',
+      0x3002 /*。*/, 0xFF0C /*，*/,
+      0x4E00, 0x9FFF, 0x4DFF, 0xA000, 0x6211, 0x4EEC, 0x4E2D, 0x6587,
+      0x00E9 /*é*/, 0x0130 /*İ*/, 'I', 0x0131 /*ı*/,
+      0x0301 /*combining acute*/, 0x1F600 /*emoji*/,
+      0x20000 /*astral CJK Ext-B*/, 0x200B /*zero-width space*/)
+    val rnd = new scala.util.Random(0xC0FFEE)
+    def randString(): String = {
+      val sb = new java.lang.StringBuilder
+      (0 until rnd.nextInt(41)).foreach(_ =>
+        sb.appendCodePoint(pool(rnd.nextInt(pool.size))))
+      sb.toString
+    }
+    val rows: Seq[Option[String]] =
+      Seq(None, Some("")) ++ (0 until 400).map(_ => Some(randString()))
+    val df = rows.toDF("text").persist()
+    try {
+      // both tokenizers: fused == compositional on every random string
+      val tok = df.select(
+        TextFunctions.tokensFused(col("text")).as("fl"),
+        TextFunctions.tokens(coalesce(col("text"), lit(""))).as("cl"),
+        TextFunctions.tokensFusedCjk(col("text")).as("fc"),
+        TextFunctions.tokens(coalesce(col("text"), lit("")), cjk = true).as("cc"))
+      assert(tok.filter(not(col("fl") <=> col("cl"))).count() === 0)
+      assert(tok.filter(not(col("fc") <=> col("cc"))).count() === 0)
+      // count_in_set / word_shingles over the random CJK-mode token
+      // arrays (the contract domain: tokenizer output), mixed zh + latin
+      // probe set so both script arms of the set can hit
+      val words = Seq("我们", "什么", "a", "z", "0", "i̇", "zzznope")
+      val toks = df.select(TextFunctions.tokensFusedCjk(col("text")).as("toks"))
+      val cs = toks.select(
+        TextFunctions.countInSet(col("toks"), words).as("f"),
+        size(filter(col("toks"),
+          t => array_contains(typedLit(words), t))).cast("long").as("c"))
+      assert(cs.filter(not(col("f") <=> col("c"))).count() === 0)
+      val ws = toks.select(
+        TextFunctions.wordShingles(col("toks"), 2).as("f2"),
+        TextFunctions.wordShinglesCompositional(col("toks"), 2).as("c2"),
+        TextFunctions.wordShingles(col("toks"), 3).as("f3"),
+        TextFunctions.wordShinglesCompositional(col("toks"), 3).as("c3"))
+      assert(ws.filter(
+        not(col("f2") <=> col("c2")) || not(col("f3") <=> col("c3"))).count() === 0)
+      // char_trigram_set over its real input domain (the langIdNgram
+      // [^a-z0-9]→space normalization of the random strings — the
+      // kernel's documented ASCII precondition holds by construction)
+      val padded = df.select(concat(lit(" "),
+        trim(regexp_replace(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+", " ")),
+        lit(" ")).as("s"))
+      val tri = padded.select(
+        call_function("char_trigram_set", col("s")).as("f"),
+        when(length(col("s")) < 3, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(sequence(lit(1), length(col("s")) - 2),
+            i => col("s").substr(i, lit(3))))).as("c"))
+      assert(tri.filter(not(col("f") <=> col("c"))).count() === 0)
+    } finally { df.unpersist(blocking = false); () }
+  }
+
   test("lower_root: Locale.ROOT lowering, immune to a tr default locale; == lower() on ASCII") {
     GraftFunctions.register(spark)
     val prev = java.util.Locale.getDefault

@@ -785,6 +785,68 @@ class StreamingSpec extends AnyFunSuite {
       && gotLabels(5L)._2 === "en")
   }
 
+  test("cjk decontamination + LM gates read CJK evidence (inert in latin mode); stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tf = graft.functions.TextFunctions
+    val regPath = SparkTestSession.scratch("curatestream_cjkgates_reg")
+    val outPath = SparkTestSession.scratch("curatestream_cjkgates_out")
+    // benchmark: an eval phrase whose CJK run (7 bigram tokens → four
+    // 4-gram shingles) is embedded verbatim inside corpus doc 7
+    val bench = Seq((900L, "机器学习模型训练")).toDF("doc_id", "text")
+    val docRows: Seq[(Long, String)] = Seq(
+      (7L, "我们使用机器学习模型训练数据完成任务"), // contaminated (shares the 4-grams)
+      (9L, "我们可以一起去公园散步"), // fluent zh: every bigram pair seen in ref → kept
+      (10L, "步散园公去起一以可们我"), // garbled zh (reversed): no pair seen → lm_fluency
+      (11L, "the cat sat on the mat and the dog ran")) // latin, in-ref → kept
+    val docs = docRows.toDF("doc_id", "text")
+    // cjk-trained model (bound toks on the reference — trainLm's
+    // bound-toks contract): zh and latin phrasing both in-vocabulary.
+    // Exact integer scores at V=31: garbled ≈ 32258 (1e6 div 31 per
+    // unseen pair), fluent zh = 62500, latin ≈ 63571 — threshold 50000
+    // separates them with wide margins on both sides.
+    val ref = Seq(
+      (100L, "我们可以一起去公园散步他们说这是一个很好的办法"),
+      (101L, "the cat sat on the mat and the dog ran to the mat"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.TextAnalysis.trainLm(
+      ref.withColumn("toks", tf.tokensFusedCjk(col("text"))))
+    val gate = Some(graft.pipeline.Curate.LmGate(model, 50000.0))
+    // batch, cjk mode: both gates fire on CJK evidence
+    val (_, st) = graft.pipeline.Curate.runDocs(spark, docs,
+      minQuality = 0.0, benchmark = Some(bench), contaminationN = 4,
+      lm = gate, cjk = true)
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(st.contaminated === 1L && st.lmDropped === 1L && st.kept === 2L,
+      s"cjk gates: $st")
+    // CONTROL — latin mode, same corpus/benchmark/model: the benchmark
+    // strips to zero grams and the zh docs to zero bigrams, so BOTH gates
+    // are silently inert for the CJK rows (the defect this round fixed —
+    // doc 7 sails through, garbled doc 10 passes on a NULL average)
+    val (_, st0) = graft.pipeline.Curate.runDocs(spark, docs,
+      minQuality = 0.0, benchmark = Some(bench), contaminationN = 4,
+      lm = gate, cjk = false)
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(st0.contaminated === 0L && st0.lmDropped === 0L,
+      s"latin-mode control should be inert for CJK: $st0")
+    // streaming twin, same flags, fed across micro-batches
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurateStream.sink(
+        stream.toDF().toDF("doc_id", "text"), regPath, outPath,
+        benchmark = Some(bench), contaminationN = 4,
+        minQuality = 0.0, lm = gate, cjk = true)
+      .start()
+    docRows.sortBy(_._1).grouped(2).foreach { h =>
+      stream.addData(h); q.processAllAvailable()
+    }
+    q.stop()
+    val gotLabels = graft.streaming.CurateStream.labeledView(spark, outPath)
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotLabels === Map(7L -> "contaminated", 9L -> "kept",
+      10L -> "lm_fluency", 11L -> "kept"))
+  }
+
   test("frozen lm-bucket sink == batch lmBucketsFrozen across fold boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

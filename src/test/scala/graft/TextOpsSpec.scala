@@ -195,6 +195,72 @@ class TextOpsSpec extends AnyFunSuite {
     assert(npred(5L) === "und")
   }
 
+  test("qualityScore zh stop arm (cjk): the stop-rate term goes LIVE for zh; fluent zh passes the gate either way (round-9 'fails today' premise refuted); non-zh scoring unchanged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "我们可以一起去，没有什么问题。"), // fluent zh: 4 zhLexicon bigrams among 11 tokens
+      (2L, "数据仓库流处理引擎"), // zh with zero function-word bigrams
+      (3L, "the cat sat of the mat and it is a hat") // latin control
+    ).toDF("doc_id", "text")
+      .withColumn("toks", graft.functions.TextFunctions.tokensFusedCjk(col("text")))
+    def scores(cjk: Boolean): Map[Long, (Double, Double)] =
+      TextAnalysis.qualityScore(docs, cjk).collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(r.fieldIndex("stop_rate")),
+          r.getDouble(r.fieldIndex("quality"))))).toMap
+    val off = scores(cjk = false)
+    val on = scores(cjk = true)
+    // REFUTATION PIN (round 10): the round-9 verdict claimed fluent
+    // pure-zh docs are "under-scored" and FAIL the 0.55 gate in cjk mode.
+    // Measured, they pass comfortably BOTH without the arm (stop_rate is
+    // constant 0 → the term's maximum, quality ≈ 0.73) and with it
+    // (stop_rate ≈ 0.36 → quality ≈ 0.62): the arm is a scoring-parity
+    // fix (the term carried zero signal for zh — spam and fluent zh were
+    // indistinguishable on it), NOT a gate flip.
+    assert(off(1L)._1 === 0.0 && off(1L)._2 > 0.55,
+      s"fluent zh without the arm: ${off(1L)}")
+    assert(on(1L)._1 > 0.0 && on(1L)._2 > 0.55 && on(1L)._2 < off(1L)._2,
+      s"fluent zh with the arm: ${on(1L)}")
+    // hand-computed: 4 lexicon bigrams (我们 可以 没有 什么) of 11 tokens
+    assert(math.abs(on(1L)._1 - 4.0 / 11.0) < 1e-12)
+    // function-word-free CJK and latin docs are bit-identical under both
+    // flags (the arm only ADDS zh entries to the stop set; latin tokens
+    // can never hit them and vice versa)
+    assert(on(2L) === off(2L) && on(3L) === off(3L))
+    // and the latin doc's stop term is live in both modes (parity: a
+    // fluent doc of EITHER script now pays a nonzero stop rate under cjk)
+    assert(off(3L)._1 > 0.0)
+  }
+
+  test("scoreLm/trainLm honor bound toks: a cjk-trained model scores CJK bigram streams (latin-tokenized, the gate was inert — zero bigrams, NULL average)") {
+    import spark.implicits._
+    val tf = graft.functions.TextFunctions
+    val ref = Seq((100L, "我们可以一起去公园散步他们说这是一个很好的办法"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "我们可以一起去公园散步"), // in-domain: every bigram pair seen in ref
+      (2L, "步散园公去起一以可们我") // garbled: reversed chars, no pair seen
+    ).toDF("doc_id", "text")
+    def cjkBind(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("toks", tf.tokensFusedCjk(col("text")))
+    // latin path (no bound toks): CJK strips to zero tokens on BOTH the
+    // model and the docs — zero bigrams, NULL average, the LmGate passes
+    // everything by the insufficient-evidence default. Inert.
+    val inert = TextAnalysis.scoreLm(docs, TextAnalysis.trainLm(ref)).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("n_bigrams"))).toMap
+    Dedup.releaseCaches(spark)
+    assert(inert(1L) === 0L && inert(2L) === 0L)
+    // cjk-bound on both sides: live evidence, and the in-domain doc
+    // outscores the garbled one (seen pairs get the (c2+1) numerator)
+    val m = TextAnalysis.trainLm(cjkBind(ref))
+    val live = TextAnalysis.scoreLm(cjkBind(docs), m).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(r.fieldIndex("n_bigrams")),
+        r.getDouble(r.fieldIndex("lm_micro_avg"))))).toMap
+    Dedup.releaseCaches(spark)
+    assert(live(1L)._1 === 9L && live(2L)._1 === 9L)
+    assert(live(1L)._2 > live(2L)._2,
+      s"in-domain must outscore garbled: $live")
+  }
+
   test("lmScore: empty corpus is fine; empty reference fails LOUD (V = 0 division)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
