@@ -203,14 +203,18 @@ object Curate {
         .select(col("doc_id"), col("text"))
       case None => scrubbed
     }
-    // cjk: bind the mixed-script tokenization BEFORE the persist so it
-    // runs once, not once per consumer — through the FUSED kernel
-    // (tokensFusedCjk: one codegen'd scan, null text → empty array; the
-    // compositional chain's interpreted HOFs stay out of the corpus pass)
-    val withMode =
-      if (cjk) base.withColumn("toks",
-        graft.functions.TextFunctions.tokensFusedCjk(col("text")))
-      else base
+    // bind the tokenization BEFORE the persist so it runs once, not once
+    // per consumer — through the FUSED kernel for the mode (one codegen'd
+    // scan, null text → empty array). Latin mode binds too (round 10):
+    // the bound column is exactly what every consumer would compute
+    // (tokensFused(text) — quality, language, and the shingle build each
+    // re-ran that scan on the cached text), so the binding is a pure
+    // scan-count win: measured 6.4 s → 5.0 s end-to-end on the 50k-doc
+    // sf1 fixture (tools/CurateCjkBench, identical accounting), and at
+    // 100 TB tokenization is the dominant map-side cost of the pipeline.
+    val withMode = base.withColumn("toks",
+      if (cjk) graft.functions.TextFunctions.tokensFusedCjk(col("text"))
+      else graft.functions.TextFunctions.tokensFused(col("text")))
     val docs = withMode.persist()
     // a mid-pipeline failure must still close the scope and drop this
     // run's caches (releaseSince after the happy-path release is a no-op)

@@ -123,13 +123,14 @@ object CurateStream {
           if (redactPii) TextAnalysis.redactPii(extracted)
             .select(col("doc_id"), col("redacted").as("text"))
           else extracted
-        // cjk: bind the mixed-script tokenization before the persist —
-        // through the FUSED kernel (one codegen'd scan per batch, null
-        // text → empty array; Curate.runDocs' cjk binding is identical)
-        val b = keep(
-          if (cjk) scrubbed.withColumn("toks",
-            graft.functions.TextFunctions.tokensFusedCjk(col("text")))
-          else scrubbed)
+        // bind the mode's tokenization before the persist — through the
+        // FUSED kernel (one codegen'd scan per batch, null text → empty
+        // array). Latin batches bind too (Curate.runDocs' round-10
+        // binding is identical): every gate reuses the one bound column
+        // instead of re-tokenizing the cached batch per consumer.
+        val b = keep(scrubbed.withColumn("toks",
+          if (cjk) graft.functions.TextFunctions.tokensFusedCjk(col("text"))
+          else graft.functions.TextFunctions.tokensFused(col("text"))))
         // NULL-text sentinel: fingerprint(NULL) is NULL, and the registry
         // equi-join below is null-UNSAFE — without the sentinel a null-text
         // doc in a later batch never matches a null-fp doc in the registry,
