@@ -1551,12 +1551,17 @@ object PipelineQueries {
         GROUP BY cdb.doc_id HAVING CAST(SUM(cwts.w_micro) AS BIGINT) > 0),"""
 
   /** Bigram-LM gate CTEs: model trained on the even-doc_id half of
-    * `documents` (the t_lm_score chain), docs of `docsRel` scored;
-    * `lmkeep` holds docs at/above the threshold, `ldb` the docs WITH
-    * bigram evidence (NULL-average docs pass the gate by contract). */
-  private def lmGateCtes(minMicroAvg: Double, docsRel: String): String = s"""
+    * `trainRel` (the t_lm_score chain; `documents` by default), docs of
+    * `docsRel` scored; `lmkeep` holds docs at/above the threshold, `ldb`
+    * the docs WITH bigram evidence (NULL-average docs pass the gate by
+    * contract). `toksSql` selects the tokenizer for BOTH sides — the
+    * cjk entry trains and scores through [[TOKS_CJK]], mirroring
+    * trainLm/scoreLm's bound-toks contract (a model trained latin and
+    * served CJK shares no vocab). */
+  private def lmGateCtes(minMicroAvg: Double, docsRel: String,
+      toksSql: String = TOKS, trainRel: String = "documents"): String = s"""
       lrt AS MATERIALIZED (
-        SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id % 2 = 0),
+        SELECT doc_id, $toksSql AS toks FROM $trainRel WHERE doc_id % 2 = 0),
       lrb AS MATERIALIZED (
         SELECT unnest([toks[j] || ' ' || toks[j+1] for j in range(1, len(toks))]) AS g
         FROM lrt WHERE len(toks) >= 2),
@@ -1565,7 +1570,7 @@ object PipelineQueries {
               FROM lc2 GROUP BY 1),
       lvv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
               FROM (SELECT unnest(toks) AS tok FROM lrt) z),
-      ldt AS MATERIALIZED (SELECT doc_id, $TOKS AS toks FROM $docsRel),
+      ldt AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM $docsRel),
       ldb AS MATERIALIZED (
         SELECT doc_id,
                unnest([toks[j] || ' ' || toks[j+1] for j in range(1, len(toks))]) AS g
@@ -1615,22 +1620,26 @@ object PipelineQueries {
           AND 5*n_alpha >= 4*n_words
           AND stop_hits >= 2),"""
 
-  /** @param toksSql the tokenizer expression interpolated into the `toks`
-    *   and `ftoks` CTEs ([[TOKS]] by default; [[TOKS_CJK]] for the cjk
-    *   entry — parametrized rather than duplicated so the ~10 CTE chains
-    *   stay ONE recomposition; the default renders byte-identical SQL to
-    *   the pre-parametrization form). The classifier/LM gate CTEs keep
-    *   the latin [[TOKS]] (no cjk entry enables them; their Spark twins
-    *   would need cjk-bound training frames first — see Curate.runDocs'
-    *   cjk @param).
+  /** @param toksSql the tokenizer expression interpolated into the
+    *   `toks`/`ftoks`/LM-gate CTEs ([[TOKS]] by default; [[TOKS_CJK]]
+    *   for the cjk entries — parametrized rather than duplicated so the
+    *   ~10 CTE chains stay ONE recomposition; the default renders
+    *   byte-identical SQL to the pre-parametrization form). The
+    *   classifier CTEs keep the latin [[TOKS]] (no cjk entry enables
+    *   that gate; its Spark twin would need a cjk-bound training
+    *   recomposition first).
     * @param stopZh when true the quality stop set gains the zhLexicon
-    *   bigrams — the SQL twin of `qualityScore(docs, cjk = true)`. */
+    *   bigrams — the SQL twin of `qualityScore(docs, cjk = true)`.
+    * @param lmTrainRel the relation the LM gate trains on (even doc_ids;
+    *   `documents` by default, the seeded corpus for the cjk LM entry so
+    *   zh bigrams enter the model exactly as the Spark side trains). */
   private def curateStatsOracle(losersCte: String, full: Boolean = false,
       gopher: Boolean = false,
       classifier: Boolean = false, lm: Option[Double] = None,
       finalSelect: Option[String] = None, pairsCtes: String = minhashPairsCtes,
       docsRel: String = "documents", prefixCtes: String = "",
-      toksSql: String = TOKS, stopZh: Boolean = false): String = {
+      toksSql: String = TOKS, stopZh: Boolean = false,
+      lmTrainRel: String = "documents"): String = {
     val stop = (TextAnalysis.lexicons.flatMap(_._2)
         ++ (if (stopZh) TextAnalysis.zhLexicon else Nil)).distinct.sorted
       .map(w => s"'$w'").mkString("[", ",", "]")
@@ -1685,7 +1694,7 @@ object PipelineQueries {
         FROM ftoks WHERE len(toks) > 0),""" else ""}
       ${if (gopher) gopherCtes(docsRel) else ""}
       ${if (classifier) classifierCtes else ""}
-      ${lm.map(m => lmGateCtes(m, docsRel)).getOrElse("")}
+      ${lm.map(m => lmGateCtes(m, docsRel, toksSql, lmTrainRel)).getOrElse("")}
       scored AS (
         SELECT an.doc_id, COALESCE(q.quality, 0.0) AS quality,
                COALESCE(q.n_tokens, 0) AS n_tokens, lang.pred_lang
@@ -1747,7 +1756,30 @@ object PipelineQueries {
     cjkSeedRows.map { case (id, t, _, _) => (id, t) } ++ Seq(
       (9000000006L, "我们可以一起去，没有什么问题。"),
       (9000000007L, "今天天气很好我们一起去公园散步吧然后回家吃饭"),
-      (9000000008L, "今天天气很好我们一起去公园散步吧然后回家吃饭了"))
+      (9000000008L, "今天天气很好我们一起去公园散步吧然后回家吃饭了"),
+      // garbled zh (doc 2 reversed): ODD id so the cjk LM entry scores
+      // it against a model it never trained on — no bigram pair seen →
+      // the add-one floor, far below the 33000 gate → a LIVE zh
+      // lm_fluency drop; in the entries without the LM gate it predicts
+      // und (no lexicon bigram survives the reversal) → unknown_lang
+      (9000000009L, "法办的好很个一是这说们他"))
+
+  /** The (doc_id, text) corpus the cjk pipeline entries ingest: the real
+    * documents table plus [[curateCjkRows]]. */
+  private def curateCjkDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(curateCjkRows.toDF("doc_id", "text"))
+  }
+
+  /** The DuckDB twin of [[curateCjkDocs]] (a `cjkdocs` prefix CTE). */
+  private lazy val cjkDocsCte: String = s"""cjkdocs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES ${curateCjkRows
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(",\n                 ")}) v(doc_id, text)),"""
 
   /** The full curation pipeline in cjk mode, hash-gated end to end: the
     * real corpus plus the CJK seeds flows through Curate.runDocs(cjk =
@@ -1763,9 +1795,8 @@ object PipelineQueries {
     "t_curate_cjk",
     run = (s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        .unionByName(curateCjkRows.toDF("doc_id", "text"))
-      val (_, st) = graft.pipeline.Curate.runDocs(s, docs, cjk = true)
+      val (_, st) = graft.pipeline.Curate.runDocs(s, curateCjkDocs(s, dir),
+        cjk = true)
       graft.pipeline.Curate.releaseCaches(s)
       Seq((st.input, st.exactDups, st.nearDups, st.lowQuality, st.unknownLang,
         st.kept, st.keptTokens))
@@ -1775,13 +1806,84 @@ object PipelineQueries {
     oracle = Some(curateStatsOracle(
       """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
       toksSql = TOKS_CJK, stopZh = true,
-      docsRel = "cjkdocs",
-      prefixCtes = s"""cjkdocs AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT * FROM (VALUES ${curateCjkRows
-          .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
-          .mkString(",\n                 ")}) v(doc_id, text)),""")))
+      docsRel = "cjkdocs", prefixCtes = cjkDocsCte)))
+
+  /** Every batch gate in cjk mode in one hash: decontamination (the
+    * doc_id % 23 slice of the seeded corpus as the benchmark — seed
+    * 9000000004 lands in the slice, so a CJK doc is LIVE-contaminated by
+    * its own 4-token bigram shingles, certifying the round-10
+    * contaminationGrams bound-toks fix cross-engine) + repetition +
+    * quality (zh stop arm) + language, recomposed over [[TOKS_CJK]] with
+    * Curate's exact precedence. The t_curate_stats_full twin for the
+    * mixed-script mode. */
+  val tCurateCjkFull: Q = Q(
+    "t_curate_cjk_full",
+    run = (s, dir) => {
+      import s.implicits._
+      val docs = curateCjkDocs(s, dir)
+      val (_, st) = graft.pipeline.Curate.runDocs(s, docs,
+        benchmark = Some(docs.filter(col("doc_id") % 23 === 0)),
+        contaminationN = 4, maxDup3Frac = 0.02, cjk = true)
+      graft.pipeline.Curate.releaseCaches(s)
+      Seq((st.input, st.exactDups, st.nearDups, st.contaminated, st.repetitive,
+        st.lowQuality, st.unknownLang, st.kept, st.keptTokens))
+        .toDF("input", "exact_dups", "near_dups", "contaminated", "repetitive",
+          "low_quality", "unknown_lang", "kept", "kept_tokens")
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
+      full = true, toksSql = TOKS_CJK, stopZh = true,
+      docsRel = "cjkdocs", prefixCtes = cjkDocsCte)))
+
+  /** The LM fluency gate in cjk mode in one hash: the bigram model
+    * trains on the even-doc_id half of the SEEDED corpus through the
+    * CJK tokenizer on both engines (seeds 02/04/06/08 put zh bigram
+    * pairs into the model — trainLm's bound-toks contract recomposed),
+    * and the garbled-zh seed 9000000009 (odd → scored, never trained)
+    * drops as lm_fluency on live CJK evidence while the fluent-zh seed
+    * 9000000001 (odd, but its exact dup 06 trained) is scored IN-model
+    * and keeps. Threshold 20000, NOT t_curate_lm's 33000: the synthetic
+    * corpus has only ~31 distinct latin tokens, so 33000 hugs its V=31
+    * add-one floor (1e6/31 = 32258) — seeding ~45 zh token types
+    * doubles V and deflates every add-one score, and fluent in-model zh
+    * floors near (1+1)·10^6/(2+V) ≈ 25.6k; 20000 sits between that and
+    * the unseen floor 10^6/V ≈ 13.2k with ≥25% margin on both sides,
+    * and both floors are V-anchored so the margins hold at every SF
+    * (the seeds don't replicate with the corpus). Certifies the
+    * round-10 scoreLm/trainLm bound-toks fix cross-engine, composed
+    * inside the full pipeline. */
+  val tCurateCjkLm: Q = Q(
+    "t_curate_cjk_lm",
+    run = (s, dir) => {
+      import s.implicits._
+      val docs = curateCjkDocs(s, dir)
+      val model = TextAnalysis.trainLm(docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("toks", graft.functions.TextFunctions.tokensFusedCjk(col("text"))))
+      val (_, st) = graft.pipeline.Curate.runDocs(s, docs,
+        lm = Some(graft.pipeline.Curate.LmGate(model, 20000.0)), cjk = true)
+      graft.pipeline.Curate.releaseCaches(s)
+      Seq((st.input, st.exactDups, st.nearDups, st.lmDropped, st.lowQuality,
+        st.unknownLang, st.kept, st.keptTokens))
+        .toDF("input", "exact_dups", "near_dups", "lm_dropped", "low_quality",
+          "unknown_lang", "kept", "kept_tokens")
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
+      lm = Some(20000.0), toksSql = TOKS_CJK, stopZh = true,
+      docsRel = "cjkdocs", prefixCtes = cjkDocsCte, lmTrainRel = "cjkdocs",
+      finalSelect = Some("""
+      SELECT
+        (SELECT COUNT(*) FROM cjkdocs) AS input,
+        (SELECT COUNT(*) FROM cjkdocs) - (SELECT COUNT(*) FROM ae) AS exact_dups,
+        (SELECT COUNT(*) FROM losers) AS near_dups,
+        (SELECT COUNT(*) FROM scored WHERE NOT lm_ok) AS lm_dropped,
+        (SELECT COUNT(*) FROM scored WHERE lm_ok AND quality < 0.55) AS low_quality,
+        (SELECT COUNT(*) FROM scored
+         WHERE lm_ok AND quality >= 0.55 AND pred_lang = 'und') AS unknown_lang,
+        (SELECT COUNT(*) FROM scored
+         WHERE lm_ok AND quality >= 0.55 AND pred_lang <> 'und') AS kept,
+        (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM scored
+         WHERE lm_ok AND quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens"""))))
 
   /** The composed pipeline under the recall-LOSSLESS near-dup policy:
     * exact n-gram Jaccard join (prefix + positional filtering) instead of
@@ -3853,7 +3955,7 @@ object PipelineQueries {
     tEvalLangidSliced, tEvalConfusion, tQualityScore, tTokenStats,
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall, tAnnIvfPqResidualRecall,
-    tCurateStats, tCurateCjk, tCurateStatsClustered, tCurateStatsExact, tCurateContained, tCurateStatsFull,
+    tCurateStats, tCurateCjk, tCurateCjkFull, tCurateCjkLm, tCurateStatsClustered, tCurateStatsExact, tCurateContained, tCurateStatsFull,
     tCurateGopher, tCurateClassified, tCuratePacked,
     tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tTokenBudgetMix, tEvalCarve, tEvalCarveDupkeys, tMembershipIndex,
     tUpsampleMix, tSampleFixed,

@@ -446,6 +446,41 @@ class PlansSpec extends AnyFunSuite {
           .otherwise(array_distinct(transform(sequence(lit(1), length(col("s")) - 2),
             i => col("s").substr(i, lit(3))))).as("c"))
       assert(tri.filter(not(col("f") <=> col("c"))).count() === 0)
+      // the hash/shingle/minhash kernel family on the same random domain
+      // (tokens of random Unicode; hashes derived from them)
+      val h = df.select(
+        TextFunctions.hash32(col("text")).as("f"),
+        TextFunctions.hash32Compositional(col("text")).as("c"))
+      assert(h.filter(not(col("f") <=> col("c"))).count() === 0)
+      val sh = toks.select(col("toks"),
+        TextFunctions.shingleHash32(col("toks"), 3).as("f"),
+        transform(TextFunctions.wordShinglesCompositional(col("toks"), 3),
+          g => TextFunctions.hash32Compositional(g)).as("c"))
+      assert(sh.filter(not(col("f") <=> col("c"))).count() === 0)
+      val hashes = toks
+        .select(TextFunctions.shingleHash32(col("toks"), 2).as("hs"))
+      val sd = hashes.select(
+        TextFunctions.sortedDistinct(col("hs")).as("sf"),
+        array_sort(array_distinct(col("hs"))).as("sc"),
+        TextFunctions.minhashSigsFused(col("hs"), 8).as("mf"),
+        array((0 until 8).map(s =>
+          TextFunctions.minhashSigFromHashes(col("hs"), s)): _*).as("mc"))
+      assert(sd.filter(
+        not(col("sf") <=> col("sc")) || not(col("mf") <=> col("mc"))).count() === 0)
+      val sw = toks.select(
+        TextFunctions.subwordEstimate(col("toks")).as("f"),
+        aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + ceil(length(t) / 4.0).cast("long")).as("c"))
+      assert(sw.filter(not(col("f") <=> col("c"))).count() === 0)
+      // nfc_normalize vs java.text.Normalizer on the random strings (the
+      // combining-mark pool entries compose here: e.g. e + U+0301 → é)
+      val nfcExpected = udf((s: String) =>
+        if (s == null) null
+        else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+      val nfc = df.select(
+        TextFunctions.nfcNormalize(col("text")).as("f"),
+        nfcExpected(col("text")).as("c"))
+      assert(nfc.filter(not(col("f") <=> col("c"))).count() === 0)
     } finally { df.unpersist(blocking = false); () }
   }
 
