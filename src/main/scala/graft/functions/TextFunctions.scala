@@ -148,6 +148,14 @@ object TextFunctions {
   def tokensFusedCjk(text: Column): Column =
     org.apache.spark.sql.functions.call_function("tokenize_array_cjk", text)
 
+  /** Mode-dispatched fused tokenizer — the ONE place the curation mode
+    * flag maps to a kernel (mirrors [[tokens]]`(text, cjk)`). Every
+    * Curate/CurateStream binding site (corpus AND benchmark) goes
+    * through this, so the corpus and benchmark token spaces cannot
+    * drift apart by a missed call-site edit. */
+  def tokensFused(text: Column, cjk: Boolean): Column =
+    if (cjk) tokensFusedCjk(text) else tokensFused(text)
+
   /** Occurrence count of tokens in a pinned word set — the fused form of
     * `size(filter(toks, t => array_contains(lit, t)))` (plans.CountInSet;
     * the interpreted lambda re-evaluated the literal array PER TOKEN). */

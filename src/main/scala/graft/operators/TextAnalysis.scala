@@ -66,6 +66,16 @@ object TextAnalysis {
   private def hits(toks: Column, words: Seq[String]): Column =
     size(array_intersect(array_distinct(toks), array(words.map(lit): _*)))
 
+  /** The bound-toks reuse contract as ONE expression helper (the column
+    * form of [[withToks]], shared by contaminationGrams/trainLm/scoreLm
+    * — Dedup.boundToks is the same contract on the dedup side): reuse a
+    * caller-bound `toks` column when present, else tokenize latin-fused.
+    * Any future change to the contract (type validation, a mode tag)
+    * lands here once instead of per consumer. */
+  private def boundToksCol(df: DataFrame): Column =
+    if (df.columns.contains("toks")) col("toks")
+    else tokensFused(col("text"))
+
   /** Predict language from stopword hits plus CJK-bigram evidence
     * ([[zhLexicon]] containment — the zh arm latin tokenization can never
     * reach, since the tokenizer strips CJK); ties broken alphabetically
@@ -376,13 +386,16 @@ object TextAnalysis {
     * position array is bound to its own column before the index-filter
     * lambda references it (HOF re-inline invariant). */
   def decontaminateSpans(docs: DataFrame, benchmark: DataFrame, n: Int = 4): DataFrame = {
-    // bound-toks reuse, like contaminationGrams: a cjk-mode caller's
-    // span excision must see the same token stream its gates see
-    val docToks =
-      if (docs.columns.contains("toks")) col("toks")
-      else tokensFused(col("text"))
+    // deliberately NOT bound-toks (the one decontamination path that
+    // re-tokenizes): the rebuild below is concat_ws over the KEPT
+    // tokens, which is only text-faithful for a NON-OVERLAPPING
+    // tokenization — rebuilding from CJK character bigrams would emit
+    // every interior ideograph twice with spaces mid-word ("今天天气" →
+    // "今天 天天 天气"). Span excision therefore stays a latin-token op;
+    // the cjk decontamination path is the doc-level gate
+    // (contaminationTable / the Bloom form), which honors bound toks.
     val dt = Dedup.track(docs
-      .select(col("doc_id"), docToks.as("toks"))
+      .select(col("doc_id"), tokensFused(col("text")).as("toks"))
       .persist())
     val sg = Dedup.track(dt.filter(size(col("toks")) >= n)
       .select(col("doc_id"), wordShingles(col("toks"), n).as("g"))
@@ -415,13 +428,10 @@ object TextAnalysis {
     * tokenizations that strip CJK text to zero grams on each side (the
     * silent-no-fire defect class round 9 fixed for the n-gram near-dup
     * policies). */
-  private def contaminationGrams(df: DataFrame, n: Int): DataFrame = {
-    val bound =
-      if (df.columns.contains("toks")) df.select(col("doc_id"), col("toks"))
-      else df.select(col("doc_id"), tokensFused(col("text")).as("toks"))
-    bound.filter(size(col("toks")) >= n)
-      .select(col("doc_id"), array_distinct(wordShingles(col("toks"), n)).as("g"))
-  }
+  private def contaminationGrams(df: DataFrame, n: Int): DataFrame = df
+    .select(col("doc_id"), boundToksCol(df).as("toks"))
+    .filter(size(col("toks")) >= n)
+    .select(col("doc_id"), array_distinct(wordShingles(col("toks"), n)).as("g"))
 
   /** Corpus vocabulary (tokenizer-training prep): the top-k terms by
     * total occurrence count, with document frequency and a dense rank —
@@ -888,7 +898,14 @@ object TextAnalysis {
     * STATIC once trained — train once, score any number of frames or
     * micro-batches against the same model (the streaming-twin contract:
     * per-doc scoring against fixed tables is batching-independent). */
-  final case class LmModel(c2: DataFrame, c1: DataFrame, vrow: DataFrame)
+  /** @param boundToks whether the training reference carried a bound
+    *   `toks` column (the cjk-training contract) — recorded so
+    *   mode-aware callers (Curate/CurateStream cjk) can REFUSE a
+    *   latin-trained model at construction instead of silently scoring
+    *   every CJK bigram at the +1-smoothing floor and dropping the
+    *   whole zh corpus as lm_fluency. */
+  final case class LmModel(c2: DataFrame, c1: DataFrame, vrow: DataFrame,
+      boundToks: Boolean = false)
 
   /** Train [[LmModel]] from a reference corpus — one bigram scan plus a
     * count-table fold and a vocabulary count (see [[lmScore]]). REUSES a
@@ -897,9 +914,7 @@ object TextAnalysis {
     * scored with — a model trained latin and served CJK shares no vocab
     * and the gate degenerates to the +1-smoothing floor. */
   def trainLm(reference: DataFrame): LmModel = {
-    val toksOf =
-      if (reference.columns.contains("toks")) col("toks")
-      else tokensFused(col("text"))
+    val toksOf = boundToksCol(reference)
     val refBound = Dedup.track(reference
       .select(col("doc_id"), toksOf.as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -913,7 +928,7 @@ object TextAnalysis {
       .select(col("doc_id"), toksOf.as("toks"))
       .select(explode(col("toks")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    LmModel(c2, c1, vrow)
+    LmModel(c2, c1, vrow, reference.columns.contains("toks"))
   }
 
   /** Score a corpus against a trained [[LmModel]] (see [[lmScore]] for
@@ -925,11 +940,8 @@ object TextAnalysis {
   def scoreLm(docs: DataFrame, model: LmModel): DataFrame = {
     // explode_outer: zero-bigram docs keep one NULL-g row, so every doc
     // reaches the final aggregation without a corpus⋈corpus join-back
-    val docToks =
-      if (docs.columns.contains("toks")) col("toks")
-      else tokensFused(col("text"))
     val docBound = Dedup.track(docs
-      .select(col("doc_id"), docToks.as("toks"))
+      .select(col("doc_id"), boundToksCol(docs).as("toks"))
       .select(col("doc_id"), wordShingles(col("toks"), 2).as("gs"))
       .persist()) // Generate re-inline hazard
     docBound.select(col("doc_id"), explode_outer(col("gs")).as("g"))

@@ -187,6 +187,13 @@ object Curate {
       redactPii: Boolean = false,
       stripLineFreq: Option[Int] = None,
       cjk: Boolean = false): (DataFrame, Stats) = {
+    // refuse a latin-trained LM model in cjk mode BEFORE any work: a
+    // model sharing no vocab with CJK bigram streams scores every pair
+    // at the +1-smoothing floor and silently drops the whole zh corpus
+    // as lm_fluency — the failure must be loud, not a curation wipeout
+    require(!cjk || lm.forall(_.model.boundToks),
+      "cjk mode requires an LmModel trained on a cjk-bound reference " +
+        "(bind toks = tokensFusedCjk(text) on the reference before trainLm)")
     val dedupMark = Dedup.trackMark(spark)
     // extraction precedes scrubbing: markup must be gone before PII
     // patterns, line identity, or any fingerprint sees the text
@@ -209,12 +216,12 @@ object Curate {
     // the bound column is exactly what every consumer would compute
     // (tokensFused(text) — quality, language, and the shingle build each
     // re-ran that scan on the cached text), so the binding is a pure
-    // scan-count win: measured 6.4 s → 5.0 s end-to-end on the 50k-doc
-    // sf1 fixture (tools/CurateCjkBench, identical accounting), and at
-    // 100 TB tokenization is the dominant map-side cost of the pipeline.
+    // scan-count win: settled sf1 wall 5.6–5.9 → 4.0–4.3 s (−25–30%;
+    // tools/CurateCjkBench A/B, SCALE.md §Round-10, identical
+    // accounting). At 100 TB tokenization is the dominant map-side cost
+    // of the pipeline.
     val withMode = base.withColumn("toks",
-      if (cjk) graft.functions.TextFunctions.tokensFusedCjk(col("text"))
-      else graft.functions.TextFunctions.tokensFused(col("text")))
+      graft.functions.TextFunctions.tokensFused(col("text"), cjk))
     val docs = withMode.persist()
     // a mid-pipeline failure must still close the scope and drop this
     // run's caches (releaseSince after the happy-path release is a no-op)
@@ -267,15 +274,16 @@ object Curate {
 
     // optional per-doc gates, computed over the full corpus like
     // quality/lang (precedence below decides who they actually drop).
-    // cjk: the benchmark is tokenized in the SAME mode as the corpus —
-    // both sides of the contamination gram join must see CJK bigram
-    // grams, or CJK overlap silently never fires (contaminationGrams'
-    // bound-toks contract picks the column up)
+    // The benchmark is tokenized in the SAME mode as the corpus IN BOTH
+    // MODES (one mode-dispatched binding, tokensFused(text, cjk)): both
+    // sides of the contamination gram join must live in one token
+    // space, or overlap silently never fires — and binding only under
+    // cjk would still honor a stray caller-bound `toks` of a DIFFERENT
+    // tokenization on the latin path (contaminationGrams' bound-toks
+    // contract reads whatever column is there).
     val contaminated = benchmark.map { b =>
-      val bb =
-        if (cjk) b.withColumn("toks",
-          graft.functions.TextFunctions.tokensFusedCjk(col("text")))
-        else b
+      val bb = b.withColumn("toks",
+        graft.functions.TextFunctions.tokensFused(col("text"), cjk))
       TextAnalysis.contaminationTable(docs, bb, contaminationN)
         .select(col("doc_id")).withColumn("__contam", lit(1))
     }

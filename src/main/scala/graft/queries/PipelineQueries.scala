@@ -1759,9 +1759,10 @@ object PipelineQueries {
       (9000000008L, "今天天气很好我们一起去公园散步吧然后回家吃饭了"),
       // garbled zh (doc 2 reversed): ODD id so the cjk LM entry scores
       // it against a model it never trained on — no bigram pair seen →
-      // the add-one floor, far below the 33000 gate → a LIVE zh
-      // lm_fluency drop; in the entries without the LM gate it predicts
-      // und (no lexicon bigram survives the reversal) → unknown_lang
+      // the add-one floor ≈ 10^6/V, far below that entry's V-anchored
+      // threshold (see tCurateCjkLm's scaladoc) → a LIVE zh lm_fluency
+      // drop; in the entries without the LM gate it predicts und (no
+      // lexicon bigram survives the reversal) → unknown_lang
       (9000000009L, "法办的好很个一是这说们他"))
 
   /** The (doc_id, text) corpus the cjk pipeline entries ingest: the real

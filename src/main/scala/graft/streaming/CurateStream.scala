@@ -91,7 +91,12 @@ object CurateStream {
       redactPii: Boolean = false,
       cjk: Boolean = false,
       numSigs: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
-      maxBucket: Int = 1000, compactEvery: Int = 16): DataStreamWriter[Row] =
+      maxBucket: Int = 1000, compactEvery: Int = 16): DataStreamWriter[Row] = {
+    // same loud refusal as Curate.runDocs: a latin-trained LM model in
+    // cjk mode would silently drop every zh doc at the smoothing floor
+    require(!cjk || lm.forall(_.model.boundToks),
+      "cjk mode requires an LmModel trained on a cjk-bound reference " +
+        "(bind toks = tokensFusedCjk(text) on the reference before trainLm)")
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -129,8 +134,7 @@ object CurateStream {
         // binding is identical): every gate reuses the one bound column
         // instead of re-tokenizing the cached batch per consumer.
         val b = keep(scrubbed.withColumn("toks",
-          if (cjk) graft.functions.TextFunctions.tokensFusedCjk(col("text"))
-          else graft.functions.TextFunctions.tokensFused(col("text"))))
+          graft.functions.TextFunctions.tokensFused(col("text"), cjk)))
         // NULL-text sentinel: fingerprint(NULL) is NULL, and the registry
         // equi-join below is null-UNSAFE — without the sentinel a null-text
         // doc in a later batch never matches a null-fp doc in the registry,
@@ -199,14 +203,14 @@ object CurateStream {
             val quality = TextAnalysis.qualityScore(b, cjk)
               .select(col("doc_id"), col("quality"), col("n_tokens"))
             val lang = TextAnalysis.langId(b).select(col("doc_id"), col("pred_lang"))
-            // cjk: tokenize the STATIC benchmark in the same mode as the
-            // batch (Curate.runLabeled's contract — both sides of the
-            // contamination gram join must see CJK bigram grams)
+            // tokenize the STATIC benchmark in the same mode as the
+            // batch, in BOTH modes (Curate.runLabeled's contract — both
+            // sides of the contamination gram join must live in one
+            // token space; binding only under cjk would honor a stray
+            // differently-tokenized `toks` column on the latin path)
             val contam = benchmark.map { bench =>
-              val bb =
-                if (cjk) bench.withColumn("toks",
-                  graft.functions.TextFunctions.tokensFusedCjk(col("text")))
-                else bench
+              val bb = bench.withColumn("toks",
+                graft.functions.TextFunctions.tokensFused(col("text"), cjk))
               TextAnalysis.contaminationTable(b, bb, contaminationN)
                 .select(col("doc_id")).withColumn("__contam", lit(1))
             }
@@ -282,6 +286,7 @@ object CurateStream {
           ()
         }
       }
+  }
 
   /** Every label the sink has emitted so far — the streaming accounting
     * surface (union of batch accountings). Serves the compacted snapshot

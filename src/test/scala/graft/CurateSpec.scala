@@ -260,4 +260,35 @@ class CurateSpec extends AnyFunSuite {
     assert(stA === stB)
     assert(rowsA === rowsB)
   }
+
+  test("cjk mode refuses a latin-trained LM model LOUDLY (batch and stream)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val T = graft.operators.TextAnalysis
+    val docs = Seq((1L, "我们可以一起去")).toDF("doc_id", "text")
+    val ref = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    // a latin-trained model in cjk mode would score every CJK bigram at
+    // the +1-smoothing floor and silently wipe the zh corpus — the guard
+    // must fire BEFORE any work, on both the batch and streaming entry
+    val latinModel = T.trainLm(ref)
+    val gate = Some(Curate.LmGate(latinModel, 33000.0))
+    val e = intercept[IllegalArgumentException] {
+      Curate.runDocs(spark, docs, lm = gate, cjk = true)
+    }
+    assert(e.getMessage.contains("cjk-bound reference"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.CurateStream.sink(docs, "/tmp/never", "/tmp/never",
+        lm = gate, cjk = true)
+    }
+    assert(e2.getMessage.contains("cjk-bound reference"))
+    Curate.releaseCaches(spark)
+    // and a cjk-bound model passes the guard (trainLm records the mode)
+    val cjkModel = T.trainLm(ref.withColumn("toks",
+      graft.functions.TextFunctions.tokensFusedCjk(col("text"))))
+    assert(cjkModel.boundToks)
+    val (_, st) = Curate.runDocs(spark, docs, minQuality = 0.0,
+      lm = Some(Curate.LmGate(cjkModel, 0.0)), cjk = true)
+    Curate.releaseCaches(spark)
+    assert(st.input === 1L)
+  }
 }
