@@ -53,18 +53,30 @@ object Classify {
       floor(wd * lit(1e6) + lit(0.5)).cast("long").as("w_micro"))
   }
 
-  /** `pre` must carry the `carry` columns plus `text`. */
+  /** The bound-toks reuse contract on the classifier side (the
+    * TextAnalysis.boundToksCol twin): reuse a caller-bound `toks` column
+    * when present — so the Curate cjk mode's classifier gate scores CJK
+    * bigram tokens instead of re-tokenizing latin from text (pure-CJK
+    * docs got 0 tokens, score 0, pred=false — the gate silently dropped
+    * the whole zh corpus) — else tokenize latin-fused. */
+  private def boundToks(df: DataFrame): Column =
+    if (df.columns.contains("toks")) col("toks")
+    else tokensFused(col("text"))
+
+  /** `pre` must carry the `carry` columns plus `text` (and optionally a
+    * bound `toks`). */
   private def unigramBuckets(pre: DataFrame, carry: Seq[String], buckets: Int): DataFrame =
     pre.select(carry.map(col) :+
-        explode(tokensFused(col("text"))).as("tok"): _*)
+        explode(boundToks(pre)).as("tok"): _*)
       .withColumn("bucket",
         pmod(hash32(concat(lit("qc:"), col("tok"))), lit(buckets.toLong)))
       .drop("tok")
 
-  /** `pre` must carry the `carry` columns plus `text`. The token array is
-    * bound before the zip_with lambda (HOF re-inline invariant). */
+  /** `pre` must carry the `carry` columns plus `text` (and optionally a
+    * bound `toks`). The token array is bound before the zip_with lambda
+    * (HOF re-inline invariant). */
   private def bigramBuckets(pre: DataFrame, carry: Seq[String], buckets: Int): DataFrame =
-    pre.select(carry.map(col) :+ tokensFused(col("text")).as("toks"): _*)
+    pre.select(carry.map(col) :+ boundToks(pre).as("toks"): _*)
       // greatest(…, 0): a zero-token doc would pass length −1 to slice,
       // which THROWS — empty/null text must contribute no bigrams, not
       // fail the job
@@ -78,22 +90,30 @@ object Classify {
 
   /** Train the unigram quality classifier on a labeled frame: hashed
     * token occurrences counted per class, weights per [[microWeights]].
-    * Returns all `buckets` rows (bucket, w_micro) — broadcastable. */
+    * Returns all `buckets` rows (bucket, w_micro) — broadcastable. The
+    * training frame's tokenization mode (graft.functions.TokMode.of —
+    * "latin" for an unbound frame, the tag for a TokMode.bind-bound one)
+    * is stamped on the `w_micro` column, so mode-checked gates
+    * (Curate/CurateStream) can refuse a weight table trained in the
+    * wrong token space instead of silently scoring a disjoint vocab. */
   def trainTokenWeights(train: DataFrame, label: Column,
                         buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    val mode = graft.functions.TokMode.of(train)
+    val toksCols = if (train.columns.contains("toks")) Seq(col("toks")) else Nil
     val tb = unigramBuckets(
       // NULL labels are EXCLUDED, not defaulted: when(pos, …).otherwise
       // would silently count an unlabeled row (outer-join leftover) as a
       // negative example and skew the weights — identity-less rows don't
       // get to be training signal (the BucketedUpsert NULL-pk posture)
-      train.select(label.cast("boolean").as("pos"), col("text"))
+      train.select(Seq(label.cast("boolean").as("pos"), col("text")) ++ toksCols: _*)
         .filter(col("pos").isNotNull),
       Seq("pos"), buckets)
     val counts = tb.groupBy(col("bucket")).agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("pos_b"),
       sum(when(col("pos"), 0L).otherwise(1L)).as("neg_b"))
     microWeights(counts, "pos_b", "neg_b", "pos_tot", "neg_tot", buckets)
+      .withMetadata("w_micro", graft.functions.TokMode.metadataFor(mode))
   }
 
   /** Score every doc with a trained weight table: exploded tokens join
@@ -102,7 +122,9 @@ object Classify {
     * with no tokens score 0. One scan + one doc-keyed shuffle. */
   def scoreTokens(docs: DataFrame, weights: DataFrame,
                   buckets: Int = 1024): DataFrame = {
-    val db = unigramBuckets(docs.select(col("doc_id"), col("text")),
+    val toksCols = if (docs.columns.contains("toks")) Seq(col("toks")) else Nil
+    val db = unigramBuckets(
+      docs.select(Seq(col("doc_id"), col("text")) ++ toksCols: _*),
       Seq("doc_id"), buckets)
     val scored = db.join(broadcast(weights), Seq("bucket"))
       .groupBy(col("doc_id"))
@@ -126,7 +148,8 @@ object Classify {
                         buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val bb = bigramBuckets(
-      docs.select(col("doc_id"), target.cast("boolean").as("tgt"), col("text")),
+      docs.select(Seq(col("doc_id"), target.cast("boolean").as("tgt"), col("text")) ++
+        (if (docs.columns.contains("toks")) Seq(col("toks")) else Nil): _*),
       Seq("doc_id", "tgt"), buckets)
     val counts = bb.groupBy(col("bucket")).agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("tgt_b"),

@@ -898,21 +898,30 @@ object TextAnalysis {
     * STATIC once trained — train once, score any number of frames or
     * micro-batches against the same model (the streaming-twin contract:
     * per-doc scoring against fixed tables is batching-independent). */
-  /** @param boundToks whether the training reference carried a bound
-    *   `toks` column (the cjk-training contract) — recorded so
-    *   mode-aware callers (Curate/CurateStream cjk) can REFUSE a
-    *   latin-trained model at construction instead of silently scoring
-    *   every CJK bigram at the +1-smoothing floor and dropping the
-    *   whole zh corpus as lm_fluency. */
+  /** @param tokMode which tokenizer produced the training tokens
+    *   (graft.functions.TokMode: "latin" / "cjk" / "unknown") — recorded
+    *   so mode-aware callers (Curate/CurateStream) can REFUSE a mismatch
+    *   in EITHER direction instead of silently scoring every bigram at
+    *   the +1-smoothing floor and wiping the corpus as lm_fluency. The
+    *   round-10 form recorded only that a binding EXISTED
+    *   (`boundToks: Boolean`), which a latin-bound reference — the very
+    *   thing Curate emits in both modes since round 10 — also satisfied;
+    *   the mode tag (written by TokMode.bind, read by trainLm) closes
+    *   that silent-mismatch class. An untagged manual binding records
+    *   "unknown" and is refused by the mode-checked gates. */
   final case class LmModel(c2: DataFrame, c1: DataFrame, vrow: DataFrame,
-      boundToks: Boolean = false)
+      tokMode: String = graft.functions.TokMode.Latin)
 
   /** Train [[LmModel]] from a reference corpus — one bigram scan plus a
     * count-table fold and a vocabulary count (see [[lmScore]]). REUSES a
     * caller-bound `toks` column (the withToks contract): a cjk-mode
     * caller trains the model on the SAME tokenization its corpus is
     * scored with — a model trained latin and served CJK shares no vocab
-    * and the gate degenerates to the +1-smoothing floor. */
+    * and the gate degenerates to the +1-smoothing floor. Bind the
+    * reference via `TokMode.bind(ref, cjk = ...)` so the model records
+    * WHICH tokenizer trained it (an unbound reference is tokenized
+    * latin here and records "latin"; an untagged manual binding records
+    * "unknown" and the mode-checked gates refuse it). */
   def trainLm(reference: DataFrame): LmModel = {
     val toksOf = boundToksCol(reference)
     val refBound = Dedup.track(reference
@@ -928,7 +937,7 @@ object TextAnalysis {
       .select(col("doc_id"), toksOf.as("toks"))
       .select(explode(col("toks")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    LmModel(c2, c1, vrow, reference.columns.contains("toks"))
+    LmModel(c2, c1, vrow, graft.functions.TokMode.of(reference))
   }
 
   /** Score a corpus against a trained [[LmModel]] (see [[lmScore]] for

@@ -109,6 +109,48 @@ object Curate {
       nearDup: NearDupPolicy = NearDupPolicy.PairwiseDrop): (DataFrame, Stats) =
     runDocs(spark, Tables.documents(spark, sfDir), minQuality, nearDup)
 
+  /** The model-gate mode contract, refused LOUDLY and in BOTH directions
+    * BEFORE any work (shared by [[runDocs]] and
+    * graft.streaming.CurateStream.sink):
+    *
+    *  - an LM model whose training tokenization (LmModel.tokMode, written
+    *    by trainLm from the TokMode.bind tag) differs from the pipeline
+    *    mode scores every bigram at the +1-smoothing floor and silently
+    *    drops the corpus as `lm_fluency` — latin-under-cjk AND
+    *    cjk-under-latin are both wipeouts, and an untagged manual
+    *    binding ("unknown") is refused because nothing proves its mode;
+    *  - a classifier weight table trained in the other token space
+    *    (TokMode.ofWeights, stamped by Classify.trainTokenWeights) scores
+    *    a disjoint vocab through arbitrary hash buckets — same class of
+    *    silent wipeout, same two-directional refusal;
+    *  - the Gopher rule set is latin-lexicon BY DESIGN (MassiveText's
+    *    rules: whitespace word counts, en required-stops — Rae et al.
+    *    §A.1.1 target English), so under cjk mode zh prose counts as ~1
+    *    "word", fails r_wordcount/r_stops, and the WHOLE zh corpus drops
+    *    as `gopher_rules`: refused rather than documented-and-allowed,
+    *    per the LM-gate precedent. */
+  private[graft] def requireGateModes(cjk: Boolean, gopher: Option[GopherGate],
+      classifier: Option[ClassifierGate], lm: Option[LmGate]): Unit = {
+    val want = graft.functions.TokMode.name(cjk)
+    lm.foreach { g =>
+      require(g.model.tokMode == want,
+        s"LM gate tokenization mode '${g.model.tokMode}' does not match the " +
+          s"pipeline mode '$want': train the model on a reference bound via " +
+          "graft.functions.TokMode.bind(ref, cjk = <pipeline mode>) before trainLm")
+    }
+    classifier.foreach { cg =>
+      val m = graft.functions.TokMode.ofWeights(cg.weights)
+      require(m == want,
+        s"classifier gate tokenization mode '$m' does not match the pipeline " +
+          s"mode '$want': train the weights via Classify.trainTokenWeights on a " +
+          "frame bound with graft.functions.TokMode.bind(train, cjk = <pipeline mode>)")
+    }
+    require(!cjk || gopher.isEmpty,
+      "the Gopher rule gate is latin-only by design (whitespace word counts + " +
+        "en required-stops): under cjk mode it would drop every zh doc as " +
+        "gopher_rules — run it on the latin slice of a mixed corpus instead")
+  }
+
   /** Same pipeline over an arbitrary (doc_id, text) frame.
     *
     * @param nearDup near-dup policy (see NearDupPolicy): PairwiseDrop
@@ -172,10 +214,14 @@ object Curate {
     *   term gains the zhLexicon bigram arm (qualityScore cjk — the term
     *   is otherwise constant 0 for pure-zh docs), a `benchmark` is
     *   tokenized in the SAME mode (both sides of the contamination join
-    *   must see CJK grams), and an `lm` gate's model should be trained on
-    *   a cjk-bound reference (bind `toks` before trainLm — a latin-
-    *   trained model shares no vocab with CJK bigram streams). Exact
-    *   dedup (md5 fingerprint) is script-agnostic either way. */
+    *   must see CJK grams), and the MODEL gates are mode-checked in both
+    *   directions (see [[requireGateModes]]): an `lm` model must be
+    *   trained on a reference bound via TokMode.bind(ref, cjk) and a
+    *   `classifier` weight table on a TokMode.bind-bound training frame
+    *   — mismatches (and untagged manual bindings) are refused loudly
+    *   BEFORE any work. The `gopher` gate is latin-only by design and
+    *   refused under cjk. Exact dedup (md5 fingerprint) is
+    *   script-agnostic either way. */
   def runDocs(spark: SparkSession, documents: DataFrame, minQuality: Double = 0.55,
       nearDup: NearDupPolicy = NearDupPolicy.PairwiseDrop,
       benchmark: Option[DataFrame] = None,
@@ -187,13 +233,7 @@ object Curate {
       redactPii: Boolean = false,
       stripLineFreq: Option[Int] = None,
       cjk: Boolean = false): (DataFrame, Stats) = {
-    // refuse a latin-trained LM model in cjk mode BEFORE any work: a
-    // model sharing no vocab with CJK bigram streams scores every pair
-    // at the +1-smoothing floor and silently drops the whole zh corpus
-    // as lm_fluency — the failure must be loud, not a curation wipeout
-    require(!cjk || lm.forall(_.model.boundToks),
-      "cjk mode requires an LmModel trained on a cjk-bound reference " +
-        "(bind toks = tokensFusedCjk(text) on the reference before trainLm)")
+    requireGateModes(cjk, gopher, classifier, lm)
     val dedupMark = Dedup.trackMark(spark)
     // extraction precedes scrubbing: markup must be gone before PII
     // patterns, line identity, or any fingerprint sees the text
@@ -220,8 +260,7 @@ object Curate {
     // tools/CurateCjkBench A/B, SCALE.md §Round-10, identical
     // accounting). At 100 TB tokenization is the dominant map-side cost
     // of the pipeline.
-    val withMode = base.withColumn("toks",
-      graft.functions.TextFunctions.tokensFused(col("text"), cjk))
+    val withMode = graft.functions.TokMode.bind(base, cjk)
     val docs = withMode.persist()
     // a mid-pipeline failure must still close the scope and drop this
     // run's caches (releaseSince after the happy-path release is a no-op)
@@ -282,8 +321,7 @@ object Curate {
     // tokenization on the latin path (contaminationGrams' bound-toks
     // contract reads whatever column is there).
     val contaminated = benchmark.map { b =>
-      val bb = b.withColumn("toks",
-        graft.functions.TextFunctions.tokensFused(col("text"), cjk))
+      val bb = graft.functions.TokMode.bind(b, cjk)
       TextAnalysis.contaminationTable(docs, bb, contaminationN)
         .select(col("doc_id")).withColumn("__contam", lit(1))
     }

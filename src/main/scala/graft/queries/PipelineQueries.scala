@@ -1858,8 +1858,8 @@ object PipelineQueries {
     run = (s, dir) => {
       import s.implicits._
       val docs = curateCjkDocs(s, dir)
-      val model = TextAnalysis.trainLm(docs.filter(col("doc_id") % 2 === 0)
-        .withColumn("toks", graft.functions.TextFunctions.tokensFusedCjk(col("text"))))
+      val model = TextAnalysis.trainLm(graft.functions.TokMode.bind(
+        docs.filter(col("doc_id") % 2 === 0), cjk = true))
       val (_, st) = graft.pipeline.Curate.runDocs(s, docs,
         lm = Some(graft.pipeline.Curate.LmGate(model, 20000.0)), cjk = true)
       graft.pipeline.Curate.releaseCaches(s)

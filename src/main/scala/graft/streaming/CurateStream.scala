@@ -77,8 +77,10 @@ object CurateStream {
     *   decontamination/LM scoring all read CJK character bigrams via the
     *   bound-toks reuse contract; the quality stop-rate gains the
     *   zhLexicon bigram arm, the `benchmark` is tokenized in the same
-    *   mode, and an `lm` model should be TRAINED on a cjk-bound reference
-    *   (Curate.runDocs' cjk contract). Per-doc and deterministic, so the
+    *   mode, and the model gates are mode-checked in both directions
+    *   (Curate.requireGateModes — train `lm`/`classifier` models on
+    *   TokMode.bind-bound frames matching this flag; `gopher` is
+    *   latin-only and refused under cjk). Per-doc and deterministic, so the
     *   mode is batching-independent; registries then hold CJK-bigram
     *   shingle hashes, matching the batch chain with the same flag. */
   def sink(docs: DataFrame, registryPath: String, outPath: String,
@@ -92,11 +94,10 @@ object CurateStream {
       cjk: Boolean = false,
       numSigs: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
       maxBucket: Int = 1000, compactEvery: Int = 16): DataStreamWriter[Row] = {
-    // same loud refusal as Curate.runDocs: a latin-trained LM model in
-    // cjk mode would silently drop every zh doc at the smoothing floor
-    require(!cjk || lm.forall(_.model.boundToks),
-      "cjk mode requires an LmModel trained on a cjk-bound reference " +
-        "(bind toks = tokensFusedCjk(text) on the reference before trainLm)")
+    // same loud refusals as Curate.runDocs (one shared contract): LM and
+    // classifier models must match the pipeline's tokenization mode in
+    // BOTH directions, and the latin-only gopher gate is refused under cjk
+    graft.pipeline.Curate.requireGateModes(cjk, gopher, classifier, lm)
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -133,8 +134,7 @@ object CurateStream {
         // array). Latin batches bind too (Curate.runDocs' round-10
         // binding is identical): every gate reuses the one bound column
         // instead of re-tokenizing the cached batch per consumer.
-        val b = keep(scrubbed.withColumn("toks",
-          graft.functions.TextFunctions.tokensFused(col("text"), cjk)))
+        val b = keep(graft.functions.TokMode.bind(scrubbed, cjk))
         // NULL-text sentinel: fingerprint(NULL) is NULL, and the registry
         // equi-join below is null-UNSAFE — without the sentinel a null-text
         // doc in a later batch never matches a null-fp doc in the registry,

@@ -261,34 +261,114 @@ class CurateSpec extends AnyFunSuite {
     assert(rowsA === rowsB)
   }
 
-  test("cjk mode refuses a latin-trained LM model LOUDLY (batch and stream)") {
+  test("LM gate mode contract: mismatches refused LOUDLY in BOTH directions, untagged bindings refused") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val T = graft.operators.TextAnalysis
+    val TokMode = graft.functions.TokMode
     val docs = Seq((1L, "我们可以一起去")).toDF("doc_id", "text")
     val ref = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
     // a latin-trained model in cjk mode would score every CJK bigram at
     // the +1-smoothing floor and silently wipe the zh corpus — the guard
     // must fire BEFORE any work, on both the batch and streaming entry
     val latinModel = T.trainLm(ref)
+    assert(latinModel.tokMode === TokMode.Latin)
     val gate = Some(Curate.LmGate(latinModel, 33000.0))
     val e = intercept[IllegalArgumentException] {
       Curate.runDocs(spark, docs, lm = gate, cjk = true)
     }
-    assert(e.getMessage.contains("cjk-bound reference"))
+    assert(e.getMessage.contains("does not match the pipeline mode 'cjk'"))
     val e2 = intercept[IllegalArgumentException] {
       graft.streaming.CurateStream.sink(docs, "/tmp/never", "/tmp/never",
         lm = gate, cjk = true)
     }
-    assert(e2.getMessage.contains("cjk-bound reference"))
+    assert(e2.getMessage.contains("does not match the pipeline mode 'cjk'"))
     Curate.releaseCaches(spark)
-    // and a cjk-bound model passes the guard (trainLm records the mode)
-    val cjkModel = T.trainLm(ref.withColumn("toks",
-      graft.functions.TextFunctions.tokensFusedCjk(col("text"))))
-    assert(cjkModel.boundToks)
+    // a cjk-bound model passes the cjk guard (TokMode.bind writes the
+    // tag, trainLm records it)
+    val cjkModel = T.trainLm(TokMode.bind(ref, cjk = true))
+    assert(cjkModel.tokMode === TokMode.Cjk)
     val (_, st) = Curate.runDocs(spark, docs, minQuality = 0.0,
       lm = Some(Curate.LmGate(cjkModel, 0.0)), cjk = true)
     Curate.releaseCaches(spark)
     assert(st.input === 1L)
+    // ...and the OTHER direction is refused too: a cjk-trained model
+    // under the latin pipeline shares no vocab with latin token streams
+    // (the round-10 boolean guard passed this case silently)
+    val e3 = intercept[IllegalArgumentException] {
+      Curate.runDocs(spark, docs, lm = Some(Curate.LmGate(cjkModel, 0.0)))
+    }
+    assert(e3.getMessage.contains("does not match the pipeline mode 'latin'"))
+    // an untagged manual binding proves nothing about its mode: refused
+    // in BOTH pipeline modes (this exact shape — a latin kernel manually
+    // bound as `toks` — passed the round-10 boolean guard under cjk)
+    val unknownModel = T.trainLm(ref.withColumn("toks",
+      graft.functions.TextFunctions.tokensFused(col("text"))))
+    assert(unknownModel.tokMode === TokMode.Unknown)
+    for (mode <- Seq(true, false)) {
+      val eu = intercept[IllegalArgumentException] {
+        Curate.runDocs(spark, docs,
+          lm = Some(Curate.LmGate(unknownModel, 0.0)), cjk = mode)
+      }
+      assert(eu.getMessage.contains("'unknown'"))
+    }
+    Curate.releaseCaches(spark)
+  }
+
+  test("classifier gate mode contract: trainTokenWeights stamps the mode; mismatches refused both directions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val TokMode = graft.functions.TokMode
+    val train = Seq(
+      (1L, "good fine nice the and is", true),
+      (2L, "bad ugly junk the and is", false)).toDF("doc_id", "text", "label")
+    val docs = Seq((1L, "good fine nice the and is done today")).toDF("doc_id", "text")
+    val latinW = graft.operators.Classify.trainTokenWeights(train, col("label"), 64)
+    assert(TokMode.ofWeights(latinW) === TokMode.Latin)
+    val cjkW = graft.operators.Classify.trainTokenWeights(
+      TokMode.bind(train, cjk = true), col("label"), 64)
+    assert(TokMode.ofWeights(cjkW) === TokMode.Cjk)
+    // latin weights under cjk: refused (latin re-tokenization scores
+    // pure-CJK docs 0 and silently drops the whole zh corpus)
+    val e = intercept[IllegalArgumentException] {
+      Curate.runDocs(spark, docs,
+        classifier = Some(Curate.ClassifierGate(latinW, 64)), cjk = true)
+    }
+    assert(e.getMessage.contains("does not match the pipeline mode 'cjk'"))
+    // cjk weights under latin: refused (disjoint token space)
+    val e2 = intercept[IllegalArgumentException] {
+      Curate.runDocs(spark, docs,
+        classifier = Some(Curate.ClassifierGate(cjkW, 64)))
+    }
+    assert(e2.getMessage.contains("does not match the pipeline mode 'latin'"))
+    // matched modes pass on both arms (and the streaming entry shares
+    // the guard — one spot check)
+    val (_, st) = Curate.runDocs(spark, docs, minQuality = 0.0,
+      classifier = Some(Curate.ClassifierGate(latinW, 64)))
+    assert(st.input === 1L)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.streaming.CurateStream.sink(docs, "/tmp/never", "/tmp/never",
+        classifier = Some(Curate.ClassifierGate(latinW, 64)), cjk = true)
+    }
+    assert(e3.getMessage.contains("does not match the pipeline mode 'cjk'"))
+    Curate.releaseCaches(spark)
+  }
+
+  test("gopher gate is latin-only by design: refused LOUDLY under cjk mode") {
+    import spark.implicits._
+    val docs = Seq((1L, "我们可以一起去")).toDF("doc_id", "text")
+    // zh prose whitespace-splits to ~1 "word" and has no en stop words:
+    // every zh doc would fail r_wordcount/r_stops and drop as
+    // gopher_rules — the hazard is refused, not silently allowed
+    val e = intercept[IllegalArgumentException] {
+      Curate.runDocs(spark, docs, gopher = Some(Curate.GopherGate()), cjk = true)
+    }
+    assert(e.getMessage.contains("latin-only"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.CurateStream.sink(docs, "/tmp/never", "/tmp/never",
+        gopher = Some(Curate.GopherGate()), cjk = true)
+    }
+    assert(e2.getMessage.contains("latin-only"))
+    Curate.releaseCaches(spark)
   }
 }

@@ -800,17 +800,17 @@ class StreamingSpec extends AnyFunSuite {
       (10L, "步散园公去起一以可们我"), // garbled zh (reversed): no pair seen → lm_fluency
       (11L, "the cat sat on the mat and the dog ran")) // latin, in-ref → kept
     val docs = docRows.toDF("doc_id", "text")
-    // cjk-trained model (bound toks on the reference — trainLm's
-    // bound-toks contract): zh and latin phrasing both in-vocabulary.
-    // Exact integer scores at V=31: garbled ≈ 32258 (1e6 div 31 per
-    // unseen pair), fluent zh = 62500, latin ≈ 63571 — threshold 50000
-    // separates them with wide margins on both sides.
+    // cjk-trained model (TokMode.bind-tagged reference — trainLm records
+    // the mode, the cjk guard verifies it): zh and latin phrasing both
+    // in-vocabulary. Exact integer scores at V=31: garbled ≈ 32258 (1e6
+    // div 31 per unseen pair), fluent zh = 62500, latin ≈ 63571 —
+    // threshold 50000 separates them with wide margins on both sides.
     val ref = Seq(
       (100L, "我们可以一起去公园散步他们说这是一个很好的办法"),
       (101L, "the cat sat on the mat and the dog ran to the mat"))
       .toDF("doc_id", "text")
     val model = graft.operators.TextAnalysis.trainLm(
-      ref.withColumn("toks", tf.tokensFusedCjk(col("text"))))
+      graft.functions.TokMode.bind(ref, cjk = true))
     val gate = Some(graft.pipeline.Curate.LmGate(model, 50000.0))
     // batch, cjk mode: both gates fire on CJK evidence
     val (_, st) = graft.pipeline.Curate.runDocs(spark, docs,
@@ -819,13 +819,21 @@ class StreamingSpec extends AnyFunSuite {
     graft.pipeline.Curate.releaseCaches(spark)
     assert(st.contaminated === 1L && st.lmDropped === 1L && st.kept === 2L,
       s"cjk gates: $st")
-    // CONTROL — latin mode, same corpus/benchmark/model: the benchmark
-    // strips to zero grams and the zh docs to zero bigrams, so BOTH gates
-    // are silently inert for the CJK rows (the defect this round fixed —
-    // doc 7 sails through, garbled doc 10 passes on a NULL average)
+    // CONTROL — latin mode, same corpus/benchmark: the benchmark strips
+    // to zero grams, so the contamination gate is silently inert for the
+    // CJK rows (the round-10 defect — doc 7 sails through). The lm side
+    // of the old control is now IMPOSSIBLE to compose: the round-11 mode
+    // guard refuses the cjk-trained model under the latin pipeline
+    // (before, it passed silently and garbled doc 10 kept on a NULL
+    // average) — pin the refusal instead.
+    val eCtl = intercept[IllegalArgumentException] {
+      graft.pipeline.Curate.runDocs(spark, docs, minQuality = 0.0,
+        benchmark = Some(bench), contaminationN = 4, lm = gate, cjk = false)
+    }
+    assert(eCtl.getMessage.contains("does not match the pipeline mode 'latin'"))
     val (_, st0) = graft.pipeline.Curate.runDocs(spark, docs,
       minQuality = 0.0, benchmark = Some(bench), contaminationN = 4,
-      lm = gate, cjk = false)
+      cjk = false)
     graft.pipeline.Curate.releaseCaches(spark)
     assert(st0.contaminated === 0L && st0.lmDropped === 0L,
       s"latin-mode control should be inert for CJK: $st0")
