@@ -20,6 +20,27 @@ object Bench {
     // while the OS page cache already absorbs the re-read I/O — so the
     // default stays on direct vectorized parquet scans.
     graft.tables.Tables.cacheEnabled = sys.env.get("SPARK_GRAFT_CACHE").contains("1")
+    // Machine-load witnesses (round 10's driver BENCH recorded a 3.3x
+    // phantom slowdown because a concurrent ~10-core process owned the
+    // box for the whole window): capture 1-min loadavg before the warmup
+    // and after the last timed run, plus the /proc/stat busy fraction
+    // over the bench window, and emit them in the JSON line — a
+    // contaminated run then SELF-FLAGS (load1_start >> 0 before this
+    // process has done any work) instead of reading as a regression.
+    // Interpretation notes live in PLANS.md (§Bench load witnesses).
+    def load1(): Double = scala.util.Try(
+      scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble)
+      .getOrElse(-1.0)
+    def cpuTicks(): (Long, Long) = scala.util.Try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      val l = try f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      finally f.close()
+      val total = l.sum
+      val idle = l(3) + (if (l.length > 4) l(4) else 0L) // idle + iowait
+      (total - idle, total)
+    }.getOrElse((-1L, -1L))
+    val load1Start = load1()
+    val (busy0, total0) = cpuTicks()
     val qs = SparkEntry.headlines.map(n => n -> SparkEntry.queries(n))
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -156,7 +177,12 @@ object Bench {
       else failures.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(""","failures":{""", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$perQuery,"runs":$perRun,"n_runs":$nRuns,"ivf_train_sec":$ivfTrainSec$failJson,"sf":"$sfDir"}""")
+    val load1End = load1()
+    val (busy1, total1) = cpuTicks()
+    val busyFrac =
+      if (total1 > total0 && busy0 >= 0) (busy1 - busy0).toDouble / (total1 - total0)
+      else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$perQuery,"runs":$perRun,"n_runs":$nRuns,"ivf_train_sec":$ivfTrainSec$failJson,"load1_start":$load1Start,"load1_end":$load1End,"cpu_busy_frac":$busyFrac,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

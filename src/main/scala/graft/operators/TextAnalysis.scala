@@ -301,11 +301,12 @@ object TextAnalysis {
     * always flagged); false-positive rate per probed gram is `fpp`. The
     * catalog entry gates both properties against the exact join in-query.
     *
-    * The per-doc probe is a Scala UDF over the (bound) gram array — a
-    * deliberate exception to the no-UDF rule: a Bloom probe against a
-    * broadcast sketch has no public Catalyst expression (Spark's own
-    * BloomFilterMightContain is internal to runtime join filtering), and
-    * one array-scanning call per ROW stays off the per-element hot path. */
+    * The per-doc probe is the native codegen'd `bloom_hits` expression
+    * over the (bound) gram array (plans.BloomHits — round 11 closed the
+    * one deliberate UDF exception that used to live here; bit-parity
+    * with the UDF form pinned in PlansSpec). The expression carries the
+    * broadcast HANDLE, so tasks stay bytes-small and executors fetch the
+    * filter once, exactly as the UDF closure did. */
   def contaminationBloom(
       docs: DataFrame, benchmark: DataFrame, n: Int = 4,
       fpp: Double = 1e-6): DataFrame =
@@ -354,12 +355,12 @@ object TextAnalysis {
   def bloomScoreBroadcast(docs: DataFrame,
       bfB: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
       n: Int = 4): DataFrame = {
-    val bfHits = udf((arr: scala.collection.Seq[String]) =>
-      arr.count(g => bfB.value.mightContainString(g)).toLong)
+    val handle = graft.plans.BloomHandles.register(bfB)
     contaminationGrams(docs, n).select(
       col("doc_id"),
       size(col("g")).cast("long").as("n_grams"),
-      bfHits(col("g")).as("n_bf_grams"))
+      org.apache.spark.sql.functions.call_function("bloom_hits",
+        col("g"), lit(handle)).as("n_bf_grams"))
   }
 
   /** SURGICAL decontamination — excise contaminated spans instead of
@@ -385,15 +386,36 @@ object TextAnalysis {
     * Curate.releaseCaches, the tfIdfTopTerms contract). The covered-
     * position array is bound to its own column before the index-filter
     * lambda references it (HOF re-inline invariant). */
-  def decontaminateSpans(docs: DataFrame, benchmark: DataFrame, n: Int = 4): DataFrame = {
+  /** @param cjk mixed-script mode: excision by CHARACTER OFFSETS instead
+    *   of token rebuild. The latin path rebuilds `concat_ws(" ", kept
+    *   tokens)`, which is only text-faithful for a NON-OVERLAPPING
+    *   tokenization — rebuilding from CJK character bigrams would emit
+    *   every interior ideograph twice with spaces mid-word ("今天天气" →
+    *   "今天 天天 天气"); round 10 therefore shipped span excision
+    *   latin-only. The cjk path closes that: each token carries its
+    *   source span (the fused `tokenize_spans_cjk` kernel — codepoint
+    *   ranges into lower_root(text), bit-identical token text to
+    *   tokenize_array_cjk), covered token positions map to character
+    *   ranges, overlapping ranges UNION, and the output text is
+    *   lower_root(text) with the covered ranges excised — separators,
+    *   punctuation and line structure survive (unlike the latin token
+    *   rebuild, which normalizes them away; the two modes' outputs are
+    *   intentionally different shapes, each pinned by its own oracle).
+    *   Cost shape is identical to latin: the only non-map-side stages
+    *   are the gram join (DISTINCT tiny benchmark side) and the per-
+    *   contaminated-doc hit aggregation; the rebuild fold does work
+    *   proportional to a doc's covered spans, not its length. */
+  def decontaminateSpans(docs: DataFrame, benchmark: DataFrame, n: Int = 4,
+      cjk: Boolean = false): DataFrame =
+    if (cjk) decontaminateSpansByOffset(docs, benchmark, n)
+    else decontaminateSpansLatin(docs, benchmark, n)
+
+  private def decontaminateSpansLatin(docs: DataFrame, benchmark: DataFrame,
+      n: Int): DataFrame = {
     // deliberately NOT bound-toks (the one decontamination path that
     // re-tokenizes): the rebuild below is concat_ws over the KEPT
-    // tokens, which is only text-faithful for a NON-OVERLAPPING
-    // tokenization — rebuilding from CJK character bigrams would emit
-    // every interior ideograph twice with spaces mid-word ("今天天气" →
-    // "今天 天天 天气"). Span excision therefore stays a latin-token op;
-    // the cjk decontamination path is the doc-level gate
-    // (contaminationTable / the Bloom form), which honors bound toks.
+    // tokens — see the cjk @param above for why a bound CJK-bigram
+    // tokenization cannot ride this path and gets the offset-based one.
     val dt = Dedup.track(docs
       .select(col("doc_id"), tokensFused(col("text")).as("toks"))
       .persist())
@@ -417,6 +439,64 @@ object TextAnalysis {
         concat_ws(" ", transform(col("kept"), i => get(col("toks"), i))).as("text"),
         size(col("toks")).cast("long").as("n_tokens"),
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
+  /** The cjk arm of [[decontaminateSpans]] (see its @param cjk): same
+    * gram-join + covered-position pipeline, but tokens carry codepoint
+    * spans and the rebuild excises the UNION of covered character ranges
+    * from lower_root(text) — one sorted fold over a doc's covered spans
+    * (gap-before-each-range, then the tail), so the rebuild cost scales
+    * with hits, not document length. The benchmark is tokenized in the
+    * SAME cjk mode unless the caller pre-bound `toks`. */
+  private def decontaminateSpansByOffset(docs: DataFrame, benchmark: DataFrame,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{call_function => fn}
+    val dt = Dedup.track(docs
+      .select(col("doc_id"),
+        fn("tokenize_spans_cjk", col("text")).as("spans"),
+        fn("lower_root", coalesce(col("text"), lit(""))).as("lt"))
+      .persist()) // Generate re-inline hazard (see file scaladoc)
+    val sg = Dedup.track(dt
+      .select(col("doc_id"), transform(col("spans"), sp => sp("t")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), wordShingles(col("toks"), n).as("g"))
+      .persist())
+    val bb =
+      if (benchmark.columns.contains("toks")) benchmark
+      else graft.functions.TokMode.bind(benchmark, cjk = true)
+    val bg = Dedup.track(contaminationGrams(bb, n).persist())
+    val pg = sg.select(col("doc_id"), posexplode(col("g")).as(Seq("pos", "gram")))
+    val benchGrams = bg.select(explode(col("g")).as("gram")).distinct()
+    val hits = pg.join(benchGrams, "gram")
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("hp"))
+    // covered TOKEN positions (same expansion as the latin arm)
+    val cov = array_distinct(flatten(transform(col("hp"), p => sequence(p, p + lit(n - 1)))))
+    val withCov = dt.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("spans"), col("lt"),
+        coalesce(cov, array().cast("array<int>")).as("cov"))
+    // covered CHARACTER ranges, sorted by start (collect_set order is
+    // arbitrary; array_sort orders the (s, e) structs by fields)
+    val cspans = array_sort(transform(col("cov"), i =>
+      struct(element_at(col("spans"), i + 1)("s").as("s"),
+        element_at(col("spans"), i + 1)("e").as("e"))))
+    val bound = withCov.select(col("doc_id"), col("lt"),
+      size(col("spans")).cast("long").as("n_tokens"),
+      size(col("cov")).cast("long").as("n_removed"),
+      cspans.as("cspans"))
+    // fold left over the sorted ranges: emit the gap before each range
+    // (ranges from overlapping bigrams union via greatest), then the tail
+    val rebuilt = aggregate(col("cspans"),
+      struct(lit(0).as("last"), lit("").as("acc")),
+      (st, sp) => struct(
+        greatest(st("last"), sp("e")).as("last"),
+        concat(st("acc"),
+          when(sp("s") > st("last"),
+            col("lt").substr(st("last") + 1, sp("s") - st("last")))
+            .otherwise(lit(""))).as("acc")),
+      st => concat(st("acc"),
+        col("lt").substr(st("last") + 1, length(col("lt")) - st("last"))))
+    bound.select(col("doc_id"), rebuilt.as("text"),
+      col("n_tokens"), col("n_removed"))
   }
 
   /** Distinct n-gram arrays per doc (the shared shape of every

@@ -323,6 +323,50 @@ case class TokenizeArrayCjk(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** CJK-bigram tokenizer WITH source spans (see
+  * TokenizeGenerator.tokenizeToSpansCjk for the pinned semantics):
+  * array<struct<t string, s int, e int>>, where [s, e) is the token's
+  * codepoint range in lower_root(text). The offset-based span-excision
+  * path (TextAnalysis.decontaminateSpans cjk mode) consumes this — a
+  * token REBUILD cannot work for overlapping CJK bigrams (interior
+  * ideographs would duplicate), but excising the union of covered
+  * character ranges can. `t` fields are bit-identical to
+  * tokenize_array_cjk (PlansSpec). */
+case class TokenizeSpansCjk(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("e",
+          org.apache.spark.sql.types.IntegerType, nullable = false))),
+      containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tokenize_spans_cjk requires STRING input, got ${child.dataType.catalogString}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TokenizeGenerator.tokenizeToSpansCjk(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.plans.TokenizeGenerator.tokenizeToSpansCjk(${c.isNull} ? null : ${c.value});
+      """
+    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenizeSpansCjk =
+    copy(child = newChild)
+}
+
 /** Occurrence count of array elements contained in a pinned string set —
   * the codegen'd form of `size(filter(toks, t => array_contains(lit,
   * t)))`, whose interpreted ArrayFilter lambda re-evaluates the literal
@@ -462,9 +506,93 @@ case class SubwordEst(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Count of array elements that MIGHT be in a broadcast Bloom filter —
+  * the codegen'd form of bloomScoreBroadcast's per-row Scala UDF loop,
+  * the one interpreted per-row loop that was left on the decontamination
+  * scale path (the map-side 100 TB gate: the corpus never explodes or
+  * shuffles, every doc probes its bound gram array against the
+  * benchmark's filter). The expression holds the BROADCAST HANDLE, not
+  * the filter: tasks serialize a few bytes and executors torrent-fetch
+  * the MB-sized filter once, exactly like the UDF closure did — which is
+  * why construction goes through [[BloomHandles]] (a Broadcast cannot
+  * ride a SQL literal). Spark's own BloomFilterMightContain is internal
+  * to runtime join filtering, hence this public twin. NULL elements
+  * count as not-in (the UDF's Seq[String] contract); NULL input → NULL
+  * via defineCodeGen's null guard. */
+case class BloomHits(child: Expression,
+    bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bloom_hits requires ARRAY<STRING> input, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressions.bloomHits(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bfBroadcast", bf,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashExpressions.bloomHits($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomHits =
+    copy(child = newChild)
+}
+
+/** Driver-side handle registry bridging Broadcast objects into the SQL
+  * function surface: `bloom_hits(arr, <id>)` resolves its SECOND argument
+  * (a plan-time literal) to the registered Broadcast at analysis time on
+  * the driver. Entries are handles (bytes, not filters) keyed by the
+  * broadcast's own id, so the map stays negligible even across many
+  * queries; a caller that destroys its broadcast simply leaves a dead
+  * tiny handle behind. */
+object BloomHandles {
+  private val map = new java.util.concurrent.ConcurrentHashMap[Long,
+    org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]()
+
+  def register(bf: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter]): Long = {
+    map.put(bf.id, bf)
+    bf.id
+  }
+
+  def get(id: Long): org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter] = {
+    val b = map.get(id)
+    require(b != null, s"no broadcast Bloom filter registered under id $id " +
+      "(construct bloom_hits through TextAnalysis.bloomScoreBroadcast)")
+    b
+  }
+}
+
 object HashExpressions {
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** [[BloomHits]] kernel: probes each non-null element against the
+    * broadcast filter (executor-local after the first torrent fetch). */
+  def bloomHits(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      bf: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Long = {
+    val f = bf.value
+    val sz = arr.numElements()
+    var i = 0
+    var n = 0L
+    while (i < sz) {
+      if (!arr.isNullAt(i) && f.mightContainString(arr.getUTF8String(i).toString))
+        n += 1
+      i += 1
+    }
+    n
+  }
 
   /** Whole-doc SimHash kernel (see [[SimHash32Doc]]); null for zero
     * tokens. Returns a boxed Long (the codegen call site null-checks). */

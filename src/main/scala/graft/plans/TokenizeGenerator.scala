@@ -127,6 +127,60 @@ object TokenizeGenerator {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** [[tokenizeToArrayCjk]] WITH source spans: one row per token as
+    * struct<t: string, s: int, e: int> where [s, e) is the token's
+    * CODEPOINT range in `lower(text)` (Locale.ROOT — the same lowered
+    * string the token text is cut from; codepoint units so Spark's
+    * `substr`/`length` and DuckDB's `substr`/`length` index identically,
+    * including past astral-plane separators, which are one codepoint but
+    * two Java chars). The `t` fields are BIT-IDENTICAL to
+    * [[tokenizeToArrayCjk]] — same walk, same classes, same lowering —
+    * pinned in PlansSpec. CJK bigrams OVERLAP by construction
+    * (positions p..p+2, p+1..p+3, …); consumers that excise by span
+    * must union ranges, not concatenate them. Null text → empty array. */
+  def tokenizeToSpansCjk(s: UTF8String): ArrayData = {
+    if (s == null) return new GenericArrayData(Array.empty[Any])
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val n = str.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    def row(t: String, b: Int, e: Int): Any =
+      InternalRow(UTF8String.fromString(t), b, e)
+    var i = 0  // Java char index into str
+    var cp = 0 // codepoint index (== char index until a surrogate pair)
+    while (i < n) {
+      val c = str.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        // token-class chars are BMP non-surrogate: char step == cp step
+        var j = i
+        while (j < n && {
+          val d = str.charAt(j)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        out += row(str.substring(i, j), cp, cp + (j - i))
+        cp += j - i; i = j
+      } else if (c >= '一' && c <= '鿿') {
+        var j = i
+        while (j < n && { val d = str.charAt(j); d >= '一' && d <= '鿿' }) j += 1
+        if (j - i == 1) out += row(str.substring(i, j), cp, cp + 1)
+        else {
+          var k = i
+          while (k < j - 1) {
+            out += row(str.substring(k, k + 2), cp + (k - i), cp + (k - i) + 2)
+            k += 1
+          }
+        }
+        cp += j - i; i = j
+      } else {
+        // separator: one CODEPOINT (a surrogate pair advances two chars)
+        if (Character.isHighSurrogate(c) && i + 1 < n &&
+          Character.isLowSurrogate(str.charAt(i + 1))) i += 2
+        else i += 1
+        cp += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** Session registration for the engine's SQL-surface functions. */
@@ -186,7 +240,12 @@ object GraftFunctions {
     "sorted_distinct_i64" -> (exprs => SortedDistinctLongs(exprs.head)),
     "tokenize_array" -> (exprs => TokenizeArray(exprs.head)),
     "tokenize_array_cjk" -> (exprs => TokenizeArrayCjk(exprs.head)),
+    "tokenize_spans_cjk" -> (exprs => TokenizeSpansCjk(exprs.head)),
     "count_in_set" -> (exprs => CountInSet(exprs.head, litStrings(exprs(1)))),
+    // second arg = a plan-time literal BloomHandles id (resolution runs
+    // on the driver, where the handle registry lives)
+    "bloom_hits" -> (exprs => BloomHits(exprs.head,
+      BloomHandles.get(exprs(1).eval().asInstanceOf[Number].longValue()))),
     "word_shingles" -> (exprs => WordShingles(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue())),
     "subword_est" -> (exprs => SubwordEst(exprs.head)),

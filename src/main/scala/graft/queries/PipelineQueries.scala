@@ -12,6 +12,19 @@ import graft.operators.{Dedup, Eval, Ivf, Layout, Multimodal, Pq, Sampling, Simi
   */
 object PipelineQueries {
 
+  /** DuckDB twin of the pinned latin tokenizer. ENGINE-PARITY
+    * PRECONDITION (shared with [[TOKS_CJK]], and independent of the JVM
+    * default locale): DuckDB's utf8proc `lower()` and the kernels'
+    * Locale.ROOT lowering disagree on LENGTH-CHANGING case mappings even
+    * on ROOT-default JVMs — e.g. U+0130 İ: DuckDB lower('İstanbul') =
+    * 'istanbul' (one token) while Java's ROOT lowering yields
+    * 'i' + U+0307 + 'stanbul' (the combining dot separates → tokens
+    * ['i','stanbul']). Corpus text containing U+0130 (or any mapping
+    * where the two lowerings diverge) would break oracle hash parity
+    * regardless of locale; no driver corpus or seed fixture contains
+    * such a character, which is what keeps the gates exact. The fused
+    * kernels' tr/az-JVM-locale caveat (TextFunctions.tokensFused) is the
+    * separate, compositional-form-only hazard. */
   private val TOKS =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
@@ -24,7 +37,10 @@ object PipelineQueries {
     * ideograph or latin run stays itself. On pure-latin text this is
     * byte-identical to [[TOKS]] (the CASE wraps every piece in a
     * singleton and flatten undoes it), so swapping it into a chain only
-    * changes rows that actually contain CJK. */
+    * changes rows that actually contain CJK. Inherits [[TOKS]]'s
+    * engine-parity precondition: no corpus character may lower
+    * differently under DuckDB's utf8proc vs Locale.ROOT (U+0130 is the
+    * canonical offender — see TOKS's scaladoc). */
   private val TOKS_CJK =
     """flatten(list_transform(
       list_filter(regexp_split_to_array(
@@ -2572,6 +2588,83 @@ object PipelineQueries {
         n_tokens, n_tokens - len(kept) AS n_removed
       FROM k"""))
 
+  /** Surgical span decontamination in CJK mode — excision by CHARACTER
+    * OFFSETS (decontaminateSpans cjk: a token rebuild would duplicate
+    * interior ideographs of overlapping bigrams, the round-10 latin-only
+    * limitation this closes). Corpus = the zh-seeded cjkdocs; benchmark =
+    * its doc_id % 23 slice (seed 9000000004 ≡ 0 mod 23 → LIVE CJK
+    * excision, not just latin rows flowing through the cjk kernel).
+    * DuckDB recomposes the WHOLE offset pipeline from first principles:
+    * per-character class runs (window functions recover maximal
+    * [a-z0-9]/CJK runs with their codepoint positions), per-run token
+    * spans (latin run → one token, CJK run of L ≥ 2 → L−1 overlapping
+    * bigram spans), the positional gram join, covered-position → covered
+    * CHARACTER RANGE expansion, and the per-character excision rebuild —
+    * so the hash certifies the exact character-level excision boundaries
+    * cross-engine, including the span UNION under overlapping bigrams. */
+  val tDecontaminateSpansCjk: Q = Q(
+    "t_decontaminate_spans_cjk",
+    run = (s, dir) => {
+      val docs = curateCjkDocs(s, dir)
+      TextAnalysis.decontaminateSpans(docs, docs.filter(col("doc_id") % 23 === 0),
+        n = 4, cjk = true)
+    },
+    oracle = Some(s"""
+      WITH $cjkDocsCte
+      d AS (SELECT doc_id, lower(coalesce(text, '')) AS lt FROM cjkdocs),
+      ch0 AS (SELECT doc_id, lt, unnest(range(1, length(lt) + 1)) AS i FROM d),
+      ch AS (SELECT doc_id, i, substr(lt, i, 1) AS c FROM ch0),
+      cl AS (SELECT doc_id, i, c,
+              CASE WHEN regexp_matches(c, '^[a-z0-9]$$') THEN 'w'
+                   WHEN regexp_matches(c, '^[一-鿿]$$') THEN 'k'
+                   ELSE 'x' END AS k FROM ch),
+      rb AS (SELECT doc_id, i, c, k,
+              CASE WHEN lag(k) OVER (PARTITION BY doc_id ORDER BY i)
+                        IS DISTINCT FROM k THEN 1 ELSE 0 END AS nb FROM cl),
+      rr AS (SELECT doc_id, i, c, k,
+              SUM(nb) OVER (PARTITION BY doc_id ORDER BY i) AS run FROM rb),
+      runs AS (SELECT doc_id, run, min(k) AS k, min(i) AS rs, max(i) AS re,
+                string_agg(c, '' ORDER BY i) AS piece
+              FROM rr WHERE k <> 'x' GROUP BY doc_id, run),
+      spl AS (SELECT doc_id, rs,
+               CASE WHEN k = 'w' OR re = rs
+                    THEN [{'t': piece, 's': rs - 1, 'e': re}]
+                    ELSE [{'t': substr(piece, j + 1, 2),
+                           's': rs - 1 + j, 'e': rs + 1 + j}
+                          for j in range(0, re - rs)] END AS sl FROM runs),
+      spagg AS (SELECT doc_id, flatten(list(sl ORDER BY rs)) AS spans
+                FROM spl GROUP BY doc_id),
+      tokpos AS (SELECT d.doc_id, d.lt,
+                  coalesce(sp.spans, []) AS spans,
+                  list_transform(coalesce(sp.spans, []), x -> x.t) AS toks
+                 FROM d LEFT JOIN spagg sp USING (doc_id)),
+      g AS (SELECT doc_id,
+             unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+3], ' ')}
+                     for i in range(1, len(toks) - 2)]) AS s
+            FROM tokpos WHERE len(toks) >= 4),
+      pg AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM g),
+      bg AS (SELECT DISTINCT unnest(
+              list_distinct([array_to_string(toks[i:i+3], ' ')
+                             for i in range(1, len(toks) - 2)])) AS gram
+            FROM tokpos WHERE doc_id % 23 = 0 AND len(toks) >= 4),
+      h1 AS (SELECT pg.doc_id, list(DISTINCT pos) AS hp
+             FROM pg JOIN bg USING (gram) GROUP BY 1),
+      h2 AS (SELECT doc_id,
+              list_distinct(flatten([range(p, p + 4) for p in hp])) AS cov
+             FROM h1),
+      cv AS (SELECT t.doc_id, t.lt, t.spans, t.toks, coalesce(h2.cov, []) AS cov
+             FROM tokpos t LEFT JOIN h2 USING (doc_id)),
+      cc AS (SELECT doc_id, lt, toks, cov,
+              flatten([range(struct_extract(spans[i + 1], 's'),
+                             struct_extract(spans[i + 1], 'e')) for i in cov]) AS covch
+             FROM cv)
+      SELECT doc_id,
+        coalesce(array_to_string([substr(lt, i, 1) for i in range(1, length(lt) + 1)
+                                  if NOT list_contains(covch, i - 1)], ''), '') AS text,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(cov) AS BIGINT) AS n_removed
+      FROM cc"""))
+
   /** Bloom-filter decontamination, self-gated against the exact join: the
     * `ok` column asserts (a) NO false negatives — every doc the exact join
     * flags has n_bf_grams >= its true shared-gram count (the Bloom
@@ -4031,7 +4124,7 @@ object PipelineQueries {
     tUpsampleMix, tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
     tZorderValues, tZoneMap, tPcaEmbeddings, tRandomProjection,
-    tRepetitionScore, tGopherRules, tHtmlStrip, tCurateHtml, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans,
+    tRepetitionScore, tGopherRules, tHtmlStrip, tCurateHtml, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans, tDecontaminateSpansCjk,
     tDecontaminateSemantic, tSplitAssign, tSplitLeakageSafe,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
     tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary, tVocabCoverage, tCollocations)

@@ -553,6 +553,34 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming SURGICAL span decontamination: the batch
+    * TextAnalysis.decontaminateSpans gate as a sink — latin token-rebuild
+    * mode or the cjk character-offset mode (overlapping-bigram spans
+    * union; see the operator's @param cjk). The benchmark is STATIC (its
+    * gram table is re-derived per batch from the same tiny frame — AQE
+    * broadcasts it), and excision is a pure per-row function of
+    * (doc text, benchmark grams), so stream ≡ batch EXACTLY at any
+    * batching — StreamingSpec asserts union-of-batches == the batch
+    * operator, cjk mode included. Each batch's excised corpus lands
+    * idempotently in `outPath/batch=<id>` (overwrite — the at-least-once
+    * foreachBatch retry contract of the other incremental sinks here);
+    * the operator's registry-tracked persists are released per batch
+    * (trackMark/releaseSince — a continuous stream must not accumulate
+    * InMemoryRelations). */
+  def spanExcisionSink(docs: DataFrame, benchmark: DataFrame, outPath: String,
+      n: Int = 4, cjk: Boolean = false): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val mark = graft.operators.Dedup.trackMark(spark)
+        try
+          graft.operators.TextAnalysis
+            .decontaminateSpans(batch.toDF(), benchmark, n, cjk)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        finally { graft.operators.Dedup.releaseSince(spark, mark); () }
+      }
+
   /** K2 analog: dynamic per-record routing — one pass, fanned out by the
     * `sink_table` column (partitioned write ≈ Kafka sink's per-row topic).
     *

@@ -51,6 +51,42 @@ class PlansSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("fused bloom_hits == the per-row UDF loop; no ScalaUDF left in the plan") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    // the operator's real input domain: bound distinct-4-gram arrays, a
+    // filter built from the doc_id % 23 benchmark slice's grams
+    val grams = docs
+      .select(col("doc_id"), TextFunctions.tokensFused(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.wordShingles(col("toks"), 4)).as("g"))
+      .filter(size(col("g")) > 0).persist()
+    try {
+      val bench = grams.filter(col("doc_id") % 23 === 0)
+        .select(explode(col("g")).as("gram")).distinct()
+      val nGrams = bench.count()
+      assert(nGrams > 0)
+      val bf = bench.stat.bloomFilter("gram", nGrams, 1e-6)
+      val bfB = spark.sparkContext.broadcast(bf)
+      val handle = graft.plans.BloomHandles.register(bfB)
+      val udfHits = udf((arr: scala.collection.Seq[String]) =>
+        arr.count(g => bfB.value.mightContainString(g)).toLong)
+      val both = grams.select(
+        call_function("bloom_hits", col("g"), lit(handle)).as("f"),
+        udfHits(col("g")).as("c"))
+      assert(both.filter(not(col("f") <=> col("c"))).count() === 0)
+      assert(both.filter(col("f") > 0).count() > 0, "fixture must have hits")
+      // the production path (bloomScoreBroadcast) must carry NO ScalaUDF
+      val plan = graft.operators.TextAnalysis
+        .bloomScoreBroadcast(docs, bfB, n = 4)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF") && !plan.contains("UDF("),
+        s"interpreted UDF left in the bloom scoring plan:\n$plan")
+      assert(plan.contains("bloomhits") || plan.contains("bloom_hits") ||
+        plan.toLowerCase.contains("bloomhits"), s"fused expression missing:\n$plan")
+    } finally { grams.unpersist(blocking = false); () }
+  }
+
   test("fused md5-prefix hash == compositional conv(substring(md5)) chain") {
     GraftFunctions.register(spark)
     val toks = Tables.documents(spark, dir)
@@ -481,6 +517,21 @@ class PlansSpec extends AnyFunSuite {
         TextFunctions.nfcNormalize(col("text")).as("f"),
         nfcExpected(col("text")).as("c"))
       assert(nfc.filter(not(col("f") <=> col("c"))).count() === 0)
+      // tokenize_spans_cjk: token text bit-identical to tokenize_array_cjk
+      // on every random string, and every span cuts EXACTLY its token out
+      // of lower_root(text) at CODEPOINT offsets — the astral pool entries
+      // (emoji, CJK Ext-B surrogate pairs) are separators that advance the
+      // offset by ONE codepoint, so a char-vs-codepoint bug fails here
+      val sp = df.select(
+        call_function("lower_root", coalesce(col("text"), lit(""))).as("lt"),
+        call_function("tokenize_spans_cjk", col("text")).as("spans"),
+        TextFunctions.tokensFusedCjk(col("text")).as("toks"))
+      assert(sp.filter(not(
+        transform(col("spans"), x => x("t")) <=> col("toks"))).count() === 0)
+      assert(sp.filter(not(forall(col("spans"), x =>
+        x("s") >= 0 && x("e") <= length(col("lt")) && x("s") < x("e") &&
+          col("lt").substr(x("s") + 1, x("e") - x("s")) === x("t"))))
+        .count() === 0)
     } finally { df.unpersist(blocking = false); () }
   }
 

@@ -855,6 +855,38 @@ class StreamingSpec extends AnyFunSuite {
       10L -> "lm_fluency", 11L -> "kept"))
   }
 
+  test("spanExcisionSink cjk == batch decontaminateSpans across micro-batches (character-offset excision)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outPath = SparkTestSession.scratch("spanexcision_out")
+    // benchmark CJK run → bigrams 机器 器学 学习 习模 模型 → four 2-gram
+    // shingles; docs 1 and 3 embed parts of the run (live excision),
+    // doc 2 is clean CJK, doc 4 is latin-only (the mode's no-op side)
+    val bench = Seq((900L, "机器学习模型")).toDF("doc_id", "text")
+    val docRows: Seq[(Long, String)] = Seq(
+      (1L, "AB 机器学习真好 cd!"),
+      (2L, "Hello, 世界!"),
+      (3L, "我们用机器学习模型做事"),
+      (4L, "plain latin text only"))
+    val docs = docRows.toDF("doc_id", "text")
+    val want = graft.operators.TextAnalysis
+      .decontaminateSpans(docs, bench, n = 2, cjk = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    graft.operators.Dedup.releaseCaches(spark)
+    assert(want.exists(_._4 > 0), s"fixture must excise something: $want")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingPipelines.spanExcisionSink(
+        stream.toDF().toDF("doc_id", "text"), bench, outPath, n = 2, cjk = true)
+      .start()
+    // excision is per-doc against a static benchmark → batching-free
+    docRows.grouped(2).foreach { h => stream.addData(h); q.processAllAvailable() }
+    q.stop()
+    val got = spark.read.parquet(outPath)
+      .select("doc_id", "text", "n_tokens", "n_removed")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+  }
+
   test("frozen lm-bucket sink == batch lmBucketsFrozen across fold boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -261,6 +261,36 @@ class TextOpsSpec extends AnyFunSuite {
       s"in-domain must outscore garbled: $live")
   }
 
+  test("decontaminateSpans cjk: character-offset excision unions overlapping bigram spans, keeps separators") {
+    import spark.implicits._
+    // doc codepoints (after lower): a b ' ' 机 器 学 习 真 好 ' ' c d !
+    //                               0 1  2  3 4 5 6 7 8  9 10 11 12
+    // toks: ab(0,2) 机器(3,5) 器学(4,6) 学习(5,7) 习真(6,8) 真好(7,9) cd(10,12)
+    // benchmark "机器学习" → toks [机器 器学 学习] → 2-gram shingles
+    // {"机器 器学", "器学 学习"} hit doc positions {1, 2} → covered token
+    // positions {1,2,3} → covered char ranges (3,5)(4,6)(5,7) UNION [3,7)
+    // → excise exactly 机器学习; case lowers, punctuation/spacing survive
+    val docs = Seq(
+      (1L, "AB 机器学习真好 cd!"),
+      (2L, "Hello, 世界!")) // clean: unchanged-by-value (lowered)
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "机器学习")).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminateSpans(docs, bench, n = 2, cjk = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    Dedup.releaseCaches(spark)
+    assert(got(1L) === (("ab 真好 cd!", 7L, 3L)), s"got: $got")
+    // 2 tokens: "hello" + the single bigram "世界" (a 2-char CJK run)
+    assert(got(2L) === (("hello, 世界!", 2L, 0L)), s"got: $got")
+    // latin control: the same benchmark strips to zero latin grams, so
+    // the latin arm never fires for CJK overlap (the round-10 limitation
+    // the cjk arm closes) — and its rebuild normalizes separators away
+    val latin = TextAnalysis.decontaminateSpans(docs, bench, n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    Dedup.releaseCaches(spark)
+    assert(latin(1L) === (("ab cd", 0L)))
+  }
+
   test("lmScore: empty corpus is fine; empty reference fails LOUD (V = 0 division)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
