@@ -190,6 +190,23 @@ object Curate {
     *   differing only in the PII they leak ARE duplicates after the
     *   scrub). A map-side per-doc transform, so it composes with the
     *   streaming twin batching-independently. Off by default.
+    * @param excise when set, SURGICAL decontamination runs as the LAST
+    *   pre-transform (after stripHtml/redactPii/stripLineFreq, before
+    *   the token binding): every `exciseN`-token shingle shared with
+    *   this benchmark table is EXCISED from the text
+    *   (TextAnalysis.decontaminateSpans — token rebuild in latin mode,
+    *   character-offset excision in cjk mode), and the pipeline ingests
+    *   the excised text, so fingerprints, shingles, quality and every
+    *   gate see the text that ships. The softer alternative to the
+    *   doc-dropping `benchmark` gate (dropping a 100-page doc for one
+    *   leaked eval question wastes the other 99 pages); the two compose
+    *   — excise first, and still drop docs the gate finds contaminated
+    *   AFTER excision. Note the rebuild normalizes text (latin: tokens
+    *   joined by single spaces; cjk: lowercased with separators kept),
+    *   so docs differing only inside or around excised spans MAY become
+    *   exact duplicates — that is the point, not an artifact. Per-doc
+    *   against a static benchmark, so the streaming twin is
+    *   batching-independent.
     * @param stripLineFreq when set, TextAnalysis.stripBoilerplate removes
     *   lines occurring in more than this many distinct docs BEFORE any
     *   gate runs (after the PII scrub if both are on — scrub first so
@@ -232,6 +249,8 @@ object Curate {
       stripHtml: Boolean = false,
       redactPii: Boolean = false,
       stripLineFreq: Option[Int] = None,
+      excise: Option[DataFrame] = None,
+      exciseN: Int = 4,
       cjk: Boolean = false): (DataFrame, Stats) = {
     requireGateModes(cjk, gopher, classifier, lm)
     val dedupMark = Dedup.trackMark(spark)
@@ -245,10 +264,18 @@ object Curate {
       if (redactPii) TextAnalysis.redactPii(extracted)
         .select(col("doc_id"), col("redacted").as("text"))
       else extracted
-    val base = stripLineFreq match {
+    val base0 = stripLineFreq match {
       case Some(k) => TextAnalysis.stripBoilerplate(scrubbed, k)
         .select(col("doc_id"), col("text"))
       case None => scrubbed
+    }
+    // surgical decontamination LAST among the pre-transforms: spans must
+    // be located in the text that ships (post-scrub/strip), and every
+    // fingerprint/gate downstream must see the excised form
+    val base = excise match {
+      case Some(bx) => TextAnalysis.decontaminateSpans(base0, bx, exciseN, cjk)
+        .select(col("doc_id"), col("text"))
+      case None => base0
     }
     // bind the tokenization BEFORE the persist so it runs once, not once
     // per consumer — through the FUSED kernel for the mode (one codegen'd

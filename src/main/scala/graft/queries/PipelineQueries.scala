@@ -1971,6 +1971,60 @@ object PipelineQueries {
         (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM scored
          WHERE cls_ok AND quality >= 0.55 AND pred_lang <> 'und') AS kept_tokens"""))))
 
+  /** The curation pipeline with SURGICAL decontamination composed in
+    * (Curate.runDocs excise): leaked eval spans are EXCISED as the last
+    * pre-transform instead of dropping whole docs, and the UNCHANGED
+    * pipeline chain then ingests the excised text — fingerprints,
+    * shingles, quality, language all see the text that ships. The
+    * oracle feeds the t_decontaminate_spans chain's output through the
+    * t_curate_stats recomposition via `prefixCtes`/`docsRel` (the
+    * t_curate_redacted pattern). Live composition signal: the
+    * benchmark-slice docs excise to EMPTY text, so they collapse into
+    * one exact-dup fingerprint group and the survivors land in
+    * low_quality — exactly what "dedup sees the excised form" means. */
+  val tCurateExcised: Q = Q(
+    "t_curate_excised",
+    run = (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val (_, st) = graft.pipeline.Curate.runDocs(s, docs,
+        excise = Some(docs.filter(col("doc_id") % 23 === 0)))
+      graft.pipeline.Curate.releaseCaches(s)
+      Seq((st.input, st.exactDups, st.nearDups, st.lowQuality, st.unknownLang,
+        st.kept, st.keptTokens))
+        .toDF("input", "exact_dups", "near_dups", "low_quality",
+          "unknown_lang", "kept", "kept_tokens")
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
+      docsRel = "excised",
+      prefixCtes = latinExcisionCtes("documents", "doc_id % 23 = 0"))))
+
+  /** [[tCurateExcised]] in cjk mode over the zh-seeded corpus: the
+    * character-offset excision chain (seed 9000000004 sits in the
+    * benchmark slice → a LIVE CJK doc excises to empty) feeds the cjk
+    * pipeline recomposition (TOKS_CJK + zh stop arm) — surgical
+    * decontamination and mixed-script curation certified COMPOSED, one
+    * hash. */
+  val tCurateCjkExcised: Q = Q(
+    "t_curate_cjk_excised",
+    run = (s, dir) => {
+      import s.implicits._
+      val docs = curateCjkDocs(s, dir)
+      val (_, st) = graft.pipeline.Curate.runDocs(s, docs,
+        excise = Some(docs.filter(col("doc_id") % 23 === 0)), cjk = true)
+      graft.pipeline.Curate.releaseCaches(s)
+      Seq((st.input, st.exactDups, st.nearDups, st.lowQuality, st.unknownLang,
+        st.kept, st.keptTokens))
+        .toDF("input", "exact_dups", "near_dups", "low_quality",
+          "unknown_lang", "kept", "kept_tokens")
+    },
+    oracle = Some(curateStatsOracle(
+      """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
+      toksSql = TOKS_CJK, stopZh = true,
+      docsRel = "excised",
+      prefixCtes = cjkDocsCte + cjkExcisionCtes("cjkdocs", "doc_id % 23 = 0"))))
+
   /** The composed pipeline under the recall-LOSSLESS near-dup policy:
     * exact n-gram Jaccard join (prefix + positional filtering) instead of
     * MinHash banding. The oracle's candidate set is ALL gram-sharing pairs
@@ -2611,59 +2665,98 @@ object PipelineQueries {
     },
     oracle = Some(s"""
       WITH $cjkDocsCte
-      d AS (SELECT doc_id, lower(coalesce(text, '')) AS lt FROM cjkdocs),
-      ch0 AS (SELECT doc_id, lt, unnest(range(1, length(lt) + 1)) AS i FROM d),
-      ch AS (SELECT doc_id, i, substr(lt, i, 1) AS c FROM ch0),
-      cl AS (SELECT doc_id, i, c,
+      ${cjkExcisionCtes("cjkdocs", "doc_id % 23 = 0")}
+      final AS (SELECT doc_id, text, n_tokens, n_removed FROM excised)
+      SELECT * FROM final"""))
+
+  /** Span-excision CTE chain, cjk arm (decontaminateSpans cjk at n=4 —
+    * the per-character recomposition): character class runs → token
+    * spans → positional gram join vs the `benchPred` slice → covered
+    * token positions → covered CHARACTER ranges → per-char rebuild.
+    * Ends in `excised(doc_id, text, n_tokens, n_removed)` covering
+    * EVERY doc of `docsRel`; prefix-style (trailing comma) so it drops
+    * into curateStatsOracle's `prefixCtes`, which is how the
+    * t_curate_cjk_excised entry feeds the excised corpus through the
+    * UNCHANGED pipeline chain. All CTE names are x-prefixed to stay
+    * disjoint from the curate chain's. */
+  private def cjkExcisionCtes(docsRel: String, benchPred: String): String = s"""
+      xd AS (SELECT doc_id, lower(coalesce(text, '')) AS lt FROM $docsRel),
+      xch0 AS (SELECT doc_id, lt, unnest(range(1, length(lt) + 1)) AS i FROM xd),
+      xch AS (SELECT doc_id, i, substr(lt, i, 1) AS c FROM xch0),
+      xcl AS (SELECT doc_id, i, c,
               CASE WHEN regexp_matches(c, '^[a-z0-9]$$') THEN 'w'
                    WHEN regexp_matches(c, '^[一-鿿]$$') THEN 'k'
-                   ELSE 'x' END AS k FROM ch),
-      rb AS (SELECT doc_id, i, c, k,
+                   ELSE 'x' END AS k FROM xch),
+      xrb AS (SELECT doc_id, i, c, k,
               CASE WHEN lag(k) OVER (PARTITION BY doc_id ORDER BY i)
-                        IS DISTINCT FROM k THEN 1 ELSE 0 END AS nb FROM cl),
-      rr AS (SELECT doc_id, i, c, k,
-              SUM(nb) OVER (PARTITION BY doc_id ORDER BY i) AS run FROM rb),
-      runs AS (SELECT doc_id, run, min(k) AS k, min(i) AS rs, max(i) AS re,
+                        IS DISTINCT FROM k THEN 1 ELSE 0 END AS nb FROM xcl),
+      xrr AS (SELECT doc_id, i, c, k,
+              SUM(nb) OVER (PARTITION BY doc_id ORDER BY i) AS run FROM xrb),
+      xruns AS (SELECT doc_id, run, min(k) AS k, min(i) AS rs, max(i) AS re,
                 string_agg(c, '' ORDER BY i) AS piece
-              FROM rr WHERE k <> 'x' GROUP BY doc_id, run),
-      spl AS (SELECT doc_id, rs,
+              FROM xrr WHERE k <> 'x' GROUP BY doc_id, run),
+      xspl AS (SELECT doc_id, rs,
                CASE WHEN k = 'w' OR re = rs
                     THEN [{'t': piece, 's': rs - 1, 'e': re}]
                     ELSE [{'t': substr(piece, j + 1, 2),
                            's': rs - 1 + j, 'e': rs + 1 + j}
-                          for j in range(0, re - rs)] END AS sl FROM runs),
-      spagg AS (SELECT doc_id, flatten(list(sl ORDER BY rs)) AS spans
-                FROM spl GROUP BY doc_id),
-      tokpos AS (SELECT d.doc_id, d.lt,
+                          for j in range(0, re - rs)] END AS sl FROM xruns),
+      xspagg AS (SELECT doc_id, flatten(list(sl ORDER BY rs)) AS spans
+                FROM xspl GROUP BY doc_id),
+      xtok AS (SELECT xd.doc_id, xd.lt,
                   coalesce(sp.spans, []) AS spans,
                   list_transform(coalesce(sp.spans, []), x -> x.t) AS toks
-                 FROM d LEFT JOIN spagg sp USING (doc_id)),
-      g AS (SELECT doc_id,
+                 FROM xd LEFT JOIN xspagg sp USING (doc_id)),
+      xg AS (SELECT doc_id,
              unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+3], ' ')}
                      for i in range(1, len(toks) - 2)]) AS s
-            FROM tokpos WHERE len(toks) >= 4),
-      pg AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM g),
-      bg AS (SELECT DISTINCT unnest(
+            FROM xtok WHERE len(toks) >= 4),
+      xpg AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM xg),
+      xbg AS (SELECT DISTINCT unnest(
               list_distinct([array_to_string(toks[i:i+3], ' ')
                              for i in range(1, len(toks) - 2)])) AS gram
-            FROM tokpos WHERE doc_id % 23 = 0 AND len(toks) >= 4),
-      h1 AS (SELECT pg.doc_id, list(DISTINCT pos) AS hp
-             FROM pg JOIN bg USING (gram) GROUP BY 1),
-      h2 AS (SELECT doc_id,
+            FROM xtok WHERE ($benchPred) AND len(toks) >= 4),
+      xh1 AS (SELECT xpg.doc_id, list(DISTINCT pos) AS hp
+             FROM xpg JOIN xbg USING (gram) GROUP BY 1),
+      xh2 AS (SELECT doc_id,
               list_distinct(flatten([range(p, p + 4) for p in hp])) AS cov
-             FROM h1),
-      cv AS (SELECT t.doc_id, t.lt, t.spans, t.toks, coalesce(h2.cov, []) AS cov
-             FROM tokpos t LEFT JOIN h2 USING (doc_id)),
-      cc AS (SELECT doc_id, lt, toks, cov,
+             FROM xh1),
+      xcv AS (SELECT t.doc_id, t.lt, t.spans, t.toks, coalesce(xh2.cov, []) AS cov
+             FROM xtok t LEFT JOIN xh2 USING (doc_id)),
+      xcc AS (SELECT doc_id, lt, toks, cov,
               flatten([range(struct_extract(spans[i + 1], 's'),
                              struct_extract(spans[i + 1], 'e')) for i in cov]) AS covch
-             FROM cv)
-      SELECT doc_id,
+             FROM xcv),
+      excised AS MATERIALIZED (SELECT doc_id,
         coalesce(array_to_string([substr(lt, i, 1) for i in range(1, length(lt) + 1)
                                   if NOT list_contains(covch, i - 1)], ''), '') AS text,
         CAST(len(toks) AS BIGINT) AS n_tokens,
         CAST(len(cov) AS BIGINT) AS n_removed
-      FROM cc"""))
+      FROM xcc),"""
+
+  /** Span-excision CTE chain, latin arm (decontaminateSpans' token
+    * rebuild at n=4 — the t_decontaminate_spans chain re-shaped as a
+    * prefix): ends in `excised(doc_id, text)` covering every doc of
+    * `docsRel`, for feeding the excised corpus through the pipeline
+    * oracle (t_curate_excised). */
+  private def latinExcisionCtes(docsRel: String, benchPred: String): String = s"""
+      xt AS (SELECT doc_id, $TOKS AS toks FROM $docsRel),
+      xg AS (SELECT doc_id,
+          unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+3], ' ')}
+                  for i in range(1, len(toks) - 2)]) AS s
+        FROM xt WHERE len(toks) >= 4),
+      xpg AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM xg),
+      xbg AS (SELECT DISTINCT unnest(
+          list_distinct([array_to_string(toks[i:i+3], ' ')
+                         for i in range(1, len(toks) - 2)])) AS gram
+        FROM xt WHERE ($benchPred) AND len(toks) >= 4),
+      xh1 AS (SELECT xpg.doc_id, list(DISTINCT pos) AS hp
+        FROM xpg JOIN xbg USING (gram) GROUP BY 1),
+      xh2 AS (SELECT doc_id, flatten([range(p, p + 4) for p in hp]) AS cov FROM xh1),
+      excised AS MATERIALIZED (SELECT t.doc_id,
+          coalesce(array_to_string([t.toks[i] for i in range(1, len(t.toks) + 1)
+            if NOT list_contains(coalesce(xh2.cov, []), i - 1)], ' '), '') AS text
+        FROM xt t LEFT JOIN xh2 USING (doc_id)),"""
 
   /** Bloom-filter decontamination, self-gated against the exact join: the
     * `ok` column asserts (a) NO false negatives — every doc the exact join
@@ -4119,7 +4212,8 @@ object PipelineQueries {
     tMultimodalMeta, tFrameSample, tResize, tQuantizeEmbeddings,
     tAnnIvfRecall, tAnnPqRecall, tAnnIvfPqRecall, tAnnIvfPqResidualRecall,
     tCurateStats, tCurateCjk, tCurateCjkFull, tCurateCjkLm, tCurateStatsClustered, tCurateStatsExact, tCurateContained, tCurateStatsFull,
-    tCurateGopher, tCurateClassified, tCurateCjkClassified, tCuratePacked,
+    tCurateGopher, tCurateClassified, tCurateCjkClassified,
+    tCurateExcised, tCurateCjkExcised, tCuratePacked,
     tCurateShuffled, tCurateLayout, tCurateChunked, tTemperatureMix, tTokenBudgetMix, tEvalCarve, tEvalCarveDupkeys, tMembershipIndex,
     tUpsampleMix, tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,

@@ -71,6 +71,13 @@ object CurateStream {
     *   registries then hold fingerprints/bands OF THE SCRUBBED text,
     *   which is the point (two docs differing only in leaked PII are
     *   duplicates after the scrub).
+    * @param excise when set, SURGICAL decontamination runs as the last
+    *   pre-transform (Curate.runDocs' excise: shingles shared with this
+    *   STATIC benchmark are excised from the text; token rebuild latin,
+    *   character-offset excision cjk) — per-doc against fixed grams, so
+    *   batching-independent, and registries hold fingerprints/bands of
+    *   the EXCISED text: docs differing only around leaked eval spans
+    *   dedup together after excision, across batches too.
     * @param cjk mixed-script mode (Curate.runDocs' cjk): binds `toks`
     *   once on the persisted batch frame via the fused
     *   `tokenize_array_cjk` kernel, so shingles/quality/language/
@@ -91,6 +98,8 @@ object CurateStream {
       lm: Option[graft.pipeline.Curate.LmGate] = None,
       stripHtml: Boolean = false,
       redactPii: Boolean = false,
+      excise: Option[DataFrame] = None,
+      exciseN: Int = 4,
       cjk: Boolean = false,
       numSigs: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.8,
       maxBucket: Int = 1000, compactEvery: Int = 16): DataStreamWriter[Row] = {
@@ -134,7 +143,17 @@ object CurateStream {
         // array). Latin batches bind too (Curate.runDocs' round-10
         // binding is identical): every gate reuses the one bound column
         // instead of re-tokenizing the cached batch per consumer.
-        val b = keep(graft.functions.TokMode.bind(scrubbed, cjk))
+        // surgical decontamination LAST among the pre-transforms
+        // (Curate.runDocs' order) — per-doc against the STATIC `excise`
+        // benchmark, so the transform is batching-independent like the
+        // scrub; its registry-tracked persists release in the finally
+        val preToks = excise match {
+          case Some(bx) => TextAnalysis
+            .decontaminateSpans(scrubbed, bx, exciseN, cjk)
+            .select(col("doc_id"), col("text"))
+          case None => scrubbed
+        }
+        val b = keep(graft.functions.TokMode.bind(preToks, cjk))
         // NULL-text sentinel: fingerprint(NULL) is NULL, and the registry
         // equi-join below is null-UNSAFE — without the sentinel a null-text
         // doc in a later batch never matches a null-fp doc in the registry,
@@ -209,8 +228,7 @@ object CurateStream {
             // token space; binding only under cjk would honor a stray
             // differently-tokenized `toks` column on the latin path)
             val contam = benchmark.map { bench =>
-              val bb = bench.withColumn("toks",
-                graft.functions.TextFunctions.tokensFused(col("text"), cjk))
+              val bb = graft.functions.TokMode.bind(bench, cjk)
               TextAnalysis.contaminationTable(b, bb, contaminationN)
                 .select(col("doc_id")).withColumn("__contam", lit(1))
             }

@@ -261,6 +261,32 @@ class CurateSpec extends AnyFunSuite {
     assert(rowsA === rowsB)
   }
 
+  test("excise pre-transform: composition equals manual decontaminateSpans; dedup sees the excised form") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    val (keptA, stA) = Curate.runDocs(spark, docs, excise = Some(bench))
+    val rowsA = keptA.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    Curate.releaseCaches(spark)
+    // composition property: runDocs(excise = b) == runDocs over the
+    // manually excised frame (the pre-transform is exactly
+    // decontaminateSpans, the redactPii/stripHtml pattern)
+    val excised = graft.operators.TextAnalysis
+      .decontaminateSpans(docs, bench, n = 4)
+      .select(col("doc_id"), col("text"))
+    val (keptB, stB) = Curate.runDocs(spark, excised)
+    val rowsB = keptB.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    Curate.releaseCaches(spark)
+    assert(stA === stB)
+    assert(rowsA === rowsB)
+    assert(rowsA.nonEmpty)
+    // benchmark docs self-match → excise to EMPTY text → they become one
+    // exact-dup fingerprint group (dedup must see the excised form, not
+    // the raw text — the property that breaks if excision ran after the
+    // fingerprint stage)
+    assert(stA.exactDups >= bench.count() - 1, s"stats: $stA")
+  }
+
   test("LM gate mode contract: mismatches refused LOUDLY in BOTH directions, untagged bindings refused") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

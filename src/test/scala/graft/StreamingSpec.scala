@@ -887,6 +887,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("CurateStream excise pre-transform == batch Curate (cjk character-offset excision across batches)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = SparkTestSession.scratch("curatestream_excise_reg")
+    val outPath = SparkTestSession.scratch("curatestream_excise_out")
+    val bench = Seq((900L, "机器学习模型训练")).toDF("doc_id", "text")
+    val docRows: Seq[(Long, String)] = Seq(
+      (7L, "我们使用机器学习模型训练数据完成任务"), // excised mid-doc, survivors keep
+      (9L, "我们可以一起去公园散步"), // clean zh
+      (10L, "机器学习模型训练"), // IS the benchmark → excises to empty
+      (11L, "the cat sat on the mat and the dog ran")) // latin, untouched
+    val docs = docRows.toDF("doc_id", "text")
+    val (curated, st) = graft.pipeline.Curate.runDocs(spark, docs,
+      minQuality = 0.0, excise = Some(bench), cjk = true)
+    val wantKept = curated.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    // live excision: doc 7's leaked span is gone but the doc SURVIVES
+    // (the surgical point), doc 10 empties and drops
+    assert(wantKept.contains(7L) && !wantKept(7L).contains("机器学习模型训练"),
+      s"kept: $wantKept")
+    assert(!wantKept.contains(10L), s"emptied doc must not keep: $st")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurateStream.sink(
+        stream.toDF().toDF("doc_id", "text"), regPath, outPath,
+        minQuality = 0.0, excise = Some(bench), cjk = true)
+      .start()
+    docRows.sortBy(_._1).grouped(2).foreach { h =>
+      stream.addData(h); q.processAllAvailable()
+    }
+    q.stop()
+    val labeled = graft.streaming.CurateStream.labeledView(spark, outPath)
+      .select("doc_id", "drop_reason", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(labeled.size === docRows.size)
+    assert(labeled.filter(_._2._1 == "kept").view.mapValues(_._2).toMap === wantKept)
+    assert(labeled.values.count(_._1 == "kept") === st.kept)
+  }
+
   test("frozen lm-bucket sink == batch lmBucketsFrozen across fold boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
