@@ -867,13 +867,88 @@ object Dedup {
         col("n_spans"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
-  def dedupSpans(docs: DataFrame, k: Int = 8, maxOcc: Int = 1): DataFrame = {
-    val toked = track(spanTable(docs, k).persist())
-    val spans = toked.select(col("doc_id"), explode(col("spans")).as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.span").as("span"))
-    finishSpans(
-      toked.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans")),
-      spans, maxOcc)
+  /** @param cjk mixed-script mode — sub-document dedup by CHARACTER
+    *   OFFSETS (the decontaminateSpans-cjk sibling): the latin arm's
+    *   rebuild concatenates kept span STRINGS, which would duplicate
+    *   interior ideographs of overlapping CJK bigram tokens. The cjk arm
+    *   instead segments the `tokenize_spans_cjk` token stream into
+    *   consecutive k-token chunks whose EXTENT is the half-open
+    *   character range [first own token's start, next chunk's first
+    *   token's start) — a partition of lower_root(text) from the first
+    *   token on, so excising a banned chunk never clips a kept
+    *   neighbor; chunk IDENTITY for the corpus count stays the
+    *   space-joined token sequence (pure content, position-free).
+    *   Output text is lower_root(text) minus banned-chunk ranges
+    *   (leading separators always survive; a chunk owns its trailing
+    *   separators), so unlike the latin arm non-token text is
+    *   preserved. Same scale shape: one span-keyed partial agg, a
+    *   left-semi against the tiny banned set, one doc_id shuffle. */
+  def dedupSpans(docs: DataFrame, k: Int = 8, maxOcc: Int = 1,
+      cjk: Boolean = false): DataFrame =
+    if (cjk) dedupSpansByOffset(docs, k, maxOcc)
+    else {
+      val toked = track(spanTable(docs, k).persist())
+      val spans = toked.select(col("doc_id"), explode(col("spans")).as("s"))
+        .select(col("doc_id"), col("s.pos").as("pos"), col("s.span").as("span"))
+      finishSpans(
+        toked.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans")),
+        spans, maxOcc)
+    }
+
+  /** The cjk arm of [[dedupSpans]] (see its @param cjk). */
+  private def dedupSpansByOffset(docs: DataFrame, k: Int, maxOcc: Int): DataFrame = {
+    require(k > 0, s"span length must be positive, got $k")
+    import org.apache.spark.sql.functions.{call_function => fn}
+    val dt = track(docs
+      .select(col("doc_id"),
+        fn("tokenize_spans_cjk", col("text")).as("spans"),
+        fn("lower_root", coalesce(col("text"), lit(""))).as("lt"))
+      .persist()) // Generate re-inline hazard: chunk build below is a HOF
+    val nChunks = ceil(size(col("spans")).cast("double") / k).cast("int")
+    // chunk i: tokens [i·k, min((i+1)·k, n)), extent [spans(i·k).s,
+    // spans((i+1)·k).s) with the LAST chunk extending to length(lt);
+    // try_element_at: the one-past-the-end probe must yield NULL, not an
+    // ANSI out-of-bounds error
+    val chunkArr = when(size(col("spans")) > 0,
+      transform(sequence(lit(0), nChunks - 1), i => struct(
+        i.as("pos"),
+        concat_ws(" ",
+          transform(slice(col("spans"), i * k + 1, lit(k)), sp => sp("t"))).as("span"),
+        element_at(col("spans"), i * k + 1)("s").as("cs"),
+        coalesce(try_element_at(col("spans"), (i + 1) * k + 1)("s"),
+          length(col("lt"))).as("ce"))))
+      .otherwise(array().cast("array<struct<pos:int,span:string,cs:int,ce:int>>"))
+    val ct = track(dt
+      .select(col("doc_id"), col("lt"), chunkArr.as("chunks")).persist())
+    val flat = ct.select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("c.span").as("span"),
+        col("c.cs").as("cs"), col("c.ce").as("ce"))
+    val banned = flat.groupBy(col("span")).agg(count(lit(1)).as("ct"))
+      .filter(col("ct") > maxOcc).select(col("span"))
+    val bannedRanges = flat.join(banned, Seq("span"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("cs"), col("ce")))).as("bs"),
+        count(lit(1)).as("n_banned"))
+    val joined = ct.join(bannedRanges, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lt"),
+        size(col("chunks")).cast("long").as("n_spans"),
+        coalesce(col("bs"), array().cast("array<struct<cs:int,ce:int>>")).as("bs"),
+        (size(col("chunks")).cast("long")
+          - coalesce(col("n_banned"), lit(0L))).as("n_kept"))
+    // same sorted-range excision fold as decontaminateSpans cjk (ranges
+    // are non-overlapping by construction; greatest() is belt-and-braces)
+    val rebuilt = aggregate(col("bs"),
+      struct(lit(0).as("last"), lit("").as("acc")),
+      (st, sp) => struct(
+        greatest(st("last"), sp("ce")).as("last"),
+        concat(st("acc"),
+          when(sp("cs") > st("last"),
+            col("lt").substr(st("last") + 1, sp("cs") - st("last")))
+            .otherwise(lit(""))).as("acc")),
+      st => concat(st("acc"),
+        col("lt").substr(st("last") + 1, length(col("lt")) - st("last"))))
+    joined.select(col("doc_id"), rebuilt.as("text"),
+      col("n_spans"), col("n_kept"))
   }
 
   /** Edit-distance similarity self-join (Ed-Join family: Gravano et al.

@@ -2669,6 +2669,47 @@ object PipelineQueries {
       final AS (SELECT doc_id, text, n_tokens, n_removed FROM excised)
       SELECT * FROM final"""))
 
+  /** Corpus-wide repeated-span removal in CJK mode (dedupSpans cjk —
+    * the sub-document C4/MassiveText stage by CHARACTER OFFSETS, the
+    * decontaminateSpans-cjk sibling): consecutive 8-token chunks of the
+    * CJK-bigram token stream, chunk identity = the space-joined token
+    * sequence, chunk extent = the half-open [own first token start,
+    * next chunk's first token start) character range; chunks repeated
+    * across the seeded corpus (the exact-dup zh seed pair repeats every
+    * chunk — LIVE CJK bans) are excised from lower(text) per character.
+    * DuckDB recomposes chunking, the corpus ban count, and the
+    * per-character excision on top of the shared span recomposition
+    * ([[cjkSpanCtes]]), so the hash certifies the excision boundaries
+    * including the no-neighbor-clipping partition property. */
+  val tDedupSpansCjk: Q = Q(
+    "t_dedup_spans_cjk",
+    run = (s, dir) =>
+      Dedup.dedupSpans(curateCjkDocs(s, dir), k = 8, maxOcc = 1, cjk = true),
+    oracle = Some(s"""
+      WITH $cjkDocsCte
+      ${cjkSpanCtes("cjkdocs")}
+      xck AS (SELECT doc_id, lt, spans,
+          [{'span': array_to_string([x.t for x in spans[i*8 + 1 : (i+1)*8]], ' '),
+            'cs': struct_extract(spans[i*8 + 1], 's'),
+            'ce': CASE WHEN (i+1)*8 + 1 > len(spans) THEN length(lt)
+                       ELSE struct_extract(spans[(i+1)*8 + 1], 's') END}
+           for i in range(0, CAST(ceil(len(spans) / 8.0) AS BIGINT))] AS chunks
+        FROM xtok),
+      xcf AS (SELECT doc_id, unnest(chunks) AS c FROM xck),
+      xcg AS (SELECT doc_id, struct_extract(c, 'span') AS span,
+              struct_extract(c, 'cs') AS cs, struct_extract(c, 'ce') AS ce
+              FROM xcf),
+      xcb AS (SELECT span FROM xcg GROUP BY span HAVING COUNT(*) > 1),
+      xcr AS (SELECT g.doc_id, flatten(list(range(g.cs, g.ce))) AS covch,
+              COUNT(*) AS n_banned
+              FROM xcg g JOIN xcb USING (span) GROUP BY g.doc_id)
+      SELECT k.doc_id,
+        coalesce(array_to_string([substr(k.lt, i, 1) for i in range(1, length(k.lt) + 1)
+                                  if NOT list_contains(coalesce(r.covch, []), i - 1)], ''), '') AS text,
+        CAST(len(k.chunks) AS BIGINT) AS n_spans,
+        CAST(len(k.chunks) - coalesce(r.n_banned, 0) AS BIGINT) AS n_kept
+      FROM xck k LEFT JOIN xcr r USING (doc_id)"""))
+
   /** Span-excision CTE chain, cjk arm (decontaminateSpans cjk at n=4 —
     * the per-character recomposition): character class runs → token
     * spans → positional gram join vs the `benchPred` slice → covered
@@ -2679,7 +2720,13 @@ object PipelineQueries {
     * t_curate_cjk_excised entry feeds the excised corpus through the
     * UNCHANGED pipeline chain. All CTE names are x-prefixed to stay
     * disjoint from the curate chain's. */
-  private def cjkExcisionCtes(docsRel: String, benchPred: String): String = s"""
+  /** The tokenize_spans_cjk recomposition in DuckDB (shared front half
+    * of [[cjkExcisionCtes]] and the chunked span-dedup oracle): per-
+    * character class runs → per-run token spans → `xtok(doc_id, lt,
+    * spans, toks)` covering every doc of `docsRel`, spans as
+    * struct(t, s, e) with 0-based codepoint offsets into lower(text).
+    * Prefix-style (trailing comma). */
+  private def cjkSpanCtes(docsRel: String): String = s"""
       xd AS (SELECT doc_id, lower(coalesce(text, '')) AS lt FROM $docsRel),
       xch0 AS (SELECT doc_id, lt, unnest(range(1, length(lt) + 1)) AS i FROM xd),
       xch AS (SELECT doc_id, i, substr(lt, i, 1) AS c FROM xch0),
@@ -2706,7 +2753,10 @@ object PipelineQueries {
       xtok AS (SELECT xd.doc_id, xd.lt,
                   coalesce(sp.spans, []) AS spans,
                   list_transform(coalesce(sp.spans, []), x -> x.t) AS toks
-                 FROM xd LEFT JOIN xspagg sp USING (doc_id)),
+                 FROM xd LEFT JOIN xspagg sp USING (doc_id)),"""
+
+  private def cjkExcisionCtes(docsRel: String, benchPred: String): String =
+    cjkSpanCtes(docsRel) + s"""
       xg AS (SELECT doc_id,
              unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+3], ' ')}
                      for i in range(1, len(toks) - 2)]) AS s
@@ -4198,7 +4248,7 @@ object PipelineQueries {
     tCurateLm, tLmBuckets, tQualityBuckets, tCorpusVersion, tTermDrift, tHeavyHitters, tCorpusProfile, tProfileBySource, tDedupAgainst, tCorpusDiff,
     tSourceOverlap,
     tDedupExact, tDedupKeepBest, tDedupMinhash, tDedupMinhashSalted, tDedupJaccard,
-    tDedupEdit, tDedupContainment, tDedupSpans,
+    tDedupEdit, tDedupContainment, tDedupSpans, tDedupSpansCjk,
     tDedupClusters, tDedupClustersIncremental, tDedupClusterSizes,
     tSimhash, tAnnCosine, tAnnFiltered, tContrastiveMine,
     tDedupEmbedding, tDedupEmbeddingBucketed, tDedupEmbeddingBucketedHi, tDedupSemantic,

@@ -254,6 +254,28 @@ class DedupSpec extends AnyFunSuite {
     graft.operators.Dedup.releaseCaches(spark)
   }
 
+  test("dedupSpans cjk: character-offset chunk excision; kept neighbors never clipped") {
+    import spark.implicits._
+    // lower("AB 机器学习真好 cd"): a(0) b(1) _(2) 机(3) 器(4) 学(5) 习(6)
+    // 真(7) 好(8) _(9) c(10) d(11); toks: ab 机器 器学 学习 习真 真好 cd.
+    // k=3 chunks: c0 "ab 机器 器学" [0,5), c1 "学习 习真 真好" [5,10),
+    // c2 "cd" [10,12). Docs 1/2 share ONLY c1 → banned → excise [5,10):
+    // the boundary ideograph 学 (char 5) is inside c1's extent, so the
+    // kept c0 keeps its own chars [0,5) untouched — no neighbor clipping.
+    val docs = Seq(
+      (1L, "AB 机器学习真好 cd"),
+      (2L, "XY 机器学习真好 zz"),
+      (3L, "Hello world")) // one unique latin chunk → untouched (lowered)
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dedupSpans(docs, k = 3, maxOcc = 1, cjk = true)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("ab 机器cd", 3L, 2L)), s"got: $got")
+    assert(got(2L) === (("xy 机器zz", 3L, 2L)), s"got: $got")
+    assert(got(3L) === (("hello world", 1L, 1L)), s"got: $got")
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("simhashTable (explode+groupBy) == simhash32 (column expression)") {
     val docs = Tables.documents(spark, dir)
     val viaTable = Dedup.simhashTable(docs).collect()
