@@ -897,18 +897,36 @@ object Dedup {
 
   /** The cjk arm of [[dedupSpans]] (see its @param cjk). */
   private def dedupSpansByOffset(docs: DataFrame, k: Int, maxOcc: Int): DataFrame = {
+    val ct = track(chunkTableCjk(docs, k).persist())
+    val flat = ct.select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("c.span").as("span"),
+        col("c.cs").as("cs"), col("c.ce").as("ce"))
+    finishChunksCjk(
+      ct.select(col("doc_id"), col("lt"),
+        size(col("chunks")).cast("long").as("n_spans")),
+      flat, maxOcc)
+  }
+
+  /** Per-doc cjk chunk arrays — the [[spanTable]] twin for the offset
+    * family, shared by the dedupSpans cjk arm and the streaming span
+    * registry (StreamingPipelines.spanDedupSink cjk): (doc_id,
+    * lt = lower_root(text), chunks: array<(pos, span, cs, ce)>) where
+    * chunk i covers tokens [i·k, min((i+1)·k, n)) of the
+    * tokenize_spans_cjk stream, `span` is their space-joined text
+    * (content identity for the corpus ban count), and [cs, ce) is the
+    * half-open codepoint extent [own first token's start, next chunk's
+    * first token's start) — the LAST chunk extends to length(lt). Both
+    * consumers MUST segment identically or stream ≢ batch. Persist the
+    * result before exploding `chunks` (Generate re-inline cliff). */
+  private[graft] def chunkTableCjk(docs: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"span length must be positive, got $k")
     import org.apache.spark.sql.functions.{call_function => fn}
-    val dt = track(docs
-      .select(col("doc_id"),
-        fn("tokenize_spans_cjk", col("text")).as("spans"),
-        fn("lower_root", coalesce(col("text"), lit(""))).as("lt"))
-      .persist()) // Generate re-inline hazard: chunk build below is a HOF
+    val bound = docs.select(col("doc_id"),
+      fn("tokenize_spans_cjk", col("text")).as("spans"),
+      fn("lower_root", coalesce(col("text"), lit(""))).as("lt"))
     val nChunks = ceil(size(col("spans")).cast("double") / k).cast("int")
-    // chunk i: tokens [i·k, min((i+1)·k, n)), extent [spans(i·k).s,
-    // spans((i+1)·k).s) with the LAST chunk extending to length(lt);
-    // try_element_at: the one-past-the-end probe must yield NULL, not an
-    // ANSI out-of-bounds error
+    // try_element_at: the one-past-the-end probe must yield NULL (the
+    // last-chunk extent), not an ANSI out-of-bounds error
     val chunkArr = when(size(col("spans")) > 0,
       transform(sequence(lit(0), nChunks - 1), i => struct(
         i.as("pos"),
@@ -918,23 +936,26 @@ object Dedup {
         coalesce(try_element_at(col("spans"), (i + 1) * k + 1)("s"),
           length(col("lt"))).as("ce"))))
       .otherwise(array().cast("array<struct<pos:int,span:string,cs:int,ce:int>>"))
-    val ct = track(dt
-      .select(col("doc_id"), col("lt"), chunkArr.as("chunks")).persist())
-    val flat = ct.select(col("doc_id"), explode(col("chunks")).as("c"))
-      .select(col("doc_id"), col("c.span").as("span"),
-        col("c.cs").as("cs"), col("c.ce").as("ce"))
-    val banned = flat.groupBy(col("span")).agg(count(lit(1)).as("ct"))
+    bound.select(col("doc_id"), col("lt"), chunkArr.as("chunks"))
+  }
+
+  /** Shared cjk finish (the [[finishSpans]] twin): ban corpus-repeated
+    * chunks, excise their character ranges from each doc's `lt`.
+    * `meta` = (doc_id, lt, n_spans); `chunks` = (doc_id, span, cs, ce)
+    * rows. Banned-range mass per doc is bounded by doc length, and the
+    * excision fold does work proportional to a doc's banned chunks. */
+  private[graft] def finishChunksCjk(meta: DataFrame, chunks: DataFrame,
+      maxOcc: Int): DataFrame = {
+    val banned = chunks.groupBy(col("span")).agg(count(lit(1)).as("ct"))
       .filter(col("ct") > maxOcc).select(col("span"))
-    val bannedRanges = flat.join(banned, Seq("span"), "left_semi")
+    val bannedRanges = chunks.join(banned, Seq("span"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("cs"), col("ce")))).as("bs"),
         count(lit(1)).as("n_banned"))
-    val joined = ct.join(bannedRanges, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lt"),
-        size(col("chunks")).cast("long").as("n_spans"),
+    val joined = meta.join(bannedRanges, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lt"), col("n_spans"),
         coalesce(col("bs"), array().cast("array<struct<cs:int,ce:int>>")).as("bs"),
-        (size(col("chunks")).cast("long")
-          - coalesce(col("n_banned"), lit(0L))).as("n_kept"))
+        (col("n_spans") - coalesce(col("n_banned"), lit(0L))).as("n_kept"))
     // same sorted-range excision fold as decontaminateSpans cjk (ranges
     // are non-overlapping by construction; greatest() is belt-and-braces)
     val rebuilt = aggregate(col("bs"),

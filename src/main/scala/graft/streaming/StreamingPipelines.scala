@@ -443,29 +443,53 @@ object StreamingPipelines {
     * batch N disappears from batch-1 documents too, exactly like the
     * batch operator run over the full corpus (StreamingSpec proves
     * stream ≡ batch across 3 batches). */
+  /** @param cjk character-offset mode (Dedup.dedupSpans cjk): the
+    *   registry stores the doc's cjk CHUNK rows (span identity + [cs,
+    *   ce) codepoint extent) plus lower_root(text) in the meta table, so
+    *   [[currentSpanDedup]] can re-excise retroactively without
+    *   re-tokenizing. The two modes write format-incompatible rows, so
+    *   the registry carries a mode marker (Registry.ensureFormat) and a
+    *   sink of the other mode refuses an existing registry LOUDLY. */
   def spanDedupSink(docs: DataFrame, spanPath: String, k: Int = 8,
-      compactEvery: Int = 16): DataStreamWriter[Row] =
+      compactEvery: Int = 16, cjk: Boolean = false): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        Registry.ensureFormat(spark, spanPath,
+          if (cjk) "cjk-chunks-v1" else "latin-spans-v1")
         // joint fold of (spans, meta) — currentSpanDedup's read-set stays
         // bounded at snapshot + ~compactEvery dirs per table
         Registry.maybeCompact(spark, spanPath,
           Seq(s"$spanPath/spans", s"$spanPath/meta"),
           upToExclusive = batchId, every = compactEvery)
         val b = batch.toDF().persist()
-        // materialize before exploding — Generate re-inlines the span
-        // construction chain otherwise (see Dedup.winnowPairs)
-        val st = graft.operators.Dedup.spanTable(b, k).persist()
         try {
-          st.select(col("doc_id"), explode(col("spans")).as("s"))
-            .select(col("doc_id"), col("s.pos").as("pos"), col("s.span").as("span"))
-            .write.mode("overwrite").parquet(s"$spanPath/spans/batch=$batchId")
-          st.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
-            .write.mode("overwrite").parquet(s"$spanPath/meta/batch=$batchId")
+          if (cjk) {
+            // materialize before exploding — Generate re-inlines the
+            // chunk construction chain otherwise (see Dedup.winnowPairs)
+            val ct = graft.operators.Dedup.chunkTableCjk(b, k).persist()
+            try {
+              ct.select(col("doc_id"), explode(col("chunks")).as("c"))
+                .select(col("doc_id"), col("c.span").as("span"),
+                  col("c.cs").as("cs"), col("c.ce").as("ce"))
+                .write.mode("overwrite").parquet(s"$spanPath/spans/batch=$batchId")
+              ct.select(col("doc_id"), col("lt"),
+                  size(col("chunks")).cast("long").as("n_spans"))
+                .write.mode("overwrite").parquet(s"$spanPath/meta/batch=$batchId")
+            } finally { ct.unpersist(); () }
+          } else {
+            val st = graft.operators.Dedup.spanTable(b, k).persist()
+            try {
+              st.select(col("doc_id"), explode(col("spans")).as("s"))
+                .select(col("doc_id"), col("s.pos").as("pos"), col("s.span").as("span"))
+                .write.mode("overwrite").parquet(s"$spanPath/spans/batch=$batchId")
+              st.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
+                .write.mode("overwrite").parquet(s"$spanPath/meta/batch=$batchId")
+            } finally { st.unpersist(); () }
+          }
         } finally {
-          st.unpersist(); b.unpersist()
+          b.unpersist()
           ()
         }
       }
@@ -478,7 +502,8 @@ object StreamingPipelines {
     * At scale this reads span rows (not raw text), bans by one span-keyed
     * agg, and rebuilds with one doc-keyed shuffle — re-tokenization never
     * happens twice. */
-  def currentSpanDedup(spark: SparkSession, spanPath: String, maxOcc: Int = 1): DataFrame = {
+  def currentSpanDedup(spark: SparkSession, spanPath: String, maxOcc: Int = 1,
+      cjk: Boolean = false): DataFrame = {
     val vs = Registry.view(spark, spanPath, s"$spanPath/spans")
     val vm = Registry.view(spark, spanPath, s"$spanPath/meta")
     val served = vs.dirIds.intersect(vm.dirIds)
@@ -487,6 +512,12 @@ object StreamingPipelines {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
           StructField("n_spans", LongType), StructField("n_kept", LongType))))
+    } else if (cjk) {
+      val chunks = spark.read.parquet(vs.pathsFor(served): _*)
+        .select(col("doc_id"), col("span"), col("cs"), col("ce"))
+      val meta = spark.read.parquet(vm.pathsFor(served): _*)
+        .select(col("doc_id"), col("lt"), col("n_spans"))
+      graft.operators.Dedup.finishChunksCjk(meta, chunks, maxOcc)
     } else {
       val spans = spark.read.parquet(vs.pathsFor(served): _*)
         .select(col("doc_id"), col("pos"), col("span"))

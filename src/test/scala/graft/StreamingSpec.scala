@@ -1133,6 +1133,62 @@ class StreamingSpec extends AnyFunSuite {
     graft.operators.Dedup.releaseCaches(spark)
   }
 
+  test("incremental span registry cjk: currentSpanDedup == batch dedupSpans cjk (retroactive), mode marker refuses the other arm") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val spanPath = SparkTestSession.scratch("span_reg_cjk")
+    // zh boilerplate block shared by docs arriving in DIFFERENT batches
+    // (k=3 chunk-aligned: each doc starts with the same 7-ideograph run),
+    // so retroactivity fires on live CJK chunks
+    val boiler = "机器学习模型训练"
+    val docRows: Seq[(Long, String)] = Seq(
+      (1L, s"$boiler AB cd ef gh"),
+      (2L, "我们可以一起去公园散步"),
+      (3L, s"$boiler XY zz ww vv"),
+      (4L, "plain latin text only here now"))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingPipelines
+      .spanDedupSink(stream.toDF().toDF("doc_id", "text"), spanPath, k = 3,
+        cjk = true)
+      .start()
+    stream.addData(docRows.take(2)); q.processAllAvailable()
+    // mid-stream: boiler seen once → nothing banned yet
+    val midGot = graft.streaming.StreamingPipelines
+      .currentSpanDedup(spark, spanPath, cjk = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val midWant = graft.operators.Dedup
+      .dedupSpans(docRows.take(2).toDF("doc_id", "text"), k = 3, cjk = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(midGot === midWant)
+    stream.addData(docRows.drop(2)); q.processAllAvailable()
+    q.stop()
+    val got = graft.streaming.StreamingPipelines
+      .currentSpanDedup(spark, spanPath, cjk = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = graft.operators.Dedup
+      .dedupSpans(docRows.toDF("doc_id", "text"), k = 3, cjk = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+    // retroactivity on CJK: doc 1 (batch 1) lost its boiler chunk only
+    // after doc 3 (batch 2) pushed the count over maxOcc
+    val midKept = midGot.map(r => r._1 -> r._4).toMap
+    val finalKept = got.map(r => r._1 -> r._4).toMap
+    assert(midKept(1L) > finalKept(1L), s"mid=$midGot final=$got")
+    // the mode marker refuses the OTHER arm against this registry
+    val stream2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamingPipelines
+      .spanDedupSink(stream2.toDF().toDF("doc_id", "text"), spanPath, k = 3)
+      .start()
+    stream2.addData(Seq((99L, "x y z")))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(e.getMessage.contains("different row format") ||
+      Option(e.getCause).exists(_.getMessage.contains("different row format")))
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("registry compaction: minhash sink == batch across fold boundaries, read set bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
