@@ -428,17 +428,38 @@ object TextAnalysis {
     val hits = pg.join(benchGrams, "gram")
       .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("hp"))
     val cov = array_distinct(flatten(transform(col("hp"), p => sequence(p, p + lit(n - 1)))))
-    val keptIdx = when(size(col("toks")) === 0, array().cast("array<int>"))
-      .otherwise(filter(sequence(lit(0), size(col("toks")) - 1),
-        i => !array_contains(col("cov"), i)))
+    // Rebuild by a fold over the SORTED covered positions (emit the
+    // kept-token gap before each covered index, then the tail),
+    // byte-identical to the old `concat_ws(' ', kept tokens)` filter
+    // form but O(|covered|) per doc instead of O(n_tokens · |covered|):
+    // the filter(sequence) + array_contains + transform(get) chain is
+    // three interpreted HOFs re-scanning the covered array PER TOKEN,
+    // measured 3x end-to-end on the boilerplate-heavy sf1/sf3 fixtures
+    // (29 -> 10 s at sf1; SCALE.md §Round-11 span family). The oracle is
+    // unchanged — t_decontaminate_spans hash-gates the equivalence.
+    val seg = (from: Column, until: Column) =>
+      concat_ws(" ", slice(col("toks"), from + 1, until - from))
+    val glue = (acc: Column, piece: Column) =>
+      when(piece === "", acc)
+        .when(acc === "", piece)
+        .otherwise(concat(acc, lit(" "), piece))
+    val rebuilt = aggregate(
+      array_sort(col("cov")),
+      struct(lit(0).as("last"), lit("").as("acc")),
+      (st, p) => struct(
+        (p + 1).as("last"),
+        when(p > st("last"), glue(st("acc"), seg(st("last"), p)))
+          .otherwise(st("acc")).as("acc")),
+      st => when(size(col("toks")) > st("last"),
+        glue(st("acc"), seg(st("last"), size(col("toks")))))
+        .otherwise(st("acc")))
     dt.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
         coalesce(cov, array().cast("array<int>")).as("cov"))
-      .select(col("doc_id"), col("toks"), keptIdx.as("kept"))
       .select(col("doc_id"),
-        concat_ws(" ", transform(col("kept"), i => get(col("toks"), i))).as("text"),
+        rebuilt.as("text"),
         size(col("toks")).cast("long").as("n_tokens"),
-        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+        size(col("cov")).cast("long").as("n_removed"))
   }
 
   /** The cjk arm of [[decontaminateSpans]] (see its @param cjk): same
