@@ -51,6 +51,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TextAnalysis.contaminationBloom(emptyDocs, weirdDocs, n = 2).count() === 0)
   }
 
+  test("character-offset span family on empty and degenerate input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // empty corpus: empty output, no error, in both arms and both ops
+    assert(TextAnalysis.decontaminateSpans(emptyDocs, weirdDocs, n = 2, cjk = true).count() === 0)
+    assert(Dedup.dedupSpans(emptyDocs, k = 4, cjk = true).count() === 0)
+    Dedup.releaseCaches(spark)
+    // degenerate docs (empty / whitespace / symbols / null text): the
+    // offset arms keep ONE ROW PER DOC and — unlike the latin token
+    // rebuild — PRESERVE non-token text ("!!!" survives as-is)
+    val withNull = weirdDocs.unionByName(
+      Seq((6L, null: String)).toDF("doc_id", "text"))
+    val dec = TextAnalysis.decontaminateSpans(withNull, emptyDocs, n = 2, cjk = true)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    Dedup.releaseCaches(spark)
+    assert(dec.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(dec.values.forall(_._2 === 0L)) // empty benchmark excises nothing
+    assert(dec(3L)._1 === "!!!" && dec(6L)._1 === "" && dec(4L)._1 === "a b")
+    val spans = Dedup.dedupSpans(withNull, k = 4, cjk = true)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    Dedup.releaseCaches(spark)
+    assert(spans.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // zero-token docs have zero chunks; null text lowers to ''
+    assert(spans(6L) === (("", 0L)) && spans(3L)._2 === 0L)
+    // the two single-chunk docs ("a b" / "one two three four") are
+    // unique spans at maxOcc=1 → untouched
+    assert(spans(5L)._1 === "one two three four" && spans(4L)._1 === "a b")
+  }
+
   test("dedup operators on degenerate docs: short/empty texts drop cleanly") {
     // only doc 5 has >= 3 tokens -> it alone shingles; no pairs
     assert(Dedup.shingleSets(weirdDocs).count() === 1)
