@@ -271,9 +271,14 @@ object Curate {
     }
     // surgical decontamination LAST among the pre-transforms: spans must
     // be located in the text that ships (post-scrub/strip), and every
-    // fingerprint/gate downstream must see the excised form
+    // fingerprint/gate downstream must see the excised form. The excise
+    // benchmark is REBOUND in the pipeline's mode exactly like the
+    // `benchmark` gate's table (runLabeled): the operators honor a
+    // caller-bound `toks`, and a stray binding of a different
+    // tokenization must not leak through the pipeline entrance.
     val base = excise match {
-      case Some(bx) => TextAnalysis.decontaminateSpans(base0, bx, exciseN, cjk)
+      case Some(bx) => TextAnalysis.decontaminateSpans(base0,
+        graft.functions.TokMode.bind(bx, cjk), exciseN, cjk)
         .select(col("doc_id"), col("text"))
       case None => base0
     }

@@ -145,11 +145,14 @@ object CurateStream {
         // instead of re-tokenizing the cached batch per consumer.
         // surgical decontamination LAST among the pre-transforms
         // (Curate.runDocs' order) — per-doc against the STATIC `excise`
-        // benchmark, so the transform is batching-independent like the
-        // scrub; its registry-tracked persists release in the finally
+        // benchmark (REBOUND in the pipeline's mode, the runDocs
+        // posture — a stray caller binding must not leak through), so
+        // the transform is batching-independent like the scrub; its
+        // registry-tracked persists release in the finally
         val preToks = excise match {
           case Some(bx) => TextAnalysis
-            .decontaminateSpans(scrubbed, bx, exciseN, cjk)
+            .decontaminateSpans(scrubbed,
+              graft.functions.TokMode.bind(bx, cjk), exciseN, cjk)
             .select(col("doc_id"), col("text"))
           case None => scrubbed
         }

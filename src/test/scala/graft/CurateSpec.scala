@@ -287,6 +287,33 @@ class CurateSpec extends AnyFunSuite {
     assert(stA.exactDups >= bench.count() - 1, s"stats: $stA")
   }
 
+  test("excise benchmark is rebound in the pipeline's mode: a stray caller binding cannot leak") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "我们使用机器学习模型训练数据完成任务"),
+      (2L, "我们可以一起去公园散步")).toDF("doc_id", "text")
+    val bench = Seq((9L, "机器学习模型训练")).toDF("doc_id", "text")
+    // a LATIN-bound excise benchmark in cjk mode would strip to zero
+    // grams and silently never excise if the binding leaked through —
+    // the pipeline entrance rebinds, so stray == raw, and excision fires
+    val strayBound = bench.withColumn("toks",
+      graft.functions.TextFunctions.tokensFused(col("text")))
+    val (a, stA) = Curate.runDocs(spark, docs, minQuality = 0.0,
+      excise = Some(bench), cjk = true)
+    val rowsA = a.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    Curate.releaseCaches(spark)
+    val (b, stB) = Curate.runDocs(spark, docs, minQuality = 0.0,
+      excise = Some(strayBound), cjk = true)
+    val rowsB = b.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    Curate.releaseCaches(spark)
+    assert(stA === stB)
+    assert(rowsA === rowsB)
+    assert(rowsA.exists { case (id, t) =>
+      id == 1L && !t.contains("机器学习模型训练") },
+      s"excision must be live: $rowsA")
+  }
+
   test("LM gate mode contract: mismatches refused LOUDLY in BOTH directions, untagged bindings refused") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
