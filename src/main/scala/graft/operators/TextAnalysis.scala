@@ -404,7 +404,18 @@ object TextAnalysis {
     *   Cost shape is identical to latin: the only non-map-side stages
     *   are the gram join (DISTINCT tiny benchmark side) and the per-
     *   contaminated-doc hit aggregation; the rebuild fold does work
-    *   proportional to a doc's covered spans, not its length. */
+    *   proportional to a doc's covered spans, not its length.
+    *
+    * SINGLE-PASS semantics (both arms): excision joins the kept
+    * segments, and tokens that become adjacent across an excised seam
+    * can form n-grams that did not exist before — so one pass does NOT
+    * guarantee the output shares zero n-grams with the benchmark
+    * (TextOpsSpec pins a seam-created gram). Pipelines that need a
+    * guaranteed-clean corpus compose the surgical pass with the
+    * doc-level gate — Curate's `excise` + `benchmark` together: excise
+    * first, then drop the (rare) docs still contaminated after the
+    * seam. An iterated fixpoint would re-run the gram join per round
+    * for a residue the gate handles in the same single extra join. */
   def decontaminateSpans(docs: DataFrame, benchmark: DataFrame, n: Int = 4,
       cjk: Boolean = false): DataFrame =
     if (cjk) decontaminateSpansByOffset(docs, benchmark, n)

@@ -291,6 +291,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(latin(1L) === (("ab cd", 0L)))
   }
 
+  test("decontaminateSpans is single-pass: an excised seam can create a NEW shared gram; the doc-level gate catches the residue") {
+    import spark.implicits._
+    // doc "a b x y c d": excising the benchmark gram "x y" joins the
+    // kept segments into "a b c d", which NOW contains benchmark gram
+    // "b c" — one pass cannot guarantee zero shared grams (the
+    // documented semantics); the excise→gate composition can.
+    val docs = Seq((1L, "a b x y c d")).toDF("doc_id", "text")
+    val bench = Seq((9L, "x y"), (10L, "b c")).toDF("doc_id", "text")
+    val once = TextAnalysis.decontaminateSpans(docs, bench, n = 2)
+      .collect().map(r => (r.getString(1), r.getLong(3))).head
+    Dedup.releaseCaches(spark)
+    // "b c" is absent from the RAW doc, so only the "x y" span excises
+    assert(once === (("a b c d", 2L)), s"got: $once")
+    // the residue is exactly what the doc-level gate sees on the excised
+    // text — the Curate excise+benchmark composition's second stage
+    val excised = Seq((1L, once._1)).toDF("doc_id", "text")
+    val residue = TextAnalysis.contaminationTable(excised, bench, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    Dedup.releaseCaches(spark)
+    assert(residue.toSeq === Seq((1L, 1L))) // the seam-created "b c"
+  }
+
   test("lmScore: empty corpus is fine; empty reference fails LOUD (V = 0 division)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
