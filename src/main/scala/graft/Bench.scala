@@ -28,9 +28,10 @@ object Bench {
     // contaminated run then SELF-FLAGS (load1_start >> 0 before this
     // process has done any work) instead of reading as a regression.
     // Interpretation notes live in PLANS.md (§Bench load witnesses).
-    def load1(): Double = scala.util.Try(
-      scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble)
-      .getOrElse(-1.0)
+    def load1(): Double = scala.util.Try {
+      val f = scala.io.Source.fromFile("/proc/loadavg")
+      try f.mkString.split("\\s+")(0).toDouble finally f.close()
+    }.getOrElse(-1.0)
     def cpuTicks(): (Long, Long) = scala.util.Try {
       val f = scala.io.Source.fromFile("/proc/stat")
       val l = try f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)

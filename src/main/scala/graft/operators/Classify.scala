@@ -122,6 +122,19 @@ object Classify {
     * with no tokens score 0. One scan + one doc-keyed shuffle. */
   def scoreTokens(docs: DataFrame, weights: DataFrame,
                   buckets: Int = 1024): DataFrame = {
+    // the mode contract enforced at the Curate/CurateStream entrances,
+    // mirrored here for DIRECT callers (round-11 ADVICE): a weight table
+    // stamped by trainTokenWeights refuses a docs frame whose effective
+    // tokenization mode (TokMode.of — "latin" when unbound) differs,
+    // instead of silently scoring a disjoint vocab through arbitrary
+    // hash buckets. Untagged weight tables (manual frames) pass through:
+    // nothing proves their mode either way.
+    val wMode = graft.functions.TokMode.ofWeights(weights)
+    val dMode = graft.functions.TokMode.of(docs)
+    require(wMode == graft.functions.TokMode.Unknown || wMode == dMode,
+      s"scoreTokens tokenization mode mismatch: the weight table was trained " +
+        s"in '$wMode' mode but the docs frame scores in '$dMode' — bind the " +
+        "docs via graft.functions.TokMode.bind(docs, cjk = <training mode>)")
     val toksCols = if (docs.columns.contains("toks")) Seq(col("toks")) else Nil
     val db = unigramBuckets(
       docs.select(Seq(col("doc_id"), col("text")) ++ toksCols: _*),

@@ -14,6 +14,10 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
+  /** Default [[bpeMerges]] word-type cap: the trainer's driver collect is
+    * bounded by construction unless a caller explicitly opts out with 0. */
+  val DefaultMaxWordTypes: Int = 1000000
+
   /** Tiny pinned stopword lexicons (n-gram-heuristic language ID).
     * Deterministic and oracle-expressible; a production build would swap in
     * larger lexicons without changing the operator shape. */
@@ -355,12 +359,18 @@ object TextAnalysis {
   def bloomScoreBroadcast(docs: DataFrame,
       bfB: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
       n: Int = 4): DataFrame = {
+    // register → analyze → deregister: DataFrames analyze EAGERLY, so by
+    // the time select() returns, BloomHits embeds the Broadcast object
+    // itself and the registry entry is dead weight — dropping it here
+    // keeps the driver map empty at rest across arbitrarily many curated
+    // benchmarks (round-11 ADVICE: the registry had no unregister path)
     val handle = graft.plans.BloomHandles.register(bfB)
-    contaminationGrams(docs, n).select(
+    try contaminationGrams(docs, n).select(
       col("doc_id"),
       size(col("g")).cast("long").as("n_grams"),
       org.apache.spark.sql.functions.call_function("bloom_hits",
         col("g"), lit(handle)).as("n_bf_grams"))
+    finally graft.plans.BloomHandles.deregister(handle)
   }
 
   /** SURGICAL decontamination — excise contaminated spans instead of
@@ -493,9 +503,22 @@ object TextAnalysis {
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), wordShingles(col("toks"), n).as("g"))
       .persist())
+    // a pre-bound benchmark must PROVE it is in this arm's token space
+    // (round-11 ADVICE: a latin-bound or untagged benchmark here yields
+    // zero shared grams and the excision silently never fires — the
+    // exact silent-inert class the Curate entrances refuse); the unbound
+    // case binds the arm's own mode, like Curate's defensive rebind
     val bb =
-      if (benchmark.columns.contains("toks")) benchmark
-      else graft.functions.TokMode.bind(benchmark, cjk = true)
+      if (benchmark.columns.contains("toks")) {
+        val m = graft.functions.TokMode.of(benchmark)
+        require(m == graft.functions.TokMode.Cjk,
+          s"decontaminateSpans(cjk = true) got a benchmark with a pre-bound " +
+            s"'toks' column in '$m' mode: a non-cjk tokenization shares no " +
+            "grams with the cjk corpus side, so excision would silently never " +
+            "fire — bind via graft.functions.TokMode.bind(benchmark, cjk = true) " +
+            "or drop the manual binding")
+        benchmark
+      } else graft.functions.TokMode.bind(benchmark, cjk = true)
     val bg = Dedup.track(contaminationGrams(bb, n).persist())
     val pg = sg.select(col("doc_id"), posexplode(col("g")).as(Seq("pos", "gram")))
     val benchGrams = bg.select(explode(col("g")).as("gram")).distinct()
@@ -762,8 +785,12 @@ object TextAnalysis {
     * row per learned merge: (rank, pair, merged, cnt), rank in learning
     * order. `maxWordTypes` > 0 caps the collected table to the most
     * frequent word types (ties by word ascending — deterministic), the
-    * standard trainer pre-prune for open-vocab web corpora; 0 collects
-    * the full vocabulary.
+    * standard trainer pre-prune for open-vocab web corpora; the DEFAULT
+    * is capped at 1,000,000 word types (a web corpus's word-type count
+    * is unbounded — hundreds of millions at 100 TB — and an uncapped
+    * default would make the driver collect the scale hazard), so the
+    * uncapped collect is an EXPLICIT opt-in: pass 0 only when the
+    * vocabulary is known bounded (BpeSpec pins the default).
     *
     * Determinism: ties in the pair-count argmax break by pair string
     * ascending (byte order — engine-portable over [a-z0-9 ] symbols), so
@@ -787,7 +814,8 @@ object TextAnalysis {
     * cluster job); the merge loop holds O(distinct words + pairs) on the
     * driver — the table every production BPE trainer holds — bounded by
     * `maxWordTypes` when the vocabulary itself is unbounded. */
-  def bpeMerges(docs: DataFrame, k: Int = 8, maxWordTypes: Int = 0): DataFrame = {
+  def bpeMerges(docs: DataFrame, k: Int = 8,
+      maxWordTypes: Int = TextAnalysis.DefaultMaxWordTypes): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val spark = docs.sparkSession
     import spark.implicits._

@@ -551,9 +551,15 @@ case class BloomHits(child: Expression,
   * function surface: `bloom_hits(arr, <id>)` resolves its SECOND argument
   * (a plan-time literal) to the registered Broadcast at analysis time on
   * the driver. Entries are handles (bytes, not filters) keyed by the
-  * broadcast's own id, so the map stays negligible even across many
-  * queries; a caller that destroys its broadcast simply leaves a dead
-  * tiny handle behind. */
+  * broadcast's own id. LIFECYCLE: an entry lives only between [[register]]
+  * and [[deregister]] — DataFrames analyze eagerly, so
+  * `TextAnalysis.bloomScoreBroadcast` resolves its `bloom_hits` call (which
+  * embeds the Broadcast OBJECT in the analyzed [[BloomHits]] expression,
+  * independent of this map) and deregisters before returning; the map is
+  * empty at rest instead of accumulating one dead handle per curated
+  * benchmark on a long-lived session. A stale or destroyed-broadcast id
+  * therefore fails LOUDLY at analysis (the [[get]] require), never
+  * obscurely at task execution. */
 object BloomHandles {
   private val map = new java.util.concurrent.ConcurrentHashMap[Long,
     org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]()
@@ -564,11 +570,19 @@ object BloomHandles {
     bf.id
   }
 
+  /** Drop a handle once the frame that resolved through it is analyzed
+    * (idempotent — a re-registered same-broadcast id just re-arms). */
+  def deregister(id: Long): Unit = map.remove(id)
+
+  /** Live handle count — the no-unbounded-growth pin (PlansSpec). */
+  def size: Int = map.size
+
   def get(id: Long): org.apache.spark.broadcast.Broadcast[
       org.apache.spark.util.sketch.BloomFilter] = {
     val b = map.get(id)
     require(b != null, s"no broadcast Bloom filter registered under id $id " +
-      "(construct bloom_hits through TextAnalysis.bloomScoreBroadcast)")
+      "(construct bloom_hits through TextAnalysis.bloomScoreBroadcast; a " +
+      "handle is live only while that call analyzes — it deregisters on return)")
     b
   }
 }

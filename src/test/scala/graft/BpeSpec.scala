@@ -78,6 +78,22 @@ class BpeSpec extends AnyFunSuite {
     assert(!capped.exists(_._1 == "d d"), "capped-out word types must not contribute pairs")
   }
 
+  test("the DEFAULT word-type collect is capped (uncapped is explicit opt-in)") {
+    import spark.implicits._
+    // the loud-failure-over-silent-wrong standard at 100 TB: a web
+    // corpus's word-type count is unbounded, so the driver collect must
+    // be bounded unless the caller explicitly passes 0
+    assert(TextAnalysis.DefaultMaxWordTypes === 1000000)
+    // the default cap is invisible on bounded vocabularies: default ==
+    // explicit uncapped on a corpus with < DefaultMaxWordTypes types
+    val docs = Seq((1L, "aa aa aa bb bb cc"), (2L, "aa bb cc dd")).toDF("doc_id", "text")
+    val dflt = TextAnalysis.bpeMerges(docs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val uncapped = TextAnalysis.bpeMerges(docs, k = 3, maxWordTypes = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(dflt === uncapped)
+  }
+
   test("k=256 encode: one fixed-size codegen'd projection, correct segmentation") {
     import spark.implicits._
     // 256 synthetic merges over a disjoint symbol space + 2 real ones

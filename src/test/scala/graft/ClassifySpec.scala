@@ -33,6 +33,35 @@ class ClassifySpec extends AnyFunSuite {
       "empty doc scores exactly 0")
   }
 
+  test("scoreTokens refuses a weight/docs tokenization-mode mismatch (both directions)") {
+    // the Curate-entrance contract, mirrored at the DIRECT scoreTokens
+    // call site (round-11 ADVICE): tagged weights + wrong-mode docs must
+    // refuse loudly instead of scoring a disjoint vocab
+    val train = docsDF(Seq(
+      (0L, "good clean prose flows here", "en"),
+      (1L, "spam junk noise garbage", "xx")))
+    val wCjk = Classify.trainTokenWeights(
+      graft.functions.TokMode.bind(train, cjk = true), col("lang") === "en", buckets = 32)
+    val wLatin = Classify.trainTokenWeights(
+      graft.functions.TokMode.bind(train, cjk = false), col("lang") === "en", buckets = 32)
+    val docs = docsDF(Seq((10L, "good clean prose", "?")))
+    // cjk weights vs unbound docs (effective latin): refused
+    val e1 = intercept[IllegalArgumentException] {
+      Classify.scoreTokens(docs, wCjk, buckets = 32)
+    }
+    assert(e1.getMessage.contains("mode mismatch"))
+    // latin weights vs cjk-bound docs: refused
+    val e2 = intercept[IllegalArgumentException] {
+      Classify.scoreTokens(graft.functions.TokMode.bind(docs, cjk = true), wLatin, buckets = 32)
+    }
+    assert(e2.getMessage.contains("mode mismatch"))
+    // matching modes pass; untagged manual weight frames pass through
+    assert(Classify.scoreTokens(
+      graft.functions.TokMode.bind(docs, cjk = true), wCjk, buckets = 32).count() === 1)
+    val manual = wLatin.select(col("bucket"), (col("w_micro") + 0L).as("w_micro"))
+    assert(Classify.scoreTokens(docs, manual, buckets = 32).count() === 1)
+  }
+
   test("score is the exact BIGINT sum of per-token bucket weights") {
     val train = docsDF(Seq(
       (0L, "alpha beta gamma", "en"), (1L, "delta epsilon zeta", "xx")))

@@ -84,7 +84,41 @@ class PlansSpec extends AnyFunSuite {
         s"interpreted UDF left in the bloom scoring plan:\n$plan")
       assert(plan.contains("bloomhits") || plan.contains("bloom_hits") ||
         plan.toLowerCase.contains("bloomhits"), s"fused expression missing:\n$plan")
+      graft.plans.BloomHandles.deregister(handle)
     } finally { grams.unpersist(blocking = false); () }
+  }
+
+  test("BloomHandles lifecycle: empty at rest across repeated curations; stale id fails loudly") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    val base = graft.plans.BloomHandles.size
+    var staleId = -1L
+    // three independent "curations", each broadcasting its OWN filter:
+    // the round-11 registry kept every handle for the driver's lifetime
+    (1 to 3).foreach { _ =>
+      val bf = graft.operators.TextAnalysis.benchmarkBloom(bench, n = 4).get
+      val bfB = spark.sparkContext.broadcast(bf)
+      staleId = bfB.id
+      val scored = graft.operators.TextAnalysis.bloomScoreBroadcast(docs, bfB, n = 4)
+      // DataFrames analyze eagerly, so the handle is already deregistered —
+      // and execution must NOT consult the registry (BloomHits embeds the
+      // Broadcast object): the frame still runs after deregistration
+      assert(graft.plans.BloomHandles.size === base,
+        "bloom handle registry grew across curations")
+      assert(scored.filter(col("n_bf_grams") > 0).count() > 0)
+    }
+    // a stale handle id fails LOUDLY at analysis, not obscurely at task
+    // execution (the builder resolves through BloomHandles.get)
+    val e = intercept[Throwable] {
+      docs.select(TextFunctions.tokensFused(col("text")).as("toks"))
+        .select(call_function("bloom_hits", col("toks"), lit(staleId)))
+        .collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("no broadcast Bloom filter registered"),
+      s"stale-handle failure not loud: $msgs")
   }
 
   test("fused md5-prefix hash == compositional conv(substring(md5)) chain") {

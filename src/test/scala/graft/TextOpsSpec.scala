@@ -291,6 +291,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(latin(1L) === (("ab cd", 0L)))
   }
 
+  test("decontaminateSpans cjk refuses a benchmark pre-bound in the wrong token space") {
+    import spark.implicits._
+    // round-11 ADVICE: a latin-bound (or untagged) benchmark under
+    // cjk=true shares zero grams, so excision silently never fires —
+    // the standalone operator (and spanExcisionSink through it) must
+    // refuse the binding loudly like the Curate entrances do
+    val docs = Seq((1L, "ab 机器学习真好 cd")).toDF("doc_id", "text")
+    val bench = Seq((9L, "机器学习")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.decontaminateSpans(docs,
+        graft.functions.TokMode.bind(bench, cjk = false), n = 2, cjk = true)
+    }
+    assert(e1.getMessage.contains("silently never"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.decontaminateSpans(docs,
+        bench.withColumn("toks", split(col("text"), " ")), n = 2, cjk = true)
+    }
+    assert(e2.getMessage.contains("'unknown' mode"))
+    // a correctly cjk-bound benchmark passes and fires
+    val ok = TextAnalysis.decontaminateSpans(docs,
+      graft.functions.TokMode.bind(bench, cjk = true), n = 2, cjk = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    Dedup.releaseCaches(spark)
+    assert(ok(1L) > 0L, "cjk-bound benchmark must fire")
+  }
+
   test("decontaminateSpans is single-pass: an excised seam can create a NEW shared gram; the doc-level gate catches the residue") {
     import spark.implicits._
     // doc "a b x y c d": excising the benchmark gram "x y" joins the
