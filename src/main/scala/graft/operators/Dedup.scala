@@ -924,19 +924,12 @@ object Dedup {
     val bound = docs.select(col("doc_id"),
       fn("tokenize_spans_cjk", col("text")).as("spans"),
       fn("lower_root", coalesce(col("text"), lit(""))).as("lt"))
-    val nChunks = ceil(size(col("spans")).cast("double") / k).cast("int")
-    // try_element_at: the one-past-the-end probe must yield NULL (the
-    // last-chunk extent), not an ANSI out-of-bounds error
-    val chunkArr = when(size(col("spans")) > 0,
-      transform(sequence(lit(0), nChunks - 1), i => struct(
-        i.as("pos"),
-        concat_ws(" ",
-          transform(slice(col("spans"), i * k + 1, lit(k)), sp => sp("t"))).as("span"),
-        element_at(col("spans"), i * k + 1)("s").as("cs"),
-        coalesce(try_element_at(col("spans"), (i + 1) * k + 1)("s"),
-          length(col("lt"))).as("ce"))))
-      .otherwise(array().cast("array<struct<pos:int,span:string,cs:int,ce:int>>"))
-    bound.select(col("doc_id"), col("lt"), chunkArr.as("chunks"))
+    // fused chunk build (plans.ChunkSpansCjk): the compositional
+    // transform(sequence)/slice/concat_ws/element_at chain ran THREE
+    // interpreted lambdas per doc and re-sliced the spans array per
+    // chunk — bit-parity with that form is pinned in PlansSpec
+    bound.select(col("doc_id"), col("lt"),
+      fn("chunk_spans_cjk", col("spans"), length(col("lt")), lit(k)).as("chunks"))
   }
 
   /** Shared cjk finish (the [[finishSpans]] twin): ban corpus-repeated

@@ -367,6 +367,83 @@ case class TokenizeSpansCjk(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Consecutive k-token chunks of a `tokenize_spans_cjk` stream with
+  * half-open character extents — the fused form of Dedup.chunkTableCjk's
+  * compositional build (`transform(sequence(0, nChunks-1), i =>
+  * struct(pos, concat_ws(' ', transform(slice(spans, …), sp -> sp.t)),
+  * element_at(…).s, coalesce(try_element_at(…).s, ltLen)))`), whose THREE
+  * nested lambdas evaluate INTERPRETED per row and re-slice the spans
+  * array per chunk — the same per-row cost class every prior fusion
+  * removed from a corpus path (cjk span dedup runs this over every doc,
+  * batch and streaming registry alike). One walk over the spans array,
+  * no intermediate slices. Semantics are PINNED bit-identical to the
+  * compositional form (PlansSpec): chunk i covers tokens
+  * [i·k, min((i+1)·k, n)); `span` = their space-joined text (content
+  * identity for the corpus ban count); [cs, ce) = [own first token's
+  * start, next chunk's first token's start), the LAST chunk extending to
+  * `ltLen` — a partition of lower_root(text) from the first token on.
+  * Empty/null spans → empty array (a doc with no tokens has no chunks). */
+case class ChunkSpansCjk(spans: Expression, ltLen: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = spans
+  override def right: Expression = ltLen
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("span", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cs",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("ce",
+          org.apache.spark.sql.types.IntegerType, nullable = false))),
+      containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    require(k > 0, s"chunk length must be positive, got $k")
+    (spans.dataType, ltLen.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(
+          st: org.apache.spark.sql.types.StructType, _),
+          org.apache.spark.sql.types.IntegerType)
+          if st.length == 3 && st(0).dataType == StringType &&
+            st(1).dataType == org.apache.spark.sql.types.IntegerType &&
+            st(2).dataType == org.apache.spark.sql.types.IntegerType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (s, l) => TypeCheckResult.TypeCheckFailure(
+        "chunk_spans_cjk requires (ARRAY<STRUCT<t STRING, s INT, e INT>>, INT) " +
+          s"input, got (${s.catalogString}, ${l.catalogString})")
+    }
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val s = spans.eval(input)
+    val l = ltLen.eval(input)
+    HashExpressions.chunkSpansCjk(
+      s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      if (l == null) 0 else l.asInstanceOf[Int], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = spans.genCode(ctx)
+    val l = ltLen.genCode(ctx)
+    val code = code"""
+      ${s.code}
+      ${l.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.plans.HashExpressions.chunkSpansCjk(
+          ${s.isNull} ? null : ${s.value}, ${l.isNull} ? 0 : ${l.value}, $k);
+      """
+    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ChunkSpansCjk =
+    copy(spans = newLeft, ltLen = newRight)
+}
+
 /** Occurrence count of array elements contained in a pinned string set —
   * the codegen'd form of `size(filter(toks, t => array_contains(lit,
   * t)))`, whose interpreted ArrayFilter lambda re-evaluates the literal
@@ -606,6 +683,37 @@ object HashExpressions {
       i += 1
     }
     n
+  }
+
+  /** [[ChunkSpansCjk]] kernel: one walk over the spans array, building
+    * each chunk's joined token text and [cs, ce) extent directly —
+    * replaces three interpreted lambdas + per-chunk array slices. */
+  def chunkSpansCjk(spans: org.apache.spark.sql.catalyst.util.ArrayData,
+      ltLen: Int, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (spans == null || spans.numElements() == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val n = spans.numElements()
+    val nChunks = (n + k - 1) / k
+    val out = new Array[Any](nChunks)
+    val sb = new java.lang.StringBuilder
+    var ci = 0
+    while (ci < nChunks) {
+      val start = ci * k
+      val end = math.min(start + k, n)
+      sb.setLength(0)
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(spans.getStruct(j, 3).getUTF8String(0).toString)
+        j += 1
+      }
+      val cs = spans.getStruct(start, 3).getInt(1)
+      val ce = if (start + k < n) spans.getStruct(start + k, 3).getInt(1) else ltLen
+      out(ci) = org.apache.spark.sql.catalyst.InternalRow(
+        ci, UTF8String.fromString(sb.toString), cs, ce)
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Whole-doc SimHash kernel (see [[SimHash32Doc]]); null for zero

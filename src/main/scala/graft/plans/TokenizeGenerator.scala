@@ -241,6 +241,8 @@ object GraftFunctions {
     "tokenize_array" -> (exprs => TokenizeArray(exprs.head)),
     "tokenize_array_cjk" -> (exprs => TokenizeArrayCjk(exprs.head)),
     "tokenize_spans_cjk" -> (exprs => TokenizeSpansCjk(exprs.head)),
+    "chunk_spans_cjk" -> (exprs => ChunkSpansCjk(exprs(0), exprs(1),
+      exprs(2).eval().asInstanceOf[Number].intValue())),
     "count_in_set" -> (exprs => CountInSet(exprs.head, litStrings(exprs(1)))),
     // second arg = a plan-time literal BloomHandles id (resolution runs
     // on the driver, where the handle registry lives)

@@ -566,6 +566,29 @@ class PlansSpec extends AnyFunSuite {
         x("s") >= 0 && x("e") <= length(col("lt")) && x("s") < x("e") &&
           col("lt").substr(x("s") + 1, x("e") - x("s")) === x("t"))))
         .count() === 0)
+      // the native spans.t projection (GetArrayStructFields — what the
+      // cjk gram side now rides) == the interpreted transform form
+      assert(sp.filter(not(
+        col("spans").getField("t") <=> col("toks"))).count() === 0)
+      // chunk_spans_cjk: the fused chunk build bit-identical to the
+      // compositional transform(sequence)/slice/concat_ws/element_at
+      // chain it replaced (Dedup.chunkTableCjk), across chunk sizes
+      // incl. k=1 (every token its own chunk) and k > any doc's tokens
+      for (k <- Seq(1, 3, 8, 64)) {
+        val nChunks = ceil(size(col("spans")).cast("double") / k).cast("int")
+        val compositional = when(size(col("spans")) > 0,
+          transform(sequence(lit(0), nChunks - 1), i => struct(
+            i.as("pos"),
+            concat_ws(" ",
+              transform(slice(col("spans"), i * k + 1, lit(k)), x => x("t"))).as("span"),
+            element_at(col("spans"), i * k + 1)("s").as("cs"),
+            coalesce(try_element_at(col("spans"), (i + 1) * k + 1)("s"),
+              length(col("lt"))).as("ce"))))
+          .otherwise(array().cast("array<struct<pos:int,span:string,cs:int,ce:int>>"))
+        assert(sp.filter(not(
+          call_function("chunk_spans_cjk", col("spans"), length(col("lt")), lit(k))
+            <=> compositional)).count() === 0, s"chunk_spans_cjk k=$k diverged")
+      }
     } finally { df.unpersist(blocking = false); () }
   }
 
