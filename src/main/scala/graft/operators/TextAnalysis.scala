@@ -426,9 +426,21 @@ object TextAnalysis {
     * first, then drop the (rare) docs still contaminated after the
     * seam. An iterated fixpoint would re-run the gram join per round
     * for a residue the gate handles in the same single extra join. */
+  /** @param preserveStructure latin-mode rebuild choice (cjk mode ALWAYS
+    *   excises by offset): false (default) keeps the round-10 token
+    *   rebuild — kept tokens joined by single spaces, separators
+    *   normalized away (the dedupSpans contract, pinned by
+    *   t_decontaminate_spans); true routes latin excision through the
+    *   SAME character-offset path as cjk (`tokenize_spans`, the latin
+    *   spans kernel), so punctuation, casing-independent separators and
+    *   line structure SURVIVE — clean docs come back as lower_root(text)
+    *   unchanged-by-value (pinned by t_decontaminate_spans_offset).
+    *   Curate's `excise` pre-transform uses this form in both modes:
+    *   shipped text should differ from the original ONLY inside excised
+    *   ranges. */
   def decontaminateSpans(docs: DataFrame, benchmark: DataFrame, n: Int = 4,
-      cjk: Boolean = false): DataFrame =
-    if (cjk) decontaminateSpansByOffset(docs, benchmark, n)
+      cjk: Boolean = false, preserveStructure: Boolean = false): DataFrame =
+    if (cjk || preserveStructure) decontaminateSpansByOffset(docs, benchmark, n, cjk)
     else decontaminateSpansLatin(docs, benchmark, n)
 
   private def decontaminateSpansLatin(docs: DataFrame, benchmark: DataFrame,
@@ -483,19 +495,22 @@ object TextAnalysis {
         size(col("cov")).cast("long").as("n_removed"))
   }
 
-  /** The cjk arm of [[decontaminateSpans]] (see its @param cjk): same
-    * gram-join + covered-position pipeline, but tokens carry codepoint
-    * spans and the rebuild excises the UNION of covered character ranges
-    * from lower_root(text) — one sorted fold over a doc's covered spans
+  /** The character-offset arm of [[decontaminateSpans]] (always for cjk,
+    * opt-in for latin via preserveStructure): same gram-join +
+    * covered-position pipeline, but tokens carry codepoint spans and the
+    * rebuild excises the UNION of covered character ranges from
+    * lower_root(text) — one sorted fold over a doc's covered spans
     * (gap-before-each-range, then the tail), so the rebuild cost scales
     * with hits, not document length. The benchmark is tokenized in the
-    * SAME cjk mode unless the caller pre-bound `toks`. */
+    * SAME mode unless the caller pre-bound `toks` (wrong-mode bindings
+    * refused — see below). */
   private def decontaminateSpansByOffset(docs: DataFrame, benchmark: DataFrame,
-      n: Int): DataFrame = {
+      n: Int, cjk: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{call_function => fn}
+    val spansFn = if (cjk) "tokenize_spans_cjk" else "tokenize_spans"
     val dt = Dedup.track(docs
       .select(col("doc_id"),
-        fn("tokenize_spans_cjk", col("text")).as("spans"),
+        fn(spansFn, col("text")).as("spans"),
         fn("lower_root", coalesce(col("text"), lit(""))).as("lt"))
       .persist()) // Generate re-inline hazard (see file scaladoc)
     // spans.t projection rides Spark's native GetArrayStructFields
@@ -509,21 +524,22 @@ object TextAnalysis {
       .select(col("doc_id"), wordShingles(col("toks"), n).as("g"))
       .persist())
     // a pre-bound benchmark must PROVE it is in this arm's token space
-    // (round-11 ADVICE: a latin-bound or untagged benchmark here yields
+    // (round-11 ADVICE: a wrong-mode or untagged benchmark here yields
     // zero shared grams and the excision silently never fires — the
     // exact silent-inert class the Curate entrances refuse); the unbound
     // case binds the arm's own mode, like Curate's defensive rebind
+    val want = graft.functions.TokMode.name(cjk)
     val bb =
       if (benchmark.columns.contains("toks")) {
         val m = graft.functions.TokMode.of(benchmark)
-        require(m == graft.functions.TokMode.Cjk,
-          s"decontaminateSpans(cjk = true) got a benchmark with a pre-bound " +
-            s"'toks' column in '$m' mode: a non-cjk tokenization shares no " +
-            "grams with the cjk corpus side, so excision would silently never " +
-            "fire — bind via graft.functions.TokMode.bind(benchmark, cjk = true) " +
+        require(m == want,
+          s"decontaminateSpans(cjk = $cjk) got a benchmark with a pre-bound " +
+            s"'toks' column in '$m' mode: a '$m' tokenization shares no " +
+            s"grams with the '$want' corpus side, so excision would silently never " +
+            s"fire — bind via graft.functions.TokMode.bind(benchmark, cjk = $cjk) " +
             "or drop the manual binding")
         benchmark
-      } else graft.functions.TokMode.bind(benchmark, cjk = true)
+      } else graft.functions.TokMode.bind(benchmark, cjk)
     val bg = Dedup.track(contaminationGrams(bb, n).persist())
     val pg = sg.select(col("doc_id"), posexplode(col("g")).as(Seq("pos", "gram")))
     val benchGrams = bg.select(explode(col("g")).as("gram")).distinct()

@@ -194,19 +194,20 @@ object Curate {
     *   pre-transform (after stripHtml/redactPii/stripLineFreq, before
     *   the token binding): every `exciseN`-token shingle shared with
     *   this benchmark table is EXCISED from the text
-    *   (TextAnalysis.decontaminateSpans — token rebuild in latin mode,
-    *   character-offset excision in cjk mode), and the pipeline ingests
-    *   the excised text, so fingerprints, shingles, quality and every
-    *   gate see the text that ships. The softer alternative to the
+    *   (TextAnalysis.decontaminateSpans, character-offset excision in
+    *   BOTH modes — `preserveStructure`, round 12: shipped text differs
+    *   from lower_root(original) ONLY inside excised ranges, so
+    *   punctuation/line structure survives in latin mode too instead of
+    *   the token rebuild's space-normalized form), and the pipeline
+    *   ingests the excised text, so fingerprints, shingles, quality and
+    *   every gate see the text that ships. The softer alternative to the
     *   doc-dropping `benchmark` gate (dropping a 100-page doc for one
     *   leaked eval question wastes the other 99 pages); the two compose
     *   — excise first, and still drop docs the gate finds contaminated
-    *   AFTER excision. Note the rebuild normalizes text (latin: tokens
-    *   joined by single spaces; cjk: lowercased with separators kept),
-    *   so docs differing only inside or around excised spans MAY become
-    *   exact duplicates — that is the point, not an artifact. Per-doc
-    *   against a static benchmark, so the streaming twin is
-    *   batching-independent.
+    *   AFTER excision. Docs differing only inside excised spans (or only
+    *   by case) MAY become exact duplicates — that is the point, not an
+    *   artifact. Per-doc against a static benchmark, so the streaming
+    *   twin is batching-independent.
     * @param stripLineFreq when set, TextAnalysis.stripBoilerplate removes
     *   lines occurring in more than this many distinct docs BEFORE any
     *   gate runs (after the PII scrub if both are on — scrub first so
@@ -278,7 +279,8 @@ object Curate {
     // tokenization must not leak through the pipeline entrance.
     val base = excise match {
       case Some(bx) => TextAnalysis.decontaminateSpans(base0,
-        graft.functions.TokMode.bind(bx, cjk), exciseN, cjk)
+        graft.functions.TokMode.bind(bx, cjk), exciseN, cjk,
+        preserveStructure = true)
         .select(col("doc_id"), col("text"))
       case None => base0
     }

@@ -323,6 +323,49 @@ case class TokenizeArrayCjk(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Latin tokenizer WITH source spans (see
+  * TokenizeGenerator.tokenizeToSpans for the pinned semantics):
+  * array<struct<t string, s int, e int>>, [s, e) the token's codepoint
+  * range in lower_root(text); `t` fields bit-identical to
+  * tokenize_array (PlansSpec). The structure-preserving latin arm of
+  * TextAnalysis.decontaminateSpans consumes this — excising the union
+  * of covered character ranges keeps separators/punctuation/line
+  * structure that the token rebuild normalizes away. */
+case class TokenizeSpans(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("e",
+          org.apache.spark.sql.types.IntegerType, nullable = false))),
+      containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tokenize_spans requires STRING input, got ${child.dataType.catalogString}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TokenizeGenerator.tokenizeToSpans(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.plans.TokenizeGenerator.tokenizeToSpans(${c.isNull} ? null : ${c.value});
+      """
+    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenizeSpans =
+    copy(child = newChild)
+}
+
 /** CJK-bigram tokenizer WITH source spans (see
   * TokenizeGenerator.tokenizeToSpansCjk for the pinned semantics):
   * array<struct<t string, s int, e int>>, where [s, e) is the token's

@@ -128,6 +128,48 @@ object TokenizeGenerator {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[tokenizeToArray]] WITH source spans — the latin twin of
+    * [[tokenizeToSpansCjk]]: one row per token as struct<t, s, e> where
+    * [s, e) is the token's CODEPOINT range in lower(text) (Locale.ROOT).
+    * Token `t` fields are BIT-IDENTICAL to [[tokenizeToArray]] — [a-z0-9]
+    * maximal runs of the lowered string, everything else (including CJK
+    * characters, which are plain separators in latin mode) advancing the
+    * offset by one CODEPOINT per separator codepoint (surrogate pairs are
+    * one codepoint, two Java chars). Latin tokens never overlap, so a
+    * consumer may excise spans directly; the union fold still applies
+    * because adjacent n-gram hits produce overlapping RANGES. Null text →
+    * empty array. Powers the structure-preserving latin arm of
+    * TextAnalysis.decontaminateSpans (round-12: the token REBUILD
+    * normalizes separators away; offset excision preserves them). */
+  def tokenizeToSpans(s: UTF8String): ArrayData = {
+    if (s == null) return new GenericArrayData(Array.empty[Any])
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val n = str.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0  // Java char index into str
+    var cp = 0 // codepoint index (== char index until a surrogate pair)
+    while (i < n) {
+      val c = str.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        // token-class chars are BMP non-surrogate: char step == cp step
+        var j = i
+        while (j < n && {
+          val d = str.charAt(j)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        out += InternalRow(UTF8String.fromString(str.substring(i, j)), cp, cp + (j - i))
+        cp += j - i; i = j
+      } else {
+        // separator: one CODEPOINT (a surrogate pair advances two chars)
+        if (Character.isHighSurrogate(c) && i + 1 < n &&
+          Character.isLowSurrogate(str.charAt(i + 1))) i += 2
+        else i += 1
+        cp += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** [[tokenizeToArrayCjk]] WITH source spans: one row per token as
     * struct<t: string, s: int, e: int> where [s, e) is the token's
     * CODEPOINT range in `lower(text)` (Locale.ROOT — the same lowered
@@ -240,6 +282,7 @@ object GraftFunctions {
     "sorted_distinct_i64" -> (exprs => SortedDistinctLongs(exprs.head)),
     "tokenize_array" -> (exprs => TokenizeArray(exprs.head)),
     "tokenize_array_cjk" -> (exprs => TokenizeArrayCjk(exprs.head)),
+    "tokenize_spans" -> (exprs => TokenizeSpans(exprs.head)),
     "tokenize_spans_cjk" -> (exprs => TokenizeSpansCjk(exprs.head)),
     "chunk_spans_cjk" -> (exprs => ChunkSpansCjk(exprs(0), exprs(1),
       exprs(2).eval().asInstanceOf[Number].intValue())),

@@ -1975,10 +1975,13 @@ object PipelineQueries {
     * (Curate.runDocs excise): leaked eval spans are EXCISED as the last
     * pre-transform instead of dropping whole docs, and the UNCHANGED
     * pipeline chain then ingests the excised text — fingerprints,
-    * shingles, quality, language all see the text that ships. The
-    * oracle feeds the t_decontaminate_spans chain's output through the
-    * t_curate_stats recomposition via `prefixCtes`/`docsRel` (the
-    * t_curate_redacted pattern). Live composition signal: the
+    * shingles, quality, language all see the text that ships. Since
+    * round 12 the excision is STRUCTURE-PRESERVING in latin mode too
+    * (the t_decontaminate_spans_offset chain — character-offset
+    * excision, punctuation survives), so the oracle feeds THAT chain's
+    * output through the t_curate_stats recomposition via
+    * `prefixCtes`/`docsRel` (the t_curate_redacted pattern). Live
+    * composition signal: the
     * benchmark-slice docs excise to EMPTY text, so they collapse into
     * one exact-dup fingerprint group and the survivors land in
     * low_quality — exactly what "dedup sees the excised form" means. */
@@ -1998,7 +2001,7 @@ object PipelineQueries {
     oracle = Some(curateStatsOracle(
       """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
       docsRel = "excised",
-      prefixCtes = latinExcisionCtes("documents", "doc_id % 23 = 0"))))
+      prefixCtes = excisionByOffsetCtes("documents", "doc_id % 23 = 0", cjk = false))))
 
   /** [[tCurateExcised]] in cjk mode over the zh-seeded corpus: the
     * character-offset excision chain (seed 9000000004 sits in the
@@ -2023,7 +2026,7 @@ object PipelineQueries {
       """losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)""",
       toksSql = TOKS_CJK, stopZh = true,
       docsRel = "excised",
-      prefixCtes = cjkDocsCte + cjkExcisionCtes("cjkdocs", "doc_id % 23 = 0"))))
+      prefixCtes = cjkDocsCte + excisionByOffsetCtes("cjkdocs", "doc_id % 23 = 0", cjk = true))))
 
   /** The composed pipeline under the recall-LOSSLESS near-dup policy:
     * exact n-gram Jaccard join (prefix + positional filtering) instead of
@@ -2642,6 +2645,28 @@ object PipelineQueries {
         n_tokens, n_tokens - len(kept) AS n_removed
       FROM k"""))
 
+  /** Surgical span decontamination, latin STRUCTURE-PRESERVING form
+    * (decontaminateSpans preserveStructure — what Curate's `excise`
+    * ships since round 12): excision by CHARACTER OFFSETS through the
+    * latin `tokenize_spans` kernel, so punctuation, newlines and spacing
+    * SURVIVE outside the excised ranges (the token rebuild pinned by
+    * t_decontaminate_spans normalizes them away — both output shapes
+    * stay pinned, each by its own oracle). DuckDB recomposes the whole
+    * offset pipeline from per-character class runs exactly like the cjk
+    * twin ([[spanCtes]] with the latin class map), so the hash certifies
+    * the exact character-level excision boundaries. */
+  val tDecontaminateSpansOffset: Q = Q(
+    "t_decontaminate_spans_offset",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.decontaminateSpans(docs, docs.filter(col("doc_id") % 23 === 0),
+        n = 4, preserveStructure = true)
+    },
+    oracle = Some(s"""
+      WITH ${excisionByOffsetCtes("documents", "doc_id % 23 = 0", cjk = false)}
+      final AS (SELECT doc_id, text, n_tokens, n_removed FROM excised)
+      SELECT * FROM final"""))
+
   /** Surgical span decontamination in CJK mode — excision by CHARACTER
     * OFFSETS (decontaminateSpans cjk: a token rebuild would duplicate
     * interior ideographs of overlapping bigrams, the round-10 latin-only
@@ -2665,7 +2690,7 @@ object PipelineQueries {
     },
     oracle = Some(s"""
       WITH $cjkDocsCte
-      ${cjkExcisionCtes("cjkdocs", "doc_id % 23 = 0")}
+      ${excisionByOffsetCtes("cjkdocs", "doc_id % 23 = 0", cjk = true)}
       final AS (SELECT doc_id, text, n_tokens, n_removed FROM excised)
       SELECT * FROM final"""))
 
@@ -2679,7 +2704,7 @@ object PipelineQueries {
     * chunk — LIVE CJK bans) are excised from lower(text) per character.
     * DuckDB recomposes chunking, the corpus ban count, and the
     * per-character excision on top of the shared span recomposition
-    * ([[cjkSpanCtes]]), so the hash certifies the excision boundaries
+    * ([[spanCtes]]), so the hash certifies the excision boundaries
     * including the no-neighbor-clipping partition property. */
   val tDedupSpansCjk: Q = Q(
     "t_dedup_spans_cjk",
@@ -2687,7 +2712,7 @@ object PipelineQueries {
       Dedup.dedupSpans(curateCjkDocs(s, dir), k = 8, maxOcc = 1, cjk = true),
     oracle = Some(s"""
       WITH $cjkDocsCte
-      ${cjkSpanCtes("cjkdocs")}
+      ${spanCtes("cjkdocs", cjk = true)}
       xck AS (SELECT doc_id, lt, spans,
           [{'span': array_to_string([x.t for x in spans[i*8 + 1 : (i+1)*8]], ' '),
             'cs': struct_extract(spans[i*8 + 1], 's'),
@@ -2710,30 +2735,45 @@ object PipelineQueries {
         CAST(len(k.chunks) - coalesce(r.n_banned, 0) AS BIGINT) AS n_kept
       FROM xck k LEFT JOIN xcr r USING (doc_id)"""))
 
-  /** Span-excision CTE chain, cjk arm (decontaminateSpans cjk at n=4 —
-    * the per-character recomposition): character class runs → token
-    * spans → positional gram join vs the `benchPred` slice → covered
-    * token positions → covered CHARACTER ranges → per-char rebuild.
-    * Ends in `excised(doc_id, text, n_tokens, n_removed)` covering
-    * EVERY doc of `docsRel`; prefix-style (trailing comma) so it drops
-    * into curateStatsOracle's `prefixCtes`, which is how the
-    * t_curate_cjk_excised entry feeds the excised corpus through the
-    * UNCHANGED pipeline chain. All CTE names are x-prefixed to stay
-    * disjoint from the curate chain's. */
-  /** The tokenize_spans_cjk recomposition in DuckDB (shared front half
-    * of [[cjkExcisionCtes]] and the chunked span-dedup oracle): per-
-    * character class runs → per-run token spans → `xtok(doc_id, lt,
-    * spans, toks)` covering every doc of `docsRel`, spans as
-    * struct(t, s, e) with 0-based codepoint offsets into lower(text).
-    * Prefix-style (trailing comma). */
-  private def cjkSpanCtes(docsRel: String): String = s"""
+  /** Span-excision CTE chain by character offset, BOTH modes
+    * (decontaminateSpans' offset arm at n=4 — the per-character
+    * recomposition): character class runs → token spans → positional
+    * gram join vs the `benchPred` slice → covered token positions →
+    * covered CHARACTER ranges → per-char rebuild. Ends in
+    * `excised(doc_id, text, n_tokens, n_removed)` covering EVERY doc of
+    * `docsRel`; prefix-style (trailing comma) so it drops into
+    * curateStatsOracle's `prefixCtes`, which is how the
+    * t_curate_excised / t_curate_cjk_excised entries feed the excised
+    * corpus through the UNCHANGED pipeline chain. All CTE names are
+    * x-prefixed to stay disjoint from the curate chain's. */
+  /** The tokenize-with-spans recomposition in DuckDB, BOTH modes (shared
+    * front half of [[excisionByOffsetCtes]] and the chunked span-dedup
+    * oracle): per-character class runs → per-run token spans →
+    * `xtok(doc_id, lt, spans, toks)` covering every doc of `docsRel`,
+    * spans as struct(t, s, e) with 0-based codepoint offsets into
+    * lower(text). cjk = true recomposes `tokenize_spans_cjk` (latin runs
+    * + CJK runs split to overlapping bigrams); cjk = false recomposes
+    * the latin `tokenize_spans` (only [a-z0-9] runs are tokens — CJK
+    * characters are plain separators). Prefix-style (trailing comma). */
+  private def spanCtes(docsRel: String, cjk: Boolean): String = {
+    val classCase =
+      if (cjk) """CASE WHEN regexp_matches(c, '^[a-z0-9]$') THEN 'w'
+                   WHEN regexp_matches(c, '^[一-鿿]$') THEN 'k'
+                   ELSE 'x' END"""
+      else """CASE WHEN regexp_matches(c, '^[a-z0-9]$') THEN 'w' ELSE 'x' END"""
+    val splitCase =
+      if (cjk) """CASE WHEN k = 'w' OR re = rs
+                    THEN [{'t': piece, 's': rs - 1, 'e': re}]
+                    ELSE [{'t': substr(piece, j + 1, 2),
+                           's': rs - 1 + j, 'e': rs + 1 + j}
+                          for j in range(0, re - rs)] END"""
+      else """[{'t': piece, 's': rs - 1, 'e': re}]"""
+    s"""
       xd AS (SELECT doc_id, lower(coalesce(text, '')) AS lt FROM $docsRel),
       xch0 AS (SELECT doc_id, lt, unnest(range(1, length(lt) + 1)) AS i FROM xd),
       xch AS (SELECT doc_id, i, substr(lt, i, 1) AS c FROM xch0),
       xcl AS (SELECT doc_id, i, c,
-              CASE WHEN regexp_matches(c, '^[a-z0-9]$$') THEN 'w'
-                   WHEN regexp_matches(c, '^[一-鿿]$$') THEN 'k'
-                   ELSE 'x' END AS k FROM xch),
+              $classCase AS k FROM xch),
       xrb AS (SELECT doc_id, i, c, k,
               CASE WHEN lag(k) OVER (PARTITION BY doc_id ORDER BY i)
                         IS DISTINCT FROM k THEN 1 ELSE 0 END AS nb FROM xcl),
@@ -2743,20 +2783,18 @@ object PipelineQueries {
                 string_agg(c, '' ORDER BY i) AS piece
               FROM xrr WHERE k <> 'x' GROUP BY doc_id, run),
       xspl AS (SELECT doc_id, rs,
-               CASE WHEN k = 'w' OR re = rs
-                    THEN [{'t': piece, 's': rs - 1, 'e': re}]
-                    ELSE [{'t': substr(piece, j + 1, 2),
-                           's': rs - 1 + j, 'e': rs + 1 + j}
-                          for j in range(0, re - rs)] END AS sl FROM xruns),
+               $splitCase AS sl FROM xruns),
       xspagg AS (SELECT doc_id, flatten(list(sl ORDER BY rs)) AS spans
                 FROM xspl GROUP BY doc_id),
       xtok AS (SELECT xd.doc_id, xd.lt,
                   coalesce(sp.spans, []) AS spans,
                   list_transform(coalesce(sp.spans, []), x -> x.t) AS toks
                  FROM xd LEFT JOIN xspagg sp USING (doc_id)),"""
+  }
 
-  private def cjkExcisionCtes(docsRel: String, benchPred: String): String =
-    cjkSpanCtes(docsRel) + s"""
+  private def excisionByOffsetCtes(docsRel: String, benchPred: String,
+      cjk: Boolean): String =
+    spanCtes(docsRel, cjk) + s"""
       xg AS (SELECT doc_id,
              unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+3], ' ')}
                      for i in range(1, len(toks) - 2)]) AS s
@@ -2783,30 +2821,6 @@ object PipelineQueries {
         CAST(len(toks) AS BIGINT) AS n_tokens,
         CAST(len(cov) AS BIGINT) AS n_removed
       FROM xcc),"""
-
-  /** Span-excision CTE chain, latin arm (decontaminateSpans' token
-    * rebuild at n=4 — the t_decontaminate_spans chain re-shaped as a
-    * prefix): ends in `excised(doc_id, text)` covering every doc of
-    * `docsRel`, for feeding the excised corpus through the pipeline
-    * oracle (t_curate_excised). */
-  private def latinExcisionCtes(docsRel: String, benchPred: String): String = s"""
-      xt AS (SELECT doc_id, $TOKS AS toks FROM $docsRel),
-      xg AS (SELECT doc_id,
-          unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+3], ' ')}
-                  for i in range(1, len(toks) - 2)]) AS s
-        FROM xt WHERE len(toks) >= 4),
-      xpg AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM xg),
-      xbg AS (SELECT DISTINCT unnest(
-          list_distinct([array_to_string(toks[i:i+3], ' ')
-                         for i in range(1, len(toks) - 2)])) AS gram
-        FROM xt WHERE ($benchPred) AND len(toks) >= 4),
-      xh1 AS (SELECT xpg.doc_id, list(DISTINCT pos) AS hp
-        FROM xpg JOIN xbg USING (gram) GROUP BY 1),
-      xh2 AS (SELECT doc_id, flatten([range(p, p + 4) for p in hp]) AS cov FROM xh1),
-      excised AS MATERIALIZED (SELECT t.doc_id,
-          coalesce(array_to_string([t.toks[i] for i in range(1, len(t.toks) + 1)
-            if NOT list_contains(coalesce(xh2.cov, []), i - 1)], ' '), '') AS text
-        FROM xt t LEFT JOIN xh2 USING (doc_id)),"""
 
   /** Bloom-filter decontamination, self-gated against the exact join: the
     * `ok` column asserts (a) NO false negatives — every doc the exact join
@@ -4268,7 +4282,7 @@ object PipelineQueries {
     tUpsampleMix, tSampleFixed,
     tBpeMerges, tBpeEncode, tQualityClassifier, tImportanceSample,
     tZorderValues, tZoneMap, tPcaEmbeddings, tRandomProjection,
-    tRepetitionScore, tGopherRules, tHtmlStrip, tCurateHtml, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans, tDecontaminateSpansCjk,
+    tRepetitionScore, tGopherRules, tHtmlStrip, tCurateHtml, tDecontaminate, tDecontaminateBloom, tDecontaminateSpans, tDecontaminateSpansOffset, tDecontaminateSpansCjk,
     tDecontaminateSemantic, tSplitAssign, tSplitLeakageSafe,
     tStratifiedSample, tTfidfTopTerms, tPackSequences,
     tCapPerSource, tShuffleRank, tChunkDocs, tVocabulary, tVocabCoverage, tCollocations)

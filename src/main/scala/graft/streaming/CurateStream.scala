@@ -73,8 +73,9 @@ object CurateStream {
     *   duplicates after the scrub).
     * @param excise when set, SURGICAL decontamination runs as the last
     *   pre-transform (Curate.runDocs' excise: shingles shared with this
-    *   STATIC benchmark are excised from the text; token rebuild latin,
-    *   character-offset excision cjk) — per-doc against fixed grams, so
+    *   STATIC benchmark are excised from the text; character-offset
+    *   excision in BOTH modes — structure-preserving, the runDocs
+    *   posture) — per-doc against fixed grams, so
     *   batching-independent, and registries hold fingerprints/bands of
     *   the EXCISED text: docs differing only around leaked eval spans
     *   dedup together after excision, across batches too.
@@ -152,7 +153,8 @@ object CurateStream {
         val preToks = excise match {
           case Some(bx) => TextAnalysis
             .decontaminateSpans(scrubbed,
-              graft.functions.TokMode.bind(bx, cjk), exciseN, cjk)
+              graft.functions.TokMode.bind(bx, cjk), exciseN, cjk,
+              preserveStructure = true)
             .select(col("doc_id"), col("text"))
           case None => scrubbed
         }

@@ -599,7 +599,8 @@ object StreamingPipelines {
     * (trackMark/releaseSince — a continuous stream must not accumulate
     * InMemoryRelations). */
   def spanExcisionSink(docs: DataFrame, benchmark: DataFrame, outPath: String,
-      n: Int = 4, cjk: Boolean = false): DataStreamWriter[Row] =
+      n: Int = 4, cjk: Boolean = false,
+      preserveStructure: Boolean = false): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -607,7 +608,7 @@ object StreamingPipelines {
         val mark = graft.operators.Dedup.trackMark(spark)
         try
           graft.operators.TextAnalysis
-            .decontaminateSpans(batch.toDF(), benchmark, n, cjk)
+            .decontaminateSpans(batch.toDF(), benchmark, n, cjk, preserveStructure)
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         finally { graft.operators.Dedup.releaseSince(spark, mark); () }
       }

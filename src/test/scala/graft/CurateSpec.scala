@@ -270,9 +270,11 @@ class CurateSpec extends AnyFunSuite {
     Curate.releaseCaches(spark)
     // composition property: runDocs(excise = b) == runDocs over the
     // manually excised frame (the pre-transform is exactly
-    // decontaminateSpans, the redactPii/stripHtml pattern)
+    // decontaminateSpans in its structure-preserving form — round 12:
+    // shipped text differs from lower_root(original) ONLY inside excised
+    // ranges, in latin mode too)
     val excised = graft.operators.TextAnalysis
-      .decontaminateSpans(docs, bench, n = 4)
+      .decontaminateSpans(docs, bench, n = 4, preserveStructure = true)
       .select(col("doc_id"), col("text"))
     val (keptB, stB) = Curate.runDocs(spark, excised)
     val rowsB = keptB.collect().map(r => (r.getLong(0), r.getString(1))).toSet
@@ -285,6 +287,38 @@ class CurateSpec extends AnyFunSuite {
     // the raw text — the property that breaks if excision ran after the
     // fingerprint stage)
     assert(stA.exactDups >= bench.count() - 1, s"stats: $stA")
+  }
+
+  test("latin excise is structure-preserving: separators survive, only excised ranges change") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "The intro, line one of the story!\nBAD SPAN HERE okay; the tail."),
+      (2L, "Clean Doc: nothing, to excise!")).toDF("doc_id", "text")
+    val bench = Seq((9L, "bad span here")).toDF("doc_id", "text")
+    // the offset arm (what Curate's excise rides in BOTH modes since
+    // round 12): output = lower_root(text) minus the covered character
+    // ranges — punctuation, newlines and spacing SURVIVE, unlike the
+    // token rebuild that joins kept tokens with single spaces
+    val off = graft.operators.TextAnalysis
+      .decontaminateSpans(docs, bench, n = 3, preserveStructure = true)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    Curate.releaseCaches(spark)
+    // covered tokens {bad, span, here} excise by char range; the three
+    // separators between/after them survive (one space each)
+    assert(off(1L) ===
+      (("the intro, line one of the story!\n   okay; the tail.", 3L)), s"got $off")
+    assert(off(2L) === (("clean doc: nothing, to excise!", 0L)), s"got $off")
+    // and THROUGH the pipeline: kept docs carry the structure-preserved
+    // form (doc 1 ships with its punctuation and newline; minQuality
+    // relaxed — the stop-heavy fixture scores ~0.53 on the tiny lexicons)
+    val (kept, _) = Curate.runDocs(spark, docs, minQuality = 0.3,
+      excise = Some(bench), exciseN = 3)
+    val keptRows = kept.select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Curate.releaseCaches(spark)
+    assert(keptRows(1L) === "the intro, line one of the story!\n   okay; the tail.")
+    assert(keptRows(2L) === "clean doc: nothing, to excise!")
   }
 
   test("excise benchmark is rebound in the pipeline's mode: a stray caller binding cannot leak") {

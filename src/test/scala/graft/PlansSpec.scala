@@ -570,6 +570,20 @@ class PlansSpec extends AnyFunSuite {
       // cjk gram side now rides) == the interpreted transform form
       assert(sp.filter(not(
         col("spans").getField("t") <=> col("toks"))).count() === 0)
+      // tokenize_spans (the latin twin, round 12 — powers structure-
+      // preserving latin excision): token text bit-identical to the
+      // latin fused tokenizer, every span substr-reproduces its token
+      // at CODEPOINT offsets (astral separators advance by one)
+      val spl = df.select(
+        call_function("lower_root", coalesce(col("text"), lit(""))).as("lt"),
+        call_function("tokenize_spans", col("text")).as("spans"),
+        TextFunctions.tokensFused(col("text")).as("toks"))
+      assert(spl.filter(not(
+        col("spans").getField("t") <=> col("toks"))).count() === 0)
+      assert(spl.filter(not(forall(col("spans"), x =>
+        x("s") >= 0 && x("e") <= length(col("lt")) && x("s") < x("e") &&
+          col("lt").substr(x("s") + 1, x("e") - x("s")) === x("t"))))
+        .count() === 0)
       // chunk_spans_cjk: the fused chunk build bit-identical to the
       // compositional transform(sequence)/slice/concat_ws/element_at
       // chain it replaced (Dedup.chunkTableCjk), across chunk sizes
