@@ -1,0 +1,297 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** REAL image decode arm of the multimodal layer (the builder-prompt
+  * "multimodal columns" contract; round-12 — the round-11 stub premise
+  * "this environment has no codec libraries" is refuted for images:
+  * JDK 17's `javax.imageio` decodes PNG/JPEG/BMP/GIF/TIFF headlessly
+  * with zero extra dependencies, so the decode step here is a real
+  * codec, not [[Multimodal]]'s md5 fake — audio/video stay honestly
+  * stubbed there).
+  *
+  * Pipeline shape (the pattern a production image corpus needs):
+  *   - images ride an opaque `binary` column ([[synthesize]] builds the
+  *     deterministic PNG fixture from doc_id since the testdata has no
+  *     media column; a real corpus reads its parquet binary column);
+  *   - [[imageMeta]] reads width/height/format from the codec HEADER
+  *     only (no pixel decode — the cheap full-corpus scan);
+  *   - [[imageStats]] fully decodes and emits integer-exact luminance
+  *     stats plus a 64-bit average-hash ([[aHash64]]) — the perceptual
+  *     fingerprint every image-dedup pipeline keys on;
+  *   - [[nearDupPairs]] buckets the hashes by 16-bit bands and verifies
+  *     candidates by exact hamming distance — the SimHash/MinHash
+  *     banding shape of the text dedup layer, applied to pixels.
+  *
+  * Scale: every stage is map-side per image except the band join (one
+  * shuffle on small (band, value) keys) and the pair distinct (one
+  * shuffle on the candidate pairs — bounded by true duplicate-group
+  * sizes, which is the output's own size; a corpus with pathological
+  * hash-collision groups caps them the way Dedup.minhashPairs caps hot
+  * buckets). Decoders initialize per PARTITION (ImageIO scanner lookup
+  * + disk-cache disabling happen once), rows stream through.
+  *
+  * Oracle story: the fixture's pixel function is pure integer
+  * arithmetic over (x, y, doc_id), so DuckDB recomputes the DECODED
+  * pixels, stats, and hash from first principles while the engine goes
+  * pixels → PNG encode → PNG decode → stats — a hash match certifies
+  * the whole codec round trip (PNG is lossless) plus the aHash kernel,
+  * cross-engine (t_image_meta / t_image_dedup).
+  */
+object Images {
+
+  // ImageIO's default read path spills a disk cache file per stream —
+  // per-row temp files on an executor; keep everything on-heap
+  private lazy val init: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    ImageIO.setUseCache(false)
+  }
+
+  /** Deterministic grayscale-in-RGB pixel function of (x, y, doc_id) —
+    * pure integer arithmetic, exactly reproducible in SQL (the DuckDB
+    * oracle recomputes it): group g = doc_id % 200 picks dims and the
+    * base pattern (a multiplicative mix — a LINEAR gradient would make
+    * aHash shift-invariant across groups and collapse every group to
+    * one hash); variant v = doc_id / 200 perturbs ONE pixel, so
+    * same-group images are near-duplicates (hamming ≤ 3 — measured:
+    * every ≤3 pair at sf0.1 is same-group, zero cross-group noise) and
+    * v % 7 == 0 variants are exact duplicates. */
+  private[graft] def synthPixels(docId: Long): (Int, Int, Array[Int]) = {
+    val g = docId % 200
+    val v = docId / 200
+    val w = (8 * (1 + (g % 8))).toInt
+    val h = (8 * (1 + ((g / 8) % 5))).toInt
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p0 = ((x * 2654435761L + y * 40503L + (x + 3L) * (y + 7L) * (g + 13L) +
+          g * 2246822519L) % 256L).toInt
+        px(y * w + x) =
+          if (x == 3 && y == 5) ((p0 + (v % 7) * 16) % 256).toInt else p0
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** Encode a grayscale pixel array as PNG bytes (r = g = b = lum);
+    * lossless, so decode returns the exact array. */
+  private[graft] def encodePng(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    init
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = px(y * w + x)
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decoded image: format name (lowercase), dims, gray pixel array
+    * (gray = (r + g + b) / 3, integer division — exact for the r=g=b
+    * fixture and deterministic for any RGB input). */
+  private[graft] final case class Decoded(
+      format: String, width: Int, height: Int, gray: Array[Int])
+
+  private[graft] def decode(bytes: Array[Byte]): Decoded = {
+    init
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageIO reader for this byte stream " +
+        "(not a PNG/JPEG/BMP/GIF/TIFF?)")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+        val img = r.read(0)
+        val w = img.getWidth
+        val h = img.getHeight
+        val gray = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            gray(y * w + x) =
+              (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        Decoded(fmt, w, h, gray)
+      } finally r.dispose()
+    } finally iis.close()
+  }
+
+  /** Header-only (width, height, format) — NO pixel decode: the format
+    * scanner reads a few header bytes, which is what a 100 TB metadata
+    * pass can afford. */
+  private[graft] def decodeHeader(bytes: Array[Byte]): (String, Int, Int) = {
+    init
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageIO reader for this byte stream")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        (r.getFormatName.toLowerCase(java.util.Locale.ROOT), r.getWidth(0), r.getHeight(0))
+      } finally r.dispose()
+    } finally iis.close()
+  }
+
+  /** 64-bit average hash (aHash) over a gray image: 8×8 blocks with
+    * floor boundaries (block (i, j) covers y ∈ [⌊i·h/8⌋, ⌊(i+1)·h/8⌋),
+    * x likewise), bit k = i·8 + j set iff the block's mean luminance
+    * exceeds the global mean — INTEGER-EXACT as the cross-multiplied
+    * comparison blockSum·nPixels > totalSum·blockArea (no division, so
+    * the DuckDB oracle reproduces every bit; products stay far under
+    * Long range: 255·npx·npx needs npx < 2^27 ≈ a 134 MP image). Bit 63
+    * rides the sign bit — two's complement in both engines, and XOR /
+    * bit_count agree on it. Blocks smaller than 8 px in a dimension are
+    * legal (empty blocks contribute 0-bits, same as a no-row group in
+    * SQL). */
+  private[graft] def aHash64(gray: Array[Int], w: Int, h: Int): Long = {
+    val bs = new Array[Long](64)
+    val ba = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val bi = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val k = bi * 8 + x * 8 / w
+        val p = gray(y * w + x)
+        bs(k) += p
+        ba(k) += 1
+        total += p
+        x += 1
+      }
+      y += 1
+    }
+    val npx = w.toLong * h
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (bs(k) * npx > total * ba(k)) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** The deterministic PNG fixture: (doc_id, img binary) with one real
+    * encoded PNG per document (see [[synthPixels]]). Partition-parallel
+    * mapPartitions — the same batch shape a real corpus's binary column
+    * arrives in. */
+  def synthesize(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        init
+        ids.map { id =>
+          val (w, h, px) = synthPixels(id)
+          (id, encodePng(w, h, px))
+        }
+      }
+      .toDF("doc_id", "img")
+  }
+
+  /** Header-only metadata over a binary image column — width, height,
+    * format without decoding a single pixel. */
+  def imageMeta(spark: SparkSession, binDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("img")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        init
+        rows.map { case (id, bytes) =>
+          val (fmt, w, h) = decodeHeader(bytes)
+          (id, w, h, fmt, bytes.length.toLong)
+        }
+      }
+      .toDF("doc_id", "width", "height", "format", "n_bytes")
+  }
+
+  /** Full decode + integer-exact stats + perceptual hash, one pass:
+    * (doc_id, width, height, format, n_px, sum_lum, min_lum, max_lum,
+    * ahash). Header dims are cross-checked against decoded dims (a
+    * codec disagreement is corruption — fail LOUD, not a silent wrong
+    * hash). Empty (0-px) images are rejected by the same rule. */
+  def imageStats(spark: SparkSession, binDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("img")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        init
+        rows.map { case (id, bytes) =>
+          val (hfmt, hw, hh) = decodeHeader(bytes)
+          val d = decode(bytes)
+          require(d.width == hw && d.height == hh && d.format == hfmt,
+            s"doc $id: header ($hfmt ${hw}x$hh) disagrees with decode " +
+              s"(${d.format} ${d.width}x${d.height}) — corrupt image")
+          require(d.gray.length > 0, s"doc $id: zero-pixel image")
+          var sum = 0L
+          var mn = 255
+          var mx = 0
+          var i = 0
+          while (i < d.gray.length) {
+            val p = d.gray(i)
+            sum += p
+            if (p < mn) mn = p
+            if (p > mx) mx = p
+            i += 1
+          }
+          (id, d.width, d.height, d.format, d.gray.length.toLong, sum, mn, mx,
+            aHash64(d.gray, d.width, d.height))
+        }
+      }
+      .toDF("doc_id", "width", "height", "format", "n_px", "sum_lum",
+        "min_lum", "max_lum", "ahash")
+  }
+
+  /** Image near-duplicate pairs by banded hamming join over the 64-bit
+    * aHash: each hash splits into four 16-bit bands; candidates share
+    * at least one band; survivors verify exact hamming ≤ `maxHamming`.
+    * LOSSLESS for maxHamming ≤ 3 by pigeonhole (3 differing bits cannot
+    * touch all 4 bands — enforced, because a silently lossy recall
+    * default is the silent-wrong class this repo refuses), and the
+    * oracle's ALL-PAIRS xor/bit_count join certifies exactly that.
+    * Output (doc_a < doc_b, hamming), the Dedup.minhashPairs shape —
+    * feed keeper selection or duplicateClusters unchanged. One shuffle
+    * on (band, value), one on the candidate distinct. */
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is recall-lossless only for hamming <= 3 " +
+        s"(pigeonhole over 4 bands), got $maxHamming — re-band before raising it")
+    val bands = hashes.select(col("doc_id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("ahash"), b * 16)
+            .bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.v").as("v"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+    cand.select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata (the builder-prompt contract).
   *
-  * The decode step is STUBBED — this environment has no codec libraries —
-  * with a deterministic md5-derived fake, clearly marked below. Everything
-  * around it is real Spark plumbing: binary column schema, per-partition
-  * batched iteration (mapPartitions ≈ mapInPandas batch shape), typed
-  * output Dataset, and partition-parallel execution. Swapping `decodeStub`
-  * for a real codec changes no signatures.
+  * The decode step here is STUBBED with a deterministic md5-derived fake,
+  * clearly marked below — for AUDIO and VIDEO, where this environment
+  * truly has no codec libraries. For IMAGES that premise fell in round
+  * 12: JDK 17's `javax.imageio` decodes PNG/JPEG/BMP/GIF/TIFF headlessly
+  * with zero extra dependencies, and [[Images]] is the REAL decode arm
+  * (header reads, pixel stats, perceptual-hash dedup — oracle-gated by
+  * t_image_meta / t_image_dedup). Everything around the remaining stubs
+  * is real Spark plumbing: binary column schema, per-partition batched
+  * iteration (mapPartitions ≈ mapInPandas batch shape), typed output
+  * Dataset, and partition-parallel execution. Swapping `decodeStub` for
+  * a real codec changes no signatures — [[Images]] is the proof.
   */
 object Multimodal {
 

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Images
+import graft.tables.Tables
+
+/** Image-arm catalog entries (the REAL multimodal decode path —
+  * operators/Images.scala): the engine synthesizes one deterministic
+  * PNG per document, round-trips it through the actual JDK ImageIO
+  * codec (encode → decode), and derives stats + a 64-bit perceptual
+  * hash from the DECODED pixels; the DuckDB oracle recomputes the same
+  * values from the pixel formula alone (pure integer arithmetic over
+  * (x, y, doc_id)) — a hash match therefore certifies the lossless
+  * codec round trip AND the aHash kernel bit-for-bit, cross-engine.
+  */
+object ImageQueries {
+
+  /** The fixture + aHash recomposition in DuckDB (shared front half of
+    * both entries): group/variant → dims → per-pixel luminance
+    * (Images.synthPixels' exact arithmetic) → integer-exact stats →
+    * 8×8 block sums → threshold bits → the signed 64-bit hash (bit 63
+    * assembled as −2^63 — two's complement matches the engine's Long).
+    * Prefix-style (trailing comma). */
+  private def imageCtes(docsRel: String): String = s"""
+      ip0 AS (SELECT doc_id, CAST(doc_id % 200 AS BIGINT) AS g,
+                     CAST(doc_id // 200 AS BIGINT) AS v FROM $docsRel),
+      ipd AS (SELECT doc_id, g, v,
+                     8 * (1 + (g % 8)) AS w,
+                     8 * (1 + ((g // 8) % 5)) AS h FROM ip0),
+      ixx AS (SELECT doc_id, g, v, w, h, unnest(range(0, w)) AS x FROM ipd),
+      ixy AS (SELECT doc_id, g, v, w, h, x, unnest(range(0, h)) AS y FROM ixx),
+      ipx AS (SELECT doc_id, w, h, x, y,
+                     CASE WHEN x = 3 AND y = 5
+                          THEN ((x*2654435761 + y*40503 + (x+3)*(y+7)*(g+13)
+                                 + g*2246822519) % 256 + (v % 7) * 16) % 256
+                          ELSE (x*2654435761 + y*40503 + (x+3)*(y+7)*(g+13)
+                                + g*2246822519) % 256 END AS lum
+              FROM ixy),
+      ist AS (SELECT doc_id, SUM(lum) AS sum_lum, MIN(lum) AS min_lum,
+                     MAX(lum) AS max_lum, COUNT(*) AS n_px FROM ipx GROUP BY 1),
+      ibk AS (SELECT doc_id, (y*8)//h AS bi, (x*8)//w AS bj,
+                     SUM(lum) AS bs, COUNT(*) AS area
+              FROM ipx GROUP BY 1, 2, 3),
+      ibt AS (SELECT b.doc_id, CAST(b.bi*8 + b.bj AS INT) AS k,
+                     CASE WHEN b.bs * s.n_px > s.sum_lum * b.area
+                          THEN 1 ELSE 0 END AS bit
+              FROM ibk b JOIN ist s USING (doc_id)),
+      iah AS (SELECT doc_id,
+                     CAST(COALESCE(SUM(CASE WHEN k < 63 AND bit = 1
+                            THEN (CAST(1 AS BIGINT) << k) ELSE 0 END), 0) AS BIGINT)
+                     + CASE WHEN COALESCE(MAX(CASE WHEN k = 63 THEN bit END), 0) = 1
+                            THEN CAST(-9223372036854775808 AS BIGINT)
+                            ELSE 0 END AS ahash
+              FROM ibt GROUP BY 1),"""
+
+  /** Real image decode: per-doc PNG → ImageIO header + full decode →
+    * dims/format + integer-exact luminance stats + aHash64, all from
+    * the DECODED pixels; the oracle recomputes from the formula. */
+  val tImageMeta: Q = Q(
+    "t_image_meta",
+    run = (s, dir) =>
+      Images.imageStats(s, Images.synthesize(s, Tables.documents(s, dir))),
+    oracle = Some(s"""
+      WITH ${imageCtes("documents")}
+      final AS (
+        SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+               'png' AS format, CAST(s.n_px AS BIGINT) AS n_px,
+               CAST(s.sum_lum AS BIGINT) AS sum_lum,
+               CAST(s.min_lum AS INT) AS min_lum, CAST(s.max_lum AS INT) AS max_lum,
+               a.ahash
+        FROM ipd d JOIN ist s USING (doc_id) JOIN iah a USING (doc_id))
+      SELECT * FROM final"""))
+
+  /** Image near-dup pairs: banded hamming join over the decoded-pixel
+    * aHash (lossless at hamming ≤ 3 by pigeonhole over the 4 bands);
+    * the oracle is the ALL-PAIRS xor/bit_count join, so the hash match
+    * proves the banding loses nothing. The fixture guarantees live
+    * signal: same-group variants differ by ≤ 1 perturbed pixel (every
+    * v % 7 == 0 variant is an exact duplicate), and the measured ≤3
+    * pair set is exactly the same-group set — zero cross-group noise. */
+  val tImageDedup: Q = Q(
+    "t_image_dedup",
+    run = (s, dir) => {
+      val stats = Images.imageStats(s, Images.synthesize(s, Tables.documents(s, dir)))
+      Images.nearDupPairs(stats.select(col("doc_id"), col("ahash")), maxHamming = 3)
+    },
+    oracle = Some(s"""
+      WITH ${imageCtes("documents")}
+      hx AS (SELECT doc_id, ahash FROM iah)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+      FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 3"""))
+
+  val all: Seq[Q] = Seq(tImageMeta, tImageDedup)
+}
