@@ -274,16 +274,8 @@ object Images {
     * feed keeper selection or duplicateClusters unchanged. One shuffle
     * on (band, value), one on the candidate distinct. */
   def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4x16-bit banding is recall-lossless only for hamming <= 3 " +
-        s"(pigeonhole over 4 bands), got $maxHamming — re-band before raising it")
-    val bands = hashes.select(col("doc_id"), col("ahash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("ahash"), b * 16)
-            .bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("bk"))
-      .select(col("doc_id"), col("ahash"),
-        col("bk.band").as("band"), col("bk.v").as("v"))
+    requireLossless(maxHamming)
+    val bands = hashBands(hashes)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -292,6 +284,41 @@ object Images {
       .distinct()
     cand.select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  private[graft] def requireLossless(maxHamming: Int): Unit =
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is recall-lossless only for hamming <= 3 " +
+        s"(pigeonhole over 4 bands), got $maxHamming — re-band before raising it")
+
+  /** (doc_id, ahash, band, v): the 4×16-bit band explosion both the
+    * batch pair join and the streaming registry join key on — ONE
+    * definition, or stream ≢ batch. */
+  private[graft] def hashBands(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("ahash"), b * 16)
+            .bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.v").as("v"))
+
+  /** Cross-frame hamming pairs: `news` docs within `maxHamming` of any
+    * `olds` doc — the streaming registry probe ((old_doc, doc_id,
+    * hamming); same banding, same losslessness bound). Both inputs are
+    * (doc_id, ahash) frames. */
+  private[graft] def hammingPairsAcross(news: DataFrame, olds: DataFrame,
+      maxHamming: Int): DataFrame = {
+    requireLossless(maxHamming)
+    val nb = hashBands(news)
+    val ob = hashBands(olds).select(col("doc_id").as("old_doc"),
+      col("ahash").as("old_hash"), col("band"), col("v"))
+    nb.join(ob, Seq("band", "v"))
+      .select(col("old_doc"), col("doc_id"), col("old_hash"), col("ahash"))
+      .distinct()
+      .select(col("old_doc"), col("doc_id"),
+        bit_count(col("old_hash").bitwiseXOR(col("ahash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -613,6 +613,64 @@ object StreamingPipelines {
         finally { graft.operators.Dedup.releaseSince(spark, mark); () }
       }
 
+  /** Incremental IMAGE near-dup removal for continuous ingestion — the
+    * streaming twin of Images.nearDupPairs (drop-doc_b), completing
+    * modality parity with the text-side minhash/winnow/exact/span
+    * incremental sinks. Input is a (doc_id, img binary) stream; each
+    * micro-batch decodes its images ONCE (Images.imageStats — the real
+    * ImageIO pass), drops documents whose perceptual hash lands within
+    * `maxHamming` of ANY earlier-registered image (band-key join into
+    * the (doc_id, ahash) registry — tiny rows, 16 bytes of state per
+    * image ever seen) or of an earlier-id image in the same batch (the
+    * shared banded pair join), writes survivors to
+    * `outPath/batch=<id>`, and registers the WHOLE batch — dropped docs
+    * too, so a later near-dup of a dropped image still drops (the
+    * property that makes the stream ≡ the batch drop-doc_b formulation
+    * on an id-ordered feed; StreamingSpec proves it on the synthesized
+    * fixture).
+    *
+    * Exactly-once under foreachBatch's at-least-once contract: both
+    * writes overwrite `batch=<id>` dirs (idempotent on retry), registry
+    * reads exclude the current batch id (Registry.view), and the
+    * snapshot fold compacts the read-set every `compactEvery` batches.
+    * Banding stays recall-LOSSLESS (hamming ≤ 3 over 4×16-bit bands —
+    * the same pigeonhole bound the batch operator enforces), so there
+    * is no probabilistic drift between stream and batch. */
+  def imageDedupSink(imgs: DataFrame, registryPath: String, outPath: String,
+      maxHamming: Int = 3, compactEvery: Int = 16): DataStreamWriter[Row] = {
+    graft.operators.Images.requireLossless(maxHamming)
+    imgs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        Registry.maybeCompact(spark, registryPath, Seq(registryPath),
+          upToExclusive = batchId, every = compactEvery)
+        val b = batch.toDF().persist()
+        // decode once per image: the same stats table feeds the registry
+        // write, the in-batch pair join, and the registry probe
+        val stats = graft.operators.Images.imageStats(spark, b)
+          .select(col("doc_id"), col("ahash")).persist()
+        try {
+          val inBatch = graft.operators.Images.nearDupPairs(stats, maxHamming)
+            .select(col("doc_b").as("doc_id")).distinct()
+          val v = Registry.view(spark, registryPath, registryPath,
+            excludeId = batchId)
+          val vsRegistry =
+            if (v.isEmpty) stats.select(col("doc_id")).limit(0)
+            else {
+              val reg = spark.read.parquet(v.paths: _*)
+                .select(col("doc_id"), col("ahash"))
+              graft.operators.Images.hammingPairsAcross(stats, reg, maxHamming)
+                .select(col("doc_id")).distinct()
+            }
+          val dropped = inBatch.union(vsRegistry).distinct()
+          b.join(dropped, Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          stats.write.mode("overwrite").parquet(s"$registryPath/batch=$batchId")
+        } finally { stats.unpersist(); b.unpersist(); () }
+      }
+  }
+
   /** K2 analog: dynamic per-record routing — one pass, fanned out by the
     * `sink_table` column (partitioned write ≈ Kafka sink's per-row topic).
     *

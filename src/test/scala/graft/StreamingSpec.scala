@@ -1020,6 +1020,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("incremental image-dedup sink == batch drop-doc_b formulation (real ImageIO decode per batch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_imgdedup_reg"
+    val outPath = "/tmp/graft_test_imgdedup_out"
+    for (p <- Seq(regPath, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    // the deterministic PNG fixture, materialized so the stream feeds the
+    // same bytes the batch formulation hashes
+    val imgRows = graft.operators.Images
+      .synthesize(spark, Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamingPipelines
+      .imageDedupSink(stream.toDF().toDF("doc_id", "img"), regPath, outPath)
+      .start()
+    val (h1, h2) = imgRows.splitAt(imgRows.size / 2)
+    stream.addData(h1); q.processAllAvailable()
+    stream.addData(h2); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outPath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch formulation: drop doc_b of every hamming <= 3 pair
+    val stats = graft.operators.Images.imageStats(spark,
+      graft.operators.Images.synthesize(spark, Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("ahash"))
+    val losers = graft.operators.Images.nearDupPairs(stats)
+      .select(col("doc_b")).distinct().collect().map(_.getLong(0)).toSet
+    val want = imgRows.map(_._1).toSet -- losers
+    assert(losers.nonEmpty, "no image near-dup pairs — test is vacuous")
+    // cross-batch losers must exist (same group, variants across the
+    // id split) or the registry path is untested
+    assert(losers.exists(_ >= imgRows.size / 2),
+      "no cross-batch losers — registry path untested")
+    assert(got === want)
+  }
+
   test("incremental winnow-dedup sink == batch drop-doc_b formulation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
