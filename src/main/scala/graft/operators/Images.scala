@@ -275,7 +275,11 @@ object Images {
     * on (band, value), one on the candidate distinct. */
   def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     requireLossless(maxHamming)
-    val bands = hashBands(hashes)
+    // the self-join evaluates its input on BOTH sides: an unpersisted
+    // (decode-heavy) hash frame would run the ImageIO pass twice —
+    // persist + registry-track (caller releases via Curate.releaseCaches,
+    // the tfIdfTopTerms contract)
+    val bands = hashBands(Dedup.track(hashes.persist()))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -285,6 +289,40 @@ object Images {
     cand.select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Keeper selection WITHOUT pair emission — the 100 TB form of image
+    * near-dup removal. [[nearDupPairs]]' output is inherently quadratic
+    * in duplicate-group size (measured: the dense-dup sweep fixture
+    * yields 56M pairs / 546 MB shuffle at 150k docs); a dedup decision
+    * does not need the pairs. This operator collapses EXACT-hash
+    * duplicates first (one ahash-keyed partial agg → min doc_id per
+    * DISTINCT hash — distinct hashes ≪ docs on any dup-dense corpus),
+    * runs the banded hamming join among distinct hashes only, and takes
+    * m(H) = min over H's ≤-maxHamming neighborhood (self included) of
+    * each neighbor hash's min doc_id. keep(d) ⟺ doc_id == m(hash(d)):
+    * exactly the docs that survive [[nearDupPairs]]' drop-doc_b rule
+    * (d drops iff some d' < d sits within maxHamming — if d is not its
+    * neighborhood's min, that min is such a d'; if it is, none exists).
+    * ImagesSpec pins keepers == corpus minus pair-losers; the oracle
+    * recomputes m(H) by all-pairs over distinct hashes. Output one row
+    * per input doc: (doc_id, ahash, keep). */
+  def nearDupKeepers(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    requireLossless(maxHamming)
+    // two consumers (the hash collapse and the final keep join) — same
+    // double-decode hazard as nearDupPairs' self-join
+    val h = Dedup.track(hashes.persist())
+    val byHash = h.groupBy(col("ahash")).agg(min(col("doc_id")).as("min_doc"))
+    val bands = hashBands(byHash.select(col("min_doc").as("doc_id"), col("ahash")))
+    val nb = bands.select(col("ahash").as("ha"), col("band"), col("v"))
+    val ob = bands.select(col("ahash").as("hb"), col("doc_id").as("db"),
+      col("band"), col("v"))
+    val neigh = nb.join(ob, Seq("band", "v"))
+      .select(col("ha"), col("hb"), col("db")).distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .groupBy(col("ha")).agg(min(col("db")).as("m"))
+    h.join(neigh, h("ahash") === neigh("ha"))
+      .select(col("doc_id"), col("ahash"), (col("doc_id") === col("m")).as("keep"))
   }
 
   private[graft] def requireLossless(maxHamming: Int): Unit =

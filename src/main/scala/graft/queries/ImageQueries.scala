@@ -93,5 +93,29 @@ object ImageQueries {
       FROM hx a JOIN hx b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.ahash, b.ahash)) <= 3"""))
 
-  val all: Seq[Q] = Seq(tImageMeta, tImageDedup)
+  /** The scale form of image dedup — keeper selection WITHOUT pair
+    * emission (exact-hash collapse, then a banded join among DISTINCT
+    * hashes only; see Images.nearDupKeepers): the fixture's quadratic
+    * pair mass (56M pairs at 150k docs) collapses to a few-hundred-row
+    * hash-neighborhood problem. The oracle recomputes each hash's
+    * neighborhood-min by all-pairs over distinct hashes, so the hash
+    * match certifies keep/drop for EVERY doc — the same decision
+    * t_image_dedup's pair form implies, reached without the pairs. */
+  val tImageDedupKeepers: Q = Q(
+    "t_image_dedup_keepers",
+    run = (s, dir) => {
+      val stats = Images.imageStats(s, Images.synthesize(s, Tables.documents(s, dir)))
+      Images.nearDupKeepers(stats.select(col("doc_id"), col("ahash")), maxHamming = 3)
+    },
+    oracle = Some(s"""
+      WITH ${imageCtes("documents")}
+      hx AS (SELECT doc_id, ahash FROM iah),
+      mh AS (SELECT ahash, MIN(doc_id) AS min_doc FROM hx GROUP BY 1),
+      nbm AS (SELECT a.ahash AS ha, MIN(b.min_doc) AS m
+              FROM mh a JOIN mh b ON bit_count(xor(a.ahash, b.ahash)) <= 3
+              GROUP BY 1)
+      SELECT h.doc_id, h.ahash, (h.doc_id = n.m) AS keep
+      FROM hx h JOIN nbm n ON h.ahash = n.ha"""))
+
+  val all: Seq[Q] = Seq(tImageMeta, tImageDedup, tImageDedupKeepers)
 }

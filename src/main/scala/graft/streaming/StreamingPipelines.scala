@@ -645,6 +645,7 @@ object StreamingPipelines {
         val spark = batch.sparkSession
         Registry.maybeCompact(spark, registryPath, Seq(registryPath),
           upToExclusive = batchId, every = compactEvery)
+        val dedupMark = graft.operators.Dedup.trackMark(spark)
         val b = batch.toDF().persist()
         // decode once per image: the same stats table feeds the registry
         // write, the in-batch pair join, and the registry probe
@@ -667,7 +668,13 @@ object StreamingPipelines {
           b.join(dropped, Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           stats.write.mode("overwrite").parquet(s"$registryPath/batch=$batchId")
-        } finally { stats.unpersist(); b.unpersist(); () }
+        } finally {
+          stats.unpersist(); b.unpersist()
+          // the pair join's internal tracked persist (Images.nearDupPairs)
+          // must not accumulate across micro-batches
+          graft.operators.Dedup.releaseSince(spark, dedupMark)
+          ()
+        }
       }
   }
 

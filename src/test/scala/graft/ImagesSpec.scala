@@ -64,6 +64,27 @@ class ImagesSpec extends AnyFunSuite {
     assert(d.gray.toSeq === px.toSeq, "BMP round trip not pixel-exact")
   }
 
+  test("JPEG decodes too (lossy): exact dims/format, luminance within codec tolerance") {
+    // the lossy arm cannot pin pixels (quantization is encoder's
+    // choice), but dims and format are exact and the decoded luminance
+    // field must stay CLOSE — the self-validating-bound posture
+    val (w, h, px) = Images.synthPixels(7L)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = px(y * w + x)
+      img.setRGB(x, y, (p << 16) | (p << 8) | p)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val d = Images.decode(bos.toByteArray)
+    assert(d.format === "jpeg" && d.width === w && d.height === h)
+    val meanTrue = px.map(_.toLong).sum.toDouble / px.length
+    val meanDec = d.gray.map(_.toLong).sum.toDouble / d.gray.length
+    assert(math.abs(meanTrue - meanDec) < 8.0,
+      s"JPEG mean luminance drifted: true $meanTrue vs decoded $meanDec")
+  }
+
   test("corrupt bytes fail LOUD at decode, not as a silent wrong hash") {
     val e = intercept[IllegalArgumentException] {
       Images.decode("not an image at all".getBytes("UTF-8"))
@@ -134,6 +155,25 @@ class ImagesSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
         s"banded join degenerated to a product:\n$plan")
+    } finally { stats.unpersist(blocking = false); () }
+  }
+
+  test("nearDupKeepers == the pair form's drop-doc_b decision, without emitting pairs") {
+    val stats = Images.imageStats(spark,
+      Images.synthesize(spark, Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("ahash")).persist()
+    try {
+      val keepers = Images.nearDupKeepers(stats)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(keepers.size === 500, "one keep/drop row per input doc")
+      val losers = Images.nearDupPairs(stats)
+        .select(col("doc_b")).distinct().collect().map(_.getLong(0)).toSet
+      val keptWant = (0L until 500L).toSet -- losers
+      val keptGot = keepers.filter(_._2).keySet
+      assert(keptGot === keptWant,
+        s"keepers diverge from pair drop-doc_b: extra=${keptGot -- keptWant} " +
+          s"missing=${keptWant -- keptGot}")
+      assert(losers.nonEmpty && keptGot.nonEmpty)
     } finally { stats.unpersist(blocking = false); () }
   }
 }
