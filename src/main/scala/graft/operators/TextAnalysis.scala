@@ -545,34 +545,20 @@ object TextAnalysis {
     val benchGrams = bg.select(explode(col("g")).as("gram")).distinct()
     val hits = pg.join(benchGrams, "gram")
       .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("hp"))
-    // covered TOKEN positions (same expansion as the latin arm)
-    val cov = array_distinct(flatten(transform(col("hp"), p => sequence(p, p + lit(n - 1)))))
-    val withCov = dt.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("spans"), col("lt"),
-        coalesce(cov, array().cast("array<int>")).as("cov"))
-    // covered CHARACTER ranges, sorted by start (collect_set order is
-    // arbitrary; array_sort orders the (s, e) structs by fields)
-    val cspans = array_sort(transform(col("cov"), i =>
-      struct(element_at(col("spans"), i + 1)("s").as("s"),
-        element_at(col("spans"), i + 1)("e").as("e"))))
-    val bound = withCov.select(col("doc_id"), col("lt"),
-      size(col("spans")).cast("long").as("n_tokens"),
-      size(col("cov")).cast("long").as("n_removed"),
-      cspans.as("cspans"))
-    // fold left over the sorted ranges: emit the gap before each range
-    // (ranges from overlapping bigrams union via greatest), then the tail
-    val rebuilt = aggregate(col("cspans"),
-      struct(lit(0).as("last"), lit("").as("acc")),
-      (st, sp) => struct(
-        greatest(st("last"), sp("e")).as("last"),
-        concat(st("acc"),
-          when(sp("s") > st("last"),
-            col("lt").substr(st("last") + 1, sp("s") - st("last")))
-            .otherwise(lit(""))).as("acc")),
-      st => concat(st("acc"),
-        col("lt").substr(st("last") + 1, length(col("lt")) - st("last"))))
-    bound.select(col("doc_id"), rebuilt.as("text"),
-      col("n_tokens"), col("n_removed"))
+    // the whole rebuild — covered-position expansion, character-range
+    // union, sorted excision fold — is ONE fused codegen'd call
+    // (plans.ExciseSpans): the compositional chain ran four interpreted
+    // lambdas per contaminated doc, hit-bounded but dominant on
+    // dense-hit corpora (and Curate's excise runs this path over every
+    // doc in both modes). Bit-parity with the compositional form is
+    // pinned in PlansSpec; the span-excision oracles hash-gate it at
+    // 3 SFs. NULL hp (clean doc) → text = lt unchanged-by-value.
+    dt.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        fn("excise_spans", col("lt"), col("spans"), col("hp"), lit(n)).as("ex"),
+        size(col("spans")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("ex.text").as("text"), col("n_tokens"),
+        col("ex.n_removed").cast("long").as("n_removed"))
   }
 
   /** Distinct n-gram arrays per doc (the shared shape of every

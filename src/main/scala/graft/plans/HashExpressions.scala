@@ -487,6 +487,89 @@ case class ChunkSpansCjk(spans: Expression, ltLen: Expression, k: Int)
     copy(spans = newLeft, ltLen = newRight)
 }
 
+/** Character-offset span excision — the fused form of
+  * decontaminateSpansByOffset's rebuild chain: covered token positions
+  * (the union of [p, p+n) over the hit-position array), their character
+  * ranges via the spans struct array, the sorted-range union fold over
+  * lower_root(text). The compositional form ran FOUR interpreted
+  * lambdas per contaminated doc (sequence-expansion transform,
+  * array_distinct/flatten, the cspans struct transform + array_sort,
+  * and the aggregate fold) — hit-bounded work, but on dense-hit
+  * corpora (and the Curate `excise` stage runs this over every doc in
+  * BOTH modes since round 12) it dominates the operator (SCALE.md
+  * §Round-12). One walk: a boolean cover array over token positions,
+  * then one forward pass over the string emitting kept gaps, with a
+  * (codepoint, char) cursor so astral separators stay one-codepoint
+  * (the tokenize_spans contract). Returns struct<text, n_removed>;
+  * NULL/empty hits → (lt unchanged, 0) — clean docs are
+  * unchanged-by-value, exactly like the fold. Bit-parity with the
+  * compositional chain pinned in PlansSpec; the span-excision oracles
+  * hash-gate it cross-engine at 3 SFs. */
+case class ExciseSpans(lt: Expression, spans: Expression, hp: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = lt
+  override def second: Expression = spans
+  override def third: Expression = hp
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("text", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_removed",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    require(n > 0, s"gram length must be positive, got $n")
+    (lt.dataType, spans.dataType, hp.dataType) match {
+      case (StringType,
+          org.apache.spark.sql.types.ArrayType(
+            st: org.apache.spark.sql.types.StructType, _),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType, _))
+          if st.length == 3 && st(0).dataType == StringType &&
+            st(1).dataType == org.apache.spark.sql.types.IntegerType &&
+            st(2).dataType == org.apache.spark.sql.types.IntegerType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        "excise_spans requires (STRING, ARRAY<STRUCT<t STRING, s INT, e INT>>, " +
+          s"ARRAY<INT>) input, got (${a.catalogString}, ${b.catalogString}, " +
+          s"${c.catalogString})")
+    }
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = lt.eval(input)
+    val s = spans.eval(input)
+    val h = hp.eval(input)
+    HashExpressions.exciseSpans(
+      l.asInstanceOf[UTF8String],
+      s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      h.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = lt.genCode(ctx)
+    val s = spans.genCode(ctx)
+    val h = hp.genCode(ctx)
+    val code = code"""
+      ${l.code}
+      ${s.code}
+      ${h.code}
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+        graft.plans.HashExpressions.exciseSpans(
+          ${l.isNull} ? null : ${l.value},
+          ${s.isNull} ? null : ${s.value},
+          ${h.isNull} ? null : ${h.value}, $n);
+      """
+    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): ExciseSpans =
+    copy(lt = newFirst, spans = newSecond, hp = newThird)
+}
+
 /** Occurrence count of array elements contained in a pinned string set —
   * the codegen'd form of `size(filter(toks, t => array_contains(lit,
   * t)))`, whose interpreted ArrayFilter lambda re-evaluates the literal
@@ -757,6 +840,70 @@ object HashExpressions {
       ci += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** [[ExciseSpans]] kernel: cover array over token positions, one
+    * forward pass over the string with a (codepoint, char) cursor. */
+  def exciseSpans(lt: UTF8String, spans: org.apache.spark.sql.catalyst.util.ArrayData,
+      hp: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val ltU = if (lt == null) UTF8String.EMPTY_UTF8 else lt
+    if (hp == null || hp.numElements() == 0 ||
+        spans == null || spans.numElements() == 0)
+      return org.apache.spark.sql.catalyst.InternalRow(ltU, 0)
+    val nTok = spans.numElements()
+    val covered = new Array[Boolean](nTok)
+    var nCov = 0
+    var i = 0
+    while (i < hp.numElements()) {
+      if (!hp.isNullAt(i)) {
+        val p = hp.getInt(i)
+        var j = math.max(p, 0)
+        val end = math.min(p.toLong + n, nTok.toLong).toInt
+        while (j < end) {
+          if (!covered(j)) { covered(j) = true; nCov += 1 }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (nCov == 0) return org.apache.spark.sql.catalyst.InternalRow(ltU, 0)
+    val str = ltU.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    // forward (codepoint → char) cursor: ranges arrive with
+    // non-decreasing starts (token order), so one monotone walk maps
+    // every needed codepoint offset; astral separators are one
+    // codepoint, two chars (the tokenize_spans contract)
+    var charIdx = 0
+    var cpIdx = 0
+    def charAt(cp: Int): Int = {
+      while (cpIdx < cp && charIdx < str.length) {
+        val c = str.charAt(charIdx)
+        if (Character.isHighSurrogate(c) && charIdx + 1 < str.length &&
+          Character.isLowSurrogate(str.charAt(charIdx + 1))) charIdx += 2
+        else charIdx += 1
+        cpIdx += 1
+      }
+      charIdx
+    }
+    var last = 0
+    var t = 0
+    while (t < nTok) {
+      if (covered(t)) {
+        val row = spans.getStruct(t, 3)
+        val s = row.getInt(1)
+        val e = row.getInt(2)
+        if (s > last) {
+          val from = charAt(last)
+          val until = charAt(s)
+          sb.append(str, from, until)
+        }
+        if (e > last) last = e
+      }
+      t += 1
+    }
+    sb.append(str, charAt(last), str.length)
+    org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(sb.toString), nCov)
   }
 
   /** Whole-doc SimHash kernel (see [[SimHash32Doc]]); null for zero

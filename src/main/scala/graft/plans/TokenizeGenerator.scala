@@ -286,6 +286,8 @@ object GraftFunctions {
     "tokenize_spans_cjk" -> (exprs => TokenizeSpansCjk(exprs.head)),
     "chunk_spans_cjk" -> (exprs => ChunkSpansCjk(exprs(0), exprs(1),
       exprs(2).eval().asInstanceOf[Number].intValue())),
+    "excise_spans" -> (exprs => ExciseSpans(exprs(0), exprs(1), exprs(2),
+      exprs(3).eval().asInstanceOf[Number].intValue())),
     "count_in_set" -> (exprs => CountInSet(exprs.head, litStrings(exprs(1)))),
     // second arg = a plan-time literal BloomHandles id (resolution runs
     // on the driver, where the handle registry lives)

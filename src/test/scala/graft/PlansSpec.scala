@@ -584,6 +584,51 @@ class PlansSpec extends AnyFunSuite {
         x("s") >= 0 && x("e") <= length(col("lt")) && x("s") < x("e") &&
           col("lt").substr(x("s") + 1, x("e") - x("s")) === x("t"))))
         .count() === 0)
+      // excise_spans: the fused excision rebuild bit-identical to the
+      // compositional four-lambda chain it replaced (cov expansion →
+      // character ranges → sorted union fold), both span kernels, at
+      // two gram lengths, over hit sets with overlapping ranges
+      for ((spansFn, lbl) <- Seq("tokenize_spans" -> "latin",
+        "tokenize_spans_cjk" -> "cjk"); n <- Seq(2, 4)) {
+        val maxP = size(col("spans")) - n
+        val hpCol = when(maxP >= 0,
+          filter(sequence(lit(0), greatest(maxP, lit(0))),
+            p => pmod(p, lit(3)) === 0))
+          .otherwise(array().cast("array<int>"))
+        val base = df.select(
+          call_function("lower_root", coalesce(col("text"), lit(""))).as("lt"),
+          call_function(spansFn, col("text")).as("spans"))
+          .select(col("lt"), col("spans"), hpCol.as("hp"))
+        val cov = array_distinct(flatten(transform(col("hp"),
+          p => sequence(p, p + lit(n - 1)))))
+        val cspans = array_sort(transform(cov, i =>
+          struct(element_at(col("spans"), i + 1)("s").as("s"),
+            element_at(col("spans"), i + 1)("e").as("e"))))
+        val rebuilt = aggregate(cspans,
+          struct(lit(0).as("last"), lit("").as("acc")),
+          (st, sp) => struct(
+            greatest(st("last"), sp("e")).as("last"),
+            concat(st("acc"),
+              when(sp("s") > st("last"),
+                col("lt").substr(st("last") + 1, sp("s") - st("last")))
+                .otherwise(lit(""))).as("acc")),
+          st => concat(st("acc"),
+            col("lt").substr(st("last") + 1, length(col("lt")) - st("last"))))
+        val both = base.select(
+          call_function("excise_spans", col("lt"), col("spans"),
+            col("hp"), lit(n)).as("f"),
+          struct(rebuilt.as("text"), size(cov).as("n_removed")).as("c"),
+          col("lt"))
+        assert(both.filter(not(col("f") <=> col("c"))).count() === 0,
+          s"excise_spans diverged ($lbl, n=$n)")
+        // NULL hit array (the clean-doc left-join case): unchanged text
+        val clean = base.select(col("lt"),
+          call_function("excise_spans", col("lt"), col("spans"),
+            lit(null).cast("array<int>"), lit(n)).as("f"))
+        assert(clean.filter(not(col("f")("text") <=> col("lt")) ||
+          col("f")("n_removed") =!= 0).count() === 0,
+          s"excise_spans null-hp not identity ($lbl, n=$n)")
+      }
       // chunk_spans_cjk: the fused chunk build bit-identical to the
       // compositional transform(sequence)/slice/concat_ws/element_at
       // chain it replaced (Dedup.chunkTableCjk), across chunk sizes
