@@ -10,7 +10,8 @@ object SparkEntry {
   def catalog: Seq[Q] =
     WarehouseQueries.all ++ ReferenceQueries.all ++ DwdQueries.all ++
       DwsQueries.all ++ PipelineQueries.all ++ CdcQueries.all ++ SqlQueries.all ++
-      RelationalQueries.all ++ SearchQueries.all ++ ImageQueries.all
+      RelationalQueries.all ++ SearchQueries.all ++ ImageQueries.all ++
+      AudioQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

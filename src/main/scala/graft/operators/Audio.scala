@@ -1,0 +1,307 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** REAL audio decode arm of the multimodal layer (round 13 — the
+  * round-12 stub premise "this environment has no codec libraries for
+  * audio" is refuted: JDK 17's `javax.sound.sampled.AudioSystem`
+  * encodes AND decodes WAVE/AU/AIFF 16-bit PCM headlessly with zero
+  * extra dependencies and a sample-exact round trip, so the decode step
+  * here is a real codec, not [[Multimodal]]'s md5 fake — video stays
+  * honestly stubbed there: this JDK ships only image and audio SPIs).
+  *
+  * Pipeline shape — the image-arm recipe ([[Images]]) applied to sound:
+  *   - audio rides an opaque `binary` column ([[synthesize]] builds a
+  *     deterministic mixed-format WAV/AU/AIFF fixture from doc_id since
+  *     the testdata has no media column; a real corpus reads its
+  *     parquet binary column);
+  *   - [[audioMeta]] reads rate/bits/channels/frames/container from the
+  *     codec HEADER only (no sample decode — the cheap full-corpus
+  *     scan);
+  *   - [[audioStats]] fully decodes and emits integer-exact sample
+  *     stats (signed amplitude sum, min/max, energy = Σ s²) plus a
+  *     64-bit block-energy fingerprint ([[aFinger64]]) — the acoustic
+  *     analog of the image aHash;
+  *   - near-dup pairs / keeper selection ride the SHARED banding
+  *     machinery ([[Fingerprints]]) — one definition across image,
+  *     audio, and any future 64-bit-sketch consumer.
+  *
+  * Scale: every stage is map-side per clip except the band join (one
+  * shuffle on small (band, value) keys) and the candidate distinct.
+  * Decoders initialize per PARTITION; rows stream through. AU/AIFF
+  * store samples big-endian, WAVE little-endian — [[decode]] parses per
+  * the stream's declared endianness, so the SAMPLES (not the container
+  * bytes) are the round-trip invariant, and they round-trip exactly.
+  *
+  * Oracle story: the fixture's sample function is pure integer
+  * arithmetic over (i, doc_id), so DuckDB recomputes the DECODED
+  * samples, stats, and fingerprint from first principles while the
+  * engine goes samples → encode (WAV/AU/AIFF) → decode → stats — a hash
+  * match certifies the whole codec round trip (PCM in all three
+  * containers is lossless) plus the fingerprint kernel, cross-engine
+  * (t_audio_meta / t_audio_dedup / t_audio_dedup_keepers).
+  */
+object Audio {
+
+  private lazy val init: Unit =
+    System.setProperty("java.awt.headless", "true")
+
+  /** The three JDK-native lossless PCM containers, picked per doc by
+    * doc_id % 3 — the format column carries live signal (the
+    * multi-format-fixture lesson from the image arm). Type names
+    * lowercase to 'wave' / 'au' / 'aiff'. */
+  private[graft] def containerOf(docId: Long): AudioFileFormat.Type =
+    (docId % 3) match {
+      case 0 => AudioFileFormat.Type.WAVE
+      case 1 => AudioFileFormat.Type.AU
+      case _ => AudioFileFormat.Type.AIFF
+    }
+
+  /** Deterministic 16-bit mono PCM fixture — pure integer arithmetic
+    * over (i, doc_id), exactly reproducible in SQL (the DuckDB oracle
+    * recomputes it): group g = doc_id % 200 picks sample rate and count
+    * and the base waveform (a multiplicative mix in (i, g) — a linear
+    * ramp would make the block-energy fingerprint shift-invariant
+    * across groups, the aHash lesson from round 12); variant
+    * v = doc_id / 200 perturbs ONE sample, so same-group clips are
+    * near-duplicates (hamming ≤ 3 over the fingerprint — pinned in
+    * AudioSpec with zero cross-group noise) and v % 7 == 0 variants are
+    * exact duplicates. All terms stay positive, so Java's % and SQL's
+    * % agree. */
+  private[graft] def synthSamples(docId: Long): (Int, Array[Int]) = {
+    val g = docId % 200
+    val v = docId / 200
+    val rate = sampleRateOf(g)
+    val n = (256 * (1 + (g % 8))).toInt
+    val s = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val base = ((i * 2654435761L + 40503L * (i + 3L) * (g + 7L) +
+        (i + 5L) * (i + 11L) * (g + 13L) + g * 2246822519L) % 65536L).toInt
+      s(i) =
+        (if (i == 37) ((base + (v % 7) * 1024) % 65536).toInt else base) - 32768
+      i += 1
+    }
+    (rate, s)
+  }
+
+  private[graft] def sampleRateOf(g: Long): Int =
+    ((g / 8) % 5) match {
+      case 0 => 8000
+      case 1 => 11025
+      case 2 => 16000
+      case 3 => 22050
+      case _ => 44100
+    }
+
+  /** Encode 16-bit mono PCM samples into the given container; the JDK
+    * writers accept little-endian input and store their native layout
+    * (WAVE little-endian, AU/AIFF big-endian) — lossless either way. */
+  private[graft] def encode(rate: Int, samples: Array[Int],
+      container: AudioFileFormat.Type): Array[Byte] = {
+    init
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+      samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    try AudioSystem.write(ais, container, bos) finally ais.close()
+    bos.toByteArray
+  }
+
+  /** Decoded clip: container name (lowercase), sample rate, signed
+    * 16-bit samples parsed per the stream's declared endianness. */
+  private[graft] final case class DecodedAudio(
+      container: String, rate: Int, samples: Array[Int])
+
+  private[graft] def decode(bytes: Array[Byte]): DecodedAudio = {
+    init
+    val container = try {
+      AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
+        .getType.toString.toLowerCase(java.util.Locale.ROOT)
+    } catch {
+      case e: javax.sound.sampled.UnsupportedAudioFileException =>
+        throw new IllegalArgumentException(
+          "no audio reader for this byte stream (not WAVE/AU/AIFF PCM?)", e)
+    }
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16 &&
+        f.getEncoding == AudioFormat.Encoding.PCM_SIGNED && f.getChannels == 1,
+        s"audio arm handles 16-bit signed mono PCM, got ${f.getSampleSizeInBits}" +
+          s"-bit ${f.getEncoding} x${f.getChannels}")
+      val pcm = ais.readAllBytes()
+      require(pcm.length % 2 == 0, s"odd PCM byte count ${pcm.length}")
+      val big = f.isBigEndian
+      val out = new Array[Int](pcm.length / 2)
+      var i = 0
+      while (i < out.length) {
+        val hi: Int = if (big) pcm(2 * i) else pcm(2 * i + 1)
+        val lo: Int = (if (big) pcm(2 * i + 1) else pcm(2 * i)) & 0xff
+        out(i) = (hi << 8) | lo
+        i += 1
+      }
+      DecodedAudio(container, f.getSampleRate.round, out)
+    } finally ais.close()
+  }
+
+  /** Header-only (container, rate, bits, channels, n_frames) — NO
+    * sample decode: the SPI parses a few header bytes, which is what a
+    * 100 TB metadata pass can afford. */
+  private[graft] def decodeHeader(bytes: Array[Byte]): (String, Int, Int, Int, Long) = {
+    init
+    val ff = try {
+      AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
+    } catch {
+      case e: javax.sound.sampled.UnsupportedAudioFileException =>
+        throw new IllegalArgumentException(
+          "no audio reader for this byte stream (not WAVE/AU/AIFF PCM?)", e)
+    }
+    val f = ff.getFormat
+    (ff.getType.toString.toLowerCase(java.util.Locale.ROOT),
+      f.getSampleRate.round, f.getSampleSizeInBits, f.getChannels,
+      ff.getFrameLength.toLong)
+  }
+
+  /** 64-bit block-energy fingerprint: the clip splits into 64 blocks
+    * with floor boundaries (block k covers i ∈ [⌊k·n/64⌋, ⌊(k+1)·n/64⌋)),
+    * energy e(i) = s(i)², bit k set iff the block's mean energy exceeds
+    * the global mean — INTEGER-EXACT as the cross-multiplied comparison
+    * blockEnergy·n > totalEnergy·blockLen (no division; products stay
+    * far under Long range: totalEnergy ≤ 2³⁰·n needs n < 2¹⁷ per
+    * cross-multiplied side at the fixture's block widths — require
+    * guards the general bound). Bit 63 rides the sign bit — two's
+    * complement in both engines. The aHash recipe applied to sound:
+    * same thresholding trick, same banding consumers. */
+  private[graft] def aFinger64(samples: Array[Int]): Long = {
+    val n = samples.length
+    require(n > 0, "zero-sample clip")
+    // blockEnergy·n ≤ 2^30·n·n and totalEnergy·blockLen likewise: safe
+    // for n up to ~2^16 — far above any fixture clip, checked anyway
+    require(n < (1 << 16),
+      s"aFinger64 cross-multiplied compare needs n < 65536 samples, got $n " +
+        "— chunk longer clips before fingerprinting")
+    val be = new Array[Long](64)
+    val bl = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val k = (i.toLong * 64 / n).toInt
+      val e = samples(i).toLong * samples(i)
+      be(k) += e
+      bl(k) += 1
+      total += e
+      i += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (be(k) * n > total * bl(k)) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** The deterministic mixed-format audio fixture: (doc_id, audio
+    * binary) with one real encoded WAV/AU/AIFF clip per document (see
+    * [[synthSamples]]/[[containerOf]]). Partition-parallel
+    * mapPartitions — the batch shape a real corpus's binary column
+    * arrives in. */
+  def synthesize(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        init
+        ids.map { id =>
+          val (rate, s) = synthSamples(id)
+          (id, encode(rate, s, containerOf(id)))
+        }
+      }
+      .toDF("doc_id", "audio")
+  }
+
+  /** Header-only metadata over a binary audio column — container,
+    * rate, bit depth, channels, frame count without decoding a sample. */
+  def audioMeta(spark: SparkSession, binDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("audio")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        init
+        rows.map { case (id, bytes) =>
+          val (fmt, rate, bits, ch, frames) = decodeHeader(bytes)
+          (id, fmt, rate, bits, ch, frames, bytes.length.toLong)
+        }
+      }
+      .toDF("doc_id", "format", "sample_rate", "bits", "channels",
+        "n_frames", "n_bytes")
+  }
+
+  /** Full decode + integer-exact stats + acoustic fingerprint, one
+    * pass: (doc_id, format, sample_rate, n_samples, sum_amp, min_amp,
+    * max_amp, energy, afp). Header fields are cross-checked against the
+    * decoded stream (a codec disagreement is corruption — fail LOUD,
+    * not a silent wrong hash); empty clips are rejected by the same
+    * rule. */
+  def audioStats(spark: SparkSession, binDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("audio")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        init
+        rows.map { case (id, bytes) =>
+          val (hfmt, hrate, hbits, hch, hframes) = decodeHeader(bytes)
+          val d = decode(bytes)
+          require(d.container == hfmt && d.rate == hrate &&
+            hbits == 16 && hch == 1 && d.samples.length.toLong == hframes,
+            s"doc $id: header ($hfmt $hrate Hz ${hbits}b x$hch, $hframes fr) " +
+              s"disagrees with decode (${d.container} ${d.rate} Hz, " +
+              s"${d.samples.length} samples) — corrupt audio")
+          require(d.samples.length > 0, s"doc $id: zero-sample clip")
+          var sum = 0L
+          var energy = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var i = 0
+          while (i < d.samples.length) {
+            val s = d.samples(i)
+            sum += s
+            energy += s.toLong * s
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            i += 1
+          }
+          (id, d.container, d.rate, d.samples.length.toLong, sum, mn, mx,
+            energy, aFinger64(d.samples))
+        }
+      }
+      .toDF("doc_id", "format", "sample_rate", "n_samples", "sum_amp",
+        "min_amp", "max_amp", "energy", "afp")
+  }
+
+  /** Audio near-duplicate pairs — the shared banded hamming join over
+    * the 64-bit fingerprint (lossless at hamming ≤ 3; see
+    * [[Fingerprints.nearDupPairs]]). Input (doc_id, afp). */
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    Fingerprints.nearDupPairs(hashes, "afp", maxHamming)
+
+  /** Keeper selection without pair emission — the 100 TB form (see
+    * [[Fingerprints.nearDupKeepers]]). Input (doc_id, afp); output one
+    * (doc_id, afp, keep) row per doc. */
+  def nearDupKeepers(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    Fingerprints.nearDupKeepers(hashes, "afp", maxHamming)
+
+  /** Cross-frame probe for the streaming registry twin. */
+  private[graft] def hammingPairsAcross(news: DataFrame, olds: DataFrame,
+      maxHamming: Int): DataFrame =
+    Fingerprints.hammingPairsAcross(news, olds, "afp", maxHamming)
+}

@@ -122,17 +122,17 @@ object Images {
         val img = r.read(0)
         val w = img.getWidth
         val h = img.getHeight
+        // bulk getRGB: one ColorModel-converted row-major pass instead of
+        // w*h per-pixel calls — bit-identical pixels (ImagesSpec pins the
+        // round trip), ~2-5x less decode wall, and decode IS the measured
+        // bottleneck of the keeper pipeline (SCALE.md §Round-12)
+        val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
         val gray = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            gray(y * w + x) =
-              (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < rgbs.length) {
+          val rgb = rgbs(i)
+          gray(i) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          i += 1
         }
         Decoded(fmt, w, h, gray)
       } finally r.dispose()
@@ -273,23 +273,8 @@ object Images {
     * Output (doc_a < doc_b, hamming), the Dedup.minhashPairs shape —
     * feed keeper selection or duplicateClusters unchanged. One shuffle
     * on (band, value), one on the candidate distinct. */
-  def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    requireLossless(maxHamming)
-    // the self-join evaluates its input on BOTH sides: an unpersisted
-    // (decode-heavy) hash frame would run the ImageIO pass twice —
-    // persist + registry-track (caller releases via Curate.releaseCaches,
-    // the tfIdfTopTerms contract)
-    val bands = hashBands(Dedup.track(hashes.persist()))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
-      .distinct()
-    cand.select(col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-  }
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    Fingerprints.nearDupPairs(hashes, "ahash", maxHamming)
 
   /** Keeper selection WITHOUT pair emission — the 100 TB form of image
     * near-dup removal. [[nearDupPairs]]' output is inherently quadratic
@@ -307,56 +292,15 @@ object Images {
     * ImagesSpec pins keepers == corpus minus pair-losers; the oracle
     * recomputes m(H) by all-pairs over distinct hashes. Output one row
     * per input doc: (doc_id, ahash, keep). */
-  def nearDupKeepers(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    requireLossless(maxHamming)
-    // two consumers (the hash collapse and the final keep join) — same
-    // double-decode hazard as nearDupPairs' self-join
-    val h = Dedup.track(hashes.persist())
-    val byHash = h.groupBy(col("ahash")).agg(min(col("doc_id")).as("min_doc"))
-    val bands = hashBands(byHash.select(col("min_doc").as("doc_id"), col("ahash")))
-    val nb = bands.select(col("ahash").as("ha"), col("band"), col("v"))
-    val ob = bands.select(col("ahash").as("hb"), col("doc_id").as("db"),
-      col("band"), col("v"))
-    val neigh = nb.join(ob, Seq("band", "v"))
-      .select(col("ha"), col("hb"), col("db")).distinct()
-      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
-      .groupBy(col("ha")).agg(min(col("db")).as("m"))
-    h.join(neigh, h("ahash") === neigh("ha"))
-      .select(col("doc_id"), col("ahash"), (col("doc_id") === col("m")).as("keep"))
-  }
+  def nearDupKeepers(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    Fingerprints.nearDupKeepers(hashes, "ahash", maxHamming)
 
   private[graft] def requireLossless(maxHamming: Int): Unit =
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4x16-bit banding is recall-lossless only for hamming <= 3 " +
-        s"(pigeonhole over 4 bands), got $maxHamming — re-band before raising it")
+    Fingerprints.requireLossless(maxHamming)
 
-  /** (doc_id, ahash, band, v): the 4×16-bit band explosion both the
-    * batch pair join and the streaming registry join key on — ONE
-    * definition, or stream ≢ batch. */
-  private[graft] def hashBands(hashes: DataFrame): DataFrame =
-    hashes.select(col("doc_id"), col("ahash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("ahash"), b * 16)
-            .bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("bk"))
-      .select(col("doc_id"), col("ahash"),
-        col("bk.band").as("band"), col("bk.v").as("v"))
-
-  /** Cross-frame hamming pairs: `news` docs within `maxHamming` of any
-    * `olds` doc — the streaming registry probe ((old_doc, doc_id,
-    * hamming); same banding, same losslessness bound). Both inputs are
-    * (doc_id, ahash) frames. */
+  /** Cross-frame hamming pairs over (doc_id, ahash) frames — the
+    * streaming registry probe (see [[Fingerprints.hammingPairsAcross]]). */
   private[graft] def hammingPairsAcross(news: DataFrame, olds: DataFrame,
-      maxHamming: Int): DataFrame = {
-    requireLossless(maxHamming)
-    val nb = hashBands(news)
-    val ob = hashBands(olds).select(col("doc_id").as("old_doc"),
-      col("ahash").as("old_hash"), col("band"), col("v"))
-    nb.join(ob, Seq("band", "v"))
-      .select(col("old_doc"), col("doc_id"), col("old_hash"), col("ahash"))
-      .distinct()
-      .select(col("old_doc"), col("doc_id"),
-        bit_count(col("old_hash").bitwiseXOR(col("ahash"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-  }
+      maxHamming: Int): DataFrame =
+    Fingerprints.hammingPairsAcross(news, olds, "ahash", maxHamming)
 }

@@ -6,17 +6,23 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata (the builder-prompt contract).
   *
-  * The decode step here is STUBBED with a deterministic md5-derived fake,
-  * clearly marked below — for AUDIO and VIDEO, where this environment
-  * truly has no codec libraries. For IMAGES that premise fell in round
-  * 12: JDK 17's `javax.imageio` decodes PNG/JPEG/BMP/GIF/TIFF headlessly
-  * with zero extra dependencies, and [[Images]] is the REAL decode arm
-  * (header reads, pixel stats, perceptual-hash dedup — oracle-gated by
-  * t_image_meta / t_image_dedup). Everything around the remaining stubs
-  * is real Spark plumbing: binary column schema, per-partition batched
-  * iteration (mapPartitions ≈ mapInPandas batch shape), typed output
-  * Dataset, and partition-parallel execution. Swapping `decodeStub` for
-  * a real codec changes no signatures — [[Images]] is the proof.
+  * The decode step here is STUBBED with a deterministic md5-derived
+  * fake, clearly marked below — for VIDEO only, where this JDK truly
+  * has no codec (the installed SPIs cover images and audio; nothing
+  * registers for any video container). For IMAGES the stub premise
+  * fell in round 12 — [[Images]] is the REAL decode arm via
+  * `javax.imageio` (PNG/JPEG/BMP/GIF/TIFF, header reads, pixel stats,
+  * perceptual-hash dedup — oracle-gated by t_image_meta /
+  * t_image_dedup). For AUDIO it fell in round 13 — [[Audio]] is the
+  * REAL decode arm via `javax.sound.sampled` (WAVE/AU/AIFF 16-bit PCM,
+  * sample-exact round trip, header metadata, block-energy fingerprint
+  * dedup — oracle-gated by t_audio_meta / t_audio_dedup). Everything
+  * around the remaining video stub is real Spark plumbing: binary
+  * column schema, per-partition batched iteration (mapPartitions ≈
+  * mapInPandas batch shape), typed output Dataset, and
+  * partition-parallel execution. Swapping `decodeStub` for a real codec
+  * changes no signatures — [[Images]] and [[Audio]] are the proof,
+  * twice over.
   */
 object Multimodal {
 

@@ -637,9 +637,37 @@ object StreamingPipelines {
     * the same pigeonhole bound the batch operator enforces), so there
     * is no probabilistic drift between stream and batch. */
   def imageDedupSink(imgs: DataFrame, registryPath: String, outPath: String,
-      maxHamming: Int = 3, compactEvery: Int = 16): DataStreamWriter[Row] = {
-    graft.operators.Images.requireLossless(maxHamming)
-    imgs.writeStream
+      maxHamming: Int = 3, compactEvery: Int = 16): DataStreamWriter[Row] =
+    fingerprintDedupSink(imgs, registryPath, outPath, maxHamming, compactEvery,
+      hashCol = "ahash",
+      stats = (spark, b) => graft.operators.Images.imageStats(spark, b))
+
+  /** Incremental AUDIO near-dup removal — the streaming twin of
+    * Audio.nearDupPairs (drop-doc_b), same registry protocol as
+    * [[imageDedupSink]] over the block-energy fingerprint: input is a
+    * (doc_id, audio binary) stream; each micro-batch decodes its clips
+    * ONCE (Audio.audioStats — the real javax.sound pass) and registers
+    * (doc_id, afp) rows — 16 bytes of state per clip ever seen. Same
+    * exactly-once + recall-lossless contract (see the shared sink). */
+  def audioDedupSink(clips: DataFrame, registryPath: String, outPath: String,
+      maxHamming: Int = 3, compactEvery: Int = 16): DataStreamWriter[Row] =
+    fingerprintDedupSink(clips, registryPath, outPath, maxHamming, compactEvery,
+      hashCol = "afp",
+      stats = (spark, b) => graft.operators.Audio.audioStats(spark, b))
+
+  /** The shared fingerprint-registry dedup sink behind the image and
+    * audio twins — ONE definition of the micro-batch protocol
+    * (decode-once, in-batch banded pair join, registry band probe,
+    * register the WHOLE batch including drops, idempotent batch=<id>
+    * overwrites, periodic compaction), parametrized only by the
+    * modality's decode pass and fingerprint column. The banding itself
+    * is the shared [[graft.operators.Fingerprints]] machinery, so
+    * stream ≡ batch by construction for every modality. */
+  private def fingerprintDedupSink(media: DataFrame, registryPath: String,
+      outPath: String, maxHamming: Int, compactEvery: Int, hashCol: String,
+      stats: (SparkSession, DataFrame) => DataFrame): DataStreamWriter[Row] = {
+    graft.operators.Fingerprints.requireLossless(maxHamming)
+    media.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -647,31 +675,33 @@ object StreamingPipelines {
           upToExclusive = batchId, every = compactEvery)
         val dedupMark = graft.operators.Dedup.trackMark(spark)
         val b = batch.toDF().persist()
-        // decode once per image: the same stats table feeds the registry
-        // write, the in-batch pair join, and the registry probe
-        val stats = graft.operators.Images.imageStats(spark, b)
-          .select(col("doc_id"), col("ahash")).persist()
+        // decode once per media row: the same stats table feeds the
+        // registry write, the in-batch pair join, and the registry probe
+        val fps = stats(spark, b)
+          .select(col("doc_id"), col(hashCol)).persist()
         try {
-          val inBatch = graft.operators.Images.nearDupPairs(stats, maxHamming)
+          val inBatch = graft.operators.Fingerprints
+            .nearDupPairs(fps, hashCol, maxHamming)
             .select(col("doc_b").as("doc_id")).distinct()
           val v = Registry.view(spark, registryPath, registryPath,
             excludeId = batchId)
           val vsRegistry =
-            if (v.isEmpty) stats.select(col("doc_id")).limit(0)
+            if (v.isEmpty) fps.select(col("doc_id")).limit(0)
             else {
               val reg = spark.read.parquet(v.paths: _*)
-                .select(col("doc_id"), col("ahash"))
-              graft.operators.Images.hammingPairsAcross(stats, reg, maxHamming)
+                .select(col("doc_id"), col(hashCol))
+              graft.operators.Fingerprints
+                .hammingPairsAcross(fps, reg, hashCol, maxHamming)
                 .select(col("doc_id")).distinct()
             }
           val dropped = inBatch.union(vsRegistry).distinct()
           b.join(dropped, Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-          stats.write.mode("overwrite").parquet(s"$registryPath/batch=$batchId")
+          fps.write.mode("overwrite").parquet(s"$registryPath/batch=$batchId")
         } finally {
-          stats.unpersist(); b.unpersist()
-          // the pair join's internal tracked persist (Images.nearDupPairs)
-          // must not accumulate across micro-batches
+          fps.unpersist(); b.unpersist()
+          // the pair join's internal tracked persist (Fingerprints.
+          // nearDupPairs) must not accumulate across micro-batches
           graft.operators.Dedup.releaseSince(spark, dedupMark)
           ()
         }

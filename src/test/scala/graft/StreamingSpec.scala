@@ -1058,6 +1058,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("incremental audio-dedup sink == batch drop-doc_b formulation (real javax.sound decode per batch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_auddedup_reg"
+    val outPath = "/tmp/graft_test_auddedup_out"
+    for (p <- Seq(regPath, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    // the deterministic mixed-container WAV/AU/AIFF fixture, materialized
+    // so the stream feeds the same bytes the batch formulation hashes
+    val clipRows = graft.operators.Audio
+      .synthesize(spark, Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamingPipelines
+      .audioDedupSink(stream.toDF().toDF("doc_id", "audio"), regPath, outPath)
+      .start()
+    val (h1, h2) = clipRows.splitAt(clipRows.size / 2)
+    stream.addData(h1); q.processAllAvailable()
+    stream.addData(h2); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outPath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch formulation: drop doc_b of every hamming <= 3 pair
+    val stats = graft.operators.Audio.audioStats(spark,
+      graft.operators.Audio.synthesize(spark, Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("afp"))
+    val losers = graft.operators.Audio.nearDupPairs(stats)
+      .select(col("doc_b")).distinct().collect().map(_.getLong(0)).toSet
+    graft.operators.Dedup.releaseCaches(spark)
+    val want = clipRows.map(_._1).toSet -- losers
+    assert(losers.nonEmpty, "no audio near-dup pairs — test is vacuous")
+    // cross-batch losers must exist (same group, variants across the
+    // id split) or the registry path is untested
+    assert(losers.exists(_ >= clipRows.size / 2),
+      "no cross-batch losers — registry path untested")
+    assert(got === want)
+  }
+
   test("incremental winnow-dedup sink == batch drop-doc_b formulation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
