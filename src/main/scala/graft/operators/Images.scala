@@ -82,9 +82,29 @@ object Images {
     (w, h, px)
   }
 
-  /** Encode a grayscale pixel array as PNG bytes (r = g = b = lum);
-    * lossless, so decode returns the exact array. */
-  private[graft] def encodePng(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+  /** The four JDK-native LOSSLESS writers, picked per doc by
+    * doc_id % 4 — the fixture's format column carries live signal (a
+    * constant-'png' corpus proved nothing about the scanner's format
+    * dispatch). Grayscale ≤ 256 distinct colors keeps GIF's palette
+    * exact; readers report TIFF as 'tif'. JPEG stays out of the oracle
+    * fixture (lossy — spec-tolerance-tested only in ImagesSpec). */
+  private[graft] def writerOf(docId: Long): String =
+    (docId % 4) match {
+      case 0 => "png"
+      case 1 => "bmp"
+      case 2 => "gif"
+      case _ => "tiff"
+    }
+
+  /** The format name the ImageIO READER reports for [[writerOf]]'s
+    * output — what imageMeta/imageStats surface ('tif', not 'tiff'). */
+  private[graft] def readerNameOf(docId: Long): String =
+    if (docId % 4 == 3) "tif" else writerOf(docId)
+
+  /** Encode a grayscale pixel array (r = g = b = lum) with the given
+    * lossless writer; decode returns the exact array. */
+  private[graft] def encodeImage(w: Int, h: Int, px: Array[Int],
+      format: String): Array[Byte] = {
     init
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -98,9 +118,12 @@ object Images {
       y += 1
     }
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    require(ImageIO.write(img, format, bos), s"no ImageIO writer for $format")
     bos.toByteArray
   }
+
+  private[graft] def encodePng(w: Int, h: Int, px: Array[Int]): Array[Byte] =
+    encodeImage(w, h, px, "png")
 
   /** Decoded image: format name (lowercase), dims, gray pixel array
     * (gray = (r + g + b) / 3, integer division — exact for the r=g=b
@@ -195,10 +218,12 @@ object Images {
     hash
   }
 
-  /** The deterministic PNG fixture: (doc_id, img binary) with one real
-    * encoded PNG per document (see [[synthPixels]]). Partition-parallel
-    * mapPartitions — the same batch shape a real corpus's binary column
-    * arrives in. */
+  /** The deterministic MIXED-FORMAT image fixture: (doc_id, img binary)
+    * with one real encoded PNG/BMP/GIF/TIFF per document (see
+    * [[synthPixels]]/[[writerOf]] — all four writers are lossless on
+    * the grayscale fixture, so the per-formula oracle still certifies
+    * every decoded pixel). Partition-parallel mapPartitions — the same
+    * batch shape a real corpus's binary column arrives in. */
   def synthesize(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
@@ -206,7 +231,7 @@ object Images {
         init
         ids.map { id =>
           val (w, h, px) = synthPixels(id)
-          (id, encodePng(w, h, px))
+          (id, encodeImage(w, h, px, writerOf(id)))
         }
       }
       .toDF("doc_id", "img")

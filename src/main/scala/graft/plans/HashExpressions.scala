@@ -446,7 +446,12 @@ case class ChunkSpansCjk(spans: Expression, ltLen: Expression, k: Int)
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    require(k > 0, s"chunk length must be positive, got $k")
+    // a bad constant fails like the type checks below — through the
+    // normal AnalysisException path, not an IllegalArgumentException
+    // thrown out of the analyzer (ADVICE r12)
+    if (k <= 0)
+      return TypeCheckResult.TypeCheckFailure(
+        s"chunk_spans_cjk chunk length must be positive, got $k")
     (spans.dataType, ltLen.dataType) match {
       case (org.apache.spark.sql.types.ArrayType(
           st: org.apache.spark.sql.types.StructType, _),
@@ -520,7 +525,11 @@ case class ExciseSpans(lt: Expression, spans: Expression, hp: Expression, n: Int
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    require(n > 0, s"gram length must be positive, got $n")
+    // normal AnalysisException path for a bad constant, like the type
+    // checks below (ADVICE r12)
+    if (n <= 0)
+      return TypeCheckResult.TypeCheckFailure(
+        s"excise_spans gram length must be positive, got $n")
     (lt.dataType, spans.dataType, hp.dataType) match {
       case (StringType,
           org.apache.spark.sql.types.ArrayType(
@@ -764,29 +773,43 @@ case class BloomHits(child: Expression,
   * therefore fails LOUDLY at analysis (the [[get]] require), never
   * obscurely at task execution. */
 object BloomHandles {
-  private val map = new java.util.concurrent.ConcurrentHashMap[Long,
-    org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]()
+  private final case class Handle(
+      bf: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      refs: Int)
+  private val map =
+    new java.util.concurrent.ConcurrentHashMap[Long, Handle]()
 
+  /** REFERENCE-COUNTED (ADVICE r12): two threads sharing one Broadcast
+    * object (same id) each register/deregister their own count, so the
+    * first caller's finally-deregister cannot remove the handle while
+    * the second caller's frame is still being analyzed. */
   def register(bf: org.apache.spark.broadcast.Broadcast[
       org.apache.spark.util.sketch.BloomFilter]): Long = {
-    map.put(bf.id, bf)
+    map.compute(bf.id, (_, h) =>
+      if (h == null) Handle(bf, 1) else h.copy(refs = h.refs + 1))
     bf.id
   }
 
-  /** Drop a handle once the frame that resolved through it is analyzed
-    * (idempotent — a re-registered same-broadcast id just re-arms). */
-  def deregister(id: Long): Unit = map.remove(id)
+  /** Drop one reference; the handle disappears when the last concurrent
+    * registrant releases it. Unknown ids are a no-op (idempotent under
+    * a double-release). */
+  def deregister(id: Long): Unit = {
+    map.computeIfPresent(id, (_, h) =>
+      if (h.refs <= 1) null else h.copy(refs = h.refs - 1))
+    ()
+  }
 
   /** Live handle count — the no-unbounded-growth pin (PlansSpec). */
   def size: Int = map.size
 
   def get(id: Long): org.apache.spark.broadcast.Broadcast[
       org.apache.spark.util.sketch.BloomFilter] = {
-    val b = map.get(id)
-    require(b != null, s"no broadcast Bloom filter registered under id $id " +
+    val h = map.get(id)
+    require(h != null, s"no broadcast Bloom filter registered under id $id " +
       "(construct bloom_hits through TextAnalysis.bloomScoreBroadcast; a " +
       "handle is live only while that call analyzes — it deregisters on return)")
-    b
+    h.bf
   }
 }
 

@@ -251,6 +251,33 @@ object GraftFunctions {
     }
   }
 
+  /** Plan-time integer literal, guarded: a non-foldable or non-numeric
+    * argument fails with a clear message instead of a ClassCastException
+    * or NPE out of the builder (ADVICE r12). */
+  private def litInt(e: Expression, fn: String): Int = litNum(e, fn).intValue()
+  private def litLong(e: Expression, fn: String): Long = litNum(e, fn).longValue()
+  private def litNum(e: Expression, fn: String): Number = {
+    require(e.foldable,
+      s"$fn: argument must be an integer literal, got non-foldable ${e.sql}")
+    e.eval() match {
+      case n: Number => n
+      case null => throw new IllegalArgumentException(
+        s"$fn: argument must be an integer literal, got NULL")
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument must be an integer literal, got ${other.getClass.getSimpleName}")
+    }
+  }
+  private def litBool(e: Expression, fn: String): Boolean = {
+    require(e.foldable,
+      s"$fn: argument must be a boolean literal, got non-foldable ${e.sql}")
+    e.eval() match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument must be a boolean literal, got " +
+          (if (other == null) "NULL" else other.getClass.getSimpleName))
+    }
+  }
+
   /** (name → builder) for every SQL-surface function — the ONE source of
     * truth shared by both registration paths: per-session `register` (the
     * engine's own sessions) and the `GraftExtensions` injection
@@ -263,13 +290,13 @@ object GraftFunctions {
     "md5_prefix32" -> (exprs => Md5Prefix32(exprs.head)),
     "nfc_normalize" -> (exprs => NfcNormalize(exprs.head)),
     "shingle_hash32" -> (exprs => ShingleHash32(exprs.head,
-      exprs(1).eval().asInstanceOf[Number].intValue())),
+      litInt(exprs(1), "shingle_hash32"))),
     "hyperplane_sketch" -> (exprs => HyperplaneSketch(exprs.head,
-      exprs(1).eval().asInstanceOf[Number].intValue(),
-      exprs(2).eval().asInstanceOf[Number].intValue())),
+      litInt(exprs(1), "hyperplane_sketch"),
+      litInt(exprs(2), "hyperplane_sketch"))),
     "nearest_centroid" -> (exprs => NearestCentroid(exprs.head,
       litLongs(exprs(1)), litDoubles2(exprs(2)),
-      exprs(3).eval().asInstanceOf[Boolean])),
+      litBool(exprs(3), "nearest_centroid"))),
     "nearest_sub_centroid" -> (exprs => NearestSubCentroid(exprs(0), exprs(1),
       litLongs2(exprs(2)), litDoubles3(exprs(3)))),
     "bpe_encode" -> (exprs => BpeEncodeDoc(exprs.head,
@@ -278,23 +305,23 @@ object GraftFunctions {
     "intersect_count_sorted" -> (exprs => IntersectCountSorted(exprs(0), exprs(1))),
     "simhash32_fused" -> (exprs => SimHash32Doc(exprs.head)),
     "minhash_sigs" -> (exprs => MinhashSigs(exprs.head,
-      exprs(1).eval().asInstanceOf[Number].intValue())),
+      litInt(exprs(1), "minhash_sigs"))),
     "sorted_distinct_i64" -> (exprs => SortedDistinctLongs(exprs.head)),
     "tokenize_array" -> (exprs => TokenizeArray(exprs.head)),
     "tokenize_array_cjk" -> (exprs => TokenizeArrayCjk(exprs.head)),
     "tokenize_spans" -> (exprs => TokenizeSpans(exprs.head)),
     "tokenize_spans_cjk" -> (exprs => TokenizeSpansCjk(exprs.head)),
     "chunk_spans_cjk" -> (exprs => ChunkSpansCjk(exprs(0), exprs(1),
-      exprs(2).eval().asInstanceOf[Number].intValue())),
+      litInt(exprs(2), "chunk_spans_cjk"))),
     "excise_spans" -> (exprs => ExciseSpans(exprs(0), exprs(1), exprs(2),
-      exprs(3).eval().asInstanceOf[Number].intValue())),
+      litInt(exprs(3), "excise_spans"))),
     "count_in_set" -> (exprs => CountInSet(exprs.head, litStrings(exprs(1)))),
     // second arg = a plan-time literal BloomHandles id (resolution runs
     // on the driver, where the handle registry lives)
     "bloom_hits" -> (exprs => BloomHits(exprs.head,
-      BloomHandles.get(exprs(1).eval().asInstanceOf[Number].longValue()))),
+      BloomHandles.get(litLong(exprs(1), "bloom_hits")))),
     "word_shingles" -> (exprs => WordShingles(exprs.head,
-      exprs(1).eval().asInstanceOf[Number].intValue())),
+      litInt(exprs(1), "word_shingles"))),
     "subword_est" -> (exprs => SubwordEst(exprs.head)),
     "char_trigram_set" -> (exprs => CharTrigramSet(exprs.head)),
     "lower_root" -> (exprs => LowerRoot(exprs.head)))

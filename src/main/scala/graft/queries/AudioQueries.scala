@@ -52,6 +52,14 @@ object AudioQueries {
                      MIN(s) AS min_amp, MAX(s) AS max_amp,
                      SUM(s * s) AS energy
               FROM asx GROUP BY 1),
+      azc AS (SELECT doc_id,
+                     COALESCE(SUM(CASE WHEN (s < 0) <> (prev < 0)
+                                       THEN 1 ELSE 0 END), 0) AS zero_cross
+              FROM (SELECT doc_id, s,
+                           lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                    FROM asx)
+              WHERE prev IS NOT NULL
+              GROUP BY 1),
       abk AS (SELECT doc_id, (i*64)//n AS k, SUM(s * s) AS be,
                      COUNT(*) AS bl
               FROM asx GROUP BY 1, 2),
@@ -107,8 +115,10 @@ object AudioQueries {
                CAST(t.n_samples AS BIGINT) AS n_samples,
                CAST(t.sum_amp AS BIGINT) AS sum_amp,
                CAST(t.min_amp AS INT) AS min_amp, CAST(t.max_amp AS INT) AS max_amp,
-               CAST(t.energy AS BIGINT) AS energy, f.afp
-        FROM apd d JOIN ast t USING (doc_id) JOIN afh f USING (doc_id))
+               CAST(t.energy AS BIGINT) AS energy,
+               CAST(z.zero_cross AS BIGINT) AS zero_cross, f.afp
+        FROM apd d JOIN ast t USING (doc_id) JOIN azc z USING (doc_id)
+             JOIN afh f USING (doc_id))
       SELECT * FROM final"""))
 
   /** Audio near-dup pairs: the SHARED banded hamming join

@@ -7,12 +7,16 @@ import graft.tables.Tables
 
 /** Image-arm catalog entries (the REAL multimodal decode path —
   * operators/Images.scala): the engine synthesizes one deterministic
-  * PNG per document, round-trips it through the actual JDK ImageIO
-  * codec (encode → decode), and derives stats + a 64-bit perceptual
-  * hash from the DECODED pixels; the DuckDB oracle recomputes the same
+  * image per document in a MIXED PNG/BMP/GIF/TIFF corpus (all four
+  * writers lossless on the grayscale fixture; readers report TIFF as
+  * 'tif'), round-trips it through the actual JDK ImageIO codec
+  * (encode → decode), and derives stats + a 64-bit perceptual hash
+  * from the DECODED pixels; the DuckDB oracle recomputes the same
   * values from the pixel formula alone (pure integer arithmetic over
   * (x, y, doc_id)) — a hash match therefore certifies the lossless
-  * codec round trip AND the aHash kernel bit-for-bit, cross-engine.
+  * codec round trip across all four formats AND the aHash kernel
+  * bit-for-bit, cross-engine. The format column carries live per-doc
+  * signal (doc_id % 4).
   */
 object ImageQueries {
 
@@ -65,7 +69,9 @@ object ImageQueries {
       WITH ${imageCtes("documents")}
       final AS (
         SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
-               'png' AS format, CAST(s.n_px AS BIGINT) AS n_px,
+               CASE (d.doc_id % 4) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                    WHEN 2 THEN 'gif' ELSE 'tif' END AS format,
+               CAST(s.n_px AS BIGINT) AS n_px,
                CAST(s.sum_lum AS BIGINT) AS sum_lum,
                CAST(s.min_lum AS INT) AS min_lum, CAST(s.max_lum AS INT) AS max_lum,
                a.ahash

@@ -86,9 +86,9 @@ class AudioSpec extends AnyFunSuite {
     try {
       val rows = stats.collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4),
-          r.getInt(5), r.getInt(6), r.getLong(7), r.getLong(8)))).toMap
+          r.getInt(5), r.getInt(6), r.getLong(7), r.getLong(8), r.getLong(9)))).toMap
       assert(rows.size === 500)
-      rows.foreach { case (id, (fmt, rate, n, sum, mn, mx, energy, _)) =>
+      rows.foreach { case (id, (fmt, rate, n, sum, mn, mx, energy, zcr, _)) =>
         val g = id % 200
         assert(fmt === Audio.containerOf(id).toString
           .toLowerCase(java.util.Locale.ROOT))
@@ -97,12 +97,18 @@ class AudioSpec extends AnyFunSuite {
         assert(mn >= -32768 && mx <= 32767 && mn <= mx)
         assert(sum >= n * mn && sum <= n * mx)
         assert(energy > 0L)
+        assert(zcr >= 0L && zcr < n)
+        // ZCR recomputed from the fixture formula (sign changes over
+        // adjacent samples; 0 is non-negative)
+        val s = Audio.synthSamples(id)._2
+        val ref = (1 until s.length).count(i => (s(i) < 0) != (s(i - 1) < 0))
+        assert(zcr === ref.toLong, s"zero_cross != reference for doc $id")
       }
       // the format column carries live multi-container signal
       assert(rows.values.map(_._1).toSet === Set("wave", "au", "aiff"))
       // 1-sample perturbation stays within hamming 3 of the group base
-      val h0 = rows(5L)._8
-      val h1 = rows(205L)._8 // same g = 5, v = 1
+      val h0 = rows(5L)._9
+      val h1 = rows(205L)._9 // same g = 5, v = 1
       assert(java.lang.Long.bitCount(h0 ^ h1) <= 3,
         "1-sample perturbation must stay within hamming 3")
       // header-only pass agrees with the full decode on every doc
@@ -110,7 +116,7 @@ class AudioSpec extends AnyFunSuite {
         Audio.synthesize(spark, Tables.documents(spark, dir)))
         .collect().map(r => r.getLong(0) ->
           ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
-      rows.foreach { case (id, (fmt, rate, n, _, _, _, _, _)) =>
+      rows.foreach { case (id, (fmt, rate, n, _, _, _, _, _, _)) =>
         assert(metaRows(id) === ((fmt, rate, 16, 1, n)))
       }
     } finally { stats.unpersist(blocking = false); () }

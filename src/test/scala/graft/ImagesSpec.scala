@@ -100,13 +100,16 @@ class ImagesSpec extends AnyFunSuite {
         ((r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4),
           r.getLong(5), r.getInt(6), r.getInt(7), r.getLong(8)))).toMap
       assert(rows.size === 500)
-      // dims follow the fixture formula; n_px = w*h
+      // dims follow the fixture formula; n_px = w*h; the format column
+      // carries the per-doc mixed-format signal (doc_id % 4)
       rows.foreach { case (id, (w, h, fmt, npx, sum, mn, mx, _)) =>
         val g = id % 200
         assert(w === 8 * (1 + (g % 8)).toInt && h === 8 * (1 + ((g / 8) % 5)).toInt)
-        assert(fmt === "png" && npx === w.toLong * h)
+        assert(fmt === Images.readerNameOf(id) && npx === w.toLong * h)
         assert(mn >= 0 && mx <= 255 && sum >= npx * mn && sum <= npx * mx)
       }
+      assert(rows.values.map(_._3).toSet === Set("png", "bmp", "gif", "tif"),
+        "mixed-format fixture must exercise all four lossless codecs")
       // v % 7 == 0 variants are bit-exact duplicates of their group base
       // (docs 0 and 0 + 200*7 = 1400 would be; at sf0.001 ids stop at
       // 499, so use v=0 vs v=7?  v max = 499/200 = 2 → compare equal-g,

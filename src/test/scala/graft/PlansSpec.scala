@@ -121,6 +121,53 @@ class PlansSpec extends AnyFunSuite {
       s"stale-handle failure not loud: $msgs")
   }
 
+  test("BloomHandles is reference-counted: a shared broadcast survives one caller's release") {
+    // the ADVICE r12 race: two threads sharing one Broadcast object —
+    // the first caller's finally-deregister must not strand the second
+    val bench = Tables.documents(spark, dir).filter(col("doc_id") % 23 === 0)
+    val bf = graft.operators.TextAnalysis.benchmarkBloom(bench, n = 4).get
+    val bfB = spark.sparkContext.broadcast(bf)
+    val base = graft.plans.BloomHandles.size
+    val id1 = graft.plans.BloomHandles.register(bfB)
+    val id2 = graft.plans.BloomHandles.register(bfB)
+    assert(id1 === id2, "same broadcast registers under one id")
+    graft.plans.BloomHandles.deregister(id1)
+    // the second registrant's reference is still live
+    assert(graft.plans.BloomHandles.get(id2) eq bfB)
+    graft.plans.BloomHandles.deregister(id2)
+    assert(graft.plans.BloomHandles.size === base, "refcount did not drain to empty")
+    assert(intercept[IllegalArgumentException] {
+      graft.plans.BloomHandles.get(id2)
+    }.getMessage.contains("no broadcast Bloom filter registered"))
+    // double-release of a dead id is a no-op, not an error or a leak
+    graft.plans.BloomHandles.deregister(id2)
+    assert(graft.plans.BloomHandles.size === base)
+  }
+
+  test("non-literal / bad-constant scalar args fail at analysis with clear messages") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokensFused(col("text")).as("toks"))
+    // non-foldable n: a clear 'must be an integer literal', not a
+    // ClassCastException out of the builder (ADVICE r12)
+    val e1 = intercept[Throwable] {
+      docs.select(call_function("word_shingles", col("toks"),
+        col("doc_id").cast("int"))).collect()
+    }
+    val m1 = Iterator.iterate(e1)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(m1.contains("must be an integer literal"), s"unclear failure: $m1")
+    // bad constant on excise_spans: the normal AnalysisException path,
+    // not an IllegalArgumentException thrown out of the analyzer
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(call_function("excise_spans",
+        call_function("lower_root", col("toks")(0)),
+        call_function("tokenize_spans", col("toks")(0)),
+        array().cast("array<int>"), lit(0))).collect()
+    }
+    assert(e2.getMessage.contains("gram length must be positive"))
+  }
+
   test("fused md5-prefix hash == compositional conv(substring(md5)) chain") {
     GraftFunctions.register(spark)
     val toks = Tables.documents(spark, dir)
