@@ -7,22 +7,23 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata (the builder-prompt contract).
   *
   * The decode step here is STUBBED with a deterministic md5-derived
-  * fake, clearly marked below — for VIDEO only, where this JDK truly
-  * has no codec (the installed SPIs cover images and audio; nothing
-  * registers for any video container). For IMAGES the stub premise
-  * fell in round 12 — [[Images]] is the REAL decode arm via
-  * `javax.imageio` (PNG/JPEG/BMP/GIF/TIFF, header reads, pixel stats,
-  * perceptual-hash dedup — oracle-gated by t_image_meta /
-  * t_image_dedup). For AUDIO it fell in round 13 — [[Audio]] is the
-  * REAL decode arm via `javax.sound.sampled` (WAVE/AU/AIFF 16-bit PCM,
-  * sample-exact round trip, header metadata, block-energy fingerprint
-  * dedup — oracle-gated by t_audio_meta / t_audio_dedup). Everything
-  * around the remaining video stub is real Spark plumbing: binary
-  * column schema, per-partition batched iteration (mapPartitions ≈
-  * mapInPandas batch shape), typed output Dataset, and
-  * partition-parallel execution. Swapping `decodeStub` for a real codec
-  * changes no signatures — [[Images]] and [[Audio]] are the proof,
-  * twice over.
+  * fake, clearly marked below — for INTER-FRAME VIDEO CODECS only
+  * (H.264/VP9/AV1...), where this JDK truly has no decoder. The other
+  * stub premises fell round by round: IMAGES in round 12 ([[Images]],
+  * real `javax.imageio` — PNG/JPEG/BMP/GIF/TIFF, oracle-gated by
+  * t_image_meta / t_image_dedup); AUDIO in round 13 ([[Audio]], real
+  * `javax.sound.sampled` — WAVE/AU/AIFF 16-bit PCM sample-exact,
+  * oracle-gated by t_audio_meta / t_audio_dedup); and VIDEO partially
+  * in round 13 ([[Video]] — AVI container metadata via a real RIFF
+  * walker, plus REAL frame decode for MJPEG streams whose frames are
+  * JPEGs the JDK codec reads; oracle-gated by t_video_meta /
+  * t_video_frames / t_video_sample). Everything around the remaining
+  * inter-frame stub is real Spark plumbing: binary column schema,
+  * per-partition batched iteration (mapPartitions ≈ mapInPandas batch
+  * shape), typed output Dataset, and partition-parallel execution.
+  * Swapping `decodeStub` for a real codec changes no signatures —
+  * [[Images]], [[Audio]] and [[Video]] are the proof, three times
+  * over.
   */
 object Multimodal {
 

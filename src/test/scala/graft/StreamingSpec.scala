@@ -1097,6 +1097,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("video frame sampling is stream == batch (stateless flatMap on a binary stream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the video arm's sampling pass is stateless map-side work, so it
+    // runs unchanged on a streaming binary column — the contract a
+    // continuous ingestion pipeline samples frames under
+    val vids = graft.operators.Video
+      .synthesize(spark, Tables.documents(spark, dir).limit(60))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val q = graft.operators.Video
+      .sampleFrames(spark, stream.toDF().toDF("doc_id", "video"), stride = 2)
+      .writeStream.format("memory").queryName("video_sample_stream")
+      .outputMode("append").start()
+    val (h1, h2) = vids.splitAt(30)
+    stream.addData(h1); q.processAllAvailable()
+    stream.addData(h2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("video_sample_stream")
+      .select("doc_id", "frame_idx", "pts_us", "sum_lum")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val want = graft.operators.Video
+      .sampleFrames(spark, graft.operators.Video
+        .synthesize(spark, Tables.documents(spark, dir).limit(60)), stride = 2)
+      .select("doc_id", "frame_idx", "pts_us", "sum_lum")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("incremental winnow-dedup sink == batch drop-doc_b formulation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
