@@ -337,6 +337,78 @@ object Audio {
         "min_amp", "max_amp", "energy", "zero_cross", "afp")
   }
 
+  /** Audio quality gates — the audio analog of the text layer's
+    * Gopher-style rules, one decode pass per clip, all integer-exact:
+    *   - n_clipped: samples at or beyond ±`clipLevel` (hard-clipping
+    *     detector — a clipped recording gates out of a training
+    *     corpus);
+    *   - longest_silence_run: the longest run of consecutive samples
+    *     with |s| < `silenceLevel` (dead-air detector);
+    *   - n_silent: total samples under the silence level (silence
+    *     RATIO numerator; the denominator n_samples ships alongside so
+    *     the ratio stays exact in any downstream predicate).
+    * Thresholds are integer sample levels on the decoded 16-bit scale.
+    * Map-side, no shuffle; the DuckDB oracle recomputes every field
+    * from the fixture formula (runs via gaps-and-islands). */
+  def audioQuality(spark: SparkSession, binDf: DataFrame,
+      clipLevel: Int = 32700, silenceLevel: Int = 256): DataFrame = {
+    require(clipLevel > 0 && silenceLevel > 0,
+      s"thresholds must be positive, got clip=$clipLevel silence=$silenceLevel")
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("audio")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        init
+        rows.map { case (id, bytes) =>
+          val d = decode(bytes)
+          var clipped = 0L
+          var silent = 0L
+          var run = 0L
+          var longest = 0L
+          var i = 0
+          while (i < d.samples.length) {
+            val a = math.abs(d.samples(i).toLong)
+            if (a >= clipLevel) clipped += 1
+            if (a < silenceLevel) {
+              silent += 1; run += 1
+              if (run > longest) longest = run
+            } else run = 0
+            i += 1
+          }
+          (id, d.samples.length.toLong, clipped, silent, longest)
+        }
+      }
+      .toDF("doc_id", "n_samples", "n_clipped", "n_silent",
+        "longest_silence_run")
+  }
+
+  /** Integer-factor resampling (decimation): keep every `factor`-th
+    * sample and re-encode as WAVE at rate / factor — the downsample
+    * pass an ASR-style pipeline runs before feature extraction. No
+    * low-pass filter (pure decimation), which keeps every output
+    * sample an EXACT input sample: the oracle recomputes the decimated
+    * clip from the formula, so the whole
+    * decode → decimate → re-encode → re-decode chain is hash-gated.
+    * Output (doc_id, audio) — feed [[audioStats]]/[[audioQuality]]
+    * unchanged. */
+  def resample(spark: SparkSession, binDf: DataFrame, factor: Int): DataFrame = {
+    require(factor > 0, s"factor must be positive, got $factor")
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("audio")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        init
+        rows.map { case (id, bytes) =>
+          val d = decode(bytes)
+          val m = (d.samples.length + factor - 1) / factor
+          val out = new Array[Int](m)
+          var j = 0
+          while (j < m) { out(j) = d.samples(j * factor); j += 1 }
+          (id, encode(math.max(d.rate / factor, 1), out,
+            AudioFileFormat.Type.WAVE))
+        }
+      }
+      .toDF("doc_id", "audio")
+  }
+
   /** Audio near-duplicate pairs — the shared banded hamming join over
     * the 64-bit fingerprint (lossless at hamming ≤ 3; see
     * [[Fingerprints.nearDupPairs]]). Input (doc_id, afp). */

@@ -167,5 +167,86 @@ object AudioQueries {
       SELECT h.doc_id, h.afp, (h.doc_id = n.m) AS keep
       FROM hx h JOIN nbm n ON h.afp = n.ha"""))
 
-  val all: Seq[Q] = Seq(tAudioHeader, tAudioMeta, tAudioDedup, tAudioDedupKeepers)
+  /** Audio quality gates (clipping / silence), the audio analog of the
+    * text layer's rule filters: one decode pass, integer-exact counts,
+    * longest silence run recomputed by the oracle via gaps-and-islands
+    * over the per-sample formula. */
+  val tAudioQuality: Q = Q(
+    "t_audio_quality",
+    run = (s, dir) =>
+      Audio.audioQuality(s, Audio.synthesize(s, Tables.documents(s, dir))),
+    oracle = Some(s"""
+      WITH ${audioCtes("documents")}
+      sil AS (SELECT doc_id, i, (abs(s) < 256) AS z,
+                     (abs(s) >= 32700) AS c FROM asx),
+      grp AS (SELECT doc_id, i, z,
+                     i - ROW_NUMBER() OVER (PARTITION BY doc_id, z ORDER BY i)
+                       AS island
+              FROM sil),
+      runs AS (SELECT doc_id, COUNT(*) AS len
+               FROM grp WHERE z GROUP BY doc_id, island),
+      agg AS (SELECT doc_id, COUNT(*) AS n_samples,
+                     SUM(CASE WHEN c THEN 1 ELSE 0 END) AS n_clipped,
+                     SUM(CASE WHEN z THEN 1 ELSE 0 END) AS n_silent
+              FROM sil GROUP BY 1),
+      lng AS (SELECT doc_id, MAX(len) AS longest FROM runs GROUP BY 1)
+      SELECT a.doc_id, CAST(a.n_samples AS BIGINT) AS n_samples,
+             CAST(a.n_clipped AS BIGINT) AS n_clipped,
+             CAST(a.n_silent AS BIGINT) AS n_silent,
+             CAST(COALESCE(l.longest, 0) AS BIGINT) AS longest_silence_run
+      FROM agg a LEFT JOIN lng l USING (doc_id)"""))
+
+  /** Decimation resampling: keep every 4th sample, re-encode WAVE at
+    * rate/4, then run the FULL stats+fingerprint pass over the
+    * re-encoded clip — the oracle recomputes everything from the
+    * decimated formula samples, so the decode → decimate → re-encode →
+    * re-decode chain is certified end to end (pure decimation keeps
+    * each output sample an exact input sample; the fixture's n is
+    * divisible by 4, so m = n/4 on both sides). */
+  val tAudioResample: Q = Q(
+    "t_audio_resample",
+    run = (s, dir) =>
+      Audio.audioStats(s,
+        Audio.resample(s, Audio.synthesize(s, Tables.documents(s, dir)), factor = 4)),
+    oracle = Some(s"""
+      WITH ${audioCtes("documents")}
+      ars AS (SELECT doc_id, n // 4 AS m, i // 4 AS j, s
+              FROM asx WHERE i % 4 = 0),
+      rst AS (SELECT doc_id, COUNT(*) AS n_samples, SUM(s) AS sum_amp,
+                     MIN(s) AS min_amp, MAX(s) AS max_amp,
+                     SUM(s * s) AS energy
+              FROM ars GROUP BY 1),
+      rzc AS (SELECT doc_id,
+                     COALESCE(SUM(CASE WHEN (s < 0) <> (prev < 0)
+                                       THEN 1 ELSE 0 END), 0) AS zero_cross
+              FROM (SELECT doc_id, s,
+                           lag(s) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+                    FROM ars)
+              WHERE prev IS NOT NULL
+              GROUP BY 1),
+      rbk AS (SELECT doc_id, (j*64)//m AS k, SUM(s * s) AS be,
+                     COUNT(*) AS bl
+              FROM ars GROUP BY 1, 2),
+      rbt AS (SELECT b.doc_id, CAST(b.k AS INT) AS k,
+                     CASE WHEN b.be * t.n_samples > t.energy * b.bl
+                          THEN 1 ELSE 0 END AS bit
+              FROM rbk b JOIN rst t USING (doc_id)),
+      rfh AS (SELECT doc_id,
+                     CAST(COALESCE(SUM(CASE WHEN k < 63 AND bit = 1
+                            THEN (CAST(1 AS BIGINT) << k) ELSE 0 END), 0) AS BIGINT)
+                     + CASE WHEN COALESCE(MAX(CASE WHEN k = 63 THEN bit END), 0) = 1
+                            THEN CAST(-9223372036854775808 AS BIGINT)
+                            ELSE 0 END AS afp
+              FROM rbt GROUP BY 1)
+      SELECT d.doc_id, 'wave' AS format, CAST(d.rate // 4 AS INT) AS sample_rate,
+             CAST(t.n_samples AS BIGINT) AS n_samples,
+             CAST(t.sum_amp AS BIGINT) AS sum_amp,
+             CAST(t.min_amp AS INT) AS min_amp, CAST(t.max_amp AS INT) AS max_amp,
+             CAST(t.energy AS BIGINT) AS energy,
+             CAST(z.zero_cross AS BIGINT) AS zero_cross, f.afp
+      FROM apd d JOIN rst t USING (doc_id) JOIN rzc z USING (doc_id)
+           JOIN rfh f USING (doc_id)"""))
+
+  val all: Seq[Q] = Seq(tAudioHeader, tAudioMeta, tAudioDedup, tAudioDedupKeepers,
+    tAudioQuality, tAudioResample)
 }

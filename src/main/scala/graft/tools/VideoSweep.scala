@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.operators.Video
+import graft.tables.Tables
+
+/** Scale sweep for the round-13 video arm (not part of the catalog):
+  * container synthesis (real JPEG encodes + RIFF assembly), the
+  * header-only metadata walk, full per-frame decode, and stride-2
+  * sampling at each SF dir — wall + per-run shuffle bytes via
+  * [[SweepHarness]]. Everything is map-side (zero expected shuffle);
+  * the sampling pass should cost roughly half the full-decode pass,
+  * which is the decode-only-sampled property made measurable.
+  *
+  * Usage: VideoSweep <sfDir>...
+  */
+object VideoSweep {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local("video-sweep")
+    val h = new SweepHarness(spark)
+    for (dir <- args) {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"))
+      println(s"== $dir docs=${docs.count()}")
+      def vids() = Video.synthesize(spark, docs)
+      h.noop(vids()) // untimed warmup
+      println(s"   frames=${Video.frameTable(spark, vids()).count()}")
+      for (run <- 1 to 3) {
+        h.timed(s"$dir synth(jpeg-encode+riff) run$run") { h.noop(vids()) }
+        h.timed(s"$dir header-meta run$run") {
+          h.noop(Video.videoMeta(spark, vids()))
+        }
+        h.timed(s"$dir frameTable(full decode) run$run") {
+          h.noop(Video.frameTable(spark, vids()))
+        }
+        h.timed(s"$dir sampleFrames(stride=2) run$run") {
+          h.noop(Video.sampleFrames(spark, vids(), stride = 2))
+        }
+      }
+    }
+    spark.stop()
+  }
+}

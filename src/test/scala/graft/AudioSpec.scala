@@ -172,6 +172,54 @@ class AudioSpec extends AnyFunSuite {
     } finally { stats.unpersist(blocking = false); () }
   }
 
+  test("audioQuality: clipping / silence counts and longest run match a driver reference") {
+    val q = Audio.audioQuality(spark,
+      Audio.synthesize(spark, Tables.documents(spark, dir)))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(q.size === 500)
+    var liveClip = false
+    var liveSilence = false
+    for (id <- 0L until 500L) {
+      val s = Audio.synthSamples(id)._2
+      val clipped = s.count(v => math.abs(v.toLong) >= 32700).toLong
+      val silent = s.count(v => math.abs(v.toLong) < 256).toLong
+      var run = 0L; var longest = 0L
+      s.foreach { v =>
+        if (math.abs(v.toLong) < 256) { run += 1; if (run > longest) longest = run }
+        else run = 0
+      }
+      assert(q(id) === ((s.length.toLong, clipped, silent, longest)),
+        s"quality fields != reference for doc $id")
+      if (clipped > 0) liveClip = true
+      if (silent > 0) liveSilence = true
+    }
+    assert(liveClip && liveSilence, "fixture must exercise both gates")
+    assert(intercept[IllegalArgumentException] {
+      Audio.audioQuality(spark,
+        Audio.synthesize(spark, Tables.documents(spark, dir)), clipLevel = 0)
+    }.getMessage.contains("positive"))
+  }
+
+  test("resample(4): every output sample is an exact input sample; WAVE at rate/4") {
+    val resampled = Audio.resample(spark,
+      Audio.synthesize(spark, Tables.documents(spark, dir)), factor = 4)
+    val rows = resampled.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(rows.length === 500)
+    for ((id, bytes) <- rows.take(20) ++ rows.takeRight(5)) {
+      val d = Audio.decode(bytes)
+      val (rate, orig) = Audio.synthSamples(id)
+      assert(d.container === "wave" && d.rate === rate / 4)
+      val want = orig.indices.collect { case i if i % 4 == 0 => orig(i) }
+      assert(d.samples.toSeq === want,
+        s"decimated samples != every-4th original for doc $id")
+    }
+    assert(intercept[IllegalArgumentException] {
+      Audio.resample(spark,
+        Audio.synthesize(spark, Tables.documents(spark, dir)), factor = 0)
+    }.getMessage.contains("positive"))
+  }
+
   test("a caller-persisted hash frame is honored (no double-persist error, no double-release)") {
     // the ADVICE r12 hazard: Fingerprints used to persist
     // unconditionally, so an already-persisted input (the streaming
