@@ -298,6 +298,55 @@ object Images {
     * Output (doc_a < doc_b, hamming), the Dedup.minhashPairs shape —
     * feed keeper selection or duplicateClusters unchanged. One shuffle
     * on (band, value), one on the candidate distinct. */
+  /** REAL image downsampling (the round-13 replacement for
+    * Multimodal.resize's byte-level stub): each output pixel is the
+    * BLOCK MEAN of its `factor`×`factor` input block with floor
+    * division — integer-exact, so the oracle recomputes every output
+    * pixel from the fixture formula and the catalog entry certifies
+    * the full decode → resize → re-encode(PNG) → re-decode chain
+    * through TWO codec round trips. Requires dims divisible by
+    * `factor` (fail LOUD — a silent edge-block average would be the
+    * silent-wrong class; real corpora pad or crop first, and the
+    * fixture's dims are multiples of 8). Map-side, no shuffle. Output
+    * (doc_id, img) PNG — feed [[imageStats]]/[[imageMeta]] unchanged. */
+  def resize(spark: SparkSession, binDf: DataFrame, factor: Int): DataFrame = {
+    require(factor > 0, s"factor must be positive, got $factor")
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("img")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        init
+        rows.map { case (id, bytes) =>
+          val d = decode(bytes)
+          require(d.width % factor == 0 && d.height % factor == 0,
+            s"doc $id: dims ${d.width}x${d.height} not divisible by $factor " +
+              "— pad or crop before block-mean resizing")
+          val wo = d.width / factor
+          val ho = d.height / factor
+          val out = new Array[Int](wo * ho)
+          val area = factor * factor
+          var yo = 0
+          while (yo < ho) {
+            var xo = 0
+            while (xo < wo) {
+              var sum = 0
+              var dy = 0
+              while (dy < factor) {
+                var dx = 0
+                val base = (yo * factor + dy) * d.width + xo * factor
+                while (dx < factor) { sum += d.gray(base + dx); dx += 1 }
+                dy += 1
+              }
+              out(yo * wo + xo) = sum / area
+              xo += 1
+            }
+            yo += 1
+          }
+          (id, encodeImage(wo, ho, out, "png"))
+        }
+      }
+      .toDF("doc_id", "img")
+  }
+
   def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
     Fingerprints.nearDupPairs(hashes, "ahash", maxHamming)
 

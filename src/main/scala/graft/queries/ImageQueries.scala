@@ -123,5 +123,46 @@ object ImageQueries {
       SELECT h.doc_id, h.ahash, (h.doc_id = n.m) AS keep
       FROM hx h JOIN nbm n ON h.ahash = n.ha"""))
 
-  val all: Seq[Q] = Seq(tImageMeta, tImageDedup, tImageDedupKeepers)
+  /** REAL image downsampling certified through TWO codec round trips:
+    * decode (mixed-format) → 2×2 block-mean resize (integer floor
+    * division) → PNG re-encode → full stats+aHash pass over the
+    * re-decoded thumbnails; the oracle recomputes every resized pixel
+    * from the fixture formula (SUM over the block // 4) and re-derives
+    * the stats and hash from those. */
+  val tImageResize: Q = Q(
+    "t_image_resize",
+    run = (s, dir) =>
+      Images.imageStats(s,
+        Images.resize(s, Images.synthesize(s, Tables.documents(s, dir)), factor = 2)),
+    oracle = Some(s"""
+      WITH ${imageCtes("documents")}
+      rpx AS (SELECT doc_id, x // 2 AS x, y // 2 AS y,
+                     SUM(lum) // 4 AS lum
+              FROM ipx GROUP BY 1, 2, 3),
+      rpd AS (SELECT doc_id, w // 2 AS w, h // 2 AS h FROM ipd),
+      rst AS (SELECT doc_id, SUM(lum) AS sum_lum, MIN(lum) AS min_lum,
+                     MAX(lum) AS max_lum, COUNT(*) AS n_px
+              FROM rpx GROUP BY 1),
+      rbk AS (SELECT p.doc_id, (p.y*8)//d.h AS bi, (p.x*8)//d.w AS bj,
+                     SUM(p.lum) AS bs, COUNT(*) AS area
+              FROM rpx p JOIN rpd d USING (doc_id) GROUP BY 1, 2, 3),
+      rbt AS (SELECT b.doc_id, CAST(b.bi*8 + b.bj AS INT) AS k,
+                     CASE WHEN b.bs * s.n_px > s.sum_lum * b.area
+                          THEN 1 ELSE 0 END AS bit
+              FROM rbk b JOIN rst s USING (doc_id)),
+      rah AS (SELECT doc_id,
+                     CAST(COALESCE(SUM(CASE WHEN k < 63 AND bit = 1
+                            THEN (CAST(1 AS BIGINT) << k) ELSE 0 END), 0) AS BIGINT)
+                     + CASE WHEN COALESCE(MAX(CASE WHEN k = 63 THEN bit END), 0) = 1
+                            THEN CAST(-9223372036854775808 AS BIGINT)
+                            ELSE 0 END AS ahash
+              FROM rbt GROUP BY 1)
+      SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+             'png' AS format, CAST(s.n_px AS BIGINT) AS n_px,
+             CAST(s.sum_lum AS BIGINT) AS sum_lum,
+             CAST(s.min_lum AS INT) AS min_lum, CAST(s.max_lum AS INT) AS max_lum,
+             a.ahash
+      FROM rpd d JOIN rst s USING (doc_id) JOIN rah a USING (doc_id)"""))
+
+  val all: Seq[Q] = Seq(tImageMeta, tImageDedup, tImageDedupKeepers, tImageResize)
 }

@@ -161,6 +161,34 @@ class ImagesSpec extends AnyFunSuite {
     } finally { stats.unpersist(blocking = false); () }
   }
 
+  test("resize(2): block means match a driver reference through two codec round trips") {
+    val resized = Images.resize(spark,
+      Images.synthesize(spark, Tables.documents(spark, dir)), factor = 2)
+    val rows = resized.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(rows.length === 500)
+    for ((id, bytes) <- rows.take(12) ++ rows.takeRight(4)) {
+      val d = Images.decode(bytes)
+      val (w, h, px) = Images.synthPixels(id)
+      assert(d.format === "png" && d.width === w / 2 && d.height === h / 2)
+      val want = for (yo <- 0 until h / 2; xo <- 0 until w / 2) yield
+        (px(2 * yo * w + 2 * xo) + px(2 * yo * w + 2 * xo + 1) +
+          px((2 * yo + 1) * w + 2 * xo) + px((2 * yo + 1) * w + 2 * xo + 1)) / 4
+      assert(d.gray.toSeq === want,
+        s"block means != reference for doc $id")
+    }
+    // non-divisible dims fail LOUD, never a silently-averaged edge block
+    val odd = Images.encodePng(7, 6, Array.fill(42)(5))
+    import spark.implicits._
+    val e = intercept[org.apache.spark.SparkException] {
+      Images.resize(spark, Seq((1L, odd)).toDF("doc_id", "img"), factor = 2).count()
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("not divisible"))))
+    assert(intercept[IllegalArgumentException] {
+      Images.resize(spark, resized, factor = 0)
+    }.getMessage.contains("positive"))
+  }
+
   test("nearDupKeepers == the pair form's drop-doc_b decision, without emitting pairs") {
     val stats = Images.imageStats(spark,
       Images.synthesize(spark, Tables.documents(spark, dir)))
