@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Fingerprints, Images}
+
+/** End-to-end IMAGE-corpus curation — the text-side [[Curate]] idiom
+  * applied to the round-12/13 media arms: every gate is one of the
+  * already-oracle-gated operators, composed into ONE labeled frame
+  * where each image carries the reason it left the pipeline (or
+  * 'kept'), so the entire accounting is one groupBy over one pass —
+  * the 100 TB shape the text pipeline established (six sequential
+  * counts would be six corpus passes).
+  *
+  * Gate chain, in PRECEDENCE order (an image dropped by an earlier
+  * gate is never consulted by a later one):
+  *   1. `undersized`  — n_px < minPixels (thumbnail/icon junk);
+  *   2. `flat`        — max_lum − min_lum < minContrast (blank or
+  *                      near-blank frames);
+  *   3. `brightness`  — mean luminance outside [minMean, maxMean],
+  *                      compared INTEGER-exactly as sum vs bound·n_px
+  *                      (over- and under-exposed capture junk);
+  *   4. `near_dup`    — not the keeper of its ≤-maxHamming aHash
+  *                      neighborhood ([[Fingerprints.nearDupKeepers]]
+  *                      run among the SURVIVORS of gates 1-3, exactly
+  *                      like the text pipeline runs minhash among the
+  *                      exact-dedup survivors — deduping images that
+  *                      are already dropped would waste the band join
+  *                      and could elect a dropped image as keeper);
+  *   5. `kept`.
+  *
+  * All thresholds are integers on the decoded 8-bit luminance scale, so
+  * the DuckDB oracle recomputes every gate AND the precedence from the
+  * fixture's pixel formula in one statement (t_curate_images).
+  *
+  * Input: a (doc_id, img binary) frame. One decode pass total — the
+  * stats table is persisted and feeds every gate plus the keeper join.
+  * Returns the labeled frame (doc_id, drop_reason); callers keep with
+  * `filter(col("drop_reason") === "kept")` and release the decode cache
+  * via [[Curate.releaseCaches]] (the shared registry).
+  */
+object MediaCurate {
+
+  def curateImages(spark: SparkSession, images: DataFrame,
+      minPixels: Long = 128, minContrast: Int = 16,
+      minMean: Int = 120, maxMean: Int = 136,
+      maxHamming: Int = 3): DataFrame = {
+    require(minPixels > 0 && minContrast >= 0 && minMean <= maxMean,
+      s"bad gate thresholds: minPixels=$minPixels minContrast=$minContrast " +
+        s"mean=[$minMean,$maxMean]")
+    Fingerprints.requireLossless(maxHamming)
+    // ONE decode pass; persisted because gates 1-3, the survivor filter
+    // and the final label join all consume it
+    val stats = Dedup.track(
+      Images.imageStats(spark, images)
+        .select(col("doc_id"), col("n_px"), col("sum_lum"), col("min_lum"),
+          col("max_lum"), col("ahash"))
+        .persist())
+    val undersized = col("n_px") < minPixels
+    val flat = (col("max_lum") - col("min_lum")) < minContrast
+    // integer-exact mean bounds: mean < minMean  ⟺  sum < minMean·n_px
+    val brightness = col("sum_lum") < lit(minMean.toLong) * col("n_px") ||
+      col("sum_lum") > lit(maxMean.toLong) * col("n_px")
+    val survivors = stats.filter(!undersized && !flat && !brightness)
+    val keepers = Fingerprints.nearDupKeepers(
+      survivors.select(col("doc_id"), col("ahash")), "ahash", maxHamming)
+      .select(col("doc_id"), col("keep"))
+    stats.join(keepers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(undersized, lit("undersized"))
+          .when(flat, lit("flat"))
+          .when(brightness, lit("brightness"))
+          .when(!col("keep"), lit("near_dup"))
+          .otherwise(lit("kept")).as("drop_reason"))
+  }
+}

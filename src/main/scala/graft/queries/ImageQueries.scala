@@ -164,5 +164,40 @@ object ImageQueries {
              a.ahash
       FROM rpd d JOIN rst s USING (doc_id) JOIN rah a USING (doc_id)"""))
 
-  val all: Seq[Q] = Seq(tImageMeta, tImageDedup, tImageDedupKeepers, tImageResize)
+  /** End-to-end image curation (pipeline/MediaCurate): size, contrast
+    * and brightness gates plus keeper-form near-dup removal composed
+    * into one labeled frame — the oracle recomposes EVERY gate and the
+    * precedence from the pixel formula in one statement (keepers
+    * computed among the survivors of the earlier gates, exactly like
+    * the engine), so a hash match certifies the whole pipeline's
+    * composition, not just each operator alone. */
+  val tCurateImages: Q = Q(
+    "t_curate_images",
+    run = (s, dir) =>
+      graft.pipeline.MediaCurate.curateImages(s,
+        Images.synthesize(s, Tables.documents(s, dir))),
+    oracle = Some(s"""
+      WITH ${imageCtes("documents")}
+      lbl AS (SELECT s.doc_id, a.ahash,
+                     (s.n_px < 128) AS undersized,
+                     (s.max_lum - s.min_lum < 16) AS flat,
+                     (s.sum_lum < 120 * s.n_px OR s.sum_lum > 136 * s.n_px)
+                       AS brightness
+              FROM ist s JOIN iah a USING (doc_id)),
+      surv AS (SELECT doc_id, ahash FROM lbl
+               WHERE NOT undersized AND NOT flat AND NOT brightness),
+      mh AS (SELECT ahash, MIN(doc_id) AS min_doc FROM surv GROUP BY 1),
+      nbm AS (SELECT a.ahash AS ha, MIN(b.min_doc) AS m
+              FROM mh a JOIN mh b ON bit_count(xor(a.ahash, b.ahash)) <= 3
+              GROUP BY 1)
+      SELECT l.doc_id,
+             CASE WHEN l.undersized THEN 'undersized'
+                  WHEN l.flat THEN 'flat'
+                  WHEN l.brightness THEN 'brightness'
+                  WHEN l.doc_id <> n.m THEN 'near_dup'
+                  ELSE 'kept' END AS drop_reason
+      FROM lbl l LEFT JOIN nbm n ON l.ahash = n.ha"""))
+
+  val all: Seq[Q] = Seq(tImageMeta, tImageDedup, tImageDedupKeepers, tImageResize,
+    tCurateImages)
 }

@@ -655,6 +655,83 @@ object StreamingPipelines {
       hashCol = "afp",
       stats = (spark, b) => graft.operators.Audio.audioStats(spark, b))
 
+  /** Incremental IMAGE CURATION — the streaming twin of
+    * pipeline/MediaCurate.curateImages, same labeled-frame contract:
+    * each micro-batch decodes once, applies the stateless gates
+    * (undersized / flat / brightness — per-image predicates, identical
+    * thresholds), and runs the near-dup gate among GATE SURVIVORS
+    * against the (doc_id, ahash) survivor registry plus the in-batch
+    * banded pair join. Only gate SURVIVORS register (matching the
+    * batch rule that keepers are elected among survivors — a
+    * gate-dropped image must never block a future near-dup), and
+    * dropped-by-dedup survivors register too (a later near-dup of a
+    * dropped survivor still drops, the imageDedupSink property).
+    * Writes the FULL labeled frame per batch to `outPath/batch=<id>`
+    * (doc_id, drop_reason) — stream ≡ batch on an id-ordered feed,
+    * pinned in StreamingSpec. Same exactly-once posture as the dedup
+    * sinks (idempotent batch=<id> overwrites, own-batch-excluded
+    * registry reads, periodic compaction). */
+  def imageCurateSink(imgs: DataFrame, registryPath: String, outPath: String,
+      minPixels: Long = 128, minContrast: Int = 16,
+      minMean: Int = 120, maxMean: Int = 136,
+      maxHamming: Int = 3, compactEvery: Int = 16): DataStreamWriter[Row] = {
+    require(minPixels > 0 && minContrast >= 0 && minMean <= maxMean,
+      s"bad gate thresholds: minPixels=$minPixels minContrast=$minContrast " +
+        s"mean=[$minMean,$maxMean]")
+    graft.operators.Fingerprints.requireLossless(maxHamming)
+    imgs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        Registry.maybeCompact(spark, registryPath, Seq(registryPath),
+          upToExclusive = batchId, every = compactEvery)
+        val dedupMark = graft.operators.Dedup.trackMark(spark)
+        val b = batch.toDF().persist()
+        val stats = graft.operators.Images.imageStats(spark, b)
+          .select(col("doc_id"), col("n_px"), col("sum_lum"), col("min_lum"),
+            col("max_lum"), col("ahash")).persist()
+        try {
+          val undersized = col("n_px") < minPixels
+          val flat = (col("max_lum") - col("min_lum")) < minContrast
+          val brightness = col("sum_lum") < lit(minMean.toLong) * col("n_px") ||
+            col("sum_lum") > lit(maxMean.toLong) * col("n_px")
+          val surv = stats.filter(!undersized && !flat && !brightness)
+            .select(col("doc_id"), col("ahash")).persist()
+          try {
+            val inBatch = graft.operators.Fingerprints
+              .nearDupPairs(surv, "ahash", maxHamming)
+              .select(col("doc_b").as("doc_id")).distinct()
+            val v = Registry.view(spark, registryPath, registryPath,
+              excludeId = batchId)
+            val vsRegistry =
+              if (v.isEmpty) surv.select(col("doc_id")).limit(0)
+              else {
+                val reg = spark.read.parquet(v.paths: _*)
+                  .select(col("doc_id"), col("ahash"))
+                graft.operators.Fingerprints
+                  .hammingPairsAcross(surv, reg, "ahash", maxHamming)
+                  .select(col("doc_id")).distinct()
+              }
+            val dupped = inBatch.union(vsRegistry).distinct()
+              .withColumn("__dup", lit(1))
+            stats.join(dupped, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                when(undersized, lit("undersized"))
+                  .when(flat, lit("flat"))
+                  .when(brightness, lit("brightness"))
+                  .when(col("__dup").isNotNull, lit("near_dup"))
+                  .otherwise(lit("kept")).as("drop_reason"))
+              .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+            surv.write.mode("overwrite").parquet(s"$registryPath/batch=$batchId")
+          } finally { surv.unpersist(); () }
+        } finally {
+          stats.unpersist(); b.unpersist()
+          graft.operators.Dedup.releaseSince(spark, dedupMark)
+          ()
+        }
+      }
+  }
+
   /** The shared fingerprint-registry dedup sink behind the image and
     * audio twins — ONE definition of the micro-batch protocol
     * (decode-once, in-batch banded pair join, registry band probe,

@@ -1097,6 +1097,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("incremental image-curation sink == batch MediaCurate labeled frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_imgcurate_reg"
+    val outPath = "/tmp/graft_test_imgcurate_out"
+    for (p <- Seq(regPath, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val imgRows = graft.operators.Images
+      .synthesize(spark, Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamingPipelines
+      .imageCurateSink(stream.toDF().toDF("doc_id", "img"), regPath, outPath)
+      .start()
+    val (h1, h2) = imgRows.splitAt(imgRows.size / 2)
+    stream.addData(h1); q.processAllAvailable()
+    stream.addData(h2); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outPath).select("doc_id", "drop_reason")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = graft.pipeline.MediaCurate.curateImages(spark,
+      graft.operators.Images.synthesize(spark, Tables.documents(spark, dir)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(got.size === imgRows.size, "one label per streamed image")
+    assert(got === want)
+    // the registry path must have been exercised: some near-dup loser
+    // sits in the second half with its keeper in the first
+    val losers = want.filter(_._2 == "near_dup").keySet
+    assert(losers.exists(_ >= imgRows.size / 2),
+      "no cross-batch near-dup losers — registry path untested")
+  }
+
   test("video frame sampling is stream == batch (stateless flatMap on a binary stream)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
