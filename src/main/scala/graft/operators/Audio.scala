@@ -409,6 +409,35 @@ object Audio {
       .toDF("doc_id", "audio")
   }
 
+  /** Fused per-clip profile for the curation pipeline — ONE decode
+    * pass emitting exactly what the gates need (sample count, clipping
+    * count, silence count, fingerprint): [[audioStats]] +
+    * [[audioQuality]] would decode every clip twice. Map-side. */
+  private[graft] def profile(spark: SparkSession, binDf: DataFrame,
+      clipLevel: Int, silenceLevel: Int): DataFrame = {
+    require(clipLevel > 0 && silenceLevel > 0,
+      s"thresholds must be positive, got clip=$clipLevel silence=$silenceLevel")
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("audio")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        init
+        rows.map { case (id, bytes) =>
+          val d = decode(bytes)
+          var clipped = 0L
+          var silent = 0L
+          var i = 0
+          while (i < d.samples.length) {
+            val a = math.abs(d.samples(i).toLong)
+            if (a >= clipLevel) clipped += 1
+            if (a < silenceLevel) silent += 1
+            i += 1
+          }
+          (id, d.samples.length.toLong, clipped, silent, aFinger64(d.samples))
+        }
+      }
+      .toDF("doc_id", "n_samples", "n_clipped", "n_silent", "afp")
+  }
+
   /** Audio near-duplicate pairs — the shared banded hamming join over
     * the 64-bit fingerprint (lossless at hamming ≤ 3; see
     * [[Fingerprints.nearDupPairs]]). Input (doc_id, afp). */

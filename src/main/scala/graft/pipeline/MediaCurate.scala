@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Fingerprints, Images}
+import graft.operators.{Audio, Dedup, Fingerprints, Images}
 
 /** End-to-end IMAGE-corpus curation — the text-side [[Curate]] idiom
   * applied to the round-12/13 media arms: every gate is one of the
@@ -71,6 +71,47 @@ object MediaCurate {
         when(undersized, lit("undersized"))
           .when(flat, lit("flat"))
           .when(brightness, lit("brightness"))
+          .when(!col("keep"), lit("near_dup"))
+          .otherwise(lit("kept")).as("drop_reason"))
+  }
+
+  /** AUDIO-corpus curation — the same labeled-frame contract over a
+    * (doc_id, audio binary) frame, gates in precedence order:
+    *   1. `too_short` — n_samples < minSamples (fragments);
+    *   2. `clipped`   — clipped-sample fraction above 1/maxClipDenom,
+    *                    compared INTEGER-exactly as
+    *                    n_clipped·maxClipDenom > n_samples (hard-clipped
+    *                    recordings);
+    *   3. `silent`    — silent-sample fraction above 1/maxSilenceDenom,
+    *                    same integer form (dead air);
+    *   4. `near_dup`  — not the keeper of its fingerprint neighborhood
+    *                    (elected among gate survivors);
+    *   5. `kept`.
+    * ONE decode pass ([[Audio.profile]] — stats+quality fused); the
+    * DuckDB oracle recomposes every gate and the precedence from the
+    * sample formula (t_curate_audio). */
+  def curateAudio(spark: SparkSession, clips: DataFrame,
+      minSamples: Long = 512, clipLevel: Int = 32700, maxClipDenom: Long = 256,
+      silenceLevel: Int = 256, maxSilenceDenom: Long = 64,
+      maxHamming: Int = 3): DataFrame = {
+    require(minSamples > 0 && maxClipDenom > 0 && maxSilenceDenom > 0,
+      s"bad gate thresholds: minSamples=$minSamples clipDenom=$maxClipDenom " +
+        s"silenceDenom=$maxSilenceDenom")
+    Fingerprints.requireLossless(maxHamming)
+    val prof = Dedup.track(
+      Audio.profile(spark, clips, clipLevel, silenceLevel).persist())
+    val tooShort = col("n_samples") < minSamples
+    val clipped = col("n_clipped") * maxClipDenom > col("n_samples")
+    val silent = col("n_silent") * maxSilenceDenom > col("n_samples")
+    val survivors = prof.filter(!tooShort && !clipped && !silent)
+    val keepers = Fingerprints.nearDupKeepers(
+      survivors.select(col("doc_id"), col("afp")), "afp", maxHamming)
+      .select(col("doc_id"), col("keep"))
+    prof.join(keepers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(tooShort, lit("too_short"))
+          .when(clipped, lit("clipped"))
+          .when(silent, lit("silent"))
           .when(!col("keep"), lit("near_dup"))
           .otherwise(lit("kept")).as("drop_reason"))
   }

@@ -247,6 +247,41 @@ object AudioQueries {
       FROM apd d JOIN rst t USING (doc_id) JOIN rzc z USING (doc_id)
            JOIN rfh f USING (doc_id)"""))
 
+  /** End-to-end audio curation (pipeline/MediaCurate.curateAudio):
+    * length, clipping and silence gates plus keeper-form near-dup
+    * removal among gate survivors in one labeled frame — the oracle
+    * recomposes every gate and the precedence from the sample formula
+    * in one statement, certifying the pipeline's COMPOSITION. */
+  val tCurateAudio: Q = Q(
+    "t_curate_audio",
+    run = (s, dir) =>
+      graft.pipeline.MediaCurate.curateAudio(s,
+        Audio.synthesize(s, Tables.documents(s, dir))),
+    oracle = Some(s"""
+      WITH ${audioCtes("documents")}
+      prof AS (SELECT doc_id, COUNT(*) AS n,
+                      SUM(CASE WHEN abs(s) >= 32700 THEN 1 ELSE 0 END) AS clip,
+                      SUM(CASE WHEN abs(s) < 256 THEN 1 ELSE 0 END) AS sil
+               FROM asx GROUP BY 1),
+      lbl AS (SELECT p.doc_id, f.afp,
+                     (p.n < 512) AS too_short,
+                     (p.clip * 256 > p.n) AS clipped,
+                     (p.sil * 64 > p.n) AS silent
+              FROM prof p JOIN afh f USING (doc_id)),
+      surv AS (SELECT doc_id, afp FROM lbl
+               WHERE NOT too_short AND NOT clipped AND NOT silent),
+      mh AS (SELECT afp, MIN(doc_id) AS min_doc FROM surv GROUP BY 1),
+      nbm AS (SELECT a.afp AS ha, MIN(b.min_doc) AS m
+              FROM mh a JOIN mh b ON bit_count(xor(a.afp, b.afp)) <= 3
+              GROUP BY 1)
+      SELECT l.doc_id,
+             CASE WHEN l.too_short THEN 'too_short'
+                  WHEN l.clipped THEN 'clipped'
+                  WHEN l.silent THEN 'silent'
+                  WHEN l.doc_id <> n.m THEN 'near_dup'
+                  ELSE 'kept' END AS drop_reason
+      FROM lbl l LEFT JOIN nbm n ON l.afp = n.ha"""))
+
   val all: Seq[Q] = Seq(tAudioHeader, tAudioMeta, tAudioDedup, tAudioDedupKeepers,
-    tAudioQuality, tAudioResample)
+    tAudioQuality, tAudioResample, tCurateAudio)
 }

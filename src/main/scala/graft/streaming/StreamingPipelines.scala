@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 
@@ -678,8 +678,55 @@ object StreamingPipelines {
     require(minPixels > 0 && minContrast >= 0 && minMean <= maxMean,
       s"bad gate thresholds: minPixels=$minPixels minContrast=$minContrast " +
         s"mean=[$minMean,$maxMean]")
+    mediaCurateSink(imgs, registryPath, outPath, maxHamming, compactEvery,
+      hashCol = "ahash",
+      profile = (spark, b) => graft.operators.Images.imageStats(spark, b)
+        .select(col("doc_id"), col("n_px"), col("sum_lum"), col("min_lum"),
+          col("max_lum"), col("ahash")),
+      gates = Seq(
+        "undersized" -> (col("n_px") < minPixels),
+        "flat" -> ((col("max_lum") - col("min_lum")) < minContrast),
+        "brightness" -> (col("sum_lum") < lit(minMean.toLong) * col("n_px") ||
+          col("sum_lum") > lit(maxMean.toLong) * col("n_px"))))
+  }
+
+  /** Incremental AUDIO CURATION — the streaming twin of
+    * MediaCurate.curateAudio, same labeled-frame contract and the same
+    * survivor-only registry protocol as [[imageCurateSink]] (shared
+    * [[mediaCurateSink]]). */
+  def audioCurateSink(clips: DataFrame, registryPath: String, outPath: String,
+      minSamples: Long = 512, clipLevel: Int = 32700, maxClipDenom: Long = 256,
+      silenceLevel: Int = 256, maxSilenceDenom: Long = 64,
+      maxHamming: Int = 3, compactEvery: Int = 16): DataStreamWriter[Row] = {
+    require(minSamples > 0 && maxClipDenom > 0 && maxSilenceDenom > 0,
+      s"bad gate thresholds: minSamples=$minSamples clipDenom=$maxClipDenom " +
+        s"silenceDenom=$maxSilenceDenom")
+    mediaCurateSink(clips, registryPath, outPath, maxHamming, compactEvery,
+      hashCol = "afp",
+      profile = (spark, b) =>
+        graft.operators.Audio.profile(spark, b, clipLevel, silenceLevel),
+      gates = Seq(
+        "too_short" -> (col("n_samples") < minSamples),
+        "clipped" -> (col("n_clipped") * maxClipDenom > col("n_samples")),
+        "silent" -> (col("n_silent") * maxSilenceDenom > col("n_samples"))))
+  }
+
+  /** The shared gated-curation sink behind the image and audio
+    * curation twins: per micro-batch — ONE decode (`profile`),
+    * stateless gate labels in precedence order, near-dup among gate
+    * SURVIVORS against the survivor-only fingerprint registry plus the
+    * in-batch banded pair join (a gate-dropped item never blocks a
+    * future near-dup — the batch rule that keepers are elected among
+    * survivors), full labeled frame written per batch, survivors
+    * registered (drops-by-dedup included, so a later near-dup of a
+    * dropped survivor still drops). Same exactly-once posture as the
+    * dedup sinks. */
+  private def mediaCurateSink(media: DataFrame, registryPath: String,
+      outPath: String, maxHamming: Int, compactEvery: Int, hashCol: String,
+      profile: (SparkSession, DataFrame) => DataFrame,
+      gates: Seq[(String, Column)]): DataStreamWriter[Row] = {
     graft.operators.Fingerprints.requireLossless(maxHamming)
-    imgs.writeStream
+    media.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -687,19 +734,14 @@ object StreamingPipelines {
           upToExclusive = batchId, every = compactEvery)
         val dedupMark = graft.operators.Dedup.trackMark(spark)
         val b = batch.toDF().persist()
-        val stats = graft.operators.Images.imageStats(spark, b)
-          .select(col("doc_id"), col("n_px"), col("sum_lum"), col("min_lum"),
-            col("max_lum"), col("ahash")).persist()
+        val prof = profile(spark, b).persist()
         try {
-          val undersized = col("n_px") < minPixels
-          val flat = (col("max_lum") - col("min_lum")) < minContrast
-          val brightness = col("sum_lum") < lit(minMean.toLong) * col("n_px") ||
-            col("sum_lum") > lit(maxMean.toLong) * col("n_px")
-          val surv = stats.filter(!undersized && !flat && !brightness)
-            .select(col("doc_id"), col("ahash")).persist()
+          val anyGate = gates.map(_._2).reduce(_ || _)
+          val surv = prof.filter(!anyGate)
+            .select(col("doc_id"), col(hashCol)).persist()
           try {
             val inBatch = graft.operators.Fingerprints
-              .nearDupPairs(surv, "ahash", maxHamming)
+              .nearDupPairs(surv, hashCol, maxHamming)
               .select(col("doc_b").as("doc_id")).distinct()
             val v = Registry.view(spark, registryPath, registryPath,
               excludeId = batchId)
@@ -707,25 +749,26 @@ object StreamingPipelines {
               if (v.isEmpty) surv.select(col("doc_id")).limit(0)
               else {
                 val reg = spark.read.parquet(v.paths: _*)
-                  .select(col("doc_id"), col("ahash"))
+                  .select(col("doc_id"), col(hashCol))
                 graft.operators.Fingerprints
-                  .hammingPairsAcross(surv, reg, "ahash", maxHamming)
+                  .hammingPairsAcross(surv, reg, hashCol, maxHamming)
                   .select(col("doc_id")).distinct()
               }
             val dupped = inBatch.union(vsRegistry).distinct()
               .withColumn("__dup", lit(1))
-            stats.join(dupped, Seq("doc_id"), "left")
-              .select(col("doc_id"),
-                when(undersized, lit("undersized"))
-                  .when(flat, lit("flat"))
-                  .when(brightness, lit("brightness"))
-                  .when(col("__dup").isNotNull, lit("near_dup"))
-                  .otherwise(lit("kept")).as("drop_reason"))
+            val label = gates.foldLeft(
+                when(lit(false), lit(""))) { case (acc, (name, pred)) =>
+              acc.when(pred, lit(name))
+            }
+              .when(col("__dup").isNotNull, lit("near_dup"))
+              .otherwise(lit("kept"))
+            prof.join(dupped, Seq("doc_id"), "left")
+              .select(col("doc_id"), label.as("drop_reason"))
               .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
             surv.write.mode("overwrite").parquet(s"$registryPath/batch=$batchId")
           } finally { surv.unpersist(); () }
         } finally {
-          stats.unpersist(); b.unpersist()
+          prof.unpersist(); b.unpersist()
           graft.operators.Dedup.releaseSince(spark, dedupMark)
           ()
         }

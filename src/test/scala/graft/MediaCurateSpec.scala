@@ -66,6 +66,52 @@ class MediaCurateSpec extends AnyFunSuite {
       s"constant images must all label flat, got $labeled")
   }
 
+  test("audio labeled frame: every clip accounted, live gates, precedence matches a reference") {
+    val labeled = MediaCurate.curateAudio(spark,
+      graft.operators.Audio.synthesize(spark, Tables.documents(spark, dir)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(labeled.size === 500)
+    val byReason = labeled.values.groupBy(identity).view.mapValues(_.size).toMap
+    // liveness measured before thresholds were frozen: 63 too_short,
+    // 35 clipped at 500 docs; the uniform fixture has no silent clips
+    assert(byReason.getOrElse("too_short", 0) > 0)
+    assert(byReason.getOrElse("clipped", 0) > 0)
+    assert(byReason.getOrElse("near_dup", 0) > 0)
+    assert(byReason.getOrElse("kept", 0) > 0)
+    assert(byReason.getOrElse("silent", 0) === 0)
+    for ((id, reason) <- labeled) {
+      val s = graft.operators.Audio.synthSamples(id)._2
+      val n = s.length.toLong
+      val clip = s.count(v => math.abs(v.toLong) >= 32700).toLong
+      val sil = s.count(v => math.abs(v.toLong) < 256).toLong
+      val expectedEarly =
+        if (n < 512) Some("too_short")
+        else if (clip * 256 > n) Some("clipped")
+        else if (sil * 64 > n) Some("silent")
+        else None
+      expectedEarly.foreach(e => assert(reason === e,
+        s"doc $id: expected gate $e, got $reason"))
+      if (expectedEarly.isEmpty)
+        assert(reason === "near_dup" || reason === "kept")
+    }
+  }
+
+  test("silent gate fires on a crafted dead-air corpus") {
+    import spark.implicits._
+    val silentClips = (0L until 6L).map { id =>
+      // all samples well under the silence level, length over minSamples
+      (id, graft.operators.Audio.encode(8000, Array.fill(600)(3),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE))
+    }
+    val labeled = MediaCurate.curateAudio(spark,
+        silentClips.toDF("doc_id", "audio"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(labeled.size === 6 && labeled.values.forall(_ == "silent"),
+      s"dead-air clips must all label silent, got $labeled")
+  }
+
   test("bad thresholds and lossy hamming caps are refused") {
     val imgs = Images.synthesize(spark, Tables.documents(spark, dir))
     assert(intercept[IllegalArgumentException] {
@@ -76,6 +122,14 @@ class MediaCurateSpec extends AnyFunSuite {
     }.getMessage.contains("bad gate thresholds"))
     assert(intercept[IllegalArgumentException] {
       MediaCurate.curateImages(spark, imgs, maxHamming = 4)
+    }.getMessage.contains("recall-lossless"))
+    val clips = graft.operators.Audio.synthesize(spark,
+      Tables.documents(spark, dir))
+    assert(intercept[IllegalArgumentException] {
+      MediaCurate.curateAudio(spark, clips, minSamples = 0)
+    }.getMessage.contains("bad gate thresholds"))
+    assert(intercept[IllegalArgumentException] {
+      MediaCurate.curateAudio(spark, clips, maxHamming = 5)
     }.getMessage.contains("recall-lossless"))
   }
 }

@@ -1131,6 +1131,37 @@ class StreamingSpec extends AnyFunSuite {
       "no cross-batch near-dup losers — registry path untested")
   }
 
+  test("incremental audio-curation sink == batch MediaCurate labeled frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_audcurate_reg"
+    val outPath = "/tmp/graft_test_audcurate_out"
+    for (p <- Seq(regPath, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val clipRows = graft.operators.Audio
+      .synthesize(spark, Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamingPipelines
+      .audioCurateSink(stream.toDF().toDF("doc_id", "audio"), regPath, outPath)
+      .start()
+    val (h1, h2) = clipRows.splitAt(clipRows.size / 2)
+    stream.addData(h1); q.processAllAvailable()
+    stream.addData(h2); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outPath).select("doc_id", "drop_reason")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = graft.pipeline.MediaCurate.curateAudio(spark,
+      graft.operators.Audio.synthesize(spark, Tables.documents(spark, dir)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(got.size === clipRows.size && got === want)
+    val losers = want.filter(_._2 == "near_dup").keySet
+    assert(losers.exists(_ >= clipRows.size / 2),
+      "no cross-batch near-dup losers — registry path untested")
+  }
+
   test("video frame sampling is stream == batch (stateless flatMap on a binary stream)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
