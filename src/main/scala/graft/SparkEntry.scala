@@ -11,7 +11,7 @@ object SparkEntry {
     WarehouseQueries.all ++ ReferenceQueries.all ++ DwdQueries.all ++
       DwsQueries.all ++ PipelineQueries.all ++ CdcQueries.all ++ SqlQueries.all ++
       RelationalQueries.all ++ SearchQueries.all ++ ImageQueries.all ++
-      AudioQueries.all ++ VideoQueries.all
+      AudioQueries.all ++ VideoQueries.all ++ MediaQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -115,4 +115,32 @@ object MediaCurate {
           .when(!col("keep"), lit("near_dup"))
           .otherwise(lit("kept")).as("drop_reason"))
   }
+
+  /** CROSS-MODAL curation: a document survives a multimodal training
+    * corpus only if EVERY modality keeps it. Joins the per-modality
+    * labeled frames (each produced by its own gate chain + keeper
+    * dedup) and composes one final verdict with modality-qualified
+    * reasons — image gates take precedence over audio gates, matching
+    * the per-modality precedence idiom (the FIRST firing gate names
+    * the drop). Output one row per doc:
+    * (doc_id, image_reason, audio_reason, drop_reason). Contract: one
+    * media row per doc_id in both inputs (a corpus with missing
+    * modalities filters/fills first — an inner join would silently
+    * drop those docs from the accounting, so mismatched id sets fail
+    * the one-label-per-doc expectation loudly in the catalog entry's
+    * row count instead). */
+  def curateMedia(spark: SparkSession, images: DataFrame,
+      clips: DataFrame): DataFrame = {
+    val img = curateImages(spark, images)
+      .select(col("doc_id"), col("drop_reason").as("image_reason"))
+    val aud = curateAudio(spark, clips)
+      .select(col("doc_id"), col("drop_reason").as("audio_reason"))
+    img.join(aud, Seq("doc_id"))
+      .select(col("doc_id"), col("image_reason"), col("audio_reason"),
+        when(col("image_reason") =!= "kept",
+            concat(lit("image:"), col("image_reason")))
+          .when(col("audio_reason") =!= "kept",
+            concat(lit("audio:"), col("audio_reason")))
+          .otherwise(lit("kept")).as("drop_reason"))
+  }
 }

@@ -27,7 +27,7 @@ object AudioQueries {
     * signed 64-bit fingerprint (bit 63 assembled as −2^63 — two's
     * complement matches the engine's Long). Prefix-style (trailing
     * comma). */
-  private def audioCtes(docsRel: String): String = s"""
+  private[queries] def audioCtes(docsRel: String): String = s"""
       ap0 AS (SELECT doc_id, CAST(doc_id % 200 AS BIGINT) AS g,
                      CAST(doc_id // 200 AS BIGINT) AS v FROM $docsRel),
       apd AS (SELECT doc_id, g, v,

@@ -26,7 +26,7 @@ object ImageQueries {
     * 8×8 block sums → threshold bits → the signed 64-bit hash (bit 63
     * assembled as −2^63 — two's complement matches the engine's Long).
     * Prefix-style (trailing comma). */
-  private def imageCtes(docsRel: String): String = s"""
+  private[queries] def imageCtes(docsRel: String): String = s"""
       ip0 AS (SELECT doc_id, CAST(doc_id % 200 AS BIGINT) AS g,
                      CAST(doc_id // 200 AS BIGINT) AS v FROM $docsRel),
       ipd AS (SELECT doc_id, g, v,

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.operators.{Audio, Images}
+import graft.tables.Tables
+
+/** Cross-modal catalog entries: compositions that span more than one
+  * media arm. */
+object MediaQueries {
+
+  /** Cross-modal curation (pipeline/MediaCurate.curateMedia): a
+    * document survives a multimodal corpus only if EVERY modality
+    * keeps it. The engine runs BOTH full per-modality pipelines (each
+    * with its own gate chain + keeper dedup among survivors) and joins
+    * the verdicts; the oracle recomposes BOTH pipelines — the image
+    * CTE chain AND the audio CTE chain, gates, precedence, and both
+    * survivor-keeper elections — in ONE DuckDB statement, so the hash
+    * match certifies the cross-modal composition end to end. */
+  val tCurateMedia: Q = Q(
+    "t_curate_media",
+    run = (s, dir) =>
+      graft.pipeline.MediaCurate.curateMedia(s,
+        Images.synthesize(s, Tables.documents(s, dir)),
+        Audio.synthesize(s, Tables.documents(s, dir))),
+    oracle = Some(s"""
+      WITH ${ImageQueries.imageCtes("documents")}
+      ${AudioQueries.audioCtes("documents").stripPrefix("\n")}
+      ilbl AS (SELECT s.doc_id, a.ahash,
+                      (s.n_px < 128) AS undersized,
+                      (s.max_lum - s.min_lum < 16) AS flat,
+                      (s.sum_lum < 120 * s.n_px OR s.sum_lum > 136 * s.n_px)
+                        AS brightness
+               FROM ist s JOIN iah a USING (doc_id)),
+      isurv AS (SELECT doc_id, ahash FROM ilbl
+                WHERE NOT undersized AND NOT flat AND NOT brightness),
+      imh AS (SELECT ahash, MIN(doc_id) AS min_doc FROM isurv GROUP BY 1),
+      inbm AS (SELECT a.ahash AS ha, MIN(b.min_doc) AS m
+               FROM imh a JOIN imh b ON bit_count(xor(a.ahash, b.ahash)) <= 3
+               GROUP BY 1),
+      ireason AS (SELECT l.doc_id,
+                         CASE WHEN l.undersized THEN 'undersized'
+                              WHEN l.flat THEN 'flat'
+                              WHEN l.brightness THEN 'brightness'
+                              WHEN l.doc_id <> n.m THEN 'near_dup'
+                              ELSE 'kept' END AS image_reason
+                  FROM ilbl l LEFT JOIN inbm n ON l.ahash = n.ha),
+      aprof AS (SELECT doc_id, COUNT(*) AS n,
+                       SUM(CASE WHEN abs(s) >= 32700 THEN 1 ELSE 0 END) AS clip,
+                       SUM(CASE WHEN abs(s) < 256 THEN 1 ELSE 0 END) AS sil
+                FROM asx GROUP BY 1),
+      albl AS (SELECT p.doc_id, f.afp,
+                      (p.n < 512) AS too_short,
+                      (p.clip * 256 > p.n) AS clipped,
+                      (p.sil * 64 > p.n) AS silent
+               FROM aprof p JOIN afh f USING (doc_id)),
+      asurv AS (SELECT doc_id, afp FROM albl
+                WHERE NOT too_short AND NOT clipped AND NOT silent),
+      amh AS (SELECT afp, MIN(doc_id) AS min_doc FROM asurv GROUP BY 1),
+      anbm AS (SELECT a.afp AS ha, MIN(b.min_doc) AS m
+               FROM amh a JOIN amh b ON bit_count(xor(a.afp, b.afp)) <= 3
+               GROUP BY 1),
+      areason AS (SELECT l.doc_id,
+                         CASE WHEN l.too_short THEN 'too_short'
+                              WHEN l.clipped THEN 'clipped'
+                              WHEN l.silent THEN 'silent'
+                              WHEN l.doc_id <> n.m THEN 'near_dup'
+                              ELSE 'kept' END AS audio_reason
+                  FROM albl l LEFT JOIN anbm n ON l.afp = n.ha)
+      SELECT i.doc_id, i.image_reason, a.audio_reason,
+             CASE WHEN i.image_reason <> 'kept'
+                    THEN 'image:' || i.image_reason
+                  WHEN a.audio_reason <> 'kept'
+                    THEN 'audio:' || a.audio_reason
+                  ELSE 'kept' END AS drop_reason
+      FROM ireason i JOIN areason a USING (doc_id)"""))
+
+  val all: Seq[Q] = Seq(tCurateMedia)
+}

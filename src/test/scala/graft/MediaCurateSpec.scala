@@ -112,6 +112,36 @@ class MediaCurateSpec extends AnyFunSuite {
       s"dead-air clips must all label silent, got $labeled")
   }
 
+  test("curateMedia == join of the per-modality verdicts, image precedence first") {
+    val docs = Tables.documents(spark, dir)
+    val media = MediaCurate.curateMedia(spark,
+      Images.synthesize(spark, docs),
+      graft.operators.Audio.synthesize(spark, docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    val img = MediaCurate.curateImages(spark, Images.synthesize(spark, docs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val aud = MediaCurate.curateAudio(spark,
+      graft.operators.Audio.synthesize(spark, docs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(media.size === 500)
+    for ((id, (ir, ar, verdict)) <- media) {
+      assert(ir === img(id) && ar === aud(id),
+        s"doc $id: per-modality reasons drifted from the standalone pipelines")
+      val want =
+        if (ir != "kept") s"image:$ir"
+        else if (ar != "kept") s"audio:$ar"
+        else "kept"
+      assert(verdict === want, s"doc $id: verdict $verdict != $want")
+    }
+    // live cross-modal signal: docs dropped by image only, audio only,
+    // and kept by both must all exist
+    val verdicts = media.values.map(_._3).toSet
+    assert(verdicts.exists(_.startsWith("image:")) &&
+      verdicts.exists(_.startsWith("audio:")) && verdicts.contains("kept"))
+  }
+
   test("bad thresholds and lossy hamming caps are refused") {
     val imgs = Images.synthesize(spark, Tables.documents(spark, dir))
     assert(intercept[IllegalArgumentException] {
