@@ -365,6 +365,40 @@ object Video {
       .toDF("doc_id", "frame_idx", "width", "height", "n_px", "sum_lum")
   }
 
+  /** Keyframe perceptual hashes — the industry-standard cheap video
+    * near-dup key: decode ONLY frame 0 of each video (one JPEG per
+    * video regardless of length) and hash it with the image arm's
+    * aHash64. Output (doc_id, khash) — feed the shared
+    * [[Fingerprints]] machinery. NOTE on matching radius: JPEG decode
+    * is deterministic, so byte-identical videos always produce EQUAL
+    * hashes and hamming 0 is exact-duplicate detection with no codec
+    * caveat; hamming > 0 additionally catches re-encoded/perturbed
+    * keyframes but its distance structure inherits JPEG quantization
+    * noise (engine-consistent, not formula-predictable — the catalog
+    * entry therefore gates the hamming-0 form). */
+  def keyframeHashes(spark: SparkSession, binDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("video")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        init
+        rows.map { case (id, bytes) =>
+          val m = parseMeta(bytes)
+          require(m.totalFrames > 0, s"doc $id: zero-frame video")
+          val gray = decodeFrame(bytes, m, 0)
+          (id, Images.aHash64(gray, m.width, m.height))
+        }
+      }
+      .toDF("doc_id", "khash")
+  }
+
+  /** Keeper selection over keyframe hashes (see [[keyframeHashes]]):
+    * one row per video, keep ⟺ this doc is the min doc_id of its
+    * ≤-maxHamming keyframe neighborhood. Default maxHamming = 0 —
+    * exact keyframe duplicates, codec-caveat-free. */
+  def nearDupKeepers(spark: SparkSession, binDf: DataFrame,
+      maxHamming: Int = 0): DataFrame =
+    Fingerprints.nearDupKeepers(keyframeHashes(spark, binDf), "khash", maxHamming)
+
   /** Frame sampling that decodes ONLY the sampled frames: every
     * `stride`-th frame per video (frame 0 always included), stamped
     * with its exact presentation time in µs (frame_idx · usPerFrame).

@@ -119,5 +119,28 @@ object VideoQueries {
              CAST(w AS INT) AS width, CAST(h AS INT) AS height, TRUE AS ok
       FROM vfr"""))
 
-  val all: Seq[Q] = Seq(tVideoMeta, tVideoFrames, tVideoSample)
+  /** Video near-dup removal via keyframe perceptual hashing (decode
+    * ONLY frame 0 per video, aHash it, elect keepers through the
+    * shared Fingerprints machinery at hamming 0 — exact keyframe
+    * duplicates). The fixture's frame formula depends on the group
+    * alone, so same-group videos are byte-identical and their decoded
+    * keyframes hash EQUAL deterministically (JPEG decode is
+    * deterministic); the oracle predicts the keeper set structurally —
+    * keep ⟺ doc_id is its group's minimum, i.e. doc_id = doc_id % 200
+    * on the contiguous-id corpus — so a hash match certifies
+    * cross-partition byte determinism of the whole synthesize → parse →
+    * JPEG-decode → hash chain PLUS the keeper election (and would fail
+    * loudly on any cross-group 64-bit hash collision). The hash VALUE
+    * itself is JPEG-decoder-dependent and deliberately projected away. */
+  val tVideoDedupKeyframe: Q = Q(
+    "t_video_dedup_keyframe",
+    run = (s, dir) =>
+      Video.nearDupKeepers(s,
+        Video.synthesize(s, Tables.documents(s, dir)), maxHamming = 0)
+        .select(col("doc_id"), col("keep")),
+    oracle = Some("""
+      SELECT doc_id, (doc_id = doc_id % 200) AS keep FROM documents"""))
+
+  val all: Seq[Q] = Seq(tVideoMeta, tVideoFrames, tVideoSample,
+    tVideoDedupKeyframe)
 }

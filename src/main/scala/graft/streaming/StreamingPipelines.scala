@@ -775,6 +775,16 @@ object StreamingPipelines {
       }
   }
 
+  /** Incremental VIDEO near-dup removal — keyframe perceptual hashes
+    * (decode ONLY frame 0 per video) through the same shared
+    * fingerprint-registry protocol; default hamming 0 = exact keyframe
+    * duplicates, codec-caveat-free (see Video.keyframeHashes). */
+  def videoDedupSink(vids: DataFrame, registryPath: String, outPath: String,
+      maxHamming: Int = 0, compactEvery: Int = 16): DataStreamWriter[Row] =
+    fingerprintDedupSink(vids, registryPath, outPath, maxHamming, compactEvery,
+      hashCol = "khash",
+      stats = (spark, b) => graft.operators.Video.keyframeHashes(spark, b))
+
   /** The shared fingerprint-registry dedup sink behind the image and
     * audio twins — ONE definition of the micro-batch protocol
     * (decode-once, in-batch banded pair join, registry band probe,

@@ -1162,6 +1162,40 @@ class StreamingSpec extends AnyFunSuite {
       "no cross-batch near-dup losers — registry path untested")
   }
 
+  test("incremental video-dedup sink == batch keyframe keeper formulation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_viddedup_reg"
+    val outPath = "/tmp/graft_test_viddedup_out"
+    for (p <- Seq(regPath, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val vidRows = graft.operators.Video
+      .synthesize(spark, Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamingPipelines
+      .videoDedupSink(stream.toDF().toDF("doc_id", "video"), regPath, outPath)
+      .start()
+    val (h1, h2) = vidRows.splitAt(vidRows.size / 2)
+    stream.addData(h1); q.processAllAvailable()
+    stream.addData(h2); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outPath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch formulation: keyframe keepers at hamming 0
+    val want = graft.operators.Video.nearDupKeepers(spark,
+      graft.operators.Video.synthesize(spark, Tables.documents(spark, dir)))
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    graft.operators.Dedup.releaseCaches(spark)
+    assert(want.nonEmpty && got === want)
+    // every doc >= 250 is a cross-batch exact keyframe dup of an
+    // earlier-registered group base — the registry path is exercised
+    assert(vidRows.map(_._1).filter(_ >= vidRows.size / 2)
+      .forall(id => !got.contains(id)))
+  }
+
   test("video frame sampling is stream == batch (stateless flatMap on a binary stream)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -120,6 +120,31 @@ class VideoSpec extends AnyFunSuite {
     assert(rows.values.map(v => (v._1, v._2)).toSet.size > 4)
   }
 
+  test("keyframe hashes: equal within byte-identical groups, keepers = group minima") {
+    val vids = Video.synthesize(spark, Tables.documents(spark, dir)).persist()
+    try {
+      val hashes = Video.keyframeHashes(spark, vids)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(hashes.length === 500)
+      // same-group videos are byte-identical -> equal keyframe hashes;
+      // and the fixture's 200 patterns hash distinctly (a collision
+      // would also break the catalog oracle)
+      val byGroup = hashes.groupBy(_._1 % 200).view.mapValues(_.map(_._2).toSet)
+      byGroup.foreach { case (g, hs) =>
+        assert(hs.size === 1, s"group $g keyframe hashes diverged: $hs")
+      }
+      assert(byGroup.values.map(_.head).toSet.size === 200,
+        "cross-group keyframe hash collision")
+      val keepers = Video.nearDupKeepers(spark, vids)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      graft.pipeline.Curate.releaseCaches(spark)
+      assert(keepers.size === 500)
+      keepers.foreach { case (id, keep) =>
+        assert(keep === (id == id % 200), s"doc $id keeper decision wrong")
+      }
+    } finally { vids.unpersist(blocking = false); () }
+  }
+
   test("sampleFrames decodes only sampled indices, with exact pts") {
     val vids = Video.synthesize(spark, Tables.documents(spark, dir)).persist()
     try {
