@@ -116,4 +116,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(3) <= k))
     graft.operators.Dedup.releaseCaches(spark0)
   }
+
+  test("media metadata passes are exchange-free; media dedup never goes cartesian") {
+    // the 100 TB shape of the modality arms: decode/stats/resample
+    // chains are pure map-side work (round-13 audits in PLANS.md) —
+    // a refactor that adds a corpus shuffle fails here first
+    for (name <- Seq("t_audio_meta", "t_audio_header", "t_audio_resample",
+        "t_image_meta", "t_video_meta")) {
+      assert(shuffles(name) === 0,
+        s"$name grew a shuffle:\n${plan(name)}")
+    }
+    // fingerprint dedup entries: band-keyed equi-joins only — never a
+    // cartesian or broadcast nested loop over the corpus
+    for (name <- Seq("t_image_dedup", "t_image_dedup_keepers",
+        "t_audio_dedup", "t_audio_dedup_keepers", "t_video_dedup_keyframe")) {
+      val q = SparkEntry.queries(name)(spark, dir)
+      val p = q.queryExecution.sparkPlan
+      assert(p.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"$name degenerated to a cartesian:\n$p")
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty, s"$name degenerated to a nested loop:\n$p")
+      graft.pipeline.Curate.releaseCaches(spark)
+      ()
+    }
+  }
 }
