@@ -323,12 +323,15 @@ object Images {
           val wo = d.width / factor
           val ho = d.height / factor
           val out = new Array[Int](wo * ho)
-          val area = factor * factor
+          // block sum accumulates in a Long: 255 * factor² overflows Int
+          // from factor ≈ 2900 up, and a silently wrapped mean is the
+          // silent-wrong class this repo refuses
+          val area = factor.toLong * factor
           var yo = 0
           while (yo < ho) {
             var xo = 0
             while (xo < wo) {
-              var sum = 0
+              var sum = 0L
               var dy = 0
               while (dy < factor) {
                 var dx = 0
@@ -336,7 +339,7 @@ object Images {
                 while (dx < factor) { sum += d.gray(base + dx); dx += 1 }
                 dy += 1
               }
-              out(yo * wo + xo) = sum / area
+              out(yo * wo + xo) = (sum / area).toInt
               xo += 1
             }
             yo += 1

@@ -32,8 +32,10 @@ import org.apache.spark.sql.functions._
   * and fails LOUD on any disagreement, so a hash match certifies the
   * full chain's mutual consistency plus the JPEG decode tolerance
   * bound (JPEG is lossy; pixel stats ride the self-validating `ok`
-  * bound, the a5_approx_uv pattern, with the frame MEAN preserved to
-  * well under the ±8 gate by JPEG's DC coefficient).
+  * bound, the a5_approx_uv pattern — the frame MEAN is carried by
+  * JPEG's DC coefficient, measured max deviation 0.504 gray levels
+  * across 3 SFs, gated at < 1). The [[synthesizeRaw]] 'DIB ' arm has
+  * NO codec at all (raw BI_RGB frames) and its stats are hash-exact.
   *
   * Scale: synthesis/decode are map-side per video (one row in, one
   * video's frames out — [[frameTable]] is a flatMap); no shuffle
@@ -135,14 +137,54 @@ object Video {
     * chunks, 2-byte chunk alignment). usPerFrame = 1,000,000 / fps
     * (integer division — the oracle reproduces it). */
   private[graft] def encodeAvi(w: Int, h: Int, fps: Int,
-      frames: Seq[Array[Byte]]): Array[Byte] = {
+      frames: Seq[Array[Byte]]): Array[Byte] =
+    assembleAvi(w, h, fps, "MJPG", mjpgCompression = true,
+      frames, chunkId = "00dc")
+
+  /** Row stride of a 24-bit DIB scanline: 3 bytes per pixel, each row
+    * padded to a 4-byte boundary (the BMP/DIB convention). */
+  private[graft] def dibStride(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+  /** Assemble an UNCOMPRESSED (BI_RGB 'DIB ') AVI from raw grayscale
+    * frames: each '00db' chunk is the standard bottom-up 24-bit BGR
+    * bitmap (rows padded to 4 bytes). No codec anywhere in this arm —
+    * decode is exact byte reading, so frame stats are formula-exact
+    * and the catalog entry hash-gates them (unlike the lossy MJPEG
+    * arm, whose stats ride the measured-tolerance bound). */
+  private[graft] def encodeAviRaw(w: Int, h: Int, fps: Int,
+      frames: Seq[Array[Int]]): Array[Byte] = {
+    val stride = dibStride(w)
+    val encoded = frames.map { px =>
+      require(px.length == w * h, s"frame has ${px.length} px, want ${w * h}")
+      val bytes = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val dstRow = (h - 1 - y) * stride // bottom-up row order
+        var x = 0
+        while (x < w) {
+          val p = px(y * w + x).toByte // grayscale: B = G = R
+          val o = dstRow + x * 3
+          bytes(o) = p; bytes(o + 1) = p; bytes(o + 2) = p
+          x += 1
+        }
+        y += 1
+      }
+      bytes
+    }
+    assembleAvi(w, h, fps, "DIB ", mjpgCompression = false,
+      encoded, chunkId = "00db")
+  }
+
+  private def assembleAvi(w: Int, h: Int, fps: Int, handler: String,
+      mjpgCompression: Boolean, frames: Seq[Array[Byte]],
+      chunkId: String): Array[Byte] = {
     require(fps > 0 && frames.nonEmpty)
     val maxFrame = frames.map(_.length).max
     // movi body
     val movi = new ByteArrayOutputStream()
     fcc(movi, "movi")
     frames.foreach { f =>
-      fcc(movi, "00dc"); u32(movi, f.length.toLong)
+      fcc(movi, chunkId); u32(movi, f.length.toLong)
       movi.write(f, 0, f.length)
       if (f.length % 2 == 1) movi.write(0) // RIFF chunks align to 2 bytes
     }
@@ -161,7 +203,7 @@ object Video {
     val strl = new ByteArrayOutputStream()
     fcc(strl, "strl")
     fcc(strl, "strh"); u32(strl, 56)
-    fcc(strl, "vids"); fcc(strl, "MJPG")
+    fcc(strl, "vids"); fcc(strl, handler)
     u32(strl, 0); u16(strl, 0); u16(strl, 0) // flags, priority, language
     u32(strl, 0) // initialFrames
     u32(strl, 1); u32(strl, fps.toLong) // dwScale, dwRate -> fps = rate/scale
@@ -173,7 +215,8 @@ object Video {
     fcc(strl, "strf"); u32(strl, 40)
     u32(strl, 40); u32(strl, w.toLong); u32(strl, h.toLong)
     u16(strl, 1); u16(strl, 24) // planes, bitCount
-    fcc(strl, "MJPG") // biCompression
+    if (mjpgCompression) fcc(strl, "MJPG") // biCompression
+    else u32(strl, 0) // BI_RGB — uncompressed
     u32(strl, (w.toLong * h * 3)); u32(strl, 0); u32(strl, 0)
     u32(strl, 0); u32(strl, 0)
     val strlBytes = strl.toByteArray
@@ -216,63 +259,85 @@ object Video {
 
   /** Walk the RIFF tree: validate magic, read avih/strh/strf, index the
     * movi '00dc'/'00db' chunks. Every layer is cross-checked against
-    * the others — a disagreement is corruption and fails LOUD. */
+    * the others — a disagreement is corruption and fails LOUD.
+    *
+    * Robustness contract (the walker sees untrusted scrape bytes):
+    * chunk lengths are u32 and stay Long end to end — truncating to
+    * Int would let a >2 GiB declared length go negative, slip past the
+    * overrun check, and stall the cursor in an infinite loop. Every
+    * chunk's [payload, payload+len) is bounds-checked against its
+    * parent BEFORE the cursor advances, in the outer walk AND the movi
+    * loop, so corrupt bytes always fail loud in bounded time. Only the
+    * FIRST stream header is validated/recorded: stream 0 must be the
+    * MJPEG video stream, but extra streams (an 'auds' audio track is
+    * standard in real-world AVIs) are walked past — the movi indexer
+    * only consumes stream-0 '00dc'/'00db' chunks anyway. */
   private[graft] def parseMeta(bytes: Array[Byte]): AviMeta = {
     if (bytes.length < 12 || rdFcc(bytes, 0) != "RIFF") fail("missing RIFF magic")
     val riffLen = rdU32(bytes, 4)
-    if (riffLen + 8 > bytes.length) fail(s"RIFF size $riffLen overruns buffer")
+    if (riffLen + 8L > bytes.length) fail(s"RIFF size $riffLen overruns buffer")
     if (rdFcc(bytes, 8) != "AVI ") fail("RIFF form is not 'AVI '")
     var w = -1; var h = -1; var us = -1L; var total = -1L
     var scale = -1L; var rate = -1L; var handler = ""; var streams = -1L
     var strhLen = -1L; var strfW = -1L; var strfH = -1L
+    var seenStrh = false; var seenStrf = false
     val frames = Vector.newBuilder[(Int, Int)]
-    def walk(from: Int, to: Int): Unit = {
+    def walk(from: Long, to: Long): Unit = {
       var o = from
       while (o + 8 <= to) {
-        val id = rdFcc(bytes, o)
-        val len = rdU32(bytes, o + 4).toInt
+        val id = rdFcc(bytes, o.toInt)
+        val len = rdU32(bytes, o.toInt + 4) // u32 as Long — NEVER truncate
         val payload = o + 8
         if (payload + len > to) fail(s"chunk $id overruns its parent list")
         id match {
           case "LIST" =>
-            val listType = rdFcc(bytes, payload)
+            if (len < 4) fail("LIST chunk shorter than its type tag")
+            val listType = rdFcc(bytes, payload.toInt)
             if (listType == "hdrl" || listType == "strl" || listType == "movi") {
               if (listType == "movi") {
                 var m = payload + 4
                 while (m + 8 <= payload + len) {
-                  val cid = rdFcc(bytes, m)
-                  val clen = rdU32(bytes, m + 4).toInt
+                  val cid = rdFcc(bytes, m.toInt)
+                  val clen = rdU32(bytes, m.toInt + 4)
+                  if (m + 8 + clen > payload + len)
+                    fail(s"movi chunk $cid overruns the movi list")
                   if (cid == "00dc" || cid == "00db")
-                    frames += ((m + 8, clen))
+                    frames += ((m.toInt + 8, clen.toInt))
                   m += 8 + clen + (clen % 2)
                 }
               } else walk(payload + 4, payload + len)
             }
           case "avih" =>
-            us = rdU32(bytes, payload)
-            total = rdU32(bytes, payload + 16)
-            streams = rdU32(bytes, payload + 24)
-            w = rdU32(bytes, payload + 32).toInt
-            h = rdU32(bytes, payload + 36).toInt
-          case "strh" =>
-            if (rdFcc(bytes, payload) != "vids") fail("first stream is not video")
-            handler = rdFcc(bytes, payload + 4).toLowerCase(java.util.Locale.ROOT)
-            scale = rdU32(bytes, payload + 20)
-            rate = rdU32(bytes, payload + 24)
-            strhLen = rdU32(bytes, payload + 32)
-          case "strf" =>
-            strfW = rdU32(bytes, payload + 4)
-            strfH = rdU32(bytes, payload + 8)
-          case _ => // unknown chunks skip (idx1, JUNK, ...)
+            if (len < 40) fail("avih chunk shorter than its fixed header")
+            us = rdU32(bytes, payload.toInt)
+            total = rdU32(bytes, payload.toInt + 16)
+            streams = rdU32(bytes, payload.toInt + 24)
+            w = rdU32(bytes, payload.toInt + 32).toInt
+            h = rdU32(bytes, payload.toInt + 36).toInt
+          case "strh" if !seenStrh =>
+            seenStrh = true
+            if (len < 36) fail("strh chunk shorter than its fixed header")
+            if (rdFcc(bytes, payload.toInt) != "vids") fail("stream 0 is not video")
+            handler = rdFcc(bytes, payload.toInt + 4).toLowerCase(java.util.Locale.ROOT)
+            scale = rdU32(bytes, payload.toInt + 20)
+            rate = rdU32(bytes, payload.toInt + 24)
+            strhLen = rdU32(bytes, payload.toInt + 32)
+          case "strf" if !seenStrf =>
+            seenStrf = true
+            if (len < 12) fail("strf chunk shorter than BITMAPINFOHEADER dims")
+            strfW = rdU32(bytes, payload.toInt + 4)
+            strfH = rdU32(bytes, payload.toInt + 8)
+          case _ => // unknown chunks + non-first streams skip (idx1, JUNK, auds strl, ...)
         }
         o = payload + len + (len % 2)
       }
     }
-    walk(12, (riffLen + 8).toInt)
+    walk(12L, riffLen + 8L)
     val fr = frames.result()
     if (w <= 0 || h <= 0 || us <= 0 || total < 0) fail("missing/invalid avih")
-    if (handler != "mjpg") fail(s"stream handler '$handler' is not MJPG " +
-      "(inter-frame codecs are honestly stubbed — no JDK decoder)")
+    if (handler != "mjpg" && handler != "dib ")
+      fail(s"stream handler '$handler' is neither MJPG nor uncompressed DIB " +
+        "(inter-frame codecs are honestly stubbed — no JDK decoder)")
     if (strfW != w || strfH != h) fail(
       s"strf dims ${strfW}x$strfH disagree with avih ${w}x$h")
     if (strhLen != total || fr.size.toLong != total) fail(
@@ -280,12 +345,34 @@ object Video {
     AviMeta(w, h, us, total, scale, rate, handler, streams, fr)
   }
 
-  /** Decode one indexed frame (a byte slice handed to the JDK JPEG
-    * reader), cross-checking decoded dims against the container's. */
+  /** Decode one indexed frame to grayscale. MJPEG: the byte slice is
+    * handed to the JDK JPEG reader, decoded dims cross-checked against
+    * the container's. DIB: exact byte reading of the bottom-up 24-bit
+    * BGR bitmap (chunk length cross-checked against stride·height) —
+    * no codec, so the result is bit-exact against the source pixels. */
   private[graft] def decodeFrame(bytes: Array[Byte], meta: AviMeta,
       idx: Int): Array[Int] = {
-    init
     val (off, len) = meta.frameOffsets(idx)
+    if (meta.handler == "dib ") {
+      val stride = dibStride(meta.width)
+      if (len != stride * meta.height) fail(
+        s"frame $idx DIB chunk is $len bytes != stride $stride x ${meta.height}")
+      val gray = new Array[Int](meta.width * meta.height)
+      var y = 0
+      while (y < meta.height) {
+        val srcRow = off + (meta.height - 1 - y) * stride // bottom-up
+        var x = 0
+        while (x < meta.width) {
+          val o = srcRow + x * 3
+          gray(y * meta.width + x) = ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) +
+            (bytes(o + 2) & 0xff)) / 3
+          x += 1
+        }
+        y += 1
+      }
+      return gray
+    }
+    init
     val img = ImageIO.read(new ByteArrayInputStream(bytes, off, len))
     if (img == null) fail(s"frame $idx is not JPEG-decodable")
     if (img.getWidth != meta.width || img.getHeight != meta.height) fail(
@@ -320,6 +407,24 @@ object Video {
       .toDF("doc_id", "video")
   }
 
+  /** The UNCOMPRESSED twin of [[synthesize]]: the same deterministic
+    * per-doc frames in a raw BI_RGB 'DIB ' AVI (bottom-up 24-bit BGR
+    * '00db' chunks). No codec in the chain, so every decoded pixel is
+    * formula-exact — the arm whose frame stats the catalog hash-gates
+    * (t_video_frames_raw) instead of bound-gates. Map-side. */
+  def synthesizeRaw(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h, n, fps) = synthParams(id)
+          (id, encodeAviRaw(w, h, fps,
+            (0 until n).map(f => synthFramePixels(id, f))))
+        }
+      }
+      .toDF("doc_id", "video")
+  }
+
   /** Container metadata over a binary video column — dims, frame count,
     * frame rate, handler, WITHOUT touching a single JPEG payload (the
     * cheap 100 TB metadata pass; the RIFF walk reads headers and chunk
@@ -341,13 +446,15 @@ object Video {
   }
 
   /** REAL frame decode, one output row per frame: exact container
-    * fields plus the decoded luminance sum. JPEG is lossy, so the sum
-    * itself is not oracle-exact — the catalog entry joins it against a
-    * reference-stats frame and gates the self-validating bound
-    * `ok` ⟺ |decoded mean − reference mean| < 8, computed
-    * integer-exactly as |sum − expected| < 8·n_px (the a5_approx_uv
-    * pattern). A flatMap — one video in, n_frames rows out, no
-    * shuffle. */
+    * fields plus the decoded luminance sum. On the MJPEG arm JPEG is
+    * lossy, so the sum itself is not oracle-exact — the catalog entry
+    * joins it against a reference-stats frame and gates the
+    * self-validating bound `ok` ⟺ |decoded mean − reference mean| < 1,
+    * computed integer-exactly as |sum − expected| < 1·n_px (the
+    * a5_approx_uv pattern; measured max 0.504, JpegBoundProbe). On the
+    * 'DIB ' arm the decode is exact byte reading and the sums are
+    * hash-exact (t_video_frames_raw). A flatMap — one video in,
+    * n_frames rows out, no shuffle. */
   def frameTable(spark: SparkSession, binDf: DataFrame): DataFrame = {
     import spark.implicits._
     binDf.select(col("doc_id"), col("video")).as[(Long, Array[Byte])]
@@ -398,6 +505,59 @@ object Video {
   def nearDupKeepers(spark: SparkSession, binDf: DataFrame,
       maxHamming: Int = 0): DataFrame =
     Fingerprints.nearDupKeepers(keyframeHashes(spark, binDf), "khash", maxHamming)
+
+  /** Fused curation profile — the video arm's gate pass, ONE scan with
+    * the cheapest-possible work per doc: the header-only RIFF walk
+    * feeds the metadata gates (undersized / too_few_frames / bad_fps),
+    * and the keyframe JPEG is decoded ONLY for gate SURVIVORS (the
+    * gated docs' payloads are never read — on a 100 TB scrape where
+    * gates drop a large fraction, that is the dominant saving; the
+    * image/audio arms can't do this because their gates need pixels/
+    * samples, the video gates don't). Unlike the loud-fail analysis
+    * operators ([[videoMeta]]/[[frameTable]] — corruption there is a
+    * pipeline bug), a CURATION pass sees untrusted scrape bytes, so an
+    * unparseable container is LABELED `corrupt` and quarantined, never
+    * thrown: one bad file must not kill a corpus-scale job.
+    *
+    * Output one row per doc: (doc_id, drop0, khash) where drop0 is the
+    * first firing metadata gate (corrupt > undersized > too_few_frames
+    * > bad_fps) or NULL for survivors, and khash is the keyframe aHash
+    * for survivors only (NULL otherwise) — feed keeper election among
+    * the drop0-null rows. Map-side, no shuffle. */
+  def gatedProfile(spark: SparkSession, binDf: DataFrame, minPixels: Long,
+      minFrames: Long, minFps: Long, maxFps: Long): DataFrame = {
+    require(minPixels > 0 && minFrames >= 1 && 0 < minFps && minFps <= maxFps,
+      s"bad gate thresholds: minPixels=$minPixels minFrames=$minFrames " +
+        s"fps=[$minFps,$maxFps]")
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("video")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        init
+        rows.map { case (id, bytes) =>
+          try {
+            val m = parseMeta(bytes)
+            val drop0 =
+              if (m.width.toLong * m.height < minPixels) "undersized"
+              else if (m.totalFrames < minFrames) "too_few_frames"
+              else {
+                val fps = m.rate / math.max(m.scale, 1)
+                if (fps < minFps || fps > maxFps) "bad_fps" else null
+              }
+            if (drop0 == null)
+              // minFrames >= 1 guarantees a frame 0 exists here
+              (id, None: Option[String],
+                Some(Images.aHash64(decodeFrame(bytes, m, 0), m.width, m.height)))
+            else (id, Some(drop0), None: Option[Long])
+          } catch {
+            // parseMeta/decodeFrame fail loud on corrupt bytes — here
+            // that verdict becomes a label, not a job death
+            case scala.util.control.NonFatal(_) =>
+              (id, Some("corrupt"), None: Option[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "drop0", "khash")
+  }
 
   /** Frame sampling that decodes ONLY the sampled frames: every
     * `stride`-th frame per video (frame 0 always included), stamped

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Audio, Dedup, Fingerprints, Images}
+import graft.operators.{Audio, Dedup, Fingerprints, Images, Video}
 
 /** End-to-end IMAGE-corpus curation — the text-side [[Curate]] idiom
   * applied to the round-12/13 media arms: every gate is one of the
@@ -116,6 +116,55 @@ object MediaCurate {
           .otherwise(lit("kept")).as("drop_reason"))
   }
 
+  /** VIDEO-corpus curation — the same labeled-frame contract over a
+    * (doc_id, video binary) frame. The video arm's gates are cheaper
+    * than the image/audio arms': all metadata gates read ONLY the RIFF
+    * header (no JPEG payload), and the keyframe is decoded only for
+    * gate SURVIVORS ([[graft.operators.Video.gatedProfile]] fuses the
+    * whole pass). Gates in precedence order:
+    *   1. `corrupt`        — unparseable/undecodable container bytes,
+    *                         LABELED (quarantined), never thrown — a
+    *                         100 TB scrape pass must not die on one bad
+    *                         file (the loud-fail contract stays on the
+    *                         analysis operators videoMeta/frameTable);
+    *   2. `undersized`     — width·height < minPixels (thumbnail junk);
+    *   3. `too_few_frames` — n_frames < minFrames (stills/fragments);
+    *   4. `bad_fps`        — frame rate outside [minFps, maxFps]
+    *                         (slideshow or slow-mo capture junk; fps =
+    *                         rate/scale, integer division both sides);
+    *   5. `near_dup`       — not the keeper of its keyframe-aHash
+    *                         neighborhood, elected among gate SURVIVORS
+    *                         (default maxHamming = 0: exact keyframe
+    *                         duplicates, codec-caveat-free — see
+    *                         Video.keyframeHashes);
+    *   6. `kept`.
+    * All thresholds are integers over header fields the DuckDB oracle
+    * recomputes from the fixture's parameter formula, and the keeper
+    * election is structurally predictable on the fixture
+    * (t_curate_video recomposes gates AND precedence AND the
+    * survivor-keeper election in one statement). */
+  def curateVideo(spark: SparkSession, vids: DataFrame,
+      minPixels: Long = 512, minFrames: Long = 3,
+      minFps: Long = 12, maxFps: Long = 60,
+      maxHamming: Int = 0): DataFrame = {
+    Fingerprints.requireLossless(maxHamming)
+    // gatedProfile re-validates the thresholds; persisted because the
+    // survivor filter and the final label join both consume it (16 B of
+    // hash + one small string per doc — never the binaries)
+    val prof = Dedup.track(
+      Video.gatedProfile(spark, vids, minPixels, minFrames, minFps, maxFps)
+        .persist())
+    val survivors = prof.filter(col("drop0").isNull)
+      .select(col("doc_id"), col("khash"))
+    val keepers = Fingerprints.nearDupKeepers(survivors, "khash", maxHamming)
+      .select(col("doc_id"), col("keep"))
+    prof.join(keepers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("drop0").isNotNull, col("drop0"))
+          .when(!col("keep"), lit("near_dup"))
+          .otherwise(lit("kept")).as("drop_reason"))
+  }
+
   /** CROSS-MODAL curation: a document survives a multimodal training
     * corpus only if EVERY modality keeps it. Joins the per-modality
     * labeled frames (each produced by its own gate chain + keeper
@@ -123,24 +172,63 @@ object MediaCurate {
     * reasons — image gates take precedence over audio gates, matching
     * the per-modality precedence idiom (the FIRST firing gate names
     * the drop). Output one row per doc:
-    * (doc_id, image_reason, audio_reason, drop_reason). Contract: one
-    * media row per doc_id in both inputs (a corpus with missing
-    * modalities filters/fills first — an inner join would silently
-    * drop those docs from the accounting, so mismatched id sets fail
-    * the one-label-per-doc expectation loudly in the catalog entry's
-    * row count instead). */
+    * (doc_id, image_reason, audio_reason, drop_reason). Mismatched id
+    * sets surface AT THE OPERATOR: the join is FULL OUTER and a doc
+    * present in only one input is labeled `missing_modality:<absent
+    * modality>` (its per-modality reason column reads 'missing') —
+    * an inner join would silently drop such docs from the accounting,
+    * the silent-wrong class this repo refuses, and a missing modality
+    * outranks every gate (there is nothing to curate). */
   def curateMedia(spark: SparkSession, images: DataFrame,
       clips: DataFrame): DataFrame = {
     val img = curateImages(spark, images)
       .select(col("doc_id"), col("drop_reason").as("image_reason"))
     val aud = curateAudio(spark, clips)
       .select(col("doc_id"), col("drop_reason").as("audio_reason"))
-    img.join(aud, Seq("doc_id"))
-      .select(col("doc_id"), col("image_reason"), col("audio_reason"),
-        when(col("image_reason") =!= "kept",
+    img.join(aud, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("image_reason"), lit("missing")).as("image_reason"),
+        coalesce(col("audio_reason"), lit("missing")).as("audio_reason"),
+        when(col("image_reason").isNull, lit("missing_modality:image"))
+          .when(col("audio_reason").isNull, lit("missing_modality:audio"))
+          .when(col("image_reason") =!= "kept",
             concat(lit("image:"), col("image_reason")))
           .when(col("audio_reason") =!= "kept",
             concat(lit("audio:"), col("audio_reason")))
+          .otherwise(lit("kept")).as("drop_reason"))
+  }
+
+  /** THREE-modality curation — [[curateMedia]]'s contract extended to
+    * image + audio + video: each modality runs its own full gate chain
+    * + survivor-keeper dedup, the verdicts full-outer-join, and the
+    * final reason is the first non-kept modality in precedence order
+    * image → audio → video (missing_modality outranks every gate —
+    * there is nothing to curate). Output one row per doc across the
+    * UNION of the three id sets:
+    * (doc_id, image_reason, audio_reason, video_reason, drop_reason). */
+  def curateMedia3(spark: SparkSession, images: DataFrame,
+      clips: DataFrame, vids: DataFrame): DataFrame = {
+    val img = curateImages(spark, images)
+      .select(col("doc_id"), col("drop_reason").as("image_reason"))
+    val aud = curateAudio(spark, clips)
+      .select(col("doc_id"), col("drop_reason").as("audio_reason"))
+    val vid = curateVideo(spark, vids)
+      .select(col("doc_id"), col("drop_reason").as("video_reason"))
+    img.join(aud, Seq("doc_id"), "full_outer")
+      .join(vid, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("image_reason"), lit("missing")).as("image_reason"),
+        coalesce(col("audio_reason"), lit("missing")).as("audio_reason"),
+        coalesce(col("video_reason"), lit("missing")).as("video_reason"),
+        when(col("image_reason").isNull, lit("missing_modality:image"))
+          .when(col("audio_reason").isNull, lit("missing_modality:audio"))
+          .when(col("video_reason").isNull, lit("missing_modality:video"))
+          .when(col("image_reason") =!= "kept",
+            concat(lit("image:"), col("image_reason")))
+          .when(col("audio_reason") =!= "kept",
+            concat(lit("audio:"), col("audio_reason")))
+          .when(col("video_reason") =!= "kept",
+            concat(lit("video:"), col("video_reason")))
           .otherwise(lit("kept")).as("drop_reason"))
   }
 }

@@ -711,7 +711,34 @@ object StreamingPipelines {
         "silent" -> (col("n_silent") * maxSilenceDenom > col("n_samples"))))
   }
 
-  /** The shared gated-curation sink behind the image and audio
+  /** Incremental VIDEO CURATION — the streaming twin of
+    * MediaCurate.curateVideo, same labeled-frame contract and the same
+    * survivor-only registry protocol as [[imageCurateSink]] (shared
+    * [[mediaCurateSink]]). The profile pass is Video.gatedProfile —
+    * header-only metadata gates, keyframe decoded ONLY for gate
+    * survivors, corrupt containers LABELED (quarantined) rather than
+    * thrown; the gate predicates here just read the profile's
+    * precomputed drop0 label (null-safe `<=>` — drop0 is NULL for
+    * survivors), so batch and stream share one gate definition. */
+  def videoCurateSink(vids: DataFrame, registryPath: String, outPath: String,
+      minPixels: Long = 512, minFrames: Long = 3,
+      minFps: Long = 12, maxFps: Long = 60,
+      maxHamming: Int = 0, compactEvery: Int = 16): DataStreamWriter[Row] = {
+    require(minPixels > 0 && minFrames >= 1 && 0 < minFps && minFps <= maxFps,
+      s"bad gate thresholds: minPixels=$minPixels minFrames=$minFrames " +
+        s"fps=[$minFps,$maxFps]")
+    mediaCurateSink(vids, registryPath, outPath, maxHamming, compactEvery,
+      hashCol = "khash",
+      profile = (spark, b) => graft.operators.Video.gatedProfile(
+        spark, b, minPixels, minFrames, minFps, maxFps),
+      gates = Seq(
+        "corrupt" -> (col("drop0") <=> lit("corrupt")),
+        "undersized" -> (col("drop0") <=> lit("undersized")),
+        "too_few_frames" -> (col("drop0") <=> lit("too_few_frames")),
+        "bad_fps" -> (col("drop0") <=> lit("bad_fps"))))
+  }
+
+  /** The shared gated-curation sink behind the image, audio and video
     * curation twins: per micro-batch — ONE decode (`profile`),
     * stateless gate labels in precedence order, near-dup among gate
     * SURVIVORS against the survivor-only fingerprint registry plus the

@@ -142,6 +142,117 @@ class MediaCurateSpec extends AnyFunSuite {
       verdicts.exists(_.startsWith("audio:")) && verdicts.contains("kept"))
   }
 
+  test("video labeled frame: every doc accounted, live gates, precedence matches synthParams") {
+    val labeled = MediaCurate.curateVideo(spark,
+      graft.operators.Video.synthesize(spark, Tables.documents(spark, dir)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(labeled.size === 500, "one label per input video")
+    val byReason = labeled.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byReason.getOrElse("undersized", 0) > 0)
+    assert(byReason.getOrElse("too_few_frames", 0) > 0)
+    assert(byReason.getOrElse("bad_fps", 0) > 0)
+    assert(byReason.getOrElse("near_dup", 0) > 0)
+    assert(byReason.getOrElse("kept", 0) > 0)
+    // the well-formed fixture has no corrupt containers — that gate is
+    // exercised by the crafted corpus below
+    assert(byReason.getOrElse("corrupt", 0) === 0)
+    for ((id, reason) <- labeled) {
+      val (w, h, nf, fps) = graft.operators.Video.synthParams(id)
+      val expectedEarly =
+        if (w.toLong * h < 512) Some("undersized")
+        else if (nf < 3) Some("too_few_frames")
+        else if (fps < 12 || fps > 60) Some("bad_fps")
+        else None
+      expectedEarly.foreach(e => assert(reason === e,
+        s"doc $id: expected gate $e fired, got $reason"))
+      if (expectedEarly.isEmpty) {
+        // gates are group-uniform, so a surviving group's keeper is its
+        // min doc_id = doc_id % 200 on the contiguous-id corpus
+        val want = if (id == id % 200) "kept" else "near_dup"
+        assert(reason === want, s"doc $id: keeper decision $reason != $want")
+      }
+    }
+  }
+
+  test("corrupt containers are LABELED and quarantined, never thrown (and never hang)") {
+    import spark.implicits._
+    // group 103 passes every metadata gate (64x32 px, 5 frames, 25 fps)
+    val goodBytes = graft.operators.Video.synthesize(spark,
+      Seq(103L).toDF("doc_id")).collect()(0).getAs[Array[Byte]]("video")
+    // a huge u32 chunk length (negative as Int) — the pre-fix walker
+    // looped forever on these bytes; now it must LABEL corrupt promptly
+    val hugeLen = goodBytes.clone()
+    hugeLen(28) = 0xf0.toByte; hugeLen(29) = 0xff.toByte
+    hugeLen(30) = 0xff.toByte; hugeLen(31) = 0xff.toByte
+    val vids = Seq(
+      1L -> "garbage definitely not RIFF".getBytes("US-ASCII"),
+      2L -> goodBytes.take(40), // truncated mid-header
+      3L -> hugeLen,
+      103L -> goodBytes).toDF("doc_id", "video")
+    val labeled = MediaCurate.curateVideo(spark, vids)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(labeled(1L) === "corrupt" && labeled(2L) === "corrupt" &&
+      labeled(3L) === "corrupt", s"crafted bad bytes must label corrupt: $labeled")
+    assert(labeled(103L) === "kept", "the intact clip must survive alongside")
+  }
+
+  test("curateMedia3 == join of the three verdicts, image > audio > video precedence") {
+    val docs = Tables.documents(spark, dir)
+    val media = MediaCurate.curateMedia3(spark,
+      Images.synthesize(spark, docs),
+      graft.operators.Audio.synthesize(spark, docs),
+      graft.operators.Video.synthesize(spark, docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
+    val img = MediaCurate.curateImages(spark, Images.synthesize(spark, docs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val aud = MediaCurate.curateAudio(spark,
+      graft.operators.Audio.synthesize(spark, docs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vid = MediaCurate.curateVideo(spark,
+      graft.operators.Video.synthesize(spark, docs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(media.size === 500)
+    for ((id, (ir, ar, vr, verdict)) <- media) {
+      assert(ir === img(id) && ar === aud(id) && vr === vid(id),
+        s"doc $id: per-modality reasons drifted from the standalone pipelines")
+      val want =
+        if (ir != "kept") s"image:$ir"
+        else if (ar != "kept") s"audio:$ar"
+        else if (vr != "kept") s"video:$vr"
+        else "kept"
+      assert(verdict === want, s"doc $id: verdict $verdict != $want")
+    }
+    val verdicts = media.values.map(_._4).toSet
+    assert(verdicts.exists(_.startsWith("image:")) &&
+      verdicts.exists(_.startsWith("audio:")) &&
+      verdicts.exists(_.startsWith("video:")) && verdicts.contains("kept"))
+  }
+
+  test("mismatched id sets surface AT THE OPERATOR: missing_modality labels, no silent drops") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // images for docs 0..499, audio only for evens: odd docs must
+    // surface as missing_modality:audio, never vanish from the frame
+    val clips = graft.operators.Audio.synthesize(spark,
+      docs.filter(col("doc_id") % 2 === 0))
+    val media = MediaCurate.curateMedia(spark,
+      Images.synthesize(spark, docs), clips)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(media.size === 500, "full outer join keeps the id union")
+    for ((id, (ir, ar, verdict)) <- media if id % 2 == 1) {
+      assert(ar === "missing" && verdict === "missing_modality:audio",
+        s"doc $id: audio-less doc got ($ir, $ar, $verdict)")
+    }
+    assert(media.filter(_._1 % 2 == 0).values
+      .forall(v => v._2 != "missing" && v._3 != "missing_modality:audio"))
+  }
+
   test("bad thresholds and lossy hamming caps are refused") {
     val imgs = Images.synthesize(spark, Tables.documents(spark, dir))
     assert(intercept[IllegalArgumentException] {

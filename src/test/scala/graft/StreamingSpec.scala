@@ -1196,6 +1196,47 @@ class StreamingSpec extends AnyFunSuite {
       .forall(id => !got.contains(id)))
   }
 
+  test("incremental video-curation sink == batch MediaCurate labeled frame (corrupt bytes quarantined)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regPath = "/tmp/graft_test_vidcurate_reg"
+    val outPath = "/tmp/graft_test_vidcurate_out"
+    for (p <- Seq(regPath, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val vidRows = graft.operators.Video
+      .synthesize(spark, Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    // splice corrupt scrape bytes into BOTH batches — the sink must
+    // label them, never die on them (ids beyond the fixture range)
+    val corrupt1 = (9001L, "not RIFF at all".getBytes("US-ASCII"))
+    val corrupt2 = (9002L, vidRows.head._2.take(40))
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamingPipelines
+      .videoCurateSink(stream.toDF().toDF("doc_id", "video"), regPath, outPath)
+      .start()
+    val (h1, h2) = vidRows.splitAt(vidRows.size / 2)
+    stream.addData(h1 :+ corrupt1); q.processAllAvailable()
+    stream.addData(h2 :+ corrupt2); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outPath).select("doc_id", "drop_reason")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = graft.pipeline.MediaCurate.curateVideo(spark,
+      graft.operators.Video.synthesize(spark, Tables.documents(spark, dir)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(got.size === vidRows.size + 2, "one label per streamed video")
+    assert(got(9001L) === "corrupt" && got(9002L) === "corrupt",
+      "crafted bad bytes must be quarantined by the streaming sink")
+    assert((got - 9001L - 9002L) === want)
+    // cross-batch near-dup losers must exist or the registry path is
+    // untested (second-half docs whose surviving group base registered
+    // in batch 0)
+    val losers = want.filter(_._2 == "near_dup").keySet
+    assert(losers.exists(_ >= vidRows.size / 2),
+      "no cross-batch near-dup losers — registry path untested")
+  }
+
   test("video frame sampling is stream == batch (stateless flatMap on a binary stream)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -57,9 +57,48 @@ class VideoSpec extends AnyFunSuite {
       assert(gray.length === w * h)
       val dec = gray.map(_.toLong).sum
       val exp = Video.synthFrameSum(docId, f)
-      assert(math.abs(dec - exp) < 8L * w * h,
+      // gate 1 gray level: measured max deviation is 0.504 across 3 SFs
+      // (JpegBoundProbe) — the DC coefficient carries the block mean
+      assert(math.abs(dec - exp) < 1L * w * h,
         s"frame $f mean drifted beyond the JPEG bound: dec=$dec exp=$exp")
     }
+  }
+
+  test("uncompressed DIB arm: encode -> parse -> decode is BIT-exact, no codec") {
+    for (docId <- Seq(0L, 42L, 199L, 301L)) {
+      val (w, h, n, fps) = Video.synthParams(docId)
+      val bytes = Video.encodeAviRaw(w, h, fps,
+        (0 until n).map(f => Video.synthFramePixels(docId, f)))
+      val m = Video.parseMeta(bytes)
+      assert((m.width, m.height, m.totalFrames, m.handler) ===
+        ((w, h, n.toLong, "dib ")))
+      for (f <- 0 until n)
+        assert(Video.decodeFrame(bytes, m, f) === Video.synthFramePixels(docId, f),
+          s"doc $docId frame $f raw decode is not bit-exact")
+    }
+    // the DIB chunk-length cross-check fails loud on a truncated frame
+    val (w, h, n, fps) = Video.synthParams(0L)
+    val good = Video.encodeAviRaw(w, h, fps,
+      (0 until n).map(f => Video.synthFramePixels(0L, f)))
+    val m = Video.parseMeta(good)
+    val truncated = java.util.Arrays.copyOf(good, good.length)
+    // shrink the first 00db chunk's declared length by one row
+    val (off, _) = m.frameOffsets(0)
+    val lenField = off - 4
+    val stride = Video.dibStride(w)
+    val badLen = stride.toLong * (h - 1)
+    truncated(lenField) = (badLen & 0xff).toByte
+    truncated(lenField + 1) = ((badLen >> 8) & 0xff).toByte
+    truncated(lenField + 2) = ((badLen >> 16) & 0xff).toByte
+    truncated(lenField + 3) = ((badLen >> 24) & 0xff).toByte
+    // the shrunk chunk desyncs the movi walk -> count cross-check fires
+    // (or, if counts happen to align, the per-frame stride check does)
+    val e = intercept[IllegalArgumentException] {
+      val m2 = Video.parseMeta(truncated)
+      Video.decodeFrame(truncated, m2, 0)
+    }
+    assert(e.getMessage.contains("disagree") || e.getMessage.contains("DIB") ||
+      e.getMessage.contains("overruns"), e.getMessage)
   }
 
   test("corruption fails LOUD at every cross-checked layer") {
@@ -90,6 +129,65 @@ class VideoSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Video.parseMeta(badCount)
     }.getMessage.contains("disagree"))
+  }
+
+  test("u32 chunk lengths never truncate: crafted huge lengths fail loud, never hang") {
+    // a declared chunk length in the u32 top half used to truncate to a
+    // negative Int, slip past the overrun check and stall the walker in
+    // an infinite loop — corrupt scrape bytes must fail in bounded time
+    val good = fixture(7L)
+    val hugeOuter = good.clone()
+    val avih = indexOf(hugeOuter, "avih".getBytes("US-ASCII"))
+    // avih's length field: declare 0xFFFFFFF0 (negative as Int)
+    hugeOuter(avih + 4) = 0xf0.toByte; hugeOuter(avih + 5) = 0xff.toByte
+    hugeOuter(avih + 6) = 0xff.toByte; hugeOuter(avih + 7) = 0xff.toByte
+    assert(intercept[IllegalArgumentException] {
+      Video.parseMeta(hugeOuter)
+    }.getMessage.contains("overruns"))
+    // same attack inside the movi loop (the '00dc' frame chunk length)
+    val hugeMovi = good.clone()
+    val dc = indexOf(hugeMovi, "00dc".getBytes("US-ASCII"))
+    hugeMovi(dc + 4) = 0xf0.toByte; hugeMovi(dc + 5) = 0xff.toByte
+    hugeMovi(dc + 6) = 0xff.toByte; hugeMovi(dc + 7) = 0xff.toByte
+    assert(intercept[IllegalArgumentException] {
+      Video.parseMeta(hugeMovi)
+    }.getMessage.contains("overruns the movi list"))
+  }
+
+  test("a second (audio) stream is walked past, not rejected") {
+    // real-world AVIs routinely carry an 'auds' strl after the video
+    // one; the movi indexer only consumes stream-0 00dc/00db chunks, so
+    // the parser must skip extra streams (and still fail loud when
+    // STREAM 0 is not MJPEG video — pinned in the corruption test)
+    def u32le(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val strlPayload = fcc("strl") ++
+      fcc("strh") ++ u32le(56) ++ fcc("auds") ++ fcc("mp3 ") ++
+      Array.fill[Byte](48)(0) ++
+      fcc("strf") ++ u32le(16) ++ Array.fill[Byte](16)(0)
+    val audsList = fcc("LIST") ++ u32le(strlPayload.length.toLong) ++ strlPayload
+    val good = fixture(7L)
+    val rd = (o: Int) => ((good(o) & 0xffL)) | ((good(o + 1) & 0xffL) << 8) |
+      ((good(o + 2) & 0xffL) << 16) | ((good(o + 3) & 0xffL) << 24)
+    val hdrlEnd = 20 + rd(16).toInt // hdrl LIST payload spans [20, 20+size)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, hdrlEnd)
+    out.write(audsList, 0, audsList.length)
+    out.write(good, hdrlEnd, good.length - hdrlEnd)
+    val bytes = out.toByteArray
+    def patch32(o: Int, v: Long): Unit = u32le(v).copyToArray(bytes, o)
+    patch32(4, rd(4) + audsList.length)   // RIFF size
+    patch32(16, rd(16) + audsList.length) // hdrl LIST size
+    bytes(24 + 8 + 24) = 2                // avih dwStreams = 2
+    val m = Video.parseMeta(bytes)
+    val (w, h, n, fps) = Video.synthParams(7L)
+    assert((m.width, m.height, m.totalFrames, m.streams) ===
+      ((w, h, n.toLong, 2L)))
+    assert(m.handler === "mjpg" && m.rate === fps.toLong)
+    // frames still index and decode
+    assert(Video.decodeFrame(bytes, m, 0).length === w * h)
   }
 
   private def indexOf(hay: Array[Byte], needle: Array[Byte]): Int = {
