@@ -216,19 +216,28 @@ object MediaCurate {
       .select(col("doc_id"), col("drop_reason").as("video_reason"))
     img.join(aud, Seq("doc_id"), "full_outer")
       .join(vid, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        coalesce(col("image_reason"), lit("missing")).as("image_reason"),
-        coalesce(col("audio_reason"), lit("missing")).as("audio_reason"),
-        coalesce(col("video_reason"), lit("missing")).as("video_reason"),
-        when(col("image_reason").isNull, lit("missing_modality:image"))
-          .when(col("audio_reason").isNull, lit("missing_modality:audio"))
-          .when(col("video_reason").isNull, lit("missing_modality:video"))
-          .when(col("image_reason") =!= "kept",
-            concat(lit("image:"), col("image_reason")))
-          .when(col("audio_reason") =!= "kept",
-            concat(lit("audio:"), col("audio_reason")))
-          .when(col("video_reason") =!= "kept",
-            concat(lit("video:"), col("video_reason")))
-          .otherwise(lit("kept")).as("drop_reason"))
+      .select(verdict3Columns: _*)
   }
+
+  /** The three-modality verdict projection — ONE definition shared by
+    * [[curateMedia3]] and the streaming twin
+    * (StreamingPipelines.mediaCurate3Sink), or the precedence drifts.
+    * Expects a frame with doc_id + image_reason/audio_reason/
+    * video_reason, any of which may be null (doc absent from that
+    * modality after the full outer join). */
+  private[graft] def verdict3Columns: Seq[org.apache.spark.sql.Column] = Seq(
+    col("doc_id"),
+    coalesce(col("image_reason"), lit("missing")).as("image_reason"),
+    coalesce(col("audio_reason"), lit("missing")).as("audio_reason"),
+    coalesce(col("video_reason"), lit("missing")).as("video_reason"),
+    when(col("image_reason").isNull, lit("missing_modality:image"))
+      .when(col("audio_reason").isNull, lit("missing_modality:audio"))
+      .when(col("video_reason").isNull, lit("missing_modality:video"))
+      .when(col("image_reason") =!= "kept",
+        concat(lit("image:"), col("image_reason")))
+      .when(col("audio_reason") =!= "kept",
+        concat(lit("audio:"), col("audio_reason")))
+      .when(col("video_reason") =!= "kept",
+        concat(lit("video:"), col("video_reason")))
+      .otherwise(lit("kept")).as("drop_reason"))
 }

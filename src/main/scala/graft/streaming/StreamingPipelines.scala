@@ -731,11 +731,7 @@ object StreamingPipelines {
       hashCol = "khash",
       profile = (spark, b) => graft.operators.Video.gatedProfile(
         spark, b, minPixels, minFrames, minFps, maxFps),
-      gates = Seq(
-        "corrupt" -> (col("drop0") <=> lit("corrupt")),
-        "undersized" -> (col("drop0") <=> lit("undersized")),
-        "too_few_frames" -> (col("drop0") <=> lit("too_few_frames")),
-        "bad_fps" -> (col("drop0") <=> lit("bad_fps"))))
+      gates = videoGates)
   }
 
   /** The shared gated-curation sink behind the image, audio and video
@@ -763,35 +759,10 @@ object StreamingPipelines {
         val b = batch.toDF().persist()
         val prof = profile(spark, b).persist()
         try {
-          val anyGate = gates.map(_._2).reduce(_ || _)
-          val surv = prof.filter(!anyGate)
-            .select(col("doc_id"), col(hashCol)).persist()
+          val (labeled, surv) = gatedLabelForBatch(spark, prof, registryPath,
+            batchId, hashCol, maxHamming, gates)
           try {
-            val inBatch = graft.operators.Fingerprints
-              .nearDupPairs(surv, hashCol, maxHamming)
-              .select(col("doc_b").as("doc_id")).distinct()
-            val v = Registry.view(spark, registryPath, registryPath,
-              excludeId = batchId)
-            val vsRegistry =
-              if (v.isEmpty) surv.select(col("doc_id")).limit(0)
-              else {
-                val reg = spark.read.parquet(v.paths: _*)
-                  .select(col("doc_id"), col(hashCol))
-                graft.operators.Fingerprints
-                  .hammingPairsAcross(surv, reg, hashCol, maxHamming)
-                  .select(col("doc_id")).distinct()
-              }
-            val dupped = inBatch.union(vsRegistry).distinct()
-              .withColumn("__dup", lit(1))
-            val label = gates.foldLeft(
-                when(lit(false), lit(""))) { case (acc, (name, pred)) =>
-              acc.when(pred, lit(name))
-            }
-              .when(col("__dup").isNotNull, lit("near_dup"))
-              .otherwise(lit("kept"))
-            prof.join(dupped, Seq("doc_id"), "left")
-              .select(col("doc_id"), label.as("drop_reason"))
-              .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+            labeled.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
             surv.write.mode("overwrite").parquet(s"$registryPath/batch=$batchId")
           } finally { surv.unpersist(); () }
         } finally {
@@ -801,6 +772,138 @@ object StreamingPipelines {
         }
       }
   }
+
+  /** One modality's gated labeled frame for one micro-batch — the body
+    * shared by the single-modality curation sinks and the cross-modal
+    * [[mediaCurate3Sink]]: stateless gate labels, near-dup among gate
+    * SURVIVORS against this modality's survivor-only registry plus the
+    * in-batch banded pair join. `prof` must be persisted by the
+    * caller; the returned survivor frame is persisted HERE and the
+    * caller unpersists it after writing. Returns
+    * (labeled(doc_id, drop_reason), survivors-to-register). */
+  private def gatedLabelForBatch(spark: SparkSession, prof: DataFrame,
+      registryPath: String, batchId: Long, hashCol: String, maxHamming: Int,
+      gates: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    val anyGate = gates.map(_._2).reduce(_ || _)
+    val surv = prof.filter(!anyGate)
+      .select(col("doc_id"), col(hashCol)).persist()
+    val inBatch = graft.operators.Fingerprints
+      .nearDupPairs(surv, hashCol, maxHamming)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val v = Registry.view(spark, registryPath, registryPath,
+      excludeId = batchId)
+    val vsRegistry =
+      if (v.isEmpty) surv.select(col("doc_id")).limit(0)
+      else {
+        val reg = spark.read.parquet(v.paths: _*)
+          .select(col("doc_id"), col(hashCol))
+        graft.operators.Fingerprints
+          .hammingPairsAcross(surv, reg, hashCol, maxHamming)
+          .select(col("doc_id")).distinct()
+      }
+    val dupped = inBatch.union(vsRegistry).distinct()
+      .withColumn("__dup", lit(1))
+    val label = gates.foldLeft(
+        when(lit(false), lit(""))) { case (acc, (name, pred)) =>
+      acc.when(pred, lit(name))
+    }
+      .when(col("__dup").isNotNull, lit("near_dup"))
+      .otherwise(lit("kept"))
+    val labeled = prof.join(dupped, Seq("doc_id"), "left")
+      .select(col("doc_id"), label.as("drop_reason"))
+    (labeled, surv)
+  }
+
+  /** Incremental THREE-modality curation — the streaming twin of
+    * MediaCurate.curateMedia3 over a (doc_id, img, audio, video)
+    * stream: each micro-batch runs all three gated chains (each with
+    * its OWN survivor-only registry under `registryRoot/<modality>`,
+    * the same protocol as the single-modality sinks), full-outer-joins
+    * the per-modality labels and writes the cross-modal verdict frame
+    * per batch — the verdict projection is
+    * MediaCurate.verdict3Columns, ONE definition with the batch
+    * pipeline. Thresholds are the batch defaults. A doc missing a
+    * modality IN THE ROW (null binary) is that modality's decode
+    * failure; a doc absent from a modality's input entirely cannot
+    * happen here (one row carries all three columns), so
+    * missing_modality only fires for null-column rows surfaced by the
+    * profile passes. */
+  def mediaCurate3Sink(media: DataFrame, registryRoot: String,
+      outPath: String, compactEvery: Int = 16): DataStreamWriter[Row] = {
+    val imgReg = s"$registryRoot/image"
+    val audReg = s"$registryRoot/audio"
+    val vidReg = s"$registryRoot/video"
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        for (r <- Seq(imgReg, audReg, vidReg))
+          Registry.maybeCompact(spark, r, Seq(r),
+            upToExclusive = batchId, every = compactEvery)
+        val dedupMark = graft.operators.Dedup.trackMark(spark)
+        val b = batch.toDF().persist()
+        val imgProf = graft.operators.Images
+          .imageStats(spark, b.select(col("doc_id"), col("img")))
+          .select(col("doc_id"), col("n_px"), col("sum_lum"), col("min_lum"),
+            col("max_lum"), col("ahash")).persist()
+        val audProf = graft.operators.Audio
+          .profile(spark, b.select(col("doc_id"), col("audio")),
+            clipLevel = 32700, silenceLevel = 256).persist()
+        val vidProf = graft.operators.Video
+          .gatedProfile(spark, b.select(col("doc_id"), col("video")),
+            minPixels = 512, minFrames = 3, minFps = 12, maxFps = 60).persist()
+        try {
+          val (imgLbl, imgSurv) = gatedLabelForBatch(spark, imgProf, imgReg,
+            batchId, "ahash", maxHamming = 3, defaultImageGates)
+          val (audLbl, audSurv) = gatedLabelForBatch(spark, audProf, audReg,
+            batchId, "afp", maxHamming = 3, defaultAudioGates)
+          val (vidLbl, vidSurv) = gatedLabelForBatch(spark, vidProf, vidReg,
+            batchId, "khash", maxHamming = 0, videoGates)
+          try {
+            imgLbl.select(col("doc_id"), col("drop_reason").as("image_reason"))
+              .join(audLbl.select(col("doc_id"),
+                col("drop_reason").as("audio_reason")), Seq("doc_id"), "full_outer")
+              .join(vidLbl.select(col("doc_id"),
+                col("drop_reason").as("video_reason")), Seq("doc_id"), "full_outer")
+              .select(graft.pipeline.MediaCurate.verdict3Columns: _*)
+              .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+            imgSurv.write.mode("overwrite").parquet(s"$imgReg/batch=$batchId")
+            audSurv.write.mode("overwrite").parquet(s"$audReg/batch=$batchId")
+            vidSurv.write.mode("overwrite").parquet(s"$vidReg/batch=$batchId")
+          } finally {
+            imgSurv.unpersist(); audSurv.unpersist(); vidSurv.unpersist(); ()
+          }
+        } finally {
+          imgProf.unpersist(); audProf.unpersist(); vidProf.unpersist()
+          b.unpersist()
+          graft.operators.Dedup.releaseSince(spark, dedupMark)
+          ()
+        }
+      }
+  }
+
+  /** The batch pipelines' default gate predicates (MediaCurate
+    * curateImages/curateAudio defaults) — shared by the per-modality
+    * sinks' default paths and [[mediaCurate3Sink]]. */
+  private def defaultImageGates: Seq[(String, Column)] = Seq(
+    "undersized" -> (col("n_px") < 128L),
+    "flat" -> ((col("max_lum") - col("min_lum")) < 16),
+    "brightness" -> (col("sum_lum") < lit(120L) * col("n_px") ||
+      col("sum_lum") > lit(136L) * col("n_px")))
+
+  private def defaultAudioGates: Seq[(String, Column)] = Seq(
+    "too_short" -> (col("n_samples") < 512L),
+    "clipped" -> (col("n_clipped") * 256L > col("n_samples")),
+    "silent" -> (col("n_silent") * 64L > col("n_samples")))
+
+  /** Video gates read the precomputed drop0 label from
+    * Video.gatedProfile (null-safe — drop0 is NULL for survivors), so
+    * batch and stream share one gate definition by construction. */
+  private def videoGates: Seq[(String, Column)] = Seq(
+    "corrupt" -> (col("drop0") <=> lit("corrupt")),
+    "undersized" -> (col("drop0") <=> lit("undersized")),
+    "too_few_frames" -> (col("drop0") <=> lit("too_few_frames")),
+    "bad_fps" -> (col("drop0") <=> lit("bad_fps")))
 
   /** Incremental VIDEO near-dup removal — keyframe perceptual hashes
     * (decode ONLY frame 0 per video) through the same shared

@@ -1237,6 +1237,48 @@ class StreamingSpec extends AnyFunSuite {
       "no cross-batch near-dup losers — registry path untested")
   }
 
+  test("incremental three-modality curation sink == batch curateMedia3 verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regRoot = "/tmp/graft_test_media3_reg"
+    val outPath = "/tmp/graft_test_media3_out"
+    for (p <- Seq(regRoot, outPath))
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    val docs = Tables.documents(spark, dir)
+    def byId(df: org.apache.spark.sql.DataFrame): Map[Long, Array[Byte]] =
+      df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val imgs = byId(graft.operators.Images.synthesize(spark, docs))
+    val clips = byId(graft.operators.Audio.synthesize(spark, docs))
+    val vids = byId(graft.operators.Video.synthesize(spark, docs))
+    val rows = imgs.keys.toSeq.sorted.map(id => (id, imgs(id), clips(id), vids(id)))
+    val stream = MemoryStream[(Long, Array[Byte], Array[Byte], Array[Byte])]
+    val q = graft.streaming.StreamingPipelines
+      .mediaCurate3Sink(stream.toDF().toDF("doc_id", "img", "audio", "video"),
+        regRoot, outPath)
+      .start()
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    stream.addData(h1); q.processAllAvailable()
+    stream.addData(h2); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outPath)
+      .select("doc_id", "image_reason", "audio_reason", "video_reason",
+        "drop_reason")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
+    val want = graft.pipeline.MediaCurate.curateMedia3(spark,
+      graft.operators.Images.synthesize(spark, docs),
+      graft.operators.Audio.synthesize(spark, docs),
+      graft.operators.Video.synthesize(spark, docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(got.size === rows.size && got === want)
+    // all three modalities must contribute cross-batch near-dup losers
+    // somewhere in the verdicts, or a registry went untested
+    val reasons = want.values.flatMap(v => Seq(v._1, v._2, v._3)).toSet
+    assert(reasons.contains("near_dup"))
+  }
+
   test("video frame sampling is stream == batch (stateless flatMap on a binary stream)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
