@@ -137,9 +137,10 @@ object Video {
     * chunks, 2-byte chunk alignment). usPerFrame = 1,000,000 / fps
     * (integer division — the oracle reproduces it). */
   private[graft] def encodeAvi(w: Int, h: Int, fps: Int,
-      frames: Seq[Array[Byte]]): Array[Byte] =
+      frames: Seq[Array[Byte]],
+      audio: Option[(Int, Array[Int])] = None): Array[Byte] =
     assembleAvi(w, h, fps, "MJPG", mjpgCompression = true,
-      frames, chunkId = "00dc")
+      frames, chunkId = "00dc", audio = audio)
 
   /** Row stride of a 24-bit DIB scanline: 3 bytes per pixel, each row
     * padded to a 4-byte boundary (the BMP/DIB convention). */
@@ -177,16 +178,44 @@ object Video {
 
   private def assembleAvi(w: Int, h: Int, fps: Int, handler: String,
       mjpgCompression: Boolean, frames: Seq[Array[Byte]],
-      chunkId: String): Array[Byte] = {
+      chunkId: String, audio: Option[(Int, Array[Int])] = None): Array[Byte] = {
     require(fps > 0 && frames.nonEmpty)
     val maxFrame = frames.map(_.length).max
+    // the audio track (16-bit LE PCM mono), split into one '01wb' chunk
+    // per video frame — the standard interleaved layout
+    val audioChunks: Seq[Array[Byte]] = audio match {
+      case None => Seq.empty
+      case Some((_, samples)) =>
+        val n = frames.size
+        val base = samples.length / n
+        val extra = samples.length % n
+        var off = 0
+        (0 until n).map { i =>
+          val take = base + (if (i < extra) 1 else 0)
+          val b = new Array[Byte](take * 2)
+          var j = 0
+          while (j < take) {
+            val s = samples(off + j)
+            b(j * 2) = (s & 0xff).toByte
+            b(j * 2 + 1) = ((s >> 8) & 0xff).toByte
+            j += 1
+          }
+          off += take
+          b
+        }
+    }
     // movi body
     val movi = new ByteArrayOutputStream()
     fcc(movi, "movi")
-    frames.foreach { f =>
+    frames.zipWithIndex.foreach { case (f, i) =>
       fcc(movi, chunkId); u32(movi, f.length.toLong)
       movi.write(f, 0, f.length)
       if (f.length % 2 == 1) movi.write(0) // RIFF chunks align to 2 bytes
+      if (audioChunks.nonEmpty && audioChunks(i).length > 0) {
+        val a = audioChunks(i)
+        fcc(movi, "01wb"); u32(movi, a.length.toLong)
+        movi.write(a, 0, a.length) // 16-bit samples: always even length
+      }
     }
     val hdrl = new ByteArrayOutputStream()
     fcc(hdrl, "hdrl")
@@ -195,7 +224,7 @@ object Video {
     u32(hdrl, 1000000L / fps) // dwMicroSecPerFrame
     u32(hdrl, 0); u32(hdrl, 0); u32(hdrl, 0) // maxBytesPerSec, padding, flags
     u32(hdrl, frames.size.toLong) // dwTotalFrames
-    u32(hdrl, 0); u32(hdrl, 1) // initialFrames, dwStreams
+    u32(hdrl, 0); u32(hdrl, if (audio.isDefined) 2L else 1L) // initialFrames, dwStreams
     u32(hdrl, maxFrame.toLong) // suggestedBufferSize
     u32(hdrl, w.toLong); u32(hdrl, h.toLong)
     u32(hdrl, 0); u32(hdrl, 0); u32(hdrl, 0); u32(hdrl, 0) // reserved
@@ -222,6 +251,28 @@ object Video {
     val strlBytes = strl.toByteArray
     fcc(hdrl, "LIST"); u32(hdrl, strlBytes.length.toLong)
     hdrl.write(strlBytes, 0, strlBytes.length)
+    audio.foreach { case (rate, samples) =>
+      // second strl: 'auds' strh (56) + WAVEFORMATEX strf (18)
+      val astrl = new ByteArrayOutputStream()
+      fcc(astrl, "strl")
+      fcc(astrl, "strh"); u32(astrl, 56)
+      fcc(astrl, "auds"); u32(astrl, 0) // handler: 0 for PCM
+      u32(astrl, 0); u16(astrl, 0); u16(astrl, 0) // flags, priority, language
+      u32(astrl, 0) // initialFrames
+      u32(astrl, 1); u32(astrl, rate.toLong) // dwScale, dwRate -> samples/sec
+      u32(astrl, 0) // start
+      u32(astrl, samples.length.toLong) // dwLength (in samples)
+      u32(astrl, samples.length.toLong * 2); u32(astrl, 0xffffffffL) // bufSize, quality(-1)
+      u32(astrl, 2) // sampleSize = nBlockAlign
+      u16(astrl, 0); u16(astrl, 0); u16(astrl, 0); u16(astrl, 0) // rcFrame
+      fcc(astrl, "strf"); u32(astrl, 18)
+      u16(astrl, 1); u16(astrl, 1) // wFormatTag = PCM, nChannels = 1
+      u32(astrl, rate.toLong); u32(astrl, rate.toLong * 2) // nSamplesPerSec, nAvgBytesPerSec
+      u16(astrl, 2); u16(astrl, 16); u16(astrl, 0) // nBlockAlign, wBitsPerSample, cbSize
+      val astrlBytes = astrl.toByteArray
+      fcc(hdrl, "LIST"); u32(hdrl, astrlBytes.length.toLong)
+      hdrl.write(astrlBytes, 0, astrlBytes.length)
+    }
 
     val hdrlBytes = hdrl.toByteArray
     val moviBytes = movi.toByteArray
@@ -242,15 +293,23 @@ object Video {
 
   /** Parsed container metadata (header only — no frame payload copied,
     * no JPEG touched) plus the [offset, length) of each movi frame
-    * chunk so frame access is a byte slice. */
+    * chunk so frame access is a byte slice. Stream-1 PCM audio track
+    * fields default to "absent" (-1 / empty): the parser RECORDS
+    * whatever second stream it finds and tolerates unsupported ones;
+    * [[extractAudioTrack]] validates loudly on use. */
   private[graft] final case class AviMeta(
       width: Int, height: Int, usPerFrame: Long, totalFrames: Long,
       scale: Long, rate: Long, handler: String, streams: Long,
-      frameOffsets: Vector[(Int, Int)])
+      frameOffsets: Vector[(Int, Int)],
+      audioChunks: Vector[(Int, Int)] = Vector.empty,
+      audioRate: Long = -1, audioChannels: Int = -1, audioBits: Int = -1,
+      audioTag: Int = -1, audioLenSamples: Long = -1)
 
   private def rdU32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def rdU16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
   private def rdFcc(b: Array[Byte], o: Int): String =
     new String(Array(b(o), b(o + 1), b(o + 2), b(o + 3)), "US-ASCII")
 
@@ -280,8 +339,11 @@ object Video {
     var w = -1; var h = -1; var us = -1L; var total = -1L
     var scale = -1L; var rate = -1L; var handler = ""; var streams = -1L
     var strhLen = -1L; var strfW = -1L; var strfH = -1L
-    var seenStrh = false; var seenStrf = false
+    var strhCount = 0; var strfCount = 0; var lastStrhType = ""
+    var audRate = -1L; var audLen = -1L
+    var audTag = -1; var audChannels = -1; var audBits = -1
     val frames = Vector.newBuilder[(Int, Int)]
+    val audioChunks = Vector.newBuilder[(Int, Int)]
     def walk(from: Long, to: Long): Unit = {
       var o = from
       while (o + 8 <= to) {
@@ -303,6 +365,8 @@ object Video {
                     fail(s"movi chunk $cid overruns the movi list")
                   if (cid == "00dc" || cid == "00db")
                     frames += ((m.toInt + 8, clen.toInt))
+                  else if (cid == "01wb")
+                    audioChunks += ((m.toInt + 8, clen.toInt))
                   m += 8 + clen + (clen % 2)
                 }
               } else walk(payload + 4, payload + len)
@@ -314,20 +378,39 @@ object Video {
             streams = rdU32(bytes, payload.toInt + 24)
             w = rdU32(bytes, payload.toInt + 32).toInt
             h = rdU32(bytes, payload.toInt + 36).toInt
-          case "strh" if !seenStrh =>
-            seenStrh = true
+          case "strh" =>
+            strhCount += 1
             if (len < 36) fail("strh chunk shorter than its fixed header")
-            if (rdFcc(bytes, payload.toInt) != "vids") fail("stream 0 is not video")
-            handler = rdFcc(bytes, payload.toInt + 4).toLowerCase(java.util.Locale.ROOT)
-            scale = rdU32(bytes, payload.toInt + 20)
-            rate = rdU32(bytes, payload.toInt + 24)
-            strhLen = rdU32(bytes, payload.toInt + 32)
-          case "strf" if !seenStrf =>
-            seenStrf = true
-            if (len < 12) fail("strf chunk shorter than BITMAPINFOHEADER dims")
-            strfW = rdU32(bytes, payload.toInt + 4)
-            strfH = rdU32(bytes, payload.toInt + 8)
-          case _ => // unknown chunks + non-first streams skip (idx1, JUNK, auds strl, ...)
+            lastStrhType = rdFcc(bytes, payload.toInt)
+            if (strhCount == 1) {
+              if (lastStrhType != "vids") fail("stream 0 is not video")
+              handler = rdFcc(bytes, payload.toInt + 4)
+                .toLowerCase(java.util.Locale.ROOT)
+              scale = rdU32(bytes, payload.toInt + 20)
+              rate = rdU32(bytes, payload.toInt + 24)
+              strhLen = rdU32(bytes, payload.toInt + 32)
+            } else if (strhCount == 2 && lastStrhType == "auds") {
+              val aScale = rdU32(bytes, payload.toInt + 20)
+              audRate = rdU32(bytes, payload.toInt + 24) / math.max(aScale, 1)
+              audLen = rdU32(bytes, payload.toInt + 32)
+            } // further / non-auds streams are recorded as nothing: the
+              // movi indexer only consumes stream 0 and 1 chunks
+          case "strf" =>
+            strfCount += 1
+            if (strfCount == 1) {
+              if (len < 12) fail("strf chunk shorter than BITMAPINFOHEADER dims")
+              strfW = rdU32(bytes, payload.toInt + 4)
+              strfH = rdU32(bytes, payload.toInt + 8)
+            } else if (strfCount == 2 && lastStrhType == "auds" && len >= 16) {
+              // WAVEFORMAT(EX): tag, channels, rate, avgBytes, align, bits
+              audTag = rdU16(bytes, payload.toInt)
+              audChannels = rdU16(bytes, payload.toInt + 2)
+              val sfRate = rdU32(bytes, payload.toInt + 4)
+              audBits = rdU16(bytes, payload.toInt + 14)
+              if (audTag == 1 && audRate >= 0 && sfRate != audRate) fail(
+                s"auds strf rate $sfRate disagrees with strh rate $audRate")
+            }
+          case _ => // unknown chunks + extra streams skip (idx1, JUNK, ...)
         }
         o = payload + len + (len % 2)
       }
@@ -342,7 +425,10 @@ object Video {
       s"strf dims ${strfW}x$strfH disagree with avih ${w}x$h")
     if (strhLen != total || fr.size.toLong != total) fail(
       s"frame counts disagree: avih=$total strh=$strhLen movi=${fr.size}")
-    AviMeta(w, h, us, total, scale, rate, handler, streams, fr)
+    AviMeta(w, h, us, total, scale, rate, handler, streams, fr,
+      audioChunks = audioChunks.result(), audioRate = audRate,
+      audioChannels = audChannels, audioBits = audBits, audioTag = audTag,
+      audioLenSamples = audLen)
   }
 
   /** Decode one indexed frame to grayscale. MJPEG: the byte slice is
@@ -423,6 +509,162 @@ object Video {
         }
       }
       .toDF("doc_id", "video")
+  }
+
+  /** MULTIMODAL fixture: one MJPEG AVI per doc with an interleaved
+    * 16-bit PCM mono audio track (stream 1, '01wb' chunks — the
+    * standard two-stream layout real capture AVIs use). The video
+    * frames are [[synthParams]]/[[synthFramePixels]]; the audio track
+    * is the AUDIO ARM'S fixture ([[Audio.synthSamples]]), so a
+    * demuxed track feeds the audio arm's oracle unchanged. */
+  def synthesizeAV(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        init
+        ids.map { id =>
+          val (w, h, n, fps) = synthParams(id)
+          val frames = (0 until n).map(f => jpegEncode(w, h, synthFramePixels(id, f)))
+          val (rate, samples) = Audio.synthSamples(id)
+          (id, encodeAvi(w, h, fps, frames, audio = Some((rate, samples))))
+        }
+      }
+      .toDF("doc_id", "video")
+  }
+
+  /** A/V DEMUX — extract the PCM audio track of a two-stream AVI as a
+    * standalone WAVE clip: concatenate the '01wb' chunks in container
+    * order (exact byte reading, 16-bit LE samples) and re-encode
+    * through the audio arm's writer. Validation is LOUD on use (the
+    * parser records any second stream; this operator refuses
+    * non-PCM16-mono tracks and cross-checks the byte total against the
+    * strh sample count). Output (doc_id, audio) — feeds
+    * Audio.audioStats / the whole audio arm unchanged, which is the
+    * point: a multimodal corpus demuxes once and reuses every
+    * single-modality pass. Map-side, no shuffle. */
+  def extractAudioTrack(spark: SparkSession, binDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("video")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        init
+        rows.map { case (id, bytes) =>
+          val m = parseMeta(bytes)
+          if (m.audioChunks.isEmpty) fail(s"doc $id has no audio track")
+          if (m.audioTag != 1 || m.audioBits != 16 || m.audioChannels != 1) fail(
+            s"doc $id audio track is not PCM16 mono: tag=${m.audioTag} " +
+              s"bits=${m.audioBits} channels=${m.audioChannels}")
+          val totalBytes = m.audioChunks.map(_._2.toLong).sum
+          if (totalBytes % 2 != 0) fail(s"doc $id audio byte total is odd")
+          val nSamples = totalBytes / 2
+          if (m.audioLenSamples >= 0 && nSamples != m.audioLenSamples) fail(
+            s"doc $id audio sample counts disagree: strh=${m.audioLenSamples} " +
+              s"movi=$nSamples")
+          val samples = new Array[Int](nSamples.toInt)
+          var j = 0
+          m.audioChunks.foreach { case (off, len) =>
+            var o = off
+            while (o < off + len) {
+              samples(j) = ((bytes(o) & 0xff) | (bytes(o + 1) << 8))
+              o += 2; j += 1
+            }
+          }
+          (id, Audio.encode(m.audioRate.toInt, samples,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        }
+      }
+      .toDF("doc_id", "audio")
+  }
+
+  /** Shot parameters of the SCENE fixture: shot length (frames per
+    * shot), shot count, and total frames — pure integer arithmetic
+    * over doc_id like [[synthParams]], reproducible in SQL. */
+  private[graft] def synthSceneParams(docId: Long): (Int, Int) = {
+    val g = docId % 200
+    val shotLen = (2 + (g % 3)).toInt
+    val nShots = (2 + ((g / 3) % 3)).toInt
+    (shotLen, nShots)
+  }
+
+  /** SHOT-structured fixture for scene detection: frames within a shot
+    * are IDENTICAL (the pixel formula is fed the shot index, not the
+    * frame index), shots differ — so consecutive-frame hashes are
+    * equal inside a shot and far apart across a cut. Uncompressed
+    * 'DIB ' container (no codec — the structure is bit-exact;
+    * VideoSpec measures the cross-cut hamming floor before the
+    * threshold is trusted). Dims/fps from [[synthParams]]. */
+  def synthesizeScenes(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h, _, fps) = synthParams(id)
+          val (shotLen, nShots) = synthSceneParams(id)
+          val frames = (0 until shotLen * nShots)
+            .map(f => synthFramePixels(id, f / shotLen))
+          (id, encodeAviRaw(w, h, fps, frames))
+        }
+      }
+      .toDF("doc_id", "video")
+  }
+
+  /** SCENE-CUT detection — the standard video curation pass that
+    * segments a clip into shots for frame sampling / captioning:
+    * decode frames in order, aHash each, and emit frame f as a cut
+    * when hamming(hash(f−1), hash(f)) > maxHamming (f starts a new
+    * shot; frame 0 is never a cut). Default 0: inside a shot
+    * consecutive decoded frames are identical (equal hashes — exact on
+    * the DIB arm, decoder-deterministic on MJPEG), across a real cut
+    * the hashes are far apart (fixture floor measured in VideoSpec
+    * before the default was trusted). A flatMap — one video in, cuts
+    * out; no shuffle, the 100 TB shape. Output
+    * (doc_id, frame_idx, hamming). */
+  def sceneCuts(spark: SparkSession, binDf: DataFrame,
+      maxHamming: Int = 0): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("video")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        init
+        val m = parseMeta(bytes)
+        var prev = 0L
+        (0 until m.totalFrames.toInt).iterator.flatMap { f =>
+          val h = Images.aHash64(decodeFrame(bytes, m, f), m.width, m.height)
+          val d = if (f == 0) 0 else java.lang.Long.bitCount(prev ^ h)
+          prev = h
+          if (f > 0 && d > maxHamming) Some((id, f, d)) else None
+        }
+      }
+      .toDF("doc_id", "frame_idx", "hamming")
+  }
+
+  /** Shot segmentation summary built on [[sceneCuts]]: one row per
+    * shot (doc_id, shot_idx, start_frame, n_frames). Needs the frame
+    * count per doc, so it parses headers once more — still map-side
+    * per input; the cuts-to-shots fold is a per-doc groupBy (the only
+    * shuffle, keyed on doc_id, tiny rows). */
+  def shotTable(spark: SparkSession, binDf: DataFrame,
+      maxHamming: Int = 0): DataFrame = {
+    import spark.implicits._
+    val counts = binDf.select(col("doc_id"), col("video")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) => (id, parseMeta(bytes).totalFrames) }
+      }
+      .toDF("doc_id", "n_frames")
+    val cuts = sceneCuts(spark, binDf, maxHamming)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("frame_idx"))).as("cuts"))
+    counts.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("cuts"), array().cast("array<int>")).as("cuts"))
+      .as[(Long, Long, Seq[Int])]
+      .flatMap { case (id, nFrames, cs) =>
+        val starts = 0 +: cs
+        starts.iterator.zipWithIndex.map { case (s, i) =>
+          val end = if (i + 1 < starts.length) starts(i + 1) else nFrames.toInt
+          (id, i, s, end - s)
+        }
+      }
+      .toDF("doc_id", "shot_idx", "start_frame", "n_frames")
   }
 
   /** Container metadata over a binary video column — dims, frame count,

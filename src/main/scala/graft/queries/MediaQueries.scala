@@ -151,5 +151,35 @@ object MediaQueries {
       FROM ireason i JOIN areason a USING (doc_id)
                      JOIN vreason v USING (doc_id)"""))
 
-  val all: Seq[Q] = Seq(tCurateMedia, tCurateMedia3)
+  /** A/V DEMUX certified end to end (Video.synthesizeAV →
+    * Video.extractAudioTrack → Audio.audioStats): the fixture muxes
+    * the AUDIO ARM'S sample formula into stream 1 of a two-stream
+    * MJPEG AVI ('01wb' PCM chunks, WAVEFORMATEX strf, standard
+    * interleaved layout), the engine demuxes it back to a WAVE clip
+    * and runs the REAL javax.sound decode + stats + fingerprint pass —
+    * and the oracle is t_audio_meta's CTE chain verbatim (format
+    * literal 'wave': the demuxer re-encodes WAVE). A hash match proves
+    * mux → container walk → chunk concatenation → sample decode →
+    * re-encode → decode → stats/fingerprint bit-for-bit against the
+    * same formula the direct audio arm is certified by. */
+  val tVideoDemuxAudio: Q = Q(
+    "t_video_demux_audio",
+    run = (s, dir) =>
+      Audio.audioStats(s,
+        graft.operators.Video.extractAudioTrack(s,
+          graft.operators.Video.synthesizeAV(s, Tables.documents(s, dir)))),
+    oracle = Some(s"""
+      WITH ${AudioQueries.audioCtes("documents")}
+      final AS (
+        SELECT d.doc_id, 'wave' AS format, CAST(d.rate AS INT) AS sample_rate,
+               CAST(t.n_samples AS BIGINT) AS n_samples,
+               CAST(t.sum_amp AS BIGINT) AS sum_amp,
+               CAST(t.min_amp AS INT) AS min_amp, CAST(t.max_amp AS INT) AS max_amp,
+               CAST(t.energy AS BIGINT) AS energy,
+               CAST(z.zero_cross AS BIGINT) AS zero_cross, f.afp
+        FROM apd d JOIN ast t USING (doc_id) JOIN azc z USING (doc_id)
+             JOIN afh f USING (doc_id))
+      SELECT * FROM final"""))
+
+  val all: Seq[Q] = Seq(tCurateMedia, tCurateMedia3, tVideoDemuxAudio)
 }

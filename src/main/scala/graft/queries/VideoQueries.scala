@@ -220,6 +220,51 @@ object VideoQueries {
         FROM vpd)
       SELECT * FROM final"""))
 
+  /** Scene-parameter recomposition for the shot-structured fixture
+    * (Video.synthSceneParams' exact arithmetic). */
+  private def sceneCtes(docsRel: String): String = s"""
+      vs0 AS (SELECT doc_id, CAST(doc_id % 200 AS BIGINT) AS g FROM $docsRel),
+      vsp AS (SELECT doc_id, 2 + (g % 3) AS shot_len,
+                     2 + ((g // 3) % 3) AS n_shots FROM vs0),"""
+
+  /** SCENE-CUT detection over the shot-structured fixture: decode
+    * frames in order, aHash each, emit a cut where consecutive hashes
+    * differ (hamming > 0). Within a shot frames are identical (equal
+    * hashes, exact — the fixture is the codec-free DIB arm); across a
+    * cut the measured hamming floor is ≥ 8 (VideoSpec pins it), so the
+    * oracle predicts the cut set structurally: every shot boundary
+    * k·shot_len, and nothing else. The hamming VALUE is
+    * decoded-content detail and projected away. */
+  val tVideoSceneCuts: Q = Q(
+    "t_video_scene_cuts",
+    run = (s, dir) =>
+      Video.sceneCuts(s, Video.synthesizeScenes(s, Tables.documents(s, dir)))
+        .select(col("doc_id"), col("frame_idx")),
+    oracle = Some(s"""
+      WITH ${sceneCtes("documents")}
+      final AS (
+        SELECT doc_id, CAST(unnest(range(1, n_shots)) * shot_len AS INT)
+                 AS frame_idx
+        FROM vsp)
+      SELECT * FROM final"""))
+
+  /** Shot segmentation summary (Video.shotTable): cuts folded into one
+    * row per shot with exact start frame and length — the unit a
+    * captioning / frame-sampling pass iterates over. */
+  val tVideoShots: Q = Q(
+    "t_video_shots",
+    run = (s, dir) =>
+      Video.shotTable(s, Video.synthesizeScenes(s, Tables.documents(s, dir))),
+    oracle = Some(s"""
+      WITH ${sceneCtes("documents")}
+      vsh AS (SELECT doc_id, shot_len,
+                     CAST(unnest(range(0, n_shots)) AS INT) AS shot_idx
+              FROM vsp)
+      SELECT doc_id, shot_idx, CAST(shot_idx * shot_len AS INT) AS start_frame,
+             CAST(shot_len AS INT) AS n_frames
+      FROM vsh"""))
+
   val all: Seq[Q] = Seq(tVideoMeta, tVideoFrames, tVideoFramesRaw,
-    tVideoSample, tVideoDedupKeyframe, tCurateVideo)
+    tVideoSample, tVideoDedupKeyframe, tVideoSceneCuts, tVideoShots,
+    tCurateVideo)
 }

@@ -243,6 +243,76 @@ class VideoSpec extends AnyFunSuite {
     } finally { vids.unpersist(blocking = false); () }
   }
 
+  test("A/V mux -> demux: audio samples bit-exact, video stream untouched") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).limit(60)
+    val av = graft.operators.Video.synthesizeAV(spark, docs).persist()
+    try {
+      // the demuxed track decodes to EXACTLY the audio-arm fixture
+      val tracks = graft.operators.Video.extractAudioTrack(spark, av)
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      assert(tracks.size === 60)
+      for ((id, wav) <- tracks) {
+        val d = graft.operators.Audio.decode(wav)
+        val (rate, want) = graft.operators.Audio.synthSamples(id)
+        assert(d.rate === rate, s"doc $id demuxed rate drifted")
+        assert(d.samples === want, s"doc $id demuxed samples not bit-exact")
+      }
+      // the video stream decodes exactly as in the audio-less container
+      val frames = graft.operators.Video.frameTable(spark, av)
+        .select("doc_id", "frame_idx").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val want = docs.select("doc_id").as[Long].collect().flatMap { id =>
+        (0 until graft.operators.Video.synthParams(id)._3).map(f => (id, f))
+      }.toSet
+      assert(frames === want, "frame index disturbed by interleaved audio chunks")
+      // two streams reported; keyframe hashes unaffected
+      val m = graft.operators.Video.videoMeta(spark, av)
+        .select("doc_id", "n_streams").collect()
+      assert(m.forall(_.getLong(1) === 2L))
+    } finally { av.unpersist(blocking = false); () }
+    // loud on a container WITHOUT an audio track
+    val plain = Seq((1L, fixture(7L))).toDF("doc_id", "video")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.operators.Video.extractAudioTrack(spark, plain).collect()
+    }
+    assert(e.getCause.getMessage.contains("no audio track"))
+  }
+
+  test("scene cuts: exact shot boundaries, measured cross-cut hamming floor") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val scenes = graft.operators.Video.synthesizeScenes(spark, docs).persist()
+    try {
+      val cuts = graft.operators.Video.sceneCuts(spark, scenes)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      // expected cuts: every shot boundary k*shotLen, k = 1..nShots-1
+      val want = docs.select("doc_id").as[Long].collect().flatMap { id =>
+        val (shotLen, nShots) = graft.operators.Video.synthSceneParams(id)
+        (1 until nShots).map(k => (id, k * shotLen))
+      }.toSet
+      assert(cuts.map(c => (c._1, c._2)).toSet === want,
+        "cut set != shot boundaries")
+      // the threshold lives on the hamming gap: inside a shot it is 0 by
+      // construction (identical frames); ACROSS cuts, measure the floor
+      // before trusting maxHamming = 0 — a 1-bit floor would be fragile
+      val floor = cuts.map(_._3).min
+      assert(floor >= 8, s"cross-cut hamming floor $floor is too fragile")
+      // shot table recomposes cuts into (start, length) runs
+      val shots = graft.operators.Video.shotTable(spark, scenes)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      shots.foreach { case (id, si, start, n) =>
+        val (shotLen, _) = graft.operators.Video.synthSceneParams(id)
+        assert(start === si * shotLen && n === shotLen,
+          s"doc $id shot $si: ($start, $n) != (${si * shotLen}, $shotLen)")
+      }
+      val byDoc = shots.groupBy(_._1)
+      docs.select("doc_id").as[Long].collect().foreach { id =>
+        assert(byDoc(id).length === graft.operators.Video.synthSceneParams(id)._2)
+      }
+    } finally { scenes.unpersist(blocking = false); () }
+  }
+
   test("sampleFrames decodes only sampled indices, with exact pts") {
     val vids = Video.synthesize(spark, Tables.documents(spark, dir)).persist()
     try {
