@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   * in round 13 ([[Video]] — AVI container metadata via a real RIFF
   * walker, plus REAL frame decode for MJPEG streams whose frames are
   * JPEGs the JDK codec reads; oracle-gated by t_video_meta /
-  * t_video_frames / t_video_sample). Everything around the remaining
+  * t_video_frames / t_video_sample — and further in round 14:
+  * uncompressed BI_RGB 'DIB ' AVIs decode bit-exactly with no codec at
+  * all (t_video_frames_raw), and two-stream AVIs mux/demux a PCM audio
+  * track end to end (t_video_demux_audio), so the ONLY remaining stub
+  * is inter-frame compressed video). Everything around the remaining
   * inter-frame stub is real Spark plumbing: binary column schema,
   * per-partition batched iteration (mapPartitions ≈ mapInPandas batch
   * shape), typed output Dataset, and partition-parallel execution.

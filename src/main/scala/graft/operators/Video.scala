@@ -748,6 +748,38 @@ object Video {
       maxHamming: Int = 0): DataFrame =
     Fingerprints.nearDupKeepers(keyframeHashes(spark, binDf), "khash", maxHamming)
 
+  /** TIME-based frame sampling — one frame per `everyUs` microseconds
+    * of presentation time (frame 0 always included): the mode a
+    * vision-training corpus actually samples at ("1 frame per second"),
+    * robust to mixed frame rates where a fixed stride is not. Frame f
+    * is kept iff its pts bucket floor(f·usPerFrame / everyUs) is new —
+    * pure integer arithmetic the oracle reproduces. Decodes ONLY the
+    * sampled frames, like [[sampleFrames]]. */
+  def sampleFramesEvery(spark: SparkSession, binDf: DataFrame,
+      everyUs: Long): DataFrame = {
+    require(everyUs > 0, s"everyUs must be positive, got $everyUs")
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("video")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        init
+        val m = parseMeta(bytes)
+        var lastBucket = -1L
+        (0 until m.totalFrames.toInt).iterator.flatMap { f =>
+          val bucket = f * m.usPerFrame / everyUs
+          if (f == 0 || bucket != lastBucket) {
+            lastBucket = bucket
+            val gray = decodeFrame(bytes, m, f)
+            var sum = 0L
+            var i = 0
+            while (i < gray.length) { sum += gray(i); i += 1 }
+            Some((id, f, f * m.usPerFrame, m.width, m.height,
+              gray.length.toLong, sum))
+          } else None
+        }
+      }
+      .toDF("doc_id", "frame_idx", "pts_us", "width", "height", "n_px", "sum_lum")
+  }
+
   /** Fused curation profile — the video arm's gate pass, ONE scan with
     * the cheapest-possible work per doc: the header-only RIFF walk
     * feeds the metadata gates (undersized / too_few_frames / bad_fps),

@@ -166,6 +166,42 @@ object VideoQueries {
              CAST(w AS INT) AS width, CAST(h AS INT) AS height, TRUE AS ok
       FROM vfr"""))
 
+  /** TIME-based frame sampling (one frame per 100 ms of presentation
+    * time — "10 fps sampling" over a MIXED-frame-rate corpus, where a
+    * fixed stride is wrong): frame f kept iff its pts bucket
+    * floor(f·usPerFrame / 100000) is new, pure integer arithmetic on
+    * both sides. Run over the UNCOMPRESSED arm so the per-frame sums
+    * stay hash-exact (the t_video_frames_raw pixel CTEs, filtered to
+    * the kept frames). Liveness: 30 fps clips keep every 3rd frame,
+    * 10 fps clips keep all — the fixture spans five rates. */
+  val tVideoTimeSample: Q = Q(
+    "t_video_time_sample",
+    run = (s, dir) =>
+      Video.sampleFramesEvery(s,
+        Video.synthesizeRaw(s, Tables.documents(s, dir)), everyUs = 100000L),
+    oracle = Some(s"""
+      WITH ${videoCtes("documents")}
+      vfr AS (SELECT doc_id, g, w, h, 1000000 // fps AS uspf,
+                     CAST(unnest(range(0, nf)) AS INT) AS frame_idx FROM vpd),
+      vkp AS (SELECT * FROM vfr
+              WHERE frame_idx = 0
+                 OR (frame_idx * uspf) // 100000
+                    <> ((frame_idx - 1) * uspf) // 100000),
+      vxx AS (SELECT doc_id, g, w, h, uspf, frame_idx,
+                     unnest(range(0, w)) AS x FROM vkp),
+      vxy AS (SELECT doc_id, g, w, h, uspf, frame_idx, x,
+                     unnest(range(0, h)) AS y FROM vxx),
+      vpx AS (SELECT doc_id, frame_idx,
+                     (x*2654435761 + y*40503 + (x+3)*(y+7)*(g+13)
+                      + frame_idx*7919*(x+y+1) + g*2246822519) % 256 AS lum
+              FROM vxy),
+      vst AS (SELECT doc_id, frame_idx, SUM(lum) AS sum_lum, COUNT(*) AS n_px
+              FROM vpx GROUP BY 1, 2)
+      SELECT k.doc_id, k.frame_idx, CAST(k.frame_idx * k.uspf AS BIGINT) AS pts_us,
+             CAST(k.w AS INT) AS width, CAST(k.h AS INT) AS height,
+             CAST(s.n_px AS BIGINT) AS n_px, CAST(s.sum_lum AS BIGINT) AS sum_lum
+      FROM vkp k JOIN vst s USING (doc_id, frame_idx)"""))
+
   /** Video near-dup removal via keyframe perceptual hashing (decode
     * ONLY frame 0 per video, aHash it, elect keepers through the
     * shared Fingerprints machinery at hamming 0 — exact keyframe
@@ -265,6 +301,6 @@ object VideoQueries {
       FROM vsh"""))
 
   val all: Seq[Q] = Seq(tVideoMeta, tVideoFrames, tVideoFramesRaw,
-    tVideoSample, tVideoDedupKeyframe, tVideoSceneCuts, tVideoShots,
-    tCurateVideo)
+    tVideoSample, tVideoTimeSample, tVideoDedupKeyframe, tVideoSceneCuts,
+    tVideoShots, tCurateVideo)
 }

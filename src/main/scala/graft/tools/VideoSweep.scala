@@ -36,6 +36,34 @@ object VideoSweep {
           h.noop(Video.sampleFrames(spark, vids(), stride = 2))
         }
       }
+      // --- round-14 passes ---
+      // decode-only-survivors: gatedProfile decodes ONE keyframe for
+      // gate survivors only vs keyframeHashes decoding one per video —
+      // the delta is the metadata-gate saving a curation pass banks
+      def rawVids() = Video.synthesizeRaw(spark, docs)
+      def scenes() = Video.synthesizeScenes(spark, docs)
+      def avVids() = Video.synthesizeAV(spark, docs)
+      h.noop(rawVids()); h.noop(scenes()); h.noop(avVids()) // warmups
+      for (run <- 1 to 3) {
+        h.timed(s"$dir keyframeHashes(all docs) run$run") {
+          h.noop(Video.keyframeHashes(spark, vids()))
+        }
+        h.timed(s"$dir gatedProfile(survivor-only keyframes) run$run") {
+          h.noop(Video.gatedProfile(spark, vids(),
+            minPixels = 512, minFrames = 3, minFps = 12, maxFps = 60))
+        }
+        h.timed(s"$dir synthRaw(dib) run$run") { h.noop(rawVids()) }
+        h.timed(s"$dir frameTableRaw(byte decode) run$run") {
+          h.noop(Video.frameTable(spark, rawVids()))
+        }
+        h.timed(s"$dir sceneCuts run$run") {
+          h.noop(Video.sceneCuts(spark, scenes()))
+        }
+        h.timed(s"$dir synthAV(mux) run$run") { h.noop(avVids()) }
+        h.timed(s"$dir demuxAudio run$run") {
+          h.noop(Video.extractAudioTrack(spark, avVids()))
+        }
+      }
     }
     spark.stop()
   }

@@ -126,10 +126,18 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(shuffles(name) === 0,
         s"$name grew a shuffle:\n${plan(name)}")
     }
+    // round-14 additions: the scene/demux/raw-frame passes are the same
+    // map-side shape (flatMap per video, zero exchanges)
+    for (name <- Seq("t_video_scene_cuts", "t_video_frames_raw",
+        "t_video_demux_audio")) {
+      assert(shuffles(name) === 0,
+        s"$name grew a shuffle:\n${plan(name)}")
+    }
     // fingerprint dedup entries: band-keyed equi-joins only — never a
     // cartesian or broadcast nested loop over the corpus
     for (name <- Seq("t_image_dedup", "t_image_dedup_keepers",
-        "t_audio_dedup", "t_audio_dedup_keepers", "t_video_dedup_keyframe")) {
+        "t_audio_dedup", "t_audio_dedup_keepers", "t_video_dedup_keyframe",
+        "t_curate_video", "t_curate_media3")) {
       val q = SparkEntry.queries(name)(spark, dir)
       val p = q.queryExecution.sparkPlan
       assert(p.collect {

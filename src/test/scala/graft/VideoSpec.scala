@@ -333,4 +333,31 @@ class VideoSpec extends AnyFunSuite {
       }.getMessage.contains("positive"))
     } finally { vids.unpersist(blocking = false); () }
   }
+
+  test("sampleFramesEvery keeps one frame per pts bucket across mixed frame rates") {
+    val vids = Video.synthesize(spark, Tables.documents(spark, dir).limit(100))
+      .persist()
+    try {
+      val everyUs = 100000L
+      val got = Video.sampleFramesEvery(spark, vids, everyUs)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val want = (0L until 100L).flatMap { id =>
+        val (_, _, n, fps) = Video.synthParams(id)
+        val uspf = 1000000L / fps
+        (0 until n).filter(f => f == 0 ||
+          f * uspf / everyUs != (f - 1) * uspf / everyUs)
+          .map(f => (id, f, f * uspf))
+      }.toSet
+      assert(got === want, "time-sampled set != pts-bucket formula")
+      // mixed rates produce LIVE signal: some clips keep all frames,
+      // some skip (30 fps keeps every 3rd at 100 ms)
+      val keptPerDoc = got.groupBy(_._1).view.mapValues(_.size).toMap
+      val fullPerDoc = (0L until 100L).map(id => id -> Video.synthParams(id)._3).toMap
+      assert(keptPerDoc.exists { case (id, k) => k < fullPerDoc(id) })
+      assert(keptPerDoc.exists { case (id, k) => k == fullPerDoc(id) })
+      assert(intercept[IllegalArgumentException] {
+        Video.sampleFramesEvery(spark, vids, 0L)
+      }.getMessage.contains("positive"))
+    } finally { vids.unpersist(blocking = false); () }
+  }
 }
