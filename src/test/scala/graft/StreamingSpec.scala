@@ -1308,6 +1308,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty && got === want)
   }
 
+  test("scene cuts and A/V demux are stream == batch (stateless flatMaps on a binary stream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // both passes are per-video map-side work — they run unchanged on a
+    // streaming binary column, the continuous-ingestion contract
+    val docs = Tables.documents(spark, dir).limit(60)
+    val scenes = graft.operators.Video.synthesizeScenes(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    val s1 = MemoryStream[(Long, Array[Byte])]
+    val q1 = graft.operators.Video
+      .sceneCuts(spark, s1.toDF().toDF("doc_id", "video"))
+      .writeStream.format("memory").queryName("scene_cut_stream")
+      .outputMode("append").start()
+    s1.addData(scenes.take(30)); q1.processAllAvailable()
+    s1.addData(scenes.drop(30)); q1.processAllAvailable()
+    q1.stop()
+    val gotCuts = spark.table("scene_cut_stream")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val wantCuts = graft.operators.Video
+      .sceneCuts(spark, graft.operators.Video.synthesizeScenes(spark, docs))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(wantCuts.nonEmpty && gotCuts === wantCuts)
+    val av = graft.operators.Video.synthesizeAV(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    val s2 = MemoryStream[(Long, Array[Byte])]
+    val q2 = graft.operators.Audio.audioStats(spark,
+        graft.operators.Video.extractAudioTrack(spark,
+          s2.toDF().toDF("doc_id", "video")))
+      .writeStream.format("memory").queryName("demux_stream")
+      .outputMode("append").start()
+    s2.addData(av.take(30)); q2.processAllAvailable()
+    s2.addData(av.drop(30)); q2.processAllAvailable()
+    q2.stop()
+    val gotStats = spark.table("demux_stream")
+      .select("doc_id", "n_samples", "energy", "afp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val wantStats = graft.operators.Audio.audioStats(spark,
+        graft.operators.Video.extractAudioTrack(spark,
+          graft.operators.Video.synthesizeAV(spark, docs)))
+      .select("doc_id", "n_samples", "energy", "afp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(wantStats.size === 60 && gotStats === wantStats)
+  }
+
   test("incremental winnow-dedup sink == batch drop-doc_b formulation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
