@@ -138,9 +138,10 @@ object Video {
     * (integer division — the oracle reproduces it). */
   private[graft] def encodeAvi(w: Int, h: Int, fps: Int,
       frames: Seq[Array[Byte]],
-      audio: Option[(Int, Array[Int])] = None): Array[Byte] =
+      audio: Option[(Int, Array[Int])] = None,
+      subtitles: Option[Seq[String]] = None): Array[Byte] =
     assembleAvi(w, h, fps, "MJPG", mjpgCompression = true,
-      frames, chunkId = "00dc", audio = audio)
+      frames, chunkId = "00dc", audio = audio, subtitles = subtitles)
 
   /** Row stride of a 24-bit DIB scanline: 3 bytes per pixel, each row
     * padded to a 4-byte boundary (the BMP/DIB convention). */
@@ -178,8 +179,11 @@ object Video {
 
   private def assembleAvi(w: Int, h: Int, fps: Int, handler: String,
       mjpgCompression: Boolean, frames: Seq[Array[Byte]],
-      chunkId: String, audio: Option[(Int, Array[Int])] = None): Array[Byte] = {
+      chunkId: String, audio: Option[(Int, Array[Int])] = None,
+      subtitles: Option[Seq[String]] = None): Array[Byte] = {
     require(fps > 0 && frames.nonEmpty)
+    subtitles.foreach(ss => require(ss.size == frames.size,
+      s"one caption per frame: ${ss.size} captions, ${frames.size} frames"))
     val maxFrame = frames.map(_.length).max
     // the audio track (16-bit LE PCM mono), split into one '01wb' chunk
     // per video frame — the standard interleaved layout
@@ -216,6 +220,13 @@ object Video {
         fcc(movi, "01wb"); u32(movi, a.length.toLong)
         movi.write(a, 0, a.length) // 16-bit samples: always even length
       }
+      subtitles.foreach { ss =>
+        val t = ss(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val sid = if (audio.isDefined) "02tx" else "01tx"
+        fcc(movi, sid); u32(movi, t.length.toLong)
+        movi.write(t, 0, t.length)
+        if (t.length % 2 == 1) movi.write(0)
+      }
     }
     val hdrl = new ByteArrayOutputStream()
     fcc(hdrl, "hdrl")
@@ -224,7 +235,9 @@ object Video {
     u32(hdrl, 1000000L / fps) // dwMicroSecPerFrame
     u32(hdrl, 0); u32(hdrl, 0); u32(hdrl, 0) // maxBytesPerSec, padding, flags
     u32(hdrl, frames.size.toLong) // dwTotalFrames
-    u32(hdrl, 0); u32(hdrl, if (audio.isDefined) 2L else 1L) // initialFrames, dwStreams
+    val nStreams = 1L + (if (audio.isDefined) 1L else 0L) +
+      (if (subtitles.isDefined) 1L else 0L)
+    u32(hdrl, 0); u32(hdrl, nStreams) // initialFrames, dwStreams
     u32(hdrl, maxFrame.toLong) // suggestedBufferSize
     u32(hdrl, w.toLong); u32(hdrl, h.toLong)
     u32(hdrl, 0); u32(hdrl, 0); u32(hdrl, 0); u32(hdrl, 0) // reserved
@@ -273,6 +286,28 @@ object Video {
       fcc(hdrl, "LIST"); u32(hdrl, astrlBytes.length.toLong)
       hdrl.write(astrlBytes, 0, astrlBytes.length)
     }
+    subtitles.foreach { ss =>
+      // text strl: 'txts' strh (56) + minimal strf (4 zero bytes) — one
+      // caption chunk per video frame, UTF-8
+      val tstrl = new ByteArrayOutputStream()
+      fcc(tstrl, "strl")
+      fcc(tstrl, "strh"); u32(tstrl, 56)
+      fcc(tstrl, "txts"); u32(tstrl, 0) // handler: none
+      u32(tstrl, 0); u16(tstrl, 0); u16(tstrl, 0) // flags, priority, language
+      u32(tstrl, 0) // initialFrames
+      u32(tstrl, 1); u32(tstrl, fps.toLong) // dwScale, dwRate -> captions/sec
+      u32(tstrl, 0) // start
+      u32(tstrl, ss.size.toLong) // dwLength (in captions)
+      u32(tstrl, ss.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .length).max.toLong); u32(tstrl, 0xffffffffL) // bufSize, quality(-1)
+      u32(tstrl, 0) // sampleSize (variable)
+      u16(tstrl, 0); u16(tstrl, 0); u16(tstrl, 0); u16(tstrl, 0) // rcFrame
+      fcc(tstrl, "strf"); u32(tstrl, 4)
+      u32(tstrl, 0)
+      val tstrlBytes = tstrl.toByteArray
+      fcc(hdrl, "LIST"); u32(hdrl, tstrlBytes.length.toLong)
+      hdrl.write(tstrlBytes, 0, tstrlBytes.length)
+    }
 
     val hdrlBytes = hdrl.toByteArray
     val moviBytes = movi.toByteArray
@@ -303,7 +338,8 @@ object Video {
       frameOffsets: Vector[(Int, Int)],
       audioChunks: Vector[(Int, Int)] = Vector.empty,
       audioRate: Long = -1, audioChannels: Int = -1, audioBits: Int = -1,
-      audioTag: Int = -1, audioLenSamples: Long = -1)
+      audioTag: Int = -1, audioLenSamples: Long = -1,
+      subtitleChunks: Vector[(Int, Int)] = Vector.empty)
 
   private def rdU32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
@@ -342,8 +378,10 @@ object Video {
     var strhCount = 0; var strfCount = 0; var lastStrhType = ""
     var audRate = -1L; var audLen = -1L
     var audTag = -1; var audChannels = -1; var audBits = -1
+    var audStrfDone = false
     val frames = Vector.newBuilder[(Int, Int)]
     val audioChunks = Vector.newBuilder[(Int, Int)]
+    val subChunks = Vector.newBuilder[(Int, Int)]
     def walk(from: Long, to: Long): Unit = {
       var o = from
       while (o + 8 <= to) {
@@ -363,10 +401,15 @@ object Video {
                   val clen = rdU32(bytes, m.toInt + 4)
                   if (m + 8 + clen > payload + len)
                     fail(s"movi chunk $cid overruns the movi list")
+                  // classify by the two-char type suffix: dc/db = video
+                  // (stream 0 only), wb = PCM audio, tx = text — stream
+                  // numbers vary with track layout, the suffix does not
                   if (cid == "00dc" || cid == "00db")
                     frames += ((m.toInt + 8, clen.toInt))
-                  else if (cid == "01wb")
+                  else if (cid.endsWith("wb"))
                     audioChunks += ((m.toInt + 8, clen.toInt))
+                  else if (cid.endsWith("tx"))
+                    subChunks += ((m.toInt + 8, clen.toInt))
                   m += 8 + clen + (clen % 2)
                 }
               } else walk(payload + 4, payload + len)
@@ -389,19 +432,20 @@ object Video {
               scale = rdU32(bytes, payload.toInt + 20)
               rate = rdU32(bytes, payload.toInt + 24)
               strhLen = rdU32(bytes, payload.toInt + 32)
-            } else if (strhCount == 2 && lastStrhType == "auds") {
+            } else if (lastStrhType == "auds" && audRate < 0) {
               val aScale = rdU32(bytes, payload.toInt + 20)
               audRate = rdU32(bytes, payload.toInt + 24) / math.max(aScale, 1)
               audLen = rdU32(bytes, payload.toInt + 32)
-            } // further / non-auds streams are recorded as nothing: the
-              // movi indexer only consumes stream 0 and 1 chunks
+            } // txts / other extra streams need no strh fields: text
+              // chunks are self-delimited and indexed by suffix
           case "strf" =>
             strfCount += 1
             if (strfCount == 1) {
               if (len < 12) fail("strf chunk shorter than BITMAPINFOHEADER dims")
               strfW = rdU32(bytes, payload.toInt + 4)
               strfH = rdU32(bytes, payload.toInt + 8)
-            } else if (strfCount == 2 && lastStrhType == "auds" && len >= 16) {
+            } else if (lastStrhType == "auds" && !audStrfDone && len >= 16) {
+              audStrfDone = true
               // WAVEFORMAT(EX): tag, channels, rate, avgBytes, align, bits
               audTag = rdU16(bytes, payload.toInt)
               audChannels = rdU16(bytes, payload.toInt + 2)
@@ -428,7 +472,7 @@ object Video {
     AviMeta(w, h, us, total, scale, rate, handler, streams, fr,
       audioChunks = audioChunks.result(), audioRate = audRate,
       audioChannels = audChannels, audioBits = audBits, audioTag = audTag,
-      audioLenSamples = audLen)
+      audioLenSamples = audLen, subtitleChunks = subChunks.result())
   }
 
   /** Decode one indexed frame to grayscale. MJPEG: the byte slice is
@@ -530,6 +574,52 @@ object Video {
         }
       }
       .toDF("doc_id", "video")
+  }
+
+  /** The per-frame caption of the A/V/T fixture — deterministic and
+    * trivially recomposable in SQL ('cap g=.. f=.. 字' — the CJK char
+    * keeps the byte length odd-capable, exercising chunk padding). */
+  private[graft] def synthCaption(docId: Long, frame: Int): String =
+    s"cap g=${docId % 200} f=$frame 字"
+
+  /** THREE-stream fixture: [[synthesizeAV]] plus a 'txts' subtitle
+    * track (one UTF-8 caption chunk per frame — the transcript shape a
+    * multimodal corpus demuxes into its text pipeline). */
+  def synthesizeAVT(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        init
+        ids.map { id =>
+          val (w, h, n, fps) = synthParams(id)
+          val frames = (0 until n).map(f => jpegEncode(w, h, synthFramePixels(id, f)))
+          val (rate, samples) = Audio.synthSamples(id)
+          val caps = (0 until n).map(f => synthCaption(id, f))
+          (id, encodeAvi(w, h, fps, frames, audio = Some((rate, samples)),
+            subtitles = Some(caps)))
+        }
+      }
+      .toDF("doc_id", "video")
+  }
+
+  /** SUBTITLE DEMUX — extract the text track as one row per caption
+    * chunk (doc_id, frame_idx, text), UTF-8-decoded in container
+    * order: the transcript-extraction pass that feeds a video corpus
+    * into the TEXT pipeline (langId / quality / tokenize run on the
+    * output unchanged). Fails loud when no text track exists.
+    * Map-side, no shuffle. */
+  def extractSubtitles(spark: SparkSession, binDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("video")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val m = parseMeta(bytes)
+        if (m.subtitleChunks.isEmpty) fail(s"doc $id has no text track")
+        m.subtitleChunks.iterator.zipWithIndex.map { case ((off, len), i) =>
+          (id, i, new String(bytes, off, len,
+            java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "text")
   }
 
   /** A/V DEMUX — extract the PCM audio track of a two-stream AVI as a

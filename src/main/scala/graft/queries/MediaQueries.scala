@@ -181,5 +181,31 @@ object MediaQueries {
              JOIN afh f USING (doc_id))
       SELECT * FROM final"""))
 
-  val all: Seq[Q] = Seq(tCurateMedia, tCurateMedia3, tVideoDemuxAudio)
+  /** SUBTITLE DEMUX (Video.synthesizeAVT → Video.extractSubtitles):
+    * the fixture muxes one UTF-8 caption per frame into a third 'txts'
+    * stream (interleaved text chunks, the transcript shape) and the
+    * engine extracts them back in container order; the oracle rebuilds
+    * every caption string from the formula — string equality through
+    * the hash compare certifies the mux → walk → chunk slice → UTF-8
+    * decode chain byte-for-byte, including odd-length chunk padding
+    * (the CJK char makes byte lengths vary). The extracted frame feeds
+    * the TEXT pipeline unchanged, which is the point of the op. */
+  val tVideoDemuxSubs: Q = Q(
+    "t_video_demux_subs",
+    run = (s, dir) =>
+      graft.operators.Video.extractSubtitles(s,
+        graft.operators.Video.synthesizeAVT(s, Tables.documents(s, dir))),
+    oracle = Some("""
+      WITH vt0 AS (SELECT doc_id, CAST(doc_id % 200 AS BIGINT) AS g
+                   FROM documents),
+      vtp AS (SELECT doc_id, g, 2 + (g % 5) AS nf FROM vt0),
+      vtf AS (SELECT doc_id, g, CAST(unnest(range(0, nf)) AS INT) AS frame_idx
+              FROM vtp)
+      SELECT doc_id, frame_idx,
+             'cap g=' || CAST(g AS VARCHAR) || ' f=' ||
+               CAST(frame_idx AS VARCHAR) || ' 字' AS text
+      FROM vtf"""))
+
+  val all: Seq[Q] = Seq(tCurateMedia, tCurateMedia3, tVideoDemuxAudio,
+    tVideoDemuxSubs)
 }

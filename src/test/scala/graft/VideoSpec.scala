@@ -279,6 +279,40 @@ class VideoSpec extends AnyFunSuite {
     assert(e.getCause.getMessage.contains("no audio track"))
   }
 
+  test("three-stream container: captions round-trip UTF-8 exact alongside audio and video") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).limit(40)
+    val avt = graft.operators.Video.synthesizeAVT(spark, docs).persist()
+    try {
+      val caps = graft.operators.Video.extractSubtitles(spark, avt)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+      val nFrames = (0L until 40L).map(id =>
+        id -> graft.operators.Video.synthParams(id)._3).toMap
+      assert(caps.size === nFrames.values.sum)
+      caps.foreach { case ((id, f), text) =>
+        assert(text === graft.operators.Video.synthCaption(id, f),
+          s"doc $id caption $f drifted")
+      }
+      // the other two streams are untouched by the third
+      val tracks = graft.operators.Video.extractAudioTrack(spark, avt)
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      for ((id, wav) <- tracks)
+        assert(graft.operators.Audio.decode(wav).samples ===
+          graft.operators.Audio.synthSamples(id)._2)
+      val frames = graft.operators.Video.frameTable(spark, avt).count()
+      assert(frames === nFrames.values.sum.toLong)
+      val m = graft.operators.Video.videoMeta(spark, avt)
+        .select("n_streams").collect()
+      assert(m.forall(_.getLong(0) === 3L))
+    } finally { avt.unpersist(blocking = false); () }
+    // loud when no text track exists
+    val plain = Seq((1L, fixture(7L))).toDF("doc_id", "video")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.operators.Video.extractSubtitles(spark, plain).collect()
+    }
+    assert(e.getCause.getMessage.contains("no text track"))
+  }
+
   test("scene cuts: exact shot boundaries, measured cross-cut hamming floor") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
