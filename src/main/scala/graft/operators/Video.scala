@@ -870,6 +870,29 @@ object Video {
       .toDF("doc_id", "frame_idx", "pts_us", "width", "height", "n_px", "sum_lum")
   }
 
+  /** FRAME EXPORT — turn a video corpus into an IMAGE corpus: decode
+    * every `stride`-th frame (frame 0 included) and re-encode it as a
+    * standalone PNG, one row per exported frame (doc_id, frame_idx,
+    * img). The output feeds the ENTIRE image arm unchanged
+    * (imageStats / aHash dedup / curateImages) — the standard
+    * vision-training flow where frames become the training images.
+    * Unsampled payloads are never decoded. Map-side, no shuffle. */
+  def exportFrames(spark: SparkSession, binDf: DataFrame,
+      stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("video")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        init
+        val m = parseMeta(bytes)
+        (0 until m.totalFrames.toInt by stride).iterator.map { f =>
+          val gray = decodeFrame(bytes, m, f)
+          (id, f, Images.encodeImage(m.width, m.height, gray, "png"))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "img")
+  }
+
   /** Fused curation profile — the video arm's gate pass, ONE scan with
     * the cheapest-possible work per doc: the header-only RIFF walk
     * feeds the metadata gates (undersized / too_few_frames / bad_fps),

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.{Audio, Images}
 import graft.tables.Tables
 
@@ -206,6 +208,61 @@ object MediaQueries {
                CAST(frame_idx AS VARCHAR) || ' 字' AS text
       FROM vtf"""))
 
+  /** FRAME EXPORT certified through the IMAGE arm (Video.exportFrames
+    * → Images.imageStats): every 2nd frame of every uncompressed video
+    * becomes a standalone PNG, re-keyed doc_id·10 + frame_idx (the
+    * fixture's nf ≤ 6 < 10), and the image arm's full decode + stats +
+    * aHash runs on the exports; the oracle recomputes EVERYTHING —
+    * dims, integer stats, all 64 aHash bits — from the video pixel
+    * formula (the iah idiom with the frame term folded in). A hash
+    * match certifies raw-frame decode → PNG encode → ImageIO re-decode
+    * → stats/hash bit-for-bit, i.e. the video→image corpus hop is
+    * lossless end to end. */
+  val tVideoFrameExport: Q = Q(
+    "t_video_frame_export",
+    run = (s, dir) => {
+      val frames = graft.operators.Video.exportFrames(s,
+        graft.operators.Video.synthesizeRaw(s, Tables.documents(s, dir)),
+        stride = 2)
+      Images.imageStats(s,
+        frames.select((col("doc_id") * 10 + col("frame_idx")).as("doc_id"),
+          col("img")))
+    },
+    oracle = Some(s"""
+      WITH ${VideoQueries.videoCtes("documents")}
+      vfr AS (SELECT doc_id, g, w, h,
+                     CAST(unnest(range(0, nf, 2)) AS INT) AS frame_idx FROM vpd),
+      vk AS (SELECT doc_id * 10 + frame_idx AS key, g, w, h, frame_idx FROM vfr),
+      vxx AS (SELECT key, g, w, h, frame_idx, unnest(range(0, w)) AS x FROM vk),
+      vxy AS (SELECT key, g, w, h, frame_idx, x, unnest(range(0, h)) AS y
+              FROM vxx),
+      vpx AS (SELECT key, w, h, x, y,
+                     (x*2654435761 + y*40503 + (x+3)*(y+7)*(g+13)
+                      + frame_idx*7919*(x+y+1) + g*2246822519) % 256 AS lum
+              FROM vxy),
+      vst AS (SELECT key, SUM(lum) AS sum_lum, MIN(lum) AS min_lum,
+                     MAX(lum) AS max_lum, COUNT(*) AS n_px FROM vpx GROUP BY 1),
+      vbk AS (SELECT key, (y*8)//h AS bi, (x*8)//w AS bj,
+                     SUM(lum) AS bs, COUNT(*) AS area
+              FROM vpx GROUP BY 1, 2, 3),
+      vbt AS (SELECT b.key, CAST(b.bi*8 + b.bj AS INT) AS k,
+                     CASE WHEN b.bs * s.n_px > s.sum_lum * b.area
+                          THEN 1 ELSE 0 END AS bit
+              FROM vbk b JOIN vst s USING (key)),
+      vah AS (SELECT key,
+                     CAST(COALESCE(SUM(CASE WHEN k < 63 AND bit = 1
+                            THEN (CAST(1 AS BIGINT) << k) ELSE 0 END), 0) AS BIGINT)
+                     + CASE WHEN COALESCE(MAX(CASE WHEN k = 63 THEN bit END), 0) = 1
+                            THEN CAST(-9223372036854775808 AS BIGINT)
+                            ELSE 0 END AS ahash
+              FROM vbt GROUP BY 1)
+      SELECT d.key AS doc_id, CAST(d.w AS INT) AS width,
+             CAST(d.h AS INT) AS height, 'png' AS format,
+             CAST(s.n_px AS BIGINT) AS n_px, CAST(s.sum_lum AS BIGINT) AS sum_lum,
+             CAST(s.min_lum AS INT) AS min_lum, CAST(s.max_lum AS INT) AS max_lum,
+             a.ahash
+      FROM vk d JOIN vst s USING (key) JOIN vah a USING (key)"""))
+
   val all: Seq[Q] = Seq(tCurateMedia, tCurateMedia3, tVideoDemuxAudio,
-    tVideoDemuxSubs)
+    tVideoDemuxSubs, tVideoFrameExport)
 }
