@@ -450,6 +450,18 @@ object Audio {
   def nearDupKeepers(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
     Fingerprints.nearDupKeepers(hashes, "afp", maxHamming)
 
+  /** AUDIO decontamination — drop training clips within `maxHamming`
+    * of any eval-set clip's block-energy fingerprint (benchmark-leakage
+    * removal). Both sides decode once through the real javax.sound
+    * pass; the probe is the shared recall-lossless banded join.
+    * Output (doc_id, afp, keep) per corpus clip. */
+  def decontaminate(spark: SparkSession, corpus: DataFrame,
+      evalSet: DataFrame, maxHamming: Int = 3): DataFrame =
+    Fingerprints.decontaminate(
+      audioStats(spark, corpus).select(col("doc_id"), col("afp")),
+      audioStats(spark, evalSet).select(col("doc_id"), col("afp")),
+      "afp", maxHamming)
+
   /** Cross-frame probe for the streaming registry twin. */
   private[graft] def hammingPairsAcross(news: DataFrame, olds: DataFrame,
       maxHamming: Int): DataFrame =

@@ -125,6 +125,23 @@ object Fingerprints {
     * `olds` doc — the streaming registry probe ((old_doc, doc_id,
     * hamming); same banding, same losslessness bound). Both inputs are
     * (doc_id, <hashCol>) frames. */
+  /** EVAL-SET DECONTAMINATION over 64-bit fingerprints — the media twin
+    * of the text arm's t_decontaminate family: keep(doc) ⟺ no eval-set
+    * fingerprint lies within `maxHamming` of the doc's. The probe is
+    * the recall-lossless banded join ([[hammingPairsAcross]] — the
+    * pigeonhole bound applies, so a contaminated doc is NEVER missed),
+    * keyed on bands: the corpus never pairs with itself, only with the
+    * (typically tiny, broadcastable) eval side. Output one row per
+    * corpus doc: (doc_id, <hashCol>, keep). */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    requireLossless(maxHamming)
+    val contaminated = hammingPairsAcross(corpus, evalSet, hashCol, maxHamming)
+      .select(col("doc_id")).distinct().withColumn("__c", lit(1))
+    corpus.join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col(hashCol), col("__c").isNull.as("keep"))
+  }
+
   private[graft] def hammingPairsAcross(news: DataFrame, olds: DataFrame,
       hashCol: String, maxHamming: Int, bands: Int = DefaultBands): DataFrame = {
     requireLossless(maxHamming, bands)

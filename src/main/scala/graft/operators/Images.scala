@@ -375,6 +375,18 @@ object Images {
   private[graft] def requireLossless(maxHamming: Int): Unit =
     Fingerprints.requireLossless(maxHamming)
 
+  /** IMAGE decontamination — drop training images within `maxHamming`
+    * of any eval-set image's aHash (benchmark-leakage removal, the
+    * media twin of text decontamination). Both sides decode once; the
+    * probe is the shared recall-lossless banded join, eval side tiny.
+    * Output (doc_id, ahash, keep) per corpus image. */
+  def decontaminate(spark: SparkSession, corpus: DataFrame,
+      evalSet: DataFrame, maxHamming: Int = 3): DataFrame =
+    Fingerprints.decontaminate(
+      imageStats(spark, corpus).select(col("doc_id"), col("ahash")),
+      imageStats(spark, evalSet).select(col("doc_id"), col("ahash")),
+      "ahash", maxHamming)
+
   /** Cross-frame hamming pairs over (doc_id, ahash) frames — the
     * streaming registry probe (see [[Fingerprints.hammingPairsAcross]]). */
   private[graft] def hammingPairsAcross(news: DataFrame, olds: DataFrame,

@@ -946,6 +946,18 @@ object Video {
       .toDF("doc_id", "drop0", "khash")
   }
 
+  /** VIDEO decontamination — drop training videos whose KEYFRAME lies
+    * within `maxHamming` of any eval-set video's (benchmark-leakage
+    * removal; default 0 = exact keyframe match, codec-caveat-free —
+    * see [[keyframeHashes]]). One keyframe decode per video per side;
+    * the probe is the shared recall-lossless banded join. Output
+    * (doc_id, khash, keep) per corpus video. */
+  def decontaminate(spark: SparkSession, corpus: DataFrame,
+      evalSet: DataFrame, maxHamming: Int = 0): DataFrame =
+    Fingerprints.decontaminate(
+      keyframeHashes(spark, corpus), keyframeHashes(spark, evalSet),
+      "khash", maxHamming)
+
   /** Frame sampling that decodes ONLY the sampled frames: every
     * `stride`-th frame per video (frame 0 always included), stamped
     * with its exact presentation time in µs (frame_idx · usPerFrame).

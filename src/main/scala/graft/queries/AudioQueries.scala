@@ -282,6 +282,26 @@ object AudioQueries {
                   ELSE 'kept' END AS drop_reason
       FROM lbl l LEFT JOIN nbm n ON l.afp = n.ha"""))
 
+  /** AUDIO eval-set decontamination (Audio.decontaminate): drop
+    * training clips within hamming 3 of any eval clip's block-energy
+    * fingerprint; eval set = the doc_id % 10 == 0 clips. Oracle:
+    * recompute both sides' fingerprints from the sample formula and
+    * ALL-PAIRS anti-join — the banded probe must lose nothing. */
+  val tAudioDecontaminate: Q = Q(
+    "t_audio_decontaminate",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Audio.decontaminate(s, Audio.synthesize(s, docs),
+        Audio.synthesize(s, docs.filter(col("doc_id") % 10 === 0)))
+    },
+    oracle = Some(s"""
+      WITH ${audioCtes("documents")}
+      evh AS (SELECT afp FROM afh WHERE doc_id % 10 = 0),
+      cont AS (SELECT DISTINCT c.doc_id FROM afh c JOIN evh e
+               ON bit_count(xor(c.afp, e.afp)) <= 3)
+      SELECT a.doc_id, a.afp, (c.doc_id IS NULL) AS keep
+      FROM afh a LEFT JOIN cont c ON a.doc_id = c.doc_id"""))
+
   val all: Seq[Q] = Seq(tAudioHeader, tAudioMeta, tAudioDedup, tAudioDedupKeepers,
-    tAudioQuality, tAudioResample, tCurateAudio)
+    tAudioQuality, tAudioResample, tAudioDecontaminate, tCurateAudio)
 }

@@ -198,6 +198,29 @@ object ImageQueries {
                   ELSE 'kept' END AS drop_reason
       FROM lbl l LEFT JOIN nbm n ON l.ahash = n.ha"""))
 
+  /** IMAGE eval-set decontamination (Images.decontaminate): drop
+    * training images within hamming 3 of any eval image's aHash — the
+    * media twin of the text decontamination family. Eval set = the
+    * doc_id % 10 == 0 images. The oracle recomputes BOTH sides' hashes
+    * from the pixel formula and does the ALL-PAIRS corpus×eval
+    * bit_count anti-join, so the hash match proves the banded probe
+    * loses nothing (the t_image_dedup losslessness argument, across
+    * frames instead of within one). */
+  val tImageDecontaminate: Q = Q(
+    "t_image_decontaminate",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Images.decontaminate(s, Images.synthesize(s, docs),
+        Images.synthesize(s, docs.filter(col("doc_id") % 10 === 0)))
+    },
+    oracle = Some(s"""
+      WITH ${imageCtes("documents")}
+      evh AS (SELECT ahash FROM iah WHERE doc_id % 10 = 0),
+      cont AS (SELECT DISTINCT c.doc_id FROM iah c JOIN evh e
+               ON bit_count(xor(c.ahash, e.ahash)) <= 3)
+      SELECT i.doc_id, i.ahash, (c.doc_id IS NULL) AS keep
+      FROM iah i LEFT JOIN cont c ON i.doc_id = c.doc_id"""))
+
   val all: Seq[Q] = Seq(tImageMeta, tImageDedup, tImageDedupKeepers, tImageResize,
-    tCurateImages)
+    tImageDecontaminate, tCurateImages)
 }

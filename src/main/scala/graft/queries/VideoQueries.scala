@@ -300,7 +300,33 @@ object VideoQueries {
              CAST(shot_len AS INT) AS n_frames
       FROM vsh"""))
 
+  /** VIDEO eval-set decontamination (Video.decontaminate): drop
+    * training videos whose keyframe exactly matches (hamming 0) any
+    * eval video's; eval set = the doc_id % 10 == 0 videos. The khash
+    * is decoder-dependent (projected away), so the oracle is
+    * STRUCTURAL like t_video_dedup_keyframe: same-group videos are
+    * byte-identical (equal keyframe hashes) and cross-group hashes are
+    * distinct (a collision fails this entry loudly), so contaminated ⟺
+    * the doc's group contains an eval member — which the oracle
+    * derives from the documents table itself via an EXISTS join, no
+    * hash arithmetic. */
+  val tVideoDecontaminate: Q = Q(
+    "t_video_decontaminate",
+    run = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Video.decontaminate(s, Video.synthesize(s, docs),
+        Video.synthesize(s, docs.filter(col("doc_id") % 10 === 0)))
+        .select(col("doc_id"), col("keep"))
+    },
+    oracle = Some("""
+      WITH cont AS (SELECT DISTINCT d.doc_id
+                    FROM documents d JOIN documents e
+                      ON e.doc_id % 10 = 0
+                     AND e.doc_id % 200 = d.doc_id % 200)
+      SELECT d.doc_id, (c.doc_id IS NULL) AS keep
+      FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id"""))
+
   val all: Seq[Q] = Seq(tVideoMeta, tVideoFrames, tVideoFramesRaw,
     tVideoSample, tVideoTimeSample, tVideoDedupKeyframe, tVideoSceneCuts,
-    tVideoShots, tCurateVideo)
+    tVideoShots, tVideoDecontaminate, tCurateVideo)
 }

@@ -253,6 +253,42 @@ class MediaCurateSpec extends AnyFunSuite {
       .forall(v => v._2 != "missing" && v._3 != "missing_modality:audio"))
   }
 
+  test("media decontamination: keep == no eval fingerprint within the radius, per modality") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+    // video (hamming 0, group-structural): a doc is contaminated iff its
+    // group contains an eval member — groups g with g % 10 == 0
+    val vid = graft.operators.Video.decontaminate(spark,
+      graft.operators.Video.synthesize(spark, docs),
+      graft.operators.Video.synthesize(spark, evalDocs))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(vid.size === 500)
+    vid.foreach { case (id, keep) =>
+      assert(keep === ((id % 200) % 10 != 0), s"doc $id keep=$keep wrong")
+    }
+    // image (hamming 3): brute-force reference over the decoded hashes
+    val hashes = graft.operators.Images.imageStats(spark,
+      graft.operators.Images.synthesize(spark, docs))
+      .select("doc_id", "ahash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evalHashes = hashes.filter(_._1 % 10 == 0).values.toSeq
+    val img = graft.operators.Images.decontaminate(spark,
+      graft.operators.Images.synthesize(spark, docs),
+      graft.operators.Images.synthesize(spark, evalDocs))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(img.size === 500)
+    img.foreach { case (id, keep) =>
+      val want = !evalHashes.exists(e =>
+        java.lang.Long.bitCount(e ^ hashes(id)) <= 3)
+      assert(keep === want, s"image doc $id keep=$keep want=$want")
+    }
+    // liveness both ways: eval members always drop; survivors exist
+    assert(img.exists(!_._2) && img.exists(_._2))
+    assert(img.filter(_._1 % 10 == 0).values.forall(_ == false))
+  }
+
   test("bad thresholds and lossy hamming caps are refused") {
     val imgs = Images.synthesize(spark, Tables.documents(spark, dir))
     assert(intercept[IllegalArgumentException] {

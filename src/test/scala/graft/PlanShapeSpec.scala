@@ -137,7 +137,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // cartesian or broadcast nested loop over the corpus
     for (name <- Seq("t_image_dedup", "t_image_dedup_keepers",
         "t_audio_dedup", "t_audio_dedup_keepers", "t_video_dedup_keyframe",
-        "t_curate_video", "t_curate_media3")) {
+        "t_curate_video", "t_curate_media3", "t_image_decontaminate",
+        "t_audio_decontaminate", "t_video_decontaminate")) {
       val q = SparkEntry.queries(name)(spark, dir)
       val p = q.queryExecution.sparkPlan
       assert(p.collect {
