@@ -643,8 +643,16 @@ object Video {
           if (m.audioTag != 1 || m.audioBits != 16 || m.audioChannels != 1) fail(
             s"doc $id audio track is not PCM16 mono: tag=${m.audioTag} " +
               s"bits=${m.audioBits} channels=${m.audioChannels}")
+          // per-CHUNK even-length check: an odd chunk would otherwise
+          // read one byte past its boundary (into the next chunk's
+          // header) and die with a bare index error instead of naming
+          // the doc and the defect
+          m.audioChunks.foreach { case (off, len) =>
+            if (len % 2 != 0) fail(
+              s"doc $id audio chunk at offset $off has odd length $len " +
+                "(16-bit PCM chunks must be even)")
+          }
           val totalBytes = m.audioChunks.map(_._2.toLong).sum
-          if (totalBytes % 2 != 0) fail(s"doc $id audio byte total is odd")
           val nSamples = totalBytes / 2
           if (m.audioLenSamples >= 0 && nSamples != m.audioLenSamples) fail(
             s"doc $id audio sample counts disagree: strh=${m.audioLenSamples} " +

@@ -42,10 +42,28 @@ import graft.operators.{Audio, Dedup, Fingerprints, Images, Video}
   */
 object MediaCurate {
 
+  /** The batch-default gate thresholds, defined ONCE — the streaming
+    * sinks' defaults and gate builders reference these same constants
+    * (StreamingPipelines), so a batch-default change cannot silently
+    * diverge the streaming verdicts (the drift class verdict3Columns
+    * exists to prevent). */
+  object Defaults {
+    val ImageMinPixels = 128L; val ImageMinContrast = 16
+    val ImageMinMean = 120; val ImageMaxMean = 136
+    val AudioMinSamples = 512L; val AudioClipLevel = 32700
+    val AudioMaxClipDenom = 256L; val AudioSilenceLevel = 256
+    val AudioMaxSilenceDenom = 64L
+    val VideoMinPixels = 512L; val VideoMinFrames = 3L
+    val VideoMinFps = 12L; val VideoMaxFps = 60L
+    val MediaMaxHamming = 3; val VideoMaxHamming = 0
+  }
+
   def curateImages(spark: SparkSession, images: DataFrame,
-      minPixels: Long = 128, minContrast: Int = 16,
-      minMean: Int = 120, maxMean: Int = 136,
-      maxHamming: Int = 3): DataFrame = {
+      minPixels: Long = Defaults.ImageMinPixels,
+      minContrast: Int = Defaults.ImageMinContrast,
+      minMean: Int = Defaults.ImageMinMean,
+      maxMean: Int = Defaults.ImageMaxMean,
+      maxHamming: Int = Defaults.MediaMaxHamming): DataFrame = {
     require(minPixels > 0 && minContrast >= 0 && minMean <= maxMean,
       s"bad gate thresholds: minPixels=$minPixels minContrast=$minContrast " +
         s"mean=[$minMean,$maxMean]")
@@ -91,9 +109,12 @@ object MediaCurate {
     * DuckDB oracle recomposes every gate and the precedence from the
     * sample formula (t_curate_audio). */
   def curateAudio(spark: SparkSession, clips: DataFrame,
-      minSamples: Long = 512, clipLevel: Int = 32700, maxClipDenom: Long = 256,
-      silenceLevel: Int = 256, maxSilenceDenom: Long = 64,
-      maxHamming: Int = 3): DataFrame = {
+      minSamples: Long = Defaults.AudioMinSamples,
+      clipLevel: Int = Defaults.AudioClipLevel,
+      maxClipDenom: Long = Defaults.AudioMaxClipDenom,
+      silenceLevel: Int = Defaults.AudioSilenceLevel,
+      maxSilenceDenom: Long = Defaults.AudioMaxSilenceDenom,
+      maxHamming: Int = Defaults.MediaMaxHamming): DataFrame = {
     require(minSamples > 0 && maxClipDenom > 0 && maxSilenceDenom > 0,
       s"bad gate thresholds: minSamples=$minSamples clipDenom=$maxClipDenom " +
         s"silenceDenom=$maxSilenceDenom")
@@ -144,9 +165,11 @@ object MediaCurate {
     * (t_curate_video recomposes gates AND precedence AND the
     * survivor-keeper election in one statement). */
   def curateVideo(spark: SparkSession, vids: DataFrame,
-      minPixels: Long = 512, minFrames: Long = 3,
-      minFps: Long = 12, maxFps: Long = 60,
-      maxHamming: Int = 0): DataFrame = {
+      minPixels: Long = Defaults.VideoMinPixels,
+      minFrames: Long = Defaults.VideoMinFrames,
+      minFps: Long = Defaults.VideoMinFps,
+      maxFps: Long = Defaults.VideoMaxFps,
+      maxHamming: Int = Defaults.VideoMaxHamming): DataFrame = {
     Fingerprints.requireLossless(maxHamming)
     // gatedProfile re-validates the thresholds; persisted because the
     // survivor filter and the final label join both consume it (16 B of

@@ -672,9 +672,12 @@ object StreamingPipelines {
     * sinks (idempotent batch=<id> overwrites, own-batch-excluded
     * registry reads, periodic compaction). */
   def imageCurateSink(imgs: DataFrame, registryPath: String, outPath: String,
-      minPixels: Long = 128, minContrast: Int = 16,
-      minMean: Int = 120, maxMean: Int = 136,
-      maxHamming: Int = 3, compactEvery: Int = 16): DataStreamWriter[Row] = {
+      minPixels: Long = graft.pipeline.MediaCurate.Defaults.ImageMinPixels,
+      minContrast: Int = graft.pipeline.MediaCurate.Defaults.ImageMinContrast,
+      minMean: Int = graft.pipeline.MediaCurate.Defaults.ImageMinMean,
+      maxMean: Int = graft.pipeline.MediaCurate.Defaults.ImageMaxMean,
+      maxHamming: Int = graft.pipeline.MediaCurate.Defaults.MediaMaxHamming,
+      compactEvery: Int = 16): DataStreamWriter[Row] = {
     require(minPixels > 0 && minContrast >= 0 && minMean <= maxMean,
       s"bad gate thresholds: minPixels=$minPixels minContrast=$minContrast " +
         s"mean=[$minMean,$maxMean]")
@@ -683,11 +686,7 @@ object StreamingPipelines {
       profile = (spark, b) => graft.operators.Images.imageStats(spark, b)
         .select(col("doc_id"), col("n_px"), col("sum_lum"), col("min_lum"),
           col("max_lum"), col("ahash")),
-      gates = Seq(
-        "undersized" -> (col("n_px") < minPixels),
-        "flat" -> ((col("max_lum") - col("min_lum")) < minContrast),
-        "brightness" -> (col("sum_lum") < lit(minMean.toLong) * col("n_px") ||
-          col("sum_lum") > lit(maxMean.toLong) * col("n_px"))))
+      gates = imageGates(minPixels, minContrast, minMean, maxMean))
   }
 
   /** Incremental AUDIO CURATION — the streaming twin of
@@ -695,9 +694,13 @@ object StreamingPipelines {
     * survivor-only registry protocol as [[imageCurateSink]] (shared
     * [[mediaCurateSink]]). */
   def audioCurateSink(clips: DataFrame, registryPath: String, outPath: String,
-      minSamples: Long = 512, clipLevel: Int = 32700, maxClipDenom: Long = 256,
-      silenceLevel: Int = 256, maxSilenceDenom: Long = 64,
-      maxHamming: Int = 3, compactEvery: Int = 16): DataStreamWriter[Row] = {
+      minSamples: Long = graft.pipeline.MediaCurate.Defaults.AudioMinSamples,
+      clipLevel: Int = graft.pipeline.MediaCurate.Defaults.AudioClipLevel,
+      maxClipDenom: Long = graft.pipeline.MediaCurate.Defaults.AudioMaxClipDenom,
+      silenceLevel: Int = graft.pipeline.MediaCurate.Defaults.AudioSilenceLevel,
+      maxSilenceDenom: Long = graft.pipeline.MediaCurate.Defaults.AudioMaxSilenceDenom,
+      maxHamming: Int = graft.pipeline.MediaCurate.Defaults.MediaMaxHamming,
+      compactEvery: Int = 16): DataStreamWriter[Row] = {
     require(minSamples > 0 && maxClipDenom > 0 && maxSilenceDenom > 0,
       s"bad gate thresholds: minSamples=$minSamples clipDenom=$maxClipDenom " +
         s"silenceDenom=$maxSilenceDenom")
@@ -705,10 +708,7 @@ object StreamingPipelines {
       hashCol = "afp",
       profile = (spark, b) =>
         graft.operators.Audio.profile(spark, b, clipLevel, silenceLevel),
-      gates = Seq(
-        "too_short" -> (col("n_samples") < minSamples),
-        "clipped" -> (col("n_clipped") * maxClipDenom > col("n_samples")),
-        "silent" -> (col("n_silent") * maxSilenceDenom > col("n_samples"))))
+      gates = audioGates(minSamples, maxClipDenom, maxSilenceDenom))
   }
 
   /** Incremental VIDEO CURATION — the streaming twin of
@@ -721,9 +721,12 @@ object StreamingPipelines {
     * precomputed drop0 label (null-safe `<=>` — drop0 is NULL for
     * survivors), so batch and stream share one gate definition. */
   def videoCurateSink(vids: DataFrame, registryPath: String, outPath: String,
-      minPixels: Long = 512, minFrames: Long = 3,
-      minFps: Long = 12, maxFps: Long = 60,
-      maxHamming: Int = 0, compactEvery: Int = 16): DataStreamWriter[Row] = {
+      minPixels: Long = graft.pipeline.MediaCurate.Defaults.VideoMinPixels,
+      minFrames: Long = graft.pipeline.MediaCurate.Defaults.VideoMinFrames,
+      minFps: Long = graft.pipeline.MediaCurate.Defaults.VideoMinFps,
+      maxFps: Long = graft.pipeline.MediaCurate.Defaults.VideoMaxFps,
+      maxHamming: Int = graft.pipeline.MediaCurate.Defaults.VideoMaxHamming,
+      compactEvery: Int = 16): DataStreamWriter[Row] = {
     require(minPixels > 0 && minFrames >= 1 && 0 < minFps && minFps <= maxFps,
       s"bad gate thresholds: minPixels=$minPixels minFrames=$minFrames " +
         s"fps=[$minFps,$maxFps]")
@@ -822,12 +825,16 @@ object StreamingPipelines {
     * the per-modality labels and writes the cross-modal verdict frame
     * per batch — the verdict projection is
     * MediaCurate.verdict3Columns, ONE definition with the batch
-    * pipeline. Thresholds are the batch defaults. A doc missing a
-    * modality IN THE ROW (null binary) is that modality's decode
-    * failure; a doc absent from a modality's input entirely cannot
-    * happen here (one row carries all three columns), so
-    * missing_modality only fires for null-column rows surfaced by the
-    * profile passes. */
+    * pipeline. Thresholds are the batch defaults
+    * (MediaCurate.Defaults — one definition). Input contract: every
+    * row carries all three binary columns with DECODABLE image and
+    * audio bytes — the image/audio profile passes fail loud on null or
+    * corrupt binaries exactly like the batch pipelines (only the VIDEO
+    * gate chain quarantines corrupt bytes, via gatedProfile), and a
+    * doc absent from a modality's input entirely cannot happen here
+    * (one row carries all three columns), so verdict3Columns'
+    * missing_modality arms are structurally unreachable in this sink —
+    * they exist for the batch curateMedia3's separate-input shape. */
   def mediaCurate3Sink(media: DataFrame, registryRoot: String,
       outPath: String, compactEvery: Int = 16): DataStreamWriter[Row] = {
     val imgReg = s"$registryRoot/image"
@@ -842,23 +849,29 @@ object StreamingPipelines {
             upToExclusive = batchId, every = compactEvery)
         val dedupMark = graft.operators.Dedup.trackMark(spark)
         val b = batch.toDF().persist()
+        val D = graft.pipeline.MediaCurate.Defaults
         val imgProf = graft.operators.Images
           .imageStats(spark, b.select(col("doc_id"), col("img")))
           .select(col("doc_id"), col("n_px"), col("sum_lum"), col("min_lum"),
             col("max_lum"), col("ahash")).persist()
         val audProf = graft.operators.Audio
           .profile(spark, b.select(col("doc_id"), col("audio")),
-            clipLevel = 32700, silenceLevel = 256).persist()
+            D.AudioClipLevel, D.AudioSilenceLevel).persist()
         val vidProf = graft.operators.Video
           .gatedProfile(spark, b.select(col("doc_id"), col("video")),
-            minPixels = 512, minFrames = 3, minFps = 12, maxFps = 60).persist()
+            D.VideoMinPixels, D.VideoMinFrames, D.VideoMinFps,
+            D.VideoMaxFps).persist()
         try {
           val (imgLbl, imgSurv) = gatedLabelForBatch(spark, imgProf, imgReg,
-            batchId, "ahash", maxHamming = 3, defaultImageGates)
+            batchId, "ahash", D.MediaMaxHamming,
+            imageGates(D.ImageMinPixels, D.ImageMinContrast,
+              D.ImageMinMean, D.ImageMaxMean))
           val (audLbl, audSurv) = gatedLabelForBatch(spark, audProf, audReg,
-            batchId, "afp", maxHamming = 3, defaultAudioGates)
+            batchId, "afp", D.MediaMaxHamming,
+            audioGates(D.AudioMinSamples, D.AudioMaxClipDenom,
+              D.AudioMaxSilenceDenom))
           val (vidLbl, vidSurv) = gatedLabelForBatch(spark, vidProf, vidReg,
-            batchId, "khash", maxHamming = 0, videoGates)
+            batchId, "khash", D.VideoMaxHamming, videoGates)
           try {
             imgLbl.select(col("doc_id"), col("drop_reason").as("image_reason"))
               .join(audLbl.select(col("doc_id"),
@@ -882,19 +895,22 @@ object StreamingPipelines {
       }
   }
 
-  /** The batch pipelines' default gate predicates (MediaCurate
-    * curateImages/curateAudio defaults) — shared by the per-modality
-    * sinks' default paths and [[mediaCurate3Sink]]. */
-  private def defaultImageGates: Seq[(String, Column)] = Seq(
-    "undersized" -> (col("n_px") < 128L),
-    "flat" -> ((col("max_lum") - col("min_lum")) < 16),
-    "brightness" -> (col("sum_lum") < lit(120L) * col("n_px") ||
-      col("sum_lum") > lit(136L) * col("n_px")))
+  /** The gate predicates, defined ONCE per modality and parameterized
+    * by thresholds — the per-modality sinks pass their (defaulted)
+    * params and [[mediaCurate3Sink]] passes MediaCurate.Defaults, so
+    * no literal threshold is ever restated. */
+  private def imageGates(minPixels: Long, minContrast: Int,
+      minMean: Int, maxMean: Int): Seq[(String, Column)] = Seq(
+    "undersized" -> (col("n_px") < minPixels),
+    "flat" -> ((col("max_lum") - col("min_lum")) < minContrast),
+    "brightness" -> (col("sum_lum") < lit(minMean.toLong) * col("n_px") ||
+      col("sum_lum") > lit(maxMean.toLong) * col("n_px")))
 
-  private def defaultAudioGates: Seq[(String, Column)] = Seq(
-    "too_short" -> (col("n_samples") < 512L),
-    "clipped" -> (col("n_clipped") * 256L > col("n_samples")),
-    "silent" -> (col("n_silent") * 64L > col("n_samples")))
+  private def audioGates(minSamples: Long, maxClipDenom: Long,
+      maxSilenceDenom: Long): Seq[(String, Column)] = Seq(
+    "too_short" -> (col("n_samples") < minSamples),
+    "clipped" -> (col("n_clipped") * maxClipDenom > col("n_samples")),
+    "silent" -> (col("n_silent") * maxSilenceDenom > col("n_samples")))
 
   /** Video gates read the precomputed drop0 label from
     * Video.gatedProfile (null-safe — drop0 is NULL for survivors), so

@@ -66,11 +66,14 @@ object ImageReaderBench {
     val perThread = ops / threads
     val t0 = System.nanoTime()
     for (t <- 0 until threads) pool.execute { () =>
-      var i = 0
-      var acc = 0
-      while (i < perThread) { acc += f(fixture((t + i) % fixture.length)); i += 1 }
-      if (acc == Int.MinValue) println("") // keep acc live
-      latch.countDown()
+      try {
+        var i = 0
+        var acc = 0
+        while (i < perThread) { acc += f(fixture((t + i) % fixture.length)); i += 1 }
+        if (acc == Int.MinValue) println("") // keep acc live
+      } catch {
+        case e: Throwable => println(s"worker $t failed: $e")
+      } finally latch.countDown() // or a thrown decode hangs await() forever
     }
     latch.await()
     val us = (System.nanoTime() - t0) / 1000.0 / (perThread.toLong * threads)
