@@ -74,7 +74,11 @@ object VideoQueries {
     * it cannot tighten to hash-exact because JPEG quantization noise
     * is decoder-deterministic but not SQL-recomputable (DuckDB has no
     * JPEG codec) — the UNCOMPRESSED arm below (t_video_frames_raw) is
-    * the hash-exact form. */
+    * the hash-exact form. Portability caveat: the 0.504 max is THIS
+    * JDK's ImageIO codec; a different vendor's IDCT rounding could
+    * legally drift the frame mean by 1-2 gray levels — on a JDK
+    * change, re-run JpegBoundProbe and re-derive the gate before
+    * trusting a failure here as a pipeline bug. */
   val tVideoFrames: Q = Q(
     "t_video_frames",
     run = (s, dir) => {
