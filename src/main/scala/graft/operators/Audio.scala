@@ -450,6 +450,44 @@ object Audio {
   def nearDupKeepers(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
     Fingerprints.nearDupKeepers(hashes, "afp", maxHamming)
 
+  /** CURATION-posture profile — [[profile]]'s fused decode pass with
+    * corrupt scrape bytes LABELED, never thrown (the video arm's
+    * gatedProfile posture extended to audio). Corrupt rows carry
+    * zeroed counters and a zero fingerprint — never consulted: the
+    * corrupt gate precedes everything and corrupt rows never enter the
+    * survivor set. Output
+    * (doc_id, corrupt, n_samples, n_clipped, n_silent, afp). */
+  private[graft] def curationProfile(spark: SparkSession, binDf: DataFrame,
+      clipLevel: Int, silenceLevel: Int): DataFrame = {
+    require(clipLevel > 0 && silenceLevel > 0,
+      s"thresholds must be positive, got clip=$clipLevel silence=$silenceLevel")
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("audio")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        init
+        rows.map { case (id, bytes) =>
+          try {
+            val d = decode(bytes)
+            var clipped = 0L
+            var silent = 0L
+            var i = 0
+            while (i < d.samples.length) {
+              val a = math.abs(d.samples(i).toLong)
+              if (a >= clipLevel) clipped += 1
+              if (a < silenceLevel) silent += 1
+              i += 1
+            }
+            (id, false, d.samples.length.toLong, clipped, silent,
+              aFinger64(d.samples))
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              (id, true, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "corrupt", "n_samples", "n_clipped", "n_silent", "afp")
+  }
+
   /** AUDIO decontamination — drop training clips within `maxHamming`
     * of any eval-set clip's block-energy fingerprint (benchmark-leakage
     * removal). Both sides decode once through the real javax.sound

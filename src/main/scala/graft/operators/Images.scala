@@ -375,6 +375,49 @@ object Images {
   private[graft] def requireLossless(maxHamming: Int): Unit =
     Fingerprints.requireLossless(maxHamming)
 
+  /** CURATION-posture profile — one decode pass with the same gate
+    * inputs as [[imageStats]] but corrupt scrape bytes LABELED, never
+    * thrown (the video arm's gatedProfile posture, extended to images:
+    * a 100 TB scrape pass must quarantine bad files, not die on one;
+    * the loud-fail contract stays on the analysis operators). Corrupt
+    * rows carry zeroed stats and a zero hash — never consulted,
+    * because the corrupt gate PRECEDES every other gate and corrupt
+    * rows never enter the survivor set (so the dummy hash never
+    * registers or pairs). Output
+    * (doc_id, corrupt, n_px, sum_lum, min_lum, max_lum, ahash). */
+  private[graft] def curationProfile(spark: SparkSession,
+      binDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("img")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        init
+        rows.map { case (id, bytes) =>
+          try {
+            val d = decode(bytes)
+            require(d.gray.length > 0, s"doc $id: zero-pixel image")
+            var sum = 0L
+            var mn = 255
+            var mx = 0
+            var i = 0
+            while (i < d.gray.length) {
+              val p = d.gray(i)
+              sum += p
+              if (p < mn) mn = p
+              if (p > mx) mx = p
+              i += 1
+            }
+            (id, false, d.gray.length.toLong, sum, mn, mx,
+              aHash64(d.gray, d.width, d.height))
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              (id, true, 0L, 0L, 0, 0, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "corrupt", "n_px", "sum_lum", "min_lum", "max_lum",
+        "ahash")
+  }
+
   /** IMAGE decontamination — drop training images within `maxHamming`
     * of any eval-set image's aHash (benchmark-leakage removal, the
     * media twin of text decontamination). Both sides decode once; the

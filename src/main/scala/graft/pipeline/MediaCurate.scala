@@ -15,6 +15,10 @@ import graft.operators.{Audio, Dedup, Fingerprints, Images, Video}
   *
   * Gate chain, in PRECEDENCE order (an image dropped by an earlier
   * gate is never consulted by a later one):
+  *   0. `corrupt`     — undecodable scrape bytes, LABELED (quarantined),
+  *                      never thrown (round-14: the video arm's posture
+  *                      extended to all modalities — the loud-fail
+  *                      contract stays on the analysis operators);
   *   1. `undersized`  — n_px < minPixels (thumbnail/icon junk);
   *   2. `flat`        — max_lum − min_lum < minContrast (blank or
   *                      near-blank frames);
@@ -68,25 +72,26 @@ object MediaCurate {
       s"bad gate thresholds: minPixels=$minPixels minContrast=$minContrast " +
         s"mean=[$minMean,$maxMean]")
     Fingerprints.requireLossless(maxHamming)
-    // ONE decode pass; persisted because gates 1-3, the survivor filter
+    // ONE decode pass (curation posture: corrupt scrape bytes LABELED,
+    // never thrown — the video arm's contract, shared by all three
+    // modalities); persisted because the gates, the survivor filter
     // and the final label join all consume it
     val stats = Dedup.track(
-      Images.imageStats(spark, images)
-        .select(col("doc_id"), col("n_px"), col("sum_lum"), col("min_lum"),
-          col("max_lum"), col("ahash"))
-        .persist())
+      Images.curationProfile(spark, images).persist())
+    val corrupt = col("corrupt")
     val undersized = col("n_px") < minPixels
     val flat = (col("max_lum") - col("min_lum")) < minContrast
     // integer-exact mean bounds: mean < minMean  ⟺  sum < minMean·n_px
     val brightness = col("sum_lum") < lit(minMean.toLong) * col("n_px") ||
       col("sum_lum") > lit(maxMean.toLong) * col("n_px")
-    val survivors = stats.filter(!undersized && !flat && !brightness)
+    val survivors = stats.filter(!corrupt && !undersized && !flat && !brightness)
     val keepers = Fingerprints.nearDupKeepers(
       survivors.select(col("doc_id"), col("ahash")), "ahash", maxHamming)
       .select(col("doc_id"), col("keep"))
     stats.join(keepers, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(undersized, lit("undersized"))
+        when(corrupt, lit("corrupt"))
+          .when(undersized, lit("undersized"))
           .when(flat, lit("flat"))
           .when(brightness, lit("brightness"))
           .when(!col("keep"), lit("near_dup"))
@@ -95,6 +100,7 @@ object MediaCurate {
 
   /** AUDIO-corpus curation — the same labeled-frame contract over a
     * (doc_id, audio binary) frame, gates in precedence order:
+    *   0. `corrupt`   — undecodable scrape bytes, quarantined as a label;
     *   1. `too_short` — n_samples < minSamples (fragments);
     *   2. `clipped`   — clipped-sample fraction above 1/maxClipDenom,
     *                    compared INTEGER-exactly as
@@ -120,17 +126,19 @@ object MediaCurate {
         s"silenceDenom=$maxSilenceDenom")
     Fingerprints.requireLossless(maxHamming)
     val prof = Dedup.track(
-      Audio.profile(spark, clips, clipLevel, silenceLevel).persist())
+      Audio.curationProfile(spark, clips, clipLevel, silenceLevel).persist())
+    val corrupt = col("corrupt")
     val tooShort = col("n_samples") < minSamples
     val clipped = col("n_clipped") * maxClipDenom > col("n_samples")
     val silent = col("n_silent") * maxSilenceDenom > col("n_samples")
-    val survivors = prof.filter(!tooShort && !clipped && !silent)
+    val survivors = prof.filter(!corrupt && !tooShort && !clipped && !silent)
     val keepers = Fingerprints.nearDupKeepers(
       survivors.select(col("doc_id"), col("afp")), "afp", maxHamming)
       .select(col("doc_id"), col("keep"))
     prof.join(keepers, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(tooShort, lit("too_short"))
+        when(corrupt, lit("corrupt"))
+          .when(tooShort, lit("too_short"))
           .when(clipped, lit("clipped"))
           .when(silent, lit("silent"))
           .when(!col("keep"), lit("near_dup"))

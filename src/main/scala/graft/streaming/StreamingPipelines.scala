@@ -683,10 +683,8 @@ object StreamingPipelines {
         s"mean=[$minMean,$maxMean]")
     mediaCurateSink(imgs, registryPath, outPath, maxHamming, compactEvery,
       hashCol = "ahash",
-      profile = (spark, b) => graft.operators.Images.imageStats(spark, b)
-        .select(col("doc_id"), col("n_px"), col("sum_lum"), col("min_lum"),
-          col("max_lum"), col("ahash")),
-      gates = imageGates(minPixels, minContrast, minMean, maxMean))
+      profile = (spark, b) => graft.operators.Images.curationProfile(spark, b),
+      gates = corruptGate +: imageGates(minPixels, minContrast, minMean, maxMean))
   }
 
   /** Incremental AUDIO CURATION — the streaming twin of
@@ -707,8 +705,8 @@ object StreamingPipelines {
     mediaCurateSink(clips, registryPath, outPath, maxHamming, compactEvery,
       hashCol = "afp",
       profile = (spark, b) =>
-        graft.operators.Audio.profile(spark, b, clipLevel, silenceLevel),
-      gates = audioGates(minSamples, maxClipDenom, maxSilenceDenom))
+        graft.operators.Audio.curationProfile(spark, b, clipLevel, silenceLevel),
+      gates = corruptGate +: audioGates(minSamples, maxClipDenom, maxSilenceDenom))
   }
 
   /** Incremental VIDEO CURATION — the streaming twin of
@@ -826,15 +824,14 @@ object StreamingPipelines {
     * per batch — the verdict projection is
     * MediaCurate.verdict3Columns, ONE definition with the batch
     * pipeline. Thresholds are the batch defaults
-    * (MediaCurate.Defaults — one definition). Input contract: every
-    * row carries all three binary columns with DECODABLE image and
-    * audio bytes — the image/audio profile passes fail loud on null or
-    * corrupt binaries exactly like the batch pipelines (only the VIDEO
-    * gate chain quarantines corrupt bytes, via gatedProfile), and a
-    * doc absent from a modality's input entirely cannot happen here
-    * (one row carries all three columns), so verdict3Columns'
-    * missing_modality arms are structurally unreachable in this sink —
-    * they exist for the batch curateMedia3's separate-input shape. */
+    * (MediaCurate.Defaults — one definition). ALL THREE modalities
+    * quarantine corrupt/undecodable binaries as a `corrupt` label
+    * (the curation profiles catch decode failures — one bad scrape
+    * file never kills the query); a doc absent from a modality's
+    * input entirely cannot happen here (one row carries all three
+    * columns), so verdict3Columns' missing_modality arms are
+    * structurally unreachable in this sink — they exist for the batch
+    * curateMedia3's separate-input shape. */
   def mediaCurate3Sink(media: DataFrame, registryRoot: String,
       outPath: String, compactEvery: Int = 16): DataStreamWriter[Row] = {
     val imgReg = s"$registryRoot/image"
@@ -851,11 +848,10 @@ object StreamingPipelines {
         val b = batch.toDF().persist()
         val D = graft.pipeline.MediaCurate.Defaults
         val imgProf = graft.operators.Images
-          .imageStats(spark, b.select(col("doc_id"), col("img")))
-          .select(col("doc_id"), col("n_px"), col("sum_lum"), col("min_lum"),
-            col("max_lum"), col("ahash")).persist()
+          .curationProfile(spark, b.select(col("doc_id"), col("img")))
+          .persist()
         val audProf = graft.operators.Audio
-          .profile(spark, b.select(col("doc_id"), col("audio")),
+          .curationProfile(spark, b.select(col("doc_id"), col("audio")),
             D.AudioClipLevel, D.AudioSilenceLevel).persist()
         val vidProf = graft.operators.Video
           .gatedProfile(spark, b.select(col("doc_id"), col("video")),
@@ -864,11 +860,11 @@ object StreamingPipelines {
         try {
           val (imgLbl, imgSurv) = gatedLabelForBatch(spark, imgProf, imgReg,
             batchId, "ahash", D.MediaMaxHamming,
-            imageGates(D.ImageMinPixels, D.ImageMinContrast,
+            corruptGate +: imageGates(D.ImageMinPixels, D.ImageMinContrast,
               D.ImageMinMean, D.ImageMaxMean))
           val (audLbl, audSurv) = gatedLabelForBatch(spark, audProf, audReg,
             batchId, "afp", D.MediaMaxHamming,
-            audioGates(D.AudioMinSamples, D.AudioMaxClipDenom,
+            corruptGate +: audioGates(D.AudioMinSamples, D.AudioMaxClipDenom,
               D.AudioMaxSilenceDenom))
           val (vidLbl, vidSurv) = gatedLabelForBatch(spark, vidProf, vidReg,
             batchId, "khash", D.VideoMaxHamming, videoGates)
@@ -899,6 +895,11 @@ object StreamingPipelines {
     * by thresholds — the per-modality sinks pass their (defaulted)
     * params and [[mediaCurate3Sink]] passes MediaCurate.Defaults, so
     * no literal threshold is ever restated. */
+  /** The corrupt quarantine gate shared by all three modalities — the
+    * curation profiles emit a boolean `corrupt` column (decode failure
+    * caught, never thrown) that precedes every threshold gate. */
+  private def corruptGate: (String, Column) = "corrupt" -> col("corrupt")
+
   private def imageGates(minPixels: Long, minContrast: Int,
       minMean: Int, maxMean: Int): Seq[(String, Column)] = Seq(
     "undersized" -> (col("n_px") < minPixels),

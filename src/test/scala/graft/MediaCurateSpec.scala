@@ -253,6 +253,46 @@ class MediaCurateSpec extends AnyFunSuite {
       .forall(v => v._2 != "missing" && v._3 != "missing_modality:audio"))
   }
 
+  test("corrupt image and audio bytes are quarantined as labels, never thrown") {
+    import spark.implicits._
+    // the round-14 posture, shared by all three modalities: a curation
+    // pass over scrape bytes LABELS undecodable input; the loud-fail
+    // contract stays on the analysis operators (imageStats/audioStats)
+    val goodImg = Images.encodePng(16, 16, Array.tabulate(256)(i => i % 256))
+    val imgs = Seq(
+      1L -> "not an image at all".getBytes("US-ASCII"),
+      2L -> goodImg.take(10), // truncated mid-header
+      3L -> goodImg).toDF("doc_id", "img")
+    val imgLabels = MediaCurate.curateImages(spark, imgs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(imgLabels(1L) === "corrupt" && imgLabels(2L) === "corrupt",
+      s"bad image bytes must label corrupt: $imgLabels")
+    assert(imgLabels(3L) === "kept", "the intact image must survive alongside")
+    // the analysis operator still fails LOUD on the same bytes
+    assert(intercept[org.apache.spark.SparkException] {
+      Images.imageStats(spark, imgs).collect()
+    }.getCause != null)
+    // samples all in [4000, 19000): never silent (|s| >= 256), never
+    // clipped (< 32700), length over minSamples -> the clip is 'kept'
+    val goodClip = graft.operators.Audio.encode(8000,
+      Array.tabulate(600)(i => (i * 131) % 15000 + 4000),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    val clips = Seq(
+      1L -> "definitely not audio".getBytes("US-ASCII"),
+      2L -> goodClip.take(12),
+      3L -> goodClip).toDF("doc_id", "audio")
+    val audLabels = MediaCurate.curateAudio(spark, clips)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(audLabels(1L) === "corrupt" && audLabels(2L) === "corrupt",
+      s"bad audio bytes must label corrupt: $audLabels")
+    assert(audLabels(3L) === "kept", "the intact clip must survive alongside")
+    assert(intercept[org.apache.spark.SparkException] {
+      graft.operators.Audio.audioStats(spark, clips).collect()
+    }.getCause != null)
+  }
+
   test("media decontamination: keep == no eval fingerprint within the radius, per modality") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
