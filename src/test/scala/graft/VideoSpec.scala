@@ -368,6 +368,46 @@ class VideoSpec extends AnyFunSuite {
     } finally { vids.unpersist(blocking = false); () }
   }
 
+  test("edge shapes: huge strides/intervals keep only frame 0; single-shot clips cut nowhere; empty captions round-trip") {
+    import spark.implicits._
+    val one = Seq((5L, fixture(5L))).toDF("doc_id", "video")
+    // stride far beyond the clip length -> exactly frame 0 survives
+    val strided = Video.sampleFrames(spark, one, stride = 1000).collect()
+    assert(strided.length === 1 && strided(0).getInt(1) === 0)
+    val exported = Video.exportFrames(spark, one, stride = 1000).collect()
+    assert(exported.length === 1 && exported(0).getInt(1) === 0)
+    // a sampling interval longer than the whole clip -> only frame 0
+    val timed = Video.sampleFramesEvery(spark, one, everyUs = 3600L * 1000000L)
+      .collect()
+    assert(timed.length === 1 && timed(0).getInt(1) === 0)
+    // a clip whose frames are ALL identical (one shot) has zero cuts,
+    // on the MJPEG arm too (byte-identical JPEG chunks decode equal)
+    val (w, h, _, fps) = Video.synthParams(5L)
+    val oneJpeg = {
+      val px = Video.synthFramePixels(5L, 0)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = px(y * w + x); img.setRGB(x, y, (p << 16) | (p << 8) | p)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    val flatClip = Seq((9L, Video.encodeAvi(w, h, fps, Seq.fill(4)(oneJpeg))))
+      .toDF("doc_id", "video")
+    assert(Video.sceneCuts(spark, flatClip).count() === 0L)
+    val shots = Video.shotTable(spark, flatClip).collect()
+    assert(shots.length === 1 &&
+      (shots(0).getInt(1), shots(0).getInt(2), shots(0).getInt(3)) === ((0, 0, 4)))
+    // empty captions are legal zero-length text chunks and round-trip
+    val capped = Seq((3L, Video.encodeAvi(w, h, fps, Seq.fill(3)(oneJpeg),
+      subtitles = Some(Seq("", "середина 中", ""))))).toDF("doc_id", "video")
+    val caps = Video.extractSubtitles(spark, capped)
+      .collect().map(r => r.getInt(1) -> r.getString(2)).toMap
+    assert(caps === Map(0 -> "", 1 -> "середина 中", 2 -> ""))
+  }
+
   test("sampleFramesEvery keeps one frame per pts bucket across mixed frame rates") {
     val vids = Video.synthesize(spark, Tables.documents(spark, dir).limit(100))
       .persist()
