@@ -131,6 +131,52 @@ class VideoSpec extends AnyFunSuite {
     }.getMessage.contains("disagree"))
   }
 
+  test("fuzz: parseMeta is TOTAL on mutated bytes — parses or IAEs, never hangs or crashes otherwise") {
+    // deterministic-seed fuzz over all three container flavors (MJPEG,
+    // raw DIB, three-stream A/V/T): random byte mutations must either
+    // still parse (mutation hit a payload byte the walker never
+    // interprets) or fail with the walker's own IllegalArgumentException
+    // — any OTHER exception is an unguarded read, and a hang is the
+    // pre-round-14 truncation bug class. 6000 mutated parses run in
+    // well under the suite budget because every loop provably advances.
+    val (w, h, n, fps) = Video.synthParams(7L)
+    val corpora = Seq(
+      fixture(7L),
+      Video.encodeAviRaw(w, h, fps,
+        (0 until n).map(f => Video.synthFramePixels(7L, f))),
+      Video.encodeAvi(w, h, fps,
+        (0 until n).map(f => {
+          val px = Video.synthFramePixels(7L, f)
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until h; x <- 0 until w) {
+            val p = px(y * w + x); img.setRGB(x, y, (p << 16) | (p << 8) | p)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+          bos.toByteArray
+        }),
+        audio = Some(graft.operators.Audio.synthSamples(7L)),
+        subtitles = Some((0 until n).map(f => Video.synthCaption(7L, f)))))
+    val rnd = new scala.util.Random(42)
+    var parsed = 0
+    var rejected = 0
+    for (base <- corpora; _ <- 1 to 2000) {
+      val mutated = base.clone()
+      val nMut = 1 + rnd.nextInt(8)
+      for (_ <- 1 to nMut)
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      try { Video.parseMeta(mutated); parsed += 1 }
+      catch {
+        case _: IllegalArgumentException => rejected += 1
+        case e: Throwable =>
+          fail(s"parseMeta leaked a ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    // both outcomes must actually occur or the fuzz is vacuous
+    assert(parsed > 0 && rejected > 0, s"parsed=$parsed rejected=$rejected")
+  }
+
   test("u32 chunk lengths never truncate: crafted huge lengths fail loud, never hang") {
     // a declared chunk length in the u32 top half used to truncate to a
     // negative Int, slip past the overrun check and stall the walker in
