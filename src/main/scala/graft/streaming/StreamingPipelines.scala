@@ -932,6 +932,49 @@ object StreamingPipelines {
       hashCol = "khash",
       stats = (spark, b) => graft.operators.Video.keyframeHashes(spark, b))
 
+  /** Streaming EVAL-SET DECONTAMINATION — the streaming twin of
+    * Fingerprints.decontaminate: filter a media stream against a
+    * STATIC eval-set fingerprint frame (benchmark leakage never enters
+    * the corpus). Per micro-batch: one decode pass (`stats`), then the
+    * recall-lossless banded probe against the eval frame, labeled
+    * (doc_id, <hashCol>, keep) written per batch. No registry and no
+    * cross-batch state — the eval set is FIXED, so stream ≡ batch by
+    * construction (pinned in StreamingSpec). The eval frame is hashes,
+    * not binaries: the caller decodes the (small) eval set once, not
+    * per batch. */
+  def imageDecontaminateSink(imgs: DataFrame, evalHashes: DataFrame,
+      outPath: String, maxHamming: Int = 3): DataStreamWriter[Row] =
+    mediaDecontaminateSink(imgs, evalHashes, outPath, "ahash", maxHamming,
+      (spark, b) => graft.operators.Images.imageStats(spark, b))
+
+  def audioDecontaminateSink(clips: DataFrame, evalHashes: DataFrame,
+      outPath: String, maxHamming: Int = 3): DataStreamWriter[Row] =
+    mediaDecontaminateSink(clips, evalHashes, outPath, "afp", maxHamming,
+      (spark, b) => graft.operators.Audio.audioStats(spark, b))
+
+  def videoDecontaminateSink(vids: DataFrame, evalHashes: DataFrame,
+      outPath: String, maxHamming: Int = 0): DataStreamWriter[Row] =
+    mediaDecontaminateSink(vids, evalHashes, outPath, "khash", maxHamming,
+      (spark, b) => graft.operators.Video.keyframeHashes(spark, b))
+
+  private def mediaDecontaminateSink(media: DataFrame, evalHashes: DataFrame,
+      outPath: String, hashCol: String, maxHamming: Int,
+      stats: (SparkSession, DataFrame) => DataFrame): DataStreamWriter[Row] = {
+    graft.operators.Fingerprints.requireLossless(maxHamming)
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().persist()
+        try {
+          val hashes = stats(spark, b).select(col("doc_id"), col(hashCol))
+          graft.operators.Fingerprints
+            .decontaminate(hashes, evalHashes, hashCol, maxHamming)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        } finally { b.unpersist(); () }
+      }
+  }
+
   /** The shared fingerprint-registry dedup sink behind the image and
     * audio twins — ONE definition of the micro-batch protocol
     * (decode-once, in-batch banded pair join, registry band probe,

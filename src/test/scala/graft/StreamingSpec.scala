@@ -1237,6 +1237,41 @@ class StreamingSpec extends AnyFunSuite {
       "no cross-batch near-dup losers — registry path untested")
   }
 
+  test("streaming decontamination == batch keep set against a static eval frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outPath = "/tmp/graft_test_decon_out"
+    new scala.reflect.io.Directory(new java.io.File(outPath)).deleteRecursively()
+    val docs = Tables.documents(spark, dir)
+    val evalHashes = graft.operators.Images.imageStats(spark,
+      graft.operators.Images.synthesize(spark, docs.filter(col("doc_id") % 10 === 0)))
+      .select(col("doc_id"), col("ahash")).collect()
+    val evalDf = evalHashes.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("doc_id", "ahash")
+    val imgRows = graft.operators.Images.synthesize(spark, docs)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamingPipelines
+      .imageDecontaminateSink(stream.toDF().toDF("doc_id", "img"), evalDf, outPath)
+      .start()
+    val (h1, h2) = imgRows.splitAt(imgRows.size / 2)
+    stream.addData(h1); q.processAllAvailable()
+    stream.addData(h2); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outPath).select("doc_id", "keep")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val want = graft.operators.Images.decontaminate(spark,
+      graft.operators.Images.synthesize(spark, docs),
+      graft.operators.Images.synthesize(spark, docs.filter(col("doc_id") % 10 === 0)))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    graft.pipeline.Curate.releaseCaches(spark)
+    assert(got.size === imgRows.size && got === want)
+    // live signal: contaminated docs exist in BOTH batches
+    assert(want.filter(!_._2).keySet.exists(_ < imgRows.size / 2) &&
+      want.filter(!_._2).keySet.exists(_ >= imgRows.size / 2))
+  }
+
   test("incremental three-modality curation sink == batch curateMedia3 verdicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
